@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` for the
+  * correctness gate.
+  *
+  * Determinism conventions (so Spark and DuckDB hash-match bit-for-bit):
+  *  - double aggregation runs in DECIMAL(18,2) (order-independent), cast to
+  *    DOUBLE on output; avg/ratios are scalar double ops on exact inputs.
+  *  - all event-time values are compared as epoch milliseconds
+  *    (`unix_millis` / `epoch_ms`) — no timestamp-precision ambiguity
+  *    between Spark (µs) and DuckDB (ns).
+  *  - every ordering has a unique tiebreaker column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's word count (examples/word_count.py:40-51) on
+    * sf0.001 documents. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_wordcount")(spark, "/root/testdata/sf0.001")
+
+  private def dec(c: Column): Column = Aggregates.dec(c)
+  private def ms(c: Column): Column = unix_millis(c)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- stateless: map / filter / flatMap (SURVEY §2.3, §2.8) ----
+    "q01_map_project" -> ((s, d) => {
+      val t = Tables(s, d)
+      Stateless.mapRecords(t.lineitem,
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "net_price" -> (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double"))
+    }),
+    "q02_filter" -> ((s, d) => {
+      val t = Tables(s, d)
+      Stateless.filterRecords(t.lineitem,
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+    "q03_flatmap_tokens" -> ((s, d) => {
+      val t = Tables(s, d)
+      Stateless.flatMap(t.documents, Stateless.tokens(col("text")), "word")
+        .select(col("doc_id"), col("word"))
+    }),
+    "q04_wordcount" -> ((s, d) => {
+      val t = Tables(s, d)
+      Stateless.flatMap(t.documents, Stateless.tokens(col("text")), "word")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 5)
+    }),
+
+    // ---- keyed aggregation (SURVEY §2.4) ----
+    "q05_keyed_stats" -> ((s, d) =>
+      Aggregates.keyedStats(Tables(s, d).events, col("value"), col("user_id"))),
+    "q06_agg_pricing" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+    }),
+    "q07_distinct" -> ((s, d) =>
+      Tables(s, d).events.select(col("user_id"), col("event_type")).distinct()),
+    "q08_dedup_keyfirst" -> ((s, d) =>
+      // intended semantics of the reference's dedup example
+      // (examples/stateful_deduplication.py:18-49): first event id per key
+      Tables(s, d).events.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))),
+    "q09_topk" -> ((s, d) =>
+      Tables(s, d).events
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("value"))),
+    "q33_distinct_per_key" -> ((s, d) =>
+      Tables(s, d).events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_distinct"))),
+    "q36_rollup" -> ((s, d) => {
+      val t = Tables(s, d)
+      val j = t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      Aggregates.rollupAgg(j, col("c_acctbal"), col("r_name"), col("n_name"))
+    }),
+
+    // ---- set ops (SURVEY §2.9 — absent in reference, exposed here) ----
+    "q10_except" -> ((s, d) => {
+      val e = Tables(s, d).events
+      e.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .except(e.where(col("event_type") === "error" && col("value") > 195).select(col("user_id")).distinct())
+    }),
+    "q11_intersect" -> ((s, d) => {
+      val e = Tables(s, d).events
+      e.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .intersect(e.where(col("event_type") === "signup").select(col("user_id")).distinct())
+    }),
+    "q12_union" -> ((s, d) => {
+      val e = Tables(s, d).events
+      e.where(col("event_type") === "purchase").select(col("event_id"), col("user_id"))
+        .union(e.where(col("event_type") === "signup").select(col("event_id"), col("user_id")))
+    }),
+
+    // ---- joins (SURVEY §2.6) ----
+    "q13_join_inner" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    }),
+    "q14_join_broadcast" -> ((s, d) => {
+      val t = Tables(s, d)
+      val dims = Joins.broadcastJoin(t.customer, t.nation, col("c_nationkey") === col("n_nationkey"))
+      Joins.broadcastJoin(dims, t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).cast("double").as("acctbal"))
+    }),
+    "q15_join_semi" -> ((s, d) => {
+      val t = Tables(s, d)
+      Joins.semiJoin(t.customer, t.orders, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q16_join_anti" -> ((s, d) => {
+      val t = Tables(s, d)
+      Joins.antiJoin(t.customer, t.orders.where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q17_join_outer" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.nation.join(t.customer, col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+    }),
+    "q24_interval_join" -> ((s, d) => {
+      val e = Tables(s, d).events
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      Joins.intervalJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"), 21600000L)
+        .select(col("purchase_id"), col("click_id"), (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
+    }),
+
+    // ---- SQL window functions (SURVEY §2.5 "not present" — exposed) ----
+    "q18_window_rank" -> ((s, d) => {
+      val e = Tables(s, d).events
+      val byTime = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
+      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+      e.select(col("event_id"), col("user_id"),
+        row_number().over(byTime).cast("long").as("rn"),
+        rank().over(byValue).cast("long").as("val_rank"))
+    }),
+    "q19_window_lag" -> ((s, d) => {
+      val e = Tables(s, d).events
+      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
+      e.select(col("event_id"), col("user_id"),
+        (ms(col("ts")) - lag(ms(col("ts")), 1).over(w)).as("gap_ms"))
+    }),
+    "q20_window_running" -> ((s, d) => {
+      val e = Tables(s, d).events
+      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("running_sum"))
+    }),
+
+    // ---- event-time windows (SURVEY §2.5) ----
+    "q21_tumbling" -> ((s, d) => {
+      val e = Tables(s, d).events
+      EventTimeWindows.tumbling(e, col("ts"), "1 hour", col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_v"))
+        .select(EventTimeWindows.winStartMs, col("event_type"), col("cnt"), col("sum_v"))
+    }),
+    "q22_sliding" -> ((s, d) => {
+      val e = Tables(s, d).events
+      EventTimeWindows.sliding(e, col("ts"), "1 hour", "20 minutes", col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_v"))
+        .select(EventTimeWindows.winStartMs, col("event_type"), col("cnt"), col("sum_v"))
+    }),
+    "q23_session" -> ((s, d) => {
+      val e = Tables(s, d).events
+      EventTimeWindows.session(e, col("ts"), "30 minutes", col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("user_id"), col("n_events"))
+    }),
+
+    // ---- scalar functions (SURVEY §2.8) ----
+    "q25_scalar_json" -> ((s, d) =>
+      Tables(s, d).events
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))),
+    "q26_scalar_datetime" -> ((s, d) =>
+      Tables(s, d).orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"), month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))),
+    "q27_scalar_string" -> ((s, d) =>
+      Tables(s, d).customer.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_up"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        col("c_name").contains("1").cast("int").as("has_one"))),
+
+    // ---- GUI file ops (SURVEY §3.3) ----
+    "q28_fileop_filter" -> ((s, d) =>
+      FileOps.filterOp(Tables(s, d).events, "event_type", "equals", "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))),
+    "q29_fileop_transform" -> ((s, d) =>
+      FileOps.transformOp(Tables(s, d).nation, lit("2024-01-01T00:00:00"))),
+    "q30_fileop_aggregate" -> ((s, d) =>
+      FileOps.aggregateOp(Tables(s, d).events, "event_type", "avg", "value")),
+    "q31_fileop_anomaly" -> ((s, d) =>
+      FileOps.anomalyOp(Tables(s, d).events, "value", 180.0)
+        .select(col("event_id"), col("is_anomaly"))),
+
+    // ---- text analysis (north-star) ----
+    "q32_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityProfile(Tables(s, d).documents, col("text"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("mean_tok_len"),
+          col("stop_ratio"), col("quality_keep"))),
+    "q34_text_fingerprint" -> ((s, d) =>
+      Dedup.exact(Tables(s, d).documents, col("doc_id"), col("text"))),
+    "q35_token_count" -> ((s, d) =>
+      Tables(s, d).documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))),
+
+    // ---- dedup + similarity (north-star; oracle below where expressible) ----
+    "q37_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLsh(Tables(s, d).documents, col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
+    "q38_simhash" -> ((s, d) =>
+      Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+    "q39_ann_topk" -> ((s, d) => {
+      val em = Tables(s, d).embeddings
+      Similarity.bruteForceTopK(
+        em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+        |FROM lineitem""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 30""".stripMargin,
+    "q03_flatmap_tokens" ->
+      """SELECT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+        |) WHERE word <> ''""".stripMargin,
+    "q04_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word HAVING count(*) > 5""".stripMargin,
+    "q05_keyed_stats" ->
+      """SELECT user_id, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q06_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q07_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q08_dedup_keyfirst" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q09_topk" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "q10_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 195""".stripMargin,
+    "q11_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+    "q12_union" ->
+      """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+        |UNION ALL SELECT event_id, user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+    "q13_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q14_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q15_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q16_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q17_join_outer" ->
+      """SELECT n_name, count(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q18_window_rank" ->
+      """SELECT event_id, user_id,
+        |row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn,
+        |rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS val_rank
+        |FROM events""".stripMargin,
+    "q19_window_lag" ->
+      """SELECT event_id, user_id,
+        |epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |FROM events""".stripMargin,
+    "q20_window_running" ->
+      """SELECT event_id, user_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM events""".stripMargin,
+    "q21_tumbling" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q22_sliding" ->
+      """SELECT (epoch_ms(ts) // 1200000 - k.k) * 1200000 AS win_start_ms, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events, (VALUES (0),(1),(2)) k(k)
+        |GROUP BY 1, 2""".stripMargin,
+    "q23_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
+        |d AS (SELECT user_id, ems,
+        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ems,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q24_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
+        |FROM events p JOIN events c
+        |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |AND abs(epoch_ms(p.ts) - epoch_ms(c.ts)) <= 21600000""".stripMargin,
+    "q25_scalar_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q26_scalar_datetime" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
+        |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q27_scalar_string" ->
+      """SELECT c_custkey, upper(c_name) AS name_up, length(c_name) AS name_len,
+        |substring(c_name, 1, 8) AS name_pfx,
+        |CAST(contains(c_name, '1') AS INTEGER) AS has_one
+        |FROM customer""".stripMargin,
+    "q28_fileop_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    "q29_fileop_transform" ->
+      """SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
+        |'2024-01-01T00:00:00' AS _processed_at FROM nation""".stripMargin,
+    "q30_fileop_aggregate" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS agg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q31_fileop_anomaly" ->
+      "SELECT event_id, value > 180.0 AS is_anomaly FROM events",
+    "q32_text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len,
+        |CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], x))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+        |len(toks) >= 5 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1)) > 2
+        |  AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1)) < 12 AS quality_keep
+        |FROM t""".stripMargin,
+    "q34_text_fingerprint" ->
+      """SELECT md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS fp,
+        |min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q33_distinct_per_key" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
+    "q35_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "q36_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    // q37_minhash_pairs / q38_simhash / q39_ann_topk: hash-seeded /
+    // engine-specific kernels — driver records rows-only checks.
+  )
 }

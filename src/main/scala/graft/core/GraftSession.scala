@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Replaces the reference's JobManager/TaskManager bootstrap
+  * (reference: jobmanager/api.py, taskmanager/task_executor.py) — on Spark
+  * the cluster runtime, scheduling, shuffle transport, checkpointing and
+  * state backends are provided by the platform, so "starting the engine"
+  * is just configuring a SparkSession.
+  *
+  * Scale notes (100 TB target):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replace any hand-tuned parallelism (reference: scheduler.py bin-packing).
+  *  - shuffle.partitions defaults to the local core count here; on a real
+  *    cluster this should be ~2-3x total executor cores (or left to AQE's
+  *    coalescing with a high initial value).
+  *  - Timezone pinned to UTC so event-time window math is stable across
+  *    environments.
+  */
+object GraftSession {
+
+  /** Default parallelism knob; mirrors `Config.PARALLELISM`
+    * (reference: common/config.py) but resolved from the host.
+    */
+  def defaultCores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def local(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+      // reader rejects; read as Long ns and convert (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft's standard runtime configuration to an externally-created
+    * session (e.g. the driver-owned Verify/Bench mains).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyed aggregation surface.
+  *
+  * The reference's AggregateOperator keeps {count,sum,min,max} per key and
+  * supports agg_func ∈ {sum,count,avg,min,max}
+  * (reference: taskmanager/operators/stateful.py:265-342). Here the same
+  * surface is a groupBy().agg() — Catalyst plans it as partial (map-side)
+  * + final HashAggregate, which is what makes it hold at 100 TB: the
+  * shuffle carries one row per (partition, key), not per record.
+  *
+  * Beyond the reference (it has none of these): distinct counts, approximate
+  * distinct (HLL), cube/rollup grouping sets.
+  */
+object Aggregates {
+
+  /** Exact money/quantity arithmetic: cast doubles to DECIMAL(18,2) before
+    * summing so results are associative and engine-independent (float sums
+    * depend on reduction order; decimal sums do not).
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** The reference's full agg surface for one value column, per key.
+    * Sums run in decimal (order-independent), outputs cast to double; avg
+    * is a scalar double division of exact aggregates, so results are
+    * bit-identical across engines and partitionings.
+    */
+  def keyedStats(df: DataFrame, valueCol: Column, keys: Column*): DataFrame =
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(dec(valueCol)).cast("double").as("sum_v"),
+      min(dec(valueCol)).cast("double").as("min_v"),
+      max(dec(valueCol)).cast("double").as("max_v"),
+      (sum(dec(valueCol)).cast("double") / count(lit(1))).as("avg_v"))
+
+  /** Extension: distinct + approximate-distinct aggregates (free on Spark,
+    * absent in the reference — SURVEY §2.4).
+    */
+  def distinctCounts(df: DataFrame, distinctCol: Column, keys: Column*): DataFrame =
+    df.groupBy(keys: _*).agg(
+      countDistinct(distinctCol).as("n_distinct"),
+      approx_count_distinct(distinctCol).as("n_approx"))
+
+  /** Extension: rollup over a hierarchy (e.g. region > nation). */
+  def rollupAgg(df: DataFrame, valueCol: Column, keys: Column*): DataFrame =
+    df.rollup(keys: _*).agg(count(lit(1)).as("cnt"), sum(dec(valueCol)).cast("double").as("sum_v"))
+
+  /** Extension: cube over dimensions. */
+  def cubeAgg(df: DataFrame, valueCol: Column, keys: Column*): DataFrame =
+    df.cube(keys: _*).agg(count(lit(1)).as("cnt"), sum(dec(valueCol)).cast("double").as("sum_v"))
+}

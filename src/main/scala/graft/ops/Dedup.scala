@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines (north-star
+  * extension). The reference's only dedup is a (buggy) keyed-process
+  * example (reference: examples/stateful_deduplication.py:18-49 — state
+  * write-back is dead code, SURVEY §2.7); here the intended semantics are
+  * implemented as distributed batch operators:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint, one shuffle of
+  *    (fingerprint, id) pairs only — holds at 100 TB because the text
+  *    itself is never shuffled.
+  *  - MinHash/LSH: shingle → k-minhash signature → band buckets →
+  *    bucket-join for candidates → exact Jaccard verify. The classic
+  *    near-dup pipeline (Broder '97); all signature math is column
+  *    expressions (codegen), candidates come from an equi-join on
+  *    (band, bandHash) so Spark shuffles signatures, not documents.
+  *  - SimHash: 64-bit sign-of-weighted-bits fingerprint (Charikar '02);
+  *    near-dup iff small Hamming distance.
+  *
+  * All hashing is xxhash64 with the hash-function index mixed in, so
+  * results are deterministic across runs and partitionings.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the token array (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = Stateless.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** k-wise MinHash signature over the shingle set: sig[i] = min over
+    * shingles s of xxhash64(i, s).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** LSH banding: hash r consecutive signature entries per band.
+    * Two docs land in the same (bandIdx, bandHash) bucket iff that band of
+    * their signatures matches exactly.
+    */
+  def lshBands(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, array_join(slice(sigCol, b * lit(rows) + lit(1), lit(rows)), ",")).as("bucket")))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact dedup: keep the lowest id per fingerprint. Output: one row per
+    * distinct document with its duplicate count.
+    */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), TextAnalysis.fingerprint(text).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard >= threshold.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    * bands. `numHashes` must equal bands*rowsPerBand.
+    */
+  def minhashLsh(df: DataFrame, id: Column, text: Column,
+                 shingleN: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold via LSH candidates —
+    * convenience wrapper with aggressive banding (high recall).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame =
+    minhashLsh(df, id, text, shingleN = n, numHashes = 32, bands = 16, rowsPerBand = 2,
+      threshold = threshold)
+
+  /** The 64 bit masks 1L<<0 .. 1L<<63 as an array literal. */
+  private def bitMasks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
+
+  /** 64-bit SimHash over tokens: each token's hash votes +1/-1 on every bit
+    * position; the sign of each bit-sum forms the fingerprint.
+    */
+  def simhash(text: Column): Column = {
+    val toks = Stateless.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(acc,
+          transform(bitMasks,
+            m => when(xxhash64(t).bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))),
+          (a, v) => a + v))
+    // fold sign bits into one long: set mask bit where the vote is positive
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

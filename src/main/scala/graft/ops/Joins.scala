@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators.
+  *
+  * The reference implements exactly one join: a keyed stream-stream interval
+  * equi-join, inner only — two per-key buffers matched within
+  * |ts_l - ts_r| <= bound, buffers evicted by watermark
+  * (reference: taskmanager/operators/stateful.py:345-465;
+  * examples/stream_join.py:38-126 — click/impression attribution within
+  * 5 minutes on ad_id). Everything else (broadcast/semi/anti/outer, join
+  * strategy selection) is absent there and free on Catalyst; we expose it
+  * as part of the engine surface (SURVEY §2.6).
+  *
+  * Scale notes: the interval join is an equi-join on the key plus a range
+  * predicate — Spark shuffles both sides by key once and filters within
+  * the key group, which is the same state-bounding the reference's
+  * watermark eviction achieves. Dimension joins should broadcast
+  * (`broadcastJoin`) — no shuffle of the fact side at all.
+  */
+object Joins {
+
+  /** Interval equi-join (reference: stateful.py:345-465). Timestamps are
+    * compared at millisecond precision on both sides, matching the
+    * reference's epoch-ms record timestamps (common/serialization.py:150).
+    * Inner only, like the reference.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightTs: Column,
+      boundMs: Long): DataFrame = {
+    val cond = leftKey === rightKey &&
+      abs(unix_millis(leftTs) - unix_millis(rightTs)) <= boundMs
+    left.join(right, cond, "inner")
+  }
+
+  /** Broadcast a small dimension side — replicate the dim to every task
+    * instead of shuffling the fact table (the reference's BROADCAST edge
+    * type, job_graph.py:11-17, which its fluent API never actually emits).
+    */
+  def broadcastJoin(fact: DataFrame, dim: DataFrame, cond: Column, how: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), cond, how)
+
+  /** EXISTS — rows of `left` with a match in `right`. */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** NOT EXISTS — rows of `left` with no match in `right`. */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension).
+  *
+  * Embeddings are `Array[Float]` columns; all arithmetic is promoted to
+  * Double and folded in index order (`aggregate` over `zip_with`) so the
+  * result is IEEE-deterministic and engine-portable. No UDFs — these are
+  * Catalyst higher-order functions, codegen-eligible and null-safe.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — a map-only join, no corpus shuffle; the per-query
+  * rank then shuffles only (query, candidate, score) triples. The
+  * LSH-bucketed variant (`lshCosineBuckets`) bounds candidates per query by
+  * random-hyperplane bucketing, the standard sub-linear path when the query
+  * set itself is large.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays, in Double, index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b) / (norm(a) * norm(b))
+    when(norm(a) === 0 || norm(b) === 0, lit(0.0)).otherwise(d)
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most
+    * similar rows of `corpus` (self-matches excluded by id). Query side is
+    * broadcast — the corpus is never shuffled, only scored triples are.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: Column, queryVec: Column,
+                     corpusId: Column, corpusVec: Column,
+                     k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val c = corpus.select(corpusId.as("cand_id"), corpusVec.as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with cosine
+    * above `threshold`. Candidates come from random-hyperplane LSH buckets
+    * (sign bits of dot products with deterministic pseudo-random planes),
+    * so the cross product is per-bucket, not global.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                         dim: Int, planes: Int = 8,
+                         threshold: Double = 0.95): DataFrame = {
+    val sig = hyperplaneSignature(vec, dim, planes)
+    val b = df.select(id.as("id"), vec.as("v"), sig.as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+
+  /** Sign-bit signature of `planes` random hyperplanes. Plane components
+    * are deterministic pseudo-randoms derived from xxhash64(plane, dim) —
+    * reproducible across runs/partitions, no RNG state.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // component h(p,d) mapped to [-0.5, 0.5)
+      val comps = (0 until dim).map { d =>
+        val h = xxhash64(lit(p * 131071 + d))
+        (h.cast("double") / lit(Long.MaxValue.toDouble * 2.0))
+      }
+      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * comps(d))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << (p % 63))).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stateless record operators: map / filter / flatMap / keyBy.
+  *
+  * Mirrors the reference's stateless operator set
+  * (reference: taskmanager/operators/stateless.py:14-152) but expressed as
+  * column transforms so Catalyst keeps them inside whole-stage codegen and
+  * can push predicates/pruning into the scan. The reference applies opaque
+  * Python closures one record at a time and *swallows* operator exceptions
+  * (stateless.py:42-45); we are declarative and fail fast.
+  */
+object Stateless {
+
+  /** MapOperator (reference: stateless.py:14-45): 1→1 transform.
+    * Expressed as a projection; each (name, expr) pair becomes a column.
+    */
+  def mapRecords(df: DataFrame, exprs: (String, Column)*): DataFrame =
+    df.select(exprs.map { case (n, c) => c.as(n) }: _*)
+
+  /** FilterOperator (reference: stateless.py:48-79): keep iff predicate. */
+  def filterRecords(df: DataFrame, predicate: Column): DataFrame =
+    df.where(predicate)
+
+  /** FlatMapOperator (reference: stateless.py:82-116): 1→N.
+    * The reference's only production use is line→words in word count
+    * (examples/word_count.py:19-21); the general form is a generator
+    * expression over an array column.
+    */
+  def flatMap(df: DataFrame, arrayExpr: Column, outName: String): DataFrame =
+    df.withColumn(outName, explode(arrayExpr))
+
+  /** Tokenize a text column: lowercase, split on whitespace runs, drop
+    * empties. The canonical reference flatMap
+    * (examples/word_count.py:19-25: `line.split()` + `word.lower()`).
+    * `split` + `explode` stay codegen'd; no UDF.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** KeyByOperator (reference: stateless.py:119-152, SHUFFLE edge
+    * job_graph.py:393-399): explicit hash repartition by key. In Spark the
+    * shuffle is implicit in downstream groupBy/join; use this only to
+    * pre-co-locate several same-key stages so they reuse one exchange.
+    */
+  def keyBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(keys: _*)
+}

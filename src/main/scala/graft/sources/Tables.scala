@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch file sources.
+  *
+  * Covers the reference's file-ingest surface (reference: gui/app_gcp.py:244-264
+  * — csv.DictReader / json.loads over uploads) plus the parquet test tables.
+  * Unlike the reference (≤2 MB, ≤500 records, driver-side parse), these are
+  * distributed scans with predicate pushdown / column pruning handled by the
+  * parquet data source, so they hold at 100 TB.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); Spark's parquet reader
+    // rejects that type outright, so read it as Long nanoseconds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  /** `ts` arrives as Long nanoseconds (see [[table]]); convert to a proper
+    * µs TimestampType with integer `div` — a double-precision division
+    * would corrupt int64 epoch-nanos (~1.7e18 > 2^53).
+    */
+  def events: DataFrame =
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object FileSources {
+  /** CSV ingest with header inference — the engine equivalent of the GUI
+    * upload path (reference: gui/app_gcp.py:251-254). Schema may be supplied
+    * to avoid the inference scan at scale.
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** JSON-lines ingest (reference: gui/app_gcp.py:256-259). */
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+}
