@@ -1,0 +1,68 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The fluent façade end-to-end: the reference's flagship word-count
+  * pipeline (examples/word_count.py:54-84 — add_source → flat_map → map →
+  * key_by → window → reduce → filter → add_sink) in both batch and
+  * streaming form.
+  */
+class StreamEnvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("batch word count through the fluent API") {
+    val env = StreamEnv(spark)
+    val out = env.fromCollection(Seq("the cat the dog", "the bird"))
+      .flatMapRecords(graft.ops.Stateless.tokens(col("value")), "word")
+      .keyBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filterRecords(col("cnt") > 2)
+      .df.as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("the", 3L)))
+  }
+
+  test("streaming windowed word count through the fluent API") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val env = StreamEnv(spark)
+    val stream = env.fromBatch(in.toDF().toDF("line", "ts"))
+      .flatMapRecords(graft.ops.Stateless.tokens(col("line")), "word")
+      .withEventTime("ts", "5 seconds")
+      .keyBy(col("word"))
+      .window(col("ts"), "10 seconds")
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.toMemorySink("env_wc", OutputMode.Append())
+    try {
+      in.addData(("spark spark flink", ts(2)), ("spark", ts(4)))
+      q.processAllAvailable()
+      in.addData(("x", ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("env_wc").select("word", "cnt").as[(String, Long)].collect().toSet
+      assert(rows == Set(("spark", 3L), ("flink", 1L)))
+    } finally q.stop()
+  }
+
+  test("running aggregate surface matches reference agg_func set") {
+    val env = StreamEnv(spark)
+    val data = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))
+    def run(f: String) = env.fromCollection(data).keyBy(col("_1")).aggregate(f, col("_2"))
+      .df.as[(String, Double)].collect().toMap
+    assert(run("sum") == Map("a" -> 6.0, "b" -> 10.0))
+    assert(run("avg") == Map("a" -> 3.0, "b" -> 10.0))
+    assert(run("min") == Map("a" -> 2.0, "b" -> 10.0))
+    assert(run("max") == Map("a" -> 4.0, "b" -> 10.0))
+    val cnt = env.fromCollection(data).keyBy(col("_1")).aggregate("count", col("_2"))
+      .df.as[(String, Long)].collect().toMap
+    assert(cnt == Map("a" -> 2L, "b" -> 1L))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens: lowercase, whitespace split, empties dropped") {
+    val got = Seq("  Hello   WORLD  ", "a\tb\nc", "").toDF("t")
+      .select(Stateless.tokens(col("t")).as("toks")).as[Seq[String]].collect()
+    assert(got(0) == Seq("hello", "world"))
+    assert(got(1) == Seq("a", "b", "c"))
+    assert(got(2) == Seq())
+  }
+
+  test("shingles: 3-gram over tokens, distinct, short-doc fallback") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("jaccard: exact set similarity") {
+    val got = Seq(1).toDF("x").select(
+      Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).as("j"))
+      .as[Double].head()
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("simhash: equal texts equal hashes; hamming 0/positive") {
+    val df = Seq(("x", "the quick brown fox jumps"), ("y", "the quick brown fox jumps"),
+      ("z", "entirely different words here altogether")).toDF("id", "t")
+      .select(col("id"), Dedup.simhash(col("t")).as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("x") == m("y"))
+    val dist = Seq(1).toDF("i").select(
+      Dedup.hamming64(lit(m("x")), lit(m("z"))).as("d")).as[Int].head()
+    assert(dist > 0)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val one = Seq(1).toDF("i").select(
+      Similarity.cosine(array(lit(1.0f), lit(2.0f)), array(lit(1.0f), lit(2.0f))).as("c")).as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-9)
+    val zero = Seq(1).toDF("i").select(
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f))).as("c")).as[Double].head()
+    assert(zero == 0.0)
+  }
+
+  test("langId: clear-cut stopword text classifies") {
+    val got = Seq("the cat is on the mat and it is warm", "der hund ist nicht mit der katze")
+      .toDF("t").select(TextAnalysis.langId(col("t")).as("l")).as[String].collect()
+    assert(got(0) == "en")
+    assert(got(1) == "de")
+  }
+
+  test("exact dedup: planted duplicate collapses, keeps lowest id") {
+    val df = Seq((1L, "same   Text here"), (2L, "same text HERE"), (3L, "other doc")).toDF("id", "t")
+    val got = Dedup.exact(df, col("id"), col("t"))
+      .orderBy(col("keep_id")).as[(String, Long, Long)].collect()
+    assert(got.length == 2)
+    assert(got(0)._2 == 1L && got(0)._3 == 2L) // ids 1+2 merged (case/ws-insensitive)
+    assert(got(1)._2 == 3L && got(1)._3 == 1L)
+  }
+
+  test("minhashLsh: planted near-dup found, disjoint docs not paired") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "t")
+    val pairs = Dedup.minhashLsh(df, col("id"), col("t"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.8)
+  }
+
+  test("fileops: filter/aggregate/anomaly recipes") {
+    val df = Seq(("a", 1.0), ("b", 5.0), ("a", 3.0)).toDF("k", "v")
+    assert(FileOps.filterOp(df, "k", "equals", "a").count() == 2)
+    assert(FileOps.filterOp(df, "v", "greater_than", "2").count() == 2)
+    val agg = FileOps.aggregateOp(df, "k", "sum", "v").as[(String, Double)].collect().toMap
+    assert(agg("a") == 4.0 && agg("b") == 5.0)
+    val an = FileOps.anomalyOp(df, "v", 4.0).where(col("is_anomaly")).count()
+    assert(an == 1)
+  }
+
+  test("keyedStats: decimal-exact sum/avg") {
+    val df = Seq(("k", 0.1), ("k", 0.2), ("k", 0.3)).toDF("g", "v")
+    val r = Aggregates.keyedStats(df, col("v"), col("g"))
+      .select("cnt", "sum_v", "avg_v").as[(Long, Double, Double)].head()
+    // decimal path: sum exactly 0.6; avg is that double divided by 3
+    assert(r._1 == 3 && r._2 == 0.6 && r._3 == 0.6 / 3)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming semantics of the reference's operators on Structured
+  * Streaming: watermark-fired windows (WindowOperator,
+  * stateful.py:198-247), late-data drop (divergence from the reference's
+  * re-fire, SURVEY §7.4.1), update-mode running aggregates
+  * (AggregateOperator, stateful.py:265-342), dedup, interval join
+  * (JoinOperator, stateful.py:345-465), keyed process (stateful.py:88-144).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed count fires on watermark; late rows are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val agg = StreamOps.windowedAgg(
+      in.toDF().toDF("word", "ts"), "ts", "5 seconds", "10 seconds", None,
+      Seq(col("word")), Seq(count(lit(1)).as("cnt")))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wc_fire").start()
+    try {
+      in.addData(("a", ts(1)), ("a", ts(3)), ("b", ts(8)))
+      q.processAllAvailable()
+      // watermark still at 8-5=3s < 10s: nothing final yet
+      assert(spark.table("wc_fire").count() == 0)
+      // advance watermark past window end (needs wm >= 10: event at 16s)
+      in.addData(("c", ts(16)))
+      q.processAllAvailable()
+      val rows = spark.table("wc_fire")
+        .select(unix_millis(col("window.start")).as("s"), col("word"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((0L, "a", 2L), (0L, "b", 1L)))
+      // late arrival for the already-fired window -> dropped, no re-fire
+      in.addData(("a", ts(2)), ("d", ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("wc_fire").where(col("word") === "a").count() == 1)
+    } finally q.stop()
+  }
+
+  test("running aggregate emits changelog in update mode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val agg = StreamOps.runningAgg(in.toDF().toDF("k", "v"),
+      Seq(col("k")), Seq(sum(graft.ops.Aggregates.dec(col("v"))).cast("double").as("s")))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("run_agg").start()
+    try {
+      in.addData(("k1", 1.0), ("k2", 5.0))
+      q.processAllAvailable()
+      in.addData(("k1", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("run_agg").as[(String, Double)].collect().toSeq
+      // update mode: k1 appears twice (1.0 then 3.0) — the changelog the
+      // reference emits per record, batched per micro-batch
+      assert(rows.count(_._1 == "k1") == 2)
+      assert(rows.filter(_._1 == "k1").map(_._2).sorted == Seq(1.0, 3.0))
+      assert(rows.filter(_._1 == "k2").map(_._2) == Seq(5.0))
+    } finally q.stop()
+  }
+
+  test("dedup within watermark drops duplicate ids") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String, Timestamp)]
+    val out = StreamOps.dedup(in.toDF().toDF("user", "event_id", "ts"), "ts", "10 seconds",
+      Seq("user", "event_id"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_wm").start()
+    try {
+      in.addData(("u1", "e1", ts(1)), ("u1", "e1", ts(2)), ("u1", "e2", ts(3)), ("u2", "e1", ts(4)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 3)
+      in.addData(("u1", "e1", ts(5))) // still within watermark: duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 3)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within bound, inner only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(String, String, Timestamp)]
+    val imps = MemoryStream[(String, String, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("c_ad", "click_id", "c_ts"), "c_ts", "5 seconds",
+      imps.toDF().toDF("i_ad", "imp_id", "i_ts"), "i_ts", "5 seconds",
+      col("c_ad") === col("i_ad"),
+      "c_ts BETWEEN i_ts - INTERVAL 10 SECONDS AND i_ts + INTERVAL 10 SECONDS")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij").start()
+    try {
+      imps.addData(("ad1", "i1", ts(5)), ("ad2", "i2", ts(6)))
+      clicks.addData(("ad1", "c1", ts(8)), ("ad1", "c2", ts(40)), ("ad3", "c3", ts(9)))
+      q.processAllAvailable()
+      val rows = spark.table("ij").select("click_id", "imp_id").as[(String, String)].collect().toSet
+      // c1 within 10s of i1; c2 too far; c3 no key match
+      assert(rows == Set(("c1", "i1")))
+    } finally q.stop()
+  }
+
+  test("keyed process: capped dedup persists state across batches (reference bug fixed)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = KeyedProcess.dedupCapped[(String, String)](in.toDS(), _._1, _._2)
+    val q = out.toDF("user", "event").writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kp_dedup").start()
+    try {
+      in.addData(("u1", "e1"), ("u1", "e2"))
+      q.processAllAvailable()
+      // second batch: e1 is a duplicate — the reference would forget it
+      // (stateful.py:123-131 never stores state for new keys)
+      in.addData(("u1", "e1"), ("u1", "e3"))
+      q.processAllAvailable()
+      val rows = spark.table("kp_dedup").as[(String, String)].collect().toSet
+      assert(rows == Set(("u1", "e1"), ("u1", "e2"), ("u1", "e3")))
+    } finally q.stop()
+  }
+
+  test("session window streaming: sessions close when watermark passes gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val agg = StreamOps.sessionAgg(in.toDF().toDF("user", "ts"), "ts", "2 seconds", "10 seconds",
+      Seq(col("user")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    try {
+      in.addData(("u1", ts(1)), ("u1", ts(5)), ("u1", ts(8)))
+      q.processAllAvailable()
+      in.addData(("u1", ts(60))) // watermark 58s > 8+10: session closes
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select(unix_millis(col("session_window.start")).as("s"), col("n"))
+        .as[(Long, Long)].collect()
+      assert(rows.toSet == Set((1000L, 3L)))
+    } finally q.stop()
+  }
+}
