@@ -25,22 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the token array (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = Stateless.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-        .otherwise(array(array_join(toks, " "))))
-  }
+  /** Word n-gram shingles of the token array (distinct). Single-pass
+    * custom expression (graft.functions.Kernels.WordShingles).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Kernels.word_shingles(Stateless.tokens(text), n)
 
   /** k-wise MinHash signature over the shingle set: sig[i] = min over
-    * shingles s of xxhash64(i, s).
+    * shingles s of xxh64(s, seed=i). Single-pass custom expression
+    * (graft.functions.Kernels) — the equivalent nested higher-order
+    * functions evaluate interpreted and are ~50x slower on a corpus scan.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+    graft.functions.Kernels.minhash_signature(shingleCol, k)
 
   /** LSH banding: hash r consecutive signature entries per band.
     * Two docs land in the same (bandIdx, bandHash) bucket iff that band of
@@ -74,17 +71,24 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+    // Bucket join carries only (band, bucket, id) triples — the shingle
+    // arrays (i.e. the documents) never enter this shuffle, which is what
+    // keeps the candidate-generation stage cheap at corpus scale.
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("id"), explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard: shingles are joined back by id
+    // (two key-shuffles of the shingle sets, candidates only).
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** All-pairs n-gram Jaccard above a threshold via LSH candidates —
@@ -95,27 +99,12 @@ object Dedup {
     minhashLsh(df, id, text, shingleN = n, numHashes = 32, bands = 16, rowsPerBand = 2,
       threshold = threshold)
 
-  /** The 64 bit masks 1L<<0 .. 1L<<63 as an array literal. */
-  private def bitMasks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
-
   /** 64-bit SimHash over tokens: each token's hash votes +1/-1 on every bit
-    * position; the sign of each bit-sum forms the fingerprint.
+    * position; the sign of each bit-sum forms the fingerprint. Single-pass
+    * custom expression (graft.functions.Kernels).
     */
-  def simhash(text: Column): Column = {
-    val toks = Stateless.tokens(text)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) =>
-        zip_with(acc,
-          transform(bitMasks,
-            m => when(xxhash64(t).bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))),
-          (a, v) => a + v))
-    // fold sign bits into one long: set mask bit where the vote is positive
-    aggregate(
-      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.Kernels.simhash64(Stateless.tokens(text))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

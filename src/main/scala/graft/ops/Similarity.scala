@@ -20,18 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays, in Double, index order. */
+  /** Dot product of two numeric arrays, in Double, index order.
+    * Higher-order-function reference form; the hot path uses the fused
+    * kernel below.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b) / (norm(a) * norm(b))
-    when(norm(a) === 0 || norm(b) === 0, lit(0.0)).otherwise(d)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Single-pass
+    * custom expression (graft.functions.Kernels.CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Kernels.cosine_similarity(a, b)
 
   /** Brute-force cosine top-k: for each row of `queries`, the k most
     * similar rows of `corpus` (self-matches excluded by id). Query side is
