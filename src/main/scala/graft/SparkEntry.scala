@@ -248,6 +248,47 @@ object SparkEntry {
         em.where(col("vec_id") < 10), em,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
     }),
+    "q40_reduce" -> ((s, d) => {
+      // KeyedStream.reduce (job_graph.py:450-457) as a typed distributed
+      // fold: per user, the max-value event (ties -> lowest event_id)
+      import s.implicits._
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+      Reduce.reduceByKey(ev.groupByKey(_._1)) { (a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b
+      }.map { case (_, (u, e, v)) => (u, e, v) }
+        .toDF("user_id", "event_id", "value")
+    }),
+    "q41_cube" -> ((s, d) =>
+      Aggregates.cubeAgg(Tables(s, d).orders, col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))),
+    "q42_ivf_topk" -> ((s, d) => {
+      val em = Tables(s, d).embeddings
+      Similarity.ivfTopK(
+        em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nCells = 16, nProbe = 4)
+    }),
+    "q43_multimodal" -> ((s, d) => {
+      // synthetic media corpus sized off the sf dir's embedding count so
+      // the query scales with sf like every other table
+      val n = Tables(s, d).embeddings.count().toInt
+      Multimodal.decodeAndEmbed(Multimodal.syntheticMedia(s, n), dim = 16)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(Aggregates.dec(col("mean_intensity"))).cast("double").as("sum_intensity"))
+    }),
+    "q44_approx_distinct" -> ((s, d) =>
+      Tables(s, d).events.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q45_embedding_neardup" -> ((s, d) => {
+      val em = Tables(s, d).embeddings
+      // these embeddings are uniform-random (no planted dups): cosines are
+      // ~N(0, 1/64), so "near-dup" here means the extreme upper tail
+      Similarity.cosineNearDupPairs(em, col("vec_id"), col("embedding"),
+        dim = 64, planes = 4, threshold = 0.35)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,7 +447,19 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
-    // q37_minhash_pairs / q38_simhash / q39_ann_topk: hash-seeded /
-    // engine-specific kernels — driver records rows-only checks.
+    "q40_reduce" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events) WHERE rk = 1""".stripMargin,
+    "q41_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // q37_minhash_pairs / q38_simhash / q39_ann_topk / q42_ivf_topk /
+    // q43_multimodal / q44_approx_distinct / q45_embedding_neardup:
+    // hash-seeded / approximate / engine-specific kernels — driver records
+    // rows-only checks; accuracy is asserted in ScalaTest instead
+    // (IVF vs brute-force recall, HLL error bound, near-dup recall).
   )
 }

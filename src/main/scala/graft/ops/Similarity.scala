@@ -74,6 +74,53 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF-style ANN: restrict each query's search to the `nProbe` nearest
+    * of `nCells` coarse cells (inverted-file structure, à la FAISS IVF).
+    *
+    * Centroids are a deterministic hash-spread sample of the corpus; each
+    * corpus vector is assigned to its nearest centroid (one broadcast
+    * scan); each query probes its nProbe nearest cells and ranks only the
+    * vectors in those cells. At 100 TB the full scan of bruteForceTopK
+    * becomes a per-cell scan of ~nProbe/nCells of the corpus, and the
+    * cell-keyed join shuffles corpus vectors once (re-usable across query
+    * batches if persisted cell-partitioned).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: Column, queryVec: Column,
+              corpusId: Column, corpusVec: Column,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(corpusId.as("cand_id"), corpusVec.as("cv"))
+    // deterministic pseudo-random centroid sample
+    val cent = c.orderBy(xxhash64(col("cand_id")), col("cand_id")).limit(nCells)
+      .select(monotonically_increasing_id().as("cell_tmp"), col("cv").as("centroid"))
+      .withColumn("cell", row_number().over(Window.orderBy(col("cell_tmp"))) - 1)
+      .select(col("cell"), col("centroid"))
+    // assign corpus vectors to nearest centroid
+    val wAssign = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cs").desc, col("cell").asc)
+    val assigned = c.join(broadcast(cent), lit(true))
+      .select(col("cand_id"), col("cv"), col("cell"), cosine(col("cv"), col("centroid")).as("cs"))
+      .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
+      .select(col("cell"), col("cand_id"), col("cv"))
+    // queries probe their nProbe nearest cells
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell").asc)
+    val probes = q.join(broadcast(cent), lit(true))
+      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("centroid")).as("cs"))
+      .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qv"))
+    // rank within probed cells only
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"))
+  }
+
   /** Sign-bit signature of `planes` random hyperplanes. Plane components
     * are deterministic pseudo-randoms derived from xxhash64(plane, dim) —
     * reproducible across runs/partitions, no RNG state.

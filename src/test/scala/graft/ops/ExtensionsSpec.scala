@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** North-star extension accuracy: the approximate operators are held to
+  * quantified quality bars against their exact counterparts (these cannot
+  * go through the DuckDB oracle — the kernels are hash-seeded).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF top-k recall scales with probe count; >= 0.55 probing half the cells") {
+    // NB: these embeddings are uniform-random 64-dim vectors — the hardest
+    // case for IVF (no cluster structure, neighbors spread evenly over
+    // cells), so expected recall ~ probed-fraction + margin. On real
+    // clustered embeddings IVF recall at nProbe/nCells=1/4 is far higher.
+    val em = Tables(spark, sf).embeddings
+    val q = em.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, em,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def ivfRecall(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(q, em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nCells = 16, nProbe = nProbe)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val r2 = ivfRecall(2)
+    val r8 = ivfRecall(8)
+    assert(r8 >= 0.55, s"IVF recall $r8 too low at nProbe=8")
+    assert(r8 > r2, s"recall should grow with probes (r2=$r2, r8=$r8)")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val e = Tables(spark, sf).events
+    val exact = e.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = e.groupBy(col("event_type")).agg(approx_count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.1, s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("typed reduce matches SQL argmax") {
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), col("value")).as[(Long, Long, Double)]
+    val reduced = Reduce.reduceByKey(ev.groupByKey(_._1)) { (a, b) =>
+      if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b
+    }.map(_._2).collect().toSet
+    val sqlMax = Tables(spark, sf).events
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reduced == sqlMax)
+  }
+
+  test("aggregating Aggregator: mean via (sum,count) buffer") {
+    val mean = Reduce.aggregating[Double, (Double, Long), Double](
+      (0.0, 0L), (b, v) => (b._1 + v, b._2 + 1),
+      (a, b) => (a._1 + b._1, a._2 + b._2), b => b._1 / b._2)
+    val got = Seq(1.0, 2.0, 3.0, 4.0).toDS().select(mean.toColumn).head()
+    assert(got == 2.5)
+  }
+
+  test("multimodal: decode plumbing preserves ids, embeddings sized, deterministic") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val feats = Multimodal.decodeAndEmbed(media, dim = 16, parallelism = 4).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.embedding.length == 16))
+    val again = Multimodal.decodeAndEmbed(Multimodal.syntheticMedia(spark, 50), dim = 16).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.embedding.sameElements(b.embedding) && a.mean_intensity == b.mean_intensity })
+  }
+
+  test("multimodal: resize plan and frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val rs = Multimodal.resizePlan(media, 32)
+    assert(rs.where(col("target_width") > 32 || col("target_height") > 32).count() == 0)
+    val fs = Multimodal.frameSamplePlan(media, stride = 4, maxFrames = 3)
+    val rows = fs.select(col("media_id"), col("sampled_frames")).as[(Long, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2.length <= 3))
+    assert(rows.forall(_._2.zipWithIndex.forall { case (f, i) => f == i * 4L }))
+  }
+
+  test("embedding near-dup pairs agree with brute-force above threshold") {
+    val em = Tables(spark, sf).embeddings
+    val lsh = Similarity.cosineNearDupPairs(em, col("vec_id"), col("embedding"),
+      dim = 64, planes = 4, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth
+    val v = em.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (ia, va) <- v; (ib, vb) <- v if ia < ib && cos(va, vb) >= 0.35
+    } yield (ia, ib)).toSet
+    // LSH pairs must be a subset of truth (no false positives — verified
+    // exactly), and recover a reasonable fraction (8 planes, single table)
+    assert((lsh -- truth).isEmpty)
+    // random-plane LSH with 4 planes keeps ~(1-theta/pi)^4 of true pairs;
+    // at cos 0.35 over random vectors that's ~0.14 — assert a floor and
+    // that the filter actually finds part of the genuine tail
+    assert(truth.nonEmpty, "expected some tail pairs at cos>=0.35")
+    val recall = (lsh & truth).size.toDouble / truth.size
+    assert(recall >= 0.05, s"near-dup recall $recall (truth=${truth.size}, lsh=${lsh.size})")
+  }
+}
