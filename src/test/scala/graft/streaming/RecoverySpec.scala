@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Recovery semantics (reference: checkpoint/savepoint/recover surface,
+  * jobmanager/checkpoint_coordinator.py + api.py:446-515 + Kafka offset
+  * seek at sources.py:137-166): a stopped query restarted from the same
+  * checkpointLocation resumes with its aggregation state and source
+  * offsets intact — no lost and no double-counted records.
+  */
+class RecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("restart from checkpoint resumes state and offsets exactly once") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[(String, Double)]
+
+    def start() = StreamOps.runningAgg(in.toDF().toDF("k", "v"),
+        Seq(col("k")), Seq(sum(graft.ops.Aggregates.dec(col("v"))).cast("double").as("s")))
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("recov").start()
+
+    val q1 = start()
+    in.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q1.processAllAvailable()
+    assert(spark.table("recov").as[(String, Double)].collect().toMap == Map("a" -> 3.0, "b" -> 10.0))
+    q1.stop()
+
+    // restart from the same checkpoint; feed one more record.
+    // offsets: the first batch must NOT be re-consumed (its sums would
+    // double); state: the running totals must survive the restart.
+    val q2 = start()
+    in.addData(("a", 4.0))
+    q2.processAllAvailable()
+    val after = spark.table("recov").as[(String, Double)].collect().toMap
+    assert(after == Map("a" -> 7.0, "b" -> 10.0), s"got $after")
+    q2.stop()
+  }
+}
