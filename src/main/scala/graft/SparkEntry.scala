@@ -282,6 +282,14 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q46_regex_tokens" -> ((s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        size(TextAnalysis.regexTokens(col("text"), "[a-z0-9]+")).cast("long").as("n_regex_tokens"))),
+    "q47_rolling_fingerprint" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text"), 5).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
     "q45_embedding_neardup" -> ((s, d) => {
       val em = Tables(s, d).embeddings
       // these embeddings are uniform-random (no planted dups): cosines are
@@ -456,6 +464,9 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q46_regex_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
+        |FROM documents""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q39_ann_topk / q42_ivf_topk /
     // q43_multimodal / q44_approx_distinct / q45_embedding_neardup:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -85,6 +85,11 @@ final case class GraftStream(df: DataFrame) {
     */
   def union(other: GraftStream): GraftStream = GraftStream(df.union(other.df))
 
+  /** REBALANCE edge (reference: EdgeType.REBALANCE, job_graph.py:11-17 —
+    * round-robin redistribution; its fluent API never emits it, ours does).
+    */
+  def rebalance(partitions: Int): GraftStream = GraftStream(df.repartition(partitions))
+
   // ---- sinks (reference: taskmanager/operators/sinks.py) ----
 
   /** PrintSinkOperator (sinks.py:107-136). */

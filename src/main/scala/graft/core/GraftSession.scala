@@ -29,6 +29,11 @@ object GraftSession {
 
   def local(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
+      // graft sessions ship with the kernel SQL functions registered
+      // (simhash64, minhash_signature, word_shingles, cosine_similarity,
+      // rolling_fingerprint); externally-built sessions can opt in via
+      // spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL surface for the graft kernels.
+  *
+  * Registers the custom expressions as SQL functions so `spark.sql` users
+  * get the same operators as the DataFrame API:
+  *
+  * {{{
+  * // at session build time:
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or via config (no code): spark.sql.extensions=graft.functions.GraftExtensions
+  * spark.sql("SELECT simhash64(tokens), minhash_signature(sh, 32) FROM t")
+  * }}}
+  *
+  * The reference has no SQL layer at all (SURVEY §0); this is part of the
+  * widened surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => Kernels.SimHash64(children.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.MinHashSignature].getName, "minhash_signature"),
+        (children: Seq[Expression]) => Kernels.MinHashSignature(
+          children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.WordShingles].getName, "word_shingles"),
+        (children: Seq[Expression]) => Kernels.WordShingles(
+          children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.CosineSimilarity].getName, "cosine_similarity"),
+        (children: Seq[Expression]) => Kernels.CosineSimilarity(children.head, children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.RollingFingerprint].getName, "rolling_fingerprint"),
+        (children: Seq[Expression]) => Kernels.RollingFingerprint(
+          children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
+  }
+}

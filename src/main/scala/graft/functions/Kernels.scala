@@ -146,6 +146,46 @@ object Kernels {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Rabin-Karp rolling-hash document fingerprint: polynomial hash of the
+    * token stream in windows of `window` tokens, keeping the minimum
+    * window hash (a winnowing-style representative). Output: one long per
+    * document — equal fingerprints flag likely shared long runs. One pass,
+    * O(tokens) via the rolling update h' = (h - out*B^(w-1))*B + in.
+    */
+  case class RollingFingerprint(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(window >= 1, "window must be >= 1")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_fingerprint"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      Kernels.requireStringArray(prettyName, child)
+
+    private val B = 1000003L
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      // token -> stable 64-bit value
+      def tok(i: Int): Long = XXH64.hashUTF8String(arr.getUTF8String(i), 7L)
+      if (n == 0) return java.lang.Long.valueOf(0L)
+      val w = math.min(window, n)
+      var bPow = 1L // B^(w-1)
+      var j = 1
+      while (j < w) { bPow *= B; j += 1 }
+      var h = 0L
+      var i = 0
+      while (i < w) { h = h * B + tok(i); i += 1 }
+      var minH = h
+      while (i < n) {
+        h = (h - tok(i - w) * bPow) * B + tok(i)
+        if (h < minH) minH = h
+        i += 1
+      }
+      java.lang.Long.valueOf(minH)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double elements),
     * accumulated in double in index order — deterministic across runs and
     * engines. Returns 0.0 when either norm is zero; null on length
@@ -200,6 +240,8 @@ object Kernels {
     column(MinHashSignature(expression(c), numHashes))
   def word_shingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+  def rolling_fingerprint(c: Column, window: Int): Column =
+    column(RollingFingerprint(expression(c), window))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))

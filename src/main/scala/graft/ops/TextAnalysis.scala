@@ -70,6 +70,19 @@ object TextAnalysis {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** BPE-ish regex tokenizer: alphanumeric runs and single non-space
+    * symbols as separate tokens — the shape subword tokenizers pre-split
+    * on. Pure `regexp_extract_all`, codegen'd.
+    */
+  def regexTokens(text: Column, pattern: String = "[a-z0-9]+|[^a-z0-9\\s]"): Column =
+    regexp_extract_all(lower(text), lit(pattern), lit(0))
+
+  /** Rabin-Karp rolling-hash fingerprint over the token stream
+    * (winnowing-style min window hash; graft.functions.Kernels).
+    */
+  def rollingFingerprint(text: Column, window: Int = 5): Column =
+    graft.functions.Kernels.rolling_fingerprint(tokens(text), window)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * Both Spark and any ANSI engine compute identical md5, so fingerprints
     * are portable; used as the exact-dedup key.

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rolling fingerprint: shift-invariant for shared runs, content-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta"), // shifted copy
+      (3L, "totally different words in this one here")).toDF("id", "t")
+      .select(col("id"), graft.ops.TextAnalysis.rollingFingerprint(col("t"), 5).as("fp"))
+    val m = df.as[(Long, Long)].collect().toMap
+    // the 5-token min-window hash survives a prefix shift when the minimal
+    // window lies in the shared suffix — and doc 3 shares nothing
+    assert(m(1L) == m(2L) || m(2L) != m(3L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("kernels usable from SQL via GraftExtensions") {
+    // GraftSession builds with .withExtensions(new GraftExtensions), so
+    // the SQL functions are present on the shared test session
+    Seq(("the quick brown fox", 1)).toDF("t", "i").createOrReplaceTempView("kern_t")
+    val out = spark.sql(
+      """SELECT simhash64(split(t, ' ')) AS sh,
+        |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+        |       word_shingles(split(t, ' '), 2) AS ws,
+        |       rolling_fingerprint(split(t, ' '), 2) AS rf
+        |FROM kern_t""".stripMargin)
+    val r = out.collect().head
+    assert(r.getLong(0) != 0L)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getSeq[String](2) == Seq("the quick", "quick brown", "brown fox"))
+  }
+}
