@@ -282,6 +282,20 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q49_anomaly_rules" -> ((s, d) =>
+      FileOps.anomalyRules(Tables(s, d).events, Seq(
+        "value_high" -> (col("value") > 190),
+        "value_sentinel" -> (col("value") === -999.9),
+        "error_burst" -> (col("event_type") === "error" && col("value") > 150)))
+        .select(col("event_id"), col("is_anomaly"),
+          array_join(col("fired_rules"), ",").as("rules"))),
+    "q50_pivot" -> ((s, d) =>
+      Tables(s, d).events.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(dec(col("value"))).cast("double"))),
+    "q48_text_langid" -> ((s, d) =>
+      Tables(s, d).documents.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
     "q46_regex_tokens" -> ((s, d) =>
       Tables(s, d).documents.select(
         col("doc_id"),
@@ -467,6 +481,32 @@ object SparkEntry {
     "q46_regex_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    "q48_text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, list_aggregate([
+        |  {'score': len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','it'], x))), 'lang': 'en'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','von','zu'], x))), 'lang': 'de'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que','un','una'], x))), 'lang': 'es'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','un','une','du'], x))), 'lang': 'fr'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
+        |], 'max').lang AS lang_pred
+        |FROM t""".stripMargin,
+    "q49_anomaly_rules" ->
+      """SELECT event_id, (value > 190 OR value = -999.9 OR (event_type = 'error' AND value > 150)) AS is_anomaly,
+        |concat_ws(',',
+        |  CASE WHEN value > 190 THEN 'value_high' END,
+        |  CASE WHEN value = -999.9 THEN 'value_sentinel' END,
+        |  CASE WHEN event_type = 'error' AND value > 150 THEN 'error_burst' END) AS rules
+        |FROM events""".stripMargin,
+    "q50_pivot" ->
+      """SELECT user_id,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q39_ann_topk / q42_ivf_topk /
     // q43_multimodal / q44_approx_distinct / q45_embedding_neardup:
     // hash-seeded / approximate / engine-specific kernels — driver records

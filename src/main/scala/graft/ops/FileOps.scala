@@ -61,4 +61,19 @@ object FileOps {
 
   /** Passthrough (reference: gui/app_gcp.py:369-370). */
   def passthroughOp(df: DataFrame): DataFrame = df
+
+  /** Composable anomaly rules — the sensor rule set the reference applies
+    * in its demos (reference: examples/test_with_real_data.py:40-44 —
+    * range violations + sentinel values; gui/app_gcp.py:641). Each rule is
+    * a named predicate; a row is anomalous if any rule fires, and the
+    * firing rules are reported.
+    */
+  def anomalyRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val flags = rules.map { case (name, pred) =>
+      when(pred, lit(name)).otherwise(lit(null))
+    }
+    df.withColumn("fired_rules",
+        filter(array(flags: _*), c => c.isNotNull))
+      .withColumn("is_anomaly", size(col("fired_rules")) > 0)
+  }
 }
