@@ -146,6 +146,54 @@ object Kernels {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Random-hyperplane LSH signature of a numeric vector: bit p of the
+    * result is the sign of the dot product with pseudo-random plane p,
+    * whose components are derived deterministically from xxh64(p, d) —
+    * reproducible with no RNG state shipped to executors. One pass per
+    * plane over the vector.
+    */
+  case class HyperplaneSignature(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_signature"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<float|double>, got $other")
+      }
+
+    private lazy val isDouble =
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+    /** plane component in [-0.5, 0.5), pure function of (plane, dim). */
+    @inline private def comp(p: Int, d: Int): Double =
+      XXH64.hashLong(p.toLong * 131071L + d, 11L).toDouble / (Long.MaxValue.toDouble * 2.0)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (isDouble) v.getDouble(d) else v.getFloat(d).toDouble
+          proj += x * comp(p, d)
+          d += 1
+        }
+        if (proj >= 0) sig |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
+  }
+
   /** Rabin-Karp rolling-hash document fingerprint: polynomial hash of the
     * token stream in windows of `window` tokens, keeping the minimum
     * window hash (a winnowing-style representative). Output: one long per
@@ -242,6 +290,8 @@ object Kernels {
     column(WordShingles(expression(c), n))
   def rolling_fingerprint(c: Column, window: Int): Column =
     column(RollingFingerprint(expression(c), window))
+  def hyperplane_signature(c: Column, planes: Int): Column =
+    column(HyperplaneSignature(expression(c), planes))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))

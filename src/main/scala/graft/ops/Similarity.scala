@@ -122,20 +122,12 @@ object Similarity {
   }
 
   /** Sign-bit signature of `planes` random hyperplanes. Plane components
-    * are deterministic pseudo-randoms derived from xxhash64(plane, dim) —
-    * reproducible across runs/partitions, no RNG state.
+    * are deterministic pseudo-randoms derived from xxh64(plane, dim) —
+    * reproducible across runs/partitions, no RNG state. Single-pass
+    * custom expression (graft.functions.Kernels.HyperplaneSignature); the
+    * `dim` parameter is retained for API stability but unused (the kernel
+    * reads the vector's own length).
     */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // component h(p,d) mapped to [-0.5, 0.5)
-      val comps = (0 until dim).map { d =>
-        val h = xxhash64(lit(p * 131071 + d))
-        (h.cast("double") / lit(Long.MaxValue.toDouble * 2.0))
-      }
-      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * comps(d))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << (p % 63))).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column =
+    graft.functions.Kernels.hyperplane_signature(vec, planes)
 }
