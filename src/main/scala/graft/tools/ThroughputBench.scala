@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+
+/** Single-node throughput vs the reference's published scenarios
+  * (reference: docs/realistic_benchmarking.md — scenario 1 Map→Filter,
+  * scenario 2 KeyBy→Window(10s)→Agg; expected 10K–50K rec/s/core, 45K
+  * rec/s illustrative whole-node, ~100-byte records).
+  *
+  * Batch-mode measurement over generated records of the documented
+  * benchmark schema (id BIGINT, value BIGINT, timestamp TIMESTAMP —
+  * realistic_benchmarking.md:111-117), fully materialized via noop.
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val spark = GraftSession.local(appName = "throughput")
+    import spark.implicits._
+
+    // benchmark record stream: event times spread over ~14 hours
+    def records = spark.range(n).select(
+      col("id"),
+      (xxhash64(col("id")) % 1000).as("value"),
+      timestamp_millis(lit(1704067200000L) + col("id") % 50000000L).as("ts"))
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $s%.2f s  ->  ${n / s / 1e6}%.1f M rec/s")
+    }
+
+    // warmup
+    spark.range(1000000).select(sum(col("id"))).write.format("noop").mode("overwrite").save()
+
+    // scenario 1: Map -> Filter (stateless chain)
+    time("scenario1 map+filter") {
+      records
+        .withColumn("mapped", col("value") * 2 + 1)
+        .where(col("mapped") % 7 =!= 0)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // scenario 2: KeyBy -> TumblingWindow(10s) -> Agg (stateful chain)
+    time("scenario2 keyby+window+agg") {
+      records
+        .groupBy(window(col("ts"), "10 seconds"), col("value") % 100)
+        .agg(count(lit(1)), sum(col("value")))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // scenario 3: chained pipeline (flatMap-ish expansion + agg)
+    time("scenario3 chained") {
+      records
+        .withColumn("k", col("value") % 50)
+        .where(col("value") =!= 13)
+        .groupBy(col("k"))
+        .agg(count(lit(1)), min(col("id")), max(col("id")), avg(col("value")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
