@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-quality regression guards: lock in the physical-plan properties
+  * SCALE.md documents (pushdown, broadcast, partial aggregation). These
+  * catch silent plan regressions — an operator edit that drops a pushed
+  * filter or turns a broadcast join into a shuffle join changes nothing at
+  * sf0.01 correctness but everything at 100 TB.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters pushed into the parquet scan, schema pruned") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), LessThan(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_extendedprice"), "schema not pruned to used columns")
+  }
+
+  test("q14: dimension joins broadcast, fact side not shuffled before agg") {
+    val p = plan("q14_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q06: aggregation is partial (map-side) then final") {
+    val p = plan("q06_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q09: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not using partial top-k:\n$p")
+  }
+
+  test("q37: LSH candidate join does not shuffle shingle arrays") {
+    // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
+    // the operator takes at corpus scale to inspect what the exchange carries
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.SparkEntry.queries("q37_minhash_pairs")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the band-bucket exchange must carry only band/bucket/id, never sh
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      val bucketExchanges = exchanges.filter(l => l.contains("band") && l.contains("bucket"))
+      assert(bucketExchanges.nonEmpty, s"no band-bucket exchange found:\n$p")
+      assert(bucketExchanges.forall(!_.contains("sh#")),
+        s"shingle arrays travel through the candidate shuffle:\n${bucketExchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
