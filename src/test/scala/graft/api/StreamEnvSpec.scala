@@ -52,6 +52,30 @@ class StreamEnvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("filter AFTER windowed aggregation inside the streaming query (SURVEY §7.4.2)") {
+    // the reference's flagship pipeline shape: ... window -> reduce ->
+    // filter(count > N) -> sink (examples/word_count.py:35-37). In append
+    // mode the filter applies to final fired windows.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = StreamEnv(spark).fromBatch(in.toDF().toDF("line", "ts"))
+      .flatMapRecords(graft.ops.Stateless.tokens(col("line")), "word")
+      .withEventTime("ts", "5 seconds")
+      .keyBy(col("word"))
+      .window(col("ts"), "10 seconds")
+      .agg(count(lit(1)).as("cnt"))
+      .filterRecords(col("cnt") > 2)
+      .toMemorySink("env_wc_filtered", OutputMode.Append())
+    try {
+      in.addData(("a a a b b c", ts(3)))
+      q.processAllAvailable()
+      in.addData(("later", ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("env_wc_filtered").select("word", "cnt").as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 3L)))
+    } finally q.stop()
+  }
+
   test("running aggregate surface matches reference agg_func set") {
     val env = StreamEnv(spark)
     val data = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))
