@@ -69,8 +69,13 @@ object Dedup {
                  bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    // The shingle frame feeds three plan subtrees (banding + both sides of
+    // the candidate verify join); persist it so tokenization/shingling runs
+    // once — the at-scale pattern is writing this frame out columnar and
+    // reusing it across dedup runs (SCALE.md).
     val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket join carries only (band, bucket, id) triples — the shingle
     // arrays (i.e. the documents) never enter this shuffle, which is what
     // keeps the candidate-generation stage cheap at corpus scale.
