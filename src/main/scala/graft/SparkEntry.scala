@@ -282,6 +282,17 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q51_scalar_math" -> ((s, d) =>
+      // IEEE-exact math functions only (sqrt/abs/floor/ceil/%): identical
+      // bit results across engines; transcendental fns (ln/exp) are NOT
+      // cross-engine-exact and stay out of oracle queries
+      Tables(s, d).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        (col("l_orderkey") % 7).as("mod7"))),
     "q49_anomaly_rules" -> ((s, d) =>
       FileOps.anomalyRules(Tables(s, d).events, Seq(
         "value_high" -> (col("value") > 190),
@@ -492,6 +503,12 @@ object SparkEntry {
         |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
         |], 'max').lang AS lang_pred
         |FROM t""".stripMargin,
+    "q51_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty,
+        |abs(l_discount - 0.05) AS abs_disc,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |l_orderkey % 7 AS mod7 FROM lineitem""".stripMargin,
     "q49_anomaly_rules" ->
       """SELECT event_id, (value > 190 OR value = -999.9 OR (event_type = 'error' AND value > 150)) AS is_anomaly,
         |concat_ws(',',

@@ -51,4 +51,23 @@ object Joins {
   /** NOT EXISTS — rows of `left` with no match in `right`. */
   def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random-but-deterministic salt in [0, buckets); the small side is
+    * exploded `buckets`-fold so every salted key finds its match. Use when
+    * one key dominates (AQE's skew-join split handles moderate skew;
+    * salting handles the pathological single-hot-key case at 100 TB).
+    * Join keys must be equi (`leftKey === rightKey` is added to `extra`).
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 buckets: Int, how: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(exploded,
+        leftKey === rightKey && salted("_salt") === exploded("_salt"), how)
+      .drop("_salt")
+  }
 }

@@ -38,6 +38,39 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = table("embeddings")
 }
 
+/** Bucketed tables: pre-shuffled storage so same-key joins and
+  * aggregations run with NO exchange — the 100 TB answer to "this join
+  * shuffles every run". Write once bucketed by the join key; every
+  * subsequent join/groupBy on that key is narrow.
+  */
+object Bucketed {
+  /** Write `df` as a bucketed managed table (sorted within buckets).
+    * Drops any prior table AND its location first — an orphaned warehouse
+    * directory (e.g. from an interrupted write) would otherwise block
+    * creation with LOCATION_ALREADY_EXISTS.
+    */
+  def write(df: org.apache.spark.sql.DataFrame, table: String,
+            bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(warehouse)
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
+
 object FileSources {
   /** CSV ingest with header inference — the engine equivalent of the GUI
     * upload path (reference: gui/app_gcp.py:251-254). Schema may be supplied
