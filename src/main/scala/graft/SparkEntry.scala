@@ -282,6 +282,12 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q52_ngram_jaccard" -> ((s, d) =>
+      // LSH-accelerated, exact-verified: at threshold 0.8 with 16x2
+      // banding the per-pair miss probability is (1-j^2)^16 <= 1e-7, so
+      // the result equals the brute-force all-pairs oracle
+      Dedup.ngramJaccardPairs(Tables(s, d).documents, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)),
     "q51_scalar_math" -> ((s, d) =>
       // IEEE-exact math functions only (sqrt/abs/floor/ceil/%): identical
       // bit results across engines; transcendental fns (ln/exp) are NOT
@@ -503,6 +509,16 @@ object SparkEntry {
         |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
         |], 'max').lang AS lang_pred
         |FROM t""".stripMargin,
+    "q52_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents))
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.8""".stripMargin,
     "q51_scalar_math" ->
       """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty,
         |abs(l_discount - 0.05) AS abs_disc,
