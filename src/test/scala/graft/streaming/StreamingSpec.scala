@@ -126,6 +126,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join state is bounded by the watermark (SURVEY §7.4.3)") {
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[(String, Timestamp)]
+    val r = MemoryStream[(String, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      l.toDF().toDF("lk", "lts"), "lts", "1 hour",
+      r.toDF().toDF("rk", "rts"), "rts", "1 hour",
+      col("lk") === col("rk"),
+      "lts BETWEEN rts - INTERVAL 2 SECONDS AND rts + INTERVAL 2 SECONDS")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_state").start()
+    try {
+      // fill state, then advance watermarks far past it
+      l.addData((1 to 50).map(i => (s"k$i", ts(i))): _*)
+      r.addData((1 to 50).map(i => (s"k$i", ts(i))): _*)
+      q.processAllAvailable()
+      val full = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      l.addData(("zz", ts(1000000)))
+      r.addData(("zz", ts(1000000)))
+      q.processAllAvailable()
+      // one more batch so eviction metrics settle
+      l.addData(("zz2", ts(1000010)))
+      r.addData(("zz2", ts(1000010)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(full >= 100, s"state never filled: $full")
+      assert(after < full, s"state not evicted behind the watermark: $full -> $after")
+    } finally q.stop()
+  }
+
   test("session window streaming: sessions close when watermark passes gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
