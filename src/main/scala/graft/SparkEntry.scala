@@ -282,6 +282,10 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q53_train_split" -> ((s, d) =>
+      Sampling.split(Tables(s, d).documents, col("doc_id"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))),
     "q52_ngram_jaccard" -> ((s, d) =>
       // LSH-accelerated, exact-verified: at threshold 0.8 with 16x2
       // banding the per-pair miss probability is (1-j^2)^16 <= 1e-7, so
@@ -509,6 +513,13 @@ object SparkEntry {
         |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
         |], 'max').lang AS lang_pred
         |FROM t""".stripMargin,
+    "q53_train_split" ->
+      // md5-prefix buckets: 0.8*256=205=0xcd, +0.1*256=26 -> 231=0xe7;
+      // lexicographic hex compare == numeric bucket compare
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |            ELSE 'test' END AS fold, lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q52_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines
+  * (north-star extension).
+  *
+  * Splits are a pure function of the row key — md5 of the key string,
+  * compared lexicographically on the hex prefix — so they are
+  * reproducible across runs, partitionings, AND engines (md5 hex is
+  * portable; no RNG state, no `rand()`). The 100 TB property that matters:
+  * re-running the pipeline, or computing the split in a different system,
+  * assigns every row to the same fold.
+  */
+object Sampling {
+
+  /** Hex-prefix hash bucket in [0, 256) for a key column. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Keep ~fraction of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(hashBucket(key) < math.round(fraction * 256).toInt)
+
+  /** Train/val/test fold label by key hash; fractions must sum to <= 1,
+    * remainder goes to "test".
+    */
+  def foldLabel(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    val b = hashBucket(key)
+    val trainHi = math.round(trainFrac * 256).toInt
+    val valHi = trainHi + math.round(valFrac * 256).toInt
+    when(b < trainHi, "train").when(b < valHi, "val").otherwise("test")
+  }
+
+  def split(df: DataFrame, key: Column, trainFrac: Double = 0.8,
+            valFrac: Double = 0.1): DataFrame =
+    df.withColumn("fold", foldLabel(key, trainFrac, valFrac))
+}
