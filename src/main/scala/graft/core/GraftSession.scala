@@ -50,6 +50,20 @@ object GraftSession {
     spark
   }
 
+  /** RocksDB keyed-state backend — the reference's
+    * `Config.STATE_BACKEND=rocksdb` (reference: common/config.py:25,
+    * taskmanager/state/rocksdb_backend.py:20-165, ~150 lines of manual
+    * pickling/snapshotting) is one config key on Spark; state snapshots,
+    * changelog checkpointing and recovery are native. Call before starting
+    * stateful streaming queries. The default (in-memory HDFSBackedStateStore)
+    * matches the reference's InMemoryStateBackend.
+    */
+  def useRocksDBStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark
+  }
+
   /** Apply graft's standard runtime configuration to an externally-created
     * session (e.g. the driver-owned Verify/Bench mains).
     */

@@ -19,6 +19,35 @@ class RecoverySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("stateful aggregation on the RocksDB state backend (reference STATE_BACKEND=rocksdb)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.GraftSession.useRocksDBStateStore(spark)
+    val in = MemoryStream[(String, Double)]
+    val q = StreamOps.runningAgg(in.toDF().toDF("k", "v"),
+        Seq(col("k")), Seq(sum(graft.ops.Aggregates.dec(col("v"))).cast("double").as("s")))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("rocks_agg").start()
+    try {
+      in.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      in.addData(("a", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("rocks_agg").as[(String, Double)].collect().toMap ==
+        Map("a" -> 4.0, "b" -> 2.0))
+      // confirm the query actually ran on RocksDB, not the default store
+      val provider = q.lastProgress.stateOperators.head.customMetrics
+      assert(provider.containsKey("rocksdbGetCount") || provider.containsKey("rocksdbCommitCompactLatency"),
+        s"no rocksdb metrics in progress: $provider")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("restart from checkpoint resumes state and offsets exactly once") {
     implicit val ctx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
