@@ -33,7 +33,7 @@ object FileOps {
     * pass `current_timestamp()` for wall-clock parity).
     */
   def transformOp(df: DataFrame, processedAt: Column): DataFrame = {
-    val cols = df.schema.fields.map { f =>
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
       if (f.dataType == StringType) upper(col(f.name)).as(f.name) else col(f.name)
     }
     df.select(cols: _*).withColumn("_processed_at", processedAt)
