@@ -282,6 +282,12 @@ object SparkEntry {
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+    "q54_approx_percentile" -> ((s, d) =>
+      // approximate sketch aggregate (absent in reference; quality-gated
+      // against exact percentiles in ExtensionsSpec, not the oracle)
+      Tables(s, d).events.groupBy(col("event_type")).agg(
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95"))),
     "q53_train_split" -> ((s, d) =>
       Sampling.split(Tables(s, d).documents, col("doc_id"))
         .groupBy(col("fold"), col("lang"))

@@ -50,6 +50,27 @@ object ThroughputBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // scenario 4 (north-star): MinHash-LSH dedup over a synthetic corpus
+    // with planted near-dups — evidence the candidate generation stays
+    // ~linear in corpus size, not quadratic
+    for (nDocs <- Seq(20000, 80000)) {
+      val vocabSize = 5000
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        // 40 pseudo-random words; every 100th doc duplicates its
+        // predecessor's content (planted near-dup)
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(39)),
+            i => concat(lit("w"), pmod(xxhash64((col("id") - when(col("id") % 100 === 99, 1L).otherwise(0L)) * 40 + i), lit(vocabSize)))),
+          " ").as("text"))
+      val t0 = System.nanoTime()
+      val nPairs = graft.ops.Dedup.minhashLsh(docs,
+        col("doc_id"), col("text"), threshold = 0.8).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario4 lsh-dedup n=$nDocs: $s%.2f s, $nPairs pairs (${nDocs / 100} planted)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     time("scenario3 chained") {
       records

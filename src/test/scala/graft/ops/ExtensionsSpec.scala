@@ -50,6 +50,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 2% of exact percentile") {
+    val e = Tables(spark, sf).events
+    val approx = e.groupBy(col("event_type")).agg(
+      approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    val exact = e.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, p) =>
+      assert(math.abs(approx(k) - p) <= math.max(2.0, 0.02 * math.abs(p)),
+        s"$k: approx=${approx(k)} exact=$p")
+    }
+  }
+
   test("typed reduce matches SQL argmax") {
     val ev = Tables(spark, sf).events
       .select(col("user_id"), col("event_id"), col("value")).as[(Long, Long, Double)]
