@@ -40,6 +40,21 @@ object Stateless {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Typed closure forms of map/filter/flatMap — the reference's entire
+    * user surface is arbitrary pickled Python callables (SURVEY §2.12);
+    * on Datasets the same closures are Scala lambdas with no
+    * serialization cliff. Prefer the Column forms above (codegen'd);
+    * use these when the transform genuinely needs arbitrary code.
+    */
+  def mapTyped[T, U: org.apache.spark.sql.Encoder](ds: org.apache.spark.sql.Dataset[T])(f: T => U): org.apache.spark.sql.Dataset[U] =
+    ds.map(f)
+
+  def filterTyped[T](ds: org.apache.spark.sql.Dataset[T])(p: T => Boolean): org.apache.spark.sql.Dataset[T] =
+    ds.filter(p)
+
+  def flatMapTyped[T, U: org.apache.spark.sql.Encoder](ds: org.apache.spark.sql.Dataset[T])(f: T => IterableOnce[U]): org.apache.spark.sql.Dataset[U] =
+    ds.flatMap(f)
+
   /** KeyByOperator (reference: stateless.py:119-152, SHUFFLE edge
     * job_graph.py:393-399): explicit hash repartition by key. In Spark the
     * shuffle is implicit in downstream groupBy/join; use this only to

@@ -98,6 +98,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .forall { case (a, b) => a.embedding.sameElements(b.embedding) && a.mean_intensity == b.mean_intensity })
   }
 
+  test("multimodal: binary columns round-trip through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.syntheticMedia(spark, 40).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRecord]
+    val fromDisk = Multimodal.decodeAndEmbed(back, dim = 8).collect().sortBy(_.media_id)
+    val direct = Multimodal.decodeAndEmbed(Multimodal.syntheticMedia(spark, 40), dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(fromDisk.length == 40)
+    assert(fromDisk.zip(direct).forall { case (a, b) =>
+      a.embedding.sameElements(b.embedding) && a.mean_intensity == b.mean_intensity })
+  }
+
+  test("typed closure surface: map/filter/flatMap lambdas") {
+    val ds = Seq("a b", "c").toDS()
+    val words = graft.ops.Stateless.flatMapTyped(ds)(_.split(" "))
+    val upper = graft.ops.Stateless.mapTyped(words)(_.toUpperCase)
+    val kept = graft.ops.Stateless.filterTyped(upper)(_ != "C")
+    assert(kept.collect().toSet == Set("A", "B"))
+  }
+
   test("multimodal: resize plan and frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val rs = Multimodal.resizePlan(media, 32)
