@@ -271,10 +271,12 @@ object SparkEntry {
         k = 5, nCells = 16, nProbe = 4)
     }),
     "q43_multimodal" -> ((s, d) => {
-      // synthetic media corpus sized off the sf dir's embedding count so
-      // the query scales with sf like every other table
-      val n = Tables(s, d).embeddings.count().toInt
-      Multimodal.decodeAndEmbed(Multimodal.syntheticMedia(s, n), dim = 16)
+      // synthetic media corpus keyed by the sf dir's embedding ids so the
+      // query scales with sf like every other table — derived lazily, no
+      // job runs at construction time
+      import s.implicits._
+      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
+      Multimodal.decodeAndEmbed(Multimodal.syntheticMediaFor(ids), dim = 16)
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_media"),
           sum(Aggregates.dec(col("mean_intensity"))).cast("double").as("sum_intensity"))

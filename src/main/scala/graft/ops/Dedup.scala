@@ -69,16 +69,14 @@ object Dedup {
                  bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
-    // The shingle frame feeds three plan subtrees (banding + both sides of
-    // the candidate verify join); persist it so tokenization/shingling runs
-    // once — the at-scale pattern is writing this frame out columnar and
-    // reusing it across dedup runs (SCALE.md).
     val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket join carries only (band, bucket, id) triples — the shingle
     // arrays (i.e. the documents) never enter this shuffle, which is what
-    // keeps the candidate-generation stage cheap at corpus scale.
+    // keeps the candidate-generation stage cheap at corpus scale. The
+    // banded frame feeds both join sides through one hashpartitioning
+    // exchange, so Catalyst's ReuseExchange computes the corpus
+    // scan+shingle+signature pass once (asserted in PlanQualitySpec).
     val banded = sh
       .select(col("id"), explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
@@ -87,11 +85,22 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    // Verify candidates with exact Jaccard: shingles are joined back by id
-    // (two key-shuffles of the shingle sets, candidates only).
+    // Verify candidates with exact Jaccard. Near-dup candidates are rare
+    // relative to the corpus, so instead of shuffling every document's
+    // shingle set by id (a full-data shuffle) or caching the shingle frame
+    // (unbounded executor memory across queries), re-scan the corpus with a
+    // broadcast semi-filter on candidate ids: shingles are recomputed only
+    // for rows that survive the filter, and the verify joins shuffle
+    // candidate shingle sets only.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candSh = df.select(id.as("id"), text.as("t"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("t"), shingleN).as("sh"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

@@ -53,21 +53,30 @@ object Joins {
     left.join(right, cond, "left_anti")
 
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
-    * random-but-deterministic salt in [0, buckets); the small side is
-    * exploded `buckets`-fold so every salted key finds its match. Use when
-    * one key dominates (AQE's skew-join split handles moderate skew;
-    * salting handles the pathological single-hot-key case at 100 TB).
-    * Join keys must be equi (`leftKey === rightKey` is added to `extra`).
+    * deterministic salt in [0, buckets) hashed from caller-supplied stable
+    * row columns (e.g. the row's primary key — NOT the join key, which is
+    * constant on the hot key and would put the whole hot key in one
+    * bucket); the small side is exploded `buckets`-fold so every salted
+    * key finds its match. Use when one key dominates (AQE's skew-join
+    * split handles moderate skew; salting handles the pathological
+    * single-hot-key case at 100 TB). Hashing stable columns — never
+    * `monotonically_increasing_id()`/`rand()` — keeps row-to-bucket
+    * placement identical across runs, partitionings and task retries.
     */
   def saltedJoin(skewed: DataFrame, small: DataFrame,
                  leftKey: Column, rightKey: Column,
+                 saltCols: Seq[Column],
                  buckets: Int, how: String = "inner"): DataFrame = {
-    val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    require(saltCols.nonEmpty, "saltCols: pass stable row-identity columns of the skewed side")
+    val salted = skewed.withColumn("_salt", saltExpr(saltCols, buckets))
     val exploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded,
         leftKey === rightKey && salted("_salt") === exploded("_salt"), how)
       .drop("_salt")
   }
+
+  /** The salt bucket for a row — pure function of the given columns. */
+  def saltExpr(saltCols: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(saltCols: _*), lit(buckets)).cast("int")
 }

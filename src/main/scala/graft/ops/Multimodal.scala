@@ -35,7 +35,16 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.range(n).map { i =>
+    syntheticMediaFor(spark.range(n).as[Long])
+  }
+
+  /** Same synthetic corpus keyed by caller-supplied ids — lets a query
+    * derive its media set from another table's id column lazily (no
+    * driver-side count to size a range).
+    */
+  def syntheticMediaFor(ids: Dataset[Long]): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.map { i =>
       val rnd = new scala.util.Random(i)
       val w = 32 + (i % 4).toInt * 16
       val h = 32 + (i % 3).toInt * 16

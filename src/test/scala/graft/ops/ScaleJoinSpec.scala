@@ -17,10 +17,28 @@ class ScaleJoinSpec extends AnyFunSuite {
     val small = Seq((1L, "hot"), (9500L, "cold")).toDF("k2", "label")
     val plain = skewed.join(small, col("k") === col("k2"))
       .groupBy("label").count().as[(String, Long)].collect().toMap
-    val salted = Joins.saltedJoin(skewed, small, col("k"), col("k2"), buckets = 8)
+    val salted = Joins.saltedJoin(skewed, small, col("k"), col("k2"),
+        saltCols = Seq(col("v")), buckets = 8)
       .groupBy("label").count().as[(String, Long)].collect().toMap
     assert(salted == plain)
     assert(salted("hot") == 9000L && salted("cold") == 1L)
+  }
+
+  test("salted join: row-to-bucket placement is stable across partitionings") {
+    // the salt is a hash of stable row columns, so the (row -> bucket)
+    // assignment itself — not just the joined output — must be identical
+    // when the input arrives with a different partitioning (as it would
+    // under task retry or a different upstream plan), and must spread the
+    // hot key across buckets
+    val skewed = spark.range(5000)
+      .select(when(col("id") < 4500, 1L).otherwise(col("id")).as("k"), col("id").as("v"))
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("v"), Joins.saltExpr(Seq(col("v")), 8).as("salt"))
+        .as[(Long, Int)].collect().toMap
+    val a = buckets(skewed.repartition(3, col("v")))
+    val b = buckets(skewed.repartition(17))
+    assert(a == b)
+    assert(a.values.toSet.size == 8, "hot-key rows should spread over all buckets")
   }
 
   test("bucketed tables join without exchange on the bucket key") {
