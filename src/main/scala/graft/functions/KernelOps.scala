@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Shared loop bodies for the custom kernels in [[Kernels]].
+  *
+  * Each method is called from BOTH the interpreted `nullSafeEval` path and
+  * the generated whole-stage code (as a static call — a top-level Scala
+  * object compiles with static forwarders, so Janino-generated Java can
+  * invoke `graft.functions.KernelOps.x(...)` directly). Keeping the loop in
+  * one compiled method rather than splicing source into the generated
+  * function also keeps the generated method small (no 64-iteration unrolls
+  * pushing past the JIT inline limit) while preserving the codegen span.
+  */
+object KernelOps {
+
+  /** k running minima of xxh64(elem, seed=i) over the string array. */
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashUTF8String(s, k)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Cosine of two equal-length numeric arrays, double accumulation in
+    * index order; 0.0 when either norm is zero. Length equality is the
+    * caller's contract (the expression null-guards mismatches).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Pseudo-random plane component in [-0.5, 0.5) — pure function of
+    * (plane, dim, seed), reproducible with no RNG state on executors.
+    * seed=0 reproduces the original single-table signature bit-for-bit.
+    */
+  @inline private def planeComp(p: Int, d: Int, seed: Int): Double =
+    XXH64.hashLong(p.toLong * 131071L + d, 11L + seed.toLong * 7919L)
+      .toDouble / (Long.MaxValue.toDouble * 2.0)
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Lowercase + split on whitespace runs + drop empties, exactly like
+    * `filter(split(lower(text), "\\s+"), t => length(t) > 0)`:
+    * UTF8String.toLowerCase (locale-independent, what Spark's `lower`
+    * uses) and the same Java regex `Pattern.split` that Spark's `split`
+    * compiles to — but as one compiled call, with no per-element
+    * interpreted lambda (higher-order functions don't support codegen and
+    * would knock the whole projection out of the WholeStageCodegen span).
+    */
+  def tokens(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val parts = wsPattern.split(s.toLowerCase.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(j) = UTF8String.fromString(parts(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingles, insertion-ordered (see
+    * [[Kernels.WordShingles]]).
+    */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val space = UTF8String.fromString(" ")
+    val cnt = arr.numElements()
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (cnt < n) {
+      out.add(UTF8String.concatWs(space, toks: _*))
+    } else {
+      i = 0
+      while (i <= cnt - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** 64-bit SimHash (Charikar '02) over the string array. */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing-style minimum rolling hash over token windows. */
+  def rollingFingerprint(arr: ArrayData, window: Int): Long = {
+    val B = 1000003L
+    val n = arr.numElements()
+    def tok(i: Int): Long = XXH64.hashUTF8String(arr.getUTF8String(i), 7L)
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    var bPow = 1L // B^(w-1)
+    var j = 1
+    while (j < w) { bPow *= B; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + tok(i); i += 1 }
+    var minH = h
+    while (i < n) {
+      h = (h - tok(i - w) * bPow) * B + tok(i)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  /** Sign-bit signature of `planes` pseudo-random hyperplanes. */
+  def hyperplaneSignature(v: ArrayData, planes: Int, seed: Int, isDouble: Boolean): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isDouble) v.getDouble(d) else v.getFloat(d).toDouble
+        proj += x * planeComp(p, d, seed)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -35,10 +35,13 @@ object Stateless {
   /** Tokenize a text column: lowercase, split on whitespace runs, drop
     * empties. The canonical reference flatMap
     * (examples/word_count.py:19-25: `line.split()` + `word.lower()`).
-    * `split` + `explode` stay codegen'd; no UDF.
+    * Single codegen'd kernel ([[graft.functions.Kernels.Tokens]]) with the
+    * exact semantics of `filter(split(lower(text), "\\s+"), length(_) > 0)`
+    * — the higher-order `filter` form can't codegen and would push every
+    * text scan out of its WholeStageCodegen span.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    graft.functions.Kernels.graft_tokens(text)
 
   /** Typed closure forms of map/filter/flatMap — the reference's entire
     * user surface is arbitrary pickled Python callables (SURVEY §2.12);

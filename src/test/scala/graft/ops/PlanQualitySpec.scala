@@ -40,6 +40,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not using partial top-k:\n$p")
   }
 
+  test("custom kernels stay inside whole-stage codegen, no interpreted fallback") {
+    // with fallback disabled, a kernel whose generated code fails to
+    // compile aborts the query instead of silently running interpreted —
+    // this proves every doGenCode actually compiles
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables(spark, sf).documents
+      val toks = Stateless.tokens(col("text"))
+      val kernelScan = docs.select(
+        graft.functions.Kernels.minhash_signature(
+          graft.functions.Kernels.word_shingles(toks, 3), 16).as("mh"),
+        graft.functions.Kernels.simhash64(toks).as("sh"),
+        graft.functions.Kernels.rolling_fingerprint(toks, 5).as("rf"))
+      assert(kernelScan.count() > 0)
+      val em = graft.sources.Tables(spark, sf).embeddings
+      val vecScan = em.select(
+        graft.functions.Kernels.hyperplane_signature(col("embedding"), 16, 3).as("hp"),
+        graft.functions.Kernels.cosine_similarity(col("embedding"), col("embedding")).as("cs"))
+      assert(vecScan.where(col("cs") > 0.99).count() > 0)
+      // and the kernel projection is inside a WholeStageCodegen span (the
+      // `*(n)` prefix in the simple plan string marks span membership)
+      val p = kernelScan.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+        s"kernel scan projection not inside WholeStageCodegen:\n$p")
+      val pv = vecScan.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(pv).isDefined,
+        s"vector kernel projection not inside WholeStageCodegen:\n$pv")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
