@@ -334,11 +334,24 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text"), 5).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
     "q45_embedding_neardup" -> ((s, d) => {
+      // the sf embeddings are uniform-random with no real near-dups (max
+      // pairwise cosine ≈ 0.6), so the query plants them: every 20th
+      // vector gets a deterministically perturbed copy (±1% per element,
+      // cosine ≈ 0.99995 to its source — engine-portable arithmetic, so
+      // DuckDB builds the identical corpus). At threshold 0.95 the true
+      // pair set is exactly the planted pairs; banded LSH (b=8, r=16)
+      // misses a pair at that cosine with probability < 1e-10, so the
+      // LSH+verify output equals the brute-force oracle.
       val em = Tables(s, d).embeddings
-      // these embeddings are uniform-random (no planted dups): cosines are
-      // ~N(0, 1/64), so "near-dup" here means the extreme upper tail
-      Similarity.cosineNearDupPairs(em, col("vec_id"), col("embedding"),
-        dim = 64, planes = 4, threshold = 0.35)
+      val base = em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = em.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
+      Similarity.cosineNearDupPairs(base.union(planted), col("id"), col("v"),
+        dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
     }),
   )
 
@@ -559,10 +572,70 @@ object SparkEntry {
         |CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
         |FROM events GROUP BY user_id""".stripMargin,
-    // q37_minhash_pairs / q38_simhash / q39_ann_topk / q42_ivf_topk /
-    // q43_multimodal / q44_approx_distinct / q45_embedding_neardup:
+    // The ANN trio IS oracle-checked: ranks (not raw cosines) cross engines
+    // safely — per-query cosine gaps are ~1e-2 vs engine float noise
+    // ~1e-15, so orderings agree even though bit-level cosine values may
+    // not. q42's whole IVF structure (md5-sampled centroids, argmax cell
+    // assignment, probe selection) is deterministic and engine-portable,
+    // so the oracle replays the algorithm, approximation and all.
+    "q39_ann_topk" ->
+      """SELECT query_id, cand_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |) WHERE rk <= 5""".stripMargin,
+    "q42_ivf_topk" ->
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
+        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
+        |), cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM sampled
+        |), assigned AS (
+        |  SELECT cell, cand_id, cv FROM (
+        |    SELECT c.cell, e.vec_id AS cand_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c
+        |  ) WHERE rk = 1
+        |), probes AS (
+        |  SELECT cell, query_id, qv FROM (
+        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+        |  ) WHERE rk <= 4
+        |)
+        |SELECT query_id, cand_id, rk FROM (
+        |  SELECT p.query_id, a.cand_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cand_id ASC) AS rk
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE p.query_id <> a.cand_id
+        |) WHERE rk <= 5""".stripMargin,
+    "q45_embedding_neardup" ->
+      // brute-force all-pairs ground truth over the same planted corpus;
+      // DuckDB list_transform's lambda index is 1-based, Spark's 0-based
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000 AS id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |)
+        |SELECT id_a, id_b FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS c
+        |  FROM corpus a JOIN corpus b ON a.id < b.id
+        |) WHERE c >= 0.95""".stripMargin,
+    // q37_minhash_pairs / q38_simhash / q43_multimodal /
+    // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records
     // rows-only checks; accuracy is asserted in ScalaTest instead
-    // (IVF vs brute-force recall, HLL error bound, near-dup recall).
+    // (banding miss-bound vs truth, HLL/percentile error bounds).
   )
 }

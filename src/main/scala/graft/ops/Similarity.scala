@@ -50,73 +50,112 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), col("rk"))
   }
 
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with cosine
-    * above `threshold`. Candidates come from random-hyperplane LSH buckets
-    * (sign bits of dot products with deterministic pseudo-random planes),
-    * so the cross product is per-bucket, not global.
+    * above `threshold`, found by banded (multi-table) random-hyperplane
+    * LSH and verified with exact cosine — the same
+    * candidates-then-verify shape as [[Dedup.minhashLsh]].
+    *
+    * Each of the `bands` tables hashes the vector with its own independent
+    * set of `rowsPerBand` hyperplanes (seeded kernel), giving 2^rowsPerBand
+    * buckets per table; a pair is a candidate iff it collides in at least
+    * one table. For a pair at angle θ the per-plane agreement probability
+    * is p = 1-θ/π, so miss probability is (1-p^r)^b — at the near-dup
+    * regime (cosine ≥ 0.95, p ≥ 0.90) the defaults b=8, r=16 miss < 1e-7,
+    * while a random pair (p ≈ 0.5) collides with probability ≈ b·p^r ≈
+    * 1.2e-4, so candidates stay ~linear in the corpus. Bucket count 2^r
+    * grows with r — size r so 2^r ≫ the expected corpus partition count
+    * (r up to 63). The candidate exchange carries (band, bucket, id) only;
+    * vectors are re-read for the (rare) candidates via a broadcast
+    * semi-filter, never shuffled corpus-wide.
     */
   def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
-                         dim: Int, planes: Int = 8,
+                         dim: Int, bands: Int = 8, rowsPerBand: Int = 16,
                          threshold: Double = 0.95): DataFrame = {
-    val sig = hyperplaneSignature(vec, dim, planes)
-    val b = df.select(id.as("id"), vec.as("v"), sig.as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val b0 = df.select(id.as("id"), vec.as("v"))
+    val bandCols = (0 until bands).map { t =>
+      struct(lit(t).as("band"),
+        graft.functions.Kernels.hyperplane_signature(col("v"), rowsPerBand, seed = t).as("bucket"))
+    }
+    val banded = b0.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candVec = b0.join(broadcast(candIds), Seq("id"), "left_semi")
+    cand
+      .join(candVec.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(candVec.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
   }
 
   /** IVF-style ANN: restrict each query's search to the `nProbe` nearest
     * of `nCells` coarse cells (inverted-file structure, à la FAISS IVF).
     *
-    * Centroids are a deterministic hash-spread sample of the corpus; each
-    * corpus vector is assigned to its nearest centroid (one broadcast
-    * scan); each query probes its nProbe nearest cells and ranks only the
-    * vectors in those cells. At 100 TB the full scan of bruteForceTopK
-    * becomes a per-cell scan of ~nProbe/nCells of the corpus, and the
-    * cell-keyed join shuffles corpus vectors once (re-usable across query
-    * batches if persisted cell-partitioned).
+    * Centroids are a deterministic, engine-portable sample of the corpus
+    * (the nCells ids with smallest md5 — a distributed top-k, no global
+    * sort). The whole centroid set is folded into ONE broadcast row, so
+    * cell assignment is an inline argmax over that broadcast array — a
+    * narrow map over the corpus with zero shuffle (the previous shape,
+    * corpus × nCells cross-join + per-id window, shuffled 16× the corpus
+    * just to pick a centroid; asserted gone in PlanQualitySpec). Probe
+    * selection broadcasts the same row to the (small) query set, and the
+    * probed-cell join broadcasts the probe list — the corpus is never
+    * hash-partitioned at all; only scored (query, cand, cos) triples from
+    * probed cells enter the final ranking exchange. At 100 TB: one scan
+    * for centroid top-k, one narrow scan for assignment, ~nProbe/nCells
+    * of the corpus scored per query batch. For large query sets, rank
+    * with per-cell partial top-k before the global window.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: Column, queryVec: Column,
               corpusId: Column, corpusVec: Column,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(corpusId.as("cand_id"), corpusVec.as("cv"))
-    // deterministic pseudo-random centroid sample
-    val cent = c.orderBy(xxhash64(col("cand_id")), col("cand_id")).limit(nCells)
-      .select(monotonically_increasing_id().as("cell_tmp"), col("cv").as("centroid"))
-      .withColumn("cell", row_number().over(Window.orderBy(col("cell_tmp"))) - 1)
-      .select(col("cell"), col("centroid"))
-    // assign corpus vectors to nearest centroid
-    val wAssign = Window.partitionBy(col("cand_id"))
-      .orderBy(col("cs").desc, col("cell").asc)
-    val assigned = c.join(broadcast(cent), lit(true))
-      .select(col("cand_id"), col("cv"), col("cell"), cosine(col("cv"), col("centroid")).as("cs"))
-      .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
-      .select(col("cell"), col("cand_id"), col("cv"))
-    // queries probe their nProbe nearest cells
+    // deterministic engine-portable centroid sample: nCells smallest by
+    // (md5(id), id) — TakeOrderedAndProject, then a window over nCells rows
+    val sampled = c.select(md5(col("cand_id").cast("string")).as("mk"), col("cand_id"), col("cv"))
+      .orderBy(col("mk"), col("cand_id")).limit(nCells)
+    val cent = sampled
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("mk"), col("cand_id"))) - 1).cast("int"))
+      .select(col("cell"), col("cv").as("centroid"))
+    val centArr = cent.agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    // inline argmax against the broadcast centroid array: max struct of
+    // (cosine, -cell) picks the nearest centroid, ties to the lowest cell
+    def nearestCell(cents: Column, v: Column): Column = {
+      val best = array_max(transform(cents, cc =>
+        struct(cosine(cc.getField("centroid"), v).as("cs"),
+          (-cc.getField("cell")).as("negCell"))))
+      (-best.getField("negCell")).cast("int")
+    }
+    val assigned = c.crossJoin(broadcast(centArr))
+      .select(nearestCell(col("cents"), col("cv")).as("cell"), col("cand_id"), col("cv"))
+    // queries probe their nProbe nearest cells (same broadcast row)
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("cell").asc)
-    val probes = q.join(broadcast(cent), lit(true))
-      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("centroid")).as("cs"))
-      .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nProbe)
-      .select(col("cell"), col("query_id"), col("qv"))
-    // rank within probed cells only
+    val probes = q.crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("cents"), cc =>
+          struct((-cosine(cc.getField("centroid"), col("qv"))).as("ncs"),
+            cc.getField("cell").as("cell")))), 1, nProbe)).as("pc"))
+      .select(col("pc.cell").as("cell"), col("query_id"), col("qv"))
+    // rank within probed cells only; probe list broadcast, corpus unshuffled
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    probes.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
       .where(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), col("rk"))
   }

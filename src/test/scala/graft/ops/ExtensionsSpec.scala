@@ -129,30 +129,61 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.forall(_._2.zipWithIndex.forall { case (f, i) => f == i * 4L }))
   }
 
-  test("embedding near-dup pairs agree with brute-force above threshold") {
+  test("banded embedding near-dup equals brute force on a planted corpus") {
+    // plant a perturbed copy of every 20th vector (cosine ≈ 0.99995 to its
+    // source) — at threshold 0.95 the truth set is exactly the planted
+    // pairs, and banded LSH (b=8, r=16) misses such a pair with
+    // probability < 1e-10, so LSH+verify must EQUAL brute force
     val em = Tables(spark, sf).embeddings
-    val lsh = Similarity.cosineNearDupPairs(em, col("vec_id"), col("embedding"),
-      dim = 64, planes = 4, threshold = 0.35)
+    def corpus = {
+      val base = em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = em.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
+      base.union(planted)
+    }
+    val lsh = Similarity.cosineNearDupPairs(corpus, col("id"), col("v"),
+      dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // brute-force ground truth
-    val v = em.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val rows = corpus.as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
     val truth = (for {
-      (ia, va) <- v; (ib, vb) <- v if ia < ib && cos(va, vb) >= 0.35
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib && cos(va, vb) >= 0.95
     } yield (ia, ib)).toSet
-    // LSH pairs must be a subset of truth (no false positives — verified
-    // exactly), and recover a reasonable fraction (8 planes, single table)
-    assert((lsh -- truth).isEmpty)
-    // random-plane LSH with 4 planes keeps ~(1-theta/pi)^4 of true pairs;
-    // at cos 0.35 over random vectors that's ~0.14 — assert a floor and
-    // that the filter actually finds part of the genuine tail
-    assert(truth.nonEmpty, "expected some tail pairs at cos>=0.35")
-    val recall = (lsh & truth).size.toDouble / truth.size
-    assert(recall >= 0.05, s"near-dup recall $recall (truth=${truth.size}, lsh=${lsh.size})")
+    assert(truth == rows.map(_._1).filter(i => i < 10000000 && i % 20 == 0)
+      .map(i => (i, i + 10000000L)).toSet, "planted pairs should be the exact truth set")
+    assert(lsh == truth, s"LSH pairs != brute force (lsh=${lsh.size}, truth=${truth.size})")
+  }
+
+  test("banded near-dup candidate volume stays ~linear in the corpus") {
+    // candidate pairs (pre-verify) per row should not grow with corpus
+    // size — the banding keeps random collisions at ~b * p^r per pair
+    val em = Tables(spark, "/root/testdata/sf0.1").embeddings
+    def candidatesPerRow(n: Int): Double = {
+      val part = em.where(col("vec_id") < n)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bandCols = (0 until 8).map { t =>
+        struct(lit(t).as("band"),
+          graft.functions.Kernels.hyperplane_signature(col("v"), 16, seed = t).as("bucket"))
+      }
+      val banded = part.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+      val nCand = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.id") < col("r.id")).count()
+      nCand.toDouble / n
+    }
+    val small = candidatesPerRow(500)
+    val large = candidatesPerRow(2000)
+    assert(large <= math.max(4.0 * small, 1.0),
+      s"candidates/row grew superlinearly: $small -> $large")
   }
 }

@@ -72,6 +72,23 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("q42: IVF cell assignment is a narrow map — corpus never hash-partitioned") {
+    // the old shape cross-joined corpus × nCells then windowed by cand_id,
+    // shuffling 16× the corpus just to pick a centroid; the argmax against
+    // the broadcast centroid array must leave no hashpartitioning exchange
+    // on cand_id/cv upstream of the final ranking window
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.SparkEntry.queries("q42_ivf_topk")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      val corpusExchanges = exchanges.filter(l => l.contains("cand_id") || l.contains("cv#"))
+      assert(corpusExchanges.forall(_.contains("query_id")),
+        s"corpus shuffled before probe join (only the scored-triple ranking may exchange):\n${exchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
