@@ -56,11 +56,63 @@ final class JobServer(spark: SparkSession) {
   /** GET /jobs/{id}/metrics (api.py:332-352) — real numbers, not mocks. */
   def metrics(q: StreamingQuery): Option[JobMetrics] = progress.get(q.id)
 
-  /** POST /jobs/{id}/cancel (api.py:281-329). The with_savepoint variant is
-    * implicit: a checkpointed query can always be resumed from its
-    * checkpointLocation (the reference's recover endpoint, api.py:446-515).
-    */
+  /** POST /jobs/{id}/cancel (api.py:281-329). */
   def cancel(q: StreamingQuery): Unit = q.stop()
+
+  /** POST /jobs/{id}/savepoint (api.py:446-473): snapshot a STOPPED
+    * query's checkpoint directory under a durable name. The snapshot is a
+    * fork point — the original checkpoint keeps advancing independently,
+    * and any number of new jobs can later start from the named copy
+    * (exactly the reference's named-savepoint semantics; its savepoint is
+    * likewise a copied checkpoint). Returns the savepoint path.
+    *
+    * The query owning `checkpointDir` must be stopped first: a live
+    * checkpoint mixes commit epochs mid-copy. At cluster scale this copy
+    * is a storage-side operation (e.g. object-store prefix copy) on the
+    * same layout.
+    */
+  def savepoint(checkpointDir: String, name: String, savepointRoot: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(checkpointDir)
+    require(Files.isDirectory(src.resolve("offsets")),
+      s"$checkpointDir is not a streaming checkpoint (no offsets/ log)")
+    require(spark.streams.active.forall(q => !sameCheckpoint(q, checkpointDir)),
+      s"stop the query using $checkpointDir before taking a savepoint")
+    val dst = Paths.get(savepointRoot, name)
+    require(!Files.exists(dst), s"savepoint '$name' already exists at $dst")
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    dst.toString
+  }
+
+  /** POST /jobs/recover (api.py:476-515): start a job from a named
+    * savepoint. The caller's `start` function receives the savepoint path
+    * to use as the new query's checkpointLocation — state and source
+    * offsets resume from the snapshot.
+    */
+  def recover(savepointRoot: String, name: String)(start: String => StreamingQuery): JobHandle = {
+    val dst = java.nio.file.Paths.get(savepointRoot, name)
+    require(java.nio.file.Files.isDirectory(dst), s"no savepoint '$name' under $savepointRoot")
+    JobHandle(name, start(dst.toString))
+  }
+
+  /** True iff the active query's resolved checkpoint root points at `dir`
+    * (the public StreamingQuery API hides the checkpoint path; the
+    * execution object carries it).
+    */
+  private def sameCheckpoint(q: StreamingQuery, dir: String): Boolean = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      val want = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+      val got = new java.net.URI(w.streamingQuery.resolvedCheckpointRoot).getPath
+      got != null && java.nio.file.Paths.get(got).toAbsolutePath.normalize.toString == want
+    case _ => false
+  }
 
   def close(): Unit = spark.streams.removeListener(listener)
 }

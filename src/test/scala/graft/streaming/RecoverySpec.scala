@@ -75,4 +75,56 @@ class RecoverySpec extends AnyFunSuite {
     assert(after == Map("a" -> 7.0, "b" -> 10.0), s"got $after")
     q2.stop()
   }
+
+  test("named savepoint: snapshot forks, original and recovered jobs advance independently") {
+    // reference: POST /jobs/{id}/savepoint + /jobs/recover
+    // (jobmanager/api.py:446-515) — a named snapshot of a stopped job's
+    // checkpoint that new jobs can start from while the original keeps
+    // its own checkpoint
+    implicit val ctx = spark.sqlContext
+    val js = new graft.api.JobServer(spark)
+    val ckpt = Files.createTempDirectory("graft_sp_ckpt").toString
+    val spRoot = Files.createTempDirectory("graft_savepoints").toString
+    val in = MemoryStream[(String, Double)]
+
+    def agg = StreamOps.runningAgg(in.toDF().toDF("k", "v"),
+      Seq(col("k")), Seq(sum(graft.ops.Aggregates.dec(col("v"))).cast("double").as("s")))
+    def start(where: String, sink: String) = agg
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", where)
+      .format("memory").queryName(sink).start()
+
+    // run, accumulate state, stop
+    val q1 = start(ckpt, "sp_orig")
+    in.addData(("a", 1.0), ("b", 10.0))
+    q1.processAllAvailable()
+
+    // savepoint refused while the owning query runs
+    assertThrows[IllegalArgumentException] { js.savepoint(ckpt, "live", spRoot) }
+    q1.stop()
+
+    val spPath = js.savepoint(ckpt, "after_first_batch", spRoot)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(spPath, "offsets")))
+    // a second savepoint under the same name is refused, not overwritten
+    assertThrows[IllegalArgumentException] { js.savepoint(ckpt, "after_first_batch", spRoot) }
+
+    // recovered job starts from the snapshot: sees pre-fork state exactly
+    // once plus whatever arrives after
+    in.addData(("a", 4.0))
+    val rec = js.recover(spRoot, "after_first_batch")(p => start(p, "sp_rec"))
+    rec.query.processAllAvailable()
+    val recovered = spark.table("sp_rec").as[(String, Double)].collect().toMap
+    assert(recovered == Map("a" -> 5.0, "b" -> 10.0), s"got $recovered")
+    rec.query.stop()
+
+    // the original checkpoint was not disturbed by the fork: restarting it
+    // consumes the same post-fork record once, on top of its own state
+    val q3 = start(ckpt, "sp_orig2")
+    in.addData(("b", 2.0))
+    q3.processAllAvailable()
+    val original = spark.table("sp_orig2").as[(String, Double)].collect().toMap
+    assert(original == Map("a" -> 5.0, "b" -> 12.0), s"got $original")
+    q3.stop()
+    js.close()
+  }
 }
