@@ -243,6 +243,18 @@ object Kernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def graft_tokens(c: Column): Column = column(Tokens(expression(c)))
+
+  /** Bounded top-k aggregate (Spark's CollectTopK, the engine behind
+    * pandas-API nlargest): keeps the k smallest values of `c` in a
+    * size-k heap with MAP-SIDE PARTIAL MERGE, so a per-key ranking
+    * shuffles at most k rows per key per map partition instead of every
+    * candidate row (what a row_number window would shuffle). Output array
+    * is sorted ascending — rank = position. Order descending by negating
+    * the leading struct field.
+    */
+  def collect_bottom_k(c: Column, k: Int): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+      expression(c), k, true).toAggregateExpression())
   def minhash_signature(c: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(c), numHashes))
   def word_shingles(c: Column, n: Int): Column =

@@ -36,9 +36,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.Kernels.cosine_similarity(a, b)
 
+  /** Rank scored (query_id, cand_id, cos) triples: top k per query by
+    * (cos desc, cand_id asc) — same order as a row_number window, but via
+    * a bounded-heap aggregate with map-side partial merge
+    * ([[graft.functions.Kernels.collect_bottom_k]] on struct(-cos, id)),
+    * so the ranking exchange carries at most k rows per query per map
+    * partition instead of every scored candidate. At 100 TB this is the
+    * difference between shuffling k·|queries|·partitions rows and
+    * shuffling the whole scored corpus.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(col("query_id"), struct((-col("cos")).as("nc"), col("cand_id")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Kernels.collect_bottom_k(col("s"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s").getField("cand_id").as("cand_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most
     * similar rows of `corpus` (self-matches excluded by id). Query side is
-    * broadcast — the corpus is never shuffled, only scored triples are.
+    * broadcast — the corpus is never shuffled; the ranking exchange
+    * carries only partial top-k rows (see [[rankTopK]]).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: Column, queryVec: Column,
@@ -48,11 +67,7 @@ object Similarity {
     val c = corpus.select(corpusId.as("cand_id"), corpusVec.as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with cosine
@@ -111,11 +126,11 @@ object Similarity {
     * just to pick a centroid; asserted gone in PlanQualitySpec). Probe
     * selection broadcasts the same row to the (small) query set, and the
     * probed-cell join broadcasts the probe list — the corpus is never
-    * hash-partitioned at all; only scored (query, cand, cos) triples from
-    * probed cells enter the final ranking exchange. At 100 TB: one scan
-    * for centroid top-k, one narrow scan for assignment, ~nProbe/nCells
-    * of the corpus scored per query batch. For large query sets, rank
-    * with per-cell partial top-k before the global window.
+    * hash-partitioned at all; the final ranking is a bounded-heap
+    * aggregate ([[rankTopK]]) whose exchange carries at most k rows per
+    * query per map partition. At 100 TB: one scan for centroid top-k,
+    * one narrow scan for assignment, ~nProbe/nCells of the corpus scored
+    * per query batch, k-bounded shuffle to rank.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: Column, queryVec: Column,
@@ -149,15 +164,12 @@ object Similarity {
           struct((-cosine(cc.getField("centroid"), col("qv"))).as("ncs"),
             cc.getField("cell").as("cell")))), 1, nProbe)).as("pc"))
       .select(col("pc.cell").as("cell"), col("query_id"), col("qv"))
-    // rank within probed cells only; probe list broadcast, corpus unshuffled
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
+    // rank within probed cells only; probe list broadcast, corpus
+    // unshuffled, ranking exchange bounded to partial top-k rows
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Sign-bit signature of `planes` random hyperplanes. Plane components

@@ -89,6 +89,22 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q39/q42: ANN ranking is a partial top-k aggregate, not a window over all candidates") {
+    // the ranking exchange must carry at most k rows per query per map
+    // partition (partial_collect_top_k), never every scored candidate
+    // through a row_number window sort
+    for (q <- Seq("q39_ann_topk", "q42_ivf_topk")) {
+      val p = plan(q)
+      assert(p.contains("partial_collect_top_k"), s"$q ranking not partial top-k:\n$p")
+      // q42 legitimately numbers its nCells centroid rows with a window;
+      // what must be gone is any window partitioned by query_id (the old
+      // all-candidates row_number rank)
+      val rankWindows = p.linesIterator
+        .filter(l => l.contains("Window") && l.contains("query_id")).toSeq
+      assert(rankWindows.isEmpty, s"$q still ranks via window:\n${rankWindows.mkString("\n")}")
+    }
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
