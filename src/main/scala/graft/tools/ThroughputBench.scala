@@ -71,6 +71,27 @@ object ThroughputBench {
       println(f"scenario4 lsh-dedup n=$nDocs: $s%.2f s, $nPairs pairs (${nDocs / 100} planted)")
     }
 
+    // scenario 5 (north-star): banded hyperplane-LSH embedding near-dup
+    // over synthetic 64-dim vectors with planted near-dups (every 50th
+    // vector gets a ±1% perturbed copy) — evidence the banded candidate
+    // generation stays ~linear in corpus size and recall stays exact
+    for (nVecs <- Seq(20000, 80000)) {
+      val base = spark.range(nVecs).select(
+        col("id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id") * 64 + d), lit(2000)) - 1000.0) / 1000.0).as("v"))
+      val planted = base.where(col("id") % 50 === 0)
+        .select((col("id") + 100000000L).as("id"),
+          transform(col("v"), (x, i) => x * (lit(1.0) + lit(0.01) * (i % 3 - 1))).as("v"))
+      val corpus = base.union(planted)
+      val t0 = System.nanoTime()
+      val nPairs = graft.ops.Similarity.cosineNearDupPairs(corpus,
+        col("id"), col("v"), dim = 64, bands = 8, rowsPerBand = 16,
+        threshold = 0.95).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario5 embedding-neardup n=$nVecs: $s%.2f s, $nPairs pairs (${nVecs / 50} planted)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     time("scenario3 chained") {
       records

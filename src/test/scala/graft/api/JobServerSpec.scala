@@ -42,4 +42,81 @@ class JobServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("HTTP binding: submit/list/status/metrics/cancel + savepoint/recover over REST") {
+    implicit val ctx = spark.sqlContext
+    val js = new JobServer(spark)
+    val http = new JobHttpServer(spark, js)
+    val in = MemoryStream[(String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_http_ckpt").toString
+    val spRoot = java.nio.file.Files.createTempDirectory("graft_http_sp").toString
+    val sinkNames = Iterator.from(0).map(i => s"http_sink_$i")
+    http.registerPipeline("sum_by_key") { ckptOverride =>
+      val w = graft.streaming.StreamOps.runningAgg(in.toDF().toDF("k", "v"),
+          Seq(col("k")), Seq(sum(graft.ops.Aggregates.dec(col("v"))).cast("double").as("s")))
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckptOverride.getOrElse(ckpt))
+        .format("memory").queryName(sinkNames.next())
+      w.start()
+    }
+
+    def call(method: String, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URL(s"http://127.0.0.1:${http.boundPort}$pathAndQuery")
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      conn.disconnect()
+      (code, body)
+    }
+
+    try {
+      // submit via REST
+      val (sc, sBody) = call("POST", "/jobs/submit?pipeline=sum_by_key")
+      assert(sc == 200, sBody)
+      val id = """"id":"([^"]+)"""".r.findFirstMatchIn(sBody).get.group(1)
+      assert(sBody.contains(""""status":"RUNNING""""))
+      // unknown pipeline is a 404, not a crash
+      assert(call("POST", "/jobs/submit?pipeline=nope")._1 == 404)
+
+      in.addData(("a", 1.0), ("b", 2.0))
+      spark.streams.get(java.util.UUID.fromString(id)).processAllAvailable()
+
+      assert(call("GET", "/jobs")._2.contains(id))
+      assert(call("GET", s"/jobs/$id/status")._2.contains("RUNNING"))
+      val deadline = System.currentTimeMillis() + 10000
+      var metrics = call("GET", s"/jobs/$id/metrics")
+      while ((metrics._1 != 200 || !metrics._2.contains(""""numInputRows":2""")) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); metrics = call("GET", s"/jobs/$id/metrics")
+      }
+      assert(metrics._2.contains(""""numInputRows":2"""), metrics._2)
+
+      // cancel, savepoint the stopped checkpoint, recover from it via REST
+      assert(call("POST", s"/jobs/$id/cancel")._2.contains("true"))
+      assert(call("GET", s"/jobs/$id/status")._2.contains("FINISHED"))
+      val (spc, spBody) = call("POST",
+        s"/jobs/savepoint?checkpoint=${java.net.URLEncoder.encode(ckpt, "UTF-8")}&name=sp1&root=${java.net.URLEncoder.encode(spRoot, "UTF-8")}")
+      assert(spc == 200, spBody)
+      // savepoint name collision -> 400 with the require message
+      assert(call("POST",
+        s"/jobs/savepoint?checkpoint=${java.net.URLEncoder.encode(ckpt, "UTF-8")}&name=sp1&root=${java.net.URLEncoder.encode(spRoot, "UTF-8")}")._1 == 400)
+
+      in.addData(("a", 4.0))
+      val (rc, rBody) = call("POST",
+        s"/jobs/recover?pipeline=sum_by_key&name=sp1&root=${java.net.URLEncoder.encode(spRoot, "UTF-8")}")
+      assert(rc == 200, rBody)
+      val rid = """"id":"([^"]+)"""".r.findFirstMatchIn(rBody).get.group(1)
+      val rq = spark.streams.get(java.util.UUID.fromString(rid))
+      rq.processAllAvailable()
+      val recovered = spark.table("http_sink_1").as[(String, Double)].collect().toMap
+      assert(recovered == Map("a" -> 5.0, "b" -> 2.0), s"got $recovered")
+      call("POST", s"/jobs/$rid/cancel")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      http.close()
+      js.close()
+    }
+  }
 }
