@@ -75,8 +75,9 @@ object Dedup {
     // arrays (i.e. the documents) never enter this shuffle, which is what
     // keeps the candidate-generation stage cheap at corpus scale. The
     // banded frame feeds both join sides through one hashpartitioning
-    // exchange, so Catalyst's ReuseExchange computes the corpus
-    // scan+shingle+signature pass once (asserted in PlanQualitySpec).
+    // exchange; AQE's runtime exchange reuse (ReusedExchange in the final
+    // adaptive plan, asserted in PlanQualitySpec) computes the corpus
+    // scan+shingle+signature pass once for both sides.
     val banded = sh
       .select(col("id"), explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))

@@ -105,6 +105,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q37: banding exchange is reused across the self-join at runtime") {
+    // the signature scan feeds both sides of the candidate self-join (and
+    // the candidate-id subtree) through identical exchanges; AQE must
+    // dedupe them — otherwise the corpus scan+shingle+minhash pass runs
+    // once per branch. Reuse only shows in the final adaptive plan, so
+    // execute first.
+    val df = graft.SparkEntry.queries("q37_minhash_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"banding exchange not reused in final adaptive plan:\n$p")
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
