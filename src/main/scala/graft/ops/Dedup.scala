@@ -124,4 +124,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: all (id_a < id_b) with fingerprint
+    * Hamming distance <= maxHamming (the Manku et al. WWW'07 simhash
+    * dedup shape). Candidates by pigeonhole banding — the 64-bit
+    * fingerprint splits into `bands` contiguous chunks, and two
+    * fingerprints within maxHamming < bands differing bits MUST agree on
+    * at least one whole chunk — so candidate generation is an equi-join
+    * on (band, chunk) with EXACT recall, no probabilistic miss. The
+    * fingerprint is 8 bytes, so it rides along in the banding shuffle and
+    * pairs verify inline (no second corpus scan, unlike the
+    * shingle/vector verifies). Exchange carries (band, chunk, id, fp)
+    * only; per-chunk bucket count is 2^(64/bands).
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      "pigeonhole guarantee needs bands > maxHamming (else a pair can differ in every chunk)")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fp = df.select(id.as("id"), simhash(text).as("fp"))
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = fp.select(col("id"), col("fp"), explode(array(chunks: _*)).as("bc"))
+      .select(col("bc.band").as("band"), col("bc.chunk").as("chunk"), col("id"), col("fp"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.fp"), col("r.fp")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

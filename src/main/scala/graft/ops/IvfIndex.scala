@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the standing-index flow for repeated ANN query
+  * batches over a large corpus (north-star extension; `Similarity.ivfTopK`
+  * is the one-shot form and recomputes cell assignment per run).
+  *
+  * `build` assigns every corpus vector to its nearest centroid (narrow
+  * broadcast argmax, zero corpus shuffle — see [[Similarity.assignCells]])
+  * and writes the corpus `partitionBy("cell")`, with the centroid array
+  * stored under `_centroids/` inside the index directory (underscore
+  * prefix → invisible to the data reader). `query` probes each query's
+  * nProbe nearest cells and joins on the PARTITION column, so dynamic
+  * partition pruning reads only the probed cells' files — at 100 TB a
+  * query batch touches ~nProbe/nCells of the index, verified by the
+  * `dynamicpruning` filter in the scan (IvfIndexSpec).
+  *
+  * Size nCells so each cell is a few files (~√N cells is the usual IVF
+  * rule); results are identical to `ivfTopK` with the same parameters
+  * because centroid selection (md5 order) and assignment are shared code.
+  */
+object IvfIndex {
+
+  /** Build the index at `path`: cell-partitioned vectors + centroids. */
+  def build(corpus: DataFrame, id: Column, vec: Column,
+            nCells: Int, path: String): Unit = {
+    val c = corpus.select(id.as("cand_id"), vec.as("cv"))
+    val centArr = Similarity.centroidArray(c, nCells)
+    Similarity.assignCells(c, centArr)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centArr.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Top-k over the index for a (small, broadcastable) query set.
+    * Returns (query_id, cand_id, rk) like the other ANN operators.
+    */
+  def query(spark: SparkSession, path: String,
+            queries: DataFrame, queryId: Column, queryVec: Column,
+            k: Int, nProbe: Int = 4): DataFrame = {
+    val centArr = spark.read.parquet(s"$path/_centroids")
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val probes = Similarity.probeCells(q, centArr, nProbe)
+    val indexed = spark.read.parquet(path) // (cand_id, cv, cell=partition)
+    // join on the partition column with a broadcast probe side: dynamic
+    // partition pruning restricts the scan to the probed cells' files
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    Similarity.rankScored(scored, k)
+  }
+}

@@ -137,33 +137,10 @@ object Similarity {
               corpusId: Column, corpusVec: Column,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(corpusId.as("cand_id"), corpusVec.as("cv"))
-    // deterministic engine-portable centroid sample: nCells smallest by
-    // (md5(id), id) — TakeOrderedAndProject, then a window over nCells rows
-    val sampled = c.select(md5(col("cand_id").cast("string")).as("mk"), col("cand_id"), col("cv"))
-      .orderBy(col("mk"), col("cand_id")).limit(nCells)
-    val cent = sampled
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("mk"), col("cand_id"))) - 1).cast("int"))
-      .select(col("cell"), col("cv").as("centroid"))
-    val centArr = cent.agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
-    // inline argmax against the broadcast centroid array: max struct of
-    // (cosine, -cell) picks the nearest centroid, ties to the lowest cell
-    def nearestCell(cents: Column, v: Column): Column = {
-      val best = array_max(transform(cents, cc =>
-        struct(cosine(cc.getField("centroid"), v).as("cs"),
-          (-cc.getField("cell")).as("negCell"))))
-      (-best.getField("negCell")).cast("int")
-    }
-    val assigned = c.crossJoin(broadcast(centArr))
-      .select(nearestCell(col("cents"), col("cv")).as("cell"), col("cand_id"), col("cv"))
-    // queries probe their nProbe nearest cells (same broadcast row)
+    val centArr = centroidArray(c, nCells)
+    val assigned = assignCells(c, centArr)
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-    val probes = q.crossJoin(broadcast(centArr))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(transform(col("cents"), cc =>
-          struct((-cosine(cc.getField("centroid"), col("qv"))).as("ncs"),
-            cc.getField("cell").as("cell")))), 1, nProbe)).as("pc"))
-      .select(col("pc.cell").as("cell"), col("query_id"), col("qv"))
+    val probes = probeCells(q, centArr, nProbe)
     // rank within probed cells only; probe list broadcast, corpus
     // unshuffled, ranking exchange bounded to partial top-k rows
     val scored = assigned.join(broadcast(probes), Seq("cell"))
@@ -171,6 +148,47 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Deterministic engine-portable centroid sample folded into ONE row:
+    * the nCells ids with smallest (md5(id), id) — a distributed top-k,
+    * then a window over just nCells rows — as an array of (cell,
+    * centroid) structs ready to broadcast.
+    */
+  private[ops] def centroidArray(c: DataFrame, nCells: Int): DataFrame = {
+    val sampled = c.select(md5(col("cand_id").cast("string")).as("mk"), col("cand_id"), col("cv"))
+      .orderBy(col("mk"), col("cand_id")).limit(nCells)
+    sampled
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("mk"), col("cand_id"))) - 1).cast("int"))
+      .select(col("cell"), col("cv").as("centroid"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+  }
+
+  /** Cell assignment as a narrow map: inline argmax against the broadcast
+    * centroid array — max struct of (cosine, -cell) picks the nearest
+    * centroid, ties to the lowest cell. Zero shuffle of the corpus.
+    */
+  private[ops] def assignCells(c: DataFrame, centArr: DataFrame): DataFrame = {
+    def nearestCell(cents: Column, v: Column): Column = {
+      val best = array_max(transform(cents, cc =>
+        struct(cosine(cc.getField("centroid"), v).as("cs"),
+          (-cc.getField("cell")).as("negCell"))))
+      (-best.getField("negCell")).cast("int")
+    }
+    c.crossJoin(broadcast(centArr))
+      .select(nearestCell(col("cents"), col("cv")).as("cell"), col("cand_id"), col("cv"))
+  }
+
+  /** Each query's nProbe nearest cells (same broadcast centroid row). */
+  private[ops] def probeCells(q: DataFrame, centArr: DataFrame, nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("cents"), cc =>
+          struct((-cosine(cc.getField("centroid"), col("qv"))).as("ncs"),
+            cc.getField("cell").as("cell")))), 1, nProbe)).as("pc"))
+      .select(col("pc.cell").as("cell"), col("query_id"), col("qv"))
+
+  private[ops] def rankScored(scored: DataFrame, k: Int): DataFrame = rankTopK(scored, k)
 
   /** Sign-bit signature of `planes` random hyperplanes. Plane components
     * are deterministic pseudo-randoms derived from xxh64(plane, dim) —

@@ -78,6 +78,34 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.8)
   }
 
+  test("simhashPairs equals brute-force hamming pairs on a planted corpus") {
+    // corpus: real docs + exact copies (hamming 0) + lightly-edited copies
+    // (small hamming); banded candidates must equal the brute-force pair
+    // set — pigeonhole banding is exact, not probabilistic
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id").as("id"), col("text").as("t"))
+    val copies = docs.where(col("id") % 25 === 0)
+      .select((col("id") + 100000L).as("id"), col("t"))
+    val edited = docs.where(col("id") % 25 === 1)
+      .select((col("id") + 200000L).as("id"), concat(col("t"), lit(" extra token")).as("t"))
+    val corpus = docs.union(copies).union(edited)
+    val maxH = 6
+    val got = Dedup.simhashPairs(corpus, col("id"), col("t"), maxHamming = maxH, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fps = corpus.select(col("id"), Dedup.simhash(col("t")).as("fp"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "expected planted pairs within hamming bound")
+    assert(got == truth, s"banded pairs != brute force (got=${got.size}, truth=${truth.size})")
+    // every exact copy must be found at hamming 0
+    val copyPairs = fps.map(_._1).filter(i => i < 100000 && i % 25 == 0)
+      .map(i => (i, i + 100000L)).toSet
+    assert(copyPairs.subsetOf(got))
+  }
+
   test("fileops: filter/aggregate/anomaly recipes") {
     val df = Seq(("a", 1.0), ("b", 5.0), ("a", 3.0)).toDF("k", "v")
     assert(FileOps.filterOp(df, "k", "equals", "a").count() == 2)
