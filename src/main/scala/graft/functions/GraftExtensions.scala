@@ -49,5 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[Kernels.RollingFingerprint].getName, "rolling_fingerprint"),
         (children: Seq[Expression]) => Kernels.RollingFingerprint(
           children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.Tokens].getName, "graft_tokens"),
+        (children: Seq[Expression]) => Kernels.Tokens(children.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_signature"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.HyperplaneSignature].getName, "hyperplane_signature"),
+        (children: Seq[Expression]) => Kernels.HyperplaneSignature(
+          children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue(),
+          if (children.length > 2) children(2).eval(null).asInstanceOf[Number].intValue() else 0)))
   }
 }

@@ -36,6 +36,20 @@ final case class Tables(spark: SparkSession, dir: String) {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view so the full engine surface is
+    * reachable from `spark.sql(...)` — including the graft kernel
+    * functions (simhash64, minhash_signature, cosine_similarity, …)
+    * registered by GraftExtensions. The reference has no SQL layer at
+    * all; on Spark it is free.
+    */
+  def registerAll(): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { n =>
+      table(n).createOrReplaceTempView(n)
+    }
+    events.createOrReplaceTempView("events")
+  }
 }
 
 /** Bucketed tables: pre-shuffled storage so same-key joins and
@@ -85,5 +99,14 @@ object FileSources {
   def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** ORC ingest — the other columnar lakehouse format (absent in the
+    * reference; free on Spark with the same predicate-pushdown and
+    * column-pruning properties as parquet).
+    */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).orc(path)
   }
 }

@@ -48,6 +48,37 @@ object MicroBatchProbe {
 
     run("default", async = false)
     run("async", async = true)
+
+    // stateful lane: keyed running aggregation (update mode) — the floor
+    // every windowed/keyed operator pays per batch
+    def runStateful(tag: String, async: Boolean): Unit = {
+      val in = MemoryStream[(Long, Long)]
+      var w = graft.streaming.StreamOps.runningAgg(
+          in.toDF().toDF("k", "ingest").withColumn("k", col("k") % 50),
+          Seq(col("k")), Seq(count(lit(1)).as("n")))
+        .writeStream.outputMode(OutputMode.Update())
+        .trigger(Trigger.ProcessingTime("5 milliseconds"))
+        .format("memory").queryName(s"mb_probe_state_$tag")
+      if (async) w = w.option("asyncProgressTrackingEnabled", "true")
+        .option("asyncProgressTrackingCheckpointIntervalMs", "1000")
+      try {
+        val q = w.start()
+        (1 to 40).foreach { i =>
+          in.addData((1 to 100).map(j => (i * 100L + j, System.nanoTime())): _*)
+          Thread.sleep(100)
+        }
+        q.processAllAvailable()
+        val steady = q.recentProgress.takeRight(10)
+        val avg = steady.map(_.batchDuration).sum / steady.length
+        println(s"[stateful-$tag] avg steady batch=${avg}ms; sample=${steady.last.durationMs}")
+        q.stop()
+      } catch {
+        case e: Exception =>
+          println(s"[stateful-$tag] unsupported: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    runStateful("default", async = false)
+    runStateful("async", async = true)
     spark.stop()
   }
 }

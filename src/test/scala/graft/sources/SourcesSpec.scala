@@ -34,6 +34,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.select("city", "temp").as[(String, Double)].collect().toSeq == Seq(("berlin", 21.5)))
   }
 
+  test("orc round-trip with pushdown-capable scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = Tables(spark, "/root/testdata/sf0.001").customer
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    src.write.mode("overwrite").orc(dir)
+    val back = FileSources.orc(spark, dir)
+    assert(back.count() == src.count())
+    val filtered = back.where(col("c_acctbal") > 0)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"),
+      s"orc scan did not push the filter:\n$p")
+  }
+
+  test("SQL surface: registered views + kernel functions from spark.sql") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    t.registerAll()
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_quantity > 30").as[Long].head()
+    val viaDf = t.lineitem.where(col("l_quantity") > 30).count()
+    assert(viaSql == viaDf && viaSql > 0)
+    // custom kernels are SQL-registered via GraftExtensions
+    val fp = spark.sql(
+      "SELECT simhash64(graft_tokens(text)) FROM documents WHERE doc_id = 0").as[Long].head()
+    val fpDf = t.documents.where(col("doc_id") === 0)
+      .select(graft.ops.Dedup.simhash(col("text"))).as[Long].head()
+    assert(fp == fpDf)
+  }
+
   test("kafka wire-record decode: value json, key, headers, timestamp") {
     // simulate the Kafka source schema without a broker
     val wire = Seq(
