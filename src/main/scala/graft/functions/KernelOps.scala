@@ -63,17 +63,20 @@ object KernelOps {
 
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
-  /** Lowercase + split on whitespace runs + drop empties, exactly like
-    * `filter(split(lower(text), "\\s+"), t => length(t) > 0)`:
-    * UTF8String.toLowerCase (locale-independent, what Spark's `lower`
-    * uses) and the same Java regex `Pattern.split` that Spark's `split`
-    * compiles to — but as one compiled call, with no per-element
-    * interpreted lambda (higher-order functions don't support codegen and
-    * would knock the whole projection out of the WholeStageCodegen span).
+  /** Split on whitespace runs + drop empties, exactly like
+    * `filter(split(text, "\\s+"), t => length(t) > 0)`: the same Java
+    * regex `Pattern.split` that Spark's `split` compiles to — but as one
+    * compiled call, with no per-element interpreted lambda (higher-order
+    * functions don't support codegen and would knock the whole projection
+    * out of the WholeStageCodegen span). Lowercasing is NOT done here —
+    * the Tokens column wrapper composes Spark's own `Lower` expression
+    * underneath, because reimplementing its case mapping diverges
+    * (ICU contextual final-sigma vs Java simple mapping — caught by the
+    * KernelsSpec equivalence property).
     */
   def tokens(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
-    val parts = wsPattern.split(s.toLowerCase.toString, -1)
+    val parts = wsPattern.split(s.toString, -1)
     var n = 0
     var i = 0
     while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }

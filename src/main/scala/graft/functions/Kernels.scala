@@ -33,11 +33,12 @@ object Kernels {
           s"$name requires array<string> input, got $other")
     }
 
-  /** Whitespace tokenizer (lowercase, split on `\s+` runs, drop empties).
-    * Single codegen'd expression — the composable
-    * `filter(split(lower(.)))` form is semantically identical but its
-    * higher-order `filter` cannot codegen, which would push every text
-    * scan out of the WholeStageCodegen span.
+  /** Whitespace tokenizer (split on `\s+` runs, drop empties). Single
+    * codegen'd expression — the composable `filter(split(.))` form is
+    * semantically identical but its higher-order `filter` cannot codegen,
+    * which would push every text scan out of the WholeStageCodegen span.
+    * The `graft_tokens` wrapper composes Spark's own `Lower` underneath
+    * so case mapping is exactly `lower(.)`'s (ICU contextual rules).
     */
   case class Tokens(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -242,7 +243,8 @@ object Kernels {
   // ---- Column wrappers (classic-session Column <-> Expression bridge) ----
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  def graft_tokens(c: Column): Column = column(Tokens(expression(c)))
+  def graft_tokens(c: Column): Column =
+    column(Tokens(org.apache.spark.sql.catalyst.expressions.Lower(expression(c))))
 
   /** Bounded top-k aggregate (Spark's CollectTopK, the engine behind
     * pandas-API nlargest): keeps the k smallest values of `c` in a

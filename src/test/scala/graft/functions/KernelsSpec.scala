@@ -22,6 +22,30 @@ class KernelsSpec extends AnyFunSuite {
     assert(m(1L) != m(3L))
   }
 
+  test("Tokens kernel is exactly the filter(split(lower)) formulation (property)") {
+    // the kernel replaced the higher-order-function stack for codegen;
+    // semantics must be bit-identical on adversarial inputs — unicode,
+    // ascii/unicode whitespace, empties, case-folding edge cases
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\t", "\n", "\r", "\f", "  ", " \t\n"),
+      Gen.oneOf("Ünïcödé", "ΣΊΣΥΦΟΣ", "İstanbul", "ß", "straße", "中文 词语", " ", ""))
+    val gen = Gen.listOfN(12, piece).map(_.mkString)
+    val samples = (0 until 300).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i))) :+
+      "" :+ " " :+ "  " :+ "a b"
+    val df = samples.toDF("t")
+    val both = df.select(
+      graft.functions.Kernels.graft_tokens(col("t")).as("kernel"),
+      filter(split(lower(col("t")), "\\s+"), x => length(x) > 0).as("hof"))
+    val mismatches = both.where(not(col("kernel") === col("hof"))).count()
+    assert(mismatches == 0, {
+      val bad = both.where(not(col("kernel") === col("hof"))).take(3).toSeq
+      s"kernel diverges from HOF formulation: $bad"
+    })
+  }
+
   test("kernels usable from SQL via GraftExtensions") {
     // GraftSession builds with .withExtensions(new GraftExtensions), so
     // the SQL functions are present on the shared test session
