@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("batch check finds near-dups of indexed docs, passes clean docs") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_idx").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir)
+
+    // new batch: an exact copy of indexed doc 7, a perturbed copy of doc
+    // 11 (one appended token), and a clean unrelated doc
+    val doc7 = docs.where(col("doc_id") === 7).select("text").as[String].head()
+    val doc11 = docs.where(col("doc_id") === 11).select("text").as[String].head()
+    val incoming = Seq(
+      (1007L, doc7),
+      (1011L, doc11 + " appended"),
+      (9999L, (1 to 60).map(i => s"novel$i").mkString(" "))).toDF("nid", "t")
+
+    val hits = DedupIndex.check(spark, incoming, col("nid"), col("t"), dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val byNew = hits.groupBy(_._1)
+    assert(byNew.contains(1007L) && byNew(1007L).exists(h => h._2 == 7L && h._3 == 1.0))
+    assert(byNew.contains(1011L) && byNew(1011L).exists(h => h._2 == 11L && h._3 > 0.8))
+    assert(!byNew.contains(9999L), s"clean doc flagged: ${byNew.get(9999L)}")
+    // no duplicate (new, dup) pairs despite multi-band collisions
+    assert(hits.map(h => (h._1, h._2)).distinct.length == hits.length)
+  }
+
+  test("streaming screen: micro-batches checked against the static index") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_idx_s").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir)
+
+    val doc3 = docs.where(col("doc_id") === 3).select("text").as[String].head()
+    val in = MemoryStream[(Long, String)]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = DedupIndex.screenStream(spark, in.toDF().toDF("nid", "t"),
+        col("nid"), col("t"), dir, threshold = 0.5) { pairs =>
+      pairs.select("new_id", "dup_id").as[(Long, Long)].collect()
+        .foreach(collected.add)
+    }
+    try {
+      in.addData((2003L, doc3), (8888L, (1 to 50).map(i => s"fresh$i").mkString(" ")))
+      q.processAllAvailable()
+      in.addData((3003L, doc3 + " tail"))
+      q.processAllAvailable()
+      val hits = collected.toArray.map(_.asInstanceOf[(Long, Long)]).toSet
+      assert(hits.contains((2003L, 3L)), s"got $hits")
+      assert(hits.contains((3003L, 3L)), s"got $hits")
+      assert(!hits.exists(_._1 == 8888L), s"clean doc flagged: $hits")
+    } finally q.stop()
+  }
+}
