@@ -33,6 +33,20 @@ object IvfIndex {
     centArr.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Incrementally add vectors to an existing index: assign against the
+    * STORED centroids (same narrow broadcast argmax) and append to the
+    * assigned cells' partitions. Centroids are not re-sampled — cell
+    * balance degrades slowly as the corpus drifts; rebuild when a cell
+    * grows pathological (the standard IVF maintenance tradeoff).
+    */
+  def append(spark: SparkSession, newVecs: DataFrame, id: Column, vec: Column,
+             path: String): Unit = {
+    val centArr = spark.read.parquet(s"$path/_centroids")
+    val c = newVecs.select(id.as("cand_id"), vec.as("cv"))
+    Similarity.assignCells(c, centArr)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Top-k over the index for a (small, broadcastable) query set.
     * Returns (query_id, cand_id, rk) like the other ANN operators.
     */
