@@ -27,21 +27,38 @@ object Bench {
     // timed query doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // A failed run must fail LOUDLY — recording the elapsed time of a
+    // broken query would masquerade as a suspiciously fast measurement.
+    // Per-query: first failure aborts that query's remaining runs, its
+    // entry lands in "errors" (not "queries"), and the process exits 1.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      (1 to runs).foreach { _ =>
+        if (!failed) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            failed = true
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[bench] $name failed: $msg")
+            errors(name) = msg.linesIterator.next().take(200)
+          }
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      if (failed) None else Some(name -> times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -252,11 +252,11 @@ object Kernels {
     * shuffles at most k rows per key per map partition instead of every
     * candidate row (what a row_number window would shuffle). Output array
     * is sorted ascending — rank = position. Order descending by negating
-    * the leading struct field.
+    * the leading struct field. Internal-API contract pinned in
+    * [[org.apache.spark.sql.graftbridge.ColumnBridge]].
     */
   def collect_bottom_k(c: Column, k: Int): Column =
-    column(new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
-      expression(c), k, true).toAggregateExpression())
+    org.apache.spark.sql.graftbridge.ColumnBridge.collectBottomK(c, k)
   def minhash_signature(c: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(c), numHashes))
   def word_shingles(c: Column, n: Int): Column =

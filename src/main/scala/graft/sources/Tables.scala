@@ -12,12 +12,12 @@ import org.apache.spark.sql.types.StructType
   * parquet data source, so they hold at 100 TB.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark's parquet reader
-    // rejects that type outright, so read it as Long nanoseconds.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // events.parquet carries TIMESTAMP(NANOS); Spark's parquet reader rejects
+  // that type unless spark.sql.legacy.parquet.nanosAsLong=true. That conf is
+  // session-construction state, not read-path state — GraftSession.local and
+  // GraftSession.tune both set it; externally-built sessions must too.
+  def table(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")

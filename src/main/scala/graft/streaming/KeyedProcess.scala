@@ -29,8 +29,10 @@ object KeyedProcess {
   def dedupCapped[V: Encoder](ds: Dataset[V], key: V => String, id: V => String,
                               cap: Int = 10000): Dataset[V] = {
     implicit val keyEnc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
-    implicit val stateEnc: Encoder[Array[String]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[String]]
+    // native array<string> state encoding — the state store holds an
+    // ArrayType column, not a java-serialized blob per update
+    val sp = ds.sparkSession
+    implicit val stateEnc: Encoder[Array[String]] = sp.implicits.newStringArrayEncoder
     apply[String, V, Array[String], V](ds, key) { (_, records, state) =>
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       if (state.exists) seen ++= state.get
