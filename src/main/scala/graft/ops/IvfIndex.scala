@@ -47,6 +47,57 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Rows per cell — the index-health histogram. Only the partition
+    * column is projected, so the scan reads no vector data; with
+    * `spark.sql.parquet.aggregatePushdown=true` the counts come straight
+    * from parquet footers. Cells absent from the output are empty.
+    */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Number of cells the index was built with (size of the stored
+    * centroid array — includes cells that are currently empty).
+    */
+  def numCells(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_centroids")
+      .select(size(col("cents"))).head.getInt(0)
+
+  /** True when the fullest cell holds more than `skewFactor` times the
+    * balanced share (corpus / nCells — empty cells count toward the
+    * denominator). [[append]] assigns against frozen centroids, so drift
+    * in the incoming distribution shows up here; a pathological cell
+    * defeats the point of IVF (probing it rescans a corpus-sized bucket).
+    * Run this after appends and [[rebuild]] when it fires.
+    */
+  def needsRebuild(spark: SparkSession, path: String,
+                   skewFactor: Double = 4.0): Boolean = {
+    val r = cellStats(spark, path)
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head
+    val balancedShare = r.getLong(1).toDouble / numCells(spark, path)
+    r.getLong(0) > skewFactor * balancedShare
+  }
+
+  /** Re-sample centroids from the CURRENT corpus and rewrite the index.
+    * Reads only (cand_id, cv) from the existing index, builds into a
+    * sibling `<path>.rebuild` directory, then atomically swaps it in —
+    * the old index stays readable until the new one is fully written.
+    * Deterministic: centroid selection is the md5 top-k over ids
+    * ([[Similarity.centroidArray]]), so a rebuilt index is bit-identical
+    * to a fresh [[build]] over the same vectors.
+    */
+  def rebuild(spark: SparkSession, path: String, nCells: Int = -1): Unit = {
+    val cells = if (nCells > 0) nCells else numCells(spark, path)
+    val vecs = spark.read.parquet(path).select(col("cand_id"), col("cv"))
+    val tmp = s"$path.rebuild"
+    build(vecs, col("cand_id"), col("cv"), cells, tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    require(fs.rename(src, dst), s"rebuild swap failed: rename $tmp -> $path")
+  }
+
   /** Top-k over the index for a (small, broadcastable) query set.
     * Returns (query_id, cand_id, rk) like the other ANN operators.
     */

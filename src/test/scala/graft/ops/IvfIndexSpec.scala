@@ -46,6 +46,49 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(top.head._2 == 500005L, s"appended near-copy not ranked first: ${top.toSeq}")
   }
 
+  test("cell stats detect append drift; rebuild restores fresh-build results") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    IvfIndex.build(base, col("vec_id"), col("embedding"), nCells = 8, dir)
+
+    val statsBefore = IvfIndex.cellStats(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(statsBefore.values.sum == base.count(), "cellStats must account for every row")
+    assert(statsBefore.size <= 8)
+    assert(!IvfIndex.needsRebuild(spark, dir),
+      s"fresh build flagged as unbalanced: $statsBefore")
+
+    // drift: 500 near-copies of one vector — all land in a single cell
+    val skewed = em.where(col("vec_id") === 1)
+      .crossJoin(spark.range(500).toDF("i"))
+      .select((col("i") + 700000L).as("vid"), col("embedding").as("emb"))
+    IvfIndex.append(spark, skewed, col("vid"), col("emb"), dir)
+    val statsAfter = IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().toMap
+    assert(statsAfter.values.max >= 500, s"skewed batch not concentrated: $statsAfter")
+    assert(IvfIndex.needsRebuild(spark, dir),
+      s"500-row hot cell not flagged (stats: $statsAfter)")
+
+    IvfIndex.rebuild(spark, dir)
+    assert(IvfIndex.numCells(spark, dir) == 8, "rebuild must keep nCells")
+
+    // rebuilt index answers queries exactly like a fresh build over the
+    // same (base + appended) corpus — centroid re-sampling is deterministic
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
+    IvfIndex.build(
+      base.select(col("vec_id"), col("embedding"))
+        .union(skewed.select(col("vid"), col("emb"))),
+      col("vec_id"), col("embedding"), nCells = 8, fresh)
+    val q = em.where(col("vec_id") < 5)
+    val fromRebuilt = IvfIndex.query(spark, dir, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 3).as[(Long, Long, Long)].collect().toSet
+    val fromFresh = IvfIndex.query(spark, fresh, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 3).as[(Long, Long, Long)].collect().toSet
+    assert(fromRebuilt == fromFresh,
+      s"rebuilt index diverges from fresh build (rebuilt=${fromRebuilt.size}, fresh=${fromFresh.size})")
+    assert(fromRebuilt.nonEmpty)
+  }
+
   test("index query scan is dynamically partition-pruned to probed cells") {
     val em = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString
