@@ -26,18 +26,72 @@ object DedupIndex {
 
   /** Write the signature index for a corpus. Parameters must match the
     * ones used at check time (they define the banding scheme).
+    *
+    * The corpus TEXT is scanned exactly once: the shingle pass writes
+    * `shingles/` first, and `bands/` is then derived from the written
+    * parquet — (id, shingle-set) rows, far smaller than the raw text — so
+    * at 100 TB the build costs one corpus pass plus one pass over the
+    * signature frame (asserted by scan-count in DedupIndexSpec).
     */
   def build(df: DataFrame, id: Column, text: Column, path: String,
             shingleN: Int = 3, numHashes: Int = 32,
             bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
-    val sh = df.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
+    df.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    bandsOf(df.sparkSession.read.parquet(s"$path/shingles"), numHashes, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Admit new documents into the index (screen first with [[check]] if
+    * duplicates should be rejected rather than admitted). The increment is
+    * scanned twice (shingles, then bands) — bounded by the batch, not the
+    * corpus; the standing index is never rewritten, only appended to.
+    */
+  def append(newDocs: DataFrame, id: Column, text: Column, path: String,
+             shingleN: Int = 3, numHashes: Int = 32,
+             bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    val sh = newDocs.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.write.mode("append").parquet(s"$path/shingles")
+    bandsOf(sh, numHashes, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  private def bandsOf(sh: DataFrame, numHashes: Int,
+                      bands: Int, rowsPerBand: Int): DataFrame =
     sh.select(col("id"),
         explode(Dedup.lshBands(Dedup.minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+
+  /** Near-duplicate pairs WITHIN the indexed corpus — the q37/minhashLsh
+    * shape, but computed entirely from the standing index: candidates from
+    * a self-join of the stored `bands/` triples, exact-Jaccard verify from
+    * the stored `shingles/`. Corpus text is never touched and signatures
+    * are never recomputed, so repeated runs (e.g. after each [[append]])
+    * cost only the candidate join plus a shingle fetch for the (rare)
+    * candidates. The banding scheme is frozen at build time, so unlike
+    * [[Dedup.minhashLsh]] only the verify threshold is a parameter here.
+    */
+  def pairs(spark: SparkSession, path: String, threshold: Double = 0.5): DataFrame = {
+    val banded = spark.read.parquet(s"$path/bands")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candSh = spark.read.parquet(s"$path/shingles")
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+    cand
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Screen a batch of new documents against the index: returns

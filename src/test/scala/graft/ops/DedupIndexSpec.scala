@@ -39,6 +39,68 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(hits.map(h => (h._1, h._2)).distinct.length == hits.length)
   }
 
+  test("build scans corpus text once; bands derive from the stored shingles") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_scan").toString
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      DedupIndex.build(docs, col("doc_id"), col("text"), dir)
+      // listener events are async — wait for both write plans to land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def mine = plans.toArray(Array.empty[String]).filter(_.contains(dir))
+      while (mine.length < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      val writes = mine
+      assert(writes.length == 2, s"expected 2 index writes, saw ${writes.length}")
+      val corpusScans = writes.count(_.contains("documents.parquet"))
+      assert(corpusScans == 1,
+        s"corpus text must be scanned exactly once at build, saw $corpusScans scans")
+      val bandsWrite = writes.find(_.contains(s"$dir/bands")).get
+      assert(bandsWrite.contains(s"$dir/shingles") && !bandsWrite.contains("documents.parquet"),
+        "bands write must read the stored shingles, not the corpus")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("index-backed pairs equal the direct minhashLsh operator (q37 params)") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_pairs").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    val fromIndex = DedupIndex.pairs(spark, dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == direct,
+      s"index pairs diverge from direct operator (index=${fromIndex.size}, direct=${direct.size})")
+    assert(fromIndex.nonEmpty, "vacuous comparison: no near-dup pairs at sf0.001")
+  }
+
+  test("append admits new docs; pairs over the grown index equal a full rebuild") {
+    val docs = Tables(spark, sf).documents
+    val first = docs.where(col("doc_id") % 2 === 0)
+    val rest = docs.where(col("doc_id") % 2 === 1)
+    val grown = Files.createTempDirectory("graft_dedup_app").toString
+    DedupIndex.build(first, col("doc_id"), col("text"), grown,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    DedupIndex.append(rest, col("doc_id"), col("text"), grown,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    val full = Files.createTempDirectory("graft_dedup_full").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), full,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    val g = DedupIndex.pairs(spark, grown, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val f = DedupIndex.pairs(spark, full, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(g == f, s"grown index diverges from full rebuild (grown=${g.size}, full=${f.size})")
+  }
+
   test("streaming screen: micro-batches checked against the static index") {
     implicit val ctx = spark.sqlContext
     val docs = Tables(spark, sf).documents
