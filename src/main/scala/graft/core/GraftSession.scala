@@ -64,6 +64,29 @@ object GraftSession {
     spark
   }
 
+  /** Tune the session for a latency-sensitive STATEFUL streaming query
+    * whose steady-state key cardinality is roughly `distinctKeys`.
+    *
+    * Streaming disables AQE, and every shuffle partition of a stateful
+    * query is a state-store instance committed per micro-batch — so a
+    * partition count sized for batch data volume (core count, or a
+    * cluster's 2-3x cores) pays per-batch state-store overhead on mostly
+    * empty partitions. Measured on this container (50-key running agg,
+    * update mode): ~630 ms/batch at 32 partitions vs ~260 ms at 8. The
+    * rule here: enough partitions that each holds ~8 keys, capped at core
+    * count, so small-cardinality jobs get the tuned floor by default.
+    *
+    * Call BEFORE starting the query — Spark pins a stateful query's
+    * partitioning in its checkpoint at first start, so a later conf change
+    * does not apply to an existing checkpoint.
+    */
+  def forStreaming(spark: SparkSession, distinctKeys: Int): SparkSession = {
+    require(distinctKeys > 0, "distinctKeys must be positive")
+    val parts = math.max(1, math.min(defaultCores, (distinctKeys + 7) / 8))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark
+  }
+
   /** Apply graft's standard runtime configuration to an externally-created
     * session (e.g. the driver-owned Verify/Bench mains).
     */

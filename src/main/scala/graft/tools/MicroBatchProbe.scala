@@ -51,7 +51,9 @@ object MicroBatchProbe {
 
     // stateful lane: keyed running aggregation (update mode) — the floor
     // every windowed/keyed operator pays per batch
-    def runStateful(tag: String, async: Boolean): Unit = {
+    def runStateful(tag: String, async: Boolean, parts: Option[Int] = None): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      parts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
       val in = MemoryStream[(Long, Long)]
       var w = graft.streaming.StreamOps.runningAgg(
           in.toDF().toDF("k", "ingest").withColumn("k", col("k") % 50),
@@ -75,9 +77,19 @@ object MicroBatchProbe {
       } catch {
         case e: Exception =>
           println(s"[stateful-$tag] unsupported: ${e.getMessage.linesIterator.next()}")
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    runStateful("default", async = false)
+    // cluster-default partitioning vs GraftSession.forStreaming's
+    // key-cardinality sizing (50 keys -> 7 partitions): the per-batch
+    // state-store commit cost scales with partition count
+    runStateful("p32", async = false, parts = Some(32))
+    runStateful("p16", async = false, parts = Some(16))
+    runStateful("p8", async = false, parts = Some(8))
+    runStateful("p4", async = false, parts = Some(4))
+    runStateful("p2", async = false, parts = Some(2))
+    GraftSession.forStreaming(spark, distinctKeys = 50)
+    runStateful("tuned", async = false,
+      parts = Some(spark.conf.get("spark.sql.shuffle.partitions").toInt))
     runStateful("async", async = true)
     spark.stop()
   }
