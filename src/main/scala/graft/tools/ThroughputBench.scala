@@ -16,6 +16,9 @@ import graft.core.GraftSession
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    // optional scenario filter, e.g. "6" runs only scenario 6
+    val only: Set[Int] = args.lift(1).map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty)
+    def enabled(i: Int): Boolean = only.isEmpty || only(i)
     val spark = GraftSession.local(appName = "throughput")
     import spark.implicits._
 
@@ -35,7 +38,7 @@ object ThroughputBench {
     spark.range(1000000).select(sum(col("id"))).write.format("noop").mode("overwrite").save()
 
     // scenario 1: Map -> Filter (stateless chain)
-    time("scenario1 map+filter") {
+    if (enabled(1)) time("scenario1 map+filter") {
       records
         .withColumn("mapped", col("value") * 2 + 1)
         .where(col("mapped") % 7 =!= 0)
@@ -43,7 +46,7 @@ object ThroughputBench {
     }
 
     // scenario 2: KeyBy -> TumblingWindow(10s) -> Agg (stateful chain)
-    time("scenario2 keyby+window+agg") {
+    if (enabled(2)) time("scenario2 keyby+window+agg") {
       records
         .groupBy(window(col("ts"), "10 seconds"), col("value") % 100)
         .agg(count(lit(1)), sum(col("value")))
@@ -53,7 +56,7 @@ object ThroughputBench {
     // scenario 4 (north-star): MinHash-LSH dedup over a synthetic corpus
     // with planted near-dups — evidence the candidate generation stays
     // ~linear in corpus size, not quadratic
-    for (nDocs <- Seq(20000, 80000)) {
+    if (enabled(4)) for (nDocs <- Seq(20000, 80000)) {
       val vocabSize = 5000
       val docs = spark.range(nDocs).select(
         col("id").as("doc_id"),
@@ -75,7 +78,7 @@ object ThroughputBench {
     // over synthetic 64-dim vectors with planted near-dups (every 50th
     // vector gets a ±1% perturbed copy) — evidence the banded candidate
     // generation stays ~linear in corpus size and recall stays exact
-    for (nVecs <- Seq(20000, 80000)) {
+    if (enabled(5)) for (nVecs <- Seq(20000, 80000)) {
       val base = spark.range(nVecs).select(
         col("id"),
         transform(sequence(lit(0), lit(63)),
@@ -92,8 +95,44 @@ object ThroughputBench {
       println(f"scenario5 embedding-neardup n=$nVecs: $s%.2f s, $nPairs pairs (${nVecs / 50} planted)")
     }
 
+    // scenario 6: pathological single-hot-key join — 50% of fact rows on
+    // one key. Compares a plain shuffle join against Joins.saltedJoin with
+    // broadcast disabled (the 100 TB regime where the dim side is too big
+    // to broadcast) and AQE's skew splitter off, then plain-with-AQE-skew
+    // for honesty about what the engine already handles. The salt should
+    // flatten the straggler task that otherwise serializes half the fact.
+    if (enabled(6)) {
+      val factN = 20000000L
+      val fact = spark.range(factN).select(
+        col("id"),
+        when(col("id") % 2 === 0, 0L).otherwise(pmod(col("id"), lit(1000L))).as("k"),
+        (col("id") % 97).as("payload"))
+      val dim = spark.range(1000).select(
+        col("id").as("k"), concat(lit("dim"), col("id")).as("name"))
+      def runJoin(label: String, skewedAqe: Boolean)(join: => org.apache.spark.sql.DataFrame): Unit = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewedAqe)
+        val t0 = System.nanoTime()
+        join.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"scenario6 $label: $s%.2f s")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", true)
+      }
+      runJoin("hotkey-join plain (no AQE skew)", skewedAqe = false) {
+        fact.join(dim, "k")
+      }
+      runJoin("hotkey-join salted b=32 (no AQE skew)", skewedAqe = false) {
+        graft.ops.Joins.saltedJoin(fact, dim, fact("k"), dim("k"),
+          saltCols = Seq(fact("id")), buckets = 32)
+      }
+      runJoin("hotkey-join plain (AQE skew on)", skewedAqe = true) {
+        fact.join(dim, "k")
+      }
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
-    time("scenario3 chained") {
+    if (enabled(3)) time("scenario3 chained") {
       records
         .withColumn("k", col("value") % 50)
         .where(col("value") =!= 13)
