@@ -353,6 +353,61 @@ object SparkEntry {
         dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
         .select(col("id_a"), col("id_b"))
     }),
+
+    // ---- round 4: corpus-pipeline operators (north-star extension) ----
+    "q55_dup_clusters" -> ((s, d) => {
+      // duplicate GROUPS from near-dup PAIRS: transitive closure of the
+      // q52 pair graph via distributed min-label propagation
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, d).documents,
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
+    }),
+    "q56_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionProfile(Tables(s, d).documents, col("doc_id"), col("text"))),
+    "q57_pii_redact" -> ((s, d) => {
+      // plant deterministic PII (both engines build the identical string),
+      // scrub it, and hash-check the redacted text + email count
+      val planted = Tables(s, d).documents.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0."), (col("doc_id") % 250).cast("string"),
+          lit(" phone 555-867-5309")).as("text"))
+      planted.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.piiCounts(col("text")).getField("emails").cast("long").as("n_emails"))
+    }),
+    "q58_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(Tables(s, d).documents, col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultWeight = 0.125)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
+    "q59_seq_packing" -> ((s, d) =>
+      Packing.packSequences(Tables(s, d).documents, col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), windowTokens = 512)
+        .select(col("ord_key").as("doc_id"), col("n_tok"), col("bin"))),
+    "q60_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokensPerGroup(Tables(s, d).documents, col("lang"), col("text"), k = 10)
+        .select(col("grp").as("lang"), col("word"), col("cnt"), col("rk"))),
+    "q61_corpus_pipeline" -> ((s, d) => {
+      // the operators composed as a real training-data pipeline: quality
+      // gate → exact-dedup keep-first → domain mixture → per-language
+      // token budget. One narrow scan feeds the quality+fingerprint pass;
+      // only (fp, id) pairs shuffle for the dedup; the mixture filter is
+      // a narrow predicate; the final agg is partial-aggregated.
+      val docs = Tables(s, d).documents
+      val quality = TextAnalysis.qualityProfile(docs, col("text"))
+        .where(col("quality_keep"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val keepIds = Dedup.exact(quality, col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keepIds, "doc_id")
+      Sampling.mixtureSample(deduped, col("doc_id"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultWeight = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -632,6 +687,91 @@ object SparkEntry {
         |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS c
         |  FROM corpus a JOIN corpus b ON a.id < b.id
         |) WHERE c >= 0.95""".stripMargin,
+    "q55_dup_clusters" ->
+      // recursive min-label reachability == connected components: (id,
+      // label) is derived iff label reaches id through the pair graph,
+      // so min(label) per id is the component minimum — the same fixpoint
+      // the Spark operator converges to
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |pr AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id)
+        |SELECT id, min(label) AS cluster FROM cc GROUP BY id""".stripMargin,
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n,
+        |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dup_token_frac FROM t),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        |       FROM t WHERE len(toks) >= 2),
+        |tc AS (SELECT doc_id, max(c) AS top_c FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, b.dup_token_frac,
+        |  coalesce(CAST(tc.top_c AS DOUBLE) / (b.n - 1), 0.0) AS top_bigram_frac
+        |FROM b LEFT JOIN tc USING (doc_id)""".stripMargin,
+    "q57_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' ||
+        |  CAST(doc_id % 250 AS VARCHAR) || ' phone 555-867-5309' AS text FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |FROM p""".stripMargin,
+    "q58_mixture_sample" ->
+      // hex-prefix thresholds: 1.0→keep all, 0.75→0xc0, 0.5→0x80,
+      // 0.25→0x40, default 0.125→0x20 (same /256 bucket contract as q53)
+      """SELECT source, count(*) AS n_docs FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0'
+        |              WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
+        |GROUP BY source""".stripMargin,
+    "q59_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor(CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin
+        |FROM t""".stripMargin,
+    "q60_top_tokens" ->
+      """SELECT lang, word, cnt, rk FROM (
+        |  SELECT lang, word, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rk
+        |  FROM (
+        |    SELECT lang, word, count(*) AS cnt FROM (
+        |      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |      FROM documents) GROUP BY lang, word)
+        |) WHERE rk <= 10""".stripMargin,
+    "q61_corpus_pipeline" ->
+      // composed C4-style pipeline: quality gate (q32's rule), exact-dedup
+      // keep-first (q34's fingerprint), domain mixture (q58's thresholds
+      // at default 0.5 → 0x80), per-language doc/token budget
+      """WITH t AS (SELECT doc_id, source, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, lang, toks FROM t
+        |  WHERE len(toks) >= 5
+        |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) > 2
+        |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) < 12),
+        |f AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM q),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+        |dd AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep_id),
+        |m AS (SELECT * FROM dd
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0'
+        |                WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '80' END)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY lang""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q43_multimodal /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Duplicate-cluster formation for corpus dedup pipelines (north-star
+  * extension — no analogue in the reference). Near-dup detection
+  * ([[Dedup.minhashLsh]], [[Similarity.cosineNearDupPairs]]) emits PAIRS;
+  * choosing one representative per duplicate GROUP needs the transitive
+  * closure of those pairs — connected components over the pair graph.
+  *
+  * Spark-first design: iterative min-label propagation on DataFrames.
+  * Each round is one join + one partial-aggregated groupBy (both keyed
+  * shuffles, no driver-side data); labels only decrease, so convergence
+  * is detected by a scalar checksum (sum of labels, exact in
+  * DECIMAL(38,0)) rather than a row-level diff join. Rounds needed =
+  * graph diameter — for dedup graphs (near-cliques around a shared
+  * document) that is 2–3 in practice. `localCheckpoint` truncates the
+  * growing lineage each round so plan compilation stays O(1) per round
+  * at any corpus size.
+  */
+object Clusters {
+
+  /** Connected components over an undirected edge list. Returns one row
+    * per node that appears in at least one pair: (id, cluster) with
+    * cluster = the minimum node id in the component. Nodes absent from
+    * `pairs` are singletons by definition and are not emitted (at corpus
+    * scale the pair graph is tiny next to the corpus; callers left-join
+    * and coalesce(cluster, id) to label singletons without ever
+    * shuffling the corpus through the iteration).
+    */
+  def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var prevSum = checksum(labels)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(propagated)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = checksum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Exact scalar convergence check: labels are monotonically
+    * non-increasing, so the component assignment is stable iff the label
+    * sum stopped moving. DECIMAL(38,0) so 64-bit ids cannot overflow.
+    */
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+
+  /** Cluster summary: representative (= cluster id, the min member) and
+    * member count per duplicate group.
+    */
+  def clusterSizes(components: DataFrame): DataFrame =
+    components.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+}

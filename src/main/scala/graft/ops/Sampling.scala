@@ -36,4 +36,23 @@ object Sampling {
   def split(df: DataFrame, key: Column, trainFrac: Double = 0.8,
             valFrac: Double = 0.1): DataFrame =
     df.withColumn("fold", foldLabel(key, trainFrac, valFrac))
+
+  /** Domain-weighted mixture sampling: keep a per-domain fraction of
+    * rows, deterministically by key — the standard way training mixtures
+    * up/down-weight sources (wiki at 1.0, raw web at 0.1, …). A pure
+    * per-row predicate on (key hash, domain), so it runs narrow inside
+    * the scan's codegen span: no shuffle, no RNG state, and re-running
+    * on any partitioning — or in another engine — keeps exactly the
+    * same rows. Weights are quantized to /256 buckets (same contract as
+    * [[foldLabel]]); a weight ≥ 1.0 keeps everything.
+    */
+  def mixtureSample(df: DataFrame, key: Column, domain: Column,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    def buckets(w: Double): Int = math.min(256, math.round(w * 256).toInt)
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(lit(buckets(defaultWeight))) {
+      case (acc, (dom, w)) => when(domain === dom, lit(buckets(w))).otherwise(acc)
+    }
+    df.where(hashBucket(key) < threshold)
+  }
 }

@@ -89,4 +89,85 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))
+
+  /** Gopher-style repetition signals per document:
+    *  - dup_token_frac: fraction of token occurrences that are repeats
+    *    (1 - distinct/total) — pure column expression, stays in the scan's
+    *    codegen span;
+    *  - top_bigram_frac: fraction of bigram occurrences taken by the most
+    *    frequent bigram. Per-row bigram mode is quadratic as an array
+    *    expression, so it runs distributed: explode → partial-aggregated
+    *    groupBy (doc, bigram) → max per doc — two keyed shuffles carrying
+    *    (doc_id, bigram, count) rows, never the text.
+    * Repetitious documents (boilerplate, templated spam) score high on
+    * both; corpus filters drop above a threshold.
+    */
+  def repetitionProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df
+      .select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("dup_token_frac",
+        (col("n_toks") - size(array_distinct(col("toks")))).cast("double") /
+          greatest(col("n_toks"), lit(1)))
+    val bigrams = base.where(col("n_toks") >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), col("n_toks") - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .as("bigram"))
+    val topBigram = bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_token_frac"),
+        coalesce(col("top_c").cast("double") / (col("n_toks") - 1), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  // PII patterns restricted to syntax with identical semantics in Java
+  // regex and RE2 (no backrefs, no lookaround) so redaction is
+  // engine-portable and oracle-checkable.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: replace emails, IPv4 addresses, and NNN-NNN-NNNN phone
+    * numbers with typed placeholders. Chained `regexp_replace` — fully
+    * codegen'd, no UDF, safe in the 100 TB scan path. Email runs first
+    * (its local part may contain digit runs that would otherwise
+    * half-match the phone pattern).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of PII matches per class, for audit reports. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(text, lit(ipv4Re), lit(0))).as("ips"),
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))).as("phones"))
+
+  /** Top-k tokens per group (e.g. per language): token counts via
+    * partial-aggregated groupBy, then a bounded-heap top-k aggregate
+    * ([[graft.functions.Kernels.collect_bottom_k]]) ordered
+    * (count desc, token asc) — the ranking exchange carries at most k
+    * rows per group per map partition, never a full per-group sort.
+    * Output: (group, word, cnt, rk).
+    */
+  def topTokensPerGroup(df: DataFrame, group: Column, text: Column, k: Int): DataFrame = {
+    val counts = df
+      .select(group.as("grp"), explode(tokens(text)).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("cnt"))
+    counts
+      .select(col("grp"), struct((-col("cnt")).as("nc"), col("word")).as("s"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.Kernels.collect_bottom_k(col("s"), k).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("grp"), col("s").getField("word").as("word"),
+        (-col("s").getField("nc")).as("cnt"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-4 corpus-pipeline operators: duplicate clusters, repetition
+  * profile, PII redaction, mixture sampling, sequence packing, top-k
+  * tokens.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents: chain + separate pair + long path") {
+    // {1,2,3,4,5} chained (diameter 4 — forces several propagation
+    // rounds), {10,11} separate, {20,21,22} star around 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val sizes = Clusters.clusterSizes(
+      Clusters.connectedComponents(pairs, col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 5L, 10L -> 2L, 20L -> 3L))
+  }
+
+  test("connectedComponents: empty pair set yields empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(empty, col("id_a"), col("id_b")).count() == 0)
+  }
+
+  test("repetitionProfile: planted repetition scores high, varied text low") {
+    val docs = Seq(
+      (1L, "a a a b"),          // dup 2/4; bigrams: (a a)x2, (a b) -> top 2/3
+      (2L, "w x y z"),          // dup 0; every bigram unique -> top 1/3
+      (3L, "solo")              // single token: no bigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(docs, col("doc_id"), col("text"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.5, 2.0 / 3)))
+    assert(got(2L) == ((0.0, 1.0 / 3)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
+  test("redactPii: email/ip/phone scrubbed, counts reported") {
+    val df = Seq("mail a.b-c_1@test-host.org or 192.168.0.1 call 555-123-4567 x2")
+      .toDF("text")
+    val red = df.select(TextAnalysis.redactPii(col("text")).as("r")).as[String].head()
+    assert(red == "mail <EMAIL> or <IP> call <PHONE> x2")
+    val c = df.select(TextAnalysis.piiCounts(col("text")).as("c"))
+      .select("c.emails", "c.ips", "c.phones").as[(Int, Int, Int)].head()
+    assert(c == ((1, 1, 1)))
+  }
+
+  test("redactPii: clean text untouched") {
+    val s = "no personal data here just words and 42 numbers"
+    val red = Seq(s).toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(red == s)
+  }
+
+  test("mixtureSample: per-domain fractions, deterministic across runs") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "dom")
+    val sampled = Sampling.mixtureSample(df, col("id"), col("dom"),
+      Map("keep" -> 1.0, "drop" -> 0.0))
+    val got = sampled.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(got == Map("keep" -> 1000L)) // weight 1.0 keeps all, 0.0 kills the domain
+    // fractional weight lands near its target and is re-run-identical
+    val half = Sampling.mixtureSample(df, col("id"), col("dom"), Map.empty, defaultWeight = 0.5)
+    val n1 = half.count(); val n2 = half.count()
+    assert(n1 == n2)
+    assert(math.abs(n1 - 1000.0) < 150, s"got $n1, expected ~1000")
+  }
+
+  test("packSequences: bins equal the naive global prefix-sum assignment") {
+    // token counts chosen so docs straddle bin boundaries
+    val docs = (1L to 100L).map(i => (i, s"doc$i", (i % 7 + 1) * 3))
+      .toDF("id", "name", "n")
+    val got = Packing.packSequences(docs, col("id"), col("n"), windowTokens = 50,
+        numPartitions = 5)
+      .select("ord_key", "bin").as[(Long, Long)].collect().toMap
+    // naive oracle on the driver
+    var cum = 0L
+    val want = (1L to 100L).map { i =>
+      val n = (i % 7 + 1) * 3
+      val bin = cum / 50
+      cum += n
+      i -> bin
+    }.toMap
+    assert(got == want)
+    val stats = Packing.packingStats(
+      Packing.packSequences(docs, col("id"), col("n"), 50, 5), 50)
+    assert(stats.agg(sum("n_tokens")).as[Long].head() == cum)
+  }
+
+  test("packSequences: bins survive a downstream coalesce(1)") {
+    // regression: Verify writes with coalesce(1), which folds all shuffle
+    // partitions into ONE task — a task-scoped partition id (TaskContext)
+    // collapses to 0 there and zeroes every phase-2 offset; the structural
+    // mapPartitionsWithIndex id must not
+    val docs = (1L to 100L).map(i => (i, (i % 7 + 1) * 3)).toDF("id", "n")
+    val got = Packing.packSequences(docs, col("id"), col("n"), 50, numPartitions = 8)
+      .coalesce(1)
+      .select("ord_key", "bin").as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val want = (1L to 100L).map { i =>
+      val n = (i % 7 + 1) * 3; val bin = cum / 50; cum += n; i -> bin
+    }.toMap
+    assert(got == want)
+  }
+
+  test("packSequences: single partition edge case") {
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n")
+    val got = Packing.packSequences(docs, col("id"), col("n"), 25, numPartitions = 1)
+      .select("ord_key", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L)) // prefixes 0, 10, 30
+  }
+
+  test("topTokensPerGroup: counts ranked, ties broken by token asc") {
+    val docs = Seq(
+      ("g1", "b b b a a c"),
+      ("g1", "a"),           // a:3, b:3 tie -> a ranks first
+      ("g2", "z z y")
+    ).toDF("grp", "text")
+    val got = TextAnalysis.topTokensPerGroup(docs, col("grp"), col("text"), k = 2)
+      .orderBy("grp", "rk").as[(String, String, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("g1", "a", 3L, 1L), ("g1", "b", 3L, 2L),
+      ("g2", "z", 2L, 1L), ("g2", "y", 1L, 2L)))
+  }
+}

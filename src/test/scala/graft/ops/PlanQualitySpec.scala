@@ -118,6 +118,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"banding exchange not reused in final adaptive plan:\n$p")
   }
 
+  test("q59: packing shuffles the data once (range) — cumsum is narrow, windows tiny") {
+    val df = graft.SparkEntry.queries("q59_seq_packing")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the only window is phase 2's exclusive prefix over per-partition
+    // TOTALS (#partitions rows) — a window over the data (ord_key/n_tok
+    // cumsum) would mean a global or re-shuffled sort of the dataset
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("sum(tot")),
+      s"window over the data instead of partition totals:\n${winLines.mkString("\n")}")
+    // the data's one range shuffle lives in the shared RDD lineage
+    // (consumed by both phases); SQL-level hash exchanges may carry only
+    // the partially-aggregated (pid, total) rows — never the data
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(l => l.contains("pid#") && !l.contains("ord_key")),
+      s"data re-shuffled beyond the range partition:\n${hashEx.mkString("\n")}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"second SQL-level range shuffle of the data:\n$p")
+  }
+
+  test("q60: per-group token ranking is a partial top-k aggregate, not a window") {
+    val p = plan("q60_top_tokens")
+    assert(p.contains("partial_collect_top_k"), s"ranking not partial top-k:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"token ranking fell back to a window sort:\n$p")
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
