@@ -408,6 +408,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
     }),
+    "q62_asof_join" -> ((s, d) => {
+      // last click at-or-before each purchase, per user (the attribution
+      // lookup the reference's interval join approximates with a band).
+      // Right side pre-aggregated to one row per (user, ms) so the as-of
+      // winner is unique and deterministic.
+      val e = Tables(s, d).events
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("p_ms"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), unix_millis(col("ts")).as("c_ms"))
+        .agg(max(col("event_id")).as("click_id"))
+      Joins.asofJoin(purchases, clicks,
+          col("user_id"), col("c_user"), col("p_ms"), col("c_ms"),
+          Seq("click_id" -> col("click_id"), "click_ms" -> col("c_ms")))
+        .select(col("event_id"), col("user_id"), col("p_ms"),
+          col("asof.click_id").as("click_id"), col("asof.click_ms").as("click_ms"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,6 +789,14 @@ object SparkEntry {
         |                WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '80' END)
         |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
         |FROM m GROUP BY lang""".stripMargin,
+    "q62_asof_join" ->
+      // DuckDB's native ASOF JOIN is the ground truth for the operator
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, epoch_ms(ts) AS c_ms, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.p_ms, c.click_id, c.c_ms AS click_ms
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.p_ms >= c.c_ms""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q43_multimodal /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -79,4 +79,56 @@ object Joins {
   /** The salt bucket for a row — pure function of the given columns. */
   def saltExpr(saltCols: Seq[Column], buckets: Int): Column =
     pmod(xxhash64(saltCols: _*), lit(buckets)).cast("int")
+
+  /** As-of (point-in-time) join: for every left row, attach the newest
+    * right row of the same key with rightTs <= leftTs — the
+    * price-at-trade-time / last-click-before-purchase lookup that Spark
+    * has no native operator for.
+    *
+    * Spark-first shape: tag the sides, UNION them, and carry the right
+    * payload forward with an ignore-nulls `last` window ordered by
+    * (ts, side) within each key — ONE shuffle of both sides by key and
+    * one within-partition sort, which is the minimum any as-of algorithm
+    * pays. No row explosion, no per-left range scan: at 100 TB this
+    * behaves exactly like a keyed window (partial shuffles, AQE skew
+    * handling), unlike the naive `l JOIN r ON ts >= ts` + argmax which
+    * is quadratic per key.
+    *
+    * Right rows at the SAME (key, ts) are ambiguous under as-of
+    * semantics — pre-aggregate the right side to one row per (key, ts)
+    * for deterministic output. Returns every left column plus an `asof`
+    * struct of the carried columns (null when the key has no right row
+    * at-or-before). Ties at equal ts match (right sorts before left).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: Column, rightKey: Column,
+               leftTs: Column, rightTs: Column,
+               carry: Seq[(String, Column)]): DataFrame = {
+    require(carry.nonEmpty, "carry: name the right-side columns to attach")
+    val reserved = Seq("_k", "_ts", "_side", "_carry", "asof")
+    require(left.columns.intersect(reserved).isEmpty,
+      s"left side uses reserved column names: ${reserved.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+
+    val rightPrepped = right.select(rightKey.as("_k"), rightTs.as("_ts"),
+      lit(0).as("_side"),
+      struct(carry.map { case (n, c) => c.as(n) }: _*).as("_carry"))
+    val carryType = rightPrepped.schema("_carry").dataType
+    val leftFields = left.schema.fields.toSeq
+
+    val leftSide = left.select(
+      leftFields.map(f => col(f.name)) ++
+        Seq(leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
+          lit(null).cast(carryType).as("_carry")): _*)
+    val rightSide = rightPrepped.select(
+      leftFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(col("_k"), col("_ts"), col("_side"), col("_carry")): _*)
+
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftSide.unionByName(rightSide)
+      .withColumn("asof", last(col("_carry"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftFields.map(f => col(f.name)) :+ col("asof"): _*)
+  }
 }

@@ -76,6 +76,32 @@ class StreamEnvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus ops run unchanged inside a streaming query (stateless exprs)") {
+    // PII scrub, quality stats, and mixture sampling are pure column
+    // expressions / narrow predicates, so the same operators screen a
+    // live document stream with zero state — the streaming half of the
+    // batch corpus pipeline (q57/q58/q61)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamEnv(spark).fromBatch(in.toDF().toDF("doc_id", "text"))
+      .mapRecords(
+        "doc_id" -> col("doc_id"),
+        "redacted" -> graft.ops.TextAnalysis.redactPii(col("text")),
+        "n_toks" -> graft.ops.TextAnalysis.tokenCount(col("text")))
+      .filterRecords(col("n_toks") >= 2)
+      .toMemorySink("stream_corpus", OutputMode.Append())
+    try {
+      in.addData((1L, "reach me at who@example.org now"), (2L, "short"),
+        (3L, "server 10.1.2.3 responded"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_corpus")
+        .select("doc_id", "redacted").as[(Long, String)].collect().toMap
+      assert(rows == Map(
+        1L -> "reach me at <EMAIL> now",
+        3L -> "server <IP> responded")) // doc 2 dropped by the length gate
+    } finally q.stop()
+  }
+
   test("running aggregate surface matches reference agg_func set") {
     val env = StreamEnv(spark)
     val data = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))

@@ -41,6 +41,29 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(a.values.toSet.size == 8, "hot-key rows should spread over all buckets")
   }
 
+  test("asofJoin: newest at-or-before right row per key; null when none") {
+    val trades = Seq((1L, "a", 100L), (2L, "a", 205L), (3L, "b", 50L), (4L, "c", 10L))
+      .toDF("trade_id", "sym", "t_ms")
+    val quotes = Seq(("a", 90L, 1.0), ("a", 100L, 2.0), ("a", 200L, 3.0), ("b", 60L, 9.0))
+      .toDF("q_sym", "q_ms", "px")
+    val got = Joins.asofJoin(trades, quotes,
+        col("sym"), col("q_sym"), col("t_ms"), col("q_ms"),
+        Seq("px" -> col("px"), "q_ms" -> col("q_ms")))
+      .select(col("trade_id"), col("asof.px"), col("asof.q_ms"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2))))).toMap
+    assert(got(1L) == Some((2.0, 100L)))  // equal-ts quote matches (inclusive)
+    assert(got(2L) == Some((3.0, 200L)))  // newest preceding, not just any
+    assert(got(3L) == None)               // only a later quote exists for b
+    assert(got(4L) == None)               // key with no quotes at all
+    // plan shape: one keyed window, no range cross-join
+    val p = Joins.asofJoin(trades, quotes, col("sym"), col("q_sym"),
+        col("t_ms"), col("q_ms"), Seq("px" -> col("px")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degraded to a range join:\n$p")
+  }
+
   test("bucketed tables join without exchange on the bucket key") {
     val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
