@@ -63,5 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           children(1).eval(null).asInstanceOf[Number].intValue(),
           if (children.length > 2) children(2).eval(null).asInstanceOf[Number].intValue() else 0)))
+
+    // Composed column operators (built from Spark built-ins) exposed to
+    // SQL via the same bridge the DataFrame API uses — one definition,
+    // both surfaces. The builder wraps the unresolved child in a Column,
+    // applies the public operator, and unwraps; the analyzer resolves the
+    // substituted tree as usual.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
+    def injectComposed(name: String, build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.ops.TextAnalysis", name),
+          (children: Seq[Expression]) => eagerExpression(build(children.map(column)))))
+    injectComposed("redact_pii", cs => graft.ops.TextAnalysis.redactPii(cs.head))
+    injectComposed("pii_counts", cs => graft.ops.TextAnalysis.piiCounts(cs.head))
+    injectComposed("lang_id", cs => graft.ops.TextAnalysis.langId(cs.head))
+    injectComposed("token_count", cs => graft.ops.TextAnalysis.tokenCount(cs.head))
+    injectComposed("doc_fingerprint", cs => graft.ops.TextAnalysis.fingerprint(cs.head))
+    injectComposed("hash_bucket", cs => graft.ops.Sampling.hashBucket(cs.head))
   }
 }

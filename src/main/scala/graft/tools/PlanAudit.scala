@@ -12,7 +12,9 @@ object PlanAudit {
     val targets = if (args.nonEmpty) args.toSeq else Seq(
       "q01_map_project", "q02_filter", "q05_keyed_stats", "q06_agg_pricing",
       "q13_join_inner", "q14_join_broadcast", "q21_tumbling", "q24_interval_join",
-      "q34_text_fingerprint", "q37_minhash_pairs", "q39_ann_topk")
+      "q34_text_fingerprint", "q37_minhash_pairs", "q39_ann_topk",
+      "q56_repetition", "q59_seq_packing", "q60_top_tokens",
+      "q61_corpus_pipeline", "q62_asof_join")
     targets.foreach { name =>
       println(s"\n=================== $name ===================")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

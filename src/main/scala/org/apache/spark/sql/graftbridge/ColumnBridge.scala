@@ -30,6 +30,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager Column → Expression conversion for FunctionRegistry builders.
+    * `expression` wraps the Column in a lazy ColumnNodeExpression whose
+    * dataType reports VOID until session resolution — field extraction on
+    * a composed struct result (`pii_counts(x).emails`) then fails at
+    * analysis. `ColumnNodeToExpressionConverter` (same contract family as
+    * escape hatch #1: classic-session singleton, default parser/conf)
+    * converts the node tree to real catalyst expressions up front, which
+    * the analyzer resolves like any parsed SQL.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Bounded top-k aggregate: the k smallest values of `c`, sorted
     * ascending, with map-side partial merge (see contract #2 above).
     */

@@ -87,6 +87,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("composed text/sampling operators as SQL equal the column forms") {
+    assert(registered)
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       redact_pii(text || ' mail x@y.io ip 10.0.0.1') AS red,
+        |       pii_counts(text || ' mail x@y.io ip 10.0.0.1').emails AS n_em,
+        |       lang_id(text) AS lang_pred,
+        |       token_count(text) AS n_toks,
+        |       doc_fingerprint(text) AS fp,
+        |       hash_bucket(doc_id) AS hb
+        |FROM documents""".stripMargin)
+      .as[(Long, String, Int, String, Int, String, Int)].collect().toSet
+    val df = Tables(spark, sf).documents
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"), lit(" mail x@y.io ip 10.0.0.1"))).as("red"),
+        TextAnalysis.piiCounts(concat(col("text"), lit(" mail x@y.io ip 10.0.0.1")))
+          .getField("emails").as("n_em"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        Sampling.hashBucket(col("doc_id")).as("hb"))
+      .as[(Long, String, Int, String, Int, String, Int)].collect().toSet
+    assert(sql == df)
+    assert(sql.exists(_._2.contains("<EMAIL>")))
+    assert(sql.forall(_._3 == 1))
+  }
+
   test("a full dedup candidate query runs as pure SQL") {
     assert(registered)
     // the q37 bucket-join shape, written by a SQL user with no DataFrame
