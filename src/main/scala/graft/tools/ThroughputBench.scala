@@ -131,6 +131,38 @@ object ThroughputBench {
       }
     }
 
+    // scenario 7: sequence packing at 20M docs — the two-phase prefix sum
+    // must scale like one narrow shuffle, and the result must be the exact
+    // global cumsum (spot-checked via total tokens and max bin)
+    if (enabled(7)) for (nDocs <- Seq(5000000L, 20000000L)) {
+      val docs = spark.range(nDocs).select(col("id"), (col("id") % 400 + 50).as("n_tok"))
+      val t0 = System.nanoTime()
+      val stats = graft.ops.Packing.packSequences(docs, col("id"), col("n_tok"), 2048)
+        .agg(sum(col("n_tok")), max(col("bin"))).collect()(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      val totalTok = stats.getLong(0); val maxBin = stats.getLong(1)
+      // per 400-cycle: sum(0..399) + 400*50 = 79800 + 20000 (nDocs % 400 == 0)
+      val expectTok = nDocs / 400 * 99800L
+      println(f"scenario7 seq-packing n=$nDocs: $s%.2f s, ${totalTok / 1e9}%.2f B tokens, ${maxBin + 1} bins" +
+        (if (totalTok == expectTok && maxBin == (totalTok - 1) / 2048) ", exact" else ", MISMATCH"))
+    }
+
+    // scenario 8: connected components over a 1M-node pair graph (200k
+    // chains of 5 nodes — diameter 4 forces several propagation rounds);
+    // evidence the label iteration converges in O(diameter) rounds with
+    // per-round shuffles of (id, label) pairs only
+    if (enabled(8)) {
+      val nodes = 1000000L
+      val pairs = spark.range(nodes).where(col("id") % 5 =!= 4)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val t0 = System.nanoTime()
+      val cc = graft.ops.Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val nClusters = cc.select(col("cluster")).distinct().count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario8 connected-components n=$nodes: $s%.2f s, $nClusters clusters" +
+        (if (nClusters == nodes / 5) " (exact)" else " (MISMATCH)"))
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
