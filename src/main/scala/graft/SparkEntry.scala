@@ -425,6 +425,8 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("p_ms"),
           col("asof.click_id").as("click_id"), col("asof.click_ms").as("click_ms"))
     }),
+    "q63_salient_terms" -> ((s, d) =>
+      TextAnalysis.salientTerms(Tables(s, d).documents, col("doc_id"), col("text"), k = 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,6 +799,21 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.p_ms, c.click_id, c.c_ms AS click_ms
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.p_ms >= c.c_ms""".stripMargin,
+    "q63_salient_terms" ->
+      // same integer-ratio score — ln() would not be cross-engine-exact
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, score, rk FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC, tf.term ASC) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |) WHERE rk <= 3""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q43_multimodal /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -170,4 +170,32 @@ object TextAnalysis {
         (-col("s").getField("nc")).as("cnt"),
         (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** Salient terms per document: tf-idf-style ranking with the
+    * engine-exact surrogate score tf × N / df (monotone in tf·idf for
+    * any fixed df ordering; ln() is not bit-identical across engines, a
+    * ratio of integers is — q51's determinism rule). Plan shape: term
+    * frequencies partial-aggregate per (doc, term); document frequencies
+    * derive FROM the tf frame (one row per (doc, term), so df is a
+    * second cheap aggregate, not a corpus re-scan); the tf⋈df join
+    * shuffles by term; ranking is the bounded-heap top-k aggregate.
+    * Output: (doc_id, term, score, rk).
+    */
+  def salientTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    scored
+      .select(col("doc_id"), struct((-col("score")).as("ns"), col("term")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Kernels.collect_bottom_k(col("s"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("s").getField("term").as("term"),
+        (-col("s").getField("ns")).as("score"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
 }

@@ -137,11 +137,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"second SQL-level range shuffle of the data:\n$p")
   }
 
-  test("q60: per-group token ranking is a partial top-k aggregate, not a window") {
-    val p = plan("q60_top_tokens")
-    assert(p.contains("partial_collect_top_k"), s"ranking not partial top-k:\n$p")
-    assert(!p.contains("windowspecdefinition"),
-      s"token ranking fell back to a window sort:\n$p")
+  test("q60/q63: per-group rankings are partial top-k aggregates, not windows") {
+    for (q <- Seq("q60_top_tokens", "q63_salient_terms")) {
+      val p = plan(q)
+      assert(p.contains("partial_collect_top_k"), s"$q ranking not partial top-k:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$q ranking fell back to a window sort:\n$p")
+    }
   }
 
   test("q37: LSH candidate join does not shuffle shingle arrays") {
