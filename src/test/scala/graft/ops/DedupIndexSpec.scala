@@ -82,6 +82,30 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty, "vacuous comparison: no near-dup pairs at sf0.001")
   }
 
+  test("duplicate groups straight from the standing index (pairs -> clusters)") {
+    // the full dedup-group path with NO corpus re-read: the persisted
+    // signature index yields pairs, connected components merges them into
+    // groups whose transitive structure matches a driver-side closure
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_cc").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    val pairs = DedupIndex.pairs(spark, dir, threshold = 0.4)
+    val got = Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find over the same pairs
+    val edges = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- edges) parent(find(a)) = find(b)
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val want = roots.map { case (k, r) =>
+      k -> roots.collect { case (k2, r2) if r2 == r => k2 }.min }
+    assert(got == want, s"clusters diverge (got=${got.size}, want=${want.size})")
+    assert(got.nonEmpty)
+  }
+
   test("append admits new docs; pairs over the grown index equal a full rebuild") {
     val docs = Tables(spark, sf).documents
     val first = docs.where(col("doc_id") % 2 === 0)
