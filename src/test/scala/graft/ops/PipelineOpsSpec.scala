@@ -121,6 +121,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L)) // prefixes 0, 10, 30
   }
 
+  test("packSequences property: random sizes/partitionings match the naive cumsum") {
+    // deterministic scalacheck-style sweep: random token counts, doc
+    // counts, window sizes and partition counts — bins must always equal
+    // the driver-side sequential fill
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = (1 to 8).flatMap { i =>
+      val g = for {
+        n <- Gen.choose(1, 400)
+        win <- Gen.choose(1L, 300L)
+        parts <- Gen.choose(1, 13)
+        toks <- Gen.listOfN(n, Gen.choose(0L, 120L))
+      } yield (win, parts, toks)
+      g.apply(Gen.Parameters.default, Seed(i))
+    }
+    assert(cases.nonEmpty)
+    for ((win, parts, toks) <- cases) {
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "n")
+      val got = Packing.packSequences(docs, col("id"), col("n"), win, parts)
+        .select("ord_key", "bin").as[(Long, Long)].collect().toMap
+      var cum = 0L
+      val want = toks.zipWithIndex.map { case (t, i) =>
+        val bin = cum / win; cum += t; i.toLong -> bin
+      }.toMap
+      assert(got == want, s"win=$win parts=$parts n=${toks.size}")
+    }
+  }
+
+  test("connectedComponents property: random graphs match union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = (1 to 6).flatMap { i =>
+      val g = for {
+        n <- Gen.choose(2, 60)          // node id space
+        m <- Gen.choose(1, 80)          // edges
+        es <- Gen.listOfN(m, for {
+          a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+        } yield (a, b))
+      } yield es.filter { case (a, b) => a != b }
+      g.apply(Gen.Parameters.default, Seed(100 + i))
+    }.filter(_.nonEmpty)
+    assert(cases.nonEmpty)
+    for (edges <- cases) {
+      val got = Clusters.connectedComponents(
+        edges.toDF("id_a", "id_b"), col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val roots = parent.keys.map(k => k -> find(k)).toMap
+      val want = roots.map { case (k, r) =>
+        k -> roots.collect { case (k2, r2) if r2 == r => k2 }.min }
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),

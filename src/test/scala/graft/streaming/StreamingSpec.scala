@@ -22,6 +22,40 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(sec: Long) = new Timestamp(sec * 1000)
 
+  test("trending tokens: chained stateful aggs — windowed counts then bounded-heap top-k") {
+    // two stateful operators in one streaming query (windowed count,
+    // then per-window top-k via the CollectTopK kernel): the first agg
+    // finalizes (window, word, cnt) rows on watermark, the second ranks
+    // them — the streaming form of q60's trending-token ranking
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val counts = in.toDF().toDF("word", "ts")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val topk = counts
+      .groupBy(col("window"))
+      .agg(graft.functions.Kernels.collect_bottom_k(
+        struct((-col("cnt")).as("nc"), col("word")).as("s"), 2).as("top"))
+      .select(unix_millis(col("window.start")).as("win_ms"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("win_ms"), col("s.word").as("word"), (-col("s.nc")).as("cnt"))
+    val q = topk.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trending").start()
+    try {
+      in.addData(("a", ts(1)), ("a", ts(2)), ("b", ts(3)), ("b", ts(4)), ("c", ts(5)), ("a", ts(6)))
+      q.processAllAvailable()
+      in.addData(("later", ts(30)))   // watermark 25s > window end 10s: finalize
+      q.processAllAvailable()
+      in.addData(("flush", ts(60)))   // advance again so the second agg emits
+      q.processAllAvailable()
+      val all = spark.table("trending").as[(Long, String, Long)].collect().toSet
+      val firstWindow = all.filter(_._1 == 0L)
+      assert(firstWindow == Set((0L, "a", 3L), (0L, "b", 2L)), s"got $all")
+      // c (count 1) must be cut by k=2; later windows finalize independently
+      assert(!all.exists(_._2 == "c"), s"k=2 heap leaked rank-3 token: $all")
+    } finally q.stop()
+  }
+
   test("windowed count fires on watermark; late rows are dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
