@@ -427,6 +427,17 @@ object SparkEntry {
     }),
     "q63_salient_terms" -> ((s, d) =>
       TextAnalysis.salientTerms(Tables(s, d).documents, col("doc_id"), col("text"), k = 3)),
+    "q64_approx_top_tokens" -> ((s, d) =>
+      // sketch-based frequent items (Spark 4 approx_top_k): the bounded-
+      // memory path for heavy-hitter tokens when the vocabulary itself
+      // doesn't fit per-executor memory. Engine-specific sketch — no
+      // DuckDB oracle; ExtensionsSpec holds it exact while
+      // maxItemsTracked > |vocab| (rows-only driver check, q44/q54 family)
+      Tables(s, d).documents
+        .select(explode(Stateless.tokens(col("text"))).as("word"))
+        .agg(expr("approx_top_k(word, 10, 10000)").as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("word"), col("t.count").as("cnt"))),
   )
 
   def oracleSql: Map[String, String] = Map(

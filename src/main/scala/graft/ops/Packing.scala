@@ -48,7 +48,9 @@ object Packing {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val ranged = df
-      .select(ord.as("ord_key"), tokenCount.cast("long").as("n_tok"))
+      // a null count (null text upstream) packs as zero tokens rather
+      // than poisoning the partition's running sum
+      .select(ord.as("ord_key"), coalesce(tokenCount.cast("long"), lit(0L)).as("n_tok"))
       .repartitionByRange(parts, col("ord_key"))
       .sortWithinPartitions(col("ord_key"))
 

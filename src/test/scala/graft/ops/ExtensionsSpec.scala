@@ -64,6 +64,26 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k exact while sketch capacity exceeds the vocabulary") {
+    // the q64 sketch: with maxItemsTracked > |vocab| every count is exact,
+    // so the top-k ITEMS must be exactly the true heavy hitters (order
+    // within equal counts is sketch-internal — compare count-sets)
+    val docs = Tables(spark, sf).documents
+    val words = docs.select(explode(Stateless.tokens(col("text"))).as("word"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(exact.size < 10000, "vocab must fit the sketch for the exactness claim")
+    val approx = graft.SparkEntry.queries("q64_approx_top_tokens")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(approx.length == 10)
+    // every reported count is the true count
+    approx.foreach { case (w, c) => assert(exact(w) == c, s"$w: sketch=$c exact=${exact(w)}") }
+    // and the reported count MULTISET equals the true top-10 counts
+    val trueTop = exact.values.toSeq.sorted(Ordering[Long].reverse).take(10)
+    assert(approx.map(_._2).toSeq.sorted == trueTop.sorted,
+      s"sketch top-10 counts ${approx.map(_._2).toSeq} != true ${trueTop}")
+  }
+
   test("typed reduce matches SQL argmax") {
     val ev = Tables(spark, sf).events
       .select(col("user_id"), col("event_id"), col("value")).as[(Long, Long, Double)]

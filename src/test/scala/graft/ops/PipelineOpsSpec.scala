@@ -178,6 +178,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("null text: defined behavior across the corpus ops, no crashes") {
+    val docs = Seq((1L, "real words here", "g"), (2L, null, "g")).toDF("doc_id", "text", "grp")
+    // redaction passes null through
+    assert(docs.select(TextAnalysis.redactPii(col("text"))).collect().count(_.isNullAt(0)) == 1)
+    // repetition: null doc yields null fraction (undefined), not an error
+    val rep = TextAnalysis.repetitionProfile(docs, col("doc_id"), col("text")).collect()
+    assert(rep.length == 2 && rep.exists(_.isNullAt(1)))
+    // token explode drops null docs from rankings
+    assert(TextAnalysis.topTokensPerGroup(docs, col("grp"), col("text"), 5)
+      .where(col("word").isNull).count() == 0)
+    assert(TextAnalysis.salientTerms(docs, col("doc_id"), col("text"), 2)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // packing treats a null count as zero tokens instead of crashing
+    assert(Packing.packSequences(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), 2, numPartitions = 2)
+      .select("ord_key", "n_tok").as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 0L))
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
