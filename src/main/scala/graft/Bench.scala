@@ -45,7 +45,10 @@ object Bench {
             failed = true
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             System.err.println(s"[bench] $name failed: $msg")
-            errors(name) = msg.linesIterator.next().take(200)
+            // nextOption: an empty message has an empty linesIterator, and
+            // throwing inside this handler would kill the whole bench
+            errors(name) = msg.linesIterator.nextOption()
+              .getOrElse(e.getClass.getName).take(200)
           }
         }
       }
@@ -53,8 +56,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // full control-char escaping (graft.core.JsonText) — a tab in a Spark
+    // analysis error would otherwise break the driver's json.load and
+    // lose the round's measurements
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -82,7 +82,8 @@ object GraftSession {
     */
   def forStreaming(spark: SparkSession, distinctKeys: Int): SparkSession = {
     require(distinctKeys > 0, "distinctKeys must be positive")
-    val parts = math.max(1, math.min(defaultCores, (distinctKeys + 7) / 8))
+    // distinctKeys / 8 + 1 (not (k + 7) / 8, which overflows Int near MaxValue)
+    val parts = math.max(1, math.min(defaultCores, distinctKeys / 8 + (if (distinctKeys % 8 == 0) 0 else 1)))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     spark
   }

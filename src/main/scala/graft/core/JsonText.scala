@@ -1,0 +1,19 @@
+package graft.core
+
+/** Minimal JSON string escaping shared by the driver-contract mains
+  * (Verify's oracle_sql.json, Bench's one-line report). Escapes
+  * backslash, quote, and ALL control chars (<0x20) — a tab or CR in an
+  * error message or builder-authored SQL would otherwise make the
+  * driver's json.load fail and silently zero the round's results.
+  */
+object JsonText {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -57,6 +57,13 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // an unconverged result would silently split one component into
+    // several clusters (duplicate groups keep extra representatives) —
+    // fail loudly; dedup graphs have small diameters, so hitting the cap
+    // means the cap is wrong for this graph, not that "close enough" ran out
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        s"the pair graph has diameter > $maxIter; raise maxIter")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

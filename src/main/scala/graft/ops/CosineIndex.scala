@@ -30,10 +30,15 @@ object CosineIndex {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
-  /** Admit new vectors (screen first with [[check]] to reject dups). */
+  /** Admit new vectors (screen first with [[check]] to reject dups). The
+    * batch is pinned with localCheckpoint so a nondeterministic input
+    * cannot yield different rows to the vecs and bands writes (which
+    * would leave candidate ids without stored vectors — silently missed
+    * duplicates).
+    */
   def append(newVecs: DataFrame, id: Column, vec: Column, path: String,
              bands: Int = 8, rowsPerBand: Int = 16): Unit = {
-    val v = newVecs.select(id.as("id"), vec.as("v"))
+    val v = newVecs.select(id.as("id"), vec.as("v")).localCheckpoint()
     v.write.mode("append").parquet(s"$path/vecs")
     bandsOf(v, bands, rowsPerBand).write.mode("append").parquet(s"$path/bands")
   }
@@ -59,24 +64,11 @@ object CosineIndex {
     * shuffled (same scale shape as the direct operator, minus its
     * hash/re-scan work).
     */
-  def pairs(spark: SparkSession, path: String, threshold: Double = 0.95): DataFrame = {
-    val banded = spark.read.parquet(s"$path/bands")
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-    val candVec = spark.read.parquet(s"$path/vecs")
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-    cand
-      .join(candVec.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(candVec.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
-      .where(col("cos") >= threshold)
-  }
+  def pairs(spark: SparkSession, path: String, threshold: Double = 0.95): DataFrame =
+    Banding.verifyPairs(
+      Banding.candidatePairs(spark.read.parquet(s"$path/bands")),
+      spark.read.parquet(s"$path/vecs").select(col("id"), col("v").as("p")),
+      Similarity.cosine, "cos", threshold)
 
   /** Screen a batch of new vectors against the index: (new_id, dup_id, cos)
     * for every indexed vector whose cosine with a new one is >= threshold.

@@ -81,29 +81,18 @@ object Dedup {
     val banded = sh
       .select(col("id"), explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
     // Verify candidates with exact Jaccard. Near-dup candidates are rare
     // relative to the corpus, so instead of shuffling every document's
     // shingle set by id (a full-data shuffle) or caching the shingle frame
     // (unbounded executor memory across queries), re-scan the corpus with a
-    // broadcast semi-filter on candidate ids: shingles are recomputed only
-    // for rows that survive the filter, and the verify joins shuffle
-    // candidate shingle sets only.
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-    val candSh = df.select(id.as("id"), text.as("t"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("t"), shingleN).as("sh"))
-    cand
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    // broadcast semi-filter on candidate ids: Catalyst pushes the semi-join
+    // below the shingle projection, so shingles are recomputed only for
+    // rows that survive the filter, and the verify joins shuffle candidate
+    // shingle sets only (Banding.verifyPairs).
+    Banding.verifyPairs(
+      Banding.candidatePairs(banded),
+      df.select(id.as("id"), shingles(text, shingleN).as("p")),
+      jaccard, "jaccard", threshold)
   }
 
   /** All-pairs n-gram Jaccard above a threshold via LSH candidates —

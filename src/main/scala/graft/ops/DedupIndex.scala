@@ -53,8 +53,14 @@ object DedupIndex {
              shingleN: Int = 3, numHashes: Int = 32,
              bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    // pin the batch once (localCheckpoint): a nondeterministic input —
+    // rand()-sampled, monotonically_increasing_id'd, or a shuffle
+    // re-evaluated after executor loss — must not yield different rows to
+    // the shingles and bands writes, or the index halves disagree and
+    // candidate ids resolve to missing shingle sets (silently missed dups)
     val sh = newDocs.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint()
     sh.write.mode("append").parquet(s"$path/shingles")
     bandsOf(sh, numHashes, bands, rowsPerBand)
       .write.mode("append").parquet(s"$path/bands")
@@ -75,24 +81,11 @@ object DedupIndex {
     * candidates. The banding scheme is frozen at build time, so unlike
     * [[Dedup.minhashLsh]] only the verify threshold is a parameter here.
     */
-  def pairs(spark: SparkSession, path: String, threshold: Double = 0.5): DataFrame = {
-    val banded = spark.read.parquet(s"$path/bands")
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-    val candSh = spark.read.parquet(s"$path/shingles")
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-    cand
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-  }
+  def pairs(spark: SparkSession, path: String, threshold: Double = 0.5): DataFrame =
+    Banding.verifyPairs(
+      Banding.candidatePairs(spark.read.parquet(s"$path/bands")),
+      spark.read.parquet(s"$path/shingles").select(col("id"), col("sh").as("p")),
+      Dedup.jaccard, "jaccard", threshold)
 
   /** Screen a batch of new documents against the index: returns
     * (new_id, dup_id, jaccard) for every indexed document whose Jaccard

@@ -78,9 +78,13 @@ object IvfIndex {
   }
 
   /** Re-sample centroids from the CURRENT corpus and rewrite the index.
-    * Reads only (cand_id, cv) from the existing index, builds into a
-    * sibling `<path>.rebuild` directory, then atomically swaps it in —
-    * the old index stays readable until the new one is fully written.
+    * Reads only (cand_id, cv) from the existing index and builds into a
+    * sibling `<path>.rebuild` directory; the old index stays readable
+    * until the new one is fully written. The swap keeps a recovery point
+    * at every step: old → `<path>.old`, new → `<path>`, then drop the
+    * old copy — a crash between renames leaves either the old or the new
+    * index addressable (at `<path>` or `<path>.old`), never neither (the
+    * prior delete-then-rename had a window where `<path>` was gone).
     * Deterministic: centroid selection is the md5 top-k over ids
     * ([[Similarity.centroidArray]]), so a rebuilt index is bit-identical
     * to a fresh [[build]] over the same vectors.
@@ -93,9 +97,13 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"rebuild swap failed: rename $tmp -> $path")
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(dst, old), s"rebuild swap failed: rename $path -> $path.old")
+    require(fs.rename(src, dst), s"rebuild swap failed: rename $tmp -> $path " +
+      s"(previous index preserved at $path.old)")
+    fs.delete(old, true)
   }
 
   /** Top-k over the index for a (small, broadcastable) query set.

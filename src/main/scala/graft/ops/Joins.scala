@@ -110,9 +110,15 @@ object Joins {
       s"left side uses reserved column names: ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
 
-    val rightPrepped = right.select(rightKey.as("_k"), rightTs.as("_ts"),
-      lit(0).as("_side"),
-      struct(carry.map { case (n, c) => c.as(n) }: _*).as("_carry"))
+    // SQL equality semantics: NULL never matches NULL. Window.partitionBy
+    // WOULD group null keys together (and a null ts compares low), so
+    // right rows with a null key or ts are dropped up front — left rows
+    // keep left-join semantics and surface a null `asof` instead.
+    val rightPrepped = right
+      .where(rightKey.isNotNull && rightTs.isNotNull)
+      .select(rightKey.as("_k"), rightTs.as("_ts"),
+        lit(0).as("_side"),
+        struct(carry.map { case (n, c) => c.as(n) }: _*).as("_carry"))
     val carryType = rightPrepped.schema("_carry").dataType
     val leftFields = left.schema.fields.toSeq
 

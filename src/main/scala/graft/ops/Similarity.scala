@@ -98,20 +98,10 @@ object Similarity {
     }
     val banded = b0.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-    val candVec = b0.join(broadcast(candIds), Seq("id"), "left_semi")
-    cand
-      .join(candVec.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(candVec.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
-      .where(col("cos") >= threshold)
+    Banding.verifyPairs(
+      Banding.candidatePairs(banded),
+      b0.select(col("id"), col("v").as("p")),
+      cosine, "cos", threshold)
   }
 
   /** IVF-style ANN: restrict each query's search to the `nProbe` nearest

@@ -30,7 +30,10 @@ object KeyedProcess {
                               cap: Int = 10000): Dataset[V] = {
     implicit val keyEnc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
     // native array<string> state encoding — the state store holds an
-    // ArrayType column, not a java-serialized blob per update
+    // ArrayType column, not a java-serialized blob per update. NOTE:
+    // checkpoints written by a pre-ArrayType build (java-serialized
+    // BinaryType state) are schema-incompatible — restart those queries
+    // with a fresh checkpoint location.
     val sp = ds.sparkSession
     implicit val stateEnc: Encoder[Array[String]] = sp.implicits.newStringArrayEncoder
     apply[String, V, Array[String], V](ds, key) { (_, records, state) =>

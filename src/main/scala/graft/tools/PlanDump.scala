@@ -8,8 +8,9 @@ import graft.core.GraftSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val q = args.headOption.getOrElse("q59_seq_packing")
-    val sf = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val positional = args.filterNot(_.startsWith("--"))
+    val q = positional.headOption.getOrElse("q59_seq_packing")
+    val sf = positional.lift(1).getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(4, "plandump")
     val df = graft.SparkEntry.queries(q)(spark, sf)
     if (args.contains("--exec")) df.collect()
