@@ -438,6 +438,9 @@ object SparkEntry {
         .agg(expr("approx_top_k(word, 10, 10000)").as("top"))
         .select(explode(col("top")).as("t"))
         .select(col("t.item").as("word"), col("t.count").as("cnt"))),
+    "q65_stratified_take" -> ((s, d) =>
+      Sampling.stratifiedTake(Tables(s, d).documents, col("doc_id"), col("source"), n = 5)
+        .select(col("dom").as("source"), col("key").as("doc_id"), col("rk"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -825,6 +828,13 @@ object SparkEntry {
         |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC, tf.term ASC) AS rk
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n
         |) WHERE rk <= 3""".stripMargin,
+    "q65_stratified_take" ->
+      // exactly-n-per-domain by md5-of-key order (distinct ids — no ties)
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q43_multimodal /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

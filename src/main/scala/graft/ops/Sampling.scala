@@ -55,4 +55,22 @@ object Sampling {
     }
     df.where(hashBucket(key) < threshold)
   }
+
+  /** Exact-count stratified take: deterministically keep exactly n rows
+    * per domain (fractions can't hit a target budget exactly; this can).
+    * Rows rank by md5-of-key order — uniform, reproducible, engine-
+    * portable — and the per-domain selection is a bounded-heap top-k
+    * aggregate ([[graft.functions.Kernels.collect_bottom_k]]), so at
+    * most n rows per domain per map partition shuffle: no per-domain
+    * window sort, same scale shape as the ANN rankings. Returns
+    * (dom, key, rk); semi-join on key to recover full rows.
+    */
+  def stratifiedTake(df: DataFrame, key: Column, domain: Column, n: Int): DataFrame =
+    df.select(domain.as("dom"),
+        struct(md5(key.cast("string")).as("h"), key.as("k")).as("s"))
+      .groupBy(col("dom"))
+      .agg(graft.functions.Kernels.collect_bottom_k(col("s"), n).as("take"))
+      .select(col("dom"), posexplode(col("take")).as(Seq("pos", "s")))
+      .select(col("dom"), col("s").getField("k").as("key"),
+        (col("pos") + 1).cast("long").as("rk"))
 }

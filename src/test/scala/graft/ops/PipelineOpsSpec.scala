@@ -196,6 +196,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("ord_key", "n_tok").as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 0L))
   }
 
+  test("stratifiedTake: exactly n per domain, deterministic, hash-ordered") {
+    val df = (0L until 500L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val a = Sampling.stratifiedTake(df, col("id"), col("dom"), 7)
+      .as[(String, Long, Long)].collect()
+    assert(a.groupBy(_._1).forall(_._2.length == 7))
+    // re-run identical; re-partitioned input identical
+    val b = Sampling.stratifiedTake(df.repartition(13), col("id"), col("dom"), 7)
+      .as[(String, Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    // n larger than a domain: returns all of it, no padding
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "dom")
+    val t = Sampling.stratifiedTake(tiny, col("id"), col("dom"), 5)
+      .as[(String, Long, Long)].collect()
+    assert(t.count(_._1 == "x") == 2 && t.count(_._1 == "y") == 1)
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
