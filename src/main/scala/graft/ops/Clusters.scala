@@ -80,4 +80,25 @@ object Clusters {
   def clusterSizes(components: DataFrame): DataFrame =
     components.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Fold NEW near-dup pairs into an EXISTING (id, cluster) assignment —
+    * the incremental-ingestion step after `DedupIndex.append` + `check`:
+    * new pairs may link fresh docs into old groups or even merge two old
+    * groups transitively. Each existing assignment is itself an edge
+    * (member — representative), so the merged assignment is connected
+    * components over assignments ∪ newPairs; the iteration therefore
+    * runs over cluster-graph-sized data (one edge per already-clustered
+    * doc plus the new pairs), never the corpus. Equivalent to a full
+    * rebuild over the union of all pairs ever seen (asserted in
+    * PipelineOpsSpec), at the cost of the new batch.
+    */
+  def merge(assignments: DataFrame, newPairs: DataFrame,
+            idA: Column, idB: Column, maxIter: Int = 50): DataFrame = {
+    val asEdges = assignments
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+      .where(col("id_a") =!= col("id_b")) // representatives need no self-edge
+    connectedComponents(
+      asEdges.union(newPairs.select(idA.as("id_a"), idB.as("id_b"))),
+      col("id_a"), col("id_b"), maxIter)
+  }
 }

@@ -28,6 +28,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sizes == Map(1L -> 5L, 10L -> 2L, 20L -> 3L))
   }
 
+  test("merge: new pairs join fresh docs and bridge existing clusters") {
+    // existing groups {1,2} and {5,6}; new pairs attach 9 to {1,2} and
+    // BRIDGE the two groups via (2,5) — merge must equal a full rebuild
+    // over all pairs ever seen
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val existing = Clusters.connectedComponents(oldPairs, col("id_a"), col("id_b"))
+    val newPairs = Seq((2L, 9L), (2L, 5L), (20L, 21L)).toDF("id_a", "id_b")
+    val merged = Clusters.merge(existing, newPairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = Clusters.connectedComponents(
+        oldPairs.union(newPairs), col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == rebuilt)
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("connectedComponents: empty pair set yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty, col("id_a"), col("id_b")).count() == 0)
