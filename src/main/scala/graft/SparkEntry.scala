@@ -441,6 +441,18 @@ object SparkEntry {
     "q65_stratified_take" -> ((s, d) =>
       Sampling.stratifiedTake(Tables(s, d).documents, col("doc_id"), col("source"), n = 5)
         .select(col("dom").as("source"), col("key").as("doc_id"), col("rk"))),
+    "q66_decontaminate" -> ((s, d) => {
+      // every 50th document plays the benchmark set; training docs
+      // containing >= 30% of a benchmark doc's 3-gram shingles are flagged
+      val docs = Tables(s, d).documents
+      Decontamination.containmentPairs(
+        docs.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        n = 3, threshold = 0.3)
+    }),
+    "q67_chunking" -> ((s, d) =>
+      TextAnalysis.chunk(Tables(s, d).documents, col("doc_id"), col("text"),
+        chunkTokens = 32, stride = 24)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -835,6 +847,30 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    "q66_decontaminate" ->
+      // asymmetric containment |train∩bench| / |bench| — all-pairs is fine
+      // as an oracle at sf0.01 (the operator itself broadcasts the bench)
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |t AS (SELECT doc_id AS train_id, s AS tsh FROM sh WHERE doc_id % 50 <> 0 AND len(s) > 0),
+        |b AS (SELECT doc_id AS bench_id, s AS bsh FROM sh WHERE doc_id % 50 = 0 AND len(s) > 0)
+        |SELECT train_id, bench_id, containment FROM (
+        |  SELECT train_id, bench_id,
+        |    CAST(len(list_intersect(tsh, bsh)) AS DOUBLE) / len(bsh) AS containment
+        |  FROM t, b
+        |) WHERE containment >= 0.3""".stripMargin,
+    "q67_chunking" ->
+      // DuckDB list slices are 1-based and end-inclusive: [a, a+c-1] is a
+      // c-token window
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  len(toks[i*24+1 : i*24+32]) AS n_chunk_tokens
+        |FROM (SELECT doc_id, toks, unnest(range((len(toks)-1)//24 + 1)) AS i
+        |      FROM t WHERE len(toks) > 0)""".stripMargin,
     // q37_minhash_pairs / q38_simhash / q43_multimodal /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -171,6 +171,30 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Split documents into fixed-size token windows with a stride — the
+    * chunking step before embedding/RAG indexing or fixed-context
+    * training. Chunk i covers tokens [i·stride, i·stride + chunkTokens);
+    * the last chunk may be short; empty documents produce no chunks.
+    * Pure column expressions (transform/slice/explode), so the pass is
+    * one narrow scan — chunks are born distributed, never collected.
+    */
+  def chunk(df: DataFrame, id: Column, text: Column,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .where(size(col("toks")) > 0)
+    val nChunks = floor((size(col("toks")) - 1) / stride) + 1
+    base
+      .select(col("doc_id"), col("toks"),
+        explode(transform(sequence(lit(0), (nChunks - 1).cast("int")), i =>
+          struct(i.cast("long").as("chunk_idx"),
+            slice(col("toks"), i * lit(stride) + lit(1), lit(chunkTokens)).as("ctoks"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        array_join(col("c.ctoks"), " ").as("chunk_text"),
+        size(col("c.ctoks")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Salient terms per document: tf-idf-style ranking with the
     * engine-exact surrogate score tf × N / df (monotone in tf·idf for
     * any fixed df ordering; ln() is not bit-identical across engines, a

@@ -213,6 +213,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("ord_key", "n_tok").as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 0L))
   }
 
+  test("decontamination: containment is asymmetric; scrub drops flagged docs only") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      (1L, "intro words alpha beta gamma delta and a very long tail of extra content"),
+      (2L, "alpha beta unrelated gamma stuff"),   // shares some but < full containment
+      (3L, "completely different text here")
+    ).toDF("id", "text")
+    val pairs = Decontamination.containmentPairs(
+        train, col("id"), col("text"), bench, col("id"), col("text"),
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // doc 1 contains ALL of the benchmark's shingles -> containment 1.0,
+    // even though its symmetric jaccard with the benchmark is small
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 100L)))
+    assert(pairs.head._3 == 1.0)
+    val kept = Decontamination.scrub(train, col("id"), col("text"),
+        bench, col("id"), col("text"), n = 3, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("chunk: stride windows, short last chunk, empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "")
+    ).toDF("id", "text")
+    val got = TextAnalysis.chunk(docs, col("id"), col("text"), chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    // doc 1: starts 0,3,6,9 -> windows of 4 tokens (last has 1)
+    assert(got(1L) == Seq(
+      ("t1 t2 t3 t4", 4L), ("t4 t5 t6 t7", 4L), ("t7 t8 t9 t10", 4L), ("t10", 1L)))
+    assert(got(2L) == Seq(("only three tokens", 3L)))
+    assert(!got.contains(3L))
+  }
+
   test("stratifiedTake: exactly n per domain, deterministic, hash-ordered") {
     val df = (0L until 500L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
     val a = Sampling.stratifiedTake(df, col("id"), col("dom"), 7)
