@@ -43,6 +43,58 @@ class JobServerSpec extends AnyFunSuite {
     }
   }
 
+  test("WebSocket binding: RFC6455 handshake + live metric frames for a running job") {
+    implicit val ctx = spark.sqlContext
+    val js = new JobServer(spark)
+    val ws = new JobWsServer(js, port = 0, intervalMs = 100)
+    val in = MemoryStream[Int]
+    val job = js.submit("ws_counter", {
+      in.toDF().toDF("v").groupBy(col("v") % 5).count()
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("ws_out").start()
+    })
+    try {
+      in.addData(1 to 500: _*)
+      job.query.processAllAvailable()
+      val sock = new java.net.Socket("127.0.0.1", ws.boundPort)
+      val out = sock.getOutputStream
+      // RFC 6455 §1.3 sample key -> the spec's expected accept hash
+      out.write((s"GET /ws/jobs/${job.id} HTTP/1.1\r\nHost: x\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val is = sock.getInputStream
+      val head = new StringBuilder
+      while (!head.endsWith("\r\n\r\n")) head.append(is.read().toChar)
+      assert(head.toString.startsWith("HTTP/1.1 101"), head.toString)
+      assert(head.toString.contains("Sec-WebSocket-Accept: s3pPLMBiTxaQ9kYGzzhZRbK+xOo="),
+        s"wrong accept hash:\n$head")
+      // read one pushed text frame and check it carries real job fields
+      def readFrame(): String = {
+        val b0 = is.read(); assert((b0 & 0x0f) == 1, s"not a text frame: $b0")
+        var len = is.read() & 0x7f
+        if (len == 126) len = (is.read() << 8) | is.read()
+        val payload = new Array[Byte](len)
+        var off = 0
+        while (off < len) { val n = is.read(payload, off, len - off); assert(n > 0); off += n }
+        new String(payload, "UTF-8")
+      }
+      val frame = readFrame()
+      assert(frame.contains(s""""jobId":"${job.id}"""") && frame.contains("\"status\":\"RUNNING\""),
+        s"frame missing job fields: $frame")
+      val second = readFrame() // the feed keeps pushing
+      assert(second.contains(s"${job.id}"))
+      // polite close: client close frame (masked, empty) ends the feed
+      out.write(Array[Byte](0x88.toByte, 0x80.toByte, 0, 0, 0, 0)); out.flush()
+      sock.close()
+    } finally {
+      ws.close()
+      if (job.query.isActive) job.query.stop()
+      js.close()
+    }
+  }
+
   test("HTTP binding: submit/list/status/metrics/cancel + savepoint/recover over REST") {
     implicit val ctx = spark.sqlContext
     val js = new JobServer(spark)
