@@ -64,6 +64,43 @@ class ScaleJoinSpec extends AnyFunSuite {
       s"as-of degraded to a range join:\n$p")
   }
 
+  test("asofJoin property: random trades/quotes match a driver-side oracle") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = (1 to 5).flatMap { seed =>
+      val g = for {
+        nl <- Gen.choose(1, 80)
+        nr <- Gen.choose(0, 80)
+        keys <- Gen.choose(1, 5)
+        lts <- Gen.listOfN(nl, for { k <- Gen.choose(0, keys - 1); t <- Gen.choose(0L, 50L) } yield (k, t))
+        rts <- Gen.listOfN(nr, for { k <- Gen.choose(0, keys - 1); t <- Gen.choose(0L, 50L) } yield (k, t))
+      } yield (lts, rts)
+      g.apply(Gen.Parameters.default, Seed(seed))
+    }
+    assert(cases.nonEmpty)
+    for ((lts, rts) <- cases) {
+      val left = lts.zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+        .toDF("lid", "k", "lt")
+      // dedupe right to one row per (key, ts) — the operator's documented
+      // determinism precondition — keeping the max payload
+      val right = rts.zipWithIndex.map { case ((k, t), i) => (s"k$k", t, i.toLong) }
+        .groupBy(r => (r._1, r._2)).map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }
+        .toSeq.toDF("rk", "rt", "payload")
+      val got = Joins.asofJoin(left, right, col("k"), col("rk"), col("lt"), col("rt"),
+          Seq("payload" -> col("payload")))
+        .select(col("lid"), col("asof.payload"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val rightByKey = rts.zipWithIndex.map { case ((k, t), i) => (s"k$k", t, i.toLong) }
+        .groupBy(r => (r._1, r._2)).map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }
+        .toSeq.groupBy(_._1)
+      val want = lts.zipWithIndex.map { case ((k, t), i) =>
+        val eligible = rightByKey.getOrElse(s"k$k", Seq.empty).filter(_._2 <= t)
+        i.toLong -> (if (eligible.isEmpty) -1L else eligible.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"nl=${lts.size} nr=${rts.size}")
+    }
+  }
+
   test("bucketed tables join without exchange on the bucket key") {
     val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
