@@ -32,7 +32,14 @@ object Bench {
     // Per-query: first failure aborts that query's remaining runs, its
     // entry lands in "errors" (not "queries"), and the process exits 1.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q37_minhash_pairs,q52_ngram_jaccard restricts
+    // the run — for focused median-of-N re-measurement of a regression
+    // suspect without paying the full suite per sample
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       (1 to runs).foreach { _ =>

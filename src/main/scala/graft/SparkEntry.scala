@@ -273,13 +273,17 @@ object SparkEntry {
     "q43_multimodal" -> ((s, d) => {
       // synthetic media corpus keyed by the sf dir's embedding ids so the
       // query scales with sf like every other table — derived lazily, no
-      // job runs at construction time
+      // job runs at construction time. Per-row decoded features: the
+      // content bytes are engine-portable integer arithmetic and
+      // mean_intensity is one double division of exact integers
+      // (sum_bytes / n_bytes), so DuckDB replays the decode bit-exactly —
+      // a decimal SUM of doubles here would instead hit cross-engine
+      // rounding-mode edges (HALF_UP vs half-even) on dyadic means
       import s.implicits._
       val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
       Multimodal.decodeAndEmbed(Multimodal.syntheticMediaFor(ids), dim = 16)
-        .groupBy(col("media_type"))
-        .agg(count(lit(1)).as("n_media"),
-          sum(Aggregates.dec(col("mean_intensity"))).cast("double").as("sum_intensity"))
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("mean_intensity"))
     }),
     "q44_approx_distinct" -> ((s, d) =>
       Tables(s, d).events.groupBy(col("event_type"))
@@ -356,10 +360,19 @@ object SparkEntry {
 
     // ---- round 4: corpus-pipeline operators (north-star extension) ----
     "q55_dup_clusters" -> ((s, d) => {
-      // duplicate GROUPS from near-dup PAIRS: transitive closure of the
-      // q52 pair graph via distributed min-label propagation
-      val pairs = Dedup.ngramJaccardPairs(Tables(s, d).documents,
-        col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      // duplicate GROUPS from near-dup PAIRS, driven through the standing
+      // signature index (the composition DedupIndex exists for): ONE
+      // corpus-text pass builds shingles/ + bands/ at a temp path, then
+      // candidates, exact-Jaccard verify, and min-label clustering all run
+      // from the stored signatures — the previous form re-ran the full
+      // q52 LSH (corpus scan + shingle + minhash) inside the query.
+      // Banding params match q52 (n=3, 32 hashes, 16x2), so the pair set —
+      // and therefore the clusters — are identical (DedupIndexSpec asserts
+      // index pairs == direct operator pairs).
+      val idx = java.nio.file.Files.createTempDirectory("graft_q55_idx").toString
+      DedupIndex.build(Tables(s, d).documents, col("doc_id"), col("text"), idx,
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+      val pairs = DedupIndex.pairs(s, idx, threshold = 0.8)
       Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
     }),
     "q56_repetition" -> ((s, d) =>
@@ -871,7 +884,23 @@ object SparkEntry {
         |  len(toks[i*24+1 : i*24+32]) AS n_chunk_tokens
         |FROM (SELECT doc_id, toks, unnest(range((len(toks)-1)//24 + 1)) AS i
         |      FROM t WHERE len(toks) > 0)""".stripMargin,
-    // q37_minhash_pairs / q38_simhash / q43_multimodal /
+    "q43_multimodal" ->
+      // replay the synthetic corpus + stub decode: content byte j of media
+      // i is (i*7349 + j*131 + (i%97)*(j%89)) % 256 (plain integer
+      // arithmetic, see Multimodal.syntheticMediaFor), and the decoded
+      // mean is ONE double division of exact integers — bit-identical
+      // across engines (q51's determinism rule)
+      """WITH m AS (SELECT vec_id AS media_id,
+        |  CASE WHEN vec_id % 5 = 4 THEN 'video' ELSE 'image' END AS media_type,
+        |  CAST(32 + (vec_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(32 + (vec_id % 3) * 16 AS INTEGER) AS height
+        |  FROM embeddings)
+        |SELECT media_id, media_type, width, height,
+        |  CAST(list_sum(list_transform(range(CAST(width AS BIGINT) * height),
+        |    j -> (media_id * 7349 + j * 131 + (media_id % 97) * (j % 89)) % 256)) AS DOUBLE)
+        |    / (width * height) AS mean_intensity
+        |FROM m""".stripMargin,
+    // q37_minhash_pairs / q38_simhash /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records
     // rows-only checks; accuracy is asserted in ScalaTest instead

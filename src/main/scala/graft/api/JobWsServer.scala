@@ -43,6 +43,10 @@ final class JobWsServer(js: JobServer, port: Int = 0, intervalMs: Long = 1000) {
 
   private def handle(sock: Socket): Unit =
     try {
+      // a client sending a PARTIAL frame (or handshake) must not wedge
+      // this connection's push loop in a blocking read forever — time out
+      // and drop the connection instead (caught below)
+      sock.setSoTimeout(math.max(5 * intervalMs, 5000L).toInt)
       val in = sock.getInputStream
       val out = sock.getOutputStream
       val (path, key) = readHandshake(in)
@@ -109,6 +113,10 @@ final class JobWsServer(js: JobServer, port: Int = 0, intervalMs: Long = 1000) {
       val masked = (lenByte & 0x80) != 0
       var len = lenByte & 0x7f
       if (len == 126) len = (in.read() << 8) | in.read()
+      // 127 = 64-bit extended length: no legitimate client payload on a
+      // push-only feed is >= 64 KiB — treat it as a protocol violation and
+      // close rather than desync frame parsing on the 8-byte header
+      else if (len == 127) return true
       val toSkip = (if (masked) 4 else 0) + len
       var skipped = 0L
       while (skipped < toSkip && in.read() != -1) skipped += 1
@@ -120,18 +128,27 @@ final class JobWsServer(js: JobServer, port: Int = 0, intervalMs: Long = 1000) {
     val payload = text.getBytes(StandardCharsets.UTF_8)
     val header =
       if (payload.length < 126) Array[Byte](0x81.toByte, payload.length.toByte)
-      else Array[Byte](0x81.toByte, 126.toByte,
+      else if (payload.length < 65536) Array[Byte](0x81.toByte, 126.toByte,
         (payload.length >> 8).toByte, payload.length.toByte)
+      else // 64-bit length path (RFC 6455 §5.2) — a long job name/error
+           // string must not emit a corrupt 16-bit header
+        Array[Byte](0x81.toByte, 127.toByte) ++
+          (56 to 0 by -8).map(s => (payload.length.toLong >> s).toByte)
     out.write(header)
     out.write(payload)
     out.flush()
   }
 
+  // user-supplied strings (job name = the streaming query name, status,
+  // error text) must be JSON-escaped — a quote or control char in a name
+  // would otherwise push invalid JSON to every subscriber
+  private def q(s: String): String = graft.core.JsonText.quote(s)
+
   private def metricsJson(id: String): String =
     js.listJobs().find(h => h.id.toString == id || h.name == id) match {
       case None => s"""{"error":"no such job"}"""
       case Some(h) =>
-        val base = s""""jobId":"${h.id}","name":"${h.name}","status":"${js.status(h.query)}""""
+        val base = s""""jobId":${q(h.id.toString)},"name":${q(h.name)},"status":${q(js.status(h.query))}"""
         js.metrics(h.query) match {
           case Some(m) =>
             s"""{$base,"recordsPerSecond":${m.recordsPerSecond},""" +

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Duplicate-cluster formation for corpus dedup pipelines (north-star
   * extension — no analogue in the reference). Near-dup detection
@@ -31,15 +31,35 @@ object Clusters {
     * shuffling the corpus through the iteration).
     */
   def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
-                          maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(idA.as("src"), idB.as("dst"))
-      .union(pairs.select(idB.as("src"), idA.as("dst")))
-      .distinct()
-      .localCheckpoint()
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // localCheckpoint blocks live on executors — right locally, but on a
+    // lossy cluster an executor death mid-iteration kills the truncated
+    // lineage. A reliable dir trades per-round write cost for
+    // fault-tolerant long-running clustering jobs.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    val edges = pin(pairs.select(idA.as("src"), idB.as("dst"))
+      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .distinct())
+    // the checksum convergence test is exact ONLY for integral labels:
+    // a DECIMAL(38,0) cast silently rounds fractional ids (two opposite
+    // roundings leave the sum unchanged -> premature "convergence" ->
+    // split clusters) and string ids don't sum at all
+    edges.schema.fields.foreach { f =>
+      require(f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }, s"connectedComponents ids must be integral (byte/short/int/long); " +
+        s"got ${f.name}: ${f.dataType.simpleString} — map ids to dense longs first " +
+        "(the label-sum convergence checksum is only exact for integers)")
+    }
+
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var prevSum = checksum(labels)
 
     var converged = false
@@ -48,9 +68,8 @@ object Clusters {
       val propagated = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(propagated)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = pin(labels.union(propagated)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       val s = checksum(next)
       converged = s == prevSum
       prevSum = s
@@ -93,12 +112,13 @@ object Clusters {
     * PipelineOpsSpec), at the cost of the new batch.
     */
   def merge(assignments: DataFrame, newPairs: DataFrame,
-            idA: Column, idB: Column, maxIter: Int = 50): DataFrame = {
+            idA: Column, idB: Column, maxIter: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
     val asEdges = assignments
       .select(col("id").as("id_a"), col("cluster").as("id_b"))
       .where(col("id_a") =!= col("id_b")) // representatives need no self-edge
     connectedComponents(
       asEdges.union(newPairs.select(idA.as("id_a"), idB.as("id_b"))),
-      col("id_a"), col("id_b"), maxIter)
+      col("id_a"), col("id_b"), maxIter, checkpointDir)
   }
 }

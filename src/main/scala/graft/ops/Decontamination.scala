@@ -43,14 +43,19 @@ object Decontamination {
       .where(col("containment") >= threshold)
   }
 
-  /** The scrub itself: training rows with no flagged benchmark overlap. */
+  /** The scrub itself: training rows with no flagged benchmark overlap.
+    * No broadcast hint on the flagged set: its size scales with how
+    * contaminated the CORPUS is (not with the small bench side), so a low
+    * threshold or a dirty corpus could make a forced broadcast O(train)
+    * and kill the driver — AQE broadcasts it at runtime iff it measures
+    * small, and the anti join degrades gracefully to shuffle otherwise.
+    */
   def scrub(train: DataFrame, trainId: Column, trainText: Column,
             bench: DataFrame, benchId: Column, benchText: Column,
             n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val flagged = containmentPairs(train, trainId, trainText,
         bench, benchId, benchText, n, threshold)
       .select(col("train_id")).distinct()
-    train.join(broadcast(flagged),
-      trainId === flagged("train_id"), "left_anti")
+    train.join(flagged, trainId === flagged("train_id"), "left_anti")
   }
 }

@@ -66,6 +66,36 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/bands")
   }
 
+  /** Compact the index: each [[append]] leaves a handful of small parquet
+    * files per table, and under continuous ingestion the file count — and
+    * with it open/footer overhead on every candidate lookup — grows
+    * without bound. Rewrites both tables coalesced to `filesPerTable`
+    * output files (a narrow many-files-in/few-files-out read, no shuffle)
+    * into a sibling `<path>.compact` directory, then swaps with the same
+    * crash-safe double rename as [[IvfIndex.rebuild]]: old → `<path>.old`,
+    * new → `<path>`, drop old — at every step either the old or the new
+    * index is addressable. Contents are row-identical, so `pairs`/`check`
+    * results are unchanged (DedupIndexSpec).
+    */
+  def compact(spark: SparkSession, path: String, filesPerTable: Int = 8): Unit = {
+    require(filesPerTable > 0, "filesPerTable must be positive")
+    val tmp = s"$path.compact"
+    spark.read.parquet(s"$path/shingles").coalesce(filesPerTable)
+      .write.mode("overwrite").parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$path/bands").coalesce(filesPerTable)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    val fs = dst.getFileSystem(conf)
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(dst, old), s"compact swap failed: rename $path -> $path.old")
+    require(fs.rename(src, dst), s"compact swap failed: rename $tmp -> $path " +
+      s"(previous index preserved at $path.old)")
+    fs.delete(old, true)
+  }
+
   private def bandsOf(sh: DataFrame, numHashes: Int,
                       bands: Int, rowsPerBand: Int): DataFrame =
     sh.select(col("id"),

@@ -40,16 +40,21 @@ object Multimodal {
 
   /** Same synthetic corpus keyed by caller-supplied ids — lets a query
     * derive its media set from another table's id column lazily (no
-    * driver-side count to size a range).
+    * driver-side count to size a range). Content bytes are plain integer
+    * arithmetic in (media_id, byte offset) — NOT a JVM PRNG — so any
+    * engine can replay them: the q43 oracle recomputes the same bytes in
+    * DuckDB SQL and checks the decoded means rows+schema+hash.
     */
   def syntheticMediaFor(ids: Dataset[Long]): Dataset[MediaRecord] = {
     import ids.sparkSession.implicits._
     ids.map { i =>
-      val rnd = new scala.util.Random(i)
       val w = 32 + (i % 4).toInt * 16
       val h = 32 + (i % 3).toInt * 16
-      val bytes = new Array[Byte](w * h)
-      rnd.nextBytes(bytes)
+      val bytes = Array.tabulate(w * h) { j =>
+        // 0..255 by construction (all terms non-negative); (b & 0xff) in
+        // the decoder recovers the exact value
+        ((i * 7349L + j * 131L + (i % 97) * (j % 89)) % 256).toByte
+      }
       MediaRecord(i, if (i % 5 == 4) "video" else "image", bytes, w, h,
         if (i % 5 == 4) 16 + (i % 7).toInt else 1)
     }

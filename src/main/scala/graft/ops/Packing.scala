@@ -47,10 +47,20 @@ object Packing {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val ranged = df
+    val slim = df
       // a null count (null text upstream) packs as zero tokens rather
       // than poisoning the partition's running sum
       .select(ord.as("ord_key"), coalesce(tokenCount.cast("long"), lit(0L)).as("n_tok"))
+      // pin the (key, count) projection BEFORE the range repartition:
+      // repartitionByRange samples its child to pick range boundaries,
+      // which would execute the projection — including the token-count
+      // kernel over the corpus text — a second time before the shuffle
+      // map runs it again. Materializing the two-long frame first means
+      // both the sampling job and the shuffle read longs; the corpus
+      // text is scanned exactly once per pack (plan-asserted in
+      // PlanQualitySpec).
+      .localCheckpoint()
+    val ranged = slim
       .repartitionByRange(parts, col("ord_key"))
       .sortWithinPartitions(col("ord_key"))
 

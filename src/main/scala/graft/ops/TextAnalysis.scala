@@ -201,16 +201,39 @@ object TextAnalysis {
     * ratio of integers is — q51's determinism rule). Plan shape: term
     * frequencies partial-aggregate per (doc, term); document frequencies
     * derive FROM the tf frame (one row per (doc, term), so df is a
-    * second cheap aggregate, not a corpus re-scan); the tf⋈df join
-    * shuffles by term; ranking is the bounded-heap top-k aggregate.
-    * Output: (doc_id, term, score, rk).
+    * second cheap aggregate, not a corpus re-scan); ranking is the
+    * bounded-heap top-k aggregate. Output: (doc_id, term, score, rk).
+    *
+    * Stopword skew: a term-keyed tf⋈df shuffle would put every document
+    * containing "the" into one partition — pathological at corpus scale.
+    * Terms split at `hotDfCutoff`: HOT terms (df >= cutoff) are provably
+    * few (at most totalPairs/cutoff rows), so their df table broadcasts
+    * and hot tf rows join narrowly, never shuffling by term; COLD terms
+    * go through the term-keyed join whose per-key row count is bounded
+    * by the cutoff BY CONSTRUCTION (hot tf rows are broadcast-anti-
+    * filtered out before the exchange, so they never enter it). A pure
+    * df-threshold PRUNE would be unsound — a stopword with a huge tf in
+    * one doc can legitimately rank — this split keeps results
+    * bit-identical (asserted in PipelineOpsSpec) while bounding the
+    * worst partition. dfreq itself is skew-safe: partial aggregation
+    * reduces the hot term to one row per map partition pre-shuffle.
     */
-  def salientTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+  def salientTerms(df: DataFrame, id: Column, text: Column, k: Int,
+                   hotDfCutoff: Long = 100000L): DataFrame = {
     val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    // the tf exchange (hashpartitioning by doc_id+term) is identical in
+    // every branch below, so AQE's runtime exchange reuse computes the
+    // corpus scan+explode+partial-agg once for all of them
+    val hot = dfreq.where(col("df") >= hotDfCutoff)
+    val cold = dfreq.where(col("df") < hotDfCutoff)
+    val scoredHot = tf.join(broadcast(hot), "term")
+    val scoredCold = tf
+      .join(broadcast(hot.select(col("term"))), Seq("term"), "left_anti")
+      .join(cold, "term")
+    val scored = scoredHot.union(scoredCold).crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
     scored

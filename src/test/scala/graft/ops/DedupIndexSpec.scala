@@ -125,6 +125,46 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(g == f, s"grown index diverges from full rebuild (grown=${g.size}, full=${f.size})")
   }
 
+  test("compact: N appends then compact — identical pairs/check, file count bounded") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_cmp").toString
+    DedupIndex.build(docs.where(col("doc_id") % 5 === 0),
+      col("doc_id"), col("text"), dir,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    for (r <- 1 to 4) // continuous ingestion: small batches pile up files
+      DedupIndex.append(docs.where(col("doc_id") % 5 === r),
+        col("doc_id"), col("text"), dir,
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    def parquetFiles(sub: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub")).filter(
+        p => p.getFileName.toString.startsWith("part-")).count()
+    val before = DedupIndex.pairs(spark, dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val doc3 = docs.where(col("doc_id") === 3).select("text").as[String].head()
+    val checkBefore = DedupIndex.check(spark,
+        Seq((5003L, doc3)).toDF("nid", "t"), col("nid"), col("t"), dir,
+        threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val filesBefore = parquetFiles("shingles") + parquetFiles("bands")
+    DedupIndex.compact(spark, dir, filesPerTable = 2)
+    val filesAfter = parquetFiles("shingles") + parquetFiles("bands")
+    assert(filesAfter <= 4, s"compaction left $filesAfter files")
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink file count ($filesBefore -> $filesAfter)")
+    val after = DedupIndex.pairs(spark, dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, s"pairs changed across compaction " +
+      s"(before=${before.size}, after=${after.size})")
+    val checkAfter = DedupIndex.check(spark,
+        Seq((5003L, doc3)).toDF("nid", "t"), col("nid"), col("t"), dir,
+        threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(checkAfter == checkBefore && checkAfter.exists(_._2 == 3L))
+    // the swap left no residue
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.compact")))
+  }
+
   test("streaming screen: micro-batches checked against the static index") {
     implicit val ctx = spark.sqlContext
     val docs = Tables(spark, sf).documents

@@ -45,6 +45,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: reliable checkpoint dir — same result, files on disk") {
+    // cluster-durable mode: lineage truncation goes to a reliable dir
+    // (survives executor loss) instead of executor-resident blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, col("id_a"), col("id_b"),
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the reliable path was actually taken: checkpoint files exist
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(wrote > 0, s"no reliable checkpoint files written under $dir")
+  }
+
+  test("connectedComponents: non-integral ids rejected (checksum soundness guard)") {
+    // fractional labels round under the DECIMAL(38,0) checksum cast and
+    // string ids don't sum — both must fail fast, not converge prematurely
+    val doubles = Seq((1.5, 2.5)).toDF("id_a", "id_b")
+    val e1 = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(doubles, col("id_a"), col("id_b"))
+    }
+    assert(e1.getMessage.contains("integral"))
+    val strings = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e2 = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(strings, col("id_a"), col("id_b"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("connectedComponents: empty pair set yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty, col("id_a"), col("id_b")).count() == 0)
@@ -264,6 +296,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     val t = Sampling.stratifiedTake(tiny, col("id"), col("dom"), 5)
       .as[(String, Long, Long)].collect()
     assert(t.count(_._1 == "x") == 2 && t.count(_._1 == "y") == 1)
+  }
+
+  test("salientTerms: hot/cold df split is result-identical at any cutoff") {
+    // stopword-skew handling must not change results: a cutoff of 2 forces
+    // "the"-like terms down the broadcast hot path, a huge cutoff sends
+    // everything through the cold term-keyed join — rankings must agree,
+    // including a doc where a stopword's huge tf legitimately outranks
+    // rarer terms (the case a naive df-threshold prune would corrupt)
+    val docs = Seq(
+      (1L, ("the " * 50) + "rare1 rare2"), // "the" tf=50 must still rank here
+      (2L, "the quick brown fox"),
+      (3L, "the lazy dog sleeps"),
+      (4L, "the cat sat mat")
+    ).toDF("doc_id", "text")
+    def run(cutoff: Long) =
+      TextAnalysis.salientTerms(docs, col("doc_id"), col("text"), 3, cutoff)
+        .as[(Long, String, Double, Long)].collect().toSet
+    val allCold = run(Long.MaxValue)
+    val split = run(2L)
+    assert(split == allCold, s"hot/cold split changed results:\n${split.diff(allCold)}\n${allCold.diff(split)}")
+    // and the pathological doc keeps its high-tf stopword in the top-k:
+    // score(the|doc1) = 50*4/4 = 50 > score(rare) = 1*4/1 = 4
+    assert(allCold.exists(r => r._1 == 1L && r._2 == "the" && r._4 == 1L),
+      s"high-tf stopword lost from doc 1 ranking: ${allCold.filter(_._1 == 1L)}")
   }
 
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {

@@ -137,6 +137,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"second SQL-level range shuffle of the data:\n$p")
   }
 
+  test("q59: the token-count projection executes once per row — range sampling reads the pinned frame") {
+    // repartitionByRange samples its child to pick range boundaries; if the
+    // (ord, n_tok) projection is not pinned first, that sampling job runs
+    // the token-count kernel over the corpus text a second time before the
+    // shuffle map runs it again — a full extra corpus pass at 100 TB. An
+    // accumulator inside the count column observes exactly how many times
+    // the projection is computed.
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf).documents
+    val nDocs = docs.count()
+    val calls = spark.sparkContext.longAccumulator("tok_calls")
+    val countingTok = udf { (s: String) =>
+      calls.add(1)
+      if (s == null) 0L else s.split("\\s+").count(_.nonEmpty).toLong
+    }
+    val packed = Packing.packSequences(docs, col("doc_id"), countingTok(col("text")), 512)
+    assert(packed.count() == nDocs)
+    assert(calls.value == nDocs,
+      s"token counting executed ${calls.value} times for $nDocs docs — " +
+        "the projection feeding repartitionByRange ran more than once (unpinned)")
+  }
+
   test("q60/q63: per-group rankings are partial top-k aggregates, not windows") {
     for (q <- Seq("q60_top_tokens", "q63_salient_terms")) {
       val p = plan(q)
