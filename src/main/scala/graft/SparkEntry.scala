@@ -466,6 +466,28 @@ object SparkEntry {
     "q67_chunking" -> ((s, d) =>
       TextAnalysis.chunk(Tables(s, d).documents, col("doc_id"), col("text"),
         chunkTokens = 32, stride = 24)),
+
+    // ---- round 5: REAL codecs (JDK-bundled ImageIO / javax.sound) ----
+    "q68_image_decode" -> ((s, d) => {
+      // real PNG pipeline: deterministic pixels → JDK PNG ENCODE →
+      // distributed DECODE via ImageIO → per-image statistics. PNG is
+      // lossless, so DuckDB replays the pixel formula without a codec and
+      // the hash compare verifies the whole encode→decode roundtrip
+      // (width/height come from the DECODED container, not metadata)
+      import s.implicits._
+      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
+      Multimodal.decodeImages(Multimodal.syntheticPngMediaFor(ids), dim = 16)
+        .select(col("media_id"), col("width"), col("height"), col("mean_intensity"))
+    }),
+    "q69_audio_decode" -> ((s, d) => {
+      // real WAV pipeline: deterministic PCM16 samples → RIFF encode →
+      // distributed decode via javax.sound.sampled → exact-integer-ratio
+      // statistics (no sqrt — cross-engine bit-exact)
+      import s.implicits._
+      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
+      Multimodal.decodeAudio(Multimodal.syntheticWavFor(ids), dim = 16)
+        .select(col("media_id"), col("n_samples"), col("mean_abs"), col("mean_square"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -900,6 +922,32 @@ object SparkEntry {
         |    j -> (media_id * 7349 + j * 131 + (media_id % 97) * (j % 89)) % 256)) AS DOUBLE)
         |    / (width * height) AS mean_intensity
         |FROM m""".stripMargin,
+    "q68_image_decode" ->
+      // same pixel formula as q43, but the Spark side round-trips the
+      // pixels through a REAL PNG encode+decode (JDK ImageIO) — PNG is
+      // lossless, so the decoded means must equal the formula exactly;
+      // any codec distortion fails this hash compare
+      """WITH m AS (SELECT vec_id AS media_id,
+        |  CAST(32 + (vec_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(32 + (vec_id % 3) * 16 AS INTEGER) AS height
+        |  FROM embeddings)
+        |SELECT media_id, width, height,
+        |  CAST(list_sum(list_transform(range(CAST(width AS BIGINT) * height),
+        |    j -> (media_id * 7349 + j * 131 + (media_id % 97) * (j % 89)) % 256)) AS DOUBLE)
+        |    / (width * height) AS mean_intensity
+        |FROM m""".stripMargin,
+    "q69_audio_decode" ->
+      // sample t of clip i is ((i*7349 + t*131) % 2048) - 1024; the Spark
+      // side round-trips these through a real RIFF/PCM16 WAV encode and a
+      // javax.sound.sampled decode — lossless, so exact-integer stats match
+      """WITH s AS (SELECT vec_id AS media_id,
+        |  list_transform(range(4096),
+        |    t -> (media_id * 7349 + t * 131) % 2048 - 1024) AS smp
+        |  FROM embeddings)
+        |SELECT media_id, CAST(4096 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS DOUBLE) / 4096 AS mean_abs,
+        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / 4096 AS mean_square
+        |FROM s""".stripMargin,
     // q37_minhash_pairs / q38_simhash /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * not per row), size-aware repartitioning, and the handoff into the
   * embedding/ANN pipeline.
   *
-  * The actual codecs are NOT real: this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake pixels/samples
-  * from the bytes (clearly marked below). Swapping in a real decoder
-  * changes only the body of that one function — batching, schema and
-  * partitioning stay as they are.
+  * Codecs: [[decodeImages]] and [[decodeAudio]] are REAL — they parse
+  * actual PNG/JPEG/GIF/BMP and WAV/PCM16 containers through the decoders
+  * bundled in every Java 17 runtime (javax.imageio, javax.sound.sampled),
+  * so they work in any Spark executor JVM with no external native
+  * libraries. `decodeStub` remains only for formats the JDK cannot decode
+  * (video frames); swapping in e.g. an ffmpeg binding changes only that
+  * one function body — batching, schema and partitioning stay as they
+  * are.
   */
 object Multimodal {
 
@@ -38,12 +41,26 @@ object Multimodal {
     syntheticMediaFor(spark.range(n).as[Long])
   }
 
+  /** Deterministic grayscale value for (media id, pixel index): 0..255 by
+    * construction (all terms non-negative) in plain integer arithmetic —
+    * NOT a JVM PRNG — so any engine can replay it (the q43/q68 oracles
+    * recompute it in DuckDB SQL).
+    */
+  private[ops] def synthByte(i: Long, j: Long): Int =
+    ((i * 7349L + j * 131L + (i % 97) * (j % 89)) % 256).toInt
+
+  /** Deterministic PCM sample for (media id, sample index): −1024..1023,
+    * same replayability contract as [[synthByte]] (q69 oracle).
+    */
+  private[ops] def synthSample(i: Long, t: Long): Int =
+    (((i * 7349L + t * 131L) % 2048L) - 1024L).toInt
+
   /** Same synthetic corpus keyed by caller-supplied ids — lets a query
     * derive its media set from another table's id column lazily (no
-    * driver-side count to size a range). Content bytes are plain integer
-    * arithmetic in (media_id, byte offset) — NOT a JVM PRNG — so any
-    * engine can replay them: the q43 oracle recomputes the same bytes in
-    * DuckDB SQL and checks the decoded means rows+schema+hash.
+    * driver-side count to size a range). Content bytes are RAW
+    * [[synthByte]] values (no container format) — the input shape for the
+    * stub decode path; [[syntheticPngMediaFor]] wraps the same pixels in
+    * a real PNG container for the real-codec path.
     */
   def syntheticMediaFor(ids: Dataset[Long]): Dataset[MediaRecord] = {
     import ids.sparkSession.implicits._
@@ -51,9 +68,8 @@ object Multimodal {
       val w = 32 + (i % 4).toInt * 16
       val h = 32 + (i % 3).toInt * 16
       val bytes = Array.tabulate(w * h) { j =>
-        // 0..255 by construction (all terms non-negative); (b & 0xff) in
-        // the decoder recovers the exact value
-        ((i * 7349L + j * 131L + (i % 97) * (j % 89)) % 256).toByte
+        // (b & 0xff) in the decoder recovers the exact 0..255 value
+        synthByte(i, j).toByte
       }
       MediaRecord(i, if (i % 5 == 4) "video" else "image", bytes, w, h,
         if (i % 5 == 4) 16 + (i % 7).toInt else 1)
@@ -119,4 +135,192 @@ object Multimodal {
       .where(col("media_type") === "video")
       .withColumn("sampled_frames",
         slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames))
+
+  // ------------------------------------------------------------------
+  // REAL codecs — JDK-bundled decoders, no external native libraries.
+  //
+  // javax.imageio (PNG/JPEG/GIF/BMP readers) and javax.sound.sampled
+  // (WAV/PCM parsing) ship inside every Java 17 runtime, so they exist in
+  // any Spark executor JVM — these paths decode actual containers, they
+  // are not stubs. `decodeStub` remains only for formats the JDK cannot
+  // decode (video frames), with the swap seam unchanged.
+  //
+  // PNG and PCM16 WAV are LOSSLESS, which makes the whole
+  // encode → shuffle → decode pipeline oracle-checkable: the synthetic
+  // pixels/samples are engine-portable integer arithmetic, so DuckDB
+  // recomputes the decoded statistics without ever touching a codec —
+  // any byte the codec path drops or distorts fails the hash compare
+  // (q68 images, q69 audio).
+  // ------------------------------------------------------------------
+
+  /** One audio clip: a real WAV (RIFF/PCM16LE mono) byte container. */
+  case class AudioRecord(media_id: Long, content: Array[Byte], sample_rate: Int)
+
+  /** Decoded audio statistics; means are exact-integer ratios. */
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+                           mean_abs: Double, mean_square: Double,
+                           embedding: Array[Float])
+
+  /** Encode 8-bit grayscale pixels (row-major) as a real PNG. */
+  def encodeGrayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic corpus of REAL PNG files: [[synthByte]] pixels, encoded
+    * through the JDK PNG writer — the input for [[decodeImages]].
+    */
+  def syntheticPngMediaFor(ids: Dataset[Long]): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.map { i =>
+      val w = 32 + (i % 4).toInt * 16
+      val h = 32 + (i % 3).toInt * 16
+      val px = Array.tabulate(w * h)(j => synthByte(i, j).toByte)
+      MediaRecord(i, "image/png", encodeGrayPng(px, w, h), w, h, 1)
+    }
+  }
+
+  /** REAL image decode + feature extraction: ImageIO parses the container
+    * (PNG/JPEG/GIF/BMP), features come from the decoded raster — mean
+    * intensity over all bands and a `dim`-bucket pooled-intensity
+    * embedding in [0,1]. Width/height are the DECODED geometry, not the
+    * envelope metadata. Undecodable rows are skipped, not fatal: one
+    * corrupt file in a 100 TB corpus must not kill the scan (count them
+    * upstream with a `where(decodable)` split if the loss rate matters).
+    * mapPartitions like the stub path — a heavier codec would amortize
+    * per-partition setup here.
+    */
+  def decodeImages(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val n = w.toLong * h
+          var sum = 0L
+          val bSum = new Array[Long](dim)
+          val bCnt = new Array[Long](dim)
+          var idx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              var px = 0
+              while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+              sum += px
+              val bk = (idx * dim / n).toInt
+              bSum(bk) += px
+              bCnt(bk) += 1
+              idx += 1
+              x += 1
+            }
+            y += 1
+          }
+          val emb = Array.tabulate(dim) { d =>
+            if (bCnt(d) == 0) 0f
+            else (bSum(d).toDouble / (bCnt(d) * bands) / 255.0).toFloat
+          }
+          Some(MediaFeatures(r.media_id, r.media_type, w, h,
+            sum.toDouble / (n * bands), emb))
+        }
+      }
+    }
+  }
+
+  /** Encode PCM16 mono samples as a real WAV (44-byte RIFF header +
+    * little-endian samples).
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Synthetic corpus of REAL WAV clips: [[synthSample]] PCM16 samples
+    * through [[encodeWavPcm16]] — the input for [[decodeAudio]].
+    */
+  def syntheticWavFor(ids: Dataset[Long], nSamples: Int = 4096,
+                      sampleRate: Int = 16000): Dataset[AudioRecord] = {
+    import ids.sparkSession.implicits._
+    ids.map { i =>
+      AudioRecord(i,
+        encodeWavPcm16(Array.tabulate(nSamples)(t => synthSample(i, t).toShort),
+          sampleRate), sampleRate)
+    }
+  }
+
+  /** REAL audio decode: javax.sound.sampled parses the WAV container and
+    * yields the PCM frames. Features are exact-integer ratios (mean |s|,
+    * mean s² — no sqrt, so cross-engine bit-exact) plus a `dim`-bucket
+    * mean-|s| envelope embedding in [0,1]. Unparseable rows skipped, same
+    * contract as [[decodeImages]].
+    */
+  def decodeAudio(audio: Dataset[AudioRecord], dim: Int = 16): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"decodeAudio expects PCM16 mono, got $fmt")
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          var sumAbs = 0L
+          var sumSq = 0L
+          val bSum = new Array[Long](dim)
+          val bCnt = new Array[Long](dim)
+          var t = 0
+          while (t < n) {
+            val s = bb.getShort(2 * t).toLong
+            val a = math.abs(s)
+            sumAbs += a
+            sumSq += s * s
+            val bk = (t.toLong * dim / n).toInt
+            bSum(bk) += a
+            bCnt(bk) += 1
+            t += 1
+          }
+          val emb = Array.tabulate(dim) { d =>
+            if (bCnt(d) == 0) 0f else (bSum(d).toDouble / bCnt(d) / 32768.0).toFloat
+          }
+          if (n == 0) None
+          else Some(AudioFeatures(r.media_id, n.toLong,
+            sumAbs.toDouble / n, sumSq.toDouble / n, emb))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+          case _: IllegalArgumentException => None
+        }
+      }
+    }
+  }
 }

@@ -168,6 +168,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q63: stopword-skew split — hot-df side broadcasts (hot tf rows never shuffle by term)") {
+    // the hot/cold split's scale property: hot terms reach their df rows
+    // through broadcast joins (the hot inner join + the anti filter that
+    // keeps them out of the cold term-keyed exchange)
+    val p = plan("q63_salient_terms")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"hot/anti broadcasts missing — stopword tf rows would shuffle by term:\n$p")
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
