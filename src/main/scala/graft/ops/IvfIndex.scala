@@ -94,14 +94,42 @@ object IvfIndex {
     val vecs = spark.read.parquet(path).select(col("cand_id"), col("cv"))
     val tmp = s"$path.rebuild"
     build(vecs, col("cand_id"), col("cv"), cells, tmp)
+    swapDirs(spark, path, tmp)
+  }
+
+  /** Compact the index without re-sampling centroids: every [[append]]
+    * adds a few small files to each touched cell partition, and under
+    * continuous ingestion the per-cell file count — and with it open/
+    * footer overhead on every probed read — grows without bound. The
+    * rewrite hash-partitions by `cell`, so each cell lands in exactly one
+    * task and therefore exactly ONE output file; centroids are copied
+    * unchanged (assignments don't move, unlike [[rebuild]]). Same
+    * crash-safe double-rename swap; results are row-identical
+    * (IvfIndexSpec).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path.compact"
+    val cents = spark.read.parquet(s"$path/_centroids")
+    spark.read.parquet(path).select(col("cand_id"), col("cv"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_centroids")
+    swapDirs(spark, path, tmp)
+  }
+
+  /** Crash-safe directory swap: old → `<path>.old`, new → `<path>`, drop
+    * the old copy — at every step either the old or the new index is
+    * addressable (at `<path>` or `<path>.old`), never neither.
+    */
+  private def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(s"$path.old")
     val fs = dst.getFileSystem(conf)
     fs.delete(old, true) // clear any leftover from a prior crashed swap
-    require(fs.rename(dst, old), s"rebuild swap failed: rename $path -> $path.old")
-    require(fs.rename(src, dst), s"rebuild swap failed: rename $tmp -> $path " +
+    require(fs.rename(dst, old), s"index swap failed: rename $path -> $path.old")
+    require(fs.rename(src, dst), s"index swap failed: rename $tmp -> $path " +
       s"(previous index preserved at $path.old)")
     fs.delete(old, true)
   }

@@ -163,6 +163,34 @@ object ThroughputBench {
         (if (nClusters == nodes / 5) " (exact)" else " (MISMATCH)"))
     }
 
+    // scenario 9: salient terms under a Zipfian vocabulary — the stopword
+    // regime where a term-keyed tf⋈df join puts ~every doc's top-token row
+    // in one partition. Tokens are log-uniform over a 50k vocabulary
+    // (rank-1 term lands in ~90% of docs), so the hot partition is real.
+    // Compares the naive all-cold join (cutoff = MaxValue) against the
+    // hot/cold split; row counts must agree (the split is result-identical
+    // — PipelineOpsSpec asserts value equality, this measures the skew).
+    if (enabled(9)) {
+      val nDocs = 1000000L
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)), i =>
+          concat(lit("w"), floor(pow(lit(50000.0),
+            pmod(xxhash64(col("id") * 40 + i), lit(1000000L)) / lit(1000000.0)))
+            .cast("long"))), " ").as("text"))
+      def run(label: String, cutoff: Long): Long = {
+        val t0 = System.nanoTime()
+        val rows = graft.ops.TextAnalysis.salientTerms(
+          docs, col("doc_id"), col("text"), 5, cutoff).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"scenario9 salient-zipf $label: $s%.2f s, $rows rows")
+        rows
+      }
+      val a = run("all-cold naive term join", Long.MaxValue)
+      val b = run("hot/cold split cutoff=10k", 10000L)
+      println(s"scenario9 rows ${if (a == b) "agree" else s"MISMATCH ($a vs $b)"}")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

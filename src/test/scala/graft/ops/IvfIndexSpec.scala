@@ -89,6 +89,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(fromRebuilt.nonEmpty)
   }
 
+  test("compact: repeated appends then compact — identical queries, one file per cell") {
+    val em = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    IvfIndex.build(em.where(col("vec_id") % 4 === 0),
+      col("vec_id"), col("embedding"), nCells = 8, dir)
+    for (r <- 1 to 3) // continuous ingestion piles small files into cells
+      IvfIndex.append(spark,
+        em.where(col("vec_id") % 4 === r), col("vec_id"), col("embedding"), dir)
+
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.startsWith("part-")))
+        .toMap
+    val q = em.where(col("vec_id") < 6)
+    val before = IvfIndex.query(spark, dir, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 3).as[(Long, Long, Long)].collect().toSet
+    val grewFiles = filesPerCell
+    assert(grewFiles.values.exists(_ > 1.0),
+      s"appends did not create the small-file condition: $grewFiles")
+    val statsBefore = IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().toMap
+
+    IvfIndex.compact(spark, dir)
+
+    val compacted = filesPerCell
+    assert(compacted.values.forall(_ == 1), s"compaction left multi-file cells: $compacted")
+    val after = IvfIndex.query(spark, dir, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 3).as[(Long, Long, Long)].collect().toSet
+    assert(after == before && after.nonEmpty,
+      s"compaction changed query results (before=${before.size}, after=${after.size})")
+    val statsAfter = IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().toMap
+    assert(statsAfter == statsBefore, "compaction changed cell membership")
+    assert(IvfIndex.numCells(spark, dir) == 8, "centroids must survive compaction")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.compact")))
+  }
+
   test("index query scan is dynamically partition-pruned to probed cells") {
     val em = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString

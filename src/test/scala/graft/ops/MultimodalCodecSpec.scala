@@ -113,6 +113,38 @@ class MultimodalCodecSpec extends AnyFunSuite {
       s"perturbed images did not rank their source first: ${ranked.toSeq}")
   }
 
+  test("png decode runs inside a streaming query (per-micro-batch ingestion)") {
+    // continuous media ingestion: a stream of real PNG records decoded by
+    // the same mapPartitions operator — works unchanged on a streaming
+    // Dataset because it is a narrow transform (no state, no shuffle)
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Array[Byte])]
+    val media = in.toDS().map { case (id, bytes) =>
+      Multimodal.MediaRecord(id, "image/png", bytes, 0, 0, 1)
+    }
+    val q = Multimodal.decodeImages(media, dim = 4).toDF()
+      .writeStream.format("memory").queryName("decoded_media").outputMode("append")
+      .start()
+    try {
+      val recs = Multimodal.syntheticPngMediaFor(ids(4)).collect()
+      in.addData(recs.take(2).map(r => (r.media_id, r.content)).toSeq)
+      q.processAllAvailable()
+      in.addData(recs.drop(2).map(r => (r.media_id, r.content)).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("decoded_media")
+        .select("media_id", "mean_intensity")
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == Set(0L, 1L, 2L, 3L))
+      for ((i, mean) <- got) {
+        val w = 32 + (i % 4).toInt * 16
+        val h = 32 + (i % 3).toInt * 16
+        val want = (0 until w * h).map(j => Multimodal.synthByte(i, j).toLong).sum.toDouble / (w * h)
+        assert(mean == want, s"streamed decode mean for $i: $mean != $want")
+      }
+    } finally q.stop()
+  }
+
   test("wav: unparseable clip skipped; results invariant under repartitioning") {
     val good = Multimodal.syntheticWavFor(ids(8)).collect().toSeq :+
       Multimodal.AudioRecord(99L, Array[Byte](82, 73, 70, 70, 0, 0), 16000)
