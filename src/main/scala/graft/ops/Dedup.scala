@@ -103,6 +103,38 @@ object Dedup {
     minhashLsh(df, id, text, shingleN = n, numHashes = 32, bands = 16, rowsPerBand = 2,
       threshold = threshold)
 
+  /** Membership screen with a Bloom prefilter: return the `incoming` rows
+    * whose (long) key is NOT in `seen` — the "which of these documents/
+    * URLs have we already ingested" gate at the front of a corpus
+    * pipeline. A Bloom filter has NO false negatives, so a negative probe
+    * proves the row is new and skips the join entirely; only the
+    * positives (true hits + fpp of the new rows) reach the exact
+    * `left_anti` join. At 100 TB that turns an incoming-sized join into
+    * one narrow scan plus a join over ~|seen ∩ incoming| rows — and the
+    * prefilter CANNOT change the result (oracle-checked as a plain anti
+    * join, q70). The filter itself is built distributed
+    * (`stat.bloomFilter` partial-aggregates) but lives on the driver and
+    * ships to executors with the probe closure: ~1.2 GB per 10⁹ keys at
+    * 1% fpp — size `expectedItems`/`fpp` to the seen-set; beyond driver
+    * memory, [[DedupIndex]] is the disk-backed screen. Null keys screen
+    * as new (a Bloom can't represent them; the exact join would keep them
+    * too).
+    */
+  def bloomScreen(seen: DataFrame, seenKey: Column,
+                  incoming: DataFrame, inKey: Column,
+                  expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val keyed = seen.select(seenKey.cast("long").as("__seen_k"))
+    val n = if (expectedItems > 0) expectedItems else keyed.count()
+    val bf = keyed.stat.bloomFilter(col("__seen_k"), math.max(n, 1L), fpp)
+    val might = udf((k: Long) => bf.mightContainLong(k))
+    val flagged = incoming.withColumn("__maybe",
+      coalesce(might(inKey.cast("long")), lit(false)))
+    val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
+    val verifiedNew = flagged.where(col("__maybe")).drop("__maybe")
+      .join(keyed, inKey.cast("long") === col("__seen_k"), "left_anti")
+    definitelyNew.union(verifiedNew)
+  }
+
   /** 64-bit SimHash over tokens: each token's hash votes +1/-1 on every bit
     * position; the sign of each bit-sum forms the fingerprint. Single-pass
     * custom expression (graft.functions.Kernels).

@@ -74,14 +74,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(exact.size < 10000, "vocab must fit the sketch for the exactness claim")
     val approx = graft.SparkEntry.queries("q64_approx_top_tokens")(spark, sf)
-      .as[(String, Long)].collect()
+      .as[(String, Long, Long)].collect()
     assert(approx.length == 10)
     // every reported count is the true count
-    approx.foreach { case (w, c) => assert(exact(w) == c, s"$w: sketch=$c exact=${exact(w)}") }
-    // and the reported count MULTISET equals the true top-10 counts
-    val trueTop = exact.values.toSeq.sorted(Ordering[Long].reverse).take(10)
-    assert(approx.map(_._2).toSeq.sorted == trueTop.sorted,
-      s"sketch top-10 counts ${approx.map(_._2).toSeq} != true ${trueTop}")
+    approx.foreach { case (w, c, _) => assert(exact(w) == c, s"$w: sketch=$c exact=${exact(w)}") }
+    // since round 5 the query re-ranks the sketch output deterministically
+    // (count desc, word asc), so the full ranking — not just the count
+    // multiset — must equal the truth
+    val trueTop = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+      .zipWithIndex.map { case ((w, c), i) => (w, c, i + 1L) }
+    assert(approx.sortBy(_._3).toSeq == trueTop,
+      s"sketch top-10 ranking ${approx.sortBy(_._3).toSeq} != true $trueTop")
   }
 
   test("typed reduce matches SQL argmax") {

@@ -298,6 +298,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(t.count(_._1 == "x") == 2 && t.count(_._1 == "y") == 1)
   }
 
+  test("bloomScreen: equals the exact anti join; empty and disjoint batches") {
+    val seen = (0L until 3000L by 2L).map(Tuple1(_)).toDF("k") // evens
+    val inc = (0L until 3000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val got = Dedup.bloomScreen(seen, col("k"), inc, col("id"))
+      .as[(Long, String)].collect().toSet
+    val want = inc.join(seen, inc("id") === seen("k"), "left_anti")
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._1) == (1L until 3000L by 2).toSet, "screen must pass exactly the odd ids")
+    // a fully-seen batch screens to empty; a disjoint batch passes whole
+    assert(Dedup.bloomScreen(seen, col("k"), seen.toDF("id"), col("id")).count() == 0)
+    val disjoint = (10000L until 10100L).map(Tuple1(_)).toDF("id")
+    assert(Dedup.bloomScreen(seen, col("k"), disjoint, col("id")).count() == 100)
+  }
+
+  test("bloomScreen: null keys screen as new") {
+    val seen = Seq(1L, 2L).toDF("k")
+    val inc = Seq[(java.lang.Long, String)](
+      (java.lang.Long.valueOf(1L), "seen"), (null, "nullkey"),
+      (java.lang.Long.valueOf(7L), "new")).toDF("id", "tag")
+    val got = Dedup.bloomScreen(seen, col("k"), inc, col("id"))
+      .select("tag").as[String].collect().toSet
+    assert(got == Set("nullkey", "new"))
+  }
+
   test("salientTerms: hot/cold df split is result-identical at any cutoff") {
     // stopword-skew handling must not change results: a cutoff of 2 forces
     // "the"-like terms down the broadcast hot path, a huge cutoff sends
