@@ -476,6 +476,37 @@ object SparkEntry {
       TextAnalysis.chunk(Tables(s, d).documents, col("doc_id"), col("text"),
         chunkTokens = 32, stride = 24)),
 
+    "q72_crosscorpus_embedding" -> ((s, d) => {
+      // vector analogue of q71: near-dup JOIN between the base embedding
+      // corpus and a second corpus of perturbed copies (cosine ≈ 0.99997
+      // to their sources — same planted construction as q45, but as two
+      // DISJOINT corpora through the A×B banding). Seeded hyperplane
+      // kernels band both sides identically; miss < 1e-10 at this cosine
+      val em = Tables(s, d).embeddings
+      val base = em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = em.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
+      Similarity.cosineNearDupJoin(base, col("id"), col("v"),
+          planted, col("id"), col("v"),
+          dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q71_crosscorpus_neardup" -> ((s, d) => {
+      // dataset-overlap analysis: near-dup JOIN between two disjoint
+      // corpora (even-id vs odd-id docs) — the A×B banding form, not the
+      // q52 self-join; at 16 bands × 2 rows a true pair at jaccard 0.8
+      // misses with probability < 1e-7, so LSH+verify equals the
+      // brute-force cross-join oracle
+      val docs = Tables(s, d).documents
+      Dedup.minhashLshJoin(
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2,
+        threshold = 0.8)
+    }),
     "q70_bloom_screen" -> ((s, d) => {
       // ingestion gate: screen the full corpus against the already-
       // ingested two-thirds. The Bloom prefilter routes definite-new rows
@@ -982,6 +1013,33 @@ object SparkEntry {
       """SELECT a.doc_id, a.source FROM documents a
         |WHERE NOT EXISTS (SELECT 1 FROM documents b
         |                  WHERE b.doc_id = a.doc_id AND b.doc_id % 3 <> 0)""".stripMargin,
+    "q72_crosscorpus_embedding" ->
+      // brute-force cross ground truth over the same two planted corpora
+      // (q45's construction, split into disjoint sides; DuckDB lambda
+      // index is 1-based vs Spark's 0-based)
+      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id + 10000000 AS id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
+        |      FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT id_a, id_b FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS c
+        |  FROM a, b
+        |) WHERE c >= 0.95""".stripMargin,
+    "q71_crosscorpus_neardup" ->
+      // brute-force cross-corpus ground truth (same shingle construction
+      // as the q52/q55 oracles)
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |a AS (SELECT * FROM t WHERE doc_id % 2 = 0 AND len(sh) > 0),
+        |b AS (SELECT * FROM t WHERE doc_id % 2 = 1 AND len(sh) > 0)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |  FROM a, b
+        |) WHERE jaccard >= 0.8""".stripMargin,
     // q37_minhash_pairs / q38_simhash /
     // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records

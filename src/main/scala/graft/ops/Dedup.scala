@@ -103,6 +103,38 @@ object Dedup {
     minhashLsh(df, id, text, shingleN = n, numHashes = 32, bands = 16, rowsPerBand = 2,
       threshold = threshold)
 
+  /** Cross-CORPUS near-duplicate join: (id_a from `a`, id_b from `b`,
+    * jaccard) for every cross pair with exact n-gram Jaccard >= threshold —
+    * dataset-overlap analysis between two corpora (two crawl snapshots, a
+    * training set vs a candidate acquisition, two dedup shards). Distinct
+    * from [[minhashLsh]] (self-join within ONE corpus) and from
+    * [[Decontamination.containmentPairs]] (asymmetric score, small bench
+    * side): both sides are full corpora and the score is symmetric
+    * Jaccard. Scale shape is the same banding contract: each corpus is
+    * scanned once into (band, bucket, id) triples, the A×B candidate join
+    * exchanges triples only, and each side's shingle sets are re-derived
+    * for candidates only behind its own broadcast semi-filter — no
+    * corpus-wide payload shuffle on either side.
+    */
+  def minhashLshJoin(a: DataFrame, aId: Column, aText: Column,
+                     b: DataFrame, bId: Column, bText: Column,
+                     shingleN: Int = 3, numHashes: Int = 32,
+                     bands: Int = 8, rowsPerBand: Int = 4,
+                     threshold: Double = 0.5): DataFrame = {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    def banded(df: DataFrame, id: Column, text: Column) =
+      df.select(id.as("id"), shingles(text, shingleN).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("id"),
+          explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    Banding.verifyPairsAcross(
+      Banding.candidatePairsAcross(banded(a, aId, aText), banded(b, bId, bText)),
+      a.select(aId.as("id"), shingles(aText, shingleN).as("p")),
+      b.select(bId.as("id"), shingles(bText, shingleN).as("p")),
+      jaccard, "jaccard", threshold)
+  }
+
   /** Membership screen with a Bloom prefilter: return the `incoming` rows
     * whose (long) key is NOT in `seen` — the "which of these documents/
     * URLs have we already ingested" gate at the front of a corpus

@@ -92,16 +92,47 @@ object Similarity {
                          dim: Int, bands: Int = 8, rowsPerBand: Int = 16,
                          threshold: Double = 0.95): DataFrame = {
     val b0 = df.select(id.as("id"), vec.as("v"))
+    Banding.verifyPairs(
+      Banding.candidatePairs(hyperplaneBanded(b0, bands, rowsPerBand)),
+      b0.select(col("id"), col("v").as("p")),
+      cosine, "cos", threshold)
+  }
+
+  /** Cross-CORPUS embedding near-dup join: (id_a from `a`, id_b from `b`,
+    * cos) for cross pairs with exact cosine >= threshold — the vector
+    * analogue of [[Dedup.minhashLshJoin]] (align two embedding snapshots,
+    * match a new acquisition against a deduped corpus). The hyperplane
+    * kernels are seed-deterministic, so both corpora band identically and
+    * the same (1-p^r)^b miss bound applies to every cross pair; the A×B
+    * candidate exchange carries triples only, and each side's vectors are
+    * fetched for candidates behind its own broadcast semi-filter.
+    */
+  def cosineNearDupJoin(a: DataFrame, aId: Column, aVec: Column,
+                        b: DataFrame, bId: Column, bVec: Column,
+                        dim: Int, bands: Int = 8, rowsPerBand: Int = 16,
+                        threshold: Double = 0.95): DataFrame = {
+    val a0 = a.select(aId.as("id"), aVec.as("v"))
+    val b0 = b.select(bId.as("id"), bVec.as("v"))
+    Banding.verifyPairsAcross(
+      Banding.candidatePairsAcross(
+        hyperplaneBanded(a0, bands, rowsPerBand),
+        hyperplaneBanded(b0, bands, rowsPerBand)),
+      a0.select(col("id"), col("v").as("p")),
+      b0.select(col("id"), col("v").as("p")),
+      cosine, "cos", threshold)
+  }
+
+  /** (band, bucket, id) triples from `bands` independent hyperplane
+    * tables over an (id, v) frame — shared by the self-join and cross-join
+    * forms (seeded kernel ⇒ identical banding across frames).
+    */
+  private def hyperplaneBanded(b0: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { t =>
       struct(lit(t).as("band"),
         graft.functions.Kernels.hyperplane_signature(col("v"), rowsPerBand, seed = t).as("bucket"))
     }
-    val banded = b0.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    b0.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
-    Banding.verifyPairs(
-      Banding.candidatePairs(banded),
-      b0.select(col("id"), col("v").as("p")),
-      cosine, "cos", threshold)
   }
 
   /** IVF-style ANN: restrict each query's search to the `nProbe` nearest

@@ -78,6 +78,60 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.8)
   }
 
+  test("minhashLshJoin: cross-corpus pairs equal driver-side brute force") {
+    // two disjoint corpora from the real docs; cross near-dup join must
+    // equal the exact all-cross-pairs jaccard at the q52 recall banding
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val got = Dedup.minhashLshJoin(a, col("doc_id"), col("text"),
+        b, col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val av = a.select("doc_id", "text").as[(Long, String)].collect().map { case (i, t) => (i, sh(t)) }
+    val bv = b.select("doc_id", "text").as[(Long, String)].collect().map { case (i, t) => (i, sh(t)) }
+    val truth = (for {
+      (ia, sa) <- av; (ib, sb) <- bv
+      if sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(truth.nonEmpty, "vacuous: no cross pairs at sf0.001 θ=0.5")
+    assert(got == truth, s"cross join != brute force (got=${got.size}, truth=${truth.size})")
+    // and no same-parity (within-corpus) pair leaks into the cross join
+    assert(got.forall { case (ia, ib, _) => ia % 2 == 0 && ib % 2 == 1 })
+  }
+
+  test("cosineNearDupJoin: cross-corpus vector pairs equal brute force") {
+    val em = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val a = em.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // b: perturbed copy of every 10th vector (cosine ≈ 0.9999+) plus its id
+    val b = em.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 50000L).as("id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * (lit(1.0) + lit(0.005) * (i % 3 - 1).cast("double"))).as("v"))
+    val got = Similarity.cosineNearDupJoin(a, col("id"), col("v"), b, col("id"), col("v"),
+        dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val av = a.as[(Long, Array[Double])].collect()
+    val bv = b.as[(Long, Array[Double])].collect()
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      if (nx == 0 || ny == 0) 0.0 else d / math.sqrt(nx * ny)
+    }
+    val truth = (for {
+      (ia, xa) <- av; (ib, xb) <- bv if cos(xa, xb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty)
+    assert(got == truth, s"cross vector join != brute force (got=${got.size}, truth=${truth.size})")
+  }
+
   test("simhashPairs equals brute-force hamming pairs on a planted corpus") {
     // corpus: real docs + exact copies (hamming 0) + lightly-edited copies
     // (small hamming); banded candidates must equal the brute-force pair
