@@ -117,6 +117,25 @@ object DedupIndex {
       spark.read.parquet(s"$path/shingles").select(col("id"), col("sh").as("p")),
       Dedup.jaccard, "jaccard", threshold)
 
+  /** Cross-corpus near-dup pairs between TWO standing indexes — the
+    * [[Dedup.minhashLshJoin]] shape with zero text re-reads: candidates
+    * from an A×B join of the stored `bands/` triples, exact-Jaccard
+    * verify from each side's stored `shingles/`. Both indexes must have
+    * been built with the same banding scheme (same shingleN/numHashes/
+    * bands/rowsPerBand — the signature hashing is deterministic, so equal
+    * schemes band identically); mismatched schemes produce garbage
+    * buckets, not an error, so keep build params with the index paths.
+    */
+  def crossPairs(spark: SparkSession, pathA: String, pathB: String,
+                 threshold: Double = 0.5): DataFrame =
+    Banding.verifyPairsAcross(
+      Banding.candidatePairsAcross(
+        spark.read.parquet(s"$pathA/bands"),
+        spark.read.parquet(s"$pathB/bands")),
+      spark.read.parquet(s"$pathA/shingles").select(col("id"), col("sh").as("p")),
+      spark.read.parquet(s"$pathB/shingles").select(col("id"), col("sh").as("p")),
+      Dedup.jaccard, "jaccard", threshold)
+
   /** Screen a batch of new documents against the index: returns
     * (new_id, dup_id, jaccard) for every indexed document whose Jaccard
     * similarity with a new document is >= threshold. For continuous

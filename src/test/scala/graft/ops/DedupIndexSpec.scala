@@ -125,6 +125,27 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(g == f, s"grown index diverges from full rebuild (grown=${g.size}, full=${f.size})")
   }
 
+  test("crossPairs between two standing indexes equals the direct cross-corpus join") {
+    val docs = Tables(spark, sf).documents
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val dirA = Files.createTempDirectory("graft_dedup_xa").toString
+    val dirB = Files.createTempDirectory("graft_dedup_xb").toString
+    DedupIndex.build(a, col("doc_id"), col("text"), dirA,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    DedupIndex.build(b, col("doc_id"), col("text"), dirB,
+      shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+    val fromIndexes = DedupIndex.crossPairs(spark, dirA, dirB, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashLshJoin(a, col("doc_id"), col("text"),
+        b, col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndexes == direct,
+      s"index cross pairs diverge (index=${fromIndexes.size}, direct=${direct.size})")
+    assert(fromIndexes.nonEmpty, "vacuous: no cross pairs at sf0.001")
+  }
+
   test("compact: N appends then compact — identical pairs/check, file count bounded") {
     val docs = Tables(spark, sf).documents
     val dir = Files.createTempDirectory("graft_dedup_cmp").toString

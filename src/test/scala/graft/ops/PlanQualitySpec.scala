@@ -177,6 +177,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"hot/anti broadcasts missing — stopword tf rows would shuffle by term:\n$p")
   }
 
+  test("q71: cross-corpus candidate join exchanges triples only, both sides") {
+    // the A×B bucket join must carry (band, bucket, id) — neither corpus's
+    // shingle arrays enter the candidate exchange (same contract as q37's
+    // self-join, asserted per side here)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.SparkEntry.queries("q71_crosscorpus_neardup")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val bucketExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band") && l.contains("bucket"))
+        .toSeq
+      assert(bucketExchanges.size >= 2, s"expected two banded exchanges (one per corpus):\n$p")
+      assert(bucketExchanges.forall(!_.contains("sh#")),
+        s"shingles travel through the cross-candidate shuffle:\n${bucketExchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
