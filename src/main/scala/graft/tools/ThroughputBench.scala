@@ -191,6 +191,26 @@ object ThroughputBench {
       println(s"scenario9 rows ${if (a == b) "agree" else s"MISMATCH ($a vs $b)"}")
     }
 
+    // scenario 10: REAL PNG decode throughput — encode the corpus to
+    // parquet once (not timed), then measure the pure ImageIO
+    // decode+feature pass over the stored binary column, the shape of a
+    // production decode job over a media lake
+    if (enabled(10)) {
+      val nImgs = 200000L
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_tp").toString
+      graft.ops.Multimodal.syntheticPngMediaFor(
+          spark.range(nImgs).as[Long](org.apache.spark.sql.Encoders.scalaLong))
+        .write.mode("overwrite").parquet(dir)
+      val media = spark.read.parquet(dir)
+        .as[graft.ops.Multimodal.MediaRecord](
+          org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.MediaRecord])
+      val t0 = System.nanoTime()
+      val decoded = graft.ops.Multimodal.decodeImages(media, dim = 16).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario10 png-decode n=$nImgs: $s%.2f s -> ${decoded / s / 1e3}%.1f K img/s" +
+        (if (decoded == nImgs) " (all decoded)" else s" (MISMATCH: $decoded)"))
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
