@@ -144,6 +144,11 @@ final class JobWsServer(js: JobServer, port: Int = 0, intervalMs: Long = 1000) {
   // would otherwise push invalid JSON to every subscriber
   private def q(s: String): String = graft.core.JsonText.quote(s)
 
+  // JSON has no NaN/Infinity literal, and Spark reports NaN rates on
+  // zero-duration batches (common on the first micro-batch) — emit null
+  private def num(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
   private def metricsJson(id: String): String =
     js.listJobs().find(h => h.id.toString == id || h.name == id) match {
       case None => s"""{"error":"no such job"}"""
@@ -151,8 +156,8 @@ final class JobWsServer(js: JobServer, port: Int = 0, intervalMs: Long = 1000) {
         val base = s""""jobId":${q(h.id.toString)},"name":${q(h.name)},"status":${q(js.status(h.query))}"""
         js.metrics(h.query) match {
           case Some(m) =>
-            s"""{$base,"recordsPerSecond":${m.recordsPerSecond},""" +
-              s""""inputRowsPerSecond":${m.inputRowsPerSecond},""" +
+            s"""{$base,"recordsPerSecond":${num(m.recordsPerSecond)},""" +
+              s""""inputRowsPerSecond":${num(m.inputRowsPerSecond)},""" +
               s""""batchDurationMs":${m.batchDurationMs},""" +
               s""""numInputRows":${m.numInputRows},"stateRows":${m.stateRows}}"""
           case None => s"""{$base}"""

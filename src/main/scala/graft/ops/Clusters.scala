@@ -38,18 +38,22 @@ object Clusters {
     // lineage. A reliable dir trades per-round write cost for
     // fault-tolerant long-running clustering jobs.
     val spark = pairs.sparkSession
+    // NOTE: setCheckpointDir is SparkContext-GLOBAL — concurrent callers
+    // that also use reliable checkpoints share whichever dir was set last.
+    // Checkpoint files accumulate one set per iteration; enable
+    // spark.cleaner.referenceTracking.cleanCheckpoints (or clean the dir
+    // after the job) for long-running incremental pipelines.
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    val edges = pin(pairs.select(idA.as("src"), idB.as("dst"))
-      .union(pairs.select(idB.as("src"), idA.as("dst")))
-      .distinct())
     // the checksum convergence test is exact ONLY for integral labels:
     // a DECIMAL(38,0) cast silently rounds fractional ids (two opposite
     // roundings leave the sum unchanged -> premature "convergence" ->
-    // split clusters) and string ids don't sum at all
-    edges.schema.fields.foreach { f =>
+    // split clusters) and string ids don't sum at all. Validate BEFORE
+    // the first pin — checkpoints are eager, so a post-pin guard would
+    // execute a full corpus-scale edge job just to throw
+    pairs.select(idA.as("src"), idB.as("dst")).schema.fields.foreach { f =>
       require(f.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
@@ -57,6 +61,10 @@ object Clusters {
         s"got ${f.name}: ${f.dataType.simpleString} — map ids to dense longs first " +
         "(the label-sum convergence checksum is only exact for integers)")
     }
+
+    val edges = pin(pairs.select(idA.as("src"), idB.as("dst"))
+      .union(pairs.select(idB.as("src"), idA.as("dst")))
+      .distinct())
 
     var labels = pin(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))

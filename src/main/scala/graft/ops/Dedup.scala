@@ -155,6 +155,19 @@ object Dedup {
   def bloomScreen(seen: DataFrame, seenKey: Column,
                   incoming: DataFrame, inKey: Column,
                   expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    // guard BEFORE any job: a string key would cast(long) to null on every
+    // row (non-ANSI), silently screening 100% of incoming — duplicates
+    // included — as "definitely new"; hash non-numeric keys to longs
+    // (xxhash64) upstream instead
+    for ((df, key, side) <- Seq((seen, seenKey, "seen"), (incoming, inKey, "incoming"))) {
+      val dt = df.select(key).schema.head.dataType
+      require(dt match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"bloomScreen $side key must be integral (byte/short/int/long), got " +
+        s"${dt.simpleString} — hash non-numeric keys to longs (e.g. xxhash64) first")
+    }
     val keyed = seen.select(seenKey.cast("long").as("__seen_k"))
     val n = if (expectedItems > 0) expectedItems else keyed.count()
     val bf = keyed.stat.bloomFilter(col("__seen_k"), math.max(n, 1L), fpp)

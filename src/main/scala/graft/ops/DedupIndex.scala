@@ -84,16 +84,7 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$tmp/shingles")
     spark.read.parquet(s"$path/bands").coalesce(filesPerTable)
       .write.mode("overwrite").parquet(s"$tmp/bands")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    val fs = dst.getFileSystem(conf)
-    fs.delete(old, true) // clear any leftover from a prior crashed swap
-    require(fs.rename(dst, old), s"compact swap failed: rename $path -> $path.old")
-    require(fs.rename(src, dst), s"compact swap failed: rename $tmp -> $path " +
-      s"(previous index preserved at $path.old)")
-    fs.delete(old, true)
+    IvfIndex.swapDirs(spark, path, tmp)
   }
 
   private def bandsOf(sh: DataFrame, numHashes: Int,

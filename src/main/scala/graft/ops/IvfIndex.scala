@@ -119,9 +119,11 @@ object IvfIndex {
 
   /** Crash-safe directory swap: old → `<path>.old`, new → `<path>`, drop
     * the old copy — at every step either the old or the new index is
-    * addressable (at `<path>` or `<path>.old`), never neither.
+    * addressable (at `<path>` or `<path>.old`), never neither. Shared
+    * with [[DedupIndex.compact]] — the swap's crash-safety invariant
+    * lives in exactly one place.
     */
-  private def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
+  private[ops] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)

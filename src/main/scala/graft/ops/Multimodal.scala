@@ -199,8 +199,12 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         val img =
+          // NonFatal, not just IOException: the JDK readers throw
+          // RuntimeExceptions on corrupt input (AIOOBE from truncated GIF
+          // LZW data, "New BMP version not implemented", …) and one bad
+          // file in a 100 TB corpus must not kill the scan
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val w = img.getWidth
@@ -316,9 +320,10 @@ object Multimodal {
           else Some(AudioFeatures(r.media_id, n.toLong,
             sumAbs.toDouble / n, sumSq.toDouble / n, emb))
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
-          case _: IllegalArgumentException => None
+          // same contract as decodeImages: any per-row decode failure
+          // (unsupported container, truncated header, runtime exception
+          // from the parser) skips the row, never the scan
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }

@@ -72,7 +72,11 @@ class ExtensionsSpec extends AnyFunSuite {
     val words = docs.select(explode(Stateless.tokens(col("text"))).as("word"))
     val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)].collect().toMap
-    assert(exact.size < 10000, "vocab must fit the sketch for the exactness claim")
+    // the bound is the FETCH size (50), not just sketch capacity (10000):
+    // with 50 < vocab <= 10000 the sketch is still exact but returns an
+    // engine-internal subset at a tied 50th place, and q64's deterministic
+    // re-rank (and its DuckDB oracle) would no longer be well-defined
+    assert(exact.size <= 50, s"vocab ${exact.size} must fit the q64 fetch size for the oracle claim")
     val approx = graft.SparkEntry.queries("q64_approx_top_tokens")(spark, sf)
       .as[(String, Long, Long)].collect()
     assert(approx.length == 10)

@@ -106,6 +106,58 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall { case (ia, ib, _) => ia % 2 == 0 && ib % 2 == 1 })
   }
 
+  test("minhashLshJoin property: random corpora — exact precision, exact recall above margin") {
+    // randomized sweep against a driver-side brute-force oracle. Two-sided
+    // soundness: (1) every reported pair is a true pair with the exact
+    // jaccard (the verify step is deterministic, so precision is exact at
+    // ANY score); (2) every pair at jaccard >= 0.9 is found (banding miss
+    // at 16 bands x 2 rows is (1-j^2)^16 < 3e-12 there — pairs between
+    // 0.5 and 0.9 may legitimately miss with small probability, which is
+    // the documented LSH contract, so the recall assert keeps the margin)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sh3(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val cases = (1 to 4).flatMap { i =>
+      val g = for {
+        na <- Gen.choose(15, 40)
+        nb <- Gen.choose(15, 40)
+        vocab <- Gen.choose(5, 10) // tiny vocab -> organic cross collisions
+        mkDoc = Gen.choose(8, 20).flatMap(l =>
+          Gen.listOfN(l, Gen.choose(0, vocab)).map(_.map(w => s"w$w").mkString(" ")))
+        aDocs <- Gen.listOfN(na, mkDoc)
+        bInd <- Gen.listOfN(nb, mkDoc)
+      } yield (aDocs, bInd)
+      g.apply(Gen.Parameters.default, Seed(7000 + i))
+    }
+    assert(cases.nonEmpty)
+    for ((aDocs, bInd) <- cases) {
+      val bDocs = bInd ++ aDocs.take(5).map(_ + " w0") // planted near-copies
+      val a = aDocs.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("id", "t")
+      val b = bDocs.zipWithIndex.map { case (t, j) => (1000L + j, t) }.toDF("id", "t")
+      val got = Dedup.minhashLshJoin(a, col("id"), col("t"), b, col("id"), col("t"),
+          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      val av = aDocs.zipWithIndex.map { case (t, j) => (j.toLong, sh3(t)) }
+      val bv = bDocs.zipWithIndex.map { case (t, j) => (1000L + j, sh3(t)) }
+      val truth = (for {
+        (ia, sa) <- av; (ib, sb) <- bv
+        if sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= 0.5
+      } yield ((ia, ib), j)).toMap
+      got.foreach { case (ia, ib, j) =>
+        assert(truth.get((ia, ib)).contains(j), s"false or mis-scored pair ($ia,$ib,$j)")
+      }
+      val gotSet = got.map(p => (p._1, p._2)).toSet
+      truth.filter(_._2 >= 0.9).keys.foreach { k =>
+        assert(gotSet.contains(k), s"missed high-jaccard pair $k")
+      }
+    }
+  }
+
   test("cosineNearDupJoin: cross-corpus vector pairs equal brute force") {
     val em = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val a = em.select(col("vec_id").as("id"),

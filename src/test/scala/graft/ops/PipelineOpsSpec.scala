@@ -313,6 +313,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.bloomScreen(seen, col("k"), disjoint, col("id")).count() == 100)
   }
 
+  test("bloomScreen: non-integral keys rejected (would silently admit all duplicates)") {
+    // a string key would cast(long) to null per row and screen EVERYTHING
+    // as new — the guard must fail fast instead
+    val seen = Seq("a", "b").toDF("k")
+    val inc = Seq("a", "c").toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomScreen(seen, col("k"), inc, col("id"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("bloomScreen: null keys screen as new") {
     val seen = Seq(1L, 2L).toDF("k")
     val inc = Seq[(java.lang.Long, String)](
