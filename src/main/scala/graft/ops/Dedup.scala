@@ -155,22 +155,58 @@ object Dedup {
   def bloomScreen(seen: DataFrame, seenKey: Column,
                   incoming: DataFrame, inKey: Column,
                   expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    // guard BEFORE any job: a string key would cast(long) to null on every
-    // row (non-ANSI), silently screening 100% of incoming — duplicates
-    // included — as "definitely new"; hash non-numeric keys to longs
-    // (xxhash64) upstream instead
-    for ((df, key, side) <- Seq((seen, seenKey, "seen"), (incoming, inKey, "incoming"))) {
-      val dt = df.select(key).schema.head.dataType
-      require(dt match {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }, s"bloomScreen $side key must be integral (byte/short/int/long), got " +
-        s"${dt.simpleString} — hash non-numeric keys to longs (e.g. xxhash64) first")
-    }
+    requireIntegralKey(seen, seenKey, "seen")
+    requireIntegralKey(incoming, inKey, "incoming")
     val keyed = seen.select(seenKey.cast("long").as("__seen_k"))
     val n = if (expectedItems > 0) expectedItems else keyed.count()
     val bf = keyed.stat.bloomFilter(col("__seen_k"), math.max(n, 1L), fpp)
+    screenWith(bf, keyed, incoming, inKey)
+  }
+
+  /** Continuous-ingestion form of [[bloomScreen]]: the filter is built
+    * ONCE over the seen-set, then every micro-batch of `stream` is
+    * screened against it (prefilter + exact anti join, same no-false-
+    * negative contract) and the surviving new rows go to `onBatch`.
+    * foreachBatch because the screen is a batch composition (the Bloom
+    * probe + anti join) — and the one-time filter build must not re-run
+    * per batch. The seen-set is FROZEN at start: rows admitted during the
+    * stream are not added to the filter (screen-then-admit pipelines
+    * rebuild the filter on their ingestion cadence, like
+    * [[DedupIndex.append]]/`screenStream`).
+    */
+  def bloomScreenStream(seen: DataFrame, seenKey: Column,
+                        stream: DataFrame, inKey: Column,
+                        expectedItems: Long = 0L, fpp: Double = 0.01)
+                       (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireIntegralKey(seen, seenKey, "seen")
+    requireIntegralKey(stream, inKey, "stream")
+    val keyed = seen.select(seenKey.cast("long").as("__seen_k"))
+    val n = if (expectedItems > 0) expectedItems else keyed.count()
+    val bf = keyed.stat.bloomFilter(col("__seen_k"), math.max(n, 1L), fpp)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(screenWith(bf, keyed, batch, inKey))
+      }
+      .start()
+  }
+
+  // guard BEFORE any job: a string key would cast(long) to null on every
+  // row (non-ANSI), silently screening 100% of incoming — duplicates
+  // included — as "definitely new"; hash non-numeric keys to longs
+  // (xxhash64) upstream instead
+  private def requireIntegralKey(df: DataFrame, key: Column, side: String): Unit = {
+    val dt = df.select(key).schema.head.dataType
+    require(dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"bloomScreen $side key must be integral (byte/short/int/long), got " +
+      s"${dt.simpleString} — hash non-numeric keys to longs (e.g. xxhash64) first")
+  }
+
+  private def screenWith(bf: org.apache.spark.util.sketch.BloomFilter,
+                         keyed: DataFrame, incoming: DataFrame,
+                         inKey: Column): DataFrame = {
     val might = udf((k: Long) => bf.mightContainLong(k))
     val flagged = incoming.withColumn("__maybe",
       coalesce(might(inKey.cast("long")), lit(false)))

@@ -324,6 +324,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("bloomScreenStream: micro-batches screened against a frozen seen-set") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val seen = (0L until 1000L by 2L).map(Tuple1(_)).toDF("k") // evens
+    val in = MemoryStream[Long]
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Dedup.bloomScreenStream(seen, col("k"), in.toDF().toDF("id"), col("id")) {
+      batch => batch.select("id").as[Long].collect().foreach(admitted.add)
+    }
+    try {
+      in.addData(1L, 2L, 3L, 4L) // odds new, evens seen
+      q.processAllAvailable()
+      in.addData(5L, 6L, 2000L)  // 2000 outside the seen range -> new
+      q.processAllAvailable()
+      val got = admitted.toArray.map(_.asInstanceOf[Long]).toSet
+      assert(got == Set(1L, 3L, 5L, 2000L), s"got $got")
+    } finally q.stop()
+  }
+
   test("bloomScreen: null keys screen as new") {
     val seen = Seq(1L, 2L).toDF("k")
     val inc = Seq[(java.lang.Long, String)](
