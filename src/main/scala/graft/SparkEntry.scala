@@ -486,6 +486,16 @@ object SparkEntry {
       TextAnalysis.chunk(Tables(s, d).documents, col("doc_id"), col("text"),
         chunkTokens = 32, stride = 24)),
 
+    "q73_token_budget" -> ((s, d) =>
+      // token-budget mixture selection: per source, admit docs in md5
+      // order until the source's token budget fills (budgets sized to
+      // truncate every source at sf0.01 — ~27.5k corpus tokens total)
+      Sampling.tokenBudgetSample(Tables(s, d).documents,
+          col("doc_id"), col("source"), TextAnalysis.tokenCount(col("text")),
+          Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L),
+          defaultBudget = 500L)
+        .select(col("key").as("doc_id"), col("dom").as("source"),
+          col("n_tok"), col("prefix_excl"))),
     "q72_crosscorpus_embedding" -> ((s, d) => {
       // vector analogue of q71: near-dup JOIN between the base embedding
       // corpus and a second corpus of perturbed copies (cosine ≈ 0.99997
@@ -1023,6 +1033,20 @@ object SparkEntry {
       """SELECT a.doc_id, a.source FROM documents a
         |WHERE NOT EXISTS (SELECT 1 FROM documents b
         |                  WHERE b.doc_id = a.doc_id AND b.doc_id % 3 <> 0)""".stripMargin,
+    "q73_token_budget" ->
+      // same deterministic order (md5 of the key string) and exclusive
+      // running sum per domain; DuckDB's window computes the naive form
+      // the distributed two-phase prefix sum must equal exactly
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY h ROWS UNBOUNDED PRECEDING) - n_tok AS prefix_excl
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, prefix_excl FROM c
+        |WHERE prefix_excl < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
+        |                                WHEN 'src2' THEN 1000 ELSE 500 END""".stripMargin,
     "q72_crosscorpus_embedding" ->
       // brute-force cross ground truth over the same two planted corpora
       // (q45's construction, split into disjoint sides; DuckDB lambda

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Deterministic sampling/splitting for training-data pipelines
   * (north-star extension).
@@ -73,4 +75,92 @@ object Sampling {
       .select(col("dom"), posexplode(col("take")).as(Seq("pos", "s")))
       .select(col("dom"), col("s").getField("k").as("key"),
         (col("pos") + 1).cast("long").as("rk"))
+
+  /** TOKEN-budget mixture: keep documents per domain, in deterministic
+    * md5(key) order, until the domain's running token total reaches its
+    * budget — the "2T tokens: 60% web, 20% code, …" selection step of
+    * training-mixture construction. [[mixtureSample]] fixes per-domain
+    * FRACTIONS of documents; [[stratifiedTake]] fixes document COUNTS;
+    * this fixes token TOTALS, which is what mixture specs are written in.
+    * A document is kept iff the EXCLUSIVE prefix of its domain's token
+    * counts (in hash order) is below the budget — the first document of a
+    * domain always admits, and the selected total overshoots the budget
+    * by at most that domain's last admitted document.
+    *
+    * Scale shape: the naive form is a window over
+    * `(PARTITION BY domain ORDER BY hash)` — ONE partition per domain,
+    * pathological when one domain is most of a 100 TB corpus. Here the
+    * per-domain prefix sum is distributed like [[Packing.packSequences]]:
+    * pin the slim (key, dom, n_tok, hash) projection (range sampling must
+    * not re-run the token-count kernel — same fix as packing's), range-
+    * repartition by (dom, hash) so each domain spans contiguous
+    * partitions, compute per-(partition, domain) running sums in one
+    * narrow `mapPartitionsWithIndex` pass, and put ONLY the
+    * per-(partition, domain) totals (#partitions × #domains rows) through
+    * the per-domain offset window. The data shuffles once.
+    *
+    * `key` must be unique and non-null (it defines the deterministic
+    * order); a null domain falls to `defaultBudget`. Returns
+    * (key, dom, n_tok, prefix_excl) for kept rows; semi-join on key to
+    * recover full rows.
+    */
+  def tokenBudgetSample(df: DataFrame, key: Column, domain: Column,
+                        tokenCount: Column, budgets: Map[String, Long],
+                        defaultBudget: Long = Long.MaxValue,
+                        numPartitions: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val slim = df
+      .select(key.as("k"), domain.cast("string").as("dom"),
+        coalesce(tokenCount.cast("long"), lit(0L)).as("n_tok"),
+        md5(key.cast("string")).as("h"))
+      .localCheckpoint()
+    val ranged = slim
+      .repartitionByRange(parts, col("dom"), col("h"))
+      .sortWithinPartitions(col("dom"), col("h"))
+
+    // structural partition id (mapPartitionsWithIndex), NOT TaskContext —
+    // a downstream coalesce would collapse the task-scoped id to 0 and
+    // zero every offset (the q59 lesson, PipelineOpsSpec regression shape)
+    val outSchema = StructType(ranged.schema.fields ++ Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("local_cum", LongType, nullable = false)))
+    val withPid = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cums = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { r =>
+        val dom = r.getString(1)
+        val c = cums.getOrElse(dom, 0L) + r.getLong(2)
+        cums(dom) = c
+        Row(r.get(0), dom, r.getLong(2), r.getString(3), pid, c)
+      }
+    }
+    val local = spark.createDataFrame(withPid, outSchema)
+
+    // per-(partition, domain) totals -> per-domain exclusive offsets; the
+    // window runs over #partitions × #domains rows, never the data
+    val offsets = local.groupBy(col("pid"), col("dom"))
+      .agg(max(col("local_cum")).as("tot"))
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(
+          Window.partitionBy(col("dom")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("dom"), col("offset"))
+
+    // null-safe (<=>) on dom: a null domain must still meet its offsets
+    // (plain = would drop every null-domain row at this join)
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (d0, b)) => when(col("l.dom") === d0, lit(b)).otherwise(acc)
+    }
+    local.as("l").join(broadcast(offsets.as("o")),
+        col("l.pid") === col("o.pid") && col("l.dom") <=> col("o.dom"))
+      .withColumn("prefix_excl", col("o.offset") + col("l.local_cum") - col("l.n_tok"))
+      .where(col("prefix_excl") < budgetCol)
+      .select(col("l.k").as("key"), col("l.dom").as("dom"),
+        col("l.n_tok").as("n_tok"), col("prefix_excl"))
+  }
 }

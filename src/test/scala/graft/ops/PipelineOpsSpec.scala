@@ -282,6 +282,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("tokenBudgetSample: equals the naive per-domain hash-order prefix selection") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    // random-ish token counts and a skewed domain distribution, several
+    // partitionings — the distributed two-phase prefix must equal the
+    // naive driver-side computation exactly
+    val rows = (0L until 400L).map { i =>
+      val dom = if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "small"
+      (i, dom, (i * 37 % 90 + 5))
+    }
+    val budgets = Map("big" -> 2000L, "mid" -> 700L)
+    def naive: Set[(Long, String, Long, Long)] = {
+      rows.groupBy(_._2).flatMap { case (dom, ds) =>
+        val budget = budgets.getOrElse(dom, 300L)
+        var cum = 0L
+        ds.sortBy(r => md5hex(r._1.toString)).flatMap { case (id, d0, n) =>
+          val keep = cum < budget
+          val out = if (keep) Some((id, d0, n.toLong, cum)) else None
+          cum += n
+          out
+        }
+      }.toSet
+    }
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Sampling.tokenBudgetSample(
+          rows.toDF("id", "dom", "n"), col("id"), col("dom"), col("n"),
+          budgets, defaultBudget = 300L, numPartitions = parts)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == naive, s"parts=$parts: got=${got.size}, naive=${naive.size}")
+    }
+    // overshoot bound: per domain, total minus budget < last admitted doc
+    val byDom = naive.groupBy(_._2)
+    for ((dom, sel) <- byDom) {
+      val budget = budgets.getOrElse(dom, 300L)
+      val total = sel.map(_._3).sum
+      assert(total - budget < sel.map(_._3).max,
+        s"$dom overshoots by more than one doc: total=$total budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSample: survives a downstream coalesce(1); null domain uses default budget") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, null.asInstanceOf[String], 10L),
+      (4L, "b", 10L)).toDF("id", "dom", "n")
+    val got = Sampling.tokenBudgetSample(df, col("id"), col("dom"), col("n"),
+        Map("a" -> 15L), defaultBudget = 25L, numPartitions = 4)
+      .coalesce(1)
+      .select("key", "dom").as[(Long, Option[String])].collect().toSet
+    // domain a: budget 15 admits the first two? prefix_excl 0 and 10 both < 15
+    // -> both admitted; null-domain and b fall to default 25 -> admitted
+    assert(got == Set((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b"))),
+      s"got $got")
+  }
+
   test("stratifiedTake: exactly n per domain, deterministic, hash-ordered") {
     val df = (0L until 500L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
     val a = Sampling.stratifiedTake(df, col("id"), col("dom"), 7)
