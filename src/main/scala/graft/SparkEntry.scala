@@ -496,6 +496,17 @@ object SparkEntry {
           defaultBudget = 500L)
         .select(col("key").as("doc_id"), col("dom").as("source"),
           col("n_tok"), col("prefix_excl"))),
+    "q74_dup_spans" -> ((s, d) =>
+      // substring-level dedup detection: maximal token spans shared by
+      // >= 2 distinct documents (8-gram fingerprints, merged hits)
+      SpanDedup.duplicateSpans(Tables(s, d).documents,
+        col("doc_id"), col("text"), n = 8)),
+    "q75_span_scrub" -> ((s, d) =>
+      // keep-first substring scrub: every duplicated 8-gram occurrence
+      // except the corpus-wide first is removed; text rebuilt outside the
+      // merged removal spans
+      SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
+        col("doc_id"), col("text"), n = 8)),
     "q72_crosscorpus_embedding" -> ((s, d) => {
       // vector analogue of q71: near-dup JOIN between the base embedding
       // corpus and a second corpus of perturbed copies (cosine ≈ 0.99997
@@ -1047,6 +1058,60 @@ object SparkEntry {
         |SELECT doc_id, source, n_tok, prefix_excl FROM c
         |WHERE prefix_excl < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
         |                                WHEN 'src2' THEN 1000 ELSE 500 END""".stripMargin,
+    "q74_dup_spans" ->
+      // full replay of the substring-dedup detection: 8-gram md5
+      // fingerprints, duplicated = in >= 2 distinct docs, overlapping hits
+      // merged by the same lag/running-sum chain (DuckDB list slices are
+      // 1-based end-inclusive; positions stay 0-based like Spark's)
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
+        |      FROM h),
+        |m AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM b)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       max(pos) + 8 - min(pos) AS n_span_tokens
+        |FROM m GROUP BY doc_id, grp""".stripMargin,
+    "q75_span_scrub" ->
+      // keep-first scrub replay: canonical occurrence = lexicographic min
+      // (doc_id, pos) per duplicated gram (two-step min here — min doc,
+      // then min pos within it — equals Spark's one-pass struct min);
+      // removal spans merge as in q74 and the text is rebuilt from the
+      // token positions outside them
+      """WITH t AS (SELECT doc_id,
+        |             coalesce(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), []) AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
+        |dup AS (SELECT gram, min(doc_id) AS kid FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT g.gram, dup.kid, min(g.pos) AS kpos
+        |      FROM g JOIN dup ON g.gram = dup.gram AND g.doc_id = dup.kid
+        |      GROUP BY g.gram, dup.kid),
+        |rem AS (SELECT g.doc_id, g.pos FROM g JOIN k ON g.gram = k.gram
+        |        WHERE NOT (g.doc_id = k.kid AND g.pos = k.kpos)),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
+        |      FROM rem),
+        |m AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM b),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM m GROUP BY doc_id, grp),
+        |rm AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id),
+        |p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+        |kept AS (SELECT p.doc_id, p.i, p.toks[p.i + 1] AS tok FROM p
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                           WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS scrubbed FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       coalesce(rm.n_removed, 0) AS n_removed,
+        |       coalesce(agg.scrubbed, '') AS scrubbed_text
+        |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q72_crosscorpus_embedding" ->
       // brute-force cross ground truth over the same two planted corpora
       // (q45's construction, split into disjoint sides; DuckDB lambda
