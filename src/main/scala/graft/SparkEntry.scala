@@ -507,6 +507,23 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q76_pq_topk" -> ((s, d) => {
+      // product-quantization ANN: corpus encoded to 8 sub-codes against a
+      // 16-codeword deterministic codebook, queries (vec_id < 10) rank by
+      // ADC squared-L2; the oracle replays codebook, encode, and ADC
+      val em = Tables(s, d).embeddings
+      Similarity.pqTopK(em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, m = 8, ksub = 16)
+    }),
+    "q77_ivfpq_topk" -> ((s, d) => {
+      // FAISS-style IVF-PQ composition: coarse cosine cells restrict each
+      // query to 4 probed cells; candidates rank by PQ ADC within them
+      val em = Tables(s, d).embeddings
+      Similarity.ivfPqTopK(em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, nCells = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
     "q72_crosscorpus_embedding" -> ((s, d) => {
       // vector analogue of q71: near-dup JOIN between the base embedding
       // corpus and a second corpus of perturbed copies (cosine ≈ 0.99997
@@ -1112,6 +1129,103 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q76_pq_topk" ->
+      // full PQ replay: deterministic 16-row codebook (same md5-order
+      // sample as q42), per-subspace argmin encode (squared L2, ties to
+      // the lowest codeword), ADC = sum over subspaces of ||subq -
+      // codeword||^2 — every float fold is left-to-right in both engines
+      // so ranks compare exactly; only (query_id, cand_id, rk) is output
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
+        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
+        |), cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM sampled
+        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
+        |enc AS (
+        |  SELECT cand_id, list(code ORDER BY m) AS codes FROM (
+        |    SELECT cand_id, m, cell AS code FROM (
+        |      SELECT e.vec_id AS cand_id, mm.m, c.cell,
+        |        row_number() OVER (PARTITION BY e.vec_id, mm.m
+        |          ORDER BY list_sum(list_transform(range(8), j ->
+        |            (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1])
+        |            * (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1]))) ASC,
+        |          c.cell ASC) AS rk
+        |      FROM embeddings e
+        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
+        |      CROSS JOIN cent c)
+        |    WHERE rk = 1)
+        |  GROUP BY cand_id
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.cand_id,
+        |    list_sum(list_transform(range(8), m ->
+        |      list_sum(list_transform(range(8), j ->
+        |        (CAST(q.embedding[m*8+j+1] AS DOUBLE) - cb.cents[e.codes[m+1]+1][m*8+j+1])
+        |        * (CAST(q.embedding[m*8+j+1] AS DOUBLE) - cb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
+        |  FROM enc e CROSS JOIN cb
+        |  CROSS JOIN embeddings q
+        |  WHERE q.vec_id < 10 AND q.vec_id <> e.cand_id
+        |)
+        |SELECT query_id, cand_id, rk FROM (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q77_ivfpq_topk" ->
+      // q42's coarse IVF replay (cosine cells + probes) composed with
+      // q76's PQ replay (encode + ADC); nCells = ksub = 16 so the one
+      // deterministic sample serves both roles, exactly as the Spark side
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
+        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
+        |), cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM sampled
+        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
+        |assigned AS (
+        |  SELECT cell, cand_id FROM (
+        |    SELECT c.cell, e.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c
+        |  ) WHERE rk = 1
+        |), enc AS (
+        |  SELECT cand_id, list(code ORDER BY m) AS codes FROM (
+        |    SELECT cand_id, m, cell AS code FROM (
+        |      SELECT e.vec_id AS cand_id, mm.m, c.cell,
+        |        row_number() OVER (PARTITION BY e.vec_id, mm.m
+        |          ORDER BY list_sum(list_transform(range(8), j ->
+        |            (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1])
+        |            * (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1]))) ASC,
+        |          c.cell ASC) AS rk
+        |      FROM embeddings e
+        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
+        |      CROSS JOIN cent c)
+        |    WHERE rk = 1)
+        |  GROUP BY cand_id
+        |), probes AS (
+        |  SELECT cell, query_id, qv FROM (
+        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+        |  ) WHERE rk <= 4
+        |), scored AS (
+        |  SELECT p.query_id, a.cand_id,
+        |    list_sum(list_transform(range(8), m ->
+        |      list_sum(list_transform(range(8), j ->
+        |        (p.qv[m*8+j+1] - cb.cents[e.codes[m+1]+1][m*8+j+1])
+        |        * (p.qv[m*8+j+1] - cb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  JOIN enc e ON e.cand_id = a.cand_id
+        |  CROSS JOIN cb
+        |  WHERE p.query_id <> a.cand_id
+        |)
+        |SELECT query_id, cand_id, rk FROM (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q72_crosscorpus_embedding" ->
       // brute-force cross ground truth over the same two planted corpora
       // (q45's construction, split into disjoint sides; DuckDB lambda

@@ -211,6 +211,112 @@ object Similarity {
 
   private[ops] def rankScored(scored: DataFrame, k: Int): DataFrame = rankTopK(scored, k)
 
+  /** Squared L2 distance between two equal-length numeric arrays, in
+    * Double, folded in index order (engine-exact, like [[dot]]).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+      (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization encode (Jégou et al. '11, à la FAISS PQ): the
+    * vector splits into `m` contiguous subspaces of dim/m components; each
+    * subspace is assigned the id of its nearest codeword (squared-L2,
+    * ties to the lowest codeword id). The codebook is the same
+    * deterministic engine-portable sample as the IVF centroids
+    * ([[centroidArray]]) — `ksub` corpus rows by smallest (md5(id), id),
+    * each contributing its m subvectors as the per-subspace codewords.
+    * Encoding is a narrow map against the ONE broadcast codebook row: the
+    * corpus is never shuffled, and the output carries m small ints per
+    * vector instead of the vector — the ~32× memory compression PQ exists
+    * for (8 codes vs 64 floats at the default geometry).
+    */
+  private[ops] def pqCodes(withVec: DataFrame, vecCol: String, centArr: DataFrame,
+                           m: Int, dsub: Int): DataFrame =
+    withVec.crossJoin(broadcast(centArr))
+      .withColumn("codes",
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          array_min(transform(col("cents"), cc =>
+            struct(l2sq(slice(col(vecCol), mm * dsub + 1, lit(dsub)),
+              slice(cc.getField("centroid"), mm * dsub + 1, lit(dsub))).as("d"),
+              cc.getField("cell").as("c")))).getField("c")))
+      .drop("cents")
+
+  /** ADC (asymmetric distance computation) score: sum over subspaces of
+    * the squared L2 between the query's subvector and the candidate's
+    * ASSIGNED codeword subvector — the query stays exact, the candidate is
+    * its quantized reconstruction. `cents` must be the broadcast codebook
+    * row; fold order is fixed (subspace 0..m-1, components in index order)
+    * so the score is engine-exact.
+    */
+  private def adcDist(qv: Column, codes: Column, cents: Column,
+                      m: Int, dsub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) =>
+      acc + l2sq(slice(qv, mm * dsub + 1, lit(dsub)),
+        slice(element_at(array_sort(cents), element_at(codes, mm + 1) + 1)
+          .getField("centroid"), mm * dsub + 1, lit(dsub))))
+
+  /** Exhaustive PQ top-k: every corpus vector is PQ-encoded once, queries
+    * rank candidates by ADC distance (asc, ties by cand_id). This is the
+    * memory-compressed brute force — at 100 TB the scored scan reads m
+    * bytes of codes per candidate instead of the full vector, the query
+    * set and codebook are broadcast (no corpus shuffle), and the ranking
+    * exchange is k-bounded ([[rankTopK]]).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             queryId: Column, queryVec: Column,
+             corpusId: Column, corpusVec: Column,
+             k: Int, dim: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val c = corpus.select(corpusId.as("cand_id"),
+      transform(corpusVec, x => x.cast("double")).as("cv"))
+    val centArr = centroidArray(c, ksub)
+    val enc = pqCodes(c, "cv", centArr, m, dsub).select(col("cand_id"), col("codes"))
+    val q = queries.select(queryId.as("query_id"),
+      transform(queryVec, x => x.cast("double")).as("qv"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("cand_id"),
+        adcDist(col("qv"), col("codes"), col("cents"), m, dsub).as("adist"))
+    rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
+  }
+
+  /** IVF-PQ top-k (the FAISS IVFPQ composition, without residual
+    * refinement): the IVF coarse structure restricts each query to its
+    * nProbe nearest cells, and within the probed cells candidates are
+    * ranked by PQ ADC distance instead of exact vector math. Scale story
+    * compounds both halves: ~nProbe/nCells of the corpus considered per
+    * query batch, and each considered candidate costs m code-lookups
+    * rather than a dim-component scan. Coarse cells and the PQ codebook
+    * share the deterministic md5-order sample; cell assignment stays
+    * cosine (matching [[ivfTopK]]'s geometry) while ADC is squared-L2
+    * (matching [[pqTopK]]).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: Column, queryVec: Column,
+                corpusId: Column, corpusVec: Column,
+                k: Int, dim: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val c = corpus.select(corpusId.as("cand_id"),
+      transform(corpusVec, x => x.cast("double")).as("cv"))
+    val coarse = centroidArray(c, nCells)
+    val book = centroidArray(c, ksub)
+    val assigned = assignCells(c, coarse)
+    val enc = pqCodes(assigned, "cv", book, m, dsub)
+      .select(col("cell"), col("cand_id"), col("codes"))
+    val q = queries.select(queryId.as("query_id"),
+      transform(queryVec, x => x.cast("double")).as("qv"))
+    val probes = probeCells(q, coarse, nProbe)
+    val scored = enc.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(book))
+      .select(col("query_id"), col("cand_id"),
+        adcDist(col("qv"), col("codes"), col("cents"), m, dsub).as("adist"))
+    rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
+  }
+
   /** Sign-bit signature of `planes` random hyperplanes. Plane components
     * are deterministic pseudo-randoms derived from xxh64(plane, dim) —
     * reproducible across runs/partitions, no RNG state. Single-pass

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic distinct vectors: v(i)(j) = (31*i + 17*j) mod 23
+  private def vec(i: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => ((31 * i + 17 * j) % 23).toDouble)
+
+  private def corpus(n: Int, dim: Int) =
+    (0 until n).map(i => (i.toLong, vec(i, dim))).toDF("vec_id", "embedding")
+
+  test("pqTopK: exactness regime — corpus == codebook reproduces brute-force L2 ranking") {
+    // with ksub == |corpus| every vector IS a codeword, each subspace
+    // encodes to itself at distance 0, and ADC degenerates to the exact
+    // squared L2 — so PQ ranks must equal the brute-force ranking
+    val dim = 8; val n = 16
+    val df = corpus(n, dim)
+    val got = Similarity.pqTopK(df.where(col("vec_id") < 3), df,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 4, dim = dim, m = 2, ksub = n)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (for {
+      q <- 0 until 3
+      ranked = (0 until n).filter(_ != q)
+        .map(c => (c, vec(q, dim).zip(vec(c, dim)).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (c, d) => (d, c) }.take(4)
+      (r, idx) <- ranked.zipWithIndex
+    } yield (q.toLong, r._1.toLong, (idx + 1).toLong)).toSet
+    assert(got == expect)
+  }
+
+  test("ivfPqTopK: probing every cell equals exhaustive pqTopK") {
+    val dim = 8; val n = 40
+    val df = corpus(n, dim)
+    def run(f: => org.apache.spark.sql.DataFrame) = f.as[(Long, Long, Long)].collect().toSet
+    val pq = run(Similarity.pqTopK(df.where(col("vec_id") < 5), df,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 3, dim = dim, m = 2, ksub = 8))
+    val ivfpq = run(Similarity.ivfPqTopK(df.where(col("vec_id") < 5), df,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 3, dim = dim, nCells = 8, nProbe = 8, m = 2, ksub = 8))
+    assert(pq == ivfpq)
+  }
+
+  test("pqCodes: one code per subspace, all within [0, ksub)") {
+    val dim = 8; val m = 4; val ksub = 6
+    val c = corpus(30, dim).select(col("vec_id").as("cand_id"),
+      transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val codes = Similarity.pqCodes(c, "cv", Similarity.centroidArray(c, ksub), m, dim / m)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.length == 30)
+    assert(codes.forall(cs => cs.length == m && cs.forall(x => x >= 0 && x < ksub)))
+  }
+
+  test("pqTopK: deterministic under repartitioning") {
+    val df = corpus(25, 8)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(d.where(col("vec_id") < 4), d,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, dim = 8, m = 2, ksub = 8).collect().toSet
+    assert(run(df) == run(df.repartition(7)))
+  }
+}
