@@ -507,6 +507,12 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q78_shuffle_rank" -> ((s, d) =>
+      // deterministic training-order permutation: rank = position in
+      // (md5(doc_id), doc_id) order via the distributed two-phase prefix
+      // count — the oracle's naive global window must match exactly
+      Sampling.shuffleRank(Tables(s, d).documents, col("doc_id"))
+        .select(col("key").as("doc_id"), col("shuffle_rank"))),
     "q76_pq_topk" -> ((s, d) => {
       // product-quantization ANN: corpus encoded to 8 sub-codes against a
       // 16-codeword deterministic codebook, queries (vec_id < 10) rank by
@@ -1129,6 +1135,10 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q78_shuffle_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
     "q76_pq_topk" ->
       // full PQ replay: deterministic 16-row codebook (same md5-order
       // sample as q42), per-subspace argmin encode (squared L2, ties to

@@ -104,6 +104,51 @@ object Sampling {
     * (key, dom, n_tok, prefix_excl) for kept rows; semi-join on key to
     * recover full rows.
     */
+  /** Deterministic global training-order permutation: every row gets its
+    * 1-based position in (md5(key), key) order — the "shuffle the corpus
+    * before training" step, reproducible across runs, partitionings, and
+    * engines (no RNG state; the hash IS the permutation). Rows can then be
+    * written sorted by `shuffle_rank` or bucketed by `shuffle_rank % n`
+    * for epoch sharding.
+    *
+    * Scale shape: the naive form is `row_number() OVER (ORDER BY h)` — a
+    * GLOBAL window, one partition holding the corpus. Here ranks are
+    * assigned like [[tokenBudgetSample]]'s prefix sums: one range shuffle
+    * by (h, key), a narrow per-partition count pass with STRUCTURAL
+    * partition ids (mapPartitionsWithIndex — immune to downstream
+    * coalesce, the q59 lesson), and only the #partitions per-partition
+    * counts go through a window. `key` must be unique and non-null.
+    * Returns (key, shuffle_rank); join on key to recover full rows.
+    */
+  def shuffleRank(df: DataFrame, key: Column, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pin the slim projection so the range-boundary sampling job reads
+    // (key, hash) only — never re-runs upstream work (the q59 lesson)
+    val slim = df.select(key.as("k"), md5(key.cast("string")).as("h")).localCheckpoint()
+    val ranged = slim
+      .repartitionByRange(parts, col("h"), col("k"))
+      .sortWithinPartitions(col("h"), col("k"))
+    val outSchema = StructType(ranged.schema.fields ++ Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("local_rank", LongType, nullable = false)))
+    val withPid = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      it.map { r => i += 1; Row(r.get(0), r.getString(1), pid, i) }
+    }
+    val local = spark.createDataFrame(withPid, outSchema)
+    val offsets = local.groupBy(col("pid"))
+      .agg(max(col("local_rank")).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("k").as("key"), (col("offset") + col("local_rank")).as("shuffle_rank"))
+  }
+
   def tokenBudgetSample(df: DataFrame, key: Column, domain: Column,
                         tokenCount: Column, budgets: Map[String, Long],
                         defaultBudget: Long = Long.MaxValue,

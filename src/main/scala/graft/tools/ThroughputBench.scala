@@ -211,6 +211,33 @@ object ThroughputBench {
         (if (decoded == nImgs) " (all decoded)" else s" (MISMATCH: $decoded)"))
     }
 
+    // scenario 11: substring dedup over a corpus with planted boilerplate —
+    // every 100th doc carries the same 12-token span in a 40-token doc;
+    // detection must stay ~linear in corpus tokens (the exchange carries
+    // gram-fingerprint triples, never text) and find exactly one maximal
+    // span per planted doc (no chance 8-gram collisions at this vocab)
+    if (enabled(11)) for (nDocs <- Seq(100000L, 400000L)) {
+      val vocab = 5000
+      def w(i: org.apache.spark.sql.Column) =
+        concat(lit("w"), pmod(xxhash64(col("id") * 40 + i), lit(vocab)))
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        array_join(
+          when(col("id") % 100 === 0,
+            concat(
+              transform(sequence(lit(0), lit(13)), i => w(i)),
+              transform(sequence(lit(0), lit(11)), i => concat(lit("bp"), i)),
+              transform(sequence(lit(14), lit(27)), i => w(i))))
+            .otherwise(transform(sequence(lit(0), lit(39)), i => w(i))),
+          " ").as("text"))
+      val t0 = System.nanoTime()
+      val spans = graft.ops.SpanDedup.duplicateSpans(
+        docs, col("doc_id"), col("text"), n = 8).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario11 span-dedup n=$nDocs: $s%.2f s, $spans spans" +
+        (if (spans == nDocs / 100) " (exact)" else s" (MISMATCH: expected ${nDocs / 100})"))
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

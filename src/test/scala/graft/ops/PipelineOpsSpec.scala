@@ -337,6 +337,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("shuffleRank: equals the naive md5-order row_number at any partitioning") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val ids = (0L until 300L)
+    val expect = ids.sortBy(i => (md5hex(i.toString), i)).zipWithIndex
+      .map { case (id, idx) => (id, idx + 1L) }.toSet
+    for (parts <- Seq(1, 5, 17)) {
+      val got = Sampling.shuffleRank(ids.toDF("id"), col("id"), numPartitions = parts)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("shuffleRank: a 1..n permutation that survives a downstream coalesce(1)") {
+    // regression shape: structural partition ids must not collapse under
+    // the Verify write path's coalesce(1)
+    val got = Sampling.shuffleRank((0L until 100L).toDF("id"), col("id"), numPartitions = 8)
+      .coalesce(1).as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq == (1L to 100L))
+    assert(got.map(_._1).toSet == (0L until 100L).toSet)
+  }
+
   test("stratifiedTake: exactly n per domain, deterministic, hash-ordered") {
     val df = (0L until 500L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
     val a = Sampling.stratifiedTake(df, col("id"), col("dom"), 7)
