@@ -507,6 +507,29 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q79_semantic_dedup" -> ((s, d) => {
+      // SemDeDup-style semantic dedup, composed end to end: banded
+      // hyperplane LSH finds embedding near-dup PAIRS (q45's planted
+      // corpus — every 20th vector gets a ±1% perturbed copy), pairs
+      // cluster into semantic groups, and only each group's lowest id
+      // survives; singletons pass through. Scale shape is the sum of its
+      // proven parts: triples-only banding exchange, pair-graph-sized
+      // clustering iteration, and a left_anti drop of non-canonical ids
+      val em = Tables(s, d).embeddings
+      val base = em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = em.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
+      val corpus = base.union(planted)
+      val pairs = Similarity.cosineNearDupPairs(corpus, col("id"), col("v"),
+        dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
+      val cc = Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
+      corpus.join(cc.where(col("id") =!= col("cluster")).select(col("id")),
+          Seq("id"), "left_anti")
+        .select(col("id"))
+    }),
     "q78_shuffle_rank" -> ((s, d) =>
       // deterministic training-order permutation: rank = position in
       // (md5(doc_id), doc_id) order via the distributed two-phase prefix
@@ -1135,6 +1158,26 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q79_semantic_dedup" ->
+      // brute-force pair ground truth (q45's construction) + recursive
+      // min-label components (q55's shape) + canonical-only selection
+      """WITH RECURSIVE em AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1)))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b FROM em a, em b
+        |       WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id),
+        |drop_ids AS (SELECT id FROM (SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+        |             WHERE id <> cluster)
+        |SELECT em.id FROM em WHERE em.id NOT IN (SELECT id FROM drop_ids)""".stripMargin,
     "q78_shuffle_rank" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
