@@ -32,6 +32,8 @@ object SparkEntry {
   // q55's standing signature index, one per (process, sf dir) — see q55
   private val q55IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q80IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ms(c: Column): Column = unix_millis(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -507,6 +509,22 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q80_span_screen" -> ((s, d) => {
+      // standing-substring-index screening: the gram index is built ONCE
+      // over the even-id half of the corpus (memoized per sf dir — it is
+      // a STANDING index, q55's pattern), then the odd-id half screens
+      // against it: which spans of incoming docs already exist verbatim
+      // in the indexed corpus
+      val docs = Tables(s, d).documents
+      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
+        val p = java.nio.file.Files.createTempDirectory("graft_q80_idx").toString
+        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, n = 8)
+        p
+      })
+      SpanIndex.check(s, docs.where(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), idx, n = 8)
+    }),
     "q79_semantic_dedup" -> ((s, d) => {
       // SemDeDup-style semantic dedup, composed end to end: banded
       // hyperplane LSH finds embedding near-dup PAIRS (q45's planted
@@ -1158,6 +1176,25 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q80_span_screen" ->
+      // replay: indexed side = distinct 8-gram fingerprints of even-id
+      // docs; hits = odd-id gram occurrences present in that set; spans
+      // merge by q74's lag/running-sum chain
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
+        |idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN idx USING (gram) WHERE g.doc_id % 2 = 1),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
+        |      FROM h),
+        |m AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM b)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       max(pos) + 8 - min(pos) AS n_span_tokens
+        |FROM m GROUP BY doc_id, grp""".stripMargin,
     "q79_semantic_dedup" ->
       // brute-force pair ground truth (q45's construction) + recursive
       // min-label components (q55's shape) + canonical-only selection

@@ -43,7 +43,7 @@ object SpanDedup {
     * of the space-joined window. Documents shorter than n tokens emit
     * nothing.
     */
-  private def grams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+  private[ops] def grams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("id"), Stateless.tokens(text).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("id"), explode(
@@ -57,7 +57,7 @@ object SpanDedup {
     * overlap or touch). Output: (doc_id, span_start, span_end,
     * n_span_tokens) with end exclusive.
     */
-  private def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+  private[ops] def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     hits
       .withColumn("brk",

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted substring-gram index + incremental span screening — the
+  * continuous-ingestion form of [[SpanDedup]], completing the standing-
+  * index family ([[DedupIndex]] for document near-dups, [[IvfIndex]] for
+  * vectors, this for shared substrings): build once over the existing
+  * corpus, then find which token spans of each incoming batch or stream
+  * already exist verbatim in the corpus — without rescanning corpus text.
+  *
+  * Layout at `path`:
+  *   `grams/` — (gram, id, pos): md5 fingerprint of every n-token window
+  *   of the indexed corpus with its occurrence position.
+  *
+  * Scale posture: the gram table is fingerprint-width (48 bytes per token
+  * window) regardless of gram length — the text itself is never stored or
+  * shuffled. A check joins the batch's gram fingerprints against the
+  * stored table on the gram key; under continuous ingestion, write the
+  * index bucketed by `gram` (`bucketBy` on the writer at build time) to
+  * make that a co-located join with no index-side shuffle. The gram
+  * length `n` is frozen at build time (fingerprints of different n never
+  * match — keep n with the index path, same contract as [[DedupIndex]]'s
+  * banding scheme).
+  */
+object SpanIndex {
+
+  /** Write the gram index for a corpus: one narrow text pass. */
+  def build(df: DataFrame, id: Column, text: Column, path: String,
+            n: Int = 8): Unit = {
+    require(n > 0, "gram length n must be positive")
+    SpanDedup.grams(df, id, text, n)
+      .write.mode("overwrite").parquet(s"$path/grams")
+  }
+
+  /** Admit new documents into the index (screen first with [[check]] if
+    * duplicated spans should be scrubbed or rejected before admission).
+    * Bounded by the batch; the standing index is only appended to.
+    */
+  def append(newDocs: DataFrame, id: Column, text: Column, path: String,
+             n: Int = 8): Unit = {
+    require(n > 0, "gram length n must be positive")
+    SpanDedup.grams(newDocs, id, text, n)
+      .write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** Compact the accumulated small append files (same motivation and
+    * crash-safe double-rename swap as [[DedupIndex.compact]]). Contents
+    * are row-identical, so [[check]] results are unchanged.
+    */
+  def compact(spark: SparkSession, path: String, filesPerTable: Int = 8): Unit = {
+    require(filesPerTable > 0, "filesPerTable must be positive")
+    val tmp = s"$path.compact"
+    spark.read.parquet(s"$path/grams").coalesce(filesPerTable)
+      .write.mode("overwrite").parquet(s"$tmp/grams")
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+
+  /** Maximal spans of each NEW document that already occur in the indexed
+    * corpus: the batch's gram fingerprints (one narrow pass over batch
+    * text) join the stored grams on the fingerprint key, hits merge into
+    * maximal spans exactly as in [[SpanDedup.duplicateSpans]]. Returns
+    * (doc_id, span_start, span_end, n_span_tokens) over the NEW ids —
+    * within-batch repetition is NOT flagged (only overlap with the
+    * standing corpus; screen-then-append pipelines get cross-batch
+    * duplicates on the next batch's check, like [[DedupIndex]]).
+    * `n` must equal the index's build-time gram length.
+    */
+  def check(spark: SparkSession, newDocs: DataFrame, id: Column, text: Column,
+            path: String, n: Int = 8): DataFrame = {
+    require(n > 0, "gram length n must be positive")
+    // left_semi: a batch gram either exists in the index or not — no hit
+    // multiplication when a gram occurs many times in the corpus (indexed
+    // boilerplate would otherwise explode an inner join), and no
+    // index-wide distinct per batch
+    val hits = SpanDedup.grams(newDocs, id, text, n)
+      .join(spark.read.parquet(s"$path/grams").select(col("gram")),
+        Seq("gram"), "left_semi")
+      .select(col("id"), col("pos"))
+    SpanDedup.mergeSpans(hits, n)
+  }
+
+  /** Continuous-ingestion screening: [[check]] per micro-batch, verified
+    * spans handed to `onBatch`. foreachBatch for the same reasons as
+    * [[DedupIndex.screenStream]] — the span merge is a batch window, and
+    * the static gram table is re-read per batch, so appends and
+    * compactions are picked up live.
+    */
+  def screenStream(spark: SparkSession, stream: DataFrame, id: Column, text: Column,
+                   path: String, n: Int = 8)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(check(spark, batch, id, text, path, n))
+      }
+      .start()
+}

@@ -93,7 +93,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // the ranking exchange must carry at most k rows per query per map
     // partition (partial_collect_top_k), never every scored candidate
     // through a row_number window sort
-    for (q <- Seq("q39_ann_topk", "q42_ivf_topk")) {
+    for (q <- Seq("q39_ann_topk", "q42_ivf_topk", "q76_pq_topk", "q77_ivfpq_topk")) {
       val p = plan(q)
       assert(p.contains("partial_collect_top_k"), s"$q ranking not partial top-k:\n$p")
       // q42 legitimately numbers its nCells centroid rows with a window;

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SpanIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+
+  // corpus: two docs sharing nothing with each other
+  private def corpus = Seq(
+    (1L, "c1 c2 p1 p2 p3 p4 p5 c3 c4"),
+    (2L, "d1 d2 d3 d4 d5 d6 d7 d8")).toDF("id", "text")
+
+  test("build + check: incoming spans that exist in the indexed corpus") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    val incoming = Seq(
+      (10L, "x1 p1 p2 p3 p4 p5 x2"),   // carries doc 1's p-run at pos 1..5
+      (11L, "y1 y2 y3 y4 y5 y6 y7")).toDF("id", "text") // nothing indexed
+    val got = SpanIndex.check(spark, incoming, col("id"), col("text"), path, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 6L, 5L)))
+  }
+
+  test("check does not flag within-batch repetition — only standing-corpus overlap") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    val incoming = Seq(
+      (20L, "z1 z2 z3 z4 z5 z6 z7"),
+      (21L, "z1 z2 z3 z4 z5 z6 z7")).toDF("id", "text") // dup of each other, not of corpus
+    assert(SpanIndex.check(spark, incoming, col("id"), col("text"), path, n = 4).count() == 0)
+  }
+
+  test("append admits a batch; later checks see its grams; compact preserves results") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    val batch = Seq((30L, "q1 q2 q3 q4 q5 q6")).toDF("id", "text")
+    assert(SpanIndex.check(spark, batch, col("id"), col("text"), path, n = 4).count() == 0)
+    for (i <- 0 until 5)
+      SpanIndex.append(batch.select((col("id") + i * 100).as("id"), col("text")),
+        col("id"), col("text"), path, n = 4)
+    val probe = Seq((40L, "a1 q1 q2 q3 q4 q5 q6 a2")).toDF("id", "text")
+    val before = SpanIndex.check(spark, probe, col("id"), col("text"), path, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(before == Set((40L, 1L, 7L, 6L)))
+    SpanIndex.compact(spark, path, filesPerTable = 2)
+    val after = SpanIndex.check(spark, probe, col("id"), col("text"), path, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(after == before)
+    val files = new java.io.File(s"$path/grams").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files <= 2, s"compact left $files data files")
+  }
+
+  test("screenStream: micro-batches screen against the standing index") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = SpanIndex.screenStream(spark,
+      source.toDF().toDF("id", "text"), col("id"), col("text"), path, n = 4) { out =>
+      out.as[(Long, Long, Long, Long)].collect().foreach(collected.add)
+    }
+    try {
+      source.addData((50L, "m1 p1 p2 p3 p4 m2"))
+      q.processAllAvailable()
+      source.addData((51L, "d1 d2 d3 d4 d5 n1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = collected.toArray.map(_.asInstanceOf[(Long, Long, Long, Long)]).toSet
+    assert(got == Set((50L, 1L, 5L, 4L), (51L, 0L, 5L, 5L)))
+  }
+}
