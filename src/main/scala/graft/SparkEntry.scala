@@ -509,6 +509,11 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q81_lm_surprisal" -> ((s, d) =>
+      // perplexity-style quality scoring: bigram LM trained on the corpus
+      // in the same pass; surprisal in integer bits (bitlen ratios — no
+      // transcendentals, so the oracle replays it exactly)
+      TextAnalysis.lmSurprisal(Tables(s, d).documents, col("doc_id"), col("text"))),
     "q80_span_screen" -> ((s, d) => {
       // standing-substring-index screening: the gram index is built ONCE
       // over the even-id half of the corpus (memoized per sf dir — it is
@@ -1176,6 +1181,21 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q81_lm_surprisal" ->
+      // bitlen(x) = length of the binary string = floor(log2 x)+1 in both
+      // engines (Spark bin() / DuckDB format('{:b}')), so the whole score
+      // is integer arithmetic
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b GROUP BY doc_id, w1, w2),
+        |c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM db GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM db GROUP BY w1)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(cnt * (length(format('{:b}', c1.c1)) - length(format('{:b}', c2.c2)))) AS BIGINT) AS surprisal_bits
+        |FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     "q80_span_screen" ->
       // replay: indexed side = distinct 8-gram fingerprints of even-id
       // docs; hits = odd-id gram occurrences present in that set; spans

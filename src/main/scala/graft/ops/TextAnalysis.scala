@@ -195,6 +195,47 @@ object TextAnalysis {
         size(col("c.ctoks")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Language-model surprisal scoring — the perplexity-style quality
+    * filter of CCNet-class pipelines (docs whose token transitions are
+    * improbable under a corpus LM are likely noise), made engine-exact:
+    * instead of Σ log2(c(w1)/c(w1,w2)) — transcendentals are not
+    * bit-identical across engines (q51's rule) — the score is
+    * Σ cnt·(bitlen(c(w1)) − bitlen(c(w1,w2))) where bitlen(x) =
+    * ⌊log2 x⌋+1 comes from the length of the integer's binary string:
+    * pure integer arithmetic, within one bit per bigram of the real
+    * log-ratio, identical in any engine. The bigram LM is trained on the
+    * corpus itself in the same pass (self-scoring; score against a
+    * reference corpus by computing the count frames there instead).
+    *
+    * Plan shape: doc-level bigram counts partial-aggregate from one
+    * narrow scan; BOTH count tables derive from that frame (no second
+    * text pass); the scoring joins shuffle (w1, w2)-keyed count rows,
+    * never text. Hot bigram heads ("the …") are reduced to one row per
+    * map partition by partial aggregation before any exchange. Output:
+    * (doc_id, n_bigrams, surprisal_bits) for every doc with >= 2 tokens;
+    * smaller surprisal_bits per bigram = more predictable text.
+    */
+  def lmSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c))
+    val toks = tokens(text)
+    val docBg = df
+      .select(id.as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val c1 = docBg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+        sum(col("cnt") * (bitlen(col("c1")) - bitlen(col("c2"))).cast("long"))
+          .cast("long").as("surprisal_bits"))
+  }
+
   /** Salient terms per document: tf-idf-style ranking with the
     * engine-exact surrogate score tf × N / df (monotone in tf·idf for
     * any fixed df ordering; ln() is not bit-identical across engines, a

@@ -212,6 +212,17 @@ class OpsSpec extends AnyFunSuite {
     assert(copyPairs.subsetOf(got))
   }
 
+  test("lmSurprisal: integer bit-length score equals the hand-computed LM") {
+    // d1 "a b a b": bigrams (a,b)x2 (b,a)x1; d2 "a b c": (a,b) (b,c);
+    // d3 single token -> excluded. Corpus counts: c2(a,b)=3, c2(b,a)=1,
+    // c2(b,c)=1; heads c1(a)=3, c1(b)=2. bitlen: 3->2, 2->2, 1->1.
+    // d1: 2*(2-2) + 1*(2-1) = 1 over 3 bigrams; d2: (2-2) + (2-1) = 1 over 2.
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("id", "text")
+    val got = TextAnalysis.lmSurprisal(df, col("id"), col("text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L), (2L, 2L, 1L)))
+  }
+
   test("fileops: filter/aggregate/anomaly recipes") {
     val df = Seq(("a", 1.0), ("b", 5.0), ("a", 3.0)).toDF("k", "v")
     assert(FileOps.filterOp(df, "k", "equals", "a").count() == 2)
