@@ -238,6 +238,29 @@ object ThroughputBench {
         (if (spans == nDocs / 100) " (exact)" else s" (MISMATCH: expected ${nDocs / 100})"))
     }
 
+    // scenario 12: global shuffle rank at 10M keys — the distributed
+    // two-phase rank vs the naive global row_number window (whole dataset
+    // sorted into ONE task). Checksums must agree (same permutation);
+    // the wall-clock gap is the single-partition pathology the operator
+    // exists to avoid
+    if (enabled(12)) {
+      import org.apache.spark.sql.expressions.Window
+      val nRows = 10000000L
+      val rows = spark.range(nRows).select(col("id"))
+      def checksum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("shuffle_rank") * pmod(col("key"), lit(97)))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val distCk = checksum(graft.ops.Sampling.shuffleRank(rows, col("id")))
+      val sDist = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val naiveCk = checksum(rows.select(col("id").as("key"),
+        row_number().over(Window.orderBy(md5(col("id").cast("string")), col("id")))
+          .cast("long").as("shuffle_rank")))
+      val sNaive = (System.nanoTime() - t1) / 1e9
+      println(f"scenario12 shuffle-rank n=$nRows: two-phase $sDist%.2f s vs naive global window $sNaive%.2f s" +
+        (if (distCk == naiveCk) " (checksums agree)" else s" (MISMATCH: $distCk vs $naiveCk)"))
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

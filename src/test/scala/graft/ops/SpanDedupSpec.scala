@@ -70,6 +70,40 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() == 4)
   }
 
+  test("duplicateSpans property: random small-vocab corpora equal a driver-side brute force") {
+    // tiny vocabulary so cross-doc 3-gram collisions are plentiful and
+    // merges/adjacency actually exercise
+    def brute(docs: Seq[(Long, Seq[String])], n: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        t.sliding(n).zipWithIndex.collect { case (g, i) if g.size == n => (g.mkString(" "), id, i.toLong) }
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val byDoc = grams.filter(g => dup(g._1)).map(g => (g._2, g._3)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      byDoc.flatMap { case (id, ps) =>
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- ps) {
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, _) = spans.remove(spans.length - 1); spans += ((s0, p + n))
+          } else spans += ((p, p + n))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0, e0 - s0) }
+      }.toSet
+    }
+    val vocab = Vector("u", "v", "w", "x", "y", "z")
+    for (iter <- 0 until 4) {
+      val rnd = new scala.util.Random(42 + iter)
+      val docs = (0L until 30L).map { i =>
+        (i, Seq.fill(5 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val got = SpanDedup.duplicateSpans(
+          docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("id", "text"),
+          col("id"), col("text"), n = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute(docs, 3), s"iter=$iter")
+    }
+  }
+
   test("scrubDuplicateSpans: null text hardens to zero tokens and empty scrub") {
     val df = Seq((1L, Option("s1 s2 s3 s4 s5")), (2L, Option("s1 s2 s3 s4 s5")),
       (3L, None: Option[String])).toDF("id", "text")
