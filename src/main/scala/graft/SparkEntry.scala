@@ -509,6 +509,19 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q82_span_screen_scrub" -> ((s, d) => {
+      // admission-time scrub against the standing gram index (q80's
+      // memoized even-id index): odd-id docs rebuilt with every span
+      // already present in the indexed corpus removed
+      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
+        val p = java.nio.file.Files.createTempDirectory("graft_q80_idx").toString
+        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, n = 8)
+        p
+      })
+      SpanIndex.scrub(s, Tables(s, d).documents.where(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), idx, n = 8)
+    }),
     "q81_lm_surprisal" -> ((s, d) =>
       // perplexity-style quality scoring: bigram LM trained on the corpus
       // in the same pass; surprisal in integer bits (bitlen ratios — no
@@ -1181,6 +1194,34 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q82_span_screen_scrub" ->
+      // q80's indexed-gram span replay + q75's outside-the-spans text
+      // reconstruction, over the odd-id (incoming) half only
+      """WITH t AS (SELECT doc_id,
+        |             coalesce(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), []) AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
+        |idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN idx USING (gram) WHERE g.doc_id % 2 = 1),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
+        |      FROM h),
+        |m AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM b),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM m GROUP BY doc_id, grp),
+        |rm AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id),
+        |odd AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1),
+        |p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM odd),
+        |kept AS (SELECT p.doc_id, p.i, p.toks[p.i + 1] AS tok FROM p
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                           WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS scrubbed FROM kept GROUP BY doc_id)
+        |SELECT odd.doc_id, CAST(len(odd.toks) AS BIGINT) AS n_tokens,
+        |       coalesce(rm.n_removed, 0) AS n_removed,
+        |       coalesce(agg.scrubbed, '') AS scrubbed_text
+        |FROM odd LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q81_lm_surprisal" ->
       // bitlen(x) = length of the binary string = floor(log2 x)+1 in both
       // engines (Spark bin() / DuckDB format('{:b}')), so the whole score

@@ -112,15 +112,32 @@ object SpanDedup {
     val removedHits = g.join(dup, "gram")
       .where(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
       .select(col("id"), col("pos"))
-    val spans = mergeSpans(removedHits, n)
+    rebuildOutsideSpans(df, id, text, mergeSpans(removedHits, n))
+  }
+
+  /** Rebuild each document's text from the tokens OUTSIDE its removal
+    * spans — the text-rewriting tail shared by [[scrubDuplicateSpans]]
+    * (spans from within-corpus keep-first dedup) and
+    * [[SpanIndex.scrub]] (spans from a standing index screen). `spans`
+    * is (doc_id, span_start, span_end, …) with end exclusive over the
+    * doc's 0-based lowercased whitespace tokens; spans for one doc must
+    * not overlap (both producers emit merged maximal spans). Every input
+    * document appears in the output; docs without spans pass through.
+    *
+    * Scale: the spans frame carries three longs per merged span — AQE
+    * broadcasts it when small; when duplication volume is large the
+    * id-keyed join shuffles the corpus once, which any text-rewriting
+    * scrub pays (the output IS new text). No forced broadcast (the
+    * flagged-set-size lesson from Decontamination.scrub). The token
+    * filter itself is a narrow indexed higher-order expression over each
+    * document's own token array.
+    */
+  def rebuildOutsideSpans(df: DataFrame, id: Column, text: Column,
+                          spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
-        sum(col("n_span_tokens")).as("n_removed"))
-    // Rebuild outside the spans. The spans frame carries three longs per
-    // merged span — AQE broadcasts it when small; when duplication volume
-    // is large the id-keyed join shuffles the corpus once, which any
-    // text-rewriting scrub pays (the output IS new text). No forced
-    // broadcast (the flagged-set-size lesson from Decontamination.scrub).
+        sum(col("span_end") - col("span_start")).as("n_removed"))
     // null text hardens to zero tokens / empty scrub (not null-propagated
     // output rows) — same contract as the other corpus ops
     val base = df.select(id.as("doc_id"),

@@ -81,6 +81,17 @@ object SpanIndex {
     SpanDedup.mergeSpans(hits, n)
   }
 
+  /** Screen AND clean: rebuild each new document's text with the spans
+    * already present in the indexed corpus removed — the admission-time
+    * scrub of a screen-then-admit ingestion pipeline (check what's
+    * duplicated, strip it, [[append]] the cleaned remainder). Returns
+    * (doc_id, n_tokens, n_removed, scrubbed_text) for EVERY input doc.
+    */
+  def scrub(spark: SparkSession, newDocs: DataFrame, id: Column, text: Column,
+            path: String, n: Int = 8): DataFrame =
+    SpanDedup.rebuildOutsideSpans(newDocs, id, text,
+      check(spark, newDocs, id, text, path, n))
+
   /** Continuous-ingestion screening: [[check]] per micro-batch, verified
     * spans handed to `onBatch`. foreachBatch for the same reasons as
     * [[DedupIndex.screenStream]] — the span merge is a batch window, and

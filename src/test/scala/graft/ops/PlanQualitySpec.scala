@@ -195,18 +195,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q74: gram exchanges carry (gram, id, pos) triples — document text never shuffles") {
-    // substring dedup's scale contract: the corpus text stays in its scan;
-    // only 32-byte gram fingerprints + (id, pos) enter any exchange
+  test("q74/q80: gram exchanges carry (gram, id, pos) triples — document text never shuffles") {
+    // substring dedup's scale contract (self-dedup AND the standing-index
+    // screen): the corpus text stays in its scan; only 32-byte gram
+    // fingerprints + (id, pos) enter any exchange
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = graft.SparkEntry.queries("q74_dup_spans")(spark, sf)
-        .queryExecution.executedPlan.toString
-      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-      assert(exchanges.nonEmpty, s"no exchanges found:\n$p")
-      assert(exchanges.forall(l => !l.contains("toks#") && !l.contains("text#")),
-        s"document text travels through a shuffle:\n${exchanges.mkString("\n")}")
+      for (q <- Seq("q74_dup_spans", "q80_span_screen")) {
+        val p = graft.SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+        assert(exchanges.nonEmpty, s"$q: no exchanges found:\n$p")
+        assert(exchanges.forall(l => !l.contains("toks#") && !l.contains("text#")),
+          s"$q: document text travels through a shuffle:\n${exchanges.mkString("\n")}")
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

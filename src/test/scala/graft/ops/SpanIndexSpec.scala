@@ -58,6 +58,19 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(files <= 2, s"compact left $files data files")
   }
 
+  test("scrub: incoming text rebuilt without indexed spans; clean docs pass through") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    val incoming = Seq(
+      (60L, "x1 p1 p2 p3 p4 p5 x2"),   // indexed p-run at [1,6)
+      (61L, "y1 y2 y3 y4")).toDF("id", "text")
+    val got = SpanIndex.scrub(spark, incoming, col("id"), col("text"), path, n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(60L) == ((7L, 5L, "x1 x2")))
+    assert(got(61L) == ((4L, 0L, "y1 y2 y3 y4")))
+  }
+
   test("screenStream: micro-batches screen against the standing index") {
     val path = tmp()
     SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
