@@ -77,11 +77,29 @@ object SpanDedup {
                      n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0, "gram length n must be positive")
     require(minDocs >= 2, "a span duplicated across < 2 docs is not a duplicate")
-    val g = grams(df, id, text, n)
-    val dup = g.groupBy(col("gram"))
-      .agg(count_distinct(col("id")).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .select(col("gram"))
+    duplicateSpansFromGrams(grams(df, id, text, n), n, minDocs)
+  }
+
+  /** Detection over an existing (gram, id, pos) frame — shared by the
+    * direct form above (grams derived from text, which the two branches
+    * compute twice: both are narrow passes, and at standing-corpus scale
+    * [[SpanIndex.dupSpans]] reads stored grams instead of re-tokenizing)
+    * and the index-backed form. At the default minDocs = 2 the duplicated
+    * test is min(id) != max(id) — a plain partial aggregate, no
+    * count-distinct expand.
+    */
+  private[ops] def duplicateSpansFromGrams(g: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val dup =
+      if (minDocs == 2)
+        g.groupBy(col("gram"))
+          .agg(min(col("id")).as("i0"), max(col("id")).as("i1"))
+          .where(col("i0") =!= col("i1"))
+          .select(col("gram"))
+      else
+        g.groupBy(col("gram"))
+          .agg(count_distinct(col("id")).as("n_docs"))
+          .where(col("n_docs") >= minDocs)
+          .select(col("gram"))
     mergeSpans(g.join(dup, "gram").select(col("id"), col("pos")), n)
   }
 
@@ -103,12 +121,22 @@ object SpanDedup {
     require(n > 0, "gram length n must be positive")
     require(minDocs >= 2, "a span duplicated across < 2 docs is not a duplicate")
     val g = grams(df, id, text, n)
-    // canonical occurrence per duplicated gram = lexicographic min (id, pos)
-    val dup = g.groupBy(col("gram"))
-      .agg(count_distinct(col("id")).as("n_docs"),
-        min(struct(col("id"), col("pos"))).as("keep"))
-      .where(col("n_docs") >= minDocs)
-      .select(col("gram"), col("keep"))
+    // canonical occurrence per duplicated gram = lexicographic min (id,
+    // pos); at minDocs = 2 the duplicated test is the plain min/max
+    // aggregate (no count-distinct expand), as in duplicateSpansFromGrams
+    val dup =
+      if (minDocs == 2)
+        g.groupBy(col("gram"))
+          .agg(min(col("id")).as("i0"), max(col("id")).as("i1"),
+            min(struct(col("id"), col("pos"))).as("keep"))
+          .where(col("i0") =!= col("i1"))
+          .select(col("gram"), col("keep"))
+      else
+        g.groupBy(col("gram"))
+          .agg(count_distinct(col("id")).as("n_docs"),
+            min(struct(col("id"), col("pos"))).as("keep"))
+          .where(col("n_docs") >= minDocs)
+          .select(col("gram"), col("keep"))
     val removedHits = g.join(dup, "gram")
       .where(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
       .select(col("id"), col("pos"))

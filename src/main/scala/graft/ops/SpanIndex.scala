@@ -81,6 +81,37 @@ object SpanIndex {
     SpanDedup.mergeSpans(hits, n)
   }
 
+  /** Duplicated spans WITHIN the indexed corpus, computed entirely from
+    * the stored gram table — the [[DedupIndex.pairs]] analogue: corpus
+    * text is never touched and grams are never recomputed, so repeated
+    * runs (e.g. after each [[append]]) cost two scans of the columnar
+    * fingerprint table instead of two tokenize passes over corpus text
+    * (what the direct [[SpanDedup.duplicateSpans]] pays).
+    */
+  def dupSpans(spark: SparkSession, path: String, n: Int = 8,
+               minDocs: Int = 2): DataFrame = {
+    require(n > 0, "gram length n must be positive")
+    require(minDocs >= 2, "a span duplicated across < 2 docs is not a duplicate")
+    SpanDedup.duplicateSpansFromGrams(spark.read.parquet(s"$path/grams"), n, minDocs)
+  }
+
+  /** Corpus-vs-corpus span audit from TWO standing indexes, zero text
+    * reads (the [[DedupIndex.crossPairs]] analogue): maximal spans of the
+    * `pathIncoming` corpus that also occur anywhere in the `pathCorpus`
+    * corpus, computed entirely from the stored gram tables. Both indexes
+    * must share the build-time gram length `n` (fingerprints of different
+    * n never match — same frozen-scheme contract as DedupIndex).
+    */
+  def crossSpans(spark: SparkSession, pathIncoming: String, pathCorpus: String,
+                 n: Int = 8): DataFrame = {
+    require(n > 0, "gram length n must be positive")
+    val hits = spark.read.parquet(s"$pathIncoming/grams")
+      .join(spark.read.parquet(s"$pathCorpus/grams").select(col("gram")),
+        Seq("gram"), "left_semi")
+      .select(col("id"), col("pos"))
+    SpanDedup.mergeSpans(hits, n)
+  }
+
   /** Screen AND clean: rebuild each new document's text with the spans
     * already present in the indexed corpus removed — the admission-time
     * scrub of a screen-then-admit ingestion pipeline (check what's

@@ -105,6 +105,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q74: duplicated-gram detection is a plain partial aggregate — no count-distinct expand") {
+    // at the default minDocs = 2 the dup test is min(id) != max(id):
+    // partial-aggregable on the gram key with no Expand doubling the
+    // aggregate's input (the count-distinct plan shape)
+    val p = plan("q74_dup_spans")
+    assert(!p.contains("Expand"), s"dup detection expanded for count-distinct:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
   test("q37: banding exchange is reused across the self-join at runtime") {
     // the signature scan feeds both sides of the candidate self-join (and
     // the candidate-id subtree) through identical exchanges; AQE must

@@ -58,6 +58,39 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(files <= 2, s"compact left $files data files")
   }
 
+  test("dupSpans: within-index detection equals the direct operator, incl. minDocs > 2") {
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"),
+      (2L, "v1 p1 p2 p3 p4 p5 v2 v3"),
+      (3L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"),
+      (4L, "w1 w2 w3 w4 w1 w2 w3 w4")).toDF("id", "text")
+    val path = tmp()
+    SpanIndex.build(docs, col("id"), col("text"), path, n = 4)
+    for (minDocs <- Seq(2, 3)) {
+      val viaIndex = SpanIndex.dupSpans(spark, path, n = 4, minDocs = minDocs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val direct = SpanDedup.duplicateSpans(docs, col("id"), col("text"), n = 4, minDocs = minDocs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaIndex == direct, s"minDocs=$minDocs")
+      assert(viaIndex.nonEmpty)
+    }
+  }
+
+  test("crossSpans: two stored indexes, no text — equals check over the same docs") {
+    val pathA = tmp(); val pathB = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), pathA, n = 4)
+    val incoming = Seq(
+      (10L, "x1 p1 p2 p3 p4 p5 x2"),
+      (11L, "y1 y2 y3 y4 y5 y6 y7")).toDF("id", "text")
+    SpanIndex.build(incoming, col("id"), col("text"), pathB, n = 4)
+    val viaIndexes = SpanIndex.crossSpans(spark, pathB, pathA, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaText = SpanIndex.check(spark, incoming, col("id"), col("text"), pathA, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaIndexes == viaText)
+    assert(viaIndexes == Set((10L, 1L, 6L, 5L)))
+  }
+
   test("scrub: incoming text rebuilt without indexed spans; clean docs pass through") {
     val path = tmp()
     SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
