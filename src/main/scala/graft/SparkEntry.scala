@@ -509,6 +509,14 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q83_bpe_pairs" -> ((s, d) =>
+      // first BPE training round: adjacent symbol-pair frequencies over
+      // the char+marker decomposition, deterministically ranked (the
+      // pair space is tiny — chars², so the global rank window is cheap)
+      Bpe.pairCounts(Tables(s, d).documents, col("text"))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("l"), col("r"))).cast("long"))
+        .where(col("rk") <= 30)),
     "q82_span_screen_scrub" -> ((s, d) => {
       // admission-time scrub against the standing gram index (q80's
       // memoized even-id index): odd-id docs rebuilt with every span
@@ -1194,6 +1202,21 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q83_bpe_pairs" ->
+      // char decomposition via 1-based single-char slices (character-
+      // aware in both engines); same weighting and total rank order
+      """WITH w AS (SELECT word, count(*) AS freq FROM
+        |  (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |   FROM documents) GROUP BY word),
+        |s AS (SELECT freq, list_transform(range(length(word)), j -> word[j+1:j+1]) || ['</w>'] AS syms
+        |      FROM w),
+        |p AS (SELECT syms[i+1] AS l, syms[i+2] AS r, freq
+        |      FROM (SELECT syms, freq, unnest(range(len(syms) - 1)) AS i FROM s)),
+        |c AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY l, r)
+        |SELECT l, r, cnt, rk FROM (
+        |  SELECT l, r, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rk
+        |  FROM c)
+        |WHERE rk <= 30""".stripMargin,
     "q82_span_screen_scrub" ->
       // q80's indexed-gram span replay + q75's outside-the-spans text
       // reconstruction, over the odd-id (incoming) half only
