@@ -509,6 +509,17 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q84_event_pagerank" -> ((s, d) => {
+      // PageRank over the per-user event-type transition graph, in
+      // fixed-point integer arithmetic (3 iterations — the oracle unrolls
+      // the same three exactly; every div is a floor div in both engines)
+      val ev = Tables(s, d).events
+      Graphs.pagerank(
+          Graphs.transitionEdges(ev, col("user_id"), col("event_type"),
+            col("ts"), col("event_id")),
+          col("src"), col("dst"), iters = 3)
+        .select(col("v").as("event_type"), col("rank_fp"))
+    }),
     "q83_bpe_pairs" -> ((s, d) =>
       // first BPE training round: adjacent symbol-pair frequencies over
       // the char+marker decomposition, deterministically ranked (the
@@ -1202,6 +1213,42 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q84_event_pagerank" ->
+      // three unrolled fixed-point iterations — every quantity BIGINT,
+      // every division floor (DuckDB // == Spark div for non-negatives),
+      // so ranks are bit-identical with no float summation order issues
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |         event_type AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+        |      WHERE src IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+        |it0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, nn),
+        |it1 AS (SELECT nodes.v,
+        |          CAST((1000000000000 * 15) // (100 * nn.n)
+        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+        |        FROM nodes CROSS JOIN nn
+        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
+        |                   FROM e JOIN outw o ON e.src = o.src JOIN it0 p ON p.v = e.src
+        |                   GROUP BY e.dst) s ON s.v = nodes.v),
+        |it2 AS (SELECT nodes.v,
+        |          CAST((1000000000000 * 15) // (100 * nn.n)
+        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+        |        FROM nodes CROSS JOIN nn
+        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
+        |                   FROM e JOIN outw o ON e.src = o.src JOIN it1 p ON p.v = e.src
+        |                   GROUP BY e.dst) s ON s.v = nodes.v),
+        |it3 AS (SELECT nodes.v,
+        |          CAST((1000000000000 * 15) // (100 * nn.n)
+        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+        |        FROM nodes CROSS JOIN nn
+        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
+        |                   FROM e JOIN outw o ON e.src = o.src JOIN it2 p ON p.v = e.src
+        |                   GROUP BY e.dst) s ON s.v = nodes.v)
+        |SELECT v AS event_type, r AS rank_fp FROM it3""".stripMargin,
     "q83_bpe_pairs" ->
       // char decomposition via 1-based single-char slices (character-
       // aware in both engines); same weighting and total rank order

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // driver-side replica of the exact fixed-point arithmetic
+  private def refPagerank(edges: Seq[(String, String, Long)], iters: Int,
+                          scale: Long = 1000000000000L, d: Int = 85): Map[String, Long] = {
+    val e = edges.groupBy(x => (x._1, x._2)).map { case ((s, t), xs) => (s, t, xs.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outW = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val base = scale * (100 - d) / (100 * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (t, xs) =>
+        t -> xs.map(x => r(x._1) * x._3 / outW(x._1)).sum
+      }
+      r = nodes.map(v => v -> (base + d * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  test("pagerank: fixed-point ranks equal the driver-side replica exactly") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L), ("b", "a", 1L))
+    val got = Graphs.pagerank(edges.toDF("s", "t", "w"),
+        col("s"), col("t"), col("w"), iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == refPagerank(edges, iters = 5))
+  }
+
+  test("pagerank: sink-heavy graph ranks the sink highest; dangling mass dropped") {
+    // star into c: c collects rank; a/b/d keep ~base share. d has no
+    // in-edges and no out-edge handling surprises (dangling = c's mass)
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("d", "c", 1L))
+    val got = Graphs.pagerank(edges.toDF("s", "t", "w"),
+        col("s"), col("t"), col("w"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got("c") > got("a") && got("a") == got("b") && got("b") == got("d"))
+    assert(got == refPagerank(edges, iters = 3))
+  }
+
+  test("pagerank: deterministic under repartitioning") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 23}", s"n${(i * 7 + 3) % 23}", (i % 5 + 1).toLong))
+    val a = Graphs.pagerank(edges.toDF("s", "t", "w"),
+      col("s"), col("t"), col("w"), iters = 4).as[(String, Long)].collect().toSet
+    val b = Graphs.pagerank(edges.toDF("s", "t", "w").repartition(11),
+      col("s"), col("t"), col("w"), iters = 4).as[(String, Long)].collect().toSet
+    assert(a == b)
+    assert(a == refPagerank(edges, iters = 4).toSet)
+  }
+
+  test("transitionEdges: per-user consecutive states in (ts, tiebreak) order") {
+    val ev = Seq(
+      (1L, "login", 10L, 100L), (1L, "browse", 20L, 101L), (1L, "buy", 30L, 102L),
+      (2L, "login", 10L, 103L), (2L, "logout", 15L, 104L),
+      (3L, "solo", 5L, 105L)).toDF("u", "typ", "t", "eid")
+    val got = Graphs.transitionEdges(ev, col("u"), col("typ"), col("t"), col("eid"))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(got == Seq(("browse", "buy"), ("login", "browse"), ("login", "logout")))
+  }
+}
