@@ -509,6 +509,15 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q85_lm_score_ref" -> ((s, d) => {
+      // the CCNet-style flow: bigram LM TRAINED on the even-id reference
+      // half, odd-id docs scored against it in one pass — including
+      // deterministic out-of-vocabulary accounting
+      val docs = Tables(s, d).documents
+      TextAnalysis.lmSurprisalAgainst(
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        TextAnalysis.lmCounts(docs.where(col("doc_id") % 2 === 0), col("text")))
+    }),
     "q84_event_pagerank" -> ((s, d) => {
       // PageRank over the per-user event-type transition graph, in
       // fixed-point integer arithmetic (3 iterations — the oracle unrolls
@@ -1213,6 +1222,24 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q85_lm_score_ref" ->
+      // counts from the even half, scored odd half, OOV counts default to
+      // bitlen(1) — all integer, replayed exactly
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg
+        |       WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2)
+        |SELECT db.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN c2.c2 IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+        |       CAST(sum(cnt * (length(format('{:b}', coalesce(c1.c1, 1)))
+        |                       - length(format('{:b}', coalesce(c2.c2, 1))))) AS BIGINT) AS surprisal_bits
+        |FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+        |        LEFT JOIN c1 ON db.w1 = c1.w1
+        |GROUP BY db.doc_id""".stripMargin,
     "q84_event_pagerank" ->
       // three unrolled fixed-point iterations — every quantity BIGINT,
       // every division floor (DuckDB // == Spark div for non-negatives),

@@ -215,11 +215,12 @@ object TextAnalysis {
     * (doc_id, n_bigrams, surprisal_bits) for every doc with >= 2 tokens;
     * smaller surprisal_bits per bigram = more predictable text.
     */
-  def lmSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
-    def bitlen(c: Column): Column = length(bin(c))
+  private def bitlen(c: Column): Column = length(bin(c))
+
+  /** Per-document bigram occurrence counts: (doc_id, w1, w2, cnt). */
+  private def docBigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = tokens(text)
-    val docBg = df
-      .select(id.as("doc_id"), toks.as("toks"))
+    df.select(id.as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("toks")) - 2), i =>
@@ -227,9 +228,68 @@ object TextAnalysis {
             element_at(col("toks"), i + 2).as("w2")))).as("bg"))
       .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
-    val c1 = docBg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
-    docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+  }
+
+  /** Train the bigram LM count table over a reference corpus: one narrow
+    * pass into (w1, w2, c2, c1) where c2 is the bigram count and c1 the
+    * head count (Σ_w2 c2, a window over the vocab-sized count rows).
+    * Persist the result (parquet) to score corpora repeatedly — the
+    * CCNet-style flow: train on the reference corpus, score everything
+    * else against it with [[lmSurprisalAgainst]].
+    */
+  def lmCounts(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.select(toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+  }
+
+  /** Score a corpus against a TRAINED count table ([[lmCounts]], usually
+    * read back from parquet): ONE pass over the scored corpus; the count
+    * table joins by bigram key (vocab-sized — broadcast when small, AQE
+    * decides). Out-of-vocabulary handling is deterministic: an unseen
+    * count defaults to 1 (bitlen 1), so an unseen bigram under a seen
+    * head costs the head's full bitlen — the maximum surprisal that head
+    * admits — and a fully unseen pair costs 0; `n_oov_bigrams` reports
+    * how much of the doc the LM had no opinion on. Output: (doc_id,
+    * n_bigrams, n_oov_bigrams, surprisal_bits).
+    */
+  def lmSurprisalAgainst(df: DataFrame, id: Column, text: Column,
+                         counts: DataFrame): DataFrame = {
+    val heads = counts.select(col("w1"), col("c1")).distinct()
+    docBigrams(df, id, text)
+      .join(counts.select(col("w1"), col("w2"), col("c2")), Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+        sum(when(col("c2").isNull, col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_oov_bigrams"),
+        sum(col("cnt") *
+          (bitlen(coalesce(col("c1"), lit(1L))) - bitlen(coalesce(col("c2"), lit(1L)))).cast("long"))
+          .cast("long").as("surprisal_bits"))
+  }
+
+  /** Self-scoring form: the LM is trained on the scored corpus itself in
+    * the same query. The corpus is read twice (once for the count
+    * tables, once for the scoring probe — both narrow passes; AQE cannot
+    * reuse the exchange across the two lambda-bearing subtrees, so a
+    * standing pipeline should persist [[lmCounts]] and use
+    * [[lmSurprisalAgainst]], which pays one pass). Output: (doc_id,
+    * n_bigrams, surprisal_bits).
+    */
+  def lmSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docBg = docBigrams(df, id, text)
+    val counts = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+    docBg.join(counts, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
         sum(col("cnt") * (bitlen(col("c1")) - bitlen(col("c2"))).cast("long"))

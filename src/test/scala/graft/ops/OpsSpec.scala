@@ -223,6 +223,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, 1L), (2L, 2L, 1L)))
   }
 
+  test("lmSurprisalAgainst: reference-trained scoring with OOV accounting") {
+    // ref "a b a b a c": c2 (a,b)=2 (b,a)=2 (a,c)=1; heads c1 a=3, b=2.
+    // scored "a b a c x": (a,b) 2-2=0; (b,a) 2-2=0 wait c1(b)=2 bl2,
+    // c2(b,a)=2 bl2 -> 0; (a,c) bl(3)-bl(1)=2-1=1; (c,x) fully unseen ->
+    // defaults 1,1 -> 0, counted OOV. Total bits 1, oov 1, n 4.
+    val ref = Seq((10L, "a b a b a c")).toDF("id", "text")
+    val got = TextAnalysis.lmSurprisalAgainst(
+        Seq((1L, "a b a c x")).toDF("id", "text"), col("id"), col("text"),
+        TextAnalysis.lmCounts(ref, col("text")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 1L, 1L)))
+  }
+
   test("fileops: filter/aggregate/anomaly recipes") {
     val df = Seq(("a", 1.0), ("b", 5.0), ("a", 3.0)).toDF("k", "v")
     assert(FileOps.filterOp(df, "k", "equals", "a").count() == 2)

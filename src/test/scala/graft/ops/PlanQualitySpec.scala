@@ -114,6 +114,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("q81: self-scoring LM pays exactly two narrow corpus passes, no more") {
+    // the count tables and the scoring probe are separately-analyzed
+    // lambda-bearing subtrees that AQE cannot canonicalize together, so
+    // the self-scoring form reads the corpus twice BY DESIGN (documented;
+    // the standing pipeline persists lmCounts and pays one pass via
+    // lmSurprisalAgainst). This pins the cost at two — a regression to a
+    // third branch (e.g. a separate head-count aggregate) must fail.
+    val df = graft.SparkEntry.queries("q81_lm_surprisal")(spark, sf)
+    df.collect()
+    // the adaptive plan string appends the pre-AQE "Initial Plan" — count
+    // scans in the executed Final Plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 2, s"expected <= 2 documents scans, found $scans:\n$p")
+  }
+
   test("q37: banding exchange is reused across the self-join at runtime") {
     // the signature scan feeds both sides of the candidate self-join (and
     // the candidate-id subtree) through identical exchanges; AQE must
