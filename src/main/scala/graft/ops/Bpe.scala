@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Initial symbol sequence of a word: its characters plus the
-    * end-of-word marker.
+    * end-of-word marker. Symbols live in string space (the standard BPE
+    * representation): initial symbols are single characters, so merged
+    * multi-char symbols can only collide with the same merge — except a
+    * corpus whose words contain the literal characters `<`, `/`, `w`,
+    * `>` could in principle merge them into the `</w>` marker string
+    * (the shared edge of every string-space BPE implementation).
     */
   private[ops] def initialSymbols(word: Column): Column =
     concat(split(word, ""), array(lit("</w>")))

@@ -42,6 +42,12 @@ object Graphs {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
+    // fail fast on non-positive weights BEFORE iterating: integer floor
+    // division of negatives differs between engines (Spark `div`
+    // truncates toward zero, DuckDB `//` floors) and a zero total
+    // out-weight divides by zero — silent rank corruption either way
+    require(e.where(col("w") <= 0).isEmpty,
+      "pagerank edge weights must be positive (fixed-point floor-division semantics)")
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     val n = nodes.count()

@@ -258,7 +258,9 @@ object TextAnalysis {
     * count defaults to 1 (bitlen 1), so an unseen bigram under a seen
     * head costs the head's full bitlen — the maximum surprisal that head
     * admits — and a fully unseen pair costs 0; `n_oov_bigrams` reports
-    * how much of the doc the LM had no opinion on. Output: (doc_id,
+    * how much of the doc the LM had no opinion on. `counts` must be
+    * unique per (w1, w2) — [[lmCounts]] output is; a duplicated key
+    * would multiply scored rows through the join. Output: (doc_id,
     * n_bigrams, n_oov_bigrams, surprisal_bits).
     */
   def lmSurprisalAgainst(df: DataFrame, id: Column, text: Column,

@@ -261,6 +261,23 @@ object ThroughputBench {
         (if (distCk == naiveCk) " (checksums agree)" else s" (MISMATCH: $distCk vs $naiveCk)"))
     }
 
+    // scenario 13: fixed-point PageRank over a 2M-edge graph, 10
+    // iterations — evidence the per-iteration cost is edge-bounded
+    // ((node, contribution) pairs through one partial-agg groupBy), and
+    // the fixed-point result is reproducible (checksum printed)
+    if (enabled(13)) {
+      val nEdges = 2000000L
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(200000L)).as("s"),
+        pmod(xxhash64(col("id") + 777), lit(200000L)).as("t"),
+        (col("id") % 9 + 1).as("w"))
+      val t0 = System.nanoTime()
+      val ck = graft.ops.Graphs.pagerank(edges, col("s"), col("t"), col("w"), iters = 10)
+        .agg(sum(col("rank_fp") * pmod(col("v"), lit(97)))).head().getLong(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario13 pagerank edges=$nEdges iters=10: $s%.2f s, checksum $ck")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

@@ -58,6 +58,14 @@ class GraphsSpec extends AnyFunSuite {
     assert(a == refPagerank(edges, iters = 4).toSet)
   }
 
+  test("pagerank: fails fast on non-positive weights (floor-div semantics guard)") {
+    val bad = Seq(("a", "b", 1L), ("b", "a", -2L)).toDF("s", "t", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pagerank(bad, col("s"), col("t"), col("w"), iters = 1)
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
+
   test("transitionEdges: per-user consecutive states in (ts, tiebreak) order") {
     val ev = Seq(
       (1L, "login", 10L, 100L), (1L, "browse", 20L, 101L), (1L, "buy", 30L, 102L),
