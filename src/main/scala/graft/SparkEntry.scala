@@ -509,6 +509,15 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q86_ivfpq_residual" -> ((s, d) => {
+      // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
+      // residual from the coarse centroid, queries probe with their own
+      // per-cell residuals; codebook = salted deterministic sample
+      val em = Tables(s, d).embeddings
+      Similarity.ivfPqResidualTopK(em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, nCells = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
     "q85_lm_score_ref" -> ((s, d) => {
       // the CCNet-style flow: bigram LM TRAINED on the even-id reference
       // half, odd-id docs scored against it in one pass — including
@@ -1222,6 +1231,77 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q86_ivfpq_residual" ->
+      // q77's coarse replay + residual computation + salted-sample PQ
+      // codebook + residual ADC; every float fold index-ordered (DuckDB
+      // lambda index i is 1-based — used directly against 1-based list
+      // indexing, so components align with Spark's 0-based zip_with)
+      """WITH sampled AS (
+        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
+        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
+        |), cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM sampled
+        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
+        |assigned AS (
+        |  SELECT cell, cand_id, cv FROM (
+        |    SELECT c.cell, e.vec_id AS cand_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c
+        |  ) WHERE rk = 1
+        |), resid AS (
+        |  SELECT a.cell, a.cand_id,
+        |         list_transform(a.cv, (x, i) -> x - cb.cents[a.cell+1][i]) AS rv
+        |  FROM assigned a CROSS JOIN cb
+        |), psampled AS (
+        |  SELECT cand_id, rv, md5(CAST(cand_id AS VARCHAR) || ':pq') AS mk
+        |  FROM resid ORDER BY mk, cand_id LIMIT 16
+        |), pcent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY mk, cand_id) - 1 AS INTEGER) AS cell,
+        |         rv AS centroid
+        |  FROM psampled
+        |), pcb AS (SELECT list(centroid ORDER BY cell) AS cents FROM pcent),
+        |enc AS (
+        |  SELECT cand_id, cell2, list(code ORDER BY m) AS codes FROM (
+        |    SELECT cand_id, cell2, m, cell AS code FROM (
+        |      SELECT r.cand_id, r.cell AS cell2, mm.m, p.cell,
+        |        row_number() OVER (PARTITION BY r.cand_id, mm.m
+        |          ORDER BY list_sum(list_transform(range(8), j ->
+        |            (r.rv[mm.m*8+j+1] - p.centroid[mm.m*8+j+1])
+        |            * (r.rv[mm.m*8+j+1] - p.centroid[mm.m*8+j+1]))) ASC,
+        |          p.cell ASC) AS rk
+        |      FROM resid r
+        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
+        |      CROSS JOIN pcent p)
+        |    WHERE rk = 1)
+        |  GROUP BY cand_id, cell2
+        |), probes AS (
+        |  SELECT cell, query_id, qv FROM (
+        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+        |  ) WHERE rk <= 4
+        |), qres AS (
+        |  SELECT p.cell, p.query_id,
+        |         list_transform(p.qv, (x, i) -> x - cb.cents[p.cell+1][i]) AS qv
+        |  FROM probes p CROSS JOIN cb
+        |), scored AS (
+        |  SELECT p.query_id, e.cand_id,
+        |    list_sum(list_transform(range(8), m ->
+        |      list_sum(list_transform(range(8), j ->
+        |        (p.qv[m*8+j+1] - pcb.cents[e.codes[m+1]+1][m*8+j+1])
+        |        * (p.qv[m*8+j+1] - pcb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
+        |  FROM qres p JOIN enc e ON e.cell2 = p.cell
+        |  CROSS JOIN pcb
+        |  WHERE p.query_id <> e.cand_id
+        |)
+        |SELECT query_id, cand_id, rk FROM (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q85_lm_score_ref" ->
       // counts from the even half, scored odd half, OOV counts default to
       // bitlen(1) — all integer, replayed exactly

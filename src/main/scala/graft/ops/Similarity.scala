@@ -281,6 +281,66 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
   }
 
+  /** [[centroidArray]] with a salt mixed into the sampling hash — used
+    * when a second deterministic sample must differ from the first (the
+    * residual-PQ codebook: the md5-min rows ARE the coarse centroids, so
+    * their residuals are ~zero and would make a degenerate codebook).
+    */
+  private[ops] def centroidArraySalted(c: DataFrame, n: Int, salt: String): DataFrame = {
+    val sampled = c.select(
+        md5(concat(col("cand_id").cast("string"), lit(salt))).as("mk"),
+        col("cand_id"), col("cv"))
+      .orderBy(col("mk"), col("cand_id")).limit(n)
+    sampled
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("mk"), col("cand_id"))) - 1).cast("int"))
+      .select(col("cell"), col("cv").as("centroid"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+  }
+
+  /** Residual IVF-PQ top-k — the full FAISS IVFPQ: candidates are PQ-
+    * encoded on their RESIDUAL from the assigned coarse centroid, and
+    * each query probes a cell with its own residual from that cell's
+    * centroid. Residual magnitudes are much smaller than vector
+    * magnitudes, so the same codebook budget quantizes finer — better
+    * recall at identical memory than [[ivfPqTopK]]'s direct encoding.
+    * The PQ codebook is a salted deterministic sample of the residuals
+    * (unsalted, the sample rows would be the coarse centroids themselves,
+    * whose residuals are ~zero). Same scale posture as [[ivfPqTopK]]:
+    * corpus never hash-partitioned, narrow encode against broadcast
+    * codebooks, k-bounded ranking exchange.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        queryId: Column, queryVec: Column,
+                        corpusId: Column, corpusVec: Column,
+                        k: Int, dim: Int, nCells: Int = 16, nProbe: Int = 4,
+                        m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    def centroidOf(cents: Column, cell: Column): Column =
+      element_at(array_sort(cents), cell + 1).getField("centroid")
+    val c = corpus.select(corpusId.as("cand_id"),
+      transform(corpusVec, x => x.cast("double")).as("cv"))
+    val coarse = centroidArray(c, nCells)
+    val resid = assignCells(c, coarse).crossJoin(broadcast(coarse))
+      .select(col("cell"), col("cand_id"),
+        zip_with(col("cv"), centroidOf(col("cents"), col("cell")), (x, y) => x - y).as("cv"))
+    val book = centroidArraySalted(resid.select(col("cand_id"), col("cv")), ksub, ":pq")
+    val enc = pqCodes(resid, "cv", book, m, dsub)
+      .select(col("cell"), col("cand_id"), col("codes"))
+    val q = queries.select(queryId.as("query_id"),
+      transform(queryVec, x => x.cast("double")).as("qv"))
+    val qres = probeCells(q, coarse, nProbe).crossJoin(broadcast(coarse))
+      .select(col("cell"), col("query_id"),
+        zip_with(col("qv"), centroidOf(col("cents"), col("cell")), (x, y) => x - y).as("qv"))
+    val scored = enc.join(broadcast(qres), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(book))
+      .select(col("query_id"), col("cand_id"),
+        adcDist(col("qv"), col("codes"), col("cents"), m, dsub).as("adist"))
+    rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
+  }
+
   /** IVF-PQ top-k (the FAISS IVFPQ composition, without residual
     * refinement): the IVF coarse structure restricts each query to its
     * nProbe nearest cells, and within the probed cells candidates are

@@ -59,6 +59,22 @@ class PqSpec extends AnyFunSuite {
     assert(codes.forall(cs => cs.length == m && cs.forall(x => x >= 0 && x < ksub)))
   }
 
+  test("ivfPqResidualTopK: well-formed ranking, deterministic under repartitioning") {
+    val df = corpus(40, 8)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualTopK(d.where(col("vec_id") < 5), d,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, dim = 8, nCells = 8, nProbe = 8, m = 2, ksub = 8)
+        .as[(Long, Long, Long)].collect()
+    val a = run(df)
+    // k rows per query, ranks 1..k, self excluded
+    val byQ = a.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    assert(byQ.values.forall(rs => rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(a.forall(r => r._1 != r._2))
+    assert(a.toSet == run(df.repartition(7)).toSet)
+  }
+
   test("pqTopK: deterministic under repartitioning") {
     val df = corpus(25, 8)
     def run(d: org.apache.spark.sql.DataFrame) =
