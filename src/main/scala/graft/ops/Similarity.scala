@@ -248,8 +248,8 @@ object Similarity {
     * row; fold order is fixed (subspace 0..m-1, components in index order)
     * so the score is engine-exact.
     */
-  private def adcDist(qv: Column, codes: Column, cents: Column,
-                      m: Int, dsub: Int): Column =
+  private[ops] def adcDist(qv: Column, codes: Column, cents: Column,
+                           m: Int, dsub: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) =>
       acc + l2sq(slice(qv, mm * dsub + 1, lit(dsub)),
         slice(element_at(array_sort(cents), element_at(codes, mm + 1) + 1)
@@ -280,6 +280,10 @@ object Similarity {
         adcDist(col("qv"), col("codes"), col("cents"), m, dsub).as("adist"))
     rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
   }
+
+  /** Centroid of `cell` from a (cell, centroid)-struct array column. */
+  private[ops] def centroidOf(cents: Column, cell: Column): Column =
+    element_at(array_sort(cents), cell + 1).getField("centroid")
 
   /** [[centroidArray]] with a salt mixed into the sampling hash — used
     * when a second deterministic sample must differ from the first (the
@@ -317,8 +321,6 @@ object Similarity {
                         m: Int = 8, ksub: Int = 16): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    def centroidOf(cents: Column, cell: Column): Column =
-      element_at(array_sort(cents), cell + 1).getField("centroid")
     val c = corpus.select(corpusId.as("cand_id"),
       transform(corpusVec, x => x.cast("double")).as("cv"))
     val coarse = centroidArray(c, nCells)
