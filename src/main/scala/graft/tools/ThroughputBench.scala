@@ -278,6 +278,40 @@ object ThroughputBench {
       println(f"scenario13 pagerank edges=$nEdges iters=10: $s%.2f s, checksum $ck")
     }
 
+    // scenario 14: persisted IVF-PQ index over 1M 64-dim vectors —
+    // measures build (assign + residual-encode + write), query latency
+    // over the pruned code files, and the on-disk compression vs the raw
+    // vectors the IvfIndex form would store
+    if (enabled(14)) {
+      val nVecs = 1000000L
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id") * 64 + d), lit(2000)) - 1000.0) / 1000.0).as("v"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_tp").toString + "/idx"
+      val rawDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_tp").toString + "/raw"
+      val t0 = System.nanoTime()
+      graft.ops.IvfPqIndex.build(vecs, col("vec_id"), col("v"),
+        nCells = 64, dir, m = 8, ksub = 16)
+      val sBuild = (System.nanoTime() - t0) / 1e9
+      vecs.write.mode("overwrite").parquet(rawDir)
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(d))
+      }
+      val t1 = System.nanoTime()
+      val rows = graft.ops.IvfPqIndex.query(spark, dir,
+        vecs.where(col("vec_id") < 8), col("vec_id"), col("v"),
+        k = 10, nProbe = 8).count()
+      val sQuery = (System.nanoTime() - t1) / 1e9
+      println(f"scenario14 ivfpq-index n=$nVecs: build $sBuild%.2f s, " +
+        f"query(8q,probe8) $sQuery%.2f s ($rows rows), " +
+        f"codes ${dirBytes(dir) / 1e6}%.1f MB vs raw ${dirBytes(rawDir) / 1e6}%.1f MB " +
+        f"(${dirBytes(rawDir).toDouble / dirBytes(dir)}%.1f x)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
