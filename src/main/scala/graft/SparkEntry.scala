@@ -509,6 +509,15 @@ object SparkEntry {
       // merged removal spans
       SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
         col("doc_id"), col("text"), n = 8)),
+    "q87_sq8_topk" -> ((s, d) => {
+      // scalar-quantized ANN: per-dimension int8 codes against corpus
+      // min/max, dequantized squared-L2 ranking — the 4x end of the
+      // quantization spectrum (PQ is the 32x end)
+      val em = Tables(s, d).embeddings
+      Similarity.sq8TopK(em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, dim = 64)
+    }),
     "q86_ivfpq_residual" -> ((s, d) => {
       // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
       // residual from the coarse centroid, queries probe with their own
@@ -1231,6 +1240,35 @@ object SparkEntry {
         |       coalesce(rm.n_removed, 0) AS n_removed,
         |       coalesce(agg.scrubbed, '') AS scrubbed_text
         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q87_sq8_topk" ->
+      // per-dim min/max, linear int8 encode (floor + clamp), dequantized
+      // L2 — identical double arithmetic and fold order in both engines
+      """WITH dims AS (SELECT unnest(range(64)) AS d),
+        |st AS (SELECT d, min(CAST(embedding[d+1] AS DOUBLE)) AS mn,
+        |              max(CAST(embedding[d+1] AS DOUBLE)) AS mx
+        |       FROM embeddings CROSS JOIN dims GROUP BY d),
+        |stl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+        |enc AS (
+        |  SELECT vec_id AS cand_id,
+        |    list_transform(range(64), d ->
+        |      CASE WHEN mxs[d+1] = mns[d+1] THEN 0
+        |           ELSE CAST(least(greatest(floor(
+        |             (CAST(embedding[d+1] AS DOUBLE) - mns[d+1]) * 255 / (mxs[d+1] - mns[d+1])), 0), 255) AS INTEGER)
+        |      END) AS codes
+        |  FROM embeddings CROSS JOIN stl
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.cand_id,
+        |    list_sum(list_transform(range(64), d ->
+        |      (CAST(q.embedding[d+1] AS DOUBLE) - (mns[d+1] + e.codes[d+1] * (mxs[d+1] - mns[d+1]) / 255))
+        |      * (CAST(q.embedding[d+1] AS DOUBLE) - (mns[d+1] + e.codes[d+1] * (mxs[d+1] - mns[d+1]) / 255))))
+        |      AS adist
+        |  FROM enc e CROSS JOIN stl
+        |  CROSS JOIN embeddings q WHERE q.vec_id < 10 AND q.vec_id <> e.cand_id
+        |)
+        |SELECT query_id, cand_id, rk FROM (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q86_ivfpq_residual" ->
       // q77's coarse replay + residual computation + salted-sample PQ
       // codebook + residual ADC; every float fold index-ordered (DuckDB

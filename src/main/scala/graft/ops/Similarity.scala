@@ -343,6 +343,50 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
   }
 
+  /** Scalar-quantized top-k (SQ8, à la FAISS SQ): every dimension maps
+    * linearly to an int8 code against per-dimension corpus min/max — 4×
+    * compression with near-exact recall (vs PQ's ~32× with coarser
+    * quantization; the two ends of the FAISS compression spectrum).
+    * Training is ONE tiny aggregate (dim rows of min/max, folded into a
+    * one-row broadcast), encode is a narrow map, scoring dequantizes
+    * per-component in fixed index order (engine-exact), ranking is the
+    * k-bounded aggregate. Constant dimensions (max == min) encode to 0
+    * and dequantize to the constant.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+              queryId: Column, queryVec: Column,
+              corpusId: Column, corpusVec: Column,
+              k: Int, dim: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("cand_id"),
+      transform(corpusVec, x => x.cast("double")).as("cv"))
+    val st = c.select(posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("st"))
+      .select(transform(col("st"), s => s.getField("mn")).as("mns"),
+        transform(col("st"), s => s.getField("mx")).as("mxs"))
+    val enc = c.crossJoin(broadcast(st)).select(col("cand_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        val x = element_at(col("cv"), d + 1)
+        val mn = element_at(col("mns"), d + 1)
+        val mx = element_at(col("mxs"), d + 1)
+        when(mx === mn, lit(0)).otherwise(
+          least(greatest(floor((x - mn) * 255 / (mx - mn)), lit(0L)), lit(255L)).cast("int"))
+      }).as("codes"))
+    val q = queries.select(queryId.as("query_id"),
+      transform(queryVec, x => x.cast("double")).as("qv"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) => {
+          val mn = element_at(col("mns"), d + 1)
+          val mx = element_at(col("mxs"), d + 1)
+          val deq = mn + element_at(col("codes"), d + 1) * (mx - mn) / 255
+          val diff = element_at(col("qv"), d + 1) - deq
+          acc + diff * diff
+        }).as("adist"))
+    rankTopK(scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
+  }
+
   /** IVF-PQ top-k (the FAISS IVFPQ composition, without residual
     * refinement): the IVF coarse structure restricts each query to its
     * nProbe nearest cells, and within the probed cells candidates are

@@ -75,6 +75,30 @@ class PqSpec extends AnyFunSuite {
     assert(a.toSet == run(df.repartition(7)).toSet)
   }
 
+  test("sq8TopK: exactness regime — integer-grid corpus with planted endpoints equals brute force") {
+    // per-dim values are integers in [0, 255] with both endpoints planted,
+    // so span = 255 and encode/decode is the identity: SQ8 ranks must
+    // equal the exact squared-L2 brute force
+    val dim = 8; val n = 20
+    def gv(i: Int): Seq[Double] =
+      if (i == 0) Seq.fill(dim)(0.0)
+      else if (i == 1) Seq.fill(dim)(255.0)
+      else (0 until dim).map(j => ((i * 37 + j * 91) % 256).toDouble)
+    val df = (0 until n).map(i => (i.toLong, gv(i))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(df.where(col("vec_id") < 3), df,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 4, dim = dim)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (for {
+      q <- 0 until 3
+      ranked = (0 until n).filter(_ != q)
+        .map(c => (c, gv(q).zip(gv(c)).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (c, dd) => (dd, c) }.take(4)
+      (r, idx) <- ranked.zipWithIndex
+    } yield (q.toLong, r._1.toLong, (idx + 1).toLong)).toSet
+    assert(got == expect)
+  }
+
   test("pqTopK: deterministic under repartitioning") {
     val df = corpus(25, 8)
     def run(d: org.apache.spark.sql.DataFrame) =
