@@ -73,6 +73,23 @@ object IvfPqIndex {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Compact the accumulated append files: one output file per cell
+    * (hash-repartition by the partition column), sidecars copied
+    * unchanged, same crash-safe double-rename swap as the other standing
+    * indexes. Row-identical, so queries are unchanged.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path.compact"
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val book = spark.read.parquet(s"$path/_codebook")
+    spark.read.parquet(path).select(col("cand_id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_centroids")
+    book.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+
   /** Top-k over the compressed index for a (small, broadcastable) query
     * set: probed-cell partition join (dynamic partition pruning), residual
     * ADC against the broadcast codebook, k-bounded ranking exchange.

@@ -62,5 +62,18 @@ class IvfPqIndexSpec extends AnyFunSuite {
     // rows; at minimum the index must contain them all
     val n = spark.read.parquet(dir).count()
     assert(n == em.count())
+    // compact: query results identical, per-cell file count collapses to 1
+    val before = IvfPqIndex.query(spark, dir,
+      extra.limit(2), col("vec_id"), col("embedding"), k = 3, nProbe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    IvfPqIndex.compact(spark, dir)
+    val after = IvfPqIndex.query(spark, dir,
+      extra.limit(2), col("vec_id"), col("embedding"), k = 3, nProbe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == before)
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "compact left more than one file in a cell")
   }
 }
