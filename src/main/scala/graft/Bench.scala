@@ -68,7 +68,15 @@ object Bench {
       }
       if (failed) None else Some(name -> times.sorted.apply(times.length / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query values rounded to 1 ms: the driver records only the LAST
+    // ~3 KB of output, and at 87 queries full-precision doubles push the
+    // line past that window, truncating the leading total. Rounding keeps
+    // the whole line inside the window, and the total is REPEATED as the
+    // final key so even a front-truncated tail still carries it.
+    // Locale.ROOT: the default-locale `f` interpolator can emit a comma
+    // decimal separator, which is not JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // full control-char escaping (graft.core.JsonText) — a tab in a Spark
     // analysis error would otherwise break the driver's json.load and
@@ -77,7 +85,7 @@ object Bench {
       graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

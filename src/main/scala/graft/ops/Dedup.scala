@@ -151,6 +151,13 @@ object Dedup {
     * memory, [[DedupIndex]] is the disk-backed screen. Null keys screen
     * as new (a Bloom can't represent them; the exact join would keep them
     * too).
+    *
+    * COST NOTE — the `expectedItems = 0` default runs a full `count()`
+    * job over the seen-set to size the filter BEFORE the bloomFilter
+    * aggregate builds it: two passes over a potentially corpus-sized
+    * frame where a sized call pays one. Convenient for small/medium
+    * seen-sets; for a large one, pass `expectedItems` (an upper bound is
+    * fine — fpp only improves) and skip the counting pass.
     */
   def bloomScreen(seen: DataFrame, seenKey: Column,
                   incoming: DataFrame, inKey: Column,
@@ -172,7 +179,10 @@ object Dedup {
     * per batch. The seen-set is FROZEN at start: rows admitted during the
     * stream are not added to the filter (screen-then-admit pipelines
     * rebuild the filter on their ingestion cadence, like
-    * [[DedupIndex.append]]/`screenStream`).
+    * [[DedupIndex.append]]/`screenStream`). Same cost note as
+    * [[bloomScreen]]: the `expectedItems = 0` default adds a one-time
+    * `count()` pass over the seen-set before the filter build — pass a
+    * sized upper bound for large seen-sets.
     */
   def bloomScreenStream(seen: DataFrame, seenKey: Column,
                         stream: DataFrame, inKey: Column,

@@ -163,7 +163,12 @@ object DedupIndex {
     * not a stream-static join end-to-end — because candidate dedup
     * inside one batch is a plain batch `dropDuplicates`; done in the
     * streaming plan it would accumulate unbounded state. The static
-    * index is re-read per batch, so a rebuilt index is picked up live.
+    * index is re-read per batch, so appends/compactions/rebuilds are
+    * picked up across batches; a batch straddling a [[compact]]/
+    * [[IvfIndex.rebuild]]-style swap can hit the swap's momentary
+    * missing-path window and retries via [[IvfIndex.retryingStaleReads]]
+    * (`onBatch` must be idempotent — it already must be, Spark replays
+    * micro-batches on failure).
     */
   def screenStream(spark: SparkSession, stream: DataFrame, id: Column, text: Column,
                    path: String, threshold: Double = 0.5,
@@ -172,8 +177,10 @@ object DedupIndex {
                   (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(check(spark, batch, id, text, path, threshold,
-          shingleN, numHashes, bands, rowsPerBand))
+        IvfIndex.retryingStaleReads() {
+          onBatch(check(spark, batch, id, text, path, threshold,
+            shingleN, numHashes, bands, rowsPerBand))
+        }
       }
       .start()
 }

@@ -35,19 +35,34 @@ object Graphs {
                scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
-    require(scale > 0, "scale must be positive")
+    // upper bound keeps scale·(100-damping) and dampingPct·mass in Long
+    // range (mass stays ≤ ~scale), and keeps the w-bound check meaningful
+    require(scale > 0 && scale <= Long.MaxValue / 200,
+      s"scale must be in (0, ${Long.MaxValue / 200}]")
     val e = edges
       .select(src.as("src"), dst.as("dst"),
         coalesce(weight.cast("long"), lit(1L)).as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
-    // fail fast on non-positive weights BEFORE iterating: integer floor
-    // division of negatives differs between engines (Spark `div`
-    // truncates toward zero, DuckDB `//` floors) and a zero total
-    // out-weight divides by zero — silent rank corruption either way
-    require(e.where(col("w") <= 0).isEmpty,
-      "pagerank edge weights must be positive (fixed-point floor-division semantics)")
+    // fail fast on weight range BEFORE iterating, one aggregate pass:
+    // non-positive weights — integer floor division of negatives differs
+    // between engines (Spark `div` truncates toward zero, DuckDB `//`
+    // floors) and a zero total out-weight divides by zero; and weights
+    // large enough that `r * w` can exceed Long range (a rank is at most
+    // ~scale, so max(w) must stay under Long.MaxValue / (2·scale)) —
+    // under ANSI mode the overflow kills the job mid-iteration, and on
+    // non-ANSI engines it silently wraps. Either way: corrupt ranks.
+    val wBound = Long.MaxValue / (2 * scale)
+    val wStats = e.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head
+    if (!wStats.isNullAt(0)) {
+      require(wStats.getLong(0) > 0,
+        "pagerank edge weights must be positive (fixed-point floor-division semantics)")
+      require(wStats.getLong(1) <= wBound,
+        s"pagerank aggregated edge weight ${wStats.getLong(1)} exceeds the " +
+          s"overflow-safe bound $wBound for scale=$scale — r*w would exceed " +
+          "Long range; lower `scale` or pre-normalize the weights")
+    }
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     val n = nodes.count()

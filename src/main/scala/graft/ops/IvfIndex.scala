@@ -122,6 +122,17 @@ object IvfIndex {
     * addressable (at `<path>` or `<path>.old`), never neither. Shared
     * with [[DedupIndex.compact]] — the swap's crash-safety invariant
     * lives in exactly one place.
+    *
+    * CONCURRENT READERS: the swap is crash-safe but not atomic for a
+    * reader in flight — between the two renames `path` momentarily does
+    * not exist, and a job that listed files before the swap can chase
+    * deleted `<path>.old` files. A read that straddles the swap fails
+    * loudly (missing path / missing file), never silently mixes the two
+    * versions — re-reading after the swap sees exactly the new index.
+    * The streaming screeners ([[DedupIndex.screenStream]],
+    * [[SpanIndex.screenStream]]) retry their batch through
+    * [[retryingStaleReads]]; ad-hoc batch readers should either quiesce
+    * around compaction or wrap reads the same way.
     */
   private[ops] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -134,6 +145,36 @@ object IvfIndex {
     require(fs.rename(src, dst), s"index swap failed: rename $tmp -> $path " +
       s"(previous index preserved at $path.old)")
     fs.delete(old, true)
+  }
+
+  /** Run `body`, retrying (bounded, short linear backoff) when it dies on
+    * a missing path/file — the [[swapDirs]] visibility window: between the
+    * two renames the index path does not exist, and a reader that listed
+    * files pre-swap chases deleted `<path>.old` files. Only the
+    * missing-file family retries; anything else rethrows immediately.
+    * Callers' `body` must be idempotent (the streaming screeners' onBatch
+    * already is — Spark itself replays micro-batches on failure).
+    */
+  private[ops] def retryingStaleReads[T](attempts: Int = 5, backoffMs: Long = 500)
+                                        (body: => T): T = {
+    def missingFile(e: Throwable): Boolean = e != null && {
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("FileNotFoundException")) ||
+        missingFile(e.getCause)
+    }
+    var left = math.max(attempts, 1)
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if missingFile(e) && left > 1 =>
+          left -= 1
+          Thread.sleep(backoffMs)
+        case e: Throwable => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Top-k over the index for a (small, broadcastable) query set.

@@ -36,19 +36,28 @@ object IvfPqIndex {
     val dim = c.select(size(col("cv"))).head.getInt(0)
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val coarse = Similarity.centroidArray(c, nCells)
+    // pin the shared stages so each corpus-sized pass executes ONCE:
+    // `coarse` (one row, but derived from a corpus top-k scan) feeds the
+    // assignment AND both sidecar writes, and `resid` (corpus-sized) feeds
+    // the codebook sample AND the code encode — without pinning, Catalyst
+    // re-executes each subtree per consumer and the "one-pass" build
+    // scans + re-assigns the corpus ~3×
+    val coarse = Similarity.centroidArray(c, nCells).localCheckpoint()
     val resid = Similarity.assignCells(c, coarse).crossJoin(broadcast(coarse))
       .select(col("cell"), col("cand_id"),
         zip_with(col("cv"), Similarity.centroidOf(col("cents"), col("cell")),
           (x, y) => x - y).as("cv"))
-    val book = Similarity.centroidArraySalted(
-      resid.select(col("cand_id"), col("cv")), ksub, ":pq")
-    Similarity.pqCodes(resid, "cv", book, m, dsub)
-      .select(col("cell"), col("cand_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    coarse.write.mode("overwrite").parquet(s"$path/_centroids")
-    book.select(col("cents"), lit(m).as("m"), lit(dim).as("dim"))
-      .write.mode("overwrite").parquet(s"$path/_codebook")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val book = Similarity.centroidArraySalted(
+        resid.select(col("cand_id"), col("cv")), ksub, ":pq").localCheckpoint()
+      Similarity.pqCodes(resid, "cv", book, m, dsub)
+        .select(col("cell"), col("cand_id"), col("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      coarse.write.mode("overwrite").parquet(s"$path/_centroids")
+      book.select(col("cents"), lit(m).as("m"), lit(dim).as("dim"))
+        .write.mode("overwrite").parquet(s"$path/_codebook")
+    } finally resid.unpersist()
   }
 
   /** Incrementally add vectors: assign against the STORED centroids,

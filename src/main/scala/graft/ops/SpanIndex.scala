@@ -127,14 +127,20 @@ object SpanIndex {
     * spans handed to `onBatch`. foreachBatch for the same reasons as
     * [[DedupIndex.screenStream]] — the span merge is a batch window, and
     * the static gram table is re-read per batch, so appends and
-    * compactions are picked up live.
+    * compactions are picked up across batches. A batch that straddles a
+    * [[compact]] swap can hit the swap's momentary missing-path window
+    * ([[IvfIndex.swapDirs]]); the batch retries via
+    * [[IvfIndex.retryingStaleReads]], so `onBatch` must be idempotent
+    * (it already must be — Spark replays micro-batches on failure).
     */
   def screenStream(spark: SparkSession, stream: DataFrame, id: Column, text: Column,
                    path: String, n: Int = 8)
                   (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(check(spark, batch, id, text, path, n))
+        IvfIndex.retryingStaleReads() {
+          onBatch(check(spark, batch, id, text, path, n))
+        }
       }
       .start()
 }

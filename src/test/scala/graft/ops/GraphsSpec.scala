@@ -66,6 +66,19 @@ class GraphsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("positive"))
   }
 
+  test("pagerank: fails fast on weights large enough to overflow r*w") {
+    // max aggregated weight must stay under Long.MaxValue / (2*scale);
+    // at the default scale=1e12 a 1e7 weight crosses it
+    val big = Seq(("a", "b", 10000000L), ("b", "a", 1L)).toDF("s", "t", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pagerank(big, col("s"), col("t"), col("w"), iters = 1)
+    }
+    assert(ex.getMessage.contains("overflow-safe bound"))
+    // the same weights are fine at a smaller scale
+    assert(Graphs.pagerank(big, col("s"), col("t"), col("w"), iters = 1,
+      scale = 1000000L).count() == 2)
+  }
+
   test("transitionEdges: per-user consecutive states in (ts, tiebreak) order") {
     val ev = Seq(
       (1L, "login", 10L, 100L), (1L, "browse", 20L, 101L), (1L, "buy", 30L, 102L),
