@@ -518,6 +518,38 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5, dim = 64)
     }),
+    "q88_kmeans_assign" -> ((s, d) => {
+      // fixed-point Lloyd's k-means (k=8, 2 iterations) over the
+      // embeddings — every quantity an integer (floor-quantized vectors,
+      // integer squared-L2, truncating-division update), so the oracle
+      // replays the identical fit unrolled in SQL
+      val em = Tables(s, d).embeddings
+      KMeans.assign(em, col("vec_id"), col("embedding"),
+        KMeans.fit(em, col("vec_id"), col("embedding"), k = 8, iters = 2))
+    }),
+    "q89_kmeans_ivf_topk" -> ((s, d) => {
+      // IVF ANN with a TRAINED coarse quantizer (FAISS IndexIVF.train):
+      // k-means cells replace the raw corpus sample of q42
+      val em = Tables(s, d).embeddings
+      KMeans.ivfTopKTrained(em.where(col("vec_id") < 10), em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nCells = 8, iters = 2, nProbe = 4)
+    }),
+    "q90_kmeans_semdedup" -> ((s, d) => {
+      // SemDeDup: k-means-cluster the embeddings, then drop every row
+      // with a lower-id near-duplicate (cosine >= 0.95) in its own
+      // cluster. Same planted corpus as q45 (the sf embeddings have no
+      // real near-dups), so exactly the planted copies die.
+      val em = Tables(s, d).embeddings
+      val base = em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = em.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1))).as("v"))
+      KMeans.semanticDedup(base.union(planted), col("id"), col("v"),
+        k = 8, iters = 2, threshold = 0.95)
+    }),
     "q86_ivfpq_residual" -> ((s, d) => {
       // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
       // residual from the coarse centroid, queries probe with their own
@@ -699,6 +731,47 @@ object SparkEntry {
         .select(col("media_id"), col("n_samples"), col("mean_abs"), col("mean_square"))
     }),
   )
+
+  /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
+    * fit: expects a `corpus(id, v DOUBLE[])` CTE in scope, emits CTEs
+    * `xq` (floor-quantized BIGINT vectors), `c0` (md5-order init) and
+    * `c1..c<iters>` (one assignment + truncating-division update per
+    * iteration, empty cells keeping their centroid), plus `af` — the
+    * final (id, cell) assignment against `c<iters>`. Every operation is
+    * integer, so the replay is bit-identical to the Spark fit.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, q: Long): String = {
+    def assignSql(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT id, x, cell FROM (
+         |    SELECT xq.id, xq.x, c.cell,
+         |      row_number() OVER (PARTITION BY xq.id ORDER BY
+         |        list_sum(list_transform(range($dim), j -> (xq.x[j+1]-c.cent[j+1])*(xq.x[j+1]-c.cent[j+1]))) ASC,
+         |        c.cell ASC) AS rk
+         |    FROM xq CROSS JOIN $cents c
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    val head =
+      s"""xq AS (
+         |  SELECT id, list_transform(v, e -> CAST(floor(e * $q) AS BIGINT)) AS x FROM corpus
+         |),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY mk, id) - 1 AS INTEGER) AS cell, x AS cent
+         |  FROM (SELECT id, x, md5(CAST(id AS VARCHAR)) AS mk FROM xq ORDER BY mk, id LIMIT $k)
+         |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignSql(s"a$i", s"c${i - 1}")},
+         |s$i AS (
+         |  SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
+         |  FROM a$i CROSS JOIN (SELECT unnest(range($dim)) AS d) dims
+         |  GROUP BY cell, d
+         |),
+         |n$i AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM s$i GROUP BY cell),
+         |c$i AS (SELECT c.cell, coalesce(n$i.cent, c.cent) AS cent
+         |        FROM c${i - 1} c LEFT JOIN n$i ON c.cell = n$i.cell)""".stripMargin
+    }
+    (head +: iterCtes :+ assignSql("af", s"c$iters")).mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_map_project" ->
@@ -1269,6 +1342,68 @@ object SparkEntry {
         |  SELECT query_id, cand_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q88_kmeans_assign" ->
+      // the fixed-point Lloyd fit unrolled (2 iterations, k=8) + final
+      // assignment — all-integer arithmetic, so bit-identical to Spark
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)}
+         |SELECT id, cell FROM af""".stripMargin,
+    "q89_kmeans_ivf_topk" ->
+      // trained-quantizer IVF: the k-means unroll supplies the coarse
+      // cells, then the q42-style probe/assign/rank replay runs against
+      // the DEQUANTIZED (cent/q — exact-integer-valued doubles) centroids
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
+         |cd AS (SELECT cell, list_transform(cent, c -> CAST(c AS DOUBLE) / 1000000) AS centroid FROM c2),
+         |assigned AS (
+         |  SELECT cell, cand_id, cv FROM (
+         |    SELECT c.cell, e.id AS cand_id, e.v AS cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rk
+         |    FROM corpus e CROSS JOIN cd c
+         |  ) WHERE rk = 1
+         |),
+         |probes AS (
+         |  SELECT cell, query_id, qv FROM (
+         |    SELECT c.cell, e.id AS query_id, e.v AS qv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rk
+         |    FROM corpus e CROSS JOIN cd c WHERE e.id < 10
+         |  ) WHERE rk <= 4
+         |)
+         |SELECT query_id, cand_id, rk FROM (
+         |  SELECT p.query_id, a.cand_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cand_id ASC) AS rk
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.cand_id
+         |) WHERE rk <= 5""".stripMargin,
+    "q90_kmeans_semdedup" ->
+      // SemDeDup over the q45 planted corpus: k-means unroll, final
+      // assignment, then drop every id with a lower-id same-cluster
+      // neighbor at cosine >= 0.95 over the ORIGINAL double vectors
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000 AS id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
+         |dom AS (
+         |  SELECT DISTINCT a.id
+         |  FROM af a JOIN af b ON a.cell = b.cell AND b.id < a.id
+         |  JOIN corpus ca ON ca.id = a.id
+         |  JOIN corpus cb ON cb.id = b.id
+         |  WHERE list_cosine_similarity(ca.v, cb.v) >= 0.95
+         |)
+         |SELECT id, cell FROM af
+         |WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.id = af.id)""".stripMargin,
     "q86_ivfpq_residual" ->
       // q77's coarse replay + residual computation + salted-sample PQ
       // codebook + residual ADC; every float fold index-ordered (DuckDB
