@@ -550,6 +550,11 @@ object SparkEntry {
       KMeans.semanticDedup(base.union(planted), col("id"), col("v"),
         k = 8, iters = 2, threshold = 0.95)
     }),
+    "q91_quality_classify" -> ((s, d) =>
+      // linear quality-classifier inference (the fastText/C4-style gate):
+      // integer fixed-point features + dot product + sign threshold, one
+      // narrow codegen'd pass, bit-identical across engines
+      Classifier.qualityClassify(Tables(s, d).documents, col("doc_id"), col("text"))),
     "q86_ivfpq_residual" -> ((s, d) => {
       // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
       // residual from the coarse centroid, queries probe with their own
@@ -1404,6 +1409,38 @@ object SparkEntry {
          |)
          |SELECT id, cell FROM af
          |WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.id = af.id)""".stripMargin,
+    "q91_quality_classify" ->
+      // same integer feature extraction and linear score; // is the same
+      // truncating division as Spark's div (nonnegative operands here)
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS BIGINT) AS tot,
+        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], tk))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM t
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    (n_stop * 1000) // greatest(n_tokens, 1) AS stop_fp,
+        |    (n_uniq * 1000) // greatest(n_tokens, 1) AS uniq_fp,
+        |    (n_digit * 1000) // greatest(n_chars, 1) AS digit_fp,
+        |    (n_punct * 1000) // greatest(n_chars, 1) AS punct_fp
+        |  FROM f
+        |)
+        |SELECT doc_id AS id, score, score >= 0 AS keep FROM (
+        |  SELECT doc_id,
+        |    stop_fp * 4 + uniq_fp * 2 + digit_fp * (-3) + punct_fp * (-2) - 900 AS score
+        |  FROM g
+        |)""".stripMargin,
     "q86_ivfpq_residual" ->
       // q77's coarse replay + residual computation + salted-sample PQ
       // codebook + residual ADC; every float fold index-ordered (DuckDB

@@ -18,7 +18,7 @@ object TextAnalysis {
   /** Token count without materializing the token array per row twice. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  private val stopwordsEn: Seq[String] = Seq(
+  private[ops] val stopwordsEn: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
 
