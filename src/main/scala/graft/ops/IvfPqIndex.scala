@@ -36,28 +36,30 @@ object IvfPqIndex {
     val dim = c.select(size(col("cv"))).head.getInt(0)
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    // pin the shared stages so each corpus-sized pass executes ONCE:
-    // `coarse` (one row, but derived from a corpus top-k scan) feeds the
-    // assignment AND both sidecar writes, and `resid` (corpus-sized) feeds
-    // the codebook sample AND the code encode — without pinning, Catalyst
-    // re-executes each subtree per consumer and the "one-pass" build
-    // scans + re-assigns the corpus ~3×
+    // the corpus-sized residual pass must execute exactly ONCE (the
+    // encode+write). The codebook would naively force a second one — its
+    // sample is the salted md5 top-ksub rows of the residual frame — but
+    // sample membership depends only on ids, so the ksub winning rows are
+    // fetched raw (narrow id top-k + broadcast join) and residual-encoded
+    // as a ksub-row computation. `coarse` (one row, derived from a corpus
+    // top-k scan) pins via localCheckpoint so its scan doesn't re-run per
+    // consumer. Build total: 2 full-vector passes + 1 id-column pass —
+    // and nothing corpus-sized is ever cached or shuffled.
     val coarse = Similarity.centroidArray(c, nCells).localCheckpoint()
-    val resid = Similarity.assignCells(c, coarse).crossJoin(broadcast(coarse))
-      .select(col("cell"), col("cand_id"),
-        zip_with(col("cv"), Similarity.centroidOf(col("cents"), col("cell")),
-          (x, y) => x - y).as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val book = Similarity.centroidArraySalted(
-        resid.select(col("cand_id"), col("cv")), ksub, ":pq").localCheckpoint()
-      Similarity.pqCodes(resid, "cv", book, m, dsub)
-        .select(col("cell"), col("cand_id"), col("codes"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
-      coarse.write.mode("overwrite").parquet(s"$path/_centroids")
-      book.select(col("cents"), lit(m).as("m"), lit(dim).as("dim"))
-        .write.mode("overwrite").parquet(s"$path/_codebook")
-    } finally resid.unpersist()
+    def residOf(rows: DataFrame): DataFrame =
+      Similarity.assignCells(rows, coarse).crossJoin(broadcast(coarse))
+        .select(col("cell"), col("cand_id"),
+          zip_with(col("cv"), Similarity.centroidOf(col("cents"), col("cell")),
+            (x, y) => x - y).as("cv"))
+    val book = Similarity.centroidArraySalted(
+      residOf(Similarity.saltedSampleRows(c, ksub, ":pq"))
+        .select(col("cand_id"), col("cv")), ksub, ":pq").localCheckpoint()
+    Similarity.pqCodes(residOf(c), "cv", book, m, dsub)
+      .select(col("cell"), col("cand_id"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    coarse.write.mode("overwrite").parquet(s"$path/_centroids")
+    book.select(col("cents"), lit(m).as("m"), lit(dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$path/_codebook")
   }
 
   /** Incrementally add vectors: assign against the STORED centroids,

@@ -285,6 +285,22 @@ object Similarity {
   private[ops] def centroidOf(cents: Column, cell: Column): Column =
     element_at(array_sort(cents), cell + 1).getField("centroid")
 
+  /** The rows [[centroidArraySalted]] would sample, fetched WITHOUT
+    * computing the upstream of every corpus row: the salted md5 top-n id
+    * pick needs only the id column (a narrow top-k), and the n winning
+    * rows come back through a broadcast join. Feeding an expensive
+    * per-row pipeline (e.g. residual encoding) through this before
+    * sampling turns a corpus-sized computation into an n-row one — same
+    * rows, same order, bit-identical fold.
+    */
+  private[ops] def saltedSampleRows(c: DataFrame, n: Int, salt: String): DataFrame = {
+    val ids = c.select(col("cand_id"),
+        md5(concat(col("cand_id").cast("string"), lit(salt))).as("mk"))
+      .orderBy(col("mk"), col("cand_id")).limit(n)
+      .select(col("cand_id"))
+    c.join(broadcast(ids), Seq("cand_id"))
+  }
+
   /** [[centroidArray]] with a salt mixed into the sampling hash — used
     * when a second deterministic sample must differ from the first (the
     * residual-PQ codebook: the md5-min rows ARE the coarse centroids, so
@@ -324,11 +340,17 @@ object Similarity {
     val c = corpus.select(corpusId.as("cand_id"),
       transform(corpusVec, x => x.cast("double")).as("cv"))
     val coarse = centroidArray(c, nCells)
-    val resid = assignCells(c, coarse).crossJoin(broadcast(coarse))
-      .select(col("cell"), col("cand_id"),
-        zip_with(col("cv"), centroidOf(col("cents"), col("cell")), (x, y) => x - y).as("cv"))
-    val book = centroidArraySalted(resid.select(col("cand_id"), col("cv")), ksub, ":pq")
-    val enc = pqCodes(resid, "cv", book, m, dsub)
+    def residOf(rows: DataFrame): DataFrame =
+      assignCells(rows, coarse).crossJoin(broadcast(coarse))
+        .select(col("cell"), col("cand_id"),
+          zip_with(col("cv"), centroidOf(col("cents"), col("cell")), (x, y) => x - y).as("cv"))
+    // codebook sample membership depends only on ids — fetch the ksub
+    // winning rows raw and residual-encode just those, so the corpus-sized
+    // residual pass runs once (the encode), not twice
+    val book = centroidArraySalted(
+      residOf(saltedSampleRows(c, ksub, ":pq")).select(col("cand_id"), col("cv")),
+      ksub, ":pq")
+    val enc = pqCodes(residOf(c), "cv", book, m, dsub)
       .select(col("cell"), col("cand_id"), col("codes"))
     val q = queries.select(queryId.as("query_id"),
       transform(queryVec, x => x.cast("double")).as("qv"))
