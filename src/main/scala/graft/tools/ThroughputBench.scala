@@ -312,6 +312,33 @@ object ThroughputBench {
         f"(${dirBytes(rawDir).toDouble / dirBytes(dir)}%.1f x)")
     }
 
+    // scenario 15: fixed-point k-means over 1M 64-dim vectors — the
+    // corpus never shuffles (broadcast-argmin assignment, k·dim-bounded
+    // update exchanges); wall should scale with iterations × one corpus
+    // pass. Checksum over assignments proves run-to-run determinism.
+    if (enabled(15)) {
+      val nVecs = 1000000L
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id") * 64 + d), lit(2000)) - 1000.0) / 1000.0).as("v"))
+      def fitAssignChecksum(iters: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val cents = graft.ops.KMeans.fit(vecs, col("vec_id"), col("v"),
+          k = 64, iters = iters)
+        val ck = graft.ops.KMeans.assign(vecs, col("vec_id"), col("v"), cents)
+          .agg(sum(col("cell") * pmod(col("id"), lit(97)))).head().getLong(0)
+        (ck, (System.nanoTime() - t0) / 1e9)
+      }
+      val (ck2, s2) = fitAssignChecksum(2)
+      val (ck4, s4) = fitAssignChecksum(4)
+      val (ck2b, _) = fitAssignChecksum(2)
+      require(ck2 == ck2b, s"k-means not deterministic: $ck2 vs $ck2b")
+      println(f"scenario15 kmeans n=$nVecs k=64: 2 iters $s2%.2f s, " +
+        f"4 iters $s4%.2f s (per-extra-iter ${(s4 - s2) / 2}%.2f s), " +
+        f"checksum $ck2 reproducible")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

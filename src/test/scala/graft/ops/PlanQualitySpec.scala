@@ -238,6 +238,54 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q88: k-means assignment is a narrow broadcast argmin — corpus never shuffled") {
+    // the assign pass (and the per-iteration assignment inside fit) must
+    // be a map against the ONE broadcast centroid row; any Exchange in
+    // the assignment plan means the corpus is being hash-partitioned to
+    // pick a cell — wrong at any scale
+    import org.apache.spark.sql.functions._
+    val em = graft.sources.Tables(spark, sf).embeddings
+    val cents = KMeans.fit(em, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val p = KMeans.assign(em, col("vec_id"), col("embedding"), cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"k-means assignment shuffles the corpus:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast:\n$p")
+  }
+
+  test("k-means update: the (cell, d) sum aggregate is partial — exchange bounded by k·dim") {
+    // replicate the fit's update stage shape and check the aggregate runs
+    // map-side first: HashAggregate(partial) below the exchange means the
+    // shuffle carries at most k·dim rows per map partition, never the
+    // exploded corpus
+    import org.apache.spark.sql.functions._
+    val em = graft.sources.Tables(spark, sf).embeddings
+    val cents = KMeans.fit(em, col("vec_id"), col("embedding"), k = 4, iters = 0)
+    val assigned = KMeans.assign(em, col("vec_id"), col("embedding"), cents)
+      .join(em.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("xq")), Seq("id"))
+    val sums = assigned
+      .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("s"))
+    val p = sums.queryExecution.executedPlan.toString
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.size >= 2, s"update aggregate not partial+final:\n$p")
+    val exchangeIdx = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialBelowExchange = p.linesIterator.zipWithIndex.exists { case (l, i) =>
+      l.contains("HashAggregate") && i > exchangeIdx
+    }
+    assert(exchangeIdx >= 0 && partialBelowExchange,
+      s"no partial aggregate below the (cell, d) exchange:\n$p")
+  }
+
+  test("q91: quality-classifier inference is one narrow codegen'd pass — no exchange") {
+    val p = plan("q91_quality_classify")
+    assert(!p.contains("Exchange"), s"classifier gate shuffles:\n$p")
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1)"), s"classifier fell out of codegen:\n$p")
+  }
+
   test("q37: LSH candidate join does not shuffle shingle arrays") {
     // at sf0.001 AQE broadcasts everything; force the shuffle-join shape
     // the operator takes at corpus scale to inspect what the exchange carries
