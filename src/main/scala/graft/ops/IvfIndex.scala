@@ -33,6 +33,23 @@ object IvfIndex {
     centArr.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Build the index from PRE-TRAINED centroids (the FAISS
+    * `IndexIVF.train` flow): `cents` is a one-row (cell, centroid)
+    * struct-array frame — [[KMeans.centroidsAsDouble]] over a fitted
+    * model, typically — and replaces [[build]]'s raw md5 corpus sample.
+    * Trained cells track data density, which is what keeps per-cell file
+    * sizes balanced and probe recall stable on clustered corpora; the
+    * rest of the index contract (layout, `query`, `append`, `compact`)
+    * is identical because the stored `_centroids` row is the same shape.
+    */
+  def buildTrained(corpus: DataFrame, id: Column, vec: Column,
+                   cents: DataFrame, path: String): Unit = {
+    val c = corpus.select(id.as("cand_id"), vec.as("cv"))
+    Similarity.assignCells(c, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
   /** Incrementally add vectors to an existing index: assign against the
     * STORED centroids (same narrow broadcast argmax) and append to the
     * assigned cells' partitions. Centroids are not re-sampled — cell

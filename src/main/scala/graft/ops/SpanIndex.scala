@@ -57,6 +57,51 @@ object SpanIndex {
     IvfIndex.swapDirs(spark, path, tmp)
   }
 
+  /** [[build]] into a BUCKETED managed table (bucketed + sorted by
+    * `gram` — [[graft.sources.Bucketed.write]]): the co-located form the
+    * path-based index's docs recommend for continuous ingestion. Every
+    * [[checkBucketed]] then joins WITHOUT shuffling the stored side —
+    * the corpus-sized gram table reads straight from its buckets and
+    * only the (batch-sized) incoming gram frame exchanges into the
+    * bucket layout. Size `buckets` so one bucket ≈ one task's worth of
+    * grams at the target corpus (the table is the 48-byte-per-window
+    * fingerprint form, not text).
+    */
+  def buildBucketed(df: DataFrame, id: Column, text: Column, table: String,
+                    n: Int = 8, buckets: Int = 64): Unit = {
+    require(n > 0, "gram length n must be positive")
+    graft.sources.Bucketed.write(SpanDedup.grams(df, id, text, n), table, "gram", buckets)
+  }
+
+  /** Admit new documents into a bucketed index: appended data lands in
+    * the same bucket layout (Spark enforces the spec matches), so
+    * [[checkBucketed]] stays exchange-free on the stored side. Appends
+    * add one file per bucket per batch — Spark then re-sorts bucket
+    * partitions at read (merge of sorted files is not tracked), but the
+    * no-shuffle property is unaffected; compact by rewriting via
+    * [[buildBucketed]] over the table when file counts grow.
+    */
+  def appendBucketed(newDocs: DataFrame, id: Column, text: Column, table: String,
+                     n: Int = 8, buckets: Int = 64): Unit = {
+    require(n > 0, "gram length n must be positive")
+    SpanDedup.grams(newDocs, id, text, n)
+      .write.mode("append").bucketBy(buckets, "gram").sortBy("gram")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[check]] against a bucketed index table: identical results, but the
+    * stored gram table is never shuffled (its buckets ARE the join
+    * partitioning) — per batch, only batch-sized data moves.
+    */
+  def checkBucketed(spark: SparkSession, newDocs: DataFrame, id: Column, text: Column,
+                    table: String, n: Int = 8): DataFrame = {
+    require(n > 0, "gram length n must be positive")
+    val hits = SpanDedup.grams(newDocs, id, text, n)
+      .join(spark.table(table).select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("id"), col("pos"))
+    SpanDedup.mergeSpans(hits, n)
+  }
+
   /** Maximal spans of each NEW document that already occur in the indexed
     * corpus: the batch's gram fingerprints (one narrow pass over batch
     * text) join the stored grams on the fingerprint key, hits merge into

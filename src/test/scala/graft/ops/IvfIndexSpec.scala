@@ -140,6 +140,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rows.length == 3 * 5)
   }
 
+  test("buildTrained: k-means cells persist and query equals the one-shot trained IVF") {
+    val em = Tables(spark, sf).embeddings
+    val c = em.select(col("vec_id").as("cand_id"),
+      transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val cents = KMeans.centroidsAsDouble(
+      KMeans.fit(c, col("cand_id"), col("cv"), k = 8, iters = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    IvfIndex.buildTrained(c, col("cand_id"), col("cv"), cents, dir)
+
+    val q = em.where(col("vec_id") < 10)
+    val fromIndex = IvfIndex.query(spark, dir, q, col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")), k = 5, nProbe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // the one-shot refits the identical deterministic k-means, so the
+    // persisted-index path must return exactly its results
+    val oneShot = KMeans.ivfTopKTrained(q, em,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nCells = 8, iters = 2, nProbe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromIndex == oneShot && fromIndex.size == 50)
+    // maintenance surface works on the trained index unchanged
+    assert(IvfIndex.numCells(spark, dir) == 8)
+    assert(IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().map(_._2).sum == 500)
+  }
+
   test("retryingStaleReads: retries the missing-file family, rethrows the rest") {
     // missing-file errors retry until the (simulated) swap completes
     var calls = 0

@@ -104,6 +104,54 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(got(61L) == ((4L, 0L, "y1 y2 y3 y4")))
   }
 
+  test("bucketed index: same results as the path index, stored side never shuffles") {
+    val path = tmp()
+    val table = "graft_spanidx_bucketed_test"
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    SpanIndex.buildBucketed(corpus, col("id"), col("text"), table, n = 4, buckets = 8)
+    try {
+      val incoming = Seq(
+        (10L, "x1 p1 p2 p3 p4 p5 x2"),
+        (11L, "y1 d5 d6 d7 d8 y2 y3")).toDF("id", "text")
+      val viaPath = SpanIndex.check(spark, incoming, col("id"), col("text"), path, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val viaTable = SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), table, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaTable == viaPath && viaTable.nonEmpty)
+
+      // appended grams are picked up, still equal to the path form
+      val extra = Seq((3L, "e1 e2 e3 e4 e5 e6")).toDF("id", "text")
+      SpanIndex.append(extra, col("id"), col("text"), path, n = 4)
+      SpanIndex.appendBucketed(extra, col("id"), col("text"), table, n = 4, buckets = 8)
+      val incoming2 = Seq((12L, "w1 e1 e2 e3 e4 e5 w2")).toDF("id", "text")
+      val p2 = SpanIndex.check(spark, incoming2, col("id"), col("text"), path, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val t2 = SpanIndex.checkBucketed(spark, incoming2, col("id"), col("text"), table, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(t2 == p2 && t2.nonEmpty)
+
+      // the scale property: with broadcast off (the at-scale join shape),
+      // the bucketed scan itself satisfies the join partitioning — no
+      // Exchange sits between the table scan and the join
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), table, n = 4)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"stored side not read as bucketed:\n$plan")
+        // exactly ONE gram-keyed hash exchange in the join: the batch
+        // side moving into the bucket layout. A second one would mean
+        // the stored table is being shuffled too. (The downstream span
+        // merge legitimately exchanges by doc id — not counted.)
+        val gramExchanges = plan.linesIterator
+          .count(l => l.contains("Exchange hashpartitioning(gram"))
+        assert(gramExchanges == 1,
+          s"expected 1 gram exchange (batch side only), found $gramExchanges:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
   test("screenStream: micro-batches screen against the standing index") {
     val path = tmp()
     SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
