@@ -555,6 +555,13 @@ object SparkEntry {
       // integer fixed-point features + dot product + sign threshold, one
       // narrow codegen'd pass, bit-identical across engines
       Classifier.qualityClassify(Tables(s, d).documents, col("doc_id"), col("text"))),
+    "q92_zorder_value" -> ((s, d) =>
+      // the Morton (Z-order) layout key over (l_partkey, l_suppkey) —
+      // integer min/max normalization + bit interleave, the curve
+      // zorderWrite clusters files by for multi-column scan pruning
+      Layout.withZValue(Tables(s, d).lineitem,
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
     "q86_ivfpq_residual" -> ((s, d) => {
       // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
       // residual from the coarse centroid, queries probe with their own
@@ -1441,6 +1448,26 @@ object SparkEntry {
         |    stop_fp * 4 + uniq_fp * 2 + digit_fp * (-3) + punct_fp * (-2) - 900 AS score
         |  FROM g
         |)""".stripMargin,
+    "q92_zorder_value" ->
+      // same integer normalize (// is Spark's exact division here — the
+      // numerator is pre-reduced mod span) and the 16-bit interleave
+      // unrolled; bit i of column j lands at position 2i+j
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+         |         min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+         |  FROM lineitem
+         |),
+         |n AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ((l_partkey - mn0) * 65535) // greatest(mx0 - mn0, 1) AS nz0,
+         |    ((l_suppkey - mn1) * 65535) // greatest(mx1 - mn1, 1) AS nz1
+         |  FROM lineitem CROSS JOIN st
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${(0 until 16).flatMap(i => Seq(
+              s"(((nz0 >> $i) & 1) << ${2 * i})",
+              s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
+         |FROM n""".stripMargin,
     "q86_ivfpq_residual" ->
       // q77's coarse replay + residual computation + salted-sample PQ
       // codebook + residual ADC; every float fold index-ordered (DuckDB
