@@ -562,6 +562,19 @@ object SparkEntry {
       Layout.withZValue(Tables(s, d).lineitem,
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
+    "q93_range_join" -> ((s, d) => {
+      // keyless point-in-interval join via bin-bucketing: every 500th
+      // event opens a 10-minute window; which events fall inside each?
+      // Spark would plan the raw predicate as a broadcast nested loop —
+      // the bins turn it into an ordinary hash join (plan-asserted)
+      val ev = Tables(s, d).events
+      val windows = ev.where(col("event_id") % 500 === 0)
+        .select(col("event_id").as("w_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      Joins.binnedRangeJoin(ev.select(col("event_id"), col("ts")), col("ts"),
+          windows, col("w_start"), col("w_end"), binMs = 60000L)
+        .select(col("w_id"), col("event_id"), ms(col("ts")).as("ts_ms"))
+    }),
     "q86_ivfpq_residual" -> ((s, d) => {
       // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
       // residual from the coarse centroid, queries probe with their own
@@ -1468,6 +1481,18 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q93_range_join" ->
+      // the plain range join; epoch_us matches Spark's µs timestamp
+      // precision exactly (the parquet ns values are µs-aligned)
+      """WITH w AS (
+        |  SELECT event_id AS w_id, ts AS w_start,
+        |         ts + INTERVAL 10 MINUTE AS w_end
+        |  FROM events WHERE event_id % 500 = 0
+        |)
+        |SELECT w.w_id, e.event_id, epoch_ms(e.ts) AS ts_ms
+        |FROM events e JOIN w
+        |  ON epoch_us(e.ts) >= epoch_us(w.w_start)
+        | AND epoch_us(e.ts) <= epoch_us(w.w_end)""".stripMargin,
     "q86_ivfpq_residual" ->
       // q77's coarse replay + residual computation + salted-sample PQ
       // codebook + residual ADC; every float fold index-ordered (DuckDB

@@ -37,6 +37,59 @@ object Joins {
     left.join(right, cond, "inner")
   }
 
+  /** Binned (bucketed) range join — a point-in-interval join with NO
+    * equi-key. Spark plans a keyless range predicate as a broadcast
+    * nested loop (every left row tested against every interval — |L|·|R|
+    * work, a scale-killer); binning manufactures the missing equi-key:
+    * each interval explodes to the `binMs`-wide bins it overlaps, points
+    * hash to their own bin, and the join runs as an ordinary hash join on
+    * the bin id with the exact range predicate re-applied inside the
+    * matched bin. Results are identical to the naive join (an interval
+    * covers a point iff they share the point's bin).
+    *
+    * Work per interval = span/binMs + 1 exploded rows — size `binMs` near
+    * the TYPICAL interval span so each interval lands in a handful of
+    * bins and each bin holds few intervals. A pathological interval
+    * (span ≫ binMs) multiplies rows, so the explode fails fast past
+    * `maxBinsPerInterval`. The range predicate compares at epoch-µs —
+    * Spark's native timestamp precision (oracle equivalent: `epoch_us`);
+    * null timestamps/bounds drop (inner semantics).
+    */
+  def binnedRangeJoin(points: DataFrame, pTs: Column,
+                      intervals: DataFrame, iStart: Column, iEnd: Column,
+                      binMs: Long, maxBinsPerInterval: Int = 1024): DataFrame = {
+    require(binMs > 0, "binMs must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val reserved = Seq("__bin", "__p_us", "__s_us", "__e_us")
+    require((points.columns ++ intervals.columns).intersect(reserved).isEmpty,
+      s"inputs use reserved column names: ${reserved.mkString(", ")}")
+    val binUs = binMs * 1000L
+    // resolve the caller's columns on their own frames, then work on
+    // internal names — a shared column name across the two sides would
+    // make post-join predicates ambiguous
+    val pts = points.withColumn("__p_us", unix_micros(pTs))
+      .where(col("__p_us").isNotNull)
+      .withColumn("__bin", floor(col("__p_us") / binUs).cast("long"))
+    val ivs = intervals
+      .withColumn("__s_us", unix_micros(iStart))
+      .withColumn("__e_us", unix_micros(iEnd))
+      .where(col("__s_us").isNotNull && col("__e_us").isNotNull &&
+        col("__s_us") <= col("__e_us"))
+    val nBins = (floor(col("__e_us") / binUs) - floor(col("__s_us") / binUs) + 1)
+      .cast("long")
+    val guarded = when(nBins > maxBinsPerInterval, raise_error(concat(
+        lit(s"binnedRangeJoin: an interval spans more than $maxBinsPerInterval " +
+          s"bins of $binMs ms (span bins = "), nBins.cast("string"),
+        lit(") — widen binMs or split the interval"))))
+      .otherwise(nBins)
+    val binned = ivs
+      .withColumn("__bin", explode(sequence(lit(0L), guarded - 1)))
+      .withColumn("__bin", col("__bin") + floor(col("__s_us") / binUs).cast("long"))
+    pts.join(binned, Seq("__bin"))
+      .where(col("__p_us") >= col("__s_us") && col("__p_us") <= col("__e_us"))
+      .drop("__bin", "__p_us", "__s_us", "__e_us")
+  }
+
   /** Broadcast a small dimension side — replicate the dim to every task
     * instead of shuffling the fact table (the reference's BROADCAST edge
     * type, job_graph.py:11-17, which its fluent API never actually emits).

@@ -101,6 +101,50 @@ class ScaleJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("binnedRangeJoin equals the naive range join; no nested-loop in the plan") {
+    val points = spark.range(2000).select(col("id").as("p_id"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 7919).as("p_ts"))
+    val intervals = spark.range(40).select(col("id").as("i_id"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 397000).as("s"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 397000 + 120000).as("e"))
+    val naive = points.join(intervals,
+        col("p_ts") >= col("s") && col("p_ts") <= col("e"))
+      .select(col("i_id"), col("p_id")).as[(Long, Long)].collect().toSet
+    val binnedDf = Joins.binnedRangeJoin(points, col("p_ts"),
+      intervals, col("s"), col("e"), binMs = 60000L)
+    val binned = binnedDf.select(col("i_id"), col("p_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(binned == naive && binned.nonEmpty,
+      s"binned=${binned.size} naive=${naive.size}")
+    // the whole point: a hash join on the bin id, not a nested loop
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Joins.binnedRangeJoin(points, col("p_ts"),
+          intervals, col("s"), col("e"), binMs = 60000L)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join still a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no hash-based join on the bin key:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("binnedRangeJoin: a pathological interval fails fast instead of exploding") {
+    val points = Seq((1L, new java.sql.Timestamp(1704067200000L))).toDF("p_id", "p_ts")
+    val intervals = Seq((1L, new java.sql.Timestamp(1704067200000L),
+      new java.sql.Timestamp(1704067200000L + 365L * 86400000L))).toDF("i_id", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.binnedRangeJoin(points, col("p_ts"), intervals, col("s"), col("e"),
+        binMs = 60000L, maxBinsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("binnedRangeJoin"))
+    // inclusive bounds + interval ends honored exactly at the bin edge
+    val ok = Joins.binnedRangeJoin(points, col("p_ts"), intervals, col("s"), col("e"),
+      binMs = 60000L, maxBinsPerInterval = 1000000).count()
+    assert(ok == 1)
+  }
+
   test("bucketed tables join without exchange on the bucket key") {
     val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
