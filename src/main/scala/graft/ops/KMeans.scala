@@ -121,6 +121,15 @@ object KMeans {
     } finally c0.unpersist()
   }
 
+  /** (cell, id, xq) for an ALREADY-QUANTIZED (id, xq) frame — the same
+    * narrow broadcast argmin as [[assign]], carrying the vector through
+    * so statistics passes need no re-join (an id-keyed join would
+    * shuffle the corpus).
+    */
+  private[ops] def assignQuantized(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
+      .select(nearestCell(col("cents"), col("xq")).as("cell"), col("id"), col("xq"))
+
   /** Assign every row to its fitted cell: (id, cell). Narrow map against
     * the broadcast centroid row — zero corpus shuffle. `q` must equal the
     * fit-time scale (quantization is part of the metric).

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted k-means model with per-cell integer sufficient statistics —
+  * the standing-state form of [[KMeans]] (the clustering member of the
+  * standing-index family: [[DedupIndex]], [[IvfIndex]], [[SpanIndex]]).
+  *
+  * The model stores, per cell, the COUNT and per-dimension SUM of every
+  * vector assigned so far (BIGINT fixed point, scale frozen at build).
+  * A new batch then folds in WITHOUT revisiting the corpus: assign the
+  * batch against the current centroids (narrow broadcast argmin), add
+  * its (cell, d) partial sums to the stored statistics, and re-derive
+  * centroids as sum div count — the mini-batch k-means update (Sculley
+  * '10, web-scale k-means), in arithmetic where every step is exact, so
+  * a replayed update sequence is bit-identical on any engine or
+  * partitioning. Cells that have received no points keep their initial
+  * centroid (count contributes 0 — the [[KMeans.fit]] empty-cell rule).
+  *
+  * Layout at `path`:
+  *   `_centroids/` — one row: (cell, centroid BIGINT array) struct array
+  *   `_stats/`     — k·dim rows of (cell, d, s, n)
+  *   `_meta/`      — (q, k, dim)
+  * Updates rewrite through the crash-safe double-rename swap
+  * ([[IvfIndex.swapDirs]]), so a crashed update leaves the previous
+  * model addressable.
+  */
+object KMeansIndex {
+
+  /** Fit on the corpus ([[KMeans.fit]]) and persist the model WITH its
+    * sufficient statistics (one extra assign+sum pass over the corpus —
+    * build-time cost, so that no later update ever touches the corpus).
+    */
+  def build(corpus: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+            path: String, q: Long = 1000000L): Unit = {
+    val cents = KMeans.fit(corpus, id, vec, k, iters, q)
+    val dim = cents.select(size(element_at(col("cents"), 1).getField("centroid")))
+      .head.getInt(0)
+    // one narrow pass: assignment carries the quantized vector through,
+    // so the statistics groupBy is the only exchange (≤ k·dim rows per
+    // map partition) — no id-keyed corpus re-join
+    val assigned = KMeans.assignQuantized(
+      corpus.select(id.as("id"), KMeans.quantize(vec, q).as("xq")), cents)
+    val stats = assigned
+      .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    writeModel(path, cents, stats, q, k, dim)
+  }
+
+  private def writeModel(path: String, cents: DataFrame, stats: DataFrame,
+                         q: Long, k: Int, dim: Int): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    stats.write.mode("overwrite").parquet(s"$path/_stats")
+    cents.sparkSession.range(1)
+      .select(lit(q).as("q"), lit(k).as("k"), lit(dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The stored centroid row (fixed-point BIGINT form — feed through
+    * [[KMeans.centroidsAsDouble]] for the IVF plumbing).
+    */
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_centroids")
+
+  /** Assign rows against the CURRENT stored centroids. */
+  def assign(spark: SparkSession, df: DataFrame, id: Column, vec: Column,
+             path: String): DataFrame = {
+    val q = meta(spark, path)._1
+    KMeans.assign(df, id, vec, centroids(spark, path), q)
+  }
+
+  private def meta(spark: SparkSession, path: String): (Long, Int, Int) = {
+    val m = spark.read.parquet(s"$path/_meta").head
+    (m.getLong(0), m.getInt(1), m.getInt(2))
+  }
+
+  /** Fold a new batch into the model: assign against current centroids,
+    * merge the batch's (cell, d) partial sums into the stored statistics,
+    * re-derive centroids as s div n (a cell with n = 0 keeps its current
+    * centroid), swap the model directories crash-safely. Batch-sized
+    * work only — the corpus is never revisited. Returns nothing; read
+    * [[centroids]]/[[assign]] for the updated model.
+    */
+  def update(spark: SparkSession, newVecs: DataFrame, id: Column, vec: Column,
+             path: String): Unit = {
+    val (q, k, dim) = meta(spark, path)
+    val cents = centroids(spark, path).localCheckpoint()
+    val batch = newVecs.select(id.as("id"), KMeans.quantize(vec, q).as("xq"))
+      .localCheckpoint() // pin: a nondeterministic source must not yield
+                         // different rows to later passes
+    val assigned = KMeans.assignQuantized(batch, cents)
+    val batchStats = assigned
+      .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val merged = spark.read.parquet(s"$path/_stats")
+      .unionByName(batchStats)
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .localCheckpoint()
+    // refreshed centroid components for cells with data; others keep the
+    // stored centroid (same fold as KMeans.fit's empty-cell rule)
+    val refreshed = merged.where(col("n") > 0)
+      .select(col("cell"), col("d"), expr("s div n").as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), x => x.getField("c")).as("centroid"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("centroid")))).as("m"))
+    val newCents = cents.crossJoin(refreshed)
+      .select(transform(col("cents"), cc =>
+        struct(cc.getField("cell").as("cell"),
+          coalesce(element_at(col("m"), cc.getField("cell")),
+            cc.getField("centroid")).as("centroid"))).as("cents"))
+    val tmp = s"$path.update"
+    writeModel(tmp, newCents, merged, q, k, dim)
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+}

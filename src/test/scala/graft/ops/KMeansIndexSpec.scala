@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class KMeansIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def centArrays(path: String): Map[Int, Seq[Long]] =
+    KMeansIndex.centroids(spark, path)
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.cell"), col("c.centroid"))
+      .as[(Int, Array[Long])].collect().map { case (c, a) => c -> a.toSeq }.toMap
+
+  test("build persists the fit: stored-model assignment equals the in-memory fit") {
+    val em = Tables(spark, sf).embeddings.where(col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(em, col("vec_id"), col("embedding"), k = 5, iters = 2, dir)
+    val fromModel = KMeansIndex.assign(spark, em, col("vec_id"), col("embedding"), dir)
+      .as[(Long, Int)].collect().toMap
+    val direct = KMeans.assign(em, col("vec_id"), col("embedding"),
+        KMeans.fit(em, col("vec_id"), col("embedding"), k = 5, iters = 2))
+      .as[(Long, Int)].collect().toMap
+    assert(fromModel == direct && fromModel.size == 300)
+    // stats cover every assigned vector exactly once
+    val n = spark.read.parquet(s"$dir/_stats")
+      .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
+    assert(n == 300)
+  }
+
+  test("update folds a batch exactly: centroids = (stored + batch sums) div counts") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 300)
+    val batch = em.where(col("vec_id") >= 300 && col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 5, iters = 2, dir)
+
+    val before = centArrays(dir)
+    val statsBefore = spark.read.parquet(s"$dir/_stats")
+      .as[(Int, Int, Long, Long)].collect()
+      .map { case (c, d, s, n) => (c, d) -> ((s, n)) }.toMap
+    // driver replica: assign the batch against the CURRENT centroids
+    val bx = batch.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.floor(x * 1000000L).toLong) }
+    def l2(a: Seq[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val batchAssign = bx.map { case (id, x) =>
+      (before.toSeq.sortBy(_._1).map { case (cell, c) => (l2(c, x), cell) }.min._2, x)
+    }
+    val dim = 64
+    val expected = before.map { case (cell, old) =>
+      cell -> (0 until dim).map { d =>
+        val (s0, n0) = statsBefore.getOrElse((cell, d), (0L, 0L))
+        val members = batchAssign.filter(_._1 == cell).map(_._2(d))
+        val (s, n) = (s0 + members.sum, n0 + members.size)
+        if (n == 0) old(d) else s / n
+      }
+    }
+
+    KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), dir)
+    assert(centArrays(dir) == expected)
+    // swap hygiene: no leftover temp or old dirs
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.update")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
+    // counts grew by the batch
+    val n = spark.read.parquet(s"$dir/_stats")
+      .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
+    assert(n == 400)
+  }
+
+  test("two identical models updated with the same batch stay bit-identical") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 200)
+    val batch = em.where(col("vec_id") >= 200 && col("vec_id") < 260).repartition(7)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    val d2 = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 4, iters = 1, d1)
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 4, iters = 1, d2)
+    KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), d1)
+    KMeansIndex.update(spark, batch.repartition(3), col("vec_id"), col("embedding"), d2)
+    assert(centArrays(d1) == centArrays(d2))
+  }
+}
