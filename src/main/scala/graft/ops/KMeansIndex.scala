@@ -50,11 +50,12 @@ object KMeansIndex {
   }
 
   private def writeModel(path: String, cents: DataFrame, stats: DataFrame,
-                         q: Long, k: Int, dim: Int): Unit = {
+                         q: Long, k: Int, dim: Int, lastBatch: Long = -1L): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
     stats.write.mode("overwrite").parquet(s"$path/_stats")
     cents.sparkSession.range(1)
-      .select(lit(q).as("q"), lit(k).as("k"), lit(dim).as("dim"))
+      .select(lit(q).as("q"), lit(k).as("k"), lit(dim).as("dim"),
+        lit(lastBatch).as("last_batch"))
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -71,9 +72,13 @@ object KMeansIndex {
     KMeans.assign(df, id, vec, centroids(spark, path), q)
   }
 
-  private def meta(spark: SparkSession, path: String): (Long, Int, Int) = {
-    val m = spark.read.parquet(s"$path/_meta").head
-    (m.getLong(0), m.getInt(1), m.getInt(2))
+  /** The last folded stream batch id (-1 for a batch-only model). */
+  def lastBatchId(spark: SparkSession, path: String): Long = meta(spark, path)._4
+
+  private def meta(spark: SparkSession, path: String): (Long, Int, Int, Long) = {
+    val m = spark.read.parquet(s"$path/_meta")
+      .select(col("q"), col("k"), col("dim"), col("last_batch")).head
+    (m.getLong(0), m.getInt(1), m.getInt(2), m.getLong(3))
   }
 
   /** Fold a new batch into the model: assign against current centroids,
@@ -84,8 +89,12 @@ object KMeansIndex {
     * [[centroids]]/[[assign]] for the updated model.
     */
   def update(spark: SparkSession, newVecs: DataFrame, id: Column, vec: Column,
-             path: String): Unit = {
-    val (q, k, dim) = meta(spark, path)
+             path: String, batchId: Long = -1L): Unit = {
+    val (q, k, dim, lastBatch) = meta(spark, path)
+    // idempotence under streaming replay: a batch id at or below the one
+    // already folded is a re-delivery — folding it again would double the
+    // sums. Batch callers (batchId = -1) always fold.
+    if (batchId >= 0 && batchId <= lastBatch) return
     val cents = centroids(spark, path).localCheckpoint()
     val batch = newVecs.select(id.as("id"), KMeans.quantize(vec, q).as("xq"))
       .localCheckpoint() // pin: a nondeterministic source must not yield
@@ -114,7 +123,29 @@ object KMeansIndex {
           coalesce(element_at(col("m"), cc.getField("cell")),
             cc.getField("centroid")).as("centroid"))).as("cents"))
     val tmp = s"$path.update"
-    writeModel(tmp, newCents, merged, q, k, dim)
+    writeModel(tmp, newCents, merged, q, k, dim,
+      if (batchId >= 0) batchId else lastBatch)
     IvfIndex.swapDirs(spark, path, tmp)
   }
+
+  /** Continuous-ingestion form: [[update]] per micro-batch — the model
+    * drifts with the stream. foreachBatch is at-least-once (Spark
+    * replays batches on failure), and a sum fold is NOT naturally
+    * idempotent, so the model records the last folded batch id and
+    * [[update]] skips re-deliveries — the fold lands exactly once per
+    * batch id. `onBatch` receives each batch's (id, cell) assignment
+    * against the pre-update centroids.
+    */
+  def updateStream(spark: SparkSession, stream: DataFrame, id: Column, vec: Column,
+                   path: String)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        IvfIndex.retryingStaleReads() {
+          val pinned = batch.localCheckpoint()
+          onBatch(assign(spark, pinned, id, vec, path))
+          update(spark, pinned, id, vec, path, batchId = bid)
+        }
+      }
+      .start()
 }

@@ -76,6 +76,41 @@ class KMeansIndexSpec extends AnyFunSuite {
     assert(n == 400)
   }
 
+  test("updateStream folds micro-batches; replayed batch ids are skipped (exactly-once fold)") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 4, iters = 1, dir)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Long]
+    val assignedCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val emb = em.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val q = KMeansIndex.updateStream(spark,
+      source.toDF().toDF("vid")
+        .join(emb, col("vid") === col("vec_id")),
+      col("vec_id"), col("embedding"), dir) { out =>
+      assignedCount.addAndGet(out.count())
+    }
+    try {
+      source.addData(200L until 260L: _*)
+      q.processAllAvailable()
+      source.addData(260L until 300L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(assignedCount.get() == 100)
+    val n = spark.read.parquet(s"$dir/_stats")
+      .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
+    assert(n == 300, s"stream folds lost or doubled: total count $n")
+    assert(KMeansIndex.lastBatchId(spark, dir) >= 1)
+    // a replayed batch id must be a no-op
+    val before = centArrays(dir)
+    KMeansIndex.update(spark, em.where(col("vec_id") < 50),
+      col("vec_id"), col("embedding"), dir, batchId = 0L)
+    assert(centArrays(dir) == before, "replayed batch id was folded twice")
+  }
+
   test("two identical models updated with the same batch stay bit-identical") {
     val em = Tables(spark, sf).embeddings
     val base = em.where(col("vec_id") < 200)
