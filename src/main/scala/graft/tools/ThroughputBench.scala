@@ -339,6 +339,56 @@ object ThroughputBench {
         f"checksum $ck2 reproducible")
     }
 
+    // scenario 16: Z-order layout pruning — 10M rows over two independent
+    // uniform dims written z-ordered vs linearly sorted, then a box
+    // predicate on BOTH dims. The scan node's numOutputRows counts rows
+    // MATERIALIZED from parquet (after pushed-filter row-group/page
+    // skipping) — the quantity the layout exists to shrink.
+    if (enabled(16)) {
+      val nRows = 10000000L
+      val data = spark.range(nRows).select(
+        pmod(xxhash64(col("id")), lit(65536L)).as("a"),
+        pmod(xxhash64(col("id") + 424242L), lit(65536L)).as("b"))
+      val zDir = java.nio.file.Files.createTempDirectory("graft_z16").toString + "/z"
+      val linDir = java.nio.file.Files.createTempDirectory("graft_z16").toString + "/lin"
+      val t0 = System.nanoTime()
+      graft.ops.Layout.zorderWrite(data, Seq(col("a"), col("b")), zDir, numFiles = 64)
+      val sZ = (System.nanoTime() - t0) / 1e9
+      data.repartitionByRange(64, col("a")).sortWithinPartitions(col("a"))
+        .write.mode("overwrite").parquet(linDir)
+      def scanRows(dir: String): (Long, Long, Double) = {
+        // run the count through ITS OWN executed plan handle so the scan
+        // node metrics read from the execution that actually happened
+        val qe = spark.read.parquet(dir)
+          .where(col("a").between(1000, 9000) && col("b").between(1000, 9000))
+          .groupBy().count().queryExecution
+        val t = System.nanoTime()
+        val kept = qe.executedPlan.executeCollect().head.getLong(0)
+        val wall = (System.nanoTime() - t) / 1e9
+        // AQE wraps the plan in AdaptiveSparkPlanExec and QueryStageExec
+        // nodes, each of which is a "leaf" hiding its real subtree —
+        // recurse through them to the actual scan nodes
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def realLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => realLeaves(a.executedPlan)
+          case s: QueryStageExec => realLeaves(s.plan)
+          case l if l.children.isEmpty => Seq(l)
+          case o => o.children.flatMap(realLeaves)
+        }
+        val scan = realLeaves(qe.executedPlan)
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        (kept, scan, wall)
+      }
+      val (keptZ, scanZ, wallZ) = scanRows(zDir)
+      val (keptL, scanL, wallL) = scanRows(linDir)
+      require(keptZ == keptL, s"layouts disagree on results: $keptZ vs $keptL")
+      println(f"scenario16 zorder n=$nRows files=64: write $sZ%.1f s; " +
+        f"box predicate keeps $keptZ rows — materialized rows z=$scanZ " +
+        f"lin=$scanL (${scanL.toDouble / scanZ}%.1f x fewer), " +
+        f"wall z=$wallZ%.2f s lin=$wallL%.2f s")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
