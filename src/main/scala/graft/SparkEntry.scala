@@ -562,6 +562,20 @@ object SparkEntry {
       Layout.withZValue(Tables(s, d).lineitem,
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
+    "q94_nfc_fingerprint" -> ((s, d) => {
+      // Unicode-normalized fingerprinting: plant decomposed sequences
+      // (e + combining acute, i + combining diaeresis) on every doc and
+      // fingerprint the NFC form — without normalization, canonically
+      // equal text dedups as different. The oracle is DuckDB's own
+      // nfc_normalize: two independent implementations of the normative
+      // algorithm agreeing byte for byte on every document.
+      val planted = concat(col("text"), lit(" café naïve"))
+      val nfc = graft.functions.Kernels.nfc_normalize(planted)
+      Tables(s, d).documents.select(col("doc_id"),
+        length(planted).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"),
+        md5(nfc.cast("binary")).as("fp"))
+    }),
     "q93_range_join" -> ((s, d) => {
       // keyless point-in-interval join via bin-bucketing: every 500th
       // event opens a 10-minute window; which events fall inside each?
@@ -1481,6 +1495,19 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q94_nfc_fingerprint" ->
+      // chr(769) = U+0301 combining acute, chr(776) = U+0308 combining
+      // diaeresis — the same planted decomposed tail; length counts
+      // codepoints in both engines
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
+        |       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
+        |       md5(nfc_normalize(t)) AS fp
+        |FROM p""".stripMargin,
     "q93_range_join" ->
       // the plain range join; epoch_us matches Spark's µs timestamp
       // precision exactly (the parquet ns values are µs-aligned)

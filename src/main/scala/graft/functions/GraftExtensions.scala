@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => Kernels.RollingFingerprint(
           children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.NfcNormalize].getName, "nfc_normalize"),
+        (children: Seq[Expression]) => Kernels.NfcNormalize(children.head)))
+    ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Kernels.Tokens].getName, "graft_tokens"),

@@ -90,6 +90,20 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC (canonical composition) via the JDK Normalizer — the
+    * normative Unicode algorithm, so independent implementations (e.g.
+    * DuckDB's `nfc_normalize`) agree byte for byte. Fast path: already-
+    * normalized text (all-ASCII corpora in particular) returns the input
+    * UTF8String untouched — one scan, zero allocation.
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Distinct word n-gram shingles, insertion-ordered (see
     * [[Kernels.WordShingles]]).
     */

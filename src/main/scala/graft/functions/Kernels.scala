@@ -62,6 +62,37 @@ object Kernels {
     override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
   }
 
+  /** Unicode NFC normalization — the standard pre-fingerprint text
+    * normalization: visually-identical strings with different codepoint
+    * sequences (é vs e + combining acute) must fingerprint identically
+    * or exact dedup silently misses them. The JDK Normalizer implements
+    * the normative Unicode algorithm, so DuckDB's `nfc_normalize` agrees
+    * byte for byte (the q94 oracle is that agreement). Codegen'd like
+    * every kernel; already-normalized (e.g. ASCII) text passes through
+    * with no allocation.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc_normalize"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires string input, got $other")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      KernelOps.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.KernelOps.nfc($c);")
+
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  }
+
   /** k-wise MinHash signature of an Array[String]: sig[i] = min over
     * elements of xxh64(elem, seed=i). One pass over elements, k running
     * minima. Empty/missing arrays produce the degenerate all-MaxValue
@@ -266,6 +297,7 @@ object Kernels {
   def hyperplane_signature(c: Column, planes: Int, seed: Int = 0): Column =
     column(HyperplaneSignature(expression(c), planes, seed))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 }

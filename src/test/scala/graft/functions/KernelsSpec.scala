@@ -46,6 +46,30 @@ class KernelsSpec extends AnyFunSuite {
     })
   }
 
+  test("nfc_normalize: composes decomposed sequences, idempotent, ASCII passthrough") {
+    val rows = Seq(
+      "café",          // e + combining acute -> é
+      "naïve",         // i + combining diaeresis -> ï
+      "café",           // already composed
+      "plain ascii text",
+      "Å")        // A + ring -> Å
+      .zipWithIndex.map(_.swap)
+    val got = rows.toDF("i", "t")
+      .select(col("i"), graft.functions.Kernels.nfc_normalize(col("t")).as("n"))
+      .as[(Int, String)].collect().toMap
+    val want = rows.map { case (i, t) =>
+      i -> java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }.toMap
+    assert(got == want)
+    assert(got(0) == "café" && got(0).length == 4)
+    assert(got(4) == "Å")
+    // idempotent: normalizing the normalized form changes nothing
+    val twice = rows.toDF("i", "t").select(col("i"),
+        graft.functions.Kernels.nfc_normalize(
+          graft.functions.Kernels.nfc_normalize(col("t"))).as("n"))
+      .as[(Int, String)].collect().toMap
+    assert(twice == want)
+  }
+
   test("kernels usable from SQL via GraftExtensions") {
     // GraftSession builds with .withExtensions(new GraftExtensions), so
     // the SQL functions are present on the shared test session
