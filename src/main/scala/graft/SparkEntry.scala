@@ -562,6 +562,27 @@ object SparkEntry {
       Layout.withZValue(Tables(s, d).lineitem,
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
+    "q95_corpus_report" -> ((s, d) => {
+      // the per-source "data card" every training pipeline publishes:
+      // doc/token volume, language spread, quality-gate pass count,
+      // exact-dup volume, total quality score — one composition of the
+      // proven components (tokenizer, fingerprint, classifier), one
+      // corpus pass into a partial-aggregated groupBy
+      val docs = Tables(s, d).documents
+      val scored = Classifier.qualityClassify(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("score"), col("keep"))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(scored, col("doc_id") === col("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+          countDistinct(col("fp")).as("n_unique_texts"),
+          sum(col("score")).as("score_sum"))
+    }),
     "q94_nfc_fingerprint" -> ((s, d) => {
       // Unicode-normalized fingerprinting: plant decomposed sequences
       // (e + combining acute, i + combining diaeresis) on every doc and
@@ -1495,6 +1516,40 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q95_corpus_report" ->
+      // q91's integer score replayed, plus tokenizer/fingerprint CTEs —
+      // the data card composed from already-proven oracle pieces
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], tk))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM t
+        |),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (n_stop * 1000) // greatest(n_tokens, 1) * 4
+        |      + (n_uniq * 1000) // greatest(n_tokens, 1) * 2
+        |      + (n_digit * 1000) // greatest(n_chars, 1) * (-3)
+        |      + (n_punct * 1000) // greatest(n_chars, 1) * (-2) - 900 AS score
+        |  FROM f
+        |)
+        |SELECT t.source, count(*) AS n_docs,
+        |  sum(len(t.toks)) AS n_tokens,
+        |  count(DISTINCT t.lang) AS n_langs,
+        |  sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS n_quality_keep,
+        |  count(DISTINCT md5(array_to_string(t.toks, ' '))) AS n_unique_texts,
+        |  sum(sc.score) AS score_sum
+        |FROM t JOIN sc USING (doc_id)
+        |GROUP BY t.source""".stripMargin,
     "q94_nfc_fingerprint" ->
       // chr(769) = U+0301 combining acute, chr(776) = U+0308 combining
       // diaeresis — the same planted decomposed tail; length counts
