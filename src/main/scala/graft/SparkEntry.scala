@@ -562,6 +562,22 @@ object SparkEntry {
       Layout.withZValue(Tables(s, d).lineitem,
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
+    "q96_overlap_join" -> ((s, d) => {
+      // keyless interval-overlap join (two window sets from the event
+      // stream) — Spark's native plan for this is a nested loop; the
+      // binned form runs it as a hash join with exactly-once admission
+      // in the first shared bin
+      val ev = Tables(s, d).events
+      val wa = ev.where(col("event_id") % 500 === 0)
+        .select(col("event_id").as("a_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("a_end"))
+      val wb = ev.where(col("event_id") % 700 === 0)
+        .select(col("event_id").as("b_id"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 7 MINUTES")).as("b_end"))
+      Joins.binnedOverlapJoin(wa, col("a_start"), col("a_end"),
+          wb, col("b_start"), col("b_end"), binMs = 60000L)
+        .select(col("a_id"), col("b_id"))
+    }),
     "q95_corpus_report" -> ((s, d) => {
       // the per-source "data card" every training pipeline publishes:
       // doc/token volume, language spread, quality-gate pass count,
@@ -1516,6 +1532,18 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q96_overlap_join" ->
+      // the plain overlap join at epoch_us (Spark's µs precision)
+      """WITH wa AS (
+        |  SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 10 MINUTE AS a_end
+        |  FROM events WHERE event_id % 500 = 0
+        |), wb AS (
+        |  SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 7 MINUTE AS b_end
+        |  FROM events WHERE event_id % 700 = 0
+        |)
+        |SELECT a_id, b_id FROM wa JOIN wb
+        |  ON epoch_us(a_start) <= epoch_us(b_end)
+        | AND epoch_us(b_start) <= epoch_us(a_end)""".stripMargin,
     "q95_corpus_report" ->
       // q91's integer score replayed, plus tokenizer/fingerprint CTEs —
       // the data card composed from already-proven oracle pieces

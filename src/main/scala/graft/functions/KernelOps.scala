@@ -90,19 +90,27 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
-  /** Unicode NFC (canonical composition) via the JDK Normalizer — the
-    * normative Unicode algorithm, so independent implementations (e.g.
-    * DuckDB's `nfc_normalize`) agree byte for byte. Fast path: already-
-    * normalized text (all-ASCII corpora in particular) returns the input
-    * UTF8String untouched — one scan, zero allocation.
+  /** Unicode normalization via the JDK Normalizer — the normative
+    * Unicode algorithm, so independent implementations (e.g. DuckDB's
+    * `nfc_normalize`) agree byte for byte. Fast path: already-normalized
+    * text (all-ASCII corpora in particular) returns the input UTF8String
+    * untouched — one scan, zero allocation. `form` ordinal into
+    * [[java.text.Normalizer.Form]] (NFC for canonical dedup keys; NFKC
+    * is the compatibility fold SentencePiece-style tokenizer pipelines
+    * apply — ﬁ → fi, ² → 2).
     */
-  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String, form: Int)
       : org.apache.spark.unsafe.types.UTF8String = {
+    val f = java.text.Normalizer.Form.values()(form)
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    if (java.text.Normalizer.isNormalized(str, f)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      java.text.Normalizer.normalize(str, f))
   }
+
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    normalize(s, java.text.Normalizer.Form.NFC.ordinal())
 
   /** Distinct word n-gram shingles, insertion-ordered (see
     * [[Kernels.WordShingles]]).

@@ -71,9 +71,11 @@ object Kernels {
     * every kernel; already-normalized (e.g. ASCII) text passes through
     * with no allocation.
     */
-  case class NfcNormalize(child: Expression) extends UnaryExpression {
+  case class NfcNormalize(child: Expression,
+                          form: java.text.Normalizer.Form = java.text.Normalizer.Form.NFC)
+      extends UnaryExpression {
     override def dataType: DataType = StringType
-    override def prettyName: String = "graft_nfc_normalize"
+    override def prettyName: String = s"graft_${form.name.toLowerCase}_normalize"
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
         case StringType =>
@@ -84,11 +86,12 @@ object Kernels {
       }
 
     override def nullSafeEval(input: Any): Any =
-      KernelOps.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      KernelOps.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form.ordinal())
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.KernelOps.nfc($c);")
+        s"${ev.value} = graft.functions.KernelOps.normalize($c, ${form.ordinal()});")
 
     override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
   }
@@ -298,6 +301,8 @@ object Kernels {
     column(HyperplaneSignature(expression(c), planes, seed))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def nfkc_normalize(c: Column): Column =
+    column(NfcNormalize(expression(c), java.text.Normalizer.Form.NFKC))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 }

@@ -90,6 +90,48 @@ object Joins {
       .drop("__bin", "__p_us", "__s_us", "__e_us")
   }
 
+  /** Binned interval-OVERLAP join — the two-sided sibling of
+    * [[binnedRangeJoin]]: pairs of intervals from `a` and `b` that
+    * overlap (aS ≤ bE ∧ bS ≤ aE) with no equi-key, as a hash join on
+    * the manufactured bin id instead of Spark's nested loop. Both sides
+    * explode to the bins they span; a pair sharing SEVERAL bins would
+    * match once per shared bin, so the match is admitted only in the
+    * first shared bin — max of the two start bins — which dedups
+    * exactly without a distinct (the first shared bin of an overlapping
+    * pair always exists: both intervals cover it). Same µs precision,
+    * null handling and fail-fast span guard as [[binnedRangeJoin]].
+    */
+  def binnedOverlapJoin(a: DataFrame, aStart: Column, aEnd: Column,
+                        b: DataFrame, bStart: Column, bEnd: Column,
+                        binMs: Long, maxBinsPerInterval: Int = 1024): DataFrame = {
+    require(binMs > 0, "binMs must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val reserved = Seq("__bin", "__a_s", "__a_e", "__b_s", "__b_e")
+    require((a.columns ++ b.columns).intersect(reserved).isEmpty,
+      s"inputs use reserved column names: ${reserved.mkString(", ")}")
+    val binUs = binMs * 1000L
+    def explodeBins(df: DataFrame, s: Column, e: Column,
+                    sName: String, eName: String): DataFrame = {
+      val prepped = df.withColumn(sName, unix_micros(s)).withColumn(eName, unix_micros(e))
+        .where(col(sName).isNotNull && col(eName).isNotNull && col(sName) <= col(eName))
+      val nBins = (floor(col(eName) / binUs) - floor(col(sName) / binUs) + 1).cast("long")
+      val guarded = when(nBins > maxBinsPerInterval, raise_error(concat(
+          lit(s"binnedOverlapJoin: an interval spans more than $maxBinsPerInterval " +
+            s"bins of $binMs ms (span bins = "), nBins.cast("string"),
+          lit(") — widen binMs or split the interval"))))
+        .otherwise(nBins)
+      prepped.withColumn("__bin", explode(sequence(lit(0L), guarded - 1)))
+        .withColumn("__bin", col("__bin") + floor(col(sName) / binUs).cast("long"))
+    }
+    explodeBins(a, aStart, aEnd, "__a_s", "__a_e")
+      .join(explodeBins(b, bStart, bEnd, "__b_s", "__b_e"), Seq("__bin"))
+      .where(col("__a_s") <= col("__b_e") && col("__b_s") <= col("__a_e") &&
+        col("__bin") === greatest(
+          floor(col("__a_s") / binUs).cast("long"),
+          floor(col("__b_s") / binUs).cast("long")))
+      .drop("__bin", "__a_s", "__a_e", "__b_s", "__b_e")
+  }
+
   /** Broadcast a small dimension side — replicate the dim to every task
     * instead of shuffling the fact table (the reference's BROADCAST edge
     * type, job_graph.py:11-17, which its fluent API never actually emits).

@@ -70,6 +70,20 @@ class KernelsSpec extends AnyFunSuite {
     assert(twice == want)
   }
 
+  test("nfkc_normalize: compatibility folds on top of composition") {
+    // ﬁ ligature -> fi, superscript two -> 2, and canonical composition
+    val rows = Seq((0, "ﬁle ² café"))
+    val got = rows.toDF("i", "t")
+      .select(graft.functions.Kernels.nfkc_normalize(col("t")))
+      .as[String].collect().head
+    assert(got == "file 2 café")
+    // NFC alone must NOT fold compatibility characters
+    val nfcOnly = rows.toDF("i", "t")
+      .select(graft.functions.Kernels.nfc_normalize(col("t")))
+      .as[String].collect().head
+    assert(nfcOnly == "ﬁle ² café")
+  }
+
   test("kernels usable from SQL via GraftExtensions") {
     // GraftSession builds with .withExtensions(new GraftExtensions), so
     // the SQL functions are present on the shared test session

@@ -130,6 +130,25 @@ class ScaleJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("binnedOverlapJoin equals the naive overlap join — multi-bin pairs admitted once") {
+    // long intervals guarantee pairs share MANY bins, exercising the
+    // first-shared-bin dedup
+    val wa = spark.range(30).select(col("id").as("a_id"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 300000).as("a_s"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 300000 + 600000).as("a_e"))
+    val wb = spark.range(40).select(col("id").as("b_id"),
+      timestamp_millis(lit(1704067100000L) + col("id") * 250000).as("b_s"),
+      timestamp_millis(lit(1704067100000L) + col("id") * 250000 + 450000).as("b_e"))
+    val naive = wa.join(wb, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val binned = Joins.binnedOverlapJoin(wa, col("a_s"), col("a_e"),
+        wb, col("b_s"), col("b_e"), binMs = 60000L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    // exact multiset equality: a multi-bin duplicate would fail the size
+    // check even when the sets agree
+    assert(binned.sorted.toSeq == naive.sorted.toSeq && naive.nonEmpty)
+  }
+
   test("binnedRangeJoin: a pathological interval fails fast instead of exploding") {
     val points = Seq((1L, new java.sql.Timestamp(1704067200000L))).toDF("p_id", "p_ts")
     val intervals = Seq((1L, new java.sql.Timestamp(1704067200000L),
