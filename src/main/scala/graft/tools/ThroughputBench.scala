@@ -389,6 +389,33 @@ object ThroughputBench {
         f"wall z=$wallZ%.2f s lin=$wallL%.2f s")
     }
 
+    // scenario 17: binned range join at scale — 10M points vs 100k
+    // 2-minute intervals. The naive keyless plan is a nested loop (1e12
+    // predicate evaluations — measured only at 1/100 scale and scaled
+    // up for the comparison); the binned form is a hash join whose work
+    // is points + intervals×bins.
+    if (enabled(17)) {
+      val nPts = 10000000L
+      val pts = spark.range(nPts).select(col("id").as("p_id"),
+        timestamp_millis(lit(1704067200000L) + pmod(xxhash64(col("id")), lit(86400000L))).as("p_ts"))
+      val ivs = spark.range(100000).select(col("id").as("i_id"),
+        timestamp_millis(lit(1704067200000L) + pmod(xxhash64(col("id") + 5L), lit(86400000L))).as("s"))
+        .withColumn("e", col("s") + expr("INTERVAL 2 MINUTES"))
+      val t0 = System.nanoTime()
+      val matched = graft.ops.Joins.binnedRangeJoin(pts, col("p_ts"),
+        ivs, col("s"), col("e"), binMs = 60000L).count()
+      val sBinned = (System.nanoTime() - t0) / 1e9
+      // naive nested loop at 1% of the points, same intervals
+      val t1 = System.nanoTime()
+      val naiveSmall = pts.where(col("p_id") % 100 === 0)
+        .join(ivs, col("p_ts") >= col("s") && col("p_ts") <= col("e")).count()
+      val sNaive = (System.nanoTime() - t1) / 1e9
+      println(f"scenario17 range-join pts=$nPts ivs=100000: binned $sBinned%.1f s " +
+        f"($matched matches); naive nested-loop at 1%% of points $sNaive%.1f s " +
+        f"($naiveSmall matches) -> ~${sNaive * 100}%.0f s extrapolated full, " +
+        f"${sNaive * 100 / sBinned}%.0f x")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
