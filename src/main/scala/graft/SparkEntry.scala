@@ -562,6 +562,13 @@ object SparkEntry {
       Layout.withZValue(Tables(s, d).lineitem,
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
+    "q97_priority_sample" -> ((s, d) =>
+      // weight-proportional sample without replacement (priority
+      // sampling): longer documents proportionally likelier, no RNG
+      // state, the k-smallest-priority rank is a TakeOrderedAndProject
+      Sampling.prioritySample(Tables(s, d).documents,
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_chars"))),
     "q96_overlap_join" -> ((s, d) => {
       // keyless interval-overlap join (two window sets from the event
       // stream) — Spark's native plan for this is a nested loop; the
@@ -1532,6 +1539,17 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q97_priority_sample" ->
+      // same 52-bit md5 uniform ('0x'-prefixed hex cast == Spark's conv)
+      // and the same single IEEE division; ties break by doc_id
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents
+        |)
+        |ORDER BY pri, doc_id
+        |LIMIT 100""".stripMargin,
     "q96_overlap_join" ->
       // the plain overlap join at epoch_us (Spark's µs precision)
       """WITH wa AS (

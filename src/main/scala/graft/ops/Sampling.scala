@@ -208,4 +208,33 @@ object Sampling {
       .select(col("l.k").as("key"), col("l.dom").as("dom"),
         col("l.n_tok").as("n_tok"), col("prefix_excl"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup '07): a weight-proportional
+    * sample of k rows WITHOUT replacement — each row draws priority
+    * q = u / w with u a deterministic 52-bit uniform from the key's md5,
+    * and the k smallest priorities win (inclusion probability approaches
+    * min(1, k·w/Σw) — the PPS guarantee, with the scheme's near-optimal
+    * subset-sum variance). Deterministic and engine-exact: the 52-bit u
+    * is exact in a double, and one IEEE division is reproduced
+    * identically by any engine — no RNG state, same contract as the
+    * other [[Sampling]] ops.
+    *
+    * Scale shape: the rank is `orderBy(priority).limit(k)` =
+    * TakeOrderedAndProject — per-partition top-k heaps merged once,
+    * never a global sort (the q09 plan property). Non-positive or null
+    * weights fail fast (a silent skip would bias the sample).
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val w = weight.cast("double")
+    val guarded = when(w.isNull || w <= 0.0, raise_error(concat(
+        lit("prioritySample: weights must be positive, got "), w.cast("string"))))
+      .otherwise(w)
+    df.withColumn("__pri", u / guarded)
+      .orderBy(col("__pri"), key)
+      .limit(k)
+      .drop("__pri")
+  }
 }

@@ -456,6 +456,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"high-tf stopword lost from doc 1 ranking: ${allCold.filter(_._1 == 1L)}")
   }
 
+  test("prioritySample: weight-proportional, deterministic, top-k plan, weight guard") {
+    // 10k rows, weights 1 vs 10 on two halves: the heavy half should
+    // dominate a k=500 sample roughly 10:1 (PPS property)
+    val df = spark.range(10000).select(col("id").as("k"),
+      when(col("id") % 2 === 0, 10L).otherwise(1L).as("w"))
+    val got = Sampling.prioritySample(df, col("k"), col("w"), k = 500)
+      .as[(Long, Long)].collect()
+    assert(got.length == 500)
+    val heavy = got.count(_._2 == 10L)
+    assert(heavy > 400, s"heavy half underrepresented: $heavy/500")
+    // deterministic under repartitioning
+    val again = Sampling.prioritySample(df.repartition(13), col("k"), col("w"), k = 500)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+    // per-partition top-k merge, not a global sort
+    val plan = Sampling.prioritySample(df, col("k"), col("w"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"rank is a global sort:\n$plan")
+    // non-positive weights fail fast
+    val bad = Seq((1L, 0L)).toDF("k", "w")
+    val ex = intercept[Exception] {
+      Sampling.prioritySample(bad, col("k"), col("w"), k = 1).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("positive"))
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
