@@ -87,6 +87,26 @@ object DedupIndex {
     IvfIndex.swapDirs(spark, path, tmp)
   }
 
+  /** Remove documents from the index (takedown / right-to-be-forgotten):
+    * rewrites both tables without the given ids — index-sized work, no
+    * corpus re-read — through the same crash-safe swap as [[compact]].
+    * The removal set is broadcast (takedown batches are small); after
+    * the swap, removed ids appear in no candidate pair and no check
+    * result. Same quiesce/retry contract as every swap
+    * ([[IvfIndex.swapDirs]]).
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame, idCol: Column): Unit = {
+    val tmp = s"$path.remove"
+    val rm = ids.select(idCol.as("id"))
+    spark.read.parquet(s"$path/shingles")
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$path/bands")
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+
   private def bandsOf(sh: DataFrame, numHashes: Int,
                       bands: Int, rowsPerBand: Int): DataFrame =
     sh.select(col("id"),

@@ -94,6 +94,22 @@ object IvfIndex {
     r.getLong(0) > skewFactor * balancedShare
   }
 
+  /** Remove vectors from the index (takedown): rewrite the cell
+    * partitions without the given ids — index-sized work, removal set
+    * broadcast, centroids preserved (assignments of the survivors are
+    * unchanged), crash-safe swap. Run [[needsRebuild]]/[[compact]] on
+    * the usual maintenance cadence afterwards.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame, idCol: Column): Unit = {
+    val tmp = s"$path.remove"
+    val cents = spark.read.parquet(s"$path/_centroids")
+    spark.read.parquet(path).select(col("cand_id"), col("cv"), col("cell"))
+      .join(broadcast(ids.select(idCol.as("cand_id"))), Seq("cand_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_centroids")
+    swapDirs(spark, path, tmp)
+  }
+
   /** Re-sample centroids from the CURRENT corpus and rewrite the index.
     * Reads only (cand_id, cv) from the existing index and builds into a
     * sibling `<path>.rebuild` directory; the old index stays readable

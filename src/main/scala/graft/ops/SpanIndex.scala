@@ -45,6 +45,19 @@ object SpanIndex {
       .write.mode("append").parquet(s"$path/grams")
   }
 
+  /** Remove documents from the gram index (takedown): rewrite the gram
+    * table without the given ids — index-sized work, removal set
+    * broadcast, crash-safe swap. Removed docs stop contributing spans to
+    * every later [[check]]/[[dupSpans]]/[[crossSpans]].
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame, idCol: Column): Unit = {
+    val tmp = s"$path.remove"
+    spark.read.parquet(s"$path/grams")
+      .join(broadcast(ids.select(idCol.as("id"))), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/grams")
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+
   /** Compact the accumulated small append files (same motivation and
     * crash-safe double-rename swap as [[DedupIndex.compact]]). Contents
     * are row-identical, so [[check]] results are unchanged.

@@ -186,6 +186,31 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.compact")))
   }
 
+  test("remove: taken-down docs vanish from pairs and checks; survivors unaffected") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_rm").toString
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir)
+    val before = DedupIndex.pairs(spark, dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before.nonEmpty)
+    val victim = before.head._1
+    DedupIndex.remove(spark, dir, Seq(victim).toDF("x"), col("x"))
+    val after = DedupIndex.pairs(spark, dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before.filterNot(p => p._1 == victim || p._2 == victim),
+      "remove changed pairs beyond the victim's")
+    // a copy of the removed doc now screens clean; swap hygiene holds
+    val victimText = docs.where(col("doc_id") === victim)
+      .select("text").as[String].head()
+    val hits = DedupIndex.check(spark,
+        Seq((555000L, victimText)).toDF("nid", "t"), col("nid"), col("t"), dir,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!hits.exists(_._2 == victim), s"removed doc still matchable: ${hits.toSeq}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.remove")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
+  }
+
   test("streaming screen: micro-batches checked against the static index") {
     implicit val ctx = spark.sqlContext
     val docs = Tables(spark, sf).documents

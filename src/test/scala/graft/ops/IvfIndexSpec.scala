@@ -165,6 +165,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().map(_._2).sum == 500)
   }
 
+  test("remove: taken-down vectors leave results; centroids and survivors intact") {
+    val em = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rm").toString
+    IvfIndex.build(em, col("vec_id"), col("embedding"), nCells = 8, dir)
+    val q = em.where(col("vec_id") < 5)
+    val before = IvfIndex.query(spark, dir, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8).as[(Long, Long, Long)].collect()
+    val victims = before.map(_._2).distinct.take(3)
+    IvfIndex.remove(spark, dir, victims.toSeq.toDF("x"), col("x"))
+    val after = IvfIndex.query(spark, dir, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 8).as[(Long, Long, Long)].collect()
+    assert(after.length == 25, "k results per query must survive removal")
+    assert(!after.exists(r => victims.contains(r._2)),
+      s"removed vectors still returned: ${after.filter(r => victims.contains(r._2)).toSeq}")
+    assert(IvfIndex.numCells(spark, dir) == 8, "centroids must survive removal")
+    assert(IvfIndex.cellStats(spark, dir).as[(Int, Long)].collect().map(_._2).sum ==
+      em.count() - victims.length)
+  }
+
   test("retryingStaleReads: retries the missing-file family, rethrows the rest") {
     // missing-file errors retry until the (simulated) swap completes
     var calls = 0

@@ -104,6 +104,22 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(got(61L) == ((4L, 0L, "y1 y2 y3 y4")))
   }
 
+  test("remove: a taken-down doc's spans stop matching; other docs' spans still do") {
+    val path = tmp()
+    SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
+    val incoming = Seq(
+      (10L, "x1 p1 p2 p3 p4 p5 x2"),     // doc 1's run
+      (11L, "y1 d1 d2 d3 d4 d5 y2")).toDF("id", "text") // doc 2's run
+    assert(SpanIndex.check(spark, incoming, col("id"), col("text"), path, n = 4)
+      .count() == 2)
+    SpanIndex.remove(spark, path, Seq(1L).toDF("x"), col("x"))
+    val after = SpanIndex.check(spark, incoming, col("id"), col("text"), path, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(after.map(_._1) == Set(11L),
+      s"doc 1's spans should be gone, doc 2's intact: $after")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.remove")))
+  }
+
   test("bucketed index: same results as the path index, stored side never shuffles") {
     val path = tmp()
     val table = "graft_spanidx_bucketed_test"
