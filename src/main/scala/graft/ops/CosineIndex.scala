@@ -48,6 +48,22 @@ object CosineIndex {
     * [[Similarity.cosineNearDupPairs]], so index-backed results match the
     * direct operator's exactly.
     */
+  /** Remove vectors from the index (takedown) — the
+    * [[DedupIndex.remove]] analogue: both tables rewritten without the
+    * given ids (broadcast anti join, index-sized work), crash-safe swap.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame, idCol: Column): Unit = {
+    val tmp = s"$path.remove"
+    val rm = ids.select(idCol.as("id"))
+    spark.read.parquet(s"$path/vecs")
+      .join(org.apache.spark.sql.functions.broadcast(rm), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/vecs")
+    spark.read.parquet(s"$path/bands")
+      .join(org.apache.spark.sql.functions.broadcast(rm), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    IvfIndex.swapDirs(spark, path, tmp)
+  }
+
   private def bandStructs(v: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { t =>
       struct(lit(t).as("band"),

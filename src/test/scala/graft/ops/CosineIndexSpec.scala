@@ -68,6 +68,21 @@ class CosineIndexSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 666000L), s"clean vector flagged: ${hits.toSeq}")
   }
 
+  test("remove: taken-down vectors vanish from pairs; survivors unaffected") {
+    val corpus = planted
+    val dir = Files.createTempDirectory("graft_cos_rm").toString
+    CosineIndex.build(corpus, col("id"), col("v"), dir)
+    val before = CosineIndex.pairs(spark, dir, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before.nonEmpty)
+    val victim = before.head._2
+    CosineIndex.remove(spark, dir, Seq(victim).toDF("x"), col("x"))
+    val after = CosineIndex.pairs(spark, dir, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before.filterNot(p => p._1 == victim || p._2 == victim))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.remove")))
+  }
+
   test("append admits new vectors; pairs over the grown index equal a full rebuild") {
     val corpus = planted
     val first = corpus.where(col("id") % 2 === 0)
