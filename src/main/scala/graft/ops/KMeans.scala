@@ -197,7 +197,15 @@ object KMeans {
   def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
                     k: Int, iters: Int, threshold: Double,
                     q: Long = 1000000L): DataFrame = {
-    val c = corpus.select(id.as("id"), vec.as("v")).localCheckpoint()
+    // the corpus is scanned by the fit (which caches its own quantized
+    // projection), the assignment, and the within-cluster verify — like
+    // the LSH dedup operators, these are narrow RE-SCANS of the source,
+    // never a corpus-sized materialization (a localCheckpoint here would
+    // copy the whole embedding corpus to executor storage at 100 TB).
+    // The source must therefore be deterministic across scans (file
+    // sources are; a rand()-derived frame is not — same contract as
+    // minhashLsh's verify re-scan).
+    val c = corpus.select(id.as("id"), vec.as("v"))
     val cents = fit(c, col("id"), col("v"), k, iters, q)
     val assigned = assign(c, col("id"), col("v"), cents, q)
       .join(c, Seq("id"))

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * Updates rewrite through the crash-safe double-rename swap
   * ([[IvfIndex.swapDirs]]), so a crashed update leaves the previous
   * model addressable.
+  *
+  * NO exact takedown, by design honesty: each batch's sums were folded
+  * under the centroids current AT THAT TIME, and the per-row cell
+  * assignment is not stored — subtracting a removed row's contribution
+  * exactly is not possible from the model alone. Removing rows from the
+  * population means re-[[build]]ing on the surviving corpus (the other
+  * standing indexes support in-place `remove`; this one's state is a
+  * running aggregate, not a row store).
   */
 object KMeansIndex {
 
