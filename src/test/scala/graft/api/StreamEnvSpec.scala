@@ -102,6 +102,27 @@ class StreamEnvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality classifier gates a live document stream (zero state, codegen'd)") {
+    // the q91 inference pass is one narrow projection, so it drops into
+    // a stream unchanged — the admission gate of a live ingestion
+    // pipeline (classify, keep, NFC-fingerprint the survivors)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.ops.Classifier.qualityClassify(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val q = StreamEnv(spark).fromBatch(scored)
+      .filterRecords(col("keep"))
+      .toMemorySink("stream_quality", OutputMode.Append())
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and it is a fine day"),
+        (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&& 019283 ++++ ...."))
+      q.processAllAvailable()
+      val kept = spark.table("stream_quality").select("id").as[Long].collect().toSet
+      assert(kept == Set(1L), s"prose passes, symbol soup dies: got $kept")
+    } finally q.stop()
+  }
+
   test("running aggregate surface matches reference agg_func set") {
     val env = StreamEnv(spark)
     val data = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))
