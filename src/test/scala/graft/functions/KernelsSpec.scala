@@ -92,11 +92,13 @@ class KernelsSpec extends AnyFunSuite {
       """SELECT simhash64(split(t, ' ')) AS sh,
         |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |       word_shingles(split(t, ' '), 2) AS ws,
-        |       rolling_fingerprint(split(t, ' '), 2) AS rf
+        |       rolling_fingerprint(split(t, ' '), 2) AS rf,
+        |       nfc_normalize('cafe' || chr(769)) AS nfc
         |FROM kern_t""".stripMargin)
     val r = out.collect().head
     assert(r.getLong(0) != 0L)
     assert(r.getDouble(1) == 1.0)
     assert(r.getSeq[String](2) == Seq("the quick", "quick brown", "brown fox"))
+    assert(r.getString(4) == "café" && r.getString(4).length == 4)
   }
 }
