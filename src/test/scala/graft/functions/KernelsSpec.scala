@@ -93,7 +93,7 @@ class KernelsSpec extends AnyFunSuite {
         |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |       word_shingles(split(t, ' '), 2) AS ws,
         |       rolling_fingerprint(split(t, ' '), 2) AS rf,
-        |       nfc_normalize('cafe' || chr(769)) AS nfc
+        |       nfc_normalize('cafe' || '́') AS nfc
         |FROM kern_t""".stripMargin)
     val r = out.collect().head
     assert(r.getLong(0) != 0L)
