@@ -1337,7 +1337,7 @@ object SparkEntry {
         |    md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY source ORDER BY h ROWS UNBOUNDED PRECEDING) - n_tok AS prefix_excl
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS prefix_excl
         |  FROM t)
         |SELECT doc_id, source, n_tok, prefix_excl FROM c
         |WHERE prefix_excl < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
@@ -1589,11 +1589,11 @@ object SparkEntry {
         |  FROM f
         |)
         |SELECT t.source, count(*) AS n_docs,
-        |  sum(len(t.toks)) AS n_tokens,
+        |  CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
         |  count(DISTINCT t.lang) AS n_langs,
-        |  sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS n_quality_keep,
+        |  CAST(sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
         |  count(DISTINCT md5(array_to_string(t.toks, ' '))) AS n_unique_texts,
-        |  sum(sc.score) AS score_sum
+        |  CAST(sum(sc.score) AS BIGINT) AS score_sum
         |FROM t JOIN sc USING (doc_id)
         |GROUP BY t.source""".stripMargin,
     "q94_nfc_fingerprint" ->

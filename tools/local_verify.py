@@ -71,16 +71,36 @@ def main():
             n_fail += 1
             continue
         try:
-            o = con.execute(oracle[name])
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
+            orel = con.sql(oracle[name])
+            o_cols = list(orel.columns)
+            o_types = {c: str(t) for c, t in zip(orel.columns, orel.types)}
+            o_rows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        sq = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'")
-        s_cols = [d[0] for d in sq.description]
-        s_rows = sq.fetchall()
+        srel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+        s_cols = list(srel.columns)
+        s_types = {c: str(t) for c, t in zip(srel.columns, srel.types)}
+        s_rows = srel.fetchall()
+
+        # The driver's hasher is type-sensitive (round-6 lesson: DuckDB
+        # sum(BIGINT) returns HUGEINT, which hash-mismatches Spark's
+        # BIGINT even when values are identical). HUGEINT/DECIMAL in an
+        # oracle output column can never match a Spark parquet dump, so
+        # that's a hard fail here; any other type drift is a warning.
+        huge = [c for c, t in o_types.items()
+                if "HUGEINT" in t or "DECIMAL" in t]
+        if huge:
+            print(f"FAIL {name}: oracle output types Spark can't emit "
+                  f"(cast them): {[(c, o_types[c]) for c in huge]}")
+            n_fail += 1
+            continue
+        drift = [c for c in o_types
+                 if c in s_types and o_types[c] != s_types[c]]
+        if drift:
+            print(f"WARN {name}: type drift "
+                  f"{[(c, s_types[c], o_types[c]) for c in drift]}")
 
         oc, orows = norm_rows(o_cols, o_rows)
         sc, srows = norm_rows(s_cols, s_rows)
