@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports
   * the median — a single-shot run is dominated by machine-load noise (a
   * byte-identical build measured 42.8 s and 74.3 s on consecutive rounds);
-  * median-of-3 keeps back-to-back totals within ~10%.
+  * median-of-3 keeps back-to-back totals within ~10%. All per-repeat times
+  * are also emitted (run order) so a sustained interference window on the
+  * shared box is diagnosable from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,7 +68,7 @@ object Bench {
           }
         }
       }
-      if (failed) None else Some(name -> times.sorted.apply(times.length / 2))
+      if (failed) None else Some(name -> times.toSeq)
     }
     // per-query values rounded to 1 ms: the driver records only the LAST
     // ~3 KB of output, and at 87 queries full-precision doubles push the
@@ -76,16 +78,27 @@ object Bench {
     // Locale.ROOT: the default-locale `f` interpolator can emit a comma
     // decimal separator, which is not JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val medians = results.map { case (k, ts) => k -> ts.sorted.apply(ts.length / 2) }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // Per-repeat times IN RUN ORDER, so a sustained interference window on
+    // the box (the BENCH_r06 q65–q75 block: a contiguous run 4–7× slower
+    // while neighbors were flat) is visible in the artifact itself instead
+    // of needing an out-of-band re-measure. Placed BEFORE "queries": the
+    // driver keeps only the last ~3 KB of output, so the canonical medians
+    // and trailing total survive truncation even when repeats don't.
+    val reps = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // full control-char escaping (graft.core.JsonText) — a tab in a Spark
     // analysis error would otherwise break the driver's json.load and
     // lose the round's measurements
     val errs = errors.map { case (k, v) =>
       graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeats":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
