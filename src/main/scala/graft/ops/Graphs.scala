@@ -46,9 +46,9 @@ object Graphs {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
     // fail fast on weight range BEFORE iterating, one aggregate pass:
-    // non-positive weights — integer floor division of negatives differs
-    // between engines (Spark `div` truncates toward zero, DuckDB `//`
-    // floors) and a zero total out-weight divides by zero; and weights
+    // non-positive weights — both engines truncate integer division
+    // toward zero (Spark `div` and DuckDB `//` agree: -7 // 2 = -3), but
+    // a zero total out-weight divides by zero; and weights
     // large enough that `r * w` can exceed Long range (a rank is at most
     // ~scale, so max(w) must stay under Long.MaxValue / (2·scale)) —
     // under ANSI mode the overflow kills the job mid-iteration, and on
@@ -57,7 +57,8 @@ object Graphs {
     val wStats = e.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head
     if (!wStats.isNullAt(0)) {
       require(wStats.getLong(0) > 0,
-        "pagerank edge weights must be positive (fixed-point floor-division semantics)")
+        "pagerank edge weights must be positive (a zero total out-weight " +
+          "divides by zero; negative mass has no pagerank meaning)")
       require(wStats.getLong(1) <= wBound,
         s"pagerank aggregated edge weight ${wStats.getLong(1)} exceeds the " +
           s"overflow-safe bound $wBound for scale=$scale — r*w would exceed " +

@@ -198,21 +198,41 @@ object KMeans {
                     k: Int, iters: Int, threshold: Double,
                     q: Long = 1000000L): DataFrame = {
     // the corpus is scanned by the fit (which caches its own quantized
-    // projection), the assignment, and the within-cluster verify — like
-    // the LSH dedup operators, these are narrow RE-SCANS of the source,
-    // never a corpus-sized materialization (a localCheckpoint here would
-    // copy the whole embedding corpus to executor storage at 100 TB).
-    // The source must therefore be deterministic across scans (file
-    // sources are; a rand()-derived frame is not — same contract as
-    // minhashLsh's verify re-scan).
+    // projection) and by ONE assignment pass below — like the LSH dedup
+    // operators, these are narrow RE-SCANS of the source, never a
+    // corpus-sized materialization (a localCheckpoint here would copy
+    // the whole embedding corpus to executor storage at 100 TB). The
+    // source must therefore be deterministic across scans (file sources
+    // are; a rand()-derived frame is not — same contract as minhashLsh's
+    // verify re-scan).
     val c = corpus.select(id.as("id"), vec.as("v"))
     val cents = fit(c, col("id"), col("v"), k, iters, q)
-    val assigned = assign(c, col("id"), col("v"), cents, q)
-      .join(c, Seq("id"))
-    val dominated = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
-      .where(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
-    assigned.join(dominated, Seq("id"), "left_anti").select(col("id"), col("cell"))
+    // The original vector rides THROUGH the broadcast argmin instead of
+    // being re-joined by id afterwards (an id-keyed join back to the
+    // source is two corpus-sized exchanges at 100 TB), and "has a
+    // lower-id near-duplicate in my cluster" is ONE left_anti self-join
+    // with the cosine test in the join condition — not an inner
+    // pair-join + distinct + id-anti-join. Both sides of the anti join
+    // are the same subtree requiring the same hashpartitioning(cell), so
+    // exchange reuse materializes the assignment pass ONCE (plan-asserted
+    // in PlanQualitySpec): the whole operator runs the fit's narrow
+    // passes plus a single corpus-sized cell exchange. The anti form
+    // also short-circuits: a row stops probing its cell at the first
+    // dominating match, where the inner form enumerated all of them.
+    // The explicit isnotnull filters mirror what InferFiltersFromConstraints
+    // derives for the anti join's RIGHT side only (a left_anti keeps
+    // null-keyed left rows, so nothing is inferred on the left) — without
+    // them the two sides canonicalize differently and the cell exchange
+    // is NOT reused. Ids must be non-null (same contract as the dedup
+    // family); a null cell cannot occur while cents is non-empty.
+    val assigned = c.select(col("id"), quantize(col("v"), q).as("xq"), col("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), nearestCell(col("cents"), col("xq")).as("cell"), col("v"))
+      .where(col("id").isNotNull && col("cell").isNotNull)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id") &&
+          Similarity.cosine(col("a.v"), col("b.v")) >= threshold,
+        "left_anti")
+      .select(col("a.id").as("id"), col("a.cell").as("cell"))
   }
 }

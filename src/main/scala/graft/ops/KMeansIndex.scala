@@ -112,8 +112,26 @@ object KMeansIndex {
       .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    val merged = spark.read.parquet(s"$path/_stats")
-      .unionByName(batchStats)
+    // Fail-fast overflow posture (same discipline as KMeans.fit's rows·A
+    // check): a long-running stream folds sums indefinitely, and a wrap
+    // would silently corrupt every later centroid (non-ANSI Long sums
+    // wrap, they don't throw). The check MUST use pre-merge quantities —
+    // per (cell, d), |s_merged| <= |s_stored| + |s_batch|, so two tiny
+    // aggregates (k·dim stored stats, batch partials) prove the merge
+    // exact BEFORE it is computed and written.
+    val batchPinned = batchStats.localCheckpoint()
+    def maxAbsS(df: DataFrame): Long = {
+      val r = df.agg(max(abs(col("s")))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val stored = spark.read.parquet(s"$path/_stats")
+    val (sStored, sBatch) = (maxAbsS(stored), maxAbsS(batchPinned))
+    require(sBatch <= Long.MaxValue - sStored,
+      s"folding this batch (max |s|=$sBatch) into the accumulated " +
+        s"centroid sums (max |s|=$sStored) can overflow Long at scale " +
+        s"q=$q — rebuild the model on a sample (KMeans.fit) or lower q")
+    val merged = stored
+      .unionByName(batchPinned)
       .groupBy(col("cell"), col("d"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
       .localCheckpoint()

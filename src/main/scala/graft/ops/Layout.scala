@@ -31,6 +31,13 @@ object Layout {
     require(cols.nonEmpty, "zorder needs at least one column")
     require(bits > 0 && cols.size * bits <= 63,
       s"${cols.size} cols x $bits bits exceed a Long's 63 value bits")
+    // same reserved-name posture as Joins.binnedRangeJoin: the working
+    // min/max columns and the appended zval would otherwise collide with
+    // (or silently shadow) same-named input columns
+    val reserved = cols.indices.flatMap(j => Seq(s"mn$j", s"mx$j")) :+ "zval"
+    require(df.columns.intersect(reserved).isEmpty,
+      s"input columns ${df.columns.intersect(reserved).mkString(", ")} " +
+        "collide with zorder working names (mnN/mxN/zval) — rename them first")
     val named = cols.zipWithIndex.map { case (c, j) => (c.cast("long"), s"__z$j") }
     val statCols = named.zipWithIndex.flatMap { case ((c, _), j) =>
       Seq(min(c).as(s"mn$j"), max(c).as(s"mx$j")) }

@@ -123,4 +123,25 @@ class KMeansIndexSpec extends AnyFunSuite {
     KMeansIndex.update(spark, batch.repartition(3), col("vec_id"), col("embedding"), d2)
     assert(centArrays(d1) == centArrays(d2))
   }
+
+  test("update fails fast when accumulated sums approach Long overflow") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 100)
+    val batch = em.where(col("vec_id") >= 100 && col("vec_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 3, iters = 1, dir)
+    // simulate a long-running stream's accumulated statistics: push one
+    // stored component sum to the edge of Long — the next fold must be
+    // refused BEFORE the (silently wrapping) merge is computed
+    val poisoned = spark.read.parquet(s"$dir/_stats")
+      .withColumn("s", when(col("cell") === 0 && col("d") === 0,
+        lit(Long.MaxValue - 1L)).otherwise(col("s")))
+    poisoned.write.mode("overwrite").parquet(s"$dir/_stats2")
+    spark.read.parquet(s"$dir/_stats2").write.mode("overwrite")
+      .parquet(s"$dir/_stats")
+    val e = intercept[IllegalArgumentException] {
+      KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), dir)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
 }

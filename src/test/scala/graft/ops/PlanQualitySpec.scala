@@ -143,6 +143,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"banding exchange not reused in final adaptive plan:\n$p")
   }
 
+  test("q90: semanticDedup's assignment pass materializes once (anti self-join reuse)") {
+    // semanticDedup is one left_anti self-join over the assigned frame;
+    // both sides require the same hashpartitioning(cell), so the final
+    // adaptive plan must reuse one exchange — otherwise the corpus-wide
+    // argmin assignment runs once per side. (The explicit isnotnull
+    // filters in the operator exist precisely to keep the two sides
+    // canonically identical; see KMeans.semanticDedup.)
+    val df = graft.SparkEntry.queries("q90_kmeans_semdedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"assignment exchange not reused in final adaptive plan:\n$p")
+    val cellExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(cell") && !l.contains("ReusedExchange"))
+    assert(cellExchanges == 1,
+      s"expected exactly one materialized cell exchange, found $cellExchanges:\n$p")
+  }
+
   test("q59: packing shuffles the data once (range) — cumsum is narrow, windows tiny") {
     val df = graft.SparkEntry.queries("q59_seq_packing")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
