@@ -29,7 +29,7 @@ class KMeansIndexSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(fromModel == direct && fromModel.size == 300)
     // stats cover every assigned vector exactly once
-    val n = spark.read.parquet(s"$dir/_stats")
+    val n = spark.read.parquet(s"$dir/_model/_stats")
       .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
     assert(n == 300)
   }
@@ -42,7 +42,7 @@ class KMeansIndexSpec extends AnyFunSuite {
     KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 5, iters = 2, dir)
 
     val before = centArrays(dir)
-    val statsBefore = spark.read.parquet(s"$dir/_stats")
+    val statsBefore = spark.read.parquet(s"$dir/_model/_stats")
       .as[(Int, Int, Long, Long)].collect()
       .map { case (c, d, s, n) => (c, d) -> ((s, n)) }.toMap
     // driver replica: assign the batch against the CURRENT centroids
@@ -68,10 +68,10 @@ class KMeansIndexSpec extends AnyFunSuite {
     KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), dir)
     assert(centArrays(dir) == expected)
     // swap hygiene: no leftover temp or old dirs
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.update")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_model.update")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_model.old")))
     // counts grew by the batch
-    val n = spark.read.parquet(s"$dir/_stats")
+    val n = spark.read.parquet(s"$dir/_model/_stats")
       .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
     assert(n == 400)
   }
@@ -100,7 +100,7 @@ class KMeansIndexSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(assignedCount.get() == 100)
-    val n = spark.read.parquet(s"$dir/_stats")
+    val n = spark.read.parquet(s"$dir/_model/_stats")
       .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
     assert(n == 300, s"stream folds lost or doubled: total count $n")
     assert(KMeansIndex.lastBatchId(spark, dir) >= 1)
@@ -124,6 +124,59 @@ class KMeansIndexSpec extends AnyFunSuite {
     assert(centArrays(d1) == centArrays(d2))
   }
 
+  test("remove subtracts rows exactly at their recorded cells (takedown == refold of survivors)") {
+    val em = Tables(spark, sf).embeddings
+    val base = em.where(col("vec_id") < 300)
+    val batch = em.where(col("vec_id") >= 300 && col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx").toString + "/m"
+    KMeansIndex.build(base, col("vec_id"), col("embedding"), k = 5, iters = 2, dir)
+    // drift the model so batch rows' RECORDED cells differ from what a
+    // re-assignment against post-remove centroids could produce
+    KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), dir)
+
+    // expected = refold the surviving sidecar rows at their recorded
+    // cells: stats are sums over survivors, centroids s div n with
+    // emptied cells keeping the pre-remove centroid
+    val preCents = centArrays(dir)
+    val side = KMeansIndex.assignments(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(side.size == 400)
+    val removeIds = (side.keys.filter(_ % 7 == 0) ++ Seq(301L, 399L)).toSet
+    val vecs = em.where(col("vec_id") < 400)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.floor(x * 1000000L).toLong) }
+      .toMap
+    val survivors = side.view.filterKeys(id => !removeIds.contains(id)).toMap
+    val dim = 64
+    val expectedCents = preCents.map { case (cell, old) =>
+      val members = survivors.collect { case (id, c) if c == cell => vecs(id) }
+      cell -> (0 until dim).map { d =>
+        if (members.isEmpty) old(d)
+        else members.map(_(d)).sum / members.size
+      }
+    }
+
+    KMeansIndex.remove(spark, dir,
+      removeIds.toSeq.toDF("rid"), col("rid"))
+    assert(centArrays(dir) == expectedCents)
+    // the sidecar now holds exactly the survivors
+    val after = KMeansIndex.assignments(spark, dir).as[(Long, Int)].collect().toMap
+    assert(after == survivors)
+    // counts match the survivor population
+    val n = spark.read.parquet(s"$dir/_model/_stats")
+      .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
+    assert(n == survivors.size)
+    // re-issuing the same takedown is a no-op, never a double subtraction
+    val centsAfter = centArrays(dir)
+    KMeansIndex.remove(spark, dir, removeIds.toSeq.toDF("rid"), col("rid"))
+    assert(centArrays(dir) == centsAfter)
+    // updates keep working after a generation change
+    KMeansIndex.update(spark, em.where(col("vec_id") >= 400 && col("vec_id") < 420),
+      col("vec_id"), col("embedding"), dir)
+    assert(KMeansIndex.assignments(spark, dir).count() == survivors.size + 20)
+  }
+
   test("update fails fast when accumulated sums approach Long overflow") {
     val em = Tables(spark, sf).embeddings
     val base = em.where(col("vec_id") < 100)
@@ -133,12 +186,12 @@ class KMeansIndexSpec extends AnyFunSuite {
     // simulate a long-running stream's accumulated statistics: push one
     // stored component sum to the edge of Long — the next fold must be
     // refused BEFORE the (silently wrapping) merge is computed
-    val poisoned = spark.read.parquet(s"$dir/_stats")
+    val poisoned = spark.read.parquet(s"$dir/_model/_stats")
       .withColumn("s", when(col("cell") === 0 && col("d") === 0,
         lit(Long.MaxValue - 1L)).otherwise(col("s")))
-    poisoned.write.mode("overwrite").parquet(s"$dir/_stats2")
-    spark.read.parquet(s"$dir/_stats2").write.mode("overwrite")
-      .parquet(s"$dir/_stats")
+    poisoned.write.mode("overwrite").parquet(s"$dir/_model/_stats2")
+    spark.read.parquet(s"$dir/_model/_stats2").write.mode("overwrite")
+      .parquet(s"$dir/_model/_stats")
     val e = intercept[IllegalArgumentException] {
       KMeansIndex.update(spark, batch, col("vec_id"), col("embedding"), dir)
     }
