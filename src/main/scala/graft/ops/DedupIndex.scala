@@ -155,10 +155,19 @@ object DedupIndex {
   def check(spark: SparkSession, newDocs: DataFrame, id: Column, text: Column,
             path: String, threshold: Double = 0.5,
             shingleN: Int = 3, numHashes: Int = 32,
-            bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val indexBands = spark.read.parquet(s"$path/bands")
+            bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    checkImpl(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      newDocs, id, text, threshold, shingleN, numHashes, bands, rowsPerBand)
+
+  private def checkImpl(bandsTable: DataFrame, shinglesTable: DataFrame,
+                        newDocs: DataFrame, id: Column, text: Column,
+                        threshold: Double, shingleN: Int, numHashes: Int,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val indexBands = bandsTable
       .select(col("band"), col("bucket"), col("id").as("dup_id"))
-    val indexShingles = spark.read.parquet(s"$path/shingles")
+    val indexShingles = shinglesTable
       .select(col("id").as("dup_id"), col("sh").as("sh_dup"))
     // stream side: one pass computes shingles + banded buckets, carrying
     // the (small) shingle set through so no second pass over new text
@@ -175,6 +184,105 @@ object DedupIndex {
       .select(col("new_id"), col("dup_id"),
         Dedup.jaccard(col("sh_new"), col("sh_dup")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Bucketed-table form of the index: `<base>_bands` bucketed on the
+    * (band, bucket) join tuple and `<base>_shingles` bucketed on id, so
+    * [[checkBucketed]]'s two stored-side joins read pre-shuffled storage —
+    * per screening batch only batch-sized data exchanges, and the stored
+    * tables are NEVER reshuffled no matter how often batches arrive (the
+    * [[SpanIndex.buildBucketed]] treatment; plan-asserted in
+    * DedupIndexSpec). Corpus text is still scanned exactly once: shingles
+    * write first, bands derive from the written table.
+    *
+    * The path form's directory swap does not apply to managed tables:
+    * [[removeBucketed]]/[[compactBucketed]] rewrite through drop+recreate,
+    * so quiesce screeners across maintenance (screeners retry the
+    * missing-table window like every swap consumer).
+    */
+  def buildBucketed(df: DataFrame, id: Column, text: Column, base: String,
+                    shingleN: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8, rowsPerBand: Int = 4,
+                    buckets: Int = 64): Unit = {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    val spark = df.sparkSession
+    graft.sources.Bucketed.write(
+      df.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
+        .where(size(col("sh")) > 0),
+      s"${base}_shingles", "id", buckets)
+    graft.sources.Bucketed.write(
+      bandsOf(spark.table(s"${base}_shingles"), numHashes, bands, rowsPerBand),
+      s"${base}_bands", Seq("band", "bucket"), buckets)
+  }
+
+  /** Admit new documents into the bucketed index: appends land in the
+    * same bucket layout (Spark enforces the matching spec), so
+    * [[checkBucketed]] stays exchange-free on the stored side. Each
+    * append adds a file per bucket — [[compactBucketed]] when counts grow.
+    */
+  def appendBucketed(newDocs: DataFrame, id: Column, text: Column, base: String,
+                     shingleN: Int = 3, numHashes: Int = 32,
+                     bands: Int = 8, rowsPerBand: Int = 4,
+                     buckets: Int = 64): Unit = {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    // same pin rationale as [[append]]: both table writes must see the
+    // identical batch rows
+    val sh = newDocs.select(id.as("id"), Dedup.shingles(text, shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
+    sh.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${base}_shingles")
+    bandsOf(sh, numHashes, bands, rowsPerBand)
+      .write.mode("append").bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${base}_bands")
+  }
+
+  /** [[check]] against the bucketed tables: identical results, stored
+    * side never shuffles.
+    */
+  def checkBucketed(spark: SparkSession, newDocs: DataFrame, id: Column, text: Column,
+                    base: String, threshold: Double = 0.5,
+                    shingleN: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    checkImpl(spark.table(s"${base}_bands"), spark.table(s"${base}_shingles"),
+      newDocs, id, text, threshold, shingleN, numHashes, bands, rowsPerBand)
+
+  /** Takedown for the bucketed form: rewrite both tables without the
+    * given ids, preserving the bucket layout. Index-sized work, like the
+    * path form's [[remove]], and never materialized driver/executor-side:
+    * survivors stream into sibling `_tmp` tables (reading the live ones),
+    * which then take the live names via drop + rename — the brief
+    * missing-table window is the same quiesce/retry contract as every
+    * swap.
+    */
+  def removeBucketed(spark: SparkSession, base: String, ids: DataFrame,
+                     idCol: Column, buckets: Int = 64): Unit = {
+    val rm = ids.select(idCol.as("id"))
+    def rewrite(table: String, bucketCols: Seq[String]): Unit = {
+      graft.sources.Bucketed.write(
+        spark.table(table).join(broadcast(rm), Seq("id"), "left_anti"),
+        s"${table}_tmp", bucketCols, buckets)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `${table}_tmp` RENAME TO `$table`")
+    }
+    rewrite(s"${base}_shingles", Seq("id"))
+    rewrite(s"${base}_bands", Seq("band", "bucket"))
+  }
+
+  /** Compact the bucketed tables (appends add a file per bucket per
+    * batch): rewrite each through a `_tmp` sibling and rename — contents
+    * row-identical, bucket layout preserved, file count reset.
+    */
+  def compactBucketed(spark: SparkSession, base: String, buckets: Int = 64): Unit = {
+    def rewrite(table: String, bucketCols: Seq[String]): Unit = {
+      graft.sources.Bucketed.write(spark.table(table), s"${table}_tmp",
+        bucketCols, buckets)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `${table}_tmp` RENAME TO `$table`")
+    }
+    rewrite(s"${base}_shingles", Seq("id"))
+    rewrite(s"${base}_bands", Seq("band", "bucket"))
   }
 
   /** Continuous-ingestion screening: run [[check]] over each micro-batch

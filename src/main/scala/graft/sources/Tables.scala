@@ -64,7 +64,14 @@ object Bucketed {
     * creation with LOCATION_ALREADY_EXISTS.
     */
   def write(df: org.apache.spark.sql.DataFrame, table: String,
-            bucketCol: String, buckets: Int): Unit = {
+            bucketCol: String, buckets: Int): Unit =
+    write(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column form: buckets on the FULL key tuple (a join must then
+    * use all of them to be exchange-free on this side).
+    */
+  def write(df: org.apache.spark.sql.DataFrame, table: String,
+            bucketCols: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new java.io.File(
@@ -76,8 +83,8 @@ object Bucketed {
       rm(warehouse)
     }
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -211,6 +211,68 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")))
   }
 
+  test("bucketed index: check/remove/compact equal the path form, stored side never shuffles") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_dedup_bkt").toString
+    val base = "graft_dedupidx_bucketed_test"
+    DedupIndex.build(docs, col("doc_id"), col("text"), dir)
+    DedupIndex.buildBucketed(docs, col("doc_id"), col("text"), base, buckets = 8)
+    try {
+      val doc7 = docs.where(col("doc_id") === 7).select("text").as[String].head()
+      val incoming = Seq(
+        (1007L, doc7),
+        (9999L, (1 to 60).map(i => s"novel$i").mkString(" "))).toDF("nid", "t")
+      def viaPath = DedupIndex.check(spark, incoming, col("nid"), col("t"), dir,
+        threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      def viaTable = DedupIndex.checkBucketed(spark, incoming, col("nid"), col("t"),
+        base, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      assert(viaTable == viaPath && viaTable.nonEmpty)
+
+      // appended docs are picked up, still equal to the path form
+      val extra = Seq((500L, doc7 + " grown")).toDF("nid", "t")
+      DedupIndex.append(extra, col("nid"), col("t"), dir)
+      DedupIndex.appendBucketed(extra, col("nid"), col("t"), base, buckets = 8)
+      assert(viaTable == viaPath && viaTable.exists(_._2 == 500L))
+
+      // the scale property: with broadcast off (the at-scale join shape),
+      // both stored tables are read as bucketed scans and the only hash
+      // exchanges carry BATCH-derived frames — the candidate join's
+      // (band, bucket) exchange and the verify join's id-side exchange
+      // move batch data into the stored layout, never the reverse
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = DedupIndex.checkBucketed(spark, incoming, col("nid"), col("t"),
+          base, threshold = 0.5).queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"stored side not read as bucketed:\n$plan")
+        val bandExchanges = plan.linesIterator
+          .count(l => l.contains("Exchange hashpartitioning(band"))
+        val idExchanges = plan.linesIterator
+          .count(l => l.contains("Exchange hashpartitioning(dup_id"))
+        assert(bandExchanges == 1 && idExchanges <= 1,
+          s"stored side shuffled: band=$bandExchanges id=$idExchanges:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // takedown mirrors the path form
+      DedupIndex.remove(spark, dir, Seq(7L).toDF("x"), col("x"))
+      DedupIndex.removeBucketed(spark, base, Seq(7L).toDF("x"), col("x"), buckets = 8)
+      assert(viaTable == viaPath && !viaTable.exists(_._2 == 7L))
+
+      // compaction is row-identical and keeps the layout
+      DedupIndex.compactBucketed(spark, base, buckets = 8)
+      assert(viaTable == viaPath)
+      val planAfter = DedupIndex.checkBucketed(spark, incoming, col("nid"), col("t"),
+        base, threshold = 0.5).queryExecution.executedPlan.toString
+      assert(planAfter.contains("SelectedBucketsCount") || planAfter.contains("Bucketed: true"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_shingles`")
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_bands`")
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_shingles_tmp`")
+      spark.sql(s"DROP TABLE IF EXISTS `${base}_bands_tmp`")
+    }
+  }
+
   test("streaming screen: micro-batches checked against the static index") {
     implicit val ctx = spark.sqlContext
     val docs = Tables(spark, sf).documents
