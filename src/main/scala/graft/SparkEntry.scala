@@ -1024,6 +1024,49 @@ object SparkEntry {
     "q46_regex_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    "q47_rolling_fingerprint" ->
+      // full replay of the winnowing kernel (KernelOps.rollingFingerprint,
+      // engine-portable by construction): token hash = seed-7 polynomial
+      // fold of Unicode code points, window hash = same base-B polynomial
+      // over token hashes, fingerprint = SIGNED min across windows. All
+      // in HUGEINT mod-2^64 arithmetic; the 64-bit wrap-around multiply
+      // splits into 32-bit halves (x·y mod 2^64 = lo·lo + ((hi·lo +
+      // lo·hi) mod 2^32)·2^32), and the literal list holds B^0..B^4
+      // mod 2^64 so each window is one list_sum — no modpow loop.
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_transform(toks, tk ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS HUGEINT),
+        |          list_transform(range(length(tk)), i -> CAST(unicode(substr(tk, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |        (h, c) -> (((h % 4294967296) * 1000003
+        |                    + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
+        |                   + c) % 18446744073709551616
+        |      )) AS th
+        |  FROM t),
+        |wh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      list_min(list_transform(range(n - least(5, n) + 1), s ->
+        |        list_transform(
+        |          [list_sum(list_transform(range(least(5, n)), j ->
+        |             ((th[s+j+1] % 4294967296)
+        |                * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] % 4294967296)
+        |              + (((th[s+j+1] // 4294967296)
+        |                    * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] % 4294967296)
+        |                  + (th[s+j+1] % 4294967296)
+        |                    * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] // 4294967296))
+        |                 % 4294967296) * 4294967296)
+        |             % 18446744073709551616
+        |           )) % 18446744073709551616],
+        |          u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT))[1]
+        |      ))
+        |    END AS fp
+        |  FROM th)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs FROM wh GROUP BY fp""".stripMargin,
     "q48_text_langid" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)
@@ -1972,9 +2015,12 @@ object SparkEntry {
         |  FROM a, b
         |) WHERE jaccard >= 0.8""".stripMargin,
     // q37_minhash_pairs / q38_simhash /
-    // q44_approx_distinct / q47_rolling_fingerprint / q54_approx_percentile:
+    // q44_approx_distinct / q54_approx_percentile:
     // hash-seeded / approximate / engine-specific kernels — driver records
     // rows-only checks; accuracy is asserted in ScalaTest instead
     // (banding miss-bound vs truth, HLL/percentile error bounds).
+    // q47 left this list in round 7: the winnowing kernel was made
+    // engine-portable (code-point polynomial, wrapping 64-bit) and its
+    // oracle above replays it exactly.
   )
 }

@@ -163,22 +163,45 @@ object KernelOps {
     out
   }
 
-  /** Winnowing-style minimum rolling hash over token windows. */
+  /** Winnowing-style minimum rolling hash over token windows.
+    *
+    * ENGINE-PORTABLE by construction (q47's oracle replays it in DuckDB
+    * SQL): the token hash is a seed-7 polynomial fold over Unicode CODE
+    * POINTS in wrapping 64-bit arithmetic (Scala Long wrap ≡ mod 2^64 on
+    * the unsigned view), the window hash is the same base-B polynomial
+    * over token hashes, and the fingerprint is the SIGNED minimum across
+    * windows — every step reproducible with HUGEINT mod-2^64 arithmetic
+    * in any ANSI engine, unlike the Spark-internal XXH64 it replaced.
+    * Token hashes are precomputed once (no rehash on window slide-out).
+    */
   def rollingFingerprint(arr: ArrayData, window: Int): Long = {
     val B = 1000003L
     val n = arr.numElements()
-    def tok(i: Int): Long = XXH64.hashUTF8String(arr.getUTF8String(i), 7L)
     if (n == 0) return 0L
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var h = 7L
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        h = h * B + cp
+        k += Character.charCount(cp)
+      }
+      th(i) = h
+      i += 1
+    }
     val w = math.min(window, n)
     var bPow = 1L // B^(w-1)
     var j = 1
     while (j < w) { bPow *= B; j += 1 }
     var h = 0L
-    var i = 0
-    while (i < w) { h = h * B + tok(i); i += 1 }
+    i = 0
+    while (i < w) { h = h * B + th(i); i += 1 }
     var minH = h
     while (i < n) {
-      h = (h - tok(i - w) * bPow) * B + tok(i)
+      h = (h - th(i - w) * bPow) * B + th(i)
       if (h < minH) minH = h
       i += 1
     }
