@@ -569,6 +569,13 @@ object SparkEntry {
       Sampling.prioritySample(Tables(s, d).documents,
           col("doc_id"), col("n_chars"), k = 100)
         .select(col("doc_id"), col("n_chars"))),
+    "q98_cdc_chunks" -> ((s, d) =>
+      // content-defined chunking: boundaries where the rolling window
+      // hash has its low 4 bits clear (expected chunk ~16 tokens) —
+      // chunk identities survive edits elsewhere in the document, the
+      // property that makes chunk-level dedup incremental
+      TextAnalysis.cdcChunks(Tables(s, d).documents,
+        col("doc_id"), col("text"), window = 5, maskBits = 4)),
     "q96_overlap_join" -> ((s, d) => {
       // keyless interval-overlap join (two window sets from the event
       // stream) — Spark's native plan for this is a nested loop; the
@@ -1582,6 +1589,47 @@ object SparkEntry {
               s"(((nz0 >> $i) & 1) << ${2 * i})",
               s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
          |FROM n""".stripMargin,
+    "q98_cdc_chunks" ->
+      // full replay of the CDC chain: the q47 token-hash fold, every
+      // window hash via a per-window list_reduce (multiplier B < 2^32,
+      // so the wrap-around multiply needs only the small-constant
+      // split), boundaries where the UNSIGNED hash mod 16 is 0, chunk
+      // ends closed by the final token, md5 chunk fingerprints
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, toks, len(toks) AS n, least(5, len(toks)) AS w,
+        |    list_transform(toks, tk ->
+        |      list_reduce(
+        |        list_prepend(CAST(7 AS HUGEINT),
+        |          list_transform(range(length(tk)), i -> CAST(unicode(substr(tk, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |        (h, c) -> (((h % 4294967296) * 1000003
+        |                    + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
+        |                   + c) % 18446744073709551616
+        |      )) AS th
+        |  FROM t WHERE len(toks) > 0),
+        |ws AS (
+        |  SELECT doc_id, toks, n, w,
+        |    list_transform(range(n - w + 1), s ->
+        |      list_reduce(list_prepend(CAST(0 AS HUGEINT), th[s+1:s+w]),
+        |        (h, tt) -> (((h % 4294967296) * 1000003
+        |                     + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
+        |                    + tt) % 18446744073709551616)) AS ws
+        |  FROM th),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(b) > 0 AND b[-1] = n - 1 THEN b ELSE list_append(b, n - 1) END AS ends
+        |  FROM (SELECT doc_id, toks, n,
+        |          list_filter(list_transform(range(n - w + 1), s ->
+        |            CASE WHEN ws[s+1] % 16 = 0 THEN s + w - 1 ELSE -1 END), x -> x >= 0) AS b
+        |        FROM ws)),
+        |u AS (SELECT doc_id, toks, ends, unnest(range(len(ends))) AS k FROM e)
+        |SELECT doc_id, k AS chunk_idx,
+        |  CAST(CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END AS BIGINT) AS start_pos,
+        |  CAST(ends[CAST(k+1 AS INT)] - CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END + 1 AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[CAST(CASE WHEN k = 0 THEN 1 ELSE ends[CAST(k AS INT)] + 2 END AS INT):CAST(ends[CAST(k+1 AS INT)] + 1 AS INT)], ' ')) AS chunk_fp
+        |FROM u""".stripMargin,
     "q97_priority_sample" ->
       // same 52-bit md5 uniform ('0x'-prefixed hex cast == Spark's conv)
       // and the same single IEEE division; ties break by doc_id

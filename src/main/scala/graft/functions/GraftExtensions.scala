@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => Kernels.RollingFingerprint(
           children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Kernels.RollingHashes].getName, "rolling_hashes"),
+        (children: Seq[Expression]) => Kernels.RollingHashes(
+          children.head, children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Kernels.NfcNormalize].getName, "nfc_normalize"),

@@ -175,9 +175,28 @@ object KernelOps {
     * Token hashes are precomputed once (no rehash on window slide-out).
     */
   def rollingFingerprint(arr: ArrayData, window: Int): Long = {
-    val B = 1000003L
     val n = arr.numElements()
     if (n == 0) return 0L
+    val hs = windowHashes(arr, window)
+    var minH = hs(0)
+    var i = 1
+    while (i < hs.length) { if (hs(i) < minH) minH = hs(i); i += 1 }
+    minH
+  }
+
+  /** ALL window hashes of the token stream (length n−w+1 with
+    * w = min(window, n); empty for an empty stream) — the
+    * [[rollingFingerprint]] chain without the final min, for operators
+    * that need every window (content-defined chunking boundaries).
+    * Same engine-portable arithmetic.
+    */
+  def rollingHashes(arr: ArrayData, window: Int): ArrayData =
+    if (arr.numElements() == 0) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(windowHashes(arr, window))
+
+  private def windowHashes(arr: ArrayData, window: Int): Array[Long] = {
+    val B = 1000003L
+    val n = arr.numElements()
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -196,16 +215,17 @@ object KernelOps {
     var bPow = 1L // B^(w-1)
     var j = 1
     while (j < w) { bPow *= B; j += 1 }
+    val out = new Array[Long](n - w + 1)
     var h = 0L
     i = 0
     while (i < w) { h = h * B + th(i); i += 1 }
-    var minH = h
+    out(0) = h
     while (i < n) {
       h = (h - th(i - w) * bPow) * B + th(i)
-      if (h < minH) minH = h
+      out(i - w + 1) = h
       i += 1
     }
-    minH
+    out
   }
 
   /** Sign-bit signature of `planes` pseudo-random hyperplanes. */

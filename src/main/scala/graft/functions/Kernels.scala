@@ -223,6 +223,31 @@ object Kernels {
     override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
   }
 
+  /** Every window hash of the [[RollingFingerprint]] chain (length
+    * n−w+1; empty array for an empty token stream) — the raw material
+    * for content-defined chunk boundaries: a boundary falls after each
+    * window whose hash has its low bits clear, so boundary positions
+    * depend only on local content and survive insertions elsewhere in
+    * the document. Same engine-portable arithmetic as the fingerprint.
+    */
+  case class RollingHashes(child: Expression, window: Int)
+      extends UnaryExpression {
+    require(window >= 1, "window must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "rolling_hashes"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      Kernels.requireStringArray(prettyName, child)
+
+    override def nullSafeEval(input: Any): Any =
+      KernelOps.rollingHashes(input.asInstanceOf[ArrayData], window)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.KernelOps.rollingHashes($c, $window);")
+
+    override protected def withNewChildInternal(c: Expression): RollingHashes = copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double elements),
     * accumulated in double in index order — deterministic across runs and
     * engines. Returns 0.0 when either norm is zero; null on length
@@ -297,6 +322,8 @@ object Kernels {
     column(WordShingles(expression(c), n))
   def rolling_fingerprint(c: Column, window: Int): Column =
     column(RollingFingerprint(expression(c), window))
+  def rolling_hashes(c: Column, window: Int): Column =
+    column(RollingHashes(expression(c), window))
   def hyperplane_signature(c: Column, planes: Int, seed: Int = 0): Column =
     column(HyperplaneSignature(expression(c), planes, seed))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))

@@ -195,6 +195,63 @@ object TextAnalysis {
         size(col("c.ctoks")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Content-defined chunking (Rabin-style CDC): a chunk boundary falls
+    * after every token window whose rolling hash has its `maskBits` low
+    * bits clear (expected chunk length ≈ 2^maskBits tokens), so boundary
+    * positions depend only on LOCAL content — insert or delete text
+    * anywhere and every chunk outside the edited neighborhood keeps its
+    * identity, where fixed-size chunking ([[chunk]]) shifts every
+    * downstream boundary. That stability is what makes chunk-level
+    * dedup/delta incremental: re-chunk a revised corpus and only the
+    * edited chunks change fingerprint (storage-dedup literature's CDC,
+    * applied to token streams).
+    *
+    * Output: (doc_id, chunk_idx, start_pos, n_chunk_tokens, chunk_fp)
+    * where chunk_fp = md5 of the space-joined chunk tokens. Empty
+    * documents produce no chunks; chunks partition the token stream
+    * exactly. One narrow codegen'd pass (the window-hash kernel +
+    * transform/slice/explode) — chunks are born distributed. The hash
+    * chain is the engine-portable [[graft.functions.Kernels.RollingHashes]],
+    * so q98's DuckDB oracle replays boundaries and fingerprints exactly.
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                window: Int = 5, maskBits: Int = 6): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(maskBits >= 1 && maskBits <= 62, "maskBits must be in [1, 62]")
+    val mask = (1L << maskBits) - 1
+    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        graft.functions.Kernels.rolling_hashes(col("toks"), window).as("hs"))
+    // boundary AFTER token s+w-1 for each window start s whose hash has
+    // the low bits clear ((h & mask) on the signed long ≡ unsigned
+    // mod 2^maskBits); the final token always closes the last chunk
+    val w = least(lit(window), size(col("toks")))
+    val bnds = filter(
+      zip_with(col("hs"), sequence(lit(0), size(col("hs")) - 1),
+        (h, s) => when(h.bitwiseAND(lit(mask)) === 0L, s + w - 1).otherwise(lit(-1))),
+      x => x >= 0)
+    val lastTok = size(col("toks")) - 1
+    // try_element_at: plain element_at(-1) errors on an empty boundary
+    // list (a doc with no natural boundaries) instead of returning null
+    val ends = when(coalesce(try_element_at(bnds, lit(-1)), lit(-2)) === lastTok, bnds)
+      .otherwise(concat(bnds, array(lastTok)))
+    base
+      .select(col("doc_id"), col("toks"), ends.as("ends"))
+      .select(col("doc_id"), col("toks"),
+        explode(transform(sequence(lit(0), size(col("ends")) - 1), k =>
+          struct(k.cast("long").as("chunk_idx"),
+            when(k === 0, lit(0))
+              .otherwise(element_at(col("ends"), k) + 1).as("start"),
+            element_at(col("ends"), k + 1).as("end")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").cast("long").as("start_pos"),
+        (col("c.end") - col("c.start") + 1).cast("long").as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("c.start") + 1, col("c.end") - col("c.start") + 1),
+          " ")).as("chunk_fp"))
+  }
+
   /** Language-model surprisal scoring — the perplexity-style quality
     * filter of CCNet-class pipelines (docs whose token transitions are
     * improbable under a corpus LM are likely noise), made engine-exact:

@@ -93,12 +93,15 @@ class KernelsSpec extends AnyFunSuite {
         |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |       word_shingles(split(t, ' '), 2) AS ws,
         |       rolling_fingerprint(split(t, ' '), 2) AS rf,
+        |       rolling_hashes(split(t, ' '), 2) AS rh,
         |       nfc_normalize('cafe' || '́') AS nfc
         |FROM kern_t""".stripMargin)
     val r = out.collect().head
     assert(r.getLong(0) != 0L)
     assert(r.getDouble(1) == 1.0)
     assert(r.getSeq[String](2) == Seq("the quick", "quick brown", "brown fox"))
-    assert(r.getString(4) == "café" && r.getString(4).length == 4)
+    // the fingerprint IS the minimum of the window-hash chain
+    assert(r.getSeq[Long](4).min == r.getLong(3) && r.getSeq[Long](4).length == 3)
+    assert(r.getString(5) == "café" && r.getString(5).length == 4)
   }
 }

@@ -282,6 +282,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("cdcChunks: partitions the token stream; naive replica; edit-stable chunks") {
+    // deterministic pseudo-random corpus (no RNG state)
+    def md5mod(s: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % m
+    }
+    val words = (0 until 300).map(i => s"w${md5mod(s"tok$i", 500)}")
+    val base = words.mkString(" ")
+    val prefixEdit = "inserted tokens here " + base
+    val midEdit = (words.take(150) ++ Seq("edit") ++ words.drop(150)).mkString(" ")
+    val docs = Seq((1L, base), (2L, prefixEdit), (3L, midEdit), (4L, "tiny doc"),
+      (5L, "")).toDF("id", "text")
+    val got = TextAnalysis.cdcChunks(docs, col("id"), col("text"),
+        window = 5, maskBits = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // chunks partition each doc's token stream exactly
+    for ((id, cs) <- got) {
+      assert(cs.head._3 == 0L, s"doc $id first chunk start ${cs.head._3}")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap in doc $id")
+        case _ =>
+      }
+    }
+    assert(got(1L).map(_._4).sum == 300L && got(4L).map(_._4).sum == 2L)
+    assert(!got.contains(5L))
+
+    // naive replica of the kernel chain for doc 1
+    val B = 1000003L
+    def tokHash(t: String): Long = t.foldLeft(7L)((h, c) => h * B + c.toInt)
+    val th = words.map(w => tokHash(w))
+    val w = 5
+    val ws = (0 to 300 - w).map { s =>
+      (0 until w).foldLeft(0L)((h, j) => h * B + th(s + j))
+    }
+    val bnds = ws.zipWithIndex.collect { case (h, s) if (h & 15L) == 0 => s + w - 1 }
+    val ends = if (bnds.nonEmpty && bnds.last == 299) bnds else bnds :+ 299
+    val expected = ends.zipWithIndex.map { case (e, k) =>
+      val st = if (k == 0) 0 else ends(k - 1) + 1
+      (k.toLong, st.toLong, (e - st + 1).toLong)
+    }
+    assert(got(1L).map(c => (c._2, c._3, c._4)).toSeq == expected)
+
+    // the CDC property: chunk identities survive edits elsewhere — a
+    // prefix insertion and a mid-document edit each keep most chunk
+    // fingerprints, where fixed-size chunking would shift them all
+    val f1 = got(1L).map(_._5).toSet
+    val f2 = got(2L).map(_._5).toSet
+    val f3 = got(3L).map(_._5).toSet
+    assert((f1 & f2).size >= f1.size - 2, s"prefix edit kept ${(f1 & f2).size}/${f1.size}")
+    assert((f1 & f3).size >= f1.size - 3, s"mid edit kept ${(f1 & f3).size}/${f1.size}")
+  }
+
   test("tokenBudgetSample: equals the naive per-domain hash-order prefix selection") {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
