@@ -576,6 +576,13 @@ object SparkEntry {
       // property that makes chunk-level dedup incremental
       TextAnalysis.cdcChunks(Tables(s, d).documents,
         col("doc_id"), col("text"), window = 5, maskBits = 4)),
+    "q99_stratified_priority" -> ((s, d) =>
+      // weighted sample without replacement PER SOURCE (10 docs each,
+      // longer docs proportionally likelier) — per-stratum quotas with
+      // PPS weighting; map-side WindowGroupLimit bounds the exchange
+      Sampling.prioritySamplePerKey(Tables(s, d).documents,
+          col("source"), col("doc_id"), col("n_chars"), k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))),
     "q96_overlap_join" -> ((s, d) => {
       // keyless interval-overlap join (two window sets from the event
       // stream) — Spark's native plan for this is a nested loop; the
@@ -1630,6 +1637,15 @@ object SparkEntry {
         |  CAST(ends[CAST(k+1 AS INT)] - CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END + 1 AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[CAST(CASE WHEN k = 0 THEN 1 ELSE ends[CAST(k AS INT)] + 2 END AS INT):CAST(ends[CAST(k+1 AS INT)] + 1 AS INT)], ' ')) AS chunk_fp
         |FROM u""".stripMargin,
+    "q99_stratified_priority" ->
+      // q97's md5 uniform + IEEE division, ranked per source
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+        |        / CAST(n_chars AS DOUBLE), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 10""".stripMargin,
     "q97_priority_sample" ->
       // same 52-bit md5 uniform ('0x'-prefixed hex cast == Spark's conv)
       // and the same single IEEE division; ties break by doc_id

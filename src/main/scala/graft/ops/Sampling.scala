@@ -237,4 +237,34 @@ object Sampling {
       .limit(k)
       .drop("__pri")
   }
+
+  /** Per-stratum [[prioritySample]]: the k smallest priorities WITHIN
+    * each stratum win — a weight-proportional sample per domain/source,
+    * the mixture-building primitive when per-stratum quotas matter
+    * (q65's stratified take is unweighted hash order; q97's priority
+    * sample is global). Same deterministic 52-bit md5 uniform, same
+    * fail-fast weight guard.
+    *
+    * Scale shape: rank-within-stratum filters through Spark's
+    * WindowGroupLimit, which keeps k rows per stratum in a bounded heap
+    * on the MAP side before the stratum exchange (plan-asserted) — the
+    * shuffle carries at most k rows per stratum per map partition, so a
+    * hot stratum never floods one reducer with its full population.
+    */
+  def prioritySamplePerKey(df: DataFrame, stratum: Column, key: Column,
+                           weight: Column, k: Int): DataFrame = {
+    require(k > 0, "per-stratum sample size k must be positive")
+    val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val w = weight.cast("double")
+    val guarded = when(w.isNull || w <= 0.0, raise_error(concat(
+        lit("prioritySamplePerKey: weights must be positive, got "), w.cast("string"))))
+      .otherwise(w)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("__pri"), key)
+    df.withColumn("__pri", u / guarded)
+      .withColumn("__rk", row_number().over(win))
+      .where(col("__rk") <= k)
+      .drop("__pri", "__rk")
+  }
 }

@@ -536,6 +536,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("positive"))
   }
 
+  test("prioritySamplePerKey: naive per-stratum replica, bounded-heap plan, weight guard") {
+    // three strata of very different sizes; weights favor high ids
+    val df = spark.range(3000).select(col("id").as("k"),
+      when(col("id") % 7 === 0, "small").when(col("id") % 3 === 0, "mid")
+        .otherwise("big").as("dom"),
+      (col("id") % 50 + 1).as("w"))
+    val got = Sampling.prioritySamplePerKey(df, col("dom"), col("k"), col("w"), k = 20)
+      .as[(Long, String, Long)].collect()
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("small" -> 20, "mid" -> 20, "big" -> 20))
+    // naive driver-side replica: same md5 uniform, same division, same
+    // per-stratum rank
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val rows = df.as[(Long, String, Long)].collect()
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy { case (k0, _, w0) =>
+        (java.lang.Long.parseLong(md5hex(k0.toString).take(13), 16).toDouble / w0, k0)
+      }.take(20).toSeq
+    }.toSet
+    assert(got.toSet == expected)
+    // deterministic under repartitioning
+    val again = Sampling.prioritySamplePerKey(df.repartition(13), col("dom"),
+      col("k"), col("w"), k = 20).as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+    // the rank filter pushes into a map-side bounded heap: the exchange
+    // never carries more than k rows per stratum per map partition
+    val plan = Sampling.prioritySamplePerKey(df, col("dom"), col("k"), col("w"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no bounded-heap group limit:\n$plan")
+    // non-positive weights fail fast
+    val bad = Seq((1L, "d", 0L)).toDF("k", "dom", "w")
+    val ex = intercept[Exception] {
+      Sampling.prioritySamplePerKey(bad, col("dom"), col("k"), col("w"), k = 1).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("positive"))
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
