@@ -583,6 +583,16 @@ object SparkEntry {
       Sampling.prioritySamplePerKey(Tables(s, d).documents,
           col("source"), col("doc_id"), col("n_chars"), k = 10)
         .select(col("source"), col("doc_id"), col("n_chars"))),
+    "q100_dsir_weights" -> ((s, d) => {
+      // DSIR-style domain-targeted selection: score every document by
+      // how much its hashed-ngram distribution resembles the src0
+      // sub-corpus (the "target domain"); integer bitlen surrogate for
+      // the log ratio, two bounded broadcast maps, one narrow scan
+      val docs = Tables(s, d).documents
+      Sampling.importanceWeights(docs, docs.where(col("source") === "src0"),
+          col("doc_id"), col("text"), buckets = 1024)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q96_overlap_join" -> ((s, d) => {
       // keyless interval-overlap join (two window sets from the event
       // stream) — Spark's native plan for this is a nested loop; the
@@ -1637,6 +1647,37 @@ object SparkEntry {
         |  CAST(ends[CAST(k+1 AS INT)] - CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END + 1 AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[CAST(CASE WHEN k = 0 THEN 1 ELSE ends[CAST(k AS INT)] + 2 END AS INT):CAST(ends[CAST(k+1 AS INT)] + 1 AS INT)], ' ')) AS chunk_fp
         |FROM u""".stripMargin,
+    "q100_dsir_weights" ->
+      // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
+      // smoothed bucket counts per corpus, bitlen via binary format
+      // length (q81's trick) — the whole weight is integer arithmetic
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, source,
+        |    toks || CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END AS fs
+        |  FROM t),
+        |x AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(unnest(fs)), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM f),
+        |tc AS (SELECT b, count(*) AS c FROM x WHERE source = 'src0' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM x GROUP BY b),
+        |nt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nt FROM tc),
+        |nr AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nr FROM rc),
+        |sc AS (SELECT x.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(length(format('{:b}', coalesce(tc.c, 0) + 1))
+        |           - length(format('{:b}', coalesce(rc.c, 0) + 1))) AS BIGINT) AS s_bits
+        |  FROM x LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  GROUP BY x.doc_id)
+        |SELECT sc.doc_id, sc.n_feats,
+        |  CAST(sc.s_bits + sc.n_feats *
+        |    (length(format('{:b}', nr.nr)) - length(format('{:b}', nt.nt))) AS BIGINT) AS weight_bits
+        |FROM sc, nt, nr
+        |UNION ALL
+        |SELECT doc_id, 0, 0 FROM f WHERE len(fs) = 0""".stripMargin,
     "q99_stratified_priority" ->
       // q97's md5 uniform + IEEE division, ranked per source
       """SELECT source, doc_id, n_chars FROM (

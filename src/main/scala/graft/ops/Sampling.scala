@@ -251,6 +251,58 @@ object Sampling {
     * shuffle carries at most k rows per stratum per map partition, so a
     * hot stratum never floods one reducer with its full population.
     */
+  /** DSIR-style importance weights (Xie et al. '23, "Data Selection via
+    * Importance Resampling"): score every raw document by how much its
+    * hashed-ngram distribution looks like a TARGET corpus — the
+    * domain-targeted selection step of pretraining pipelines (keep web
+    * text that resembles books/wiki). Features are unigrams + bigrams
+    * hashed into `buckets`; the classical per-doc weight is
+    * Σ log p_target(b) − log p_raw(b). Engine-exact surrogate (q51's
+    * determinism rule, same trick as [[TextAnalysis]]'s LM surprisal):
+    * log2 via bitlen — weight_bits = Σ [bitlen(tc(b)+1) − bitlen(rc(b)+1)]
+    * + n_feats·[bitlen(Nraw) − bitlen(Ntgt)], add-one smoothed, within
+    * ~2 bits per feature of the real log weight and IDENTICAL on any
+    * engine. Compose with [[prioritySample]] / a top-k to select.
+    *
+    * Scale shape: one pass over each corpus builds the bucket count
+    * tables, which fold into ONE broadcast map row each (≤ `buckets`
+    * entries — bounded, never corpus-sized); the scoring pass is then
+    * one narrow codegen'd scan of the raw corpus with zero exchange
+    * beyond its own partial-aggregated groupBy(id). Output:
+    * (id, n_feats, weight_bits).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
+                        text: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20), "buckets must be in [1, 2^20]")
+    val toks = Stateless.tokens(text)
+    // unigrams ++ bigrams; sequence(0, size-2) would run DESCENDING for
+    // a 1-token doc (Spark picks step -1), hence the size guard
+    def features(t: Column): Column = concat(t,
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    def bucket(f: Column): Column =
+      conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    def countsRow(df: DataFrame, cnt: String, tot: String): DataFrame =
+      df.select(explode(features(toks)).as("f"))
+        .select(bucket(col("f")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as(cnt),
+          coalesce(sum(col("c")), lit(0L)).as(tot))
+    val t = countsRow(target, "tc", "nt")
+    val r = countsRow(raw, "rc", "nr")
+    raw.select(id.as("id"), features(toks).as("fs"))
+      .crossJoin(broadcast(t)).crossJoin(broadcast(r))
+      .select(col("id"), size(col("fs")).cast("long").as("n_feats"),
+        (aggregate(col("fs"), lit(0L), (acc, f) =>
+          acc + bitlen(coalesce(element_at(col("tc"), bucket(f)), lit(0L)) + 1)
+              - bitlen(coalesce(element_at(col("rc"), bucket(f)), lit(0L)) + 1))
+          + size(col("fs")).cast("long") * (bitlen(col("nr")) - bitlen(col("nt"))))
+          .as("weight_bits"))
+  }
+
   def prioritySamplePerKey(df: DataFrame, stratum: Column, key: Column,
                            weight: Column, k: Int): DataFrame = {
     require(k > 0, "per-stratum sample size k must be positive")

@@ -576,6 +576,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("positive"))
   }
 
+  test("importanceWeights: naive replica; target-domain docs score higher") {
+    // two "domains": a-docs share vocabulary, b-docs share another
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "tgt", s"alpha beta gamma delta w$i epsilon zeta")) ++
+      (20 until 40).map(i => (i.toLong, "other", s"red green blue cyan x$i magenta yellow"))
+    ).toDF("id", "dom", "text")
+    val target = docs.where(col("dom") === "tgt")
+    val got = Sampling.importanceWeights(docs, target, col("id"), col("text"),
+        buckets = 512)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // the selection property: every target-domain doc outscores every
+    // other-domain doc
+    val tgtMin = (0L until 20L).map(got(_)._2).min
+    val otherMax = (20L until 40L).map(got(_)._2).max
+    assert(tgtMin > otherMax, s"tgtMin=$tgtMin otherMax=$otherMax")
+
+    // naive driver-side replica of the full integer arithmetic
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def bucket(f: String): Long = java.lang.Long.parseLong(md5hex(f).take(8), 16) % 512
+    def feats(text: String): Seq[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val all = docs.as[(Long, String, String)].collect()
+    val tb = all.filter(_._2 == "tgt").flatMap(r => feats(r._3)).groupBy(bucket)
+      .view.mapValues(_.length.toLong).toMap
+    val rb = all.flatMap(r => feats(r._3)).groupBy(bucket)
+      .view.mapValues(_.length.toLong).toMap
+    val (nt, nr) = (tb.values.sum, rb.values.sum)
+    val expected = all.map { case (id0, _, tx) =>
+      val fs = feats(tx)
+      val s = fs.map(f => bitlen(tb.getOrElse(bucket(f), 0L) + 1)
+                        - bitlen(rb.getOrElse(bucket(f), 0L) + 1)).sum
+      id0 -> ((fs.length.toLong, s + fs.length * (bitlen(nr) - bitlen(nt))))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
