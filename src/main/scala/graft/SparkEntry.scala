@@ -583,6 +583,21 @@ object SparkEntry {
       Sampling.prioritySamplePerKey(Tables(s, d).documents,
           col("source"), col("doc_id"), col("n_chars"), k = 10)
         .select(col("source"), col("doc_id"), col("n_chars"))),
+    "q101_bpe_encode" -> ((s, d) => {
+      // the full BPE lifecycle: train 8 merges on the corpus (one
+      // corpus pass + vocab-sized rounds, one bounded single-row
+      // collect each — the trainer's documented pattern), then encode
+      // the whole vocabulary with the trained merges. Any wrong merge,
+      // tie-break, or fold behavior changes the encodings.
+      val docs = Tables(s, d).documents
+      val merges = Bpe.trainMerges(docs, col("text"), numMerges = 8)
+      Bpe.wordFreq(docs, col("text"))
+        .select(col("word"), col("freq"),
+          Bpe.encodeWord(col("word"), merges).as("syms"))
+        .select(col("word"), col("freq"),
+          size(col("syms")).cast("long").as("n_tok"),
+          array_join(col("syms"), " ").as("toks"))
+    }),
     "q100_dsir_weights" -> ((s, d) => {
       // DSIR-style domain-targeted selection: score every document by
       // how much its hashed-ngram distribution resembles the src0
@@ -847,6 +862,58 @@ object SparkEntry {
     * final (id, cell) assignment against `c<iters>`. Every operation is
     * integer, so the replay is bit-identical to the Spark fit.
     */
+  /** Unrolled-round replay of Bpe.trainMerges + encodeWord (the q88
+    * pattern): `wf`/`v0` build the character+marker vocab, then each
+    * round r picks the (cnt DESC, l, r) argmax pair (a sentinel chr(1)
+    * pair — matching nothing — when the max count is under minFreq=2,
+    * mimicking the trainer's early stop) and applies it greedy
+    * left-to-right non-overlapping. Overlapping runs (merge (a,a) on
+    * "aaa") use the parity closed form: a match position starts a merge
+    * iff its distance from the start of its consecutive-match run is
+    * even — exactly the fold's (emitted, pending) behavior.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    def round(r: Int) =
+      s"""pc$r AS (
+         |  SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(len(syms)-1),
+         |          i -> {'l': syms[i+1], 'r': syms[i+2]})) AS p, freq
+         |        FROM v${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY p.l, p.r),
+         |m$r AS (
+         |  SELECT CASE WHEN mc >= 2 THEN wl ELSE chr(1) END AS a,
+         |         CASE WHEN mc >= 2 THEN wr ELSE chr(1) END AS b
+         |  FROM (SELECT l AS wl, r AS wr, cnt AS mc FROM pc$r
+         |        ORDER BY cnt DESC, l, r LIMIT 1)),
+         |v$r AS (
+         |  SELECT word, freq,
+         |    list_filter(list_transform(range(len(syms)), p ->
+         |      CASE WHEN p < len(ms) AND ms[p+1] THEN a || b
+         |           WHEN p >= 1 AND ms[CAST(p AS INT)] THEN NULL
+         |           ELSE syms[p+1] END), x -> x IS NOT NULL) AS syms
+         |  FROM (
+         |    SELECT word, freq, syms, a, b,
+         |      list_transform(range(len(syms)-1), i ->
+         |        mt[i+1] AND ((i - 1 - coalesce(list_max(list_filter(range(i),
+         |          j -> NOT mt[j+1])), -1)) % 2 = 0)) AS ms
+         |    FROM (
+         |      SELECT word, freq, syms, a, b,
+         |        list_transform(range(len(syms)-1),
+         |          i -> syms[i+1] = a AND syms[i+2] = b) AS mt
+         |      FROM v${r - 1}, m$r)))""".stripMargin
+    val head =
+      s"""WITH wf AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |v0 AS (
+         |  SELECT word, freq,
+         |    list_transform(range(length(word)), i -> substr(word, CAST(i+1 AS INT), 1)) || ['</w>'] AS syms
+         |  FROM wf)""".stripMargin
+    (head +: (1 to rounds).map(round)).mkString(",\n")
+  }
+
   private def kmeansCtes(k: Int, iters: Int, dim: Int, q: Long): String = {
     def assignSql(name: String, cents: String) =
       s"""$name AS (
@@ -1647,6 +1714,12 @@ object SparkEntry {
         |  CAST(ends[CAST(k+1 AS INT)] - CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END + 1 AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[CAST(CASE WHEN k = 0 THEN 1 ELSE ends[CAST(k AS INT)] + 2 END AS INT):CAST(ends[CAST(k+1 AS INT)] + 1 AS INT)], ' ')) AS chunk_fp
         |FROM u""".stripMargin,
+    "q101_bpe_encode" ->
+      // unrolled train-and-encode replay (see bpeCtes)
+      s"""${bpeCtes(8)}
+         |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_tok,
+         |  array_to_string(syms, ' ') AS toks
+         |FROM v8""".stripMargin,
     "q100_dsir_weights" ->
       // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
       // smoothed bucket counts per corpus, bitlen via binary format

@@ -161,6 +161,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one materialized cell exchange, found $cellExchanges:\n$p")
   }
 
+  test("q100: DSIR scoring pass is exchange-free; only bucket counts shuffle") {
+    // both corpus count tables fold into one broadcast map row each, so
+    // the per-doc scoring scan must carry NO exchange: every hash
+    // exchange in the plan is over the bounded bucket key, never docs
+    val df = graft.SparkEntry.queries("q100_dsir_weights")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(b#")),
+      s"doc-keyed exchange in the scoring pass:\n${hashEx.mkString("\n")}")
+    // the target scan pushes its domain filter into parquet
+    assert(p.contains("EqualTo(source,src0)"), s"target filter not pushed:\n$p")
+  }
+
   test("q59: packing shuffles the data once (range) — cumsum is narrow, windows tiny") {
     val df = graft.SparkEntry.queries("q59_seq_packing")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
