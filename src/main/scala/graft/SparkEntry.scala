@@ -862,6 +862,36 @@ object SparkEntry {
     * final (id, cell) assignment against `c<iters>`. Every operation is
     * integer, so the replay is bit-identical to the Spark fit.
     */
+  /** DuckDB building blocks for replaying the portable hash family
+    * h_k(s) = splitmix64(polyBase(s) ^ k·GOLDEN) (KernelOps): the
+    * polynomial base fold is the q47 machinery; the finalizer's
+    * xor-shifts run on unsigned HUGEINT (`xor`, `// 2^n`) and its
+    * wrapping multiplies split into 32-bit halves. All constants are
+    * emitted as unsigned decimal literals.
+    */
+  private def mulMod64(x: String, cUnsigned: String): String =
+    s"(($x % 4294967296) * ($cUnsigned % 4294967296)" +
+      s" + ((($x // 4294967296) * ($cUnsigned % 4294967296)" +
+      s" + ($x % 4294967296) * ($cUnsigned // 4294967296)) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616"
+  private val mix1Lit = java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L)
+  private val mix2Lit = java.lang.Long.toUnsignedString(0x94D049BB133111EBL)
+  private def goldenLits(n: Int): String =
+    (0 until n).map(k => java.lang.Long.toUnsignedString(k * 0x9E3779B97F4A7C15L))
+      .mkString(", ")
+
+  /** The shared per-token/per-shingle polynomial base fold (q47's token
+    * hash) as a DuckDB lambda body over a string element `s`.
+    */
+  private def polyBaseSql(s: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(7 AS HUGEINT),
+       |        list_transform(range(length($s)), i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+       |      (h, c) -> (((h % 4294967296) * 1000003
+       |                  + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
+       |                 + c) % 18446744073709551616
+       |    )""".stripMargin
+
   /** Unrolled-round replay of Bpe.trainMerges + encodeWord (the q88
     * pattern): `wf`/`v0` build the character+marker vocab, then each
     * round r picks the (cnt DESC, l, r) argmax pair (a sentinel chr(1)
@@ -2192,13 +2222,93 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
         |  FROM a, b
         |) WHERE jaccard >= 0.8""".stripMargin,
-    // q37_minhash_pairs / q38_simhash /
-    // q44_approx_distinct / q54_approx_percentile:
-    // hash-seeded / approximate / engine-specific kernels — driver records
-    // rows-only checks; accuracy is asserted in ScalaTest instead
-    // (banding miss-bound vs truth, HLL/percentile error bounds).
-    // q47 left this list in round 7: the winnowing kernel was made
-    // engine-portable (code-point polynomial, wrapping 64-bit) and its
-    // oracle above replays it exactly.
+    "q37_minhash_pairs" ->
+      // full replay of the MinHash-LSH chain: shingles (with the <n
+      // whole-doc fallback), ONE polynomial base per shingle, the 32
+      // splitmix-finalized hash-family members vectorized as rows over
+      // DISTINCT bases (not nested lambdas — 10x cheaper), signed minima
+      // per (doc, k), 16x2 banding joined on the band SLICE (the bucket
+      // hash is only an equality key, so slices replay it exactly), and
+      // the exact-Jaccard verify at 0.4
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+         |                i -> array_to_string(toks[i+1:i+3], ' ')))
+         |    END AS sh
+         |  FROM t),
+         |db AS (
+         |  SELECT doc_id, sh, unnest(list_transform(sh, s ->
+         |    ${polyBaseSql("s")})) AS b
+         |  FROM sh),
+         |bx AS (SELECT DISTINCT b FROM db),
+         |z0t AS (SELECT b, k, xor(b, g) AS z0 FROM bx
+         |        CROSS JOIN (SELECT unnest(range(32)) AS k, unnest([${goldenLits(32)}]) AS g) kg),
+         |z1t AS (SELECT b, k, xor(z0, z0 // 1073741824) AS z1 FROM z0t),
+         |z2t AS (SELECT b, k, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
+         |z3t AS (SELECT b, k, xor(z2, z2 // 134217728) AS z3 FROM z2t),
+         |z4t AS (SELECT b, k, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
+         |mk AS (SELECT b, k,
+         |  CAST(CASE WHEN z5 >= 9223372036854775808 THEN z5 - 18446744073709551616 ELSE z5 END AS BIGINT) AS h
+         |  FROM (SELECT b, k, xor(z4, z4 // 2147483648) AS z5 FROM z4t)),
+         |sigr AS (SELECT db.doc_id, mk.k, min(mk.h) AS m
+         |         FROM db JOIN mk USING (b) GROUP BY db.doc_id, mk.k),
+         |sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sigr GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT s.doc_id, sh.sh, u.band,
+         |    array_to_string(s.sig[CAST(2*u.band+1 AS INT):CAST(2*u.band+2 AS INT)], ',') AS bkey
+         |  FROM sig s JOIN sh USING (doc_id)
+         |  CROSS JOIN (SELECT unnest(range(16)) AS band) u),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(list_distinct(sha || shb)) AS jaccard
+         |FROM cand
+         |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(list_distinct(sha || shb)) >= 0.4""".stripMargin,
+    "q38_simhash" ->
+      // Charikar bit votes replayed: one base fold per token, splitmix
+      // finalizer vectorized over distinct bases, per-bit majority via
+      // (h // 2^b) % 2, empty docs vote to 0
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |db AS (
+         |  SELECT doc_id, unnest(list_transform(toks, s ->
+         |    ${polyBaseSql("s")})) AS b
+         |  FROM t),
+         |bx AS (SELECT DISTINCT b FROM db),
+         |z1t AS (SELECT b, xor(b, b // 1073741824) AS z1 FROM bx),
+         |z2t AS (SELECT b, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
+         |z3t AS (SELECT b, xor(z2, z2 // 134217728) AS z3 FROM z2t),
+         |z4t AS (SELECT b, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
+         |mx AS (SELECT b, xor(z4, z4 // 2147483648) AS h FROM z4t),
+         |votes AS (
+         |  SELECT db.doc_id, bits.bit,
+         |    sum(CASE WHEN (mx.h // bits.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM db JOIN mx USING (b)
+         |  CROSS JOIN (SELECT unnest(range(64)) AS bit,
+         |              unnest([${(0 until 64).map(b => java.lang.Long.toUnsignedString(1L << b)).mkString(", ")}]) AS p) bits
+         |  GROUP BY db.doc_id, bits.bit),
+         |shh AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(p AS HUGEINT) ELSE 0 END) AS u
+         |  FROM (SELECT doc_id, v, [${(0 until 64).map(b => java.lang.Long.toUnsignedString(1L << b)).mkString(", ")}][CAST(bit+1 AS INT)] AS p FROM votes)
+         |  GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+         |FROM shh
+         |UNION ALL
+         |SELECT doc_id, 0 FROM t WHERE len(toks) = 0""".stripMargin,
+    // q44_approx_distinct / q54_approx_percentile: genuinely approximate
+    // engine-internal sketches (HLL++ / KLL) — no other engine can replay
+    // them; driver records rows-only checks, accuracy is asserted in
+    // ScalaTest error-bound tests instead.
+    // q47 left the no-oracle list in round 7 (portable winnowing kernel),
+    // q37/q38 followed: the minhash/simhash element hash became the
+    // portable splitmix(polyBase ^ k·GOLDEN) family, so the full LSH
+    // banding and bit-vote chains replay above.
   )
 }

@@ -15,17 +15,53 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object KernelOps {
 
-  /** k running minima of xxh64(elem, seed=i) over the string array. */
+  private val GOLDEN = 0x9E3779B97F4A7C15L
+  private val MIX1 = 0xBF58476D1CE4E5B9L
+  private val MIX2 = 0x94D049BB133111EBL
+
+  /** splitmix64 finalizer (Steele et al. '14) — xor-shift + wrapping
+    * multiply, so every step is reproducible with HUGEINT mod-2^64
+    * arithmetic in any ANSI engine (the q37/q38 oracles replay it).
+    */
+  @inline private def splitmix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= MIX1
+    z ^= z >>> 27; z *= MIX2
+    z ^ (z >>> 31)
+  }
+
+  /** Seed-7 polynomial fold over Unicode code points (the
+    * [[rollingFingerprint]] token hash) — the shared engine-portable
+    * base for the hashed kernels.
+    */
+  @inline private def polyBase(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 7L
+    var k = 0
+    while (k < str.length) {
+      val cp = str.codePointAt(k)
+      h = h * 1000003L + cp
+      k += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** k running minima over the string array of the portable hash family
+    * h_k(s) = splitmix(polyBase(s) ^ k·GOLDEN): ONE code-point fold per
+    * element (not one per hash function), then k cheap finalizer mixes —
+    * and every h_k is replayable in engine-portable integer arithmetic,
+    * so the LSH banding chain is oracle-checkable end to end.
+    */
   def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val base = polyBase(arr.getUTF8String(i))
         var k = 0
         while (k < numHashes) {
-          val h = XXH64.hashUTF8String(s, k)
+          val h = splitmix(base ^ (k * GOLDEN))
           if (h < mins(k)) mins(k) = h
           k += 1
         }
@@ -138,14 +174,18 @@ object KernelOps {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
-  /** 64-bit SimHash (Charikar '02) over the string array. */
+  /** 64-bit SimHash (Charikar '02) over the string array. Element hash =
+    * splitmix(polyBase(s)) — the k=0 member of the minhash family, so
+    * the bit votes are replayable in portable integer arithmetic (q38's
+    * oracle).
+    */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+        val h = splitmix(polyBase(arr.getUTF8String(i)))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

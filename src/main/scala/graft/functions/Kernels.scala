@@ -97,7 +97,9 @@ object Kernels {
   }
 
   /** k-wise MinHash signature of an Array[String]: sig[i] = min over
-    * elements of xxh64(elem, seed=i). One pass over elements, k running
+    * elements of the portable hash family splitmix64(polyBase(elem) ^
+    * i*GOLDEN) — one code-point fold per element plus k cheap finalizer
+    * mixes, replayable in any ANSI engine (q37's oracle). k running
     * minima. Empty/missing arrays produce the degenerate all-MaxValue
     * signature (banding still works: such docs collide only with each
     * other).
@@ -144,8 +146,9 @@ object Kernels {
   }
 
   /** 64-bit SimHash of an Array[String] (Charikar '02): each element's
-    * xxh64 votes +1/-1 on all 64 bit positions; sign of each sum forms the
-    * fingerprint. One pass, 64 counters.
+    * portable hash (splitmix64 of the polynomial base — q38's oracle
+    * replays it) votes +1/-1 on all 64 bit positions; sign of each sum
+    * forms the fingerprint. One pass, 64 counters.
     */
   case class SimHash64(child: Expression)
       extends UnaryExpression {

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit sign-of-weighted-bits fingerprint (Charikar '02);
   *    near-dup iff small Hamming distance.
   *
-  * All hashing is xxhash64 with the hash-function index mixed in, so
-  * results are deterministic across runs and partitionings.
+  * All element hashing is the engine-portable splitmix64(polyBase ^
+  * k*GOLDEN) family (graft.functions.KernelOps), so results are
+  * deterministic across runs, partitionings, AND engines — the full
+  * LSH chain replays in the DuckDB oracle. Band buckets use xxhash64
+  * purely as an equality key (never replayed; the oracle joins on the
+  * band slice itself).
   */
 object Dedup {
 
@@ -32,7 +36,8 @@ object Dedup {
     graft.functions.Kernels.word_shingles(Stateless.tokens(text), n)
 
   /** k-wise MinHash signature over the shingle set: sig[i] = min over
-    * shingles s of xxh64(s, seed=i). Single-pass custom expression
+    * shingles s of the portable hash family (see
+    * [[graft.functions.Kernels.MinHashSignature]]). Single-pass custom expression
     * (graft.functions.Kernels) — the equivalent nested higher-order
     * functions evaluate interpreted and are ~50x slower on a corpus scan.
     */
