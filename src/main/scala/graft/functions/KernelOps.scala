@@ -148,6 +148,31 @@ object KernelOps {
       : org.apache.spark.unsafe.types.UTF8String =
     normalize(s, java.text.Normalizer.Form.NFC.ordinal())
 
+  /** ALL word n-grams with multiplicity, in order — [[wordShingles]]
+    * without the distinct (feature streams need counts, not sets). A
+    * short array (< n tokens) yields NO n-grams (not the whole-doc
+    * fallback: a frequency feature over a 2-token doc has no bigram).
+    */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val space = UTF8String.fromString(" ")
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles, insertion-ordered (see
     * [[Kernels.WordShingles]]).
     */

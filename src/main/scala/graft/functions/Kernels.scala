@@ -121,6 +121,29 @@ object Kernels {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** ALL word n-grams of an Array[String] with multiplicity, in order
+    * ([[WordShingles]] without the distinct; short arrays yield none) —
+    * the feature stream for frequency-based scoring (DSIR buckets),
+    * where a set would lose counts. Codegen'd like every kernel.
+    */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "ngram size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      Kernels.requireStringArray(prettyName, child)
+
+    override def nullSafeEval(input: Any): Any =
+      KernelOps.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.KernelOps.wordNgrams($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of an Array[String]: element i is
     * tokens[i..i+n-1] joined with a single space; docs shorter than n
     * collapse to one shingle of all tokens. Insertion-ordered distinct.
@@ -323,6 +346,8 @@ object Kernels {
     column(MinHashSignature(expression(c), numHashes))
   def word_shingles(c: Column, n: Int): Column =
     column(WordShingles(expression(c), n))
+  def word_ngrams(c: Column, n: Int): Column =
+    column(WordNgrams(expression(c), n))
   def rolling_fingerprint(c: Column, window: Int): Column =
     column(RollingFingerprint(expression(c), window))
   def rolling_hashes(c: Column, window: Int): Column =

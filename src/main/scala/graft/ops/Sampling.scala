@@ -264,42 +264,51 @@ object Sampling {
     * ~2 bits per feature of the real log weight and IDENTICAL on any
     * engine. Compose with [[prioritySample]] / a top-k to select.
     *
-    * Scale shape: one pass over each corpus builds the bucket count
-    * tables, which fold into ONE broadcast map row each (≤ `buckets`
-    * entries — bounded, never corpus-sized); the scoring pass is then
-    * one narrow codegen'd scan of the raw corpus with zero exchange
-    * beyond its own partial-aggregated groupBy(id). Output:
-    * (id, n_feats, weight_bits).
+    * Scale shape: one pass over each corpus builds its ≤ `buckets`-row
+    * count table (bounded, never corpus-sized — broadcast); the scoring
+    * pass is one codegen'd scan of the raw corpus (feature kernel +
+    * bucket hash + two broadcast joins against the count tables) whose
+    * only exchange carries ONE slim (id, n, s) row per document — no
+    * text, no features, map-side partial-aggregated. Output:
+    * (id, n_feats, weight_bits). An earlier array-fold formulation with
+    * broadcast MAP lookups had zero exchange but ran the scoring inside
+    * interpreted higher-order lambdas — 35× slower at sf0.1; the slim
+    * per-doc exchange buys whole-stage codegen for the entire pass.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20), "buckets must be in [1, 2^20]")
     val toks = Stateless.tokens(text)
-    // unigrams ++ bigrams; sequence(0, size-2) would run DESCENDING for
-    // a 1-token doc (Spark picks step -1), hence the size guard
-    def features(t: Column): Column = concat(t,
-      when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2), i =>
-          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>")))
+    // unigrams ++ bigrams, with multiplicity, codegen'd
+    def features(t: Column): Column =
+      concat(t, graft.functions.Kernels.word_ngrams(t, 2))
     def bucket(f: Column): Column =
       conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
     def bitlen(c: Column): Column = length(bin(c)).cast("long")
-    def countsRow(df: DataFrame, cnt: String, tot: String): DataFrame =
+    def countTable(df: DataFrame): DataFrame =
       df.select(explode(features(toks)).as("f"))
         .select(bucket(col("f")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as(cnt),
-          coalesce(sum(col("c")), lit(0L)).as(tot))
-    val t = countsRow(target, "tc", "nt")
-    val r = countsRow(raw, "rc", "nr")
+    val tc = countTable(target)
+    val rc = countTable(raw)
+    val totals = tc.agg(coalesce(sum(col("c")), lit(0L)).as("nt"))
+      .crossJoin(rc.agg(coalesce(sum(col("c")), lit(0L)).as("nr")))
+    // explode_outer keeps featureless docs (their single null-bucket row
+    // contributes bitlen(1) - bitlen(1) = 0 and n_feats counts the real
+    // features separately)
     raw.select(id.as("id"), features(toks).as("fs"))
-      .crossJoin(broadcast(t)).crossJoin(broadcast(r))
       .select(col("id"), size(col("fs")).cast("long").as("n_feats"),
-        (aggregate(col("fs"), lit(0L), (acc, f) =>
-          acc + bitlen(coalesce(element_at(col("tc"), bucket(f)), lit(0L)) + 1)
-              - bitlen(coalesce(element_at(col("rc"), bucket(f)), lit(0L)) + 1))
-          + size(col("fs")).cast("long") * (bitlen(col("nr")) - bitlen(col("nt"))))
+        explode_outer(col("fs")).as("f"))
+      .select(col("id"), col("n_feats"), bucket(col("f")).as("b"))
+      .join(broadcast(tc.select(col("b"), col("c").as("tcnt"))), Seq("b"), "left_outer")
+      .join(broadcast(rc.select(col("b"), col("c").as("rcnt"))), Seq("b"), "left_outer")
+      .groupBy(col("id"))
+      .agg(first(col("n_feats")).as("n_feats"),
+        sum(bitlen(coalesce(col("tcnt"), lit(0L)) + 1)
+          - bitlen(coalesce(col("rcnt"), lit(0L)) + 1)).as("s"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("n_feats"),
+        (col("s") + col("n_feats") * (bitlen(col("nr")) - bitlen(col("nt"))))
           .as("weight_bits"))
   }
 

@@ -416,6 +416,73 @@ object ThroughputBench {
         f"${sNaive * 100 / sBinned}%.0f x")
     }
 
+    // scenario 18: content-defined chunking at 1M docs (40M tokens) —
+    // throughput of the kernel+explode pass, and the edit-stability
+    // property AT SCALE: re-chunk a v2 corpus where 10% of docs had one
+    // token edited; chunks outside the edited neighborhood must keep
+    // their fingerprints, so the chunk-level diff (a fingerprint join)
+    // touches only the edited chunks. Fixed-size chunking would share
+    // ~nothing past each edit.
+    if (enabled(18)) {
+      val nDocs = 1000000L
+      def corpus(edited: Boolean) = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(39)),
+            i => concat(lit("w"), pmod(xxhash64(
+              when(lit(edited) && col("id") % 10 === 0 && i === lit(20), lit(-7L))
+                .otherwise(col("id") * 40 + i)), lit(5000)))),
+          " ").as("text"))
+      val t0 = System.nanoTime()
+      val c1 = graft.ops.TextAnalysis.cdcChunks(corpus(edited = false),
+        col("doc_id"), col("text"), window = 5, maskBits = 4)
+      val n1 = c1.count()
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val c2 = graft.ops.TextAnalysis.cdcChunks(corpus(edited = true),
+        col("doc_id"), col("text"), window = 5, maskBits = 4)
+      val t1 = System.nanoTime()
+      val shared = c1.select(col("doc_id"), col("chunk_fp"))
+        .join(c2.select(col("doc_id"), col("chunk_fp")), Seq("doc_id", "chunk_fp"))
+        .count()
+      val sJoin = (System.nanoTime() - t1) / 1e9
+      println(f"scenario18 cdc-chunks n=$nDocs (40M tokens): chunk pass $s1%.1f s " +
+        f"($n1 chunks, ${nDocs * 40 / s1 / 1e6}%.1f M tok/s); " +
+        f"v1-v2 fingerprint diff $sJoin%.1f s, $shared/$n1 chunks stable " +
+        f"(${shared * 100.0 / n1}%.1f%% — 10%% of docs edited)")
+    }
+
+    // scenario 19: DSIR importance weighting at 1M raw docs vs a 50k-doc
+    // target domain — the scoring pass is one narrow scan against two
+    // broadcast bucket maps (no corpus exchange), so throughput is
+    // scan-bound; the domain-separation property must hold at scale.
+    if (enabled(19)) {
+      val nRaw = 1000000L
+      // in-domain docs (id % 20 == 0) draw from a 500-word vocab slice;
+      // the rest from a disjoint 4500-word slice
+      val raw = spark.range(nRaw).select(
+        col("id").as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(29)),
+            i => concat(lit("w"), when(col("id") % 20 === 0,
+                pmod(xxhash64(col("id") * 30 + i), lit(500)))
+              .otherwise(pmod(xxhash64(col("id") * 30 + i), lit(4500)) + 500))),
+          " ").as("text"))
+      val target = raw.where(col("doc_id") % 20 === 0)
+      val t0 = System.nanoTime()
+      val w = graft.ops.Sampling.importanceWeights(raw, target,
+        col("doc_id"), col("text"), buckets = 4096)
+      val sep = w.select(
+          avg(when(col("id") % 20 === 0, col("weight_bits"))).as("in_dom"),
+          avg(when(col("id") % 20 =!= 0, col("weight_bits"))).as("out_dom"))
+        .head
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario19 dsir n=$nRaw raw / ${nRaw / 20} target: score+agg $s%.1f s " +
+        f"(${nRaw / s / 1e6}%.2f M docs/s); mean weight in-domain ${sep.getDouble(0)}%.0f " +
+        f"vs out ${sep.getDouble(1)}%.0f bits")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

@@ -123,6 +123,42 @@ class StreamEnvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC chunking runs unchanged inside a live stream (narrow, stateless)") {
+    // cdcChunks is kernel + transform/explode only — no aggregation, no
+    // state — so a document stream chunks per micro-batch as-is: the
+    // ingestion shape of an incremental chunk-level dedup pipeline
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val chunks = graft.ops.TextAnalysis.cdcChunks(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      window = 5, maskBits = 4)
+    val q = StreamEnv(spark).fromBatch(chunks)
+      .toMemorySink("stream_cdc", OutputMode.Append())
+    try {
+      val words = (0 until 120).map(i => s"w${(i * 37) % 50}").mkString(" ")
+      in.addData((1L, words), (2L, "tiny doc"))
+      q.processAllAvailable()
+      in.addData((3L, "inserted prefix " + words))
+      q.processAllAvailable()
+      val got = spark.table("stream_cdc")
+        .select("doc_id", "chunk_idx", "chunk_fp")
+        .as[(Long, Long, String)].collect()
+      val byDoc = got.groupBy(_._1)
+      assert(byDoc.keySet == Set(1L, 2L, 3L))
+      // the CDC property holds across micro-batches: doc 3 (edited copy
+      // of doc 1, arriving in a LATER batch) shares suffix chunks
+      val f1 = byDoc(1L).map(_._3).toSet
+      val f3 = byDoc(3L).map(_._3).toSet
+      assert((f1 & f3).nonEmpty, "no shared chunks across batches")
+      // batch and stream produce identical chunks for the same doc
+      val batch = graft.ops.TextAnalysis.cdcChunks(
+          Seq((1L, words)).toDF("doc_id", "text"), col("doc_id"), col("text"),
+          window = 5, maskBits = 4)
+        .select("chunk_idx", "chunk_fp").as[(Long, String)].collect().toSet
+      assert(byDoc(1L).map(c => (c._2, c._3)).toSet == batch)
+    } finally q.stop()
+  }
+
   test("running aggregate surface matches reference agg_func set") {
     val env = StreamEnv(spark)
     val data = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))

