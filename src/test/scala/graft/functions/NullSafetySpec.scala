@@ -33,6 +33,31 @@ class NullSafetySpec extends AnyFunSuite {
     assert(r3.getInt(6) == 0) // whitespace-only: zero tokens
   }
 
+  test("round-7 kernels: null/empty/short inputs; ngrams == naive formulation") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "one"), (4L, "a b"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("id", "t")
+    val toks = graft.ops.TextAnalysis.tokens(col("t"))
+    val out = df.select(col("id"),
+      Kernels.rolling_hashes(toks, 5).as("rh"),
+      Kernels.word_ngrams(toks, 2).as("ng"))
+    val rows = out.collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(1) && byId(1L).isNullAt(2)) // null text propagates
+    assert(byId(2L).getSeq[Long](1).isEmpty && byId(2L).getSeq[String](2).isEmpty)
+    assert(byId(3L).getSeq[Long](1).length == 1)  // w clamps to n=1
+    assert(byId(3L).getSeq[String](2).isEmpty)    // no bigram from one token
+    assert(byId(4L).getSeq[String](2) == Seq("a b"))
+    // ngrams == the naive sliding formulation, with multiplicity
+    val naive = "w1 w2 w3 w4 w5 w6 w7 w8".split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    assert(byId(5L).getSeq[String](2) == naive)
+    // rolling_hashes length n-w+1; its min IS the fingerprint
+    assert(byId(5L).getSeq[Long](1).length == 4)
+    val fp = df.where(col("id") === 5L)
+      .select(graft.ops.TextAnalysis.rollingFingerprint(col("t"), 5)).head.getLong(0)
+    assert(byId(5L).getSeq[Long](1).min == fp)
+  }
+
   test("cosine: null vector, length mismatch, zero norm") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
