@@ -278,39 +278,62 @@ object Sampling {
   def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
                         text: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20), "buckets must be in [1, 2^20]")
-    val toks = Stateless.tokens(text)
-    // unigrams ++ bigrams, with multiplicity, codegen'd
-    def features(t: Column): Column =
-      concat(t, graft.functions.Kernels.word_ngrams(t, 2))
-    def bucket(f: Column): Column =
-      conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
-    def bitlen(c: Column): Column = length(bin(c)).cast("long")
-    def countTable(df: DataFrame): DataFrame =
-      df.select(explode(features(toks)).as("f"))
-        .select(bucket(col("f")).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val tc = countTable(target)
-    val rc = countTable(raw)
+    // pin the bounded count tables (≤ buckets rows): each corpus's
+    // featurize+count pass runs ONCE, feeding both the totals and the
+    // broadcast joins — unpinned, the totals aggregate and the scoring
+    // join would each re-run the corpus pass
+    val tc = featureCounts(target, text, buckets).localCheckpoint()
+    val rc = featureCounts(raw, text, buckets).localCheckpoint()
     val totals = tc.agg(coalesce(sum(col("c")), lit(0L)).as("nt"))
-      .crossJoin(rc.agg(coalesce(sum(col("c")), lit(0L)).as("nr")))
+      .crossJoin(rc.agg(coalesce(sum(col("c")), lit(0L)).as("nr"))).head
+    scoreAgainst(raw, id, text, buckets, tc, rc,
+      totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Hashed unigram+bigram features of a text column — the DSIR feature
+    * stream: codegen'd kernels end to end.
+    */
+  private def features(text: Column): Column = {
+    val t = Stateless.tokens(text)
+    concat(t, graft.functions.Kernels.word_ngrams(t, 2))
+  }
+
+  private def bucket(f: Column, buckets: Int): Column =
+    conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
+
+  private def bitlen(c: Column): Column = length(bin(c)).cast("long")
+
+  /** Bucket-count table (b, c) of a corpus's feature stream — ≤ `buckets`
+    * rows, one codegen'd pass (the [[DsirModel]] build unit).
+    */
+  private[ops] def featureCounts(df: DataFrame, text: Column,
+                                 buckets: Int): DataFrame =
+    df.select(explode(features(text)).as("f"))
+      .select(bucket(col("f"), buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+
+  /** Score `df` against prepared count tables (see
+    * [[importanceWeights]] for the arithmetic and scale shape).
+    */
+  private[ops] def scoreAgainst(df: DataFrame, id: Column, text: Column,
+                                buckets: Int, tc: DataFrame, rc: DataFrame,
+                                nt: Long, nr: Long): DataFrame =
     // explode_outer keeps featureless docs (their single null-bucket row
     // contributes bitlen(1) - bitlen(1) = 0 and n_feats counts the real
     // features separately)
-    raw.select(id.as("id"), features(toks).as("fs"))
+    df.select(id.as("id"), features(text).as("fs"))
       .select(col("id"), size(col("fs")).cast("long").as("n_feats"),
         explode_outer(col("fs")).as("f"))
-      .select(col("id"), col("n_feats"), bucket(col("f")).as("b"))
+      .select(col("id"), col("n_feats"), bucket(col("f"), buckets).as("b"))
       .join(broadcast(tc.select(col("b"), col("c").as("tcnt"))), Seq("b"), "left_outer")
       .join(broadcast(rc.select(col("b"), col("c").as("rcnt"))), Seq("b"), "left_outer")
       .groupBy(col("id"))
       .agg(first(col("n_feats")).as("n_feats"),
         sum(bitlen(coalesce(col("tcnt"), lit(0L)) + 1)
           - bitlen(coalesce(col("rcnt"), lit(0L)) + 1)).as("s"))
-      .crossJoin(broadcast(totals))
       .select(col("id"), col("n_feats"),
-        (col("s") + col("n_feats") * (bitlen(col("nr")) - bitlen(col("nt"))))
+        (col("s") + col("n_feats") * (bitlen(lit(nr)) - bitlen(lit(nt))))
           .as("weight_bits"))
-  }
 
   def prioritySamplePerKey(df: DataFrame, stratum: Column, key: Column,
                            weight: Column, k: Int): DataFrame = {

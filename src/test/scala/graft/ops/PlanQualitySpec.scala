@@ -167,14 +167,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // Every hash exchange is therefore keyed on the bucket b or the doc
     // id — a text- or feature-keyed exchange would mean corpus payload
     // moving
+    // (the two count passes run eagerly when the query is built — their
+    // bounded tables pin via localCheckpoint — so the scoring plan below
+    // is what executes per invocation)
     val df = graft.SparkEntry.queries("q100_dsir_weights")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(l =>
         l.contains("hashpartitioning(b#") || l.contains("hashpartitioning(id#")),
       s"unexpected exchange key in the scoring pass:\n${hashEx.mkString("\n")}")
-    // the target scan pushes its domain filter into parquet
-    assert(p.contains("EqualTo(source,src0)"), s"target filter not pushed:\n$p")
+    // the count tables arrive as broadcast joins, never a corpus-side
+    // shuffle, and the scoring scan reads only the two needed columns
+    assert(p.contains("BroadcastHashJoin"), s"count tables not broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scoring scan reads more than (doc_id, text):\n$p")
   }
 
   test("q59: packing shuffles the data once (range) — cumsum is narrow, windows tiny") {
