@@ -34,6 +34,17 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q80IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q103IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // q102/q103's shared retrieval workload: three fixed queries over the
+  // corpus vocabulary (lowercase single-space, so DuckDB's split replays
+  // the tokenizer exactly)
+  private def bm25Queries(s: SparkSession) = {
+    import s.implicits._
+    Seq((0L, "merge sort join table"), (1L, "stream window filter slow"),
+      (2L, "customer order supplier part")).toDF("qid", "qtext")
+  }
   private def ms(c: Column): Column = unix_millis(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,6 +609,26 @@ object SparkEntry {
           size(col("syms")).cast("long").as("n_tok"),
           array_join(col("syms"), " ").as("toks"))
     }),
+    "q102_bm25_topk" -> ((s, d) =>
+      // lexical retrieval: BM25 top-10 per query, the classic k1/b
+      // saturation curve in exact integer fixed point (bitlen idf,
+      // cleared-denominator rationals — bit-identical across engines);
+      // the lexical complement of q39/q42's embedding ANN
+      Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
+        bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q103_bm25_search" -> ((s, d) => {
+      // the same retrieval THROUGH the standing inverted index (built
+      // once per sf dir — q55's memoization pattern): the postings scan
+      // is pruned to the query's terms by a pushed parquet In filter,
+      // so the corpus-sized table is never fully read
+      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
+        val p = java.nio.file.Files.createTempDirectory("graft_q103_idx")
+          .toString + "/bm25"
+        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
+    }),
     "q100_dsir_weights" -> ((s, d) => {
       // DSIR-style domain-targeted selection: score every document by
       // how much its hashed-ngram distribution resembles the src0
@@ -976,6 +1007,39 @@ object SparkEntry {
     }
     (head +: iterCtes :+ assignSql("af", s"c$iters")).mkString(",\n")
   }
+
+  // q102/q103 replay (IDENTICAL result by construction — q103 is the
+  // same arithmetic through the standing index): integer BM25 with
+  // bitlen idf (q81's binary-format-length trick) and the k1=6/5,
+  // b=3/4 saturation curve cleared to integer rationals — constants
+  // 44·S·W=46137344, 20·S=20480, 6·S=6144 with S=W=1024; every
+  // division is `//` (both engines truncate; all operands positive)
+  private val bm25OracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+      |  FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM t)
+      |  GROUP BY term, doc_id),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS tot FROM t),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+      |q(qid, qtext) AS (VALUES (0, 'merge sort join table'),
+      |                         (1, 'stream window filter slow'),
+      |                         (2, 'customer order supplier part')),
+      |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+      |sc AS (SELECT qt.qid, post.doc_id,
+      |    CAST(sum(length(format('{:b}', m.n // dft.df)) *
+      |      ((post.tf * 46137344) // (post.tf * 20480 + 6144 +
+      |        18 * ((post.dl * 1024) // greatest(1, m.tot // m.n))))) AS BIGINT)
+      |      AS score_fp
+      |  FROM qt JOIN dft USING (term) JOIN post USING (term), m
+      |  GROUP BY qt.qid, post.doc_id)
+      |SELECT qid, doc_id, score_fp, rk FROM (
+      |  SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_fp,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
+      |  FROM sc) WHERE rk <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_map_project" ->
@@ -1750,6 +1814,8 @@ object SparkEntry {
          |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_tok,
          |  array_to_string(syms, ' ') AS toks
          |FROM v8""".stripMargin,
+    "q102_bm25_topk" -> bm25OracleSql,
+    "q103_bm25_search" -> bm25OracleSql,
     "q100_dsir_weights" ->
       // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
       // smoothed bucket counts per corpus, bitlen via binary format
