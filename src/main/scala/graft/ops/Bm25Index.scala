@@ -137,7 +137,7 @@ object Bm25Index {
   def build(docs: DataFrame, id: Column, text: Column, path: String): Unit = {
     val spark = docs.sparkSession
     val post = postings(docs, id, text).localCheckpoint()
-    post.repartition(col("term")).sortWithinPartitions(col("term"))
+    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/_post")
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/_df")
@@ -201,7 +201,7 @@ object Bm25Index {
   def append(docs: DataFrame, id: Column, text: Column, path: String): Unit = {
     val spark = docs.sparkSession
     val post = postings(docs, id, text).localCheckpoint()
-    post.repartition(col("term")).sortWithinPartitions(col("term"))
+    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("append").parquet(s"$path/_post")
     docLengths(docs, id, text).write.mode("append").parquet(s"$path/_len")
     val grown = spark.read.parquet(s"$path/_df")
@@ -227,7 +227,7 @@ object Bm25Index {
       .select(col("term"), (col("df") - coalesce(col("gone_df"), lit(0L))).as("df"))
       .where(col("df") > 0)
     val kept = post.join(broadcast(gone), Seq("doc_id"), "left_anti")
-    rewrite(spark, s"$path/_post", kept.repartition(col("term")).sortWithinPartitions(col("term")))
+    rewrite(spark, s"$path/_post", kept.repartitionByRange(col("term")).sortWithinPartitions(col("term")))
     rewrite(spark, s"$path/_df", shrunk)
     val lens = spark.read.parquet(s"$path/_len")
       .join(broadcast(gone), Seq("doc_id"), "left_anti")
@@ -241,7 +241,7 @@ object Bm25Index {
   def compact(spark: SparkSession, path: String, partitions: Int = 32): Unit = {
     val post = spark.read.parquet(s"$path/_post")
     rewrite(spark, s"$path/_post",
-      post.repartition(partitions, col("term")).sortWithinPartitions(col("term")))
+      post.repartitionByRange(partitions, col("term")).sortWithinPartitions(col("term")))
   }
 
   private def rewrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {

@@ -483,6 +483,35 @@ object ThroughputBench {
         f"vs out ${sep.getDouble(1)}%.0f bits")
     }
 
+    // scenario 20: BM25 standing index at 1M docs (30M tokens) — build
+    // cost is the one tokenize+count pass; search cost must be
+    // INDEX-PRUNED, not corpus-sized: the pushed term filter reads only
+    // the query terms' postings, so a 3-query batch over 1M docs should
+    // answer in seconds regardless of corpus size.
+    if (enabled(20)) {
+      val nDocs = 1000000L
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(29)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 30 + i), lit(5000)))),
+          " ").as("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_s20").toString + "/bm25"
+      val t0 = System.nanoTime()
+      graft.ops.Bm25Index.build(docs, col("doc_id"), col("text"), dir)
+      val sBuild = (System.nanoTime() - t0) / 1e9
+      val qs = Seq((0L, "w17 w400 w2210"), (1L, "w3 w4999 w1234"),
+        (2L, "w100 w200 w300 w400")).toDF("qid", "qtext")
+      val t1 = System.nanoTime()
+      val hits = graft.ops.Bm25Index.search(spark, qs, col("qid"), col("qtext"),
+        dir, k = 10).count()
+      val sSearch = (System.nanoTime() - t1) / 1e9
+      println(f"scenario20 bm25 n=$nDocs (30M tokens): build $sBuild%.1f s " +
+        f"(${nDocs * 30 / sBuild / 1e6}%.1f M tok/s); 3-query top-10 search " +
+        f"$sSearch%.1f s ($hits hits, term-pruned postings scan)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
