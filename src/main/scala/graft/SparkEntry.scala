@@ -616,6 +616,21 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q104_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: the BM25 lexical ranking (q102) and the
+      // embedding cosine ranking (q39's shape, query vectors 0-2) fused
+      // by reciprocal rank — consensus docs rise, single-list docs keep
+      // their RRF tail weight; all integer, query-sized work only
+      val t = Tables(s, d)
+      val bm = Bm25Index.topK(t.documents, col("doc_id"), col("text"),
+        bm25Queries(s), col("qid"), col("qtext"), k = 10)
+        .select(col("qid"), col("doc_id"), col("rk"))
+      val ann = Similarity.bruteForceTopK(
+          t.embeddings.where(col("vec_id") < 3), t.embeddings,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+        .select(col("query_id").as("qid"), col("cand_id").as("doc_id"), col("rk"))
+      Fusion.rrf(Seq(bm, ann), k = 10)
+    }),
     "q103_bm25_search" -> ((s, d) => {
       // the same retrieval THROUGH the standing inverted index (built
       // once per sf dir — q55's memoization pattern): the postings scan
@@ -1014,7 +1029,7 @@ object SparkEntry {
   // b=3/4 saturation curve cleared to integer rationals — constants
   // 44·S·W=46137344, 20·S=20480, 6·S=6144 with S=W=1024; every
   // division is `//` (both engines truncate; all operands positive)
-  private val bm25OracleSql: String =
+  private val bm25Ctes: String =
     """WITH t AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       |  FROM documents),
@@ -1034,12 +1049,37 @@ object SparkEntry {
       |        18 * ((post.dl * 1024) // greatest(1, m.tot // m.n))))) AS BIGINT)
       |      AS score_fp
       |  FROM qt JOIN dft USING (term) JOIN post USING (term), m
-      |  GROUP BY qt.qid, post.doc_id)
-      |SELECT qid, doc_id, score_fp, rk FROM (
-      |  SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_fp,
+      |  GROUP BY qt.qid, post.doc_id),
+      |bmr AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_fp,
       |    CAST(row_number() OVER (PARTITION BY qid
       |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
-      |  FROM sc) WHERE rk <= 10""".stripMargin
+      |  FROM sc)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"""$bm25Ctes
+       |SELECT qid, doc_id, score_fp, rk FROM bmr WHERE rk <= 10""".stripMargin
+
+  // q104 replay: the proven bm25 chain (top 10) fused with q39's cosine
+  // ranking (top 5, query vectors 0-2) by reciprocal rank — integer
+  // contributions 2^20 // (60 + rk), absent-list docs contribute 0
+  private val rrfOracleSql: String =
+    s"""$bm25Ctes,
+       |ann AS (SELECT query_id AS qid, cand_id AS doc_id, rk FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+       |               c.vec_id ASC) AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3) WHERE rk <= 5),
+       |u AS (SELECT qid, doc_id, 1048576 // (60 + rk) AS c FROM bmr WHERE rk <= 10
+       |      UNION ALL SELECT qid, doc_id, 1048576 // (60 + rk) FROM ann),
+       |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+       |      FROM u GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, rrf_fp, rk FROM (
+       |  SELECT qid, doc_id, rrf_fp,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk
+       |  FROM f) WHERE rk <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_map_project" ->
@@ -1816,6 +1856,7 @@ object SparkEntry {
          |FROM v8""".stripMargin,
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
+    "q104_hybrid_rrf" -> rrfOracleSql,
     "q100_dsir_weights" ->
       // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
       // smoothed bucket counts per corpus, bitlen via binary format
