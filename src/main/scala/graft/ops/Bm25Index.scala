@@ -126,24 +126,54 @@ object Bm25Index {
     rank(scores(post, qt, df, n, math.max(1L, if (n == 0) 1L else tot / n)), k)
   }
 
-  // ---- standing index: _post/ (term,doc_id,tf,dl), _df/ (term,df),
-  // ----                 _len/ (doc_id,dl), _meta/ (n_docs,tot_tokens)
+  // ---- standing index layout ----
+  //   _post/fold=K/   (term, doc_id, tf, dl) — range-partitioned on term
+  //   _len/fold=K/    (doc_id, dl) — the full doc registry
+  //   _model/df/      (term, df)
+  //   _model/meta/    (n_docs, tot_tokens, folds, last_batch)
+  // Folds commit by an atomic staging rename; df+meta commit together as
+  // ONE _model swap, whose last_batch ledger makes streaming [[append]]s
+  // exactly-once under replay (KMeansIndex's fold discipline).
 
-  /** Build the persisted index: one tokenize pass over the corpus.
-    * Postings repartition on term so each parquet file covers a term
-    * range — [[search]]'s pushed `term IN` filter then prunes by
-    * footer min/max stats, not just row groups.
+  private val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
+  private val lenSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, dl BIGINT")
+
+  // ids persist as BIGINT; reject non-integral ids loudly (a string id
+  // would cast to null and silently corrupt the registry)
+  private def requireIntegralId(df: DataFrame): DataFrame = {
+    val dt = df.schema("doc_id").dataType
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt.simpleString),
+      s"bm25: doc id must be integral, got ${dt.simpleString}")
+    df.withColumn("doc_id", col("doc_id").cast("long"))
+  }
+
+  private def readPost(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(postSchema).parquet(s"$path/_post")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  private def readLen(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(lenSchema).parquet(s"$path/_len")
+      .select(col("doc_id"), col("dl"))
+
+  private case class Meta(nDocs: Long, totTokens: Long, folds: Long, lastBatch: Long)
+
+  private def meta(spark: SparkSession, path: String): Meta = {
+    val m = spark.read.parquet(s"$path/_model/meta")
+      .select(col("n_docs"), col("tot_tokens"), col("folds"), col("last_batch")).head
+    Meta(m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+  }
+
+  /** Write df+meta to `dir` (no swap — build writes the final dir,
+    * mutations write a tmp and [[IvfIndex.swapDirs]] it in).
     */
-  def build(docs: DataFrame, id: Column, text: Column, path: String): Unit = {
-    val spark = docs.sparkSession
-    val post = postings(docs, id, text).localCheckpoint()
-    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$path/_post")
-    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/_df")
-    val lens = docLengths(docs, id, text).localCheckpoint()
-    lens.write.mode("overwrite").parquet(s"$path/_len")
-    writeMeta(spark, path)
+  private def writeModel(dir: String, df: DataFrame, m: Meta): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/df")
+    df.sparkSession.range(1)
+      .select(lit(m.nDocs).as("n_docs"), lit(m.totTokens).as("tot_tokens"),
+        lit(m.folds).as("folds"), lit(m.lastBatch).as("last_batch"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   // fail-fast overflow posture (KMeans.fit's discipline): tf ≤ dl and the
@@ -155,20 +185,49 @@ object Bm25Index {
       s"bm25: max doc length $maxDl exceeds 2^37 tokens — the integer " +
         "saturation arithmetic would overflow Long; split the document")
 
-  private def writeMeta(spark: SparkSession, path: String): Unit = {
-    val m = spark.read.parquet(s"$path/_len")
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"),
-        coalesce(max(col("dl")), lit(0L)).as("mx")).head
+  /** (rows, token total) of a registry frame, with the dl guard. */
+  private def lenStats(lens: DataFrame): (Long, Long) = {
+    val m = lens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("tot"),
+      coalesce(max(col("dl")), lit(0L)).as("mx")).head
     guardDl(m.getLong(2))
-    spark.range(1)
-      .select(lit(m.getLong(0)).as("n_docs"), lit(m.getLong(1)).as("tot_tokens"))
-      .write.mode("overwrite").parquet(s"$path/_meta")
+    (m.getLong(0), m.getLong(1))
   }
 
-  private def meta(spark: SparkSession, path: String): (Long, Long) = {
-    val m = spark.read.parquet(s"$path/_meta")
-      .select(col("n_docs"), col("tot_tokens")).head
-    (m.getLong(0), m.getLong(1))
+  /** Write a committed postings/registry fold: stage under an
+    * underscore-prefixed dir (invisible to readers), then rename into
+    * place — idempotent under replay (a re-run overwrites the staging
+    * dir and re-renames the same bytes).
+    */
+  private def commitFold(df: DataFrame, dir: String, fold: Long): Unit = {
+    val spark = df.sparkSession
+    val staging = s"$dir/_staging"
+    df.write.mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(staging)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/fold=$fold")
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true) // replayed crashed commit: same bytes, re-rename
+    require(fs.rename(src, dst), s"bm25: fold commit failed: $staging -> $dst")
+  }
+
+  /** Build the persisted index: one tokenize pass over the corpus into
+    * fold 0. Postings repartition by RANGE on term so each parquet file
+    * covers a contiguous term slice — [[search]]'s pushed `term IN`
+    * filter then skips whole files by footer min/max, not just sorted
+    * row groups (measured 3× on scenario 20).
+    */
+  def build(docs: DataFrame, id: Column, text: Column, path: String): Unit = {
+    val spark = docs.sparkSession
+    val post = requireIntegralId(postings(docs, id, text)).localCheckpoint()
+    commitFold(post.repartitionByRange(col("term")).sortWithinPartitions(col("term")),
+      s"$path/_post", 0L)
+    val lens = requireIntegralId(docLengths(docs, id, text)).localCheckpoint()
+    commitFold(lens, s"$path/_len", 0L)
+    val (n, tot) = lenStats(lens)
+    writeModel(s"$path/_model",
+      post.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      Meta(n, tot, folds = 0L, lastBatch = -1L))
   }
 
   /** Search the standing index. The query's distinct terms are collected
@@ -185,68 +244,128 @@ object Bm25Index {
     require(terms.length <= maxQueryTerms,
       s"bm25 search: ${terms.length} distinct query terms exceed " +
         s"maxQueryTerms=$maxQueryTerms — raise the cap or batch the queries")
-    val (n, tot) = meta(spark, path)
-    val post = spark.read.parquet(s"$path/_post")
+    val m = meta(spark, path)
+    val post = readPost(spark, path).where(col("term").isin(terms.toSeq: _*))
+    val df = spark.read.parquet(s"$path/_model/df")
       .where(col("term").isin(terms.toSeq: _*))
-    val df = spark.read.parquet(s"$path/_df")
-      .where(col("term").isin(terms.toSeq: _*))
-    rank(scores(post, qt, df, n, math.max(1L, if (n == 0) 1L else tot / n)), k)
+    rank(scores(post, qt, df, m.nDocs,
+      math.max(1L, if (m.nDocs == 0) 1L else m.totTokens / m.nDocs)), k)
   }
 
-  /** Fold a new batch of documents in. Postings/lengths append (batch
-    * ids must be new — postings are per-(term, doc) and a re-ingested id
-    * would double-count); df and meta are additive, so the result equals
-    * a fresh [[build]] over the union (spec-asserted bit-identical).
+  /** Continuous retrieval: [[search]] per micro-batch of queries — the
+    * standing-query shape (alerting, routing, dedup-by-retrieval). The
+    * index re-reads each batch, so an [[append]]/[[remove]]/[[compact]]
+    * swap is picked up across batches; the swap's missing-path window
+    * retries like every index consumer ([[IvfIndex.retryingStaleReads]]),
+    * so `onBatch` must be idempotent under replay.
     */
-  def append(docs: DataFrame, id: Column, text: Column, path: String): Unit = {
+  def searchStream(spark: SparkSession, queryStream: DataFrame, qid: Column,
+                   qtext: Column, path: String, k: Int)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.retryingStaleReads() {
+          onBatch(search(spark, batch, qid, qtext, path, k))
+        }
+      }
+      .start()
+
+  /** Fold a new batch of documents in as fold `folds+1` — batch-sized
+    * work (batch ids must be NEW documents; postings are per-(term,
+    * doc) and a re-ingested doc would double-count). df and meta are
+    * additive, so the result equals a fresh [[build]] over the union
+    * (spec-asserted bit-identical).
+    *
+    * Crash safety / exactly-once: the fold files commit first by
+    * staging rename (replay rewrites the same bytes), then df+meta
+    * commit together in ONE `_model` swap carrying the `last_batch`
+    * ledger — a streaming re-delivery (batchId ≤ last_batch) returns
+    * before touching anything, and a crash between fold commit and
+    * model swap replays into the same fold dir. The batch's stats
+    * aggregate from the WRITTEN fold (materialize-once), so a
+    * nondeterministic source folds consistently.
+    */
+  def append(docs: DataFrame, id: Column, text: Column, path: String,
+             batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val post = postings(docs, id, text).localCheckpoint()
-    post.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$path/_post")
-    docLengths(docs, id, text).write.mode("append").parquet(s"$path/_len")
-    val grown = spark.read.parquet(s"$path/_df")
-      .union(post.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val m = meta(spark, path)
+    if (batchId >= 0 && batchId <= m.lastBatch) return // re-delivery
+    val fold = m.folds + 1
+    commitFold(requireIntegralId(postings(docs, id, text))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term")),
+      s"$path/_post", fold)
+    commitFold(requireIntegralId(docLengths(docs, id, text)), s"$path/_len", fold)
+    val fPost = spark.read.schema(postSchema).parquet(s"$path/_post/fold=$fold")
+    val fLen = spark.read.schema(lenSchema).parquet(s"$path/_len/fold=$fold")
+    val (bn, btot) = lenStats(fLen)
+    val grown = spark.read.parquet(s"$path/_model/df")
+      .unionByName(fPost.groupBy(col("term")).agg(count(lit(1)).as("df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    rewrite(spark, s"$path/_df", grown)
-    writeMeta(spark, path)
+    val tmp = s"$path/_model.next"
+    writeModel(tmp, grown, Meta(m.nDocs + bn, m.totTokens + btot, fold,
+      math.max(batchId, m.lastBatch)))
+    IvfIndex.swapDirs(spark, s"$path/_model", tmp)
   }
 
-  /** Takedown: drop the given doc ids. Index-sized work — postings and
-    * lengths rewrite through a broadcast anti join, df decrements by the
-    * removed docs' term memberships (read from the index itself, no
-    * corpus re-read), meta re-derives from the surviving registry. The
-    * result equals a fresh [[build]] over the survivors (spec-asserted).
+  /** Continuous ingestion: [[append]] per micro-batch of documents with
+    * the batch id recorded in the model ledger — EXACTLY-ONCE under
+    * replay (a re-delivered batch is skipped; a crashed fold replays
+    * into the same fold dir). The streaming twin of [[searchStream]]:
+    * together they are live retrieval over a live corpus.
+    */
+  def appendStream(spark: SparkSession, docStream: DataFrame, id: Column,
+                   text: Column, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        IvfIndex.retryingStaleReads() {
+          append(batch, id, text, path, batchId = bid)
+        }
+      }
+      .start()
+
+  /** Takedown: drop the given doc ids. Index-sized work, no corpus
+    * re-read: postings and registry rewrite through a broadcast anti
+    * join into a single fresh fold, then the ENTIRE model rederives
+    * from the surviving postings/registry — so a re-issued (crashed or
+    * duplicate) remove converges to the same state, and the result
+    * equals a fresh [[build]] over the survivors (spec-asserted).
     */
   def remove(spark: SparkSession, ids: DataFrame, idCol: Column, path: String): Unit = {
     val gone = ids.select(idCol.as("doc_id")).distinct().localCheckpoint()
-    val post = spark.read.parquet(s"$path/_post").localCheckpoint()
-    val dropped = post.join(broadcast(gone), Seq("doc_id"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("gone_df"))
-    val shrunk = spark.read.parquet(s"$path/_df")
-      .join(broadcast(dropped), Seq("term"), "left_outer")
-      .select(col("term"), (col("df") - coalesce(col("gone_df"), lit(0L))).as("df"))
-      .where(col("df") > 0)
-    val kept = post.join(broadcast(gone), Seq("doc_id"), "left_anti")
-    rewrite(spark, s"$path/_post", kept.repartitionByRange(col("term")).sortWithinPartitions(col("term")))
-    rewrite(spark, s"$path/_df", shrunk)
-    val lens = spark.read.parquet(s"$path/_len")
-      .join(broadcast(gone), Seq("doc_id"), "left_anti")
-    rewrite(spark, s"$path/_len", lens)
-    writeMeta(spark, path)
+    val m = meta(spark, path)
+    val fold = m.folds + 1
+    val kept = readPost(spark, path).join(broadcast(gone), Seq("doc_id"), "left_anti")
+    val tmpPost = s"$path/_post.next"
+    commitFold(kept.repartitionByRange(col("term")).sortWithinPartitions(col("term")),
+      tmpPost, fold)
+    IvfIndex.swapDirs(spark, s"$path/_post", tmpPost)
+    val lens = readLen(spark, path).join(broadcast(gone), Seq("doc_id"), "left_anti")
+    val tmpLen = s"$path/_len.next"
+    commitFold(lens, tmpLen, fold)
+    IvfIndex.swapDirs(spark, s"$path/_len", tmpLen)
+    val (n, tot) = lenStats(readLen(spark, path))
+    val tmp = s"$path/_model.next"
+    writeModel(tmp,
+      readPost(spark, path).groupBy(col("term")).agg(count(lit(1)).as("df")),
+      Meta(n, tot, fold, m.lastBatch))
+    IvfIndex.swapDirs(spark, s"$path/_model", tmp)
   }
 
-  /** Rewrite postings one-file-per-term-range (small-file compaction
-    * after many [[append]]s); results are unchanged (spec-asserted).
+  /** Rewrite postings into one fresh fold of `partitions` term-range
+    * files (small-file compaction after many [[append]]s); results are
+    * unchanged (spec-asserted). The model swap only bumps the fold
+    * counter.
     */
   def compact(spark: SparkSession, path: String, partitions: Int = 32): Unit = {
-    val post = spark.read.parquet(s"$path/_post")
-    rewrite(spark, s"$path/_post",
-      post.repartitionByRange(partitions, col("term")).sortWithinPartitions(col("term")))
-  }
-
-  private def rewrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {
-    val tmp = s"$dir.next"
-    df.write.mode("overwrite").parquet(tmp)
-    IvfIndex.swapDirs(spark, dir, tmp)
+    val m = meta(spark, path)
+    val fold = m.folds + 1
+    val tmpPost = s"$path/_post.next"
+    commitFold(readPost(spark, path)
+      .repartitionByRange(partitions, col("term")).sortWithinPartitions(col("term")),
+      tmpPost, fold)
+    IvfIndex.swapDirs(spark, s"$path/_post", tmpPost)
+    val tmp = s"$path/_model.next"
+    writeModel(tmp, spark.read.parquet(s"$path/_model/df"), m.copy(folds = fold))
+    IvfIndex.swapDirs(spark, s"$path/_model", tmp)
   }
 }

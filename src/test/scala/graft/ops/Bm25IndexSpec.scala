@@ -112,10 +112,11 @@ class Bm25IndexSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect()
     assert(ids.forall(_ % 3 != 0))
     // swap hygiene: no leftover staging/backup dirs
-    for (sub <- Seq("_post", "_df", "_len")) {
+    for (sub <- Seq("_post", "_len", "_model")) {
       assert(!Files.exists(java.nio.file.Paths.get(s"$d1/$sub.next")))
       assert(!Files.exists(java.nio.file.Paths.get(s"$d1/$sub.old")))
     }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$d1/_post/_staging")))
   }
 
   test("compact: results invariant, postings fold to the requested file count") {
@@ -126,11 +127,51 @@ class Bm25IndexSpec extends AnyFunSuite {
       col("doc_id"), col("text"), dir)
     Bm25Index.append(docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), dir)
     val before = results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10))
+    // pre-compact: three folds on disk
+    assert(new java.io.File(s"$dir/_post").listFiles()
+      .count(_.getName.startsWith("fold=")) == 3)
     Bm25Index.compact(spark, dir, partitions = 4)
     assert(results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10)) == before)
-    val files = new java.io.File(s"$dir/_post").listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // post-compact: one fresh fold holding at most the requested file count
+    val folds = new java.io.File(s"$dir/_post").listFiles()
+      .filter(_.getName.startsWith("fold="))
+    assert(folds.length == 1)
+    val files = folds.head.listFiles().count(_.getName.endsWith(".parquet"))
     assert(files <= 4, s"compaction left $files postings files")
+  }
+
+  test("append ledger: a re-delivered stream batch id is skipped, not double-counted") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_bm25").toString + "/idx"
+    Bm25Index.build(docs.where(col("doc_id") < 400), col("doc_id"), col("text"), dir)
+    val batch = docs.where(col("doc_id") >= 400)
+    Bm25Index.append(batch, col("doc_id"), col("text"), dir, batchId = 0L)
+    val after = results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10))
+    // replayed delivery of the same batch id: no-op
+    Bm25Index.append(batch, col("doc_id"), col("text"), dir, batchId = 0L)
+    assert(results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10)) == after)
+    val n = spark.read.parquet(s"$dir/_model/meta").head.getLong(0)
+    assert(n == 500) // registry not doubled
+  }
+
+  test("appendStream: doc micro-batches fold in; result == one batch build") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_bm25").toString + "/idx"
+    Bm25Index.build(docs.where(col("doc_id") < 250), col("doc_id"), col("text"), dir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = Bm25Index.appendStream(spark, in.toDF().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    val rest = docs.where(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    in.addData(rest.filter(_._1 < 400).toSeq)
+    q.processAllAvailable()
+    in.addData(rest.filter(_._1 >= 400).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val d2 = Files.createTempDirectory("graft_bm25").toString + "/idx"
+    Bm25Index.build(docs, col("doc_id"), col("text"), d2)
+    assert(results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10)) ==
+      results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), d2, 10)))
   }
 
   test("zero-token and unmatched docs: registry counts them, results skip them") {
@@ -140,15 +181,34 @@ class Bm25IndexSpec extends AnyFunSuite {
     Bm25Index.build(docs, col("doc_id"), col("text"), dir)
     // n_docs counts all four docs (avgdl denominator), but only matching
     // docs surface
-    val m = spark.read.parquet(s"$dir/_meta").head
+    val m = spark.read.parquet(s"$dir/_model/meta").head
     assert(m.getLong(0) == 4 && m.getLong(1) == 5)
     val q = Seq((0L, "alpha"), (1L, "zeta")).toDF("qid", "qtext")
     val got = results(Bm25Index.search(spark, q, col("qid"), col("qtext"), dir, 5))
     assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L))) // qid 1 matches nothing
     // removing a zero-token doc still balances the registry exactly
     Bm25Index.remove(spark, Seq(2L).toDF("id"), col("id"), dir)
-    val m2 = spark.read.parquet(s"$dir/_meta").head
+    val m2 = spark.read.parquet(s"$dir/_model/meta").head
     assert(m2.getLong(0) == 3 && m2.getLong(1) == 5)
+  }
+
+  test("searchStream: query micro-batches retrieve against the standing index") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_bm25").toString + "/idx"
+    Bm25Index.build(docs, col("doc_id"), col("text"), dir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = Bm25Index.searchStream(spark,
+      in.toDF().toDF("qid", "qtext"), col("qid"), col("qtext"), dir, k = 10) { b =>
+      got ++= b.as[(Long, Long, Long, Long)].collect()
+    }
+    in.addData((0L, "merge sort join table"))
+    q.processAllAvailable()
+    in.addData((1L, "stream window filter slow"))
+    q.processAllAvailable()
+    q.stop()
+    val want = results(Bm25Index.search(spark, queriesDf, col("qid"), col("qtext"), dir, 10))
+    assert(got.sorted.toSeq == want && got.size == 20)
   }
 
   test("guards: positive k, bounded query vocabulary, empty corpus") {
