@@ -616,6 +616,12 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q105_entropy" -> ((s, d) =>
+      // token-entropy quality signal in integer bits — run-length
+      // encoded from the sorted token array with builtin expressions:
+      // ZERO exchange, one narrow codegen'd scan (q91's shape)
+      TextAnalysis.entropyProfile(Tables(s, d).documents,
+        col("doc_id"), col("text"))),
     "q104_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: the BM25 lexical ranking (q102) and the
       // embedding cosine ranking (q39's shape, query vectors 0-2) fused
@@ -1857,6 +1863,23 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q105_entropy" ->
+      // replay: per-doc unigram histogram, bitlen via binary format
+      // length (q81's trick); zero-token docs join back as zeros
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY doc_id, tok),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd
+        |      FROM c GROUP BY doc_id),
+        |e AS (SELECT c.doc_id,
+        |    CAST(sum(c.c * (length(format('{:b}', n.n)) - length(format('{:b}', c.c)))) AS BIGINT) AS ent
+        |  FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
+        |SELECT t.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(n.nd, 0) AS BIGINT) AS n_distinct,
+        |       CAST(coalesce(e.ent, 0) AS BIGINT) AS ent_bits
+        |FROM t LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)""".stripMargin,
     "q100_dsir_weights" ->
       // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
       // smoothed bucket counts per corpus, bitlen via binary format

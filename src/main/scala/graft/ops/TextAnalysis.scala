@@ -102,6 +102,41 @@ object TextAnalysis {
     * Repetitious documents (boilerplate, templated spam) score high on
     * both; corpus filters drop above a threshold.
     */
+  /** Token-entropy quality signal in integer BITS — the graded
+    * counterpart of [[repetitionProfile]]'s fractions (Gopher-style
+    * battery): ent_bits = Σ_t cnt_t · (bitlen(n) − bitlen(cnt_t)), the
+    * bitlen surrogate of n·H(unigram) used across the engine (low for
+    * repetitive/templated docs, ~n·log2(n) for all-distinct ones).
+    * Exact integers → bit-identical across engines, DuckDB-replayable.
+    *
+    * Scale shape: ZERO exchange — the per-doc token histogram is
+    * run-length encoded from the SORTED token array with builtin array
+    * expressions (array_sort / filter / zip_with / aggregate, all
+    * codegen'd), so the whole signal is one narrow scan, like
+    * [[Classifier]]'s features. Output: (doc_id, n_tokens, n_distinct,
+    * ent_bits), zero rows for zero-token docs included.
+    */
+  def entropyProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val base = df.select(id.as("doc_id"), array_sort(tokens(text)).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+    // 1-based start positions of each equal-token run in the sorted array
+    val starts = filter(sequence(lit(1), size(col("ts"))), i =>
+      (i === 1) || element_at(col("ts"), i) =!= element_at(col("ts"), i - 1))
+    base
+      .withColumn("st", when(col("n") === 0L, array().cast("array<int>")).otherwise(starts))
+      // each run ends where the next begins (sentinel n+1 for the last)
+      .withColumn("ends", concat(
+        slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
+        array((col("n") + 1L).cast("int"))))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("st")).cast("long").as("n_distinct"),
+        when(col("n") === 0L, lit(0L)).otherwise(
+          aggregate(zip_with(col("st"), col("ends"), (a, b) => b - a), lit(0L),
+            (acc, c) => acc + c.cast("long") * (bitlen(col("n")) - bitlen(c))))
+          .as("ent_bits"))
+  }
+
   def repetitionProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
     val base = df
       .select(id.as("doc_id"), tokens(text).as("toks"))

@@ -619,6 +619,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("entropyProfile: hand-computed bits, edge docs, naive replica, zero exchange") {
+    // bitlen(3)=2: "a a b" -> runs (a:2, b:1) -> 2*(2-2) + 1*(2-1) = 1
+    // "a b c" all distinct -> 3*(2-1) = 3; "a a a" -> 3*(2-2) = 0
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a"),
+      (4L, ""), (5L, "   "), (6L, "X x")).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyProfile(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L, 2L, 1L), (2L, 3L, 3L, 3L), (3L, 3L, 1L, 0L),
+      (4L, 0L, 0L, 0L), (5L, 0L, 0L, 0L), (6L, 2L, 1L, 0L))) // lowercased: x x
+    // naive replica over the real corpus: explode + two groupBys
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val fast = TextAnalysis.entropyProfile(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val naive = corpus.select(col("doc_id"),
+        explode_outer(graft.ops.Stateless.tokens(col("text"))).as("tok"))
+      .as[(Long, Option[String])].collect().groupBy(_._1).map { case (id, rows) =>
+        val ts = rows.flatMap(_._2)
+        val n = ts.length.toLong
+        val hist = ts.groupBy(identity).map(_._2.length.toLong)
+        (id, n, hist.size.toLong, hist.map(c => c * (bl(n) - bl(c))).sum)
+      }.toSeq.sorted
+    assert(fast == naive && fast.size == 500)
+    // the signal is one narrow scan: NO exchange anywhere in the plan
+    val plan = TextAnalysis.entropyProfile(corpus, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"entropyProfile shuffles:\n$plan")
+  }
+
   test("topTokensPerGroup: counts ranked, ties broken by token asc") {
     val docs = Seq(
       ("g1", "b b b a a c"),
