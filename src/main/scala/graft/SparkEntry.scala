@@ -616,6 +616,12 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q106_funnel" -> ((s, d) =>
+      // ordered-funnel completion per user (view -> click -> purchase,
+      // each strictly after the last): greedy earliest-match fold over
+      // ONE user-keyed exchange of (t, step) pairs
+      Funnel.steps(Tables(s, d).events, col("user_id"), col("event_type"),
+        col("ts"), Seq("view", "click", "purchase"))),
     "q105_entropy" -> ((s, d) =>
       // token-entropy quality signal in integer bits — run-length
       // encoded from the sorted token array with builtin expressions:
@@ -1863,6 +1869,24 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q106_funnel" ->
+      // replay: greedy earliest-match == chained conditional mins
+      // (earliest step-i match never forecloses step i+1); epoch_us is
+      // exact against Spark's µs timestamps (q93's convention)
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t IS NOT NULL THEN 3 WHEN t2.t IS NOT NULL THEN 2
+        |            WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+        |  t3.t IS NOT NULL AS converted
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |       LEFT JOIN t3 USING (user_id)""".stripMargin,
     "q105_entropy" ->
       // replay: per-doc unigram histogram, bitlen via binary format
       // length (q81's trick); zero-token docs join back as zeros

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val STEPS = Seq("view", "click", "purchase")
+
+  private def run(rows: Seq[(Long, String, Long)]) =
+    Funnel.steps(
+      rows.toDF("user_id", "event_type", "us")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts")),
+      col("user_id"), col("event_type"), col("ts"), STEPS)
+      .as[(Long, Long, Boolean)].collect().sorted.toSeq
+
+  test("completion semantics: order matters, skips do not count, repeats retry") {
+    val got = run(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // converts
+      (2L, "view", 10L), (2L, "purchase", 20L),                     // skip click -> 1
+      (3L, "click", 10L), (3L, "purchase", 20L), (3L, "view", 30L), // wrong order -> 1
+      (4L, "view", 10L), (4L, "click", 5L), (4L, "click", 20L),     // early click ignored, later counts
+      (5L, "error", 10L),                                           // never in funnel: absent
+      (6L, "purchase", 10L)))                                       // only late step -> 0
+    assert(got == Seq((1L, 3L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 2L, false), (6L, 0L, false)))
+  }
+
+  test("greedy earliest-match is a fold, not per-pair joins: corpus replica") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val fast = Funnel.steps(ev, col("user_id"), col("event_type"), col("ts"), STEPS)
+      .as[(Long, Long, Boolean)].collect().sorted.toSeq
+    // naive replica: chained conditional mins, driver side
+    val raw = ev.where(col("event_type").isin(STEPS: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val naive = raw.groupBy(_._1).map { case (u, rows) =>
+      var last = Long.MinValue
+      var k = 0
+      var advanced = true
+      while (advanced && k < STEPS.size) {
+        val nxt = rows.filter(r => r._2 == STEPS(k) && r._3 > last).map(_._3)
+        if (nxt.isEmpty) advanced = false
+        else { last = nxt.min; k += 1 }
+      }
+      (u, k.toLong, k == STEPS.size)
+    }.toSeq.sorted
+    assert(fast == naive && fast.nonEmpty)
+    // funnel has one user-keyed exchange; the step filter reaches the scan
+    val plan = Funnel.steps(ev, col("user_id"), col("event_type"), col("ts"), STEPS)
+      .queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("hashpartitioning(user_id#"),
+      s"expected exactly one user-keyed exchange:\n${hashEx.mkString("\n")}")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"step filter not pushed:\n$plan")
+  }
+
+  test("guards: ambiguous same-microsecond events fail loudly; bad step lists rejected") {
+    val e = intercept[Exception] {
+      run(Seq((1L, "view", 10L), (1L, "click", 10L)))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("same microsecond")
+      || e.getCause != null)
+    assertThrows[IllegalArgumentException] {
+      Funnel.steps(Seq((1L, "view", 10L)).toDF("user_id", "event_type", "us"),
+        col("user_id"), col("event_type"), col("us"), Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      Funnel.steps(Seq((1L, "view", 10L)).toDF("user_id", "event_type", "us"),
+        col("user_id"), col("event_type"), col("us"), Seq("view", "view"))
+    }
+  }
+}
