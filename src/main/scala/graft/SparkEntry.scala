@@ -616,6 +616,24 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q107_retention" -> ((s, d) =>
+      // weekly cohort retention: users cohorted by first-signup week,
+      // counted active in each later week — the retention triangle.
+      // Both per-user passes aggregate on user_id, so the lineup join
+      // reuses their partitioning (no third corpus exchange)
+      Cohorts.retention(Tables(s, d).events, col("user_id"),
+        col("event_type"), col("ts"), anchorType = "signup")),
+    "q108_snapshot_diff" -> ((s, d) => {
+      // lakehouse CDC: diff two deterministic versions of orders —
+      // %11-keyed rows exist only in v2 (added), %13 only in v1
+      // (removed), %7 get a changed o_custkey
+      val o = Tables(s, d).orders
+      val before = o.where(col("o_orderkey") % 11 =!= 0)
+      val after = o.where(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_custkey", col("o_custkey") +
+          when(col("o_orderkey") % 7 === 0, 1000000L).otherwise(0L))
+      Diff.snapshots(before, after, Seq("o_orderkey"))
+    }),
     "q106_funnel" -> ((s, d) =>
       // ordered-funnel completion per user (view -> click -> purchase,
       // each strictly after the last): greedy earliest-match fold over
@@ -1869,6 +1887,38 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q107_retention" ->
+      // replay: first signup week per user, distinct active weeks,
+      // offset counts; epoch-ms integer division on both engines
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
+        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
+        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
+        |       CAST(p - p0 AS BIGINT) AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM j GROUP BY p0, p""".stripMargin,
+    "q108_snapshot_diff" ->
+      // replay: the same two versions, full outer join, null-safe
+      // column compare (IS DISTINCT FROM == Spark's <=> negated)
+      """WITH b AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+        |a AS (SELECT o_orderkey,
+        |        o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 1000000 ELSE 0 END AS o_custkey,
+        |        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderkey, change_type FROM (
+        |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |           OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |           OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |           OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
+        |           OR (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
+        |         THEN 'changed' ELSE 'unchanged' END AS change_type
+        |  FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
+        |) WHERE change_type <> 'unchanged'""".stripMargin,
     "q106_funnel" ->
       // replay: greedy earliest-match == chained conditional mins
       // (earliest step-i match never forecloses step i+1); epoch_us is
