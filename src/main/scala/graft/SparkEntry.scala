@@ -616,6 +616,14 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q109_exact_percentiles" -> ((s, d) =>
+      // EXACT p50/p90/p99 of lineitem price (in cents — integral) by
+      // range-bisection selection: no global sort, no value collection,
+      // ~3 histogram scans with pushed range filters
+      Quantiles.percentiles(
+        Tables(s, d).lineitem.select(
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        col("cents"), Seq(50, 90, 99))),
     "q107_retention" -> ((s, d) =>
       // weekly cohort retention: users cohorted by first-signup week,
       // counted active in each later week — the retention triangle.
@@ -1887,6 +1895,18 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q109_exact_percentiles" ->
+      // replay: same rank arithmetic (integer ceil division), value
+      // fetched by row_number — the sort the engine side avoids
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |ks(q_pct) AS (VALUES (50), (90), (99)),
+        |r AS (SELECT CAST(q_pct AS BIGINT) AS q_pct,
+        |             greatest(1, (q_pct * n.n + 99) // 100) AS rk FROM ks, n),
+        |w AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        |SELECT r.q_pct, CAST(r.rk AS BIGINT) AS rk, w.c AS value
+        |FROM r JOIN w ON w.rn = r.rk""".stripMargin,
     "q107_retention" ->
       // replay: first signup week per user, distinct active weeks,
       // offset counts; epoch-ms integer division on both engines

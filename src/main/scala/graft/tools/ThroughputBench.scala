@@ -512,6 +512,30 @@ object ThroughputBench {
         f"$sSearch%.1f s ($hits hits, term-pruned postings scan)")
     }
 
+    // scenario 21: exact median of 50M values — range-bisection
+    // selection (histogram scans, no sort) vs the global-sort baseline
+    // (sort + row_number). Selection should win and the gap widens with
+    // data: sort shuffles everything, bisection exchanges ≤4097 rows a
+    // pass.
+    if (enabled(21)) {
+      val nVals = 50000000L
+      val vals = spark.range(nVals).select(
+        (xxhash64(col("id")) % 1000000000L).as("v"))
+      val kMid = (nVals + 1) / 2
+      val t0 = System.nanoTime()
+      val med = graft.ops.Quantiles.exactRank(vals, col("v"), kMid)
+      val sSel = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val medSort = vals.select(col("v"),
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("v"))).as("rn"))
+        .where(col("rn") === kMid).select(col("v")).head.getLong(0)
+      val sSort = (System.nanoTime() - t1) / 1e9
+      require(med == medSort, s"selection $med != sort $medSort")
+      println(f"scenario21 exact-median n=$nVals: bisection $sSel%.1f s vs " +
+        f"global sort $sSort%.1f s (${sSort / sSel}%.1f x), values agree ($med)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
