@@ -616,6 +616,17 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q110_triangles" -> ((s, d) => {
+      // per-vertex triangle counts over a deterministic md5-derived doc
+      // graph (3 pseudo-random neighbors per doc) — degree orientation
+      // keeps wedge fan-out O(sqrt m) even on hubs
+      val docs = Tables(s, d).documents.select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("x"),
+        explode(array((0 to 2).map(i =>
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), lit(i.toString))), 1, 8), 16, 10).cast("long") % 500L): _*)).as("y"))
+      Graphs.triangles(edges, col("x"), col("y"))
+    }),
     "q109_exact_percentiles" -> ((s, d) =>
       // EXACT p50/p90/p99 of lineitem price (in cents — integral) by
       // range-bisection selection: no global sort, no value collection,
@@ -1895,6 +1906,21 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q110_triangles" ->
+      // replay: same md5 edge derivation ('0x' hex cast, q100's trick),
+      // canonical a<b edges, the u<v<w triple join, three rotations
+      """WITH r AS (SELECT doc_id AS x,
+        |    CAST('0x' || substr(md5(doc_id || ':' || i), 1, 8) AS BIGINT) % 500 AS y
+        |  FROM documents, (VALUES (0), (1), (2)) AS t(i)),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM r WHERE x <> y),
+        |tr AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+        |  UNION ALL SELECT w FROM tr
+        |) GROUP BY id""".stripMargin,
     "q109_exact_percentiles" ->
       // replay: same rank arithmetic (integer ceil division), value
       // fetched by row_number — the sort the engine side avoids

@@ -63,4 +63,56 @@ object Funnel {
           .cast("long").as("steps_completed"))
       .withColumn("converted", col("steps_completed") === n)
   }
+
+  /** The same funnel CONTINUOUSLY: per-user state machine on the keyed
+    * state store ([[graft.streaming.KeyedProcess]]), emitting a user's
+    * progress whenever it advances (Update output). State per user is
+    * two fields — steps completed and the matched step's time — not an
+    * event list.
+    *
+    * Ordering contract: each micro-batch's events apply in event-time
+    * order, and the machine only advances forward. If delivery is
+    * event-time ordered across batches (the watermarked-source case),
+    * this equals [[steps]] on the same events (spec-asserted). A
+    * straggler arriving after the machine advanced past its slot is a
+    * missed opportunity, not an error — the streaming twin of the
+    * engine's documented late-drop divergence. A same-microsecond
+    * candidate simply does not satisfy "strictly after" (batch mode
+    * fails loudly instead: it can SEE the ambiguity; a stream cannot).
+    */
+  def stepsStream(events: DataFrame, user: Column, etype: Column, time: Column,
+                  stepNames: Seq[String]): DataFrame = {
+    require(stepNames.nonEmpty, "funnel: at least one step")
+    require(stepNames.distinct.size == stepNames.size,
+      s"funnel: steps must be distinct, got ${stepNames.mkString(", ")}")
+    val n = stepNames.size
+    val si = stepNames.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(etype === s, lit(i)).otherwise(acc)
+    }
+    val sp = events.sparkSession
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Int, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Int, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Boolean)] =
+      sp.implicits.newProductEncoder
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      sp.implicits.newLongEncoder
+    val e = events
+      .where(etype.isin(stepNames: _*))
+      .select(user.cast("long").as("user_id"), si.as("si"), unix_micros(time).as("t"))
+      .as[(Long, Int, Long)]
+    graft.streaming.KeyedProcess[Long, (Long, Int, Long), (Int, Long), (Long, Long, Boolean)](
+      e, _._1,
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update()) {
+      (u, evs, state) =>
+        var (k, tLast) = if (state.exists) state.get else (0, Long.MinValue)
+        val k0 = k
+        evs.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, s, t) =>
+          if (k < n && s == k && t > tLast) { k += 1; tLast = t }
+        }
+        state.update((k, tLast))
+        if (k != k0) Iterator((u, k.toLong, k == n)) else Iterator.empty
+    }.toDF("user_id", "steps_completed", "converted")
+  }
 }

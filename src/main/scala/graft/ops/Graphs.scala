@@ -89,6 +89,60 @@ object Graphs {
     * natural input for [[pagerank]] over interaction states. Per-user
     * windows are small; skewed users would need the usual salting.
     */
+  /** EXACT per-vertex triangle counts over an undirected simple graph
+    * (self-loops and duplicate/reversed edges normalized away) — the
+    * clustering-coefficient / community-density primitive.
+    *
+    * Scale shape: the classic degree-orientation algorithm. Each edge
+    * orients from its lower (degree, id) endpoint to its higher one, so
+    * every triangle is generated EXACTLY ONCE as a wedge at its
+    * lowest-ranked vertex, and — the load-bearing property — oriented
+    * out-degree is O(√m) even for power-law graphs: a hub's edges all
+    * point INTO it, so the hub never fans out a quadratic wedge set.
+    * Everything is equi-joins on edge keys (hash-partitioned, AQE
+    * skew-splittable); no nested loop appears (spec-asserted). The
+    * canonical edge list pins via localCheckpoint ([[pagerank]]'s
+    * pattern) because three passes read it.
+    *
+    * Output: (id, n_tri) for vertices in ≥ 1 triangle.
+    */
+  def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val raw = edges.select(src.as("x"), dst.as("y"))
+    Seq("x", "y").foreach { c =>
+      val dt = raw.schema(c).dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+        s"triangles: vertex ids must be integral, got $dt")
+    }
+    val canon = raw
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).cast("long").as("a"),
+        greatest(col("x"), col("y")).cast("long").as("b"))
+      .distinct().localCheckpoint()
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient: u = endpoint with the smaller (deg, id), w = the larger
+    val keyed = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = keyed.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("id"), col("da").as("dg"))).otherwise(
+        struct(col("b").as("id"), col("db").as("dg"))).as("u"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("b").as("id"), col("db").as("dg"))).otherwise(
+        struct(col("a").as("id"), col("da").as("dg"))).as("w"))
+      .select(col("u.id").as("u"), col("w.id").as("w"),
+        struct(col("w.dg"), col("w.id")).as("wk"))
+    // wedges at u (ordered within the wedge by orientation key), closed
+    // by the oriented edge (v1, v2)
+    val w1 = oriented.select(col("u"), col("w").as("v1"), col("wk").as("k1"))
+    val w2 = oriented.select(col("u"), col("w").as("v2"), col("wk").as("k2"))
+    val tri = w1.join(w2, Seq("u")).where(col("k1") < col("k2"))
+      .join(oriented.select(col("u").as("v1"), col("w").as("v2")), Seq("v1", "v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def transitionEdges(events: DataFrame, user: Column, state: Column,
                       ts: Column, tiebreak: Column): DataFrame = {
     events.select(user.as("u"), state.as("dst"), ts.as("t"), tiebreak.as("tb"))

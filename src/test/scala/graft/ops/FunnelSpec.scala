@@ -62,6 +62,41 @@ class FunnelSpec extends AnyFunSuite {
       s"step filter not pushed:\n$plan")
   }
 
+  test("stepsStream: in-order delivery == batch funnel; stragglers drop, state advances only") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val rows = ev.where(col("event_type").isin(STEPS: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](spark)
+    val out = Funnel.stepsStream(
+      in.toDF().toDF("user_id", "event_type", "us")
+        .select(col("user_id"), col("event_type"), timestamp_micros(col("us")).as("ts")),
+      col("user_id"), col("event_type"), col("ts"), STEPS)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      // event-time-ordered delivery in three batches
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      // last emitted progress per user == the batch funnel (users at 0
+      // steps never emit — the machine never advanced)
+      val updates = spark.table("funnel_stream").as[(Long, Long, Boolean)].collect()
+      val last = updates.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, xs) => xs.maxBy(_._2)._1 }.toSeq
+        .map(r => (r._1, r._2, r._3)).sorted
+      val batch = Funnel.steps(ev, col("user_id"), col("event_type"), col("ts"), STEPS)
+        .as[(Long, Long, Boolean)].collect().filter(_._2 > 0).toSeq.sorted
+      assert(last == batch && last.nonEmpty)
+      // a straggler behind the machine is ignored, not an error
+      val u = last.head._1
+      in.addData(Seq((u, STEPS.head, 1L))) // ancient first-step event
+      q.processAllAvailable()
+      val again = spark.table("funnel_stream").as[(Long, Long, Boolean)].collect()
+      assert(again.length == updates.length, "straggler must not emit or regress")
+    } finally q.stop()
+  }
+
   test("guards: ambiguous same-microsecond events fail loudly; bad step lists rejected") {
     val e = intercept[Exception] {
       run(Seq((1L, "view", 10L), (1L, "click", 10L)))

@@ -79,6 +79,50 @@ class GraphsSpec extends AnyFunSuite {
       scale = 1000000L).count() == 2)
   }
 
+  test("triangles: K4, triangle-free square, normalization of dups/loops/reversals") {
+    // K4 on {1,2,3,4}: four triangles, every vertex in three of them;
+    // square 10-11-12-13 without diagonals: none; noise edges are
+    // duplicated, reversed and self-looping to exercise normalization
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (1L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("s", "t")
+    val got = Graphs.triangles(e, col("s"), col("t"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangles: naive triple-join replica on a hub-heavy graph; equi-joins only") {
+    // star hub 0 + pseudo-random edges: hub degree ~n, so a wedge fan-out
+    // at the hub would be quadratic — orientation must point edges INTO it
+    val n = 400
+    val rnd = (0 until 1200).map { i =>
+      val a = (i * 2654435761L) % n; val b = (i * 40503L + 7) % n; (a, b)
+    }
+    val star = (1 until n).map(i => (0L, i.toLong))
+    val edges = (rnd ++ star).toDF("s", "t")
+    val got = Graphs.triangles(edges, col("s"), col("t"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val canon = (rnd ++ star).filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = canon.toSet
+    val naive = (for {
+      (u, v) <- canon; (u2, w) <- canon
+      if u2 == u && v < w && es.contains((v, w))
+    } yield Seq(u, v, w)).flatten
+      .groupBy(identity).map { case (id, xs) => (id, xs.size.toLong) }.toSeq.sorted
+    assert(got == naive && got.nonEmpty)
+    val plan = Graphs.triangles(edges, col("s"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"triangles must stay equi-join only:\n$plan")
+  }
+
+  test("triangles guard: non-integral vertex ids rejected") {
+    assertThrows[IllegalArgumentException] {
+      Graphs.triangles(Seq(("a", "b")).toDF("s", "t"), col("s"), col("t"))
+    }
+  }
+
   test("transitionEdges: per-user consecutive states in (ts, tiebreak) order") {
     val ev = Seq(
       (1L, "login", 10L, 100L), (1L, "browse", 20L, 101L), (1L, "buy", 30L, 102L),
