@@ -616,6 +616,16 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q111_quality_checks" -> ((s, d) =>
+      // data-quality gate: five named rules over lineitem in ONE
+      // partial-aggregated scan (a rule suite never costs a scan per
+      // rule); null rule results count as violations
+      Checks.validate(Tables(s, d).lineitem, Seq(
+        "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
+        "qty_range" -> col("l_quantity").between(1, 50),
+        "qty_under_30" -> (col("l_quantity") < 30),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_range" -> col("l_discount").between(0, 0.1)))),
     "q110_triangles" -> ((s, d) => {
       // per-vertex triangle counts over a deterministic md5-derived doc
       // graph (3 pseudo-random neighbors per doc) — degree orientation
@@ -1906,6 +1916,22 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q111_quality_checks" ->
+      // replay: the same five conditional counts; coalesce models the
+      // null-counts-as-violation rule
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL AND l_partkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity < 30, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |  CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM lineitem)
+        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+        |  SELECT 'keys_not_null' AS rule, n, v1 AS v FROM m
+        |  UNION ALL SELECT 'qty_range', n, v2 FROM m
+        |  UNION ALL SELECT 'qty_under_30', n, v3 FROM m
+        |  UNION ALL SELECT 'price_positive', n, v4 FROM m
+        |  UNION ALL SELECT 'discount_range', n, v5 FROM m)""".stripMargin,
     "q110_triangles" ->
       // replay: same md5 edge derivation ('0x' hex cast, q100's trick),
       // canonical a<b edges, the u<v<w triple join, three rotations

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation gate (the dbt-test / Deequ shape): named
+  * boolean rules evaluated over a table in ONE partial-aggregated pass
+  * — every rule becomes a conditional count inside the same aggregate,
+  * so a 100-rule suite over 100 TB costs exactly one scan and a
+  * single-row exchange, never a scan per rule.
+  *
+  * A rule PASSES for a row when its column evaluates true; null rule
+  * results count as violations (SQL three-valued logic would otherwise
+  * silently pass null rows through a `col > 0` check).
+  *
+  * Output: (rule, n_rows, n_violations, pass) one row per rule in
+  * declaration order — exact counts, so the oracle replays them.
+  */
+object Checks {
+
+  def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checks: at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"checks: rule names must be unique, got ${rules.map(_._1).mkString(", ")}")
+    val spark = df.sparkSession
+    val aggs = count(lit(1)).as("__n") +:
+      rules.map { case (name, rule) =>
+        sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getLong(0)
+    import spark.implicits._
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      (name, n, v, v == 0L)
+    }.toDF("rule", "n_rows", "n_violations", "pass")
+  }
+}
