@@ -616,6 +616,33 @@ object SparkEntry {
       // the lexical complement of q39/q42's embedding ANN
       Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
         bm25Queries(s), col("qid"), col("qtext"), k = 10)),
+    "q112_changelog_apply" -> ((s, d) => {
+      // CDC MERGE: a latest-wins upsert/delete log applied to a keyed
+      // snapshot. %11 keys (absent from the snapshot) re-inserted at
+      // seq 1, %7 custkeys bumped at seq 2, %13 deleted at seq 3 —
+      // overlapping keys (77, 91, 143, ...) exercise latest-wins; the
+      // winner collapse is a partial max-struct aggregate, never a
+      // log-wide window (plan-asserted in DiffSpec)
+      val o = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val snapshot = o.where(col("o_orderkey") % 11 =!= 0)
+      val changes = o.where(col("o_orderkey") % 11 === 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+        .unionByName(o.where(col("o_orderkey") % 13 === 0)
+          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      Diff.applyChangelog(snapshot, changes, Seq("o_orderkey"), "seq", "op")
+    }),
+    "q113_scd2" -> ((s, d) =>
+      // SCD-2 history: each user's event log becomes versioned state
+      // rows with [valid_from, valid_to) event-id bounds and an
+      // is_current flag — ONE keyed exchange (the lead window);
+      // (user_id, event_id) uniqueness fail-fast
+      Diff.scd2(Tables(s, d).events
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        Seq("user_id"), "event_id")),
     "q111_quality_checks" -> ((s, d) =>
       // data-quality gate: five named rules over lineitem in ONE
       // partial-aggregated scan (a rule suite never costs a scan per
@@ -1916,6 +1943,38 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q104_hybrid_rrf" -> rrfOracleSql,
+    "q112_changelog_apply" ->
+      // replay: same three-part log, latest-wins by row_number over
+      // seq DESC ((key, seq) unique by construction), full outer
+      // merge, winning 'D' filtered out
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |snap AS (SELECT * FROM o WHERE o_orderkey % 11 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS seq, 'U' AS op
+        |  FROM o WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 1000000, o_totalprice, 2, 'U'
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 3, 'D'
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |w AS (SELECT * FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(w.o_orderkey, snap.o_orderkey) AS o_orderkey,
+        |  CAST(CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_custkey
+        |            ELSE snap.o_custkey END AS BIGINT) AS o_custkey,
+        |  CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_totalprice
+        |       ELSE snap.o_totalprice END AS o_totalprice
+        |FROM snap FULL JOIN w ON snap.o_orderkey = w.o_orderkey
+        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
+    "q113_scd2" ->
+      // replay: the lead window is the whole operator; BIGINT event
+      // ids, boolean currency flag
+      """SELECT user_id, event_id, event_type,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        |  (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q111_quality_checks" ->
       // replay: the same five conditional counts; coalesce models the
       // null-counts-as-violation rule

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — the lakehouse CDC primitive: given two versions of a
@@ -50,5 +51,86 @@ object Diff {
           .otherwise(lit("unchanged")))
       .where(col("change_type") =!= "unchanged")
       .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
+  /** Apply a CDC changelog to a keyed snapshot — the lakehouse MERGE
+    * (the batch form of the reference's stateful upsert-by-key pattern,
+    * `taskmanager/operators/stateful.py` keyed state overwrite): for
+    * each key the highest-`seqCol` change wins; a winning `deleteOp`
+    * row deletes the key, any other winning op upserts the full row;
+    * untouched snapshot rows pass through. Output schema = snapshot
+    * schema.
+    *
+    * Scale shape: the changelog collapses to one winner per key via a
+    * max-struct PARTIAL aggregate — the exchange carries one row per
+    * (map partition, key), never the raw log (the per-key
+    * `row_number` window form would shuffle every log row to one
+    * partition per key and sort it). Then ONE hash exchange per side
+    * into the full-outer join; AQE splits skewed keys. Ties on seq
+    * resolve by the struct's lexicographic order over (seq, op,
+    * data...), so reruns and other engines agree row-for-row.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     keys: Seq[String], seqCol: String, opCol: String,
+                     deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog: at least one key column")
+    keys.foreach(k => require(snapshot.columns.contains(k),
+      s"applyChangelog: snapshot has no key column $k"))
+    val dataCols = snapshot.columns.filterNot(keys.contains).toSeq
+    (keys ++ dataCols ++ Seq(seqCol, opCol)).foreach(c =>
+      require(changes.columns.contains(c), s"applyChangelog: changes has no column $c"))
+    val reservedHit = dataCols.intersect(Seq("__seq", "__op"))
+    require(reservedHit.isEmpty,
+      s"applyChangelog: data columns ${reservedHit.mkString(", ")} collide " +
+        "with internal struct field names — rename them first")
+    // one row per key per snapshot, same ambiguity argument as snapshots()
+    val dup = snapshot.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"applyChangelog: snapshot has duplicate keys (e.g. ${dup.headOption.orNull}) — " +
+        "a merge needs exactly one base row per key")
+    val winner = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col(seqCol).as("__seq") +: col(opCol).as("__op") +:
+        dataCols.map(c => col(c)): _*)).as("__w"))
+      .select(keys.map(col) ++ (col("__w.__op").as("__op") +:
+        dataCols.map(c => col(s"__w.$c").as(s"__c_$c"))): _*)
+    val snap = snapshot.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__in_snap"): _*)
+    snap.join(winner, keys, "full_outer")
+      // a winning delete removes the key even when it only ever existed
+      // in the log (insert-then-delete inside one batch)
+      .where(col("__op").isNull || col("__op") =!= lit(deleteOp))
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(s"__s_$c")).as(c)): _*)
+  }
+
+  /** Build SCD-2 (slowly-changing-dimension type 2) history from a
+    * changelog: every version row gets a half-open validity interval —
+    * `seqCol` is valid_from, `valid_to` is the NEXT version's seq for
+    * the same key (null = still current), plus an `is_current` flag.
+    *
+    * Scale shape: one keyed exchange (the lead window partitions by
+    * key and sorts each key's versions in place); no self-join, no
+    * second corpus pass. Requires (keys, seq) unique — a tie makes
+    * "the next version" ambiguous — checked fail-fast with a key-sized
+    * aggregate.
+    */
+  def scd2(changelog: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2: at least one key column")
+    (keys :+ seqCol).foreach(k => require(changelog.columns.contains(k),
+      s"scd2: changelog has no column $k"))
+    Seq("valid_to", "is_current").foreach(c => require(!changelog.columns.contains(c),
+      s"scd2: input already has a $c column — rename it first"))
+    val dup = changelog.groupBy((keys :+ seqCol).map(col): _*)
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"scd2: duplicate (key, $seqCol) version rows (e.g. ${dup.headOption.orNull}) — " +
+        "version order within a key must be total")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    changelog
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

@@ -44,6 +44,79 @@ class DiffSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { Diff.snapshots(ok, ok, Seq.empty) }
   }
 
+  test("applyChangelog: latest-wins upsert, delete, passthrough, log-only insert+delete") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val ch = Seq(
+      (1L, "a1", 11L, 1L, "U"),  // update k=1 ...
+      (1L, "a2", 12L, 2L, "U"),  // ... then again: seq 2 wins
+      (2L, "b", 20L, 1L, "D"),   // delete k=2
+      (4L, "d", 40L, 1L, "U"),   // insert new key
+      (5L, "e", 50L, 1L, "U"),   // insert ...
+      (5L, "e", 50L, 2L, "D")    // ... then delete in the same log: gone
+    ).toDF("k", "s", "v", "seq", "op")
+    val got = Diff.applyChangelog(snap, ch, Seq("k"), "seq", "op")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a2", 12L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("applyChangelog: delete-then-reinsert keeps the reinsert; output schema = snapshot") {
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val ch = Seq((1L, 0L, 1L, "D"), (1L, 99L, 2L, "U")).toDF("k", "v", "seq", "op")
+    val out = Diff.applyChangelog(snap, ch, Seq("k"), "seq", "op")
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.as[(Long, Long)].collect().toSeq == Seq((1L, 99L)))
+  }
+
+  test("applyChangelog guards: dup snapshot keys, missing columns, reserved names") {
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val ch = Seq((1L, 11L, 1L, "U")).toDF("k", "v", "seq", "op")
+    assertThrows[IllegalArgumentException] {
+      Diff.applyChangelog(Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), ch, Seq("k"), "seq", "op")
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.applyChangelog(snap, ch.drop("op"), Seq("k"), "seq", "op")
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.applyChangelog(Seq((1L, 1L)).toDF("k", "__op"),
+        Seq((1L, 1L, 1L, "U")).toDF("k", "__op", "seq", "op"), Seq("k"), "seq", "op")
+    }
+  }
+
+  test("applyChangelog plan: winner collapse is a partial aggregate, not a window") {
+    val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
+      .select(col("o_orderkey"), col("o_custkey"))
+    val ch = o.withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val plan = Diff.applyChangelog(o, ch, Seq("o_orderkey"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"winner pick must be a partial max aggregate:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"no per-key window over the raw log:\n$plan")
+  }
+
+  test("scd2: validity chain per key, is_current on the last version") {
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 5L, "x")).toDF("k", "seq", "s")
+    val got = Diff.scd2(log, Seq("k"), "seq")
+      .select(col("k"), col("seq"), col("s"), col("valid_to"), col("is_current"))
+      .as[(Long, Long, String, Option[Long], Boolean)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", Some(20L), false),
+      (1L, 20L, "b", Some(30L), false),
+      (1L, 30L, "c", None, true),
+      (2L, 5L, "x", None, true)))
+  }
+
+  test("scd2 guards: duplicate (key, seq), reserved output names") {
+    assertThrows[IllegalArgumentException] {
+      Diff.scd2(Seq((1L, 10L), (1L, 10L)).toDF("k", "seq"), Seq("k"), "seq")
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.scd2(Seq((1L, 10L, 0L)).toDF("k", "seq", "valid_to"), Seq("k"), "seq")
+    }
+  }
+
   test("both sides stay distributed: full-outer sort-merge join, no broadcast") {
     val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
     val plan = Diff.snapshots(o.where(col("o_orderkey") % 2 === 0),
