@@ -643,6 +643,33 @@ object SparkEntry {
       Diff.scd2(Tables(s, d).events
           .select(col("user_id"), col("event_id"), col("event_type")),
         Seq("user_id"), "event_id")),
+    "q114_temporal_join" -> ((s, d) => {
+      // point-in-time lookup: every non-purchase event attaches the
+      // user's purchase version in force at that event id — scd2 builds
+      // the dimension, temporalJoin resolves it in ONE keyed exchange
+      // (no join node; plan-asserted in DiffSpec)
+      val e = Tables(s, d).events
+      val dim = Diff.scd2(
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("version_id"),
+            col("value").as("version_value")),
+        Seq("user_id"), "version_id")
+      Diff.temporalJoin(
+        e.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        dim, Seq("user_id"), "event_id", "version_id", "valid_to",
+        Seq("version_id", "version_value"))
+    }),
+    "q115_gap_fill" -> ((s, d) =>
+      // 6-hour resample of each user's purchase value with forward
+      // fill — the spine comes from a key-sized bounds aggregate, the
+      // fill is one keyed window, no join anywhere (plan-asserted in
+      // TimeseriesSpec); dup (user, ms) collapsed first for determinism
+      Timeseries.gapFill(
+        Tables(s, d).events.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
+          .agg(max(col("value")).as("value")),
+        Seq("user_id"), "ms", 21600000L, Seq("value"))),
     "q111_quality_checks" -> ((s, d) =>
       // data-quality gate: five named rules over lineitem in ONE
       // partial-aggregated scan (a rule suite never costs a scan per
@@ -1975,6 +2002,29 @@ object SparkEntry {
         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
         |  (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL AS is_current
         |FROM events""".stripMargin,
+    "q114_temporal_join" ->
+      // replay: DuckDB's native ASOF JOIN is the ground truth (scd2
+      // intervals are contiguous per key, so as-of == validity lookup)
+      """WITH p AS (SELECT user_id, event_id AS version_id, value AS version_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, event_id, event_type FROM events
+        |      WHERE event_type <> 'purchase')
+        |SELECT f.user_id, f.event_id, f.event_type, p.version_id, p.version_value
+        |FROM f ASOF LEFT JOIN p
+        |  ON f.user_id = p.user_id AND f.event_id >= p.version_id""".stripMargin,
+    "q115_gap_fill" ->
+      // replay: per-key bucket spine via generate_series, fill via ASOF
+      // join to the bucket END (ts < t + step ⇔ bucket-end tick >= ts)
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(ms) AS mn, max(ms) AS mx FROM o GROUP BY 1),
+        |s AS (SELECT user_id,
+        |             unnest(generate_series(mn // 21600000, mx // 21600000)) * 21600000 AS ms
+        |      FROM b),
+        |se AS (SELECT user_id, ms, ms + 21599999 AS bucket_end FROM s)
+        |SELECT se.user_id, se.ms, o.value
+        |FROM se ASOF LEFT JOIN o
+        |  ON se.user_id = o.user_id AND se.bucket_end >= o.ms""".stripMargin,
     "q111_quality_checks" ->
       // replay: the same five conditional counts; coalesce models the
       // null-counts-as-violation rule

@@ -133,4 +133,72 @@ object Diff {
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Look up the dimension version valid at each fact's time: for every
+    * fact row, the dim row with the greatest `validFrom` ≤ fact ts that
+    * still covers it (`ts < validTo`, null validTo = open-ended) — the
+    * SCD-2 companion of [[scd2]], and the point-in-time join a training
+    * pipeline uses to attach "the metadata as of this document's crawl".
+    * Carried columns are null when no version covers the fact.
+    *
+    * Scale shape: same union-plus-window frame as `Joins.asofJoin` —
+    * ONE keyed exchange total, no join node at all (a per-key
+    * interval join would be quadratic in versions; a broadcast needs a
+    * small dim). Dim rows with a null key or null `validFrom` are
+    * dropped up front (SQL equality semantics: NULL matches nothing);
+    * facts keep left-join behavior. (keys, validFrom) must be unique —
+    * checked fail-fast — so the as-of winner is deterministic.
+    */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                   factTs: String, validFrom: String, validTo: String,
+                   carry: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "temporalJoin: at least one key column")
+    require(carry.nonEmpty, "temporalJoin: name the dim columns to attach")
+    (keys :+ factTs).foreach(c => require(facts.columns.contains(c),
+      s"temporalJoin: facts has no column $c"))
+    (keys ++ Seq(validFrom, validTo) ++ carry).foreach(c =>
+      require(dim.columns.contains(c), s"temporalJoin: dim has no column $c"))
+    val reserved = Seq("_ts", "_side", "_v")
+    require(facts.columns.intersect(reserved).isEmpty,
+      s"temporalJoin: facts uses reserved column names: ${reserved.mkString(", ")}")
+    carry.foreach(c => require(!facts.columns.contains(c),
+      s"temporalJoin: carry column $c collides with a facts column — alias it in dim"))
+    require(!carry.contains("__vt"),
+      "temporalJoin: __vt is reserved inside the carry struct")
+    val dup = dim.groupBy((keys :+ validFrom).map(col): _*)
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"temporalJoin: dim has duplicate (key, $validFrom) versions " +
+        s"(e.g. ${dup.headOption.orNull}) — the as-of winner would be ambiguous")
+
+    val dimPrepped = dim
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(validFrom).isNotNull)
+      .select(keys.map(col) ++ Seq(col(validFrom).as("_ts"), lit(0).as("_side"),
+        struct(col(validTo).as("__vt") +: carry.map(col): _*).as("_v")): _*)
+    val vType = dimPrepped.schema("_v").dataType
+    val factFields = facts.schema.fields.toSeq
+    // keys stay REAL on both sides (they drive the window partitioning);
+    // only the non-key fact payload is nulled on the dim side
+    val factSide = facts.select(
+      factFields.map(f => col(f.name)) ++
+        Seq(col(factTs).as("_ts"), lit(1).as("_side"),
+          lit(null).cast(vType).as("_v")): _*)
+    val dimSide = dimPrepped.select(
+      factFields.map(f =>
+        if (keys.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(col("_ts"), col("_side"), col("_v")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the as-of winner, then the validity check turns an expired version
+    // (gapped history: key deleted, never re-versioned) back into a miss
+    val covered = col("_v").isNotNull &&
+      (col("_v.__vt").isNull || col("_ts") < col("_v.__vt"))
+    factSide.unionByName(dimSide)
+      .withColumn("_v", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(factFields.map(f => col(f.name)) ++
+        carry.map(c => when(covered, col(s"_v.$c")).as(c)): _*)
+  }
 }

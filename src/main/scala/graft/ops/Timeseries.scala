@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling over irregular per-key observations — the
+  * time-series half of the reference's windowed aggregations
+  * (`taskmanager/operators/windows.py` buckets event time the same way;
+  * this op additionally FILLS the buckets nothing landed in, which the
+  * reference leaves to the dashboard layer).
+  */
+object Timeseries {
+
+  /** Resample each key's observations onto a regular grid with forward
+    * fill: one output row per key per bucket `t` (multiples of `step`
+    * from `floor(min/step)·step` to `floor(max/step)·step`, per key);
+    * each value column carries the LAST observation at `ts < t + step`
+    * — i.e. "value as of bucket end", so a bucket with no observation
+    * repeats the previous one (pandas `resample().last().ffill()`).
+    * The first bucket always contains the key's first observation, so
+    * no leading nulls.
+    *
+    * Scale shape: the grid spine is generated from a key-sized bounds
+    * aggregate (`sequence` over bucket ordinals — never a row per
+    * tick driver-side), then spine and observations meet in the same
+    * union-plus-window frame as `Joins.asofJoin`: ONE keyed exchange
+    * for the fill, no join node anywhere. Dense keys cost rows, not
+    * shuffles. Guards fail fast: `ts` must be a non-negative integral
+    * (truncating and flooring division agree there, keeping the bucket
+    * arithmetic engine-portable), (keys, ts) must be unique (the fill
+    * winner would otherwise be ambiguous), and a key whose span exceeds
+    * `maxBucketsPerKey` aborts instead of exploding a runaway spine.
+    */
+  def gapFill(obs: DataFrame, keys: Seq[String], tsCol: String, step: Long,
+              valueCols: Seq[String], maxBucketsPerKey: Long = 1L << 22): DataFrame = {
+    require(keys.nonEmpty, "gapFill: at least one key column")
+    require(step > 0, "gapFill: step must be positive")
+    require(valueCols.nonEmpty, "gapFill: name the value columns to fill")
+    (keys ++ (tsCol +: valueCols)).foreach(c => require(obs.columns.contains(c),
+      s"gapFill: no column $c"))
+    val reserved = Seq("_ts", "_side", "_v", "__b")
+    require(obs.columns.intersect(reserved).isEmpty,
+      s"gapFill: input uses reserved column names: ${reserved.mkString(", ")}")
+    require(obs.schema(tsCol).dataType.simpleString.matches("bigint|int|smallint|tinyint"),
+      s"gapFill: $tsCol must be integral ticks (got ${obs.schema(tsCol).dataType.simpleString}) — " +
+        "convert timestamps to epoch units first")
+
+    // SQL equality semantics: a null key or tick matches no bucket — drop
+    val rows = obs.where((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
+    val dup = rows.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"gapFill: duplicate (key, $tsCol) observations (e.g. ${dup.headOption.orNull}) — " +
+        "pre-aggregate to one row per key per tick")
+
+    // key-sized bounds; the single guard row is the fail-fast posture,
+    // not a data path (same shape as KMeans.fit's overflow pre-check)
+    val bounds = rows.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__mn"), max(col(tsCol)).as("__mx"))
+    val guard = bounds.agg(
+      min(col("__mn")).as("mn"), max(col("__mx")).as("mx"),
+      max(expr(s"(__mx div $step) - (__mn div $step) + 1")).as("buckets")
+    ).collect().headOption.filterNot(_.isNullAt(0)) // all-null = empty input
+    guard.foreach { g =>
+      require(g.getLong(0) >= 0,
+        s"gapFill: $tsCol has negative ticks (min=${g.getLong(0)}) — " +
+          "truncating division would misalign buckets below zero")
+      require(g.getLong(1) <= Long.MaxValue - step,
+        s"gapFill: max tick ${g.getLong(1)} too close to Long.MaxValue for step $step")
+      require(g.getLong(2) <= maxBucketsPerKey,
+        s"gapFill: a key spans ${g.getLong(2)} buckets (> $maxBucketsPerKey) — " +
+          "raise step or maxBucketsPerKey")
+    }
+
+    val spine = bounds.select(keys.map(col) :+
+      explode(sequence(expr(s"__mn div $step"), expr(s"__mx div $step"))).as("__b"): _*)
+    val obsSide = rows.select(keys.map(col) ++ Seq(
+      col(tsCol).as("_ts"), lit(0).as("_side"), lit(null).cast("long").as("__b"),
+      struct(valueCols.map(col): _*).as("_v")): _*)
+    val vType = obsSide.schema("_v").dataType
+    // spine rows sort at bucket END (inclusive tick): an observation ON
+    // the boundary belongs to the bucket it closes, side 0 before 1
+    val spineSide = spine.select(keys.map(col) ++ Seq(
+      (col("__b") * step + (step - 1)).as("_ts"), lit(1).as("_side"), col("__b"),
+      lit(null).cast(vType).as("_v")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obsSide.unionByName(spineSide)
+      .withColumn("_v", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(keys.map(col) ++ ((col("__b") * step).as(tsCol) +:
+        valueCols.map(c => col(s"_v.$c").as(c))): _*)
+  }
+}

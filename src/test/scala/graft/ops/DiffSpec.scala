@@ -108,6 +108,76 @@ class DiffSpec extends AnyFunSuite {
       (2L, 5L, "x", None, true)))
   }
 
+  test("temporalJoin: as-of version per fact, gap after expiry, pre-history miss") {
+    val dim = Seq(
+      (1L, 10L, Some(20L), "v1"),  // k=1 [10,20)
+      (1L, 20L, Some(30L), "v2"),  // k=1 [20,30) — then GAP (deleted)
+      (1L, 40L, None, "v3"),       // k=1 [40,∞)
+      (2L, 5L, None, "w1")         // k=2 [5,∞)
+    ).toDF("k", "vf", "vt", "name")
+    val facts = Seq(
+      (1L, 9L),   // before any version -> null
+      (1L, 10L),  // boundary: v1 starts here
+      (1L, 25L),  // v2
+      (1L, 35L),  // inside the gap -> null (as-of finds v2 but vt=30 expired)
+      (1L, 99L),  // v3 open-ended
+      (2L, 5L),   // boundary on k=2
+      (3L, 50L)   // unknown key -> null
+    ).toDF("k", "t")
+    val got = Diff.temporalJoin(facts, dim, Seq("k"), "t", "vf", "vt", Seq("name"))
+      .as[(Long, Long, Option[String])].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 9L, None), (1L, 10L, Some("v1")), (1L, 25L, Some("v2")),
+      (1L, 35L, None), (1L, 99L, Some("v3")), (2L, 5L, Some("w1")),
+      (3L, 50L, None)))
+  }
+
+  test("temporalJoin: null dim keys match nothing; facts keep left semantics") {
+    val dim = Seq((Some(1L), 10L, "v")).toDF("k", "vf", "name")
+      .withColumn("vt", lit(null).cast("long"))
+      .union(Seq((Option.empty[Long], 5L, "junk")).toDF("k", "vf", "name")
+        .withColumn("vt", lit(null).cast("long")))
+    val facts = Seq((Some(1L), 15L), (Option.empty[Long], 15L)).toDF("k", "t")
+    val got = Diff.temporalJoin(facts, dim, Seq("k"), "t", "vf", "vt", Seq("name"))
+      .select(col("k"), col("t"), col("name"))
+      .as[(Option[Long], Long, Option[String])].collect().toSeq.sortBy(_._2)
+    assert(got.toSet == Set((Some(1L), 15L, Some("v")), (None, 15L, None)))
+  }
+
+  test("temporalJoin guards: dup (key, validFrom), carry collision, missing cols") {
+    val dim = Seq((1L, 10L, Option.empty[Long], "v")).toDF("k", "vf", "vt", "name")
+    val facts = Seq((1L, 15L)).toDF("k", "t")
+    assertThrows[IllegalArgumentException] {
+      Diff.temporalJoin(facts,
+        Seq((1L, 10L, Option.empty[Long], "a"), (1L, 10L, Option.empty[Long], "b"))
+          .toDF("k", "vf", "vt", "name"),
+        Seq("k"), "t", "vf", "vt", Seq("name"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.temporalJoin(facts.withColumnRenamed("t", "name"), dim,
+        Seq("k"), "name", "vf", "vt", Seq("name"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.temporalJoin(facts, dim.drop("vt"), Seq("k"), "t", "vf", "vt", Seq("name"))
+    }
+  }
+
+  test("temporalJoin plan: one keyed window, no join node") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val dim = Diff.scd2(
+      e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("version_id"), col("value")),
+      Seq("user_id"), "version_id")
+    val plan = Diff.temporalJoin(
+      e.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type")),
+      dim, Seq("user_id"), "event_id", "version_id", "valid_to",
+      Seq("version_id", "value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"temporalJoin must not contain a join node:\n$plan")
+    assert(plan.contains("Window"), s"the as-of carry is a window:\n$plan")
+  }
+
   test("scd2 guards: duplicate (key, seq), reserved output names") {
     assertThrows[IllegalArgumentException] {
       Diff.scd2(Seq((1L, 10L), (1L, 10L)).toDF("k", "seq"), Seq("k"), "seq")

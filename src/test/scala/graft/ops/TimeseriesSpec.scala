@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gapFill: regular grid per key, forward fill, boundary obs closes its bucket") {
+    // step 10: key 1 observes at 12, 19, 41 -> buckets 10..40
+    val obs = Seq(
+      (1L, 12L, 1.0), (1L, 19L, 2.0), (1L, 41L, 3.0),
+      (2L, 100L, 9.0)).toDF("k", "ts", "v")
+    val got = Timeseries.gapFill(obs, Seq("k"), "ts", 10L, Seq("v"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 10L, 2.0),   // bucket [10,20): last obs at 19
+      (1L, 20L, 2.0),   // empty -> forward fill
+      (1L, 30L, 2.0),   // empty -> forward fill
+      (1L, 40L, 3.0),   // obs at 41 inside [40,50)
+      (2L, 100L, 9.0)))
+  }
+
+  test("gapFill: multiple value columns fill together; single-obs key = one bucket") {
+    val obs = Seq((7L, 25L, 1.5, "a")).toDF("k", "ts", "x", "s")
+    val got = Timeseries.gapFill(obs, Seq("k"), "ts", 10L, Seq("x", "s"))
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq((7L, 20L, 1.5, "a")))
+  }
+
+  test("gapFill: observation exactly on a bucket-end tick belongs to that bucket") {
+    val obs = Seq((1L, 10L, 1.0), (1L, 29L, 2.0), (1L, 30L, 3.0)).toDF("k", "ts", "v")
+    val got = Timeseries.gapFill(obs, Seq("k"), "ts", 10L, Seq("v"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // 29 is the last tick of [20,30); 30 opens [30,40)
+    assert(got == Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0)))
+  }
+
+  test("gapFill: empty input yields empty output; null key/ts rows are dropped") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "ts", "v")
+    assert(Timeseries.gapFill(empty, Seq("k"), "ts", 10L, Seq("v")).count() == 0)
+    val withNulls = Seq((Some(1L), Some(15L), 1.0), (None, Some(5L), 2.0),
+      (Some(1L), None, 3.0)).toDF("k", "ts", "v")
+    val got = Timeseries.gapFill(withNulls, Seq("k"), "ts", 10L, Seq("v"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.0)))
+  }
+
+  test("gapFill guards: dup ticks, negative ticks, runaway spine, bad types") {
+    val obs = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v")
+    assertThrows[IllegalArgumentException] {
+      Timeseries.gapFill(Seq((1L, 10L, 1.0), (1L, 10L, 2.0)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", 10L, Seq("v"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Timeseries.gapFill(Seq((1L, -5L, 1.0)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", 10L, Seq("v"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Timeseries.gapFill(Seq((1L, 0L, 1.0), (1L, 1000000L, 2.0)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", 1L, Seq("v"), maxBucketsPerKey = 1000)
+    }
+    assertThrows[IllegalArgumentException] {
+      Timeseries.gapFill(obs.withColumn("ts", col("ts").cast("double")),
+        Seq("k"), "ts", 10L, Seq("v"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Timeseries.gapFill(obs, Seq("k"), "ts", 0L, Seq("v"))
+    }
+  }
+
+  test("gapFill plan: union-window fill, no join node") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val obs = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .agg(max(col("value")).as("value"))
+    val df = Timeseries.gapFill(obs, Seq("user_id"), "ms", 21600000L, Seq("value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"gapFill must not contain a join node:\n$plan")
+    assert(plan.contains("Window"), s"the fill is a window:\n$plan")
+    // grid sanity at real scale: every key's bucket count matches its span
+    val bad = df.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+        (max(col("ms")) - min(col("ms"))).as("span"))
+      .where(col("n") =!= col("span") / 21600000L + 1).count()
+    assert(bad == 0, "per-key grid must be contiguous")
+  }
+}
