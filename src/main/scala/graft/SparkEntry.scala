@@ -660,6 +660,16 @@ object SparkEntry {
         dim, Seq("user_id"), "event_id", "version_id", "valid_to",
         Seq("version_id", "version_value"))
     }),
+    "q116_trend" -> ((s, d) =>
+      // per-supplier shipment-quantity trend over ship-day: closed-form
+      // OLS from the five sums in ONE partial-aggregated scan, integer
+      // fixed point (milli-units) so every engine agrees bit-for-bit;
+      // x shifted to a small base offset to keep products in Long range
+      Trend.fit(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          expr("(unix_millis(l_shipdate) div 86400000) - 9000").as("x"),
+          col("l_quantity").cast("long").as("y")),
+        Seq("l_suppkey"), "x", "y", scale = 1000L)),
     "q115_gap_fill" -> ((s, d) =>
       // 6-hour resample of each user's purchase value with forward
       // fill — the spine comes from a key-sized bounds aggregate, the
@@ -2002,6 +2012,23 @@ object SparkEntry {
         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
         |  (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL AS is_current
         |FROM events""".stripMargin,
+    "q116_trend" ->
+      // replay: the same five sums and the same truncating integer
+      // division; DuckDB's HUGEINT sums are cast back to BIGINT on
+      // output (the driver's hasher is type-sensitive)
+      """WITH t AS (SELECT l_suppkey,
+        |             (epoch_ms(l_shipdate) // 86400000) - 9000 AS x,
+        |             CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT l_suppkey, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM t GROUP BY 1),
+        |b AS (SELECT l_suppkey, n, sx, sy,
+        |             CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |                  ELSE (1000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) END AS slope_fp
+        |      FROM a)
+        |SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+        |       CAST(slope_fp AS BIGINT) AS slope_fp,
+        |       CAST((1000 * sy - slope_fp * sx) // n AS BIGINT) AS intercept_fp
+        |FROM b""".stripMargin,
     "q114_temporal_join" ->
       // replay: DuckDB's native ASOF JOIN is the ground truth (scd2
       // intervals are contiguous per key, so as-of == validity lookup)
