@@ -98,7 +98,26 @@ object Bench {
       graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeats":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
+    // The driver keeps only the LAST ~2000 chars of output, so everything
+    // that must survive goes at the END, most important last:
+    //  - "slow": [min,med,max] per-repeat evidence for the 10 slowest
+    //    queries — the interference diagnostic (the r6/r7 anomaly blocks
+    //    were adjudicable only via out-of-band re-measure because the full
+    //    "repeats" dict sat before "queries" and was truncated away)
+    //  - "m": compact qNN → median for EVERY query (2 dp), so per-query
+    //    cross-round comparison works even when the full-name "queries"
+    //    dict is front-truncated (in r7 everything before q41 was lost)
+    //  - totals + errors last of all
+    val slow = medians.sortBy(-_._2).take(10).map(_._1).toSet
+    val slowJson = results.filter { case (k, _) => slow(k) }
+      .map { case (k, ts) =>
+        val s = ts.sorted
+        "\"" + k + "\":[" + Seq(s.head, s(s.length / 2), s.last).map(r2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val compact = medians.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeats":$reps,"queries":$qs,"sf":"$sfDir","slow":$slowJson,"m":$compact,"errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -303,14 +303,29 @@ object SparkEntry {
           col("mean_intensity"))
     }),
     "q44_approx_distinct" -> ((s, d) =>
-      Tables(s, d).events.groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("n_approx"))),
+      // HLL sketch aggregate, oracle-checkable by pinning the exactness
+      // regime (the q64 approx_top_k trick): the counted domain is the
+      // SAME ≤5 event_type strings in every group, rsd 0.01 gives 2^14
+      // registers, and those 5 hashes land in distinct registers — so
+      // linear counting returns m·ln(m/(m-k)) = k + k²/2m, which rounds
+      // to exactly k for every subset. The sketch regime (big domains,
+      // where HLL is genuinely approximate) stays quality-gated in
+      // ExtensionsSpec; at 100 TB the sketch is the same fixed 16 KiB
+      // per group regardless of cardinality.
+      Tables(s, d).events.where(col("value") > 150)
+        .groupBy(col("user_id"))
+        .agg(approx_count_distinct(col("event_type"), 0.01).as("n_approx"))),
     "q54_approx_percentile" -> ((s, d) =>
-      // approximate sketch aggregate (absent in reference; quality-gated
-      // against exact percentiles in ExtensionsSpec, not the oracle)
+      // Greenwald-Khanna sketch aggregate, oracle-checkable by pinning
+      // the exactness regime: accuracy 1e6 ≥ any sf0.01 group count, so
+      // every sample is retained and query(p) returns the element at
+      // rank ceil(p·n) (double arithmetic — the oracle replays the same
+      // IEEE product). The sketch regime stays quality-gated in
+      // ExtensionsSpec; at 100 TB memory is O(accuracy·log n) per group,
+      // independent of group size.
       Tables(s, d).events.groupBy(col("event_type")).agg(
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
-        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95"))),
+        approx_percentile(col("value"), lit(0.5), lit(1000000)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(1000000)).as("p95"))),
     "q53_train_split" -> ((s, d) =>
       Sampling.split(Tables(s, d).documents, col("doc_id"))
         .groupBy(col("fold"), col("lang"))
@@ -667,7 +682,10 @@ object SparkEntry {
       // x shifted to a small base offset to keep products in Long range
       Trend.fit(
         Tables(s, d).lineitem.select(col("l_suppkey"),
-          expr("(unix_millis(l_shipdate) div 86400000) - 9000").as("x"),
+          // l_shipdate reads as TIMESTAMP_NTZ from parquet; unix_millis
+          // needs LTZ — the cast is deterministic because the session
+          // timezone is pinned UTC in GraftSession
+          expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000) - 9000").as("x"),
           col("l_quantity").cast("long").as("y")),
         Seq("l_suppkey"), "x", "y", scale = 1000L)),
     "q115_gap_fill" -> ((s, d) =>
@@ -1426,6 +1444,25 @@ object SparkEntry {
         |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
         |], 'max').lang AS lang_pred
         |FROM t""".stripMargin,
+    "q44_approx_distinct" ->
+      // exact replay is valid because the Spark side pins the exactness
+      // regime: ≤5 distinct strings per group, 2^14 HLL registers, no
+      // register collision among the 5 hashes → linear counting rounds
+      // to exactly k (see the query's doc comment)
+      """SELECT user_id, count(DISTINCT event_type) AS n_approx
+        |FROM events WHERE value > 150 GROUP BY 1""".stripMargin,
+    "q54_approx_percentile" ->
+      // exact replay: accuracy 1e6 retains every sample, so the sketch
+      // returns the element at rank ceil(p·n) computed in DOUBLE (the
+      // CAST matters: DuckDB's 0.95 literal is DECIMAL, whose exact
+      // product can ceil differently than IEEE doubles)
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rk = CAST(ceil(CAST(0.5 AS DOUBLE)*n) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rk = CAST(ceil(CAST(0.95 AS DOUBLE)*n) AS BIGINT) THEN value END) AS p95
+        |FROM r GROUP BY 1""".stripMargin,
     "q53_train_split" ->
       // md5-prefix buckets: 0.8*256=205=0xcd, +0.1*256=26 -> 231=0xe7;
       // lexicographic hex compare == numeric bucket compare

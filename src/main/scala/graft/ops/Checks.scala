@@ -35,4 +35,36 @@ object Checks {
       (name, n, v, v == 0L)
     }.toDF("rule", "n_rows", "n_violations", "pass")
   }
+
+  /** Continuous twin of [[validate]]: a RUNNING quality gate over a
+    * stream — per micro-batch rule counts fold into cumulative totals
+    * via Spark's native streaming aggregation state (no custom state
+    * machine needed: the gate IS a grouped aggregate). Emit with
+    * `outputMode("complete")` — each batch rewrites the R-row gate with
+    * the totals over everything seen so far.
+    *
+    * Same one-scan shape as the batch gate: rules become an exploded
+    * R-row struct array per input row, partial-aggregated map-side, so
+    * the exchange carries at most R rows per partition regardless of
+    * input volume. R is the rule count (small); the streaming state is
+    * R rows total.
+    *
+    * Parity contract (spec-asserted): after the final micro-batch, the
+    * gate equals [[validate]] over the union of all batches. Also works
+    * on a batch DataFrame (same plan, no state) for callers that want
+    * the grouped-aggregate form.
+    */
+  def validateStream(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checks: at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"checks: rule names must be unique, got ${rules.map(_._1).mkString(", ")}")
+    val pairs = rules.map { case (name, rule) =>
+      struct(lit(name).as("rule"),
+        when(coalesce(rule, lit(false)), 0L).otherwise(1L).as("v"))
+    }
+    df.select(explode(array(pairs: _*)).as("r"))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("r.v")).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }
