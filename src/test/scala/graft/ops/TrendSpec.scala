@@ -79,10 +79,18 @@ class TrendSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { // scale must be positive
       Trend.fit(ok, Seq("k"), "x", "y", scale = 0L)
     }
-    // n^2 * max|x|^2 * 2 = 4 * 9e18 * 2 past Long range -> abort, not wrap
-    val big = Seq(("a", 3000000000L, 1L), ("a", 3000000001L, 2L)).toDF("k", "x", "y")
-    val e = intercept[IllegalArgumentException] { Trend.fit(big, Seq("k"), "x", "y") }
-    assert(e.getMessage.contains("rescale"))
+    // n^2 * max|x|^2 * 2 = 4 * 2.25e18 * 2 = 1.8e19 past Long range ->
+    // abort with the rescale hint, not wrap. The guard rides the fit
+    // aggregate (no separate pre-pass job), so it fires at action time;
+    // x chosen so the RAW sums stay in Long range (Σx² = 4.5e18) and the
+    // worst-case-bound raise_error — not ANSI's ARITHMETIC_OVERFLOW — is
+    // what aborts.
+    val big = Seq(("a", 1500000000L, 1L), ("a", 1500000001L, 2L)).toDF("k", "x", "y")
+    val e = intercept[Throwable] { Trend.fit(big, Seq("k"), "x", "y").collect() }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(chain(e).contains("rescale"), s"unexpected failure:\n${chain(e)}")
   }
 
   test("fit plan: one partial-aggregated exchange, no join") {
