@@ -46,7 +46,18 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Queries run in a SEEDED PSEUDO-RANDOM order, not alphabetical: a
+    // sustained interference window on the shared box used to land on a
+    // contiguous alphabetical block (r6's q65–q75, r8's q71–q79) and
+    // masquerade as a correlated regression of neighboring operators.
+    // Shuffling spreads any such window across unrelated names, so a fake
+    // block can't form; cross-round per-query comparison is unaffected
+    // (it keys on the name dicts, not position). The seed is emitted in
+    // the JSON ("order_seed") so the exact run order is reconstructible.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
+    val results = new scala.util.Random(seed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -71,23 +82,27 @@ object Bench {
       if (failed) None else Some(name -> times.toSeq)
     }
     // per-query values rounded to 1 ms: the driver records only the LAST
-    // ~3 KB of output, and at 87 queries full-precision doubles push the
-    // line past that window, truncating the leading total. Rounding keeps
-    // the whole line inside the window, and the total is REPEATED as the
-    // final key so even a front-truncated tail still carries it.
+    // ~2000 chars of output (the one retention figure all layout
+    // decisions below assume), and at 100+ queries full-precision doubles
+    // push the line past that window, truncating the leading total.
+    // Rounding keeps more of the line inside the window, and the total is
+    // REPEATED as the final key so even a front-truncated tail carries it.
     // Locale.ROOT: the default-locale `f` interpolator can emit a comma
     // decimal separator, which is not JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val medians = results.map { case (k, ts) => k -> ts.sorted.apply(ts.length / 2) }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // name dicts sorted by name (run order is shuffled) so cross-round
+    // per-query comparison stays position-stable
+    val qs = medians.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // Per-repeat times IN RUN ORDER, so a sustained interference window on
-    // the box (the BENCH_r06 q65–q75 block: a contiguous run 4–7× slower
-    // while neighbors were flat) is visible in the artifact itself instead
-    // of needing an out-of-band re-measure. Placed BEFORE "queries": the
-    // driver keeps only the last ~3 KB of output, so the canonical medians
-    // and trailing total survive truncation even when repeats don't.
+    // Per-repeat times IN RUN ORDER (the shuffled order), so a sustained
+    // interference window on the box (the BENCH_r06 q65–q75 block: a
+    // contiguous run 4–7× slower while neighbors were flat) is visible in
+    // the artifact itself instead of needing an out-of-band re-measure.
+    // Placed BEFORE "queries": the driver keeps only the last ~2000 chars
+    // of output, so the canonical medians and trailing total survive
+    // truncation even when repeats don't.
     val reps = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(r2).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -114,10 +129,10 @@ object Bench {
         val s = ts.sorted
         "\"" + k + "\":[" + Seq(s.head, s(s.length / 2), s.last).map(r2).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val compact = medians.map { case (k, v) =>
+    val compact = medians.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeats":$reps,"queries":$qs,"sf":"$sfDir","slow":$slowJson,"m":$compact,"errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeats":$reps,"queries":$qs,"sf":"$sfDir","slow":$slowJson,"m":$compact,"order_seed":$seed,"errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
