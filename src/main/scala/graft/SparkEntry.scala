@@ -47,6 +47,15 @@ object SparkEntry {
   }
   private def ms(c: Column): Column = unix_millis(c)
 
+  // q111/q117's shared rule suite — the batch gate and its streaming twin
+  // must evaluate IDENTICAL rules for the shared oracle to be valid
+  private def qualityRules: Seq[(String, Column)] = Seq(
+    "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
+    "qty_range" -> col("l_quantity").between(1, 50),
+    "qty_under_30" -> (col("l_quantity") < 30),
+    "price_positive" -> (col("l_extendedprice") > 0),
+    "discount_range" -> col("l_discount").between(0, 0.1))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- stateless: map / filter / flatMap (SURVEY §2.3, §2.8) ----
     "q01_map_project" -> ((s, d) => {
@@ -702,12 +711,26 @@ object SparkEntry {
       // data-quality gate: five named rules over lineitem in ONE
       // partial-aggregated scan (a rule suite never costs a scan per
       // rule); null rule results count as violations
-      Checks.validate(Tables(s, d).lineitem, Seq(
-        "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
-        "qty_range" -> col("l_quantity").between(1, 50),
-        "qty_under_30" -> (col("l_quantity") < 30),
-        "price_positive" -> (col("l_extendedprice") > 0),
-        "discount_range" -> col("l_discount").between(0, 0.1)))),
+      Checks.validate(Tables(s, d).lineitem, qualityRules)),
+    "q117_quality_checks_stream" -> ((s, d) => {
+      // q111's STREAMING twin made oracle-visible: replay lineitem as an
+      // 8-micro-batch file stream (re-chunked copy, maxFilesPerTrigger=1),
+      // run the running gate in complete output mode, return the final
+      // totals. By the parity contract (ChecksSpec: stream == batch over
+      // the union after the last batch) the result equals the batch gate,
+      // so the oracle IS q111's — batching never changes exact counts.
+      val li = Tables(s, d).lineitem
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q117").toString
+      li.repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+      val gate = Checks.validateStream(
+        s.readStream.schema(li.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in"),
+        qualityRules)
+      val q = gate.writeStream.format("memory").queryName("graft_q117_gate")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q117_gate")
+    }),
     "q110_triangles" -> ((s, d) => {
       // per-vertex triangle counts over a deterministic md5-derived doc
       // graph (3 pseudo-random neighbors per doc) — degree orientation
@@ -2092,6 +2115,23 @@ object SparkEntry {
     "q111_quality_checks" ->
       // replay: the same five conditional counts; coalesce models the
       // null-counts-as-violation rule
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL AND l_partkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN coalesce(l_quantity < 30, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |  CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM lineitem)
+        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+        |  SELECT 'keys_not_null' AS rule, n, v1 AS v FROM m
+        |  UNION ALL SELECT 'qty_range', n, v2 FROM m
+        |  UNION ALL SELECT 'qty_under_30', n, v3 FROM m
+        |  UNION ALL SELECT 'price_positive', n, v4 FROM m
+        |  UNION ALL SELECT 'discount_range', n, v5 FROM m)""".stripMargin,
+    "q117_quality_checks_stream" ->
+      // replay: identical to q111's — the streaming gate's final totals
+      // equal the batch gate by the parity contract, and DuckDB replays
+      // the batch side
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL AND l_partkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
         |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,

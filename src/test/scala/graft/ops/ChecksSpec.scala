@@ -48,5 +48,48 @@ class ChecksSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Checks.validate(df, Seq("r" -> lit(true), "r" -> lit(false)))
     }
+    assertThrows[IllegalArgumentException] { Checks.validateStream(df, Seq.empty) }
+    assertThrows[IllegalArgumentException] {
+      Checks.validateStream(df, Seq("r" -> lit(true), "r" -> lit(false)))
+    }
+  }
+
+  private val parityRules = Seq(
+    "k_not_null" -> col("k").isNotNull,
+    "v_positive" -> (col("v") > 0),   // null v is a violation
+    "all_good" -> lit(true))
+
+  private def sortedGate(df: org.apache.spark.sql.DataFrame) =
+    df.select("rule", "n_rows", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+
+  test("validateStream: running totals equal the batch gate over everything seen") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null))
+    val b2 = Seq[(java.lang.Long, java.lang.Long)]((3L, -5L), (null, 20L), (5L, 7L))
+    val in = MemoryStream[(Option[Long], Option[Long])]
+    val gate = Checks.validateStream(in.toDF().toDF("k", "v"), parityRules)
+    val q = gate.writeStream.format("memory").queryName("checks_gate")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1.map(r => (Option(r._1).map(_.toLong), Option(r._2).map(_.toLong))): _*)
+      q.processAllAvailable()
+      // mid-stream: the gate is the batch gate over batch 1 alone
+      assert(sortedGate(spark.table("checks_gate")) ==
+        sortedGate(Checks.validate(b1.toDF("k", "v"), parityRules)))
+      in.addData(b2.map(r => (Option(r._1).map(_.toLong), Option(r._2).map(_.toLong))): _*)
+      q.processAllAvailable()
+      // after the final micro-batch: equals the batch gate over the union
+      assert(sortedGate(spark.table("checks_gate")) ==
+        sortedGate(Checks.validate((b1 ++ b2).toDF("k", "v"), parityRules)))
+    } finally q.stop()
+  }
+
+  test("validateStream: grouped-aggregate form on a plain batch frame matches validate") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (3L, -5L), (null, 20L)).toDF("k", "v")
+    assert(sortedGate(Checks.validateStream(df, parityRules)) ==
+      sortedGate(Checks.validate(df, parityRules)))
   }
 }
