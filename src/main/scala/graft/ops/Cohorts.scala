@@ -48,4 +48,72 @@ object Cohorts {
       .select((col("p0") * periodMs).as("cohort_ms"), col("period_offset"),
         col("n_active"))
   }
+
+  /** Continuous twin of [[retention]]: per-user (anchor period, seen
+    * periods) state emits each newly-active (cohort, offset) cell
+    * EXACTLY ONCE (append semantics on the stateful stage), and a
+    * downstream streaming aggregate keeps the running cohort counts —
+    * run the query in Update (changed cells per trigger) or Complete
+    * (whole triangle) output mode.
+    *
+    * Parity contract (spec-asserted): the gate equals [[retention]]
+    * over everything delivered, PROVIDED each user's earliest anchor
+    * event is the first of their anchor events to arrive. Activity
+    * arriving BEFORE the user's anchor is buffered in the seen-period
+    * set and counted retroactively once the anchor lands — only a
+    * straggler anchor EARLIER than the one already pinned diverges:
+    * the pinned cohort is kept and the late anchor is dropped
+    * (documented straggler-drop, [[graft.ops.Funnel.stepsStream]]'s
+    * posture — re-cohorting would retract emitted cells).
+    *
+    * Scale shape: one user-keyed stateful exchange, then a cell-keyed
+    * exchange carrying only newly-activated (cohort, offset) pairs —
+    * batch-sized, not corpus-sized. Per-user state is the distinct
+    * period set: bounded by elapsed periods (~hundreds for years of
+    * weeks), independent of event volume.
+    */
+  def retentionStream(events: DataFrame, user: Column, etype: Column,
+                      time: Column, anchorType: String,
+                      periodMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    require(periodMs > 0, "cohorts: periodMs must be positive")
+    val sp = events.sparkSession
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Boolean, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Array[Long])] =
+      sp.implicits.newProductEncoder
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      sp.implicits.newLongEncoder
+    val rows = events
+      .select(user.cast("long").as("user_id"), (etype === anchorType).as("a"),
+        unix_millis(time).as("ms"))
+      .selectExpr("user_id", "a", s"ms div ${periodMs}L AS p") // same integer
+      .as[(Long, Boolean, Long)]                               // div as retention()
+    graft.streaming.KeyedProcess[Long, (Long, Boolean, Long), (Long, Array[Long]), (Long, Long)](
+      rows, _._1,
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append()) {
+      (_, evs, state) =>
+        var (p0, seenArr) = if (state.exists) state.get else (Long.MinValue, Array.empty[Long])
+        val seen = scala.collection.mutable.Set(seenArr.toIndexedSeq: _*)
+        val oldActive: Set[Long] =
+          if (p0 != Long.MinValue) seen.filter(_ >= p0).toSet else Set.empty
+        val batch = evs.toSeq
+        batch.foreach(r => seen += r._3)
+        // pin the cohort at the first-arriving anchor (min within the
+        // trigger so intra-batch iterator order can't matter); never
+        // re-pin — a late earlier anchor drops (doc above)
+        if (p0 == Long.MinValue) {
+          val anchors = batch.collect { case (_, true, p) => p }
+          if (anchors.nonEmpty) p0 = anchors.min
+        }
+        state.update((p0, seen.toArray.sorted))
+        val newActive: Set[Long] =
+          if (p0 != Long.MinValue) seen.filter(_ >= p0).toSet else Set.empty
+        val c = p0 // stable copy for the closure
+        (newActive -- oldActive).iterator.map(p => (c * periodMs, p - c))
+    }.toDF("cohort_ms", "period_offset")
+      .groupBy(col("cohort_ms"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

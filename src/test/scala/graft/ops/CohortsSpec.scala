@@ -64,5 +64,57 @@ class CohortsSpec extends AnyFunSuite {
       Cohorts.retention(Seq((1L, "signup", 0L)).toDF("user_id", "event_type", "ms"),
         col("user_id"), col("event_type"), col("ms"), "signup", periodMs = 0L)
     }
+    assertThrows[IllegalArgumentException] {
+      Cohorts.retentionStream(Seq((1L, "signup", 0L)).toDF("user_id", "event_type", "ms"),
+        col("user_id"), col("event_type"), col("ms"), "signup", periodMs = 0L)
+    }
+  }
+
+  private def streamRetention(batches: Seq[Seq[(Long, String, Long)]],
+                              periodMs: Long): Seq[(Long, Long, Long)] = {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](spark)
+    val out = Cohorts.retentionStream(
+      in.toDF().toDF("user_id", "event_type", "ms")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(col("ms")).as("ts")),
+      col("user_id"), col("event_type"), col("ts"), "signup", periodMs = periodMs)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("cohort_stream").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table("cohort_stream").as[(Long, Long, Long)].collect().sorted.toSeq
+    } finally q.stop()
+  }
+
+  test("retentionStream: in-order delivery == batch triangle on the corpus") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val rows = ev.select(col("user_id"), col("event_type"), unix_millis(col("ts")))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val week = 7L * 24 * 3600 * 1000
+    val (b1, rest) = rows.toSeq.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val streamed = streamRetention(Seq(b1, b2, b3), week)
+    val batch = Cohorts.retention(ev, col("user_id"), col("event_type"),
+      col("ts"), "signup").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("retentionStream: pre-anchor activity buffers; a late EARLIER anchor drops") {
+    // user 1's views land a batch before the signup: the seen-period set
+    // buffers them, and the cells (offsets 0 and 2 from the period-1
+    // anchor) emit retroactively once the anchor arrives — parity with
+    // batch even though activity outran the anchor
+    val buffered = streamRetention(Seq(
+      Seq((1L, "view", 1500L), (1L, "view", 3500L)),
+      Seq((1L, "signup", 1000L))), periodMs = W)
+    assert(buffered == Seq((1000L, 0L, 1L), (1000L, 2L, 1L)))
+    // a straggler anchor EARLIER than the pinned one is dropped (the
+    // pinned cohort keeps its emitted cells; batch would re-cohort to
+    // period 0 — the documented divergence)
+    val straggler = streamRetention(Seq(
+      Seq((2L, "signup", 5000L)),
+      Seq((2L, "signup", 0L), (2L, "view", 6500L))), periodMs = W)
+    assert(straggler == Seq((5000L, 0L, 1L), (5000L, 1L, 1L)))
   }
 }
