@@ -102,6 +102,33 @@ object SpanIndex {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Remove documents from a bucketed index table (takedown), the
+    * bucketed twin of [[remove]]: survivors are rewritten through the
+    * SAME bucket spec (read from the catalog, so append/compact history
+    * can't drift it), keeping every later [[checkBucketed]]
+    * exchange-free on the stored side. Index-sized work, removal set
+    * broadcast. The swap is two metastore ops (drop + rename) rather
+    * than the path index's atomic double-rename — a crash between them
+    * leaves `<table>__removing` holding the complete survivor table:
+    * roll forward by renaming it into place.
+    */
+  def removeBucketed(spark: SparkSession, table: String, ids: DataFrame,
+                     idCol: Column): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"spanindex: $table is not bucketed — use remove() for path indexes"))
+    val tmpT = s"${table}__removing"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpT`")
+    spark.table(table)
+      .join(broadcast(ids.select(idCol.as("id"))), Seq("id"), "left_anti")
+      .write.bucketBy(buckets, "gram").sortBy("gram")
+      .format("parquet").saveAsTable(tmpT)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmpT` RENAME TO `$table`")
+  }
+
   /** [[check]] against a bucketed index table: identical results, but the
     * stored gram table is never shuffled (its buckets ARE the join
     * partitioning) — per batch, only batch-sized data moves.

@@ -168,6 +168,63 @@ class SpanIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  test("bucketed remove: equals rebuilt-from-survivors; stored side still bucket-aligned") {
+    val table = "graft_spanidx_rm_test"
+    val rebuilt = "graft_spanidx_rm_rebuilt"
+    val extra = Seq((3L, "e1 e2 e3 e4 e5 e6")).toDF("id", "text")
+    SpanIndex.buildBucketed(corpus, col("id"), col("text"), table, n = 4, buckets = 8)
+    SpanIndex.appendBucketed(extra, col("id"), col("text"), table, n = 4, buckets = 8)
+    try {
+      val incoming = Seq(
+        (10L, "x1 p1 p2 p3 p4 p5 x2"),   // doc 1's run — must vanish on removal
+        (11L, "y1 d1 d2 d3 d4 d5 y2"),   // doc 2's run — must survive
+        (12L, "w1 e1 e2 e3 e4 e5 w2")).toDF("id", "text") // appended doc 3's run
+      assert(SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), table, n = 4)
+        .as[(Long, Long, Long, Long)].collect().map(_._1).toSet == Set(10L, 11L, 12L))
+
+      SpanIndex.removeBucketed(spark, table, Seq(1L).toDF("x"), col("x"))
+
+      // parity: the post-remove index answers exactly like one built
+      // fresh from the survivors (docs 2 and 3)
+      SpanIndex.buildBucketed(corpus.where(col("id") =!= 1L).union(extra),
+        col("id"), col("text"), rebuilt, n = 4, buckets = 8)
+      val afterRemove = SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), table, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fresh = SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), rebuilt, n = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterRemove == fresh && afterRemove.map(_._1) == Set(11L, 12L),
+        s"post-remove $afterRemove != rebuilt $fresh")
+      // the crash-window temp table was cleaned up by the rename
+      assert(!spark.catalog.tableExists(s"${table}__removing"))
+
+      // the scale property holds through the remove rewrite: stored side
+      // reads straight from buckets, one gram exchange (batch side only)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = SpanIndex.checkBucketed(spark, incoming, col("id"), col("text"), table, n = 4)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"stored side not read as bucketed after remove:\n$plan")
+        val gramExchanges = plan.linesIterator
+          .count(l => l.contains("Exchange hashpartitioning(gram"))
+        assert(gramExchanges == 1,
+          s"expected 1 gram exchange after remove, found $gramExchanges:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // guard: removeBucketed refuses a non-bucketed table
+      spark.range(1).selectExpr("id", "CAST(id AS STRING) AS gram")
+        .write.mode("overwrite").format("parquet").saveAsTable("graft_spanidx_flat")
+      try assertThrows[IllegalArgumentException] {
+        SpanIndex.removeBucketed(spark, "graft_spanidx_flat", Seq(1L).toDF("x"), col("x"))
+      } finally spark.sql("DROP TABLE IF EXISTS graft_spanidx_flat")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `$rebuilt`")
+      spark.sql(s"DROP TABLE IF EXISTS `${table}__removing`")
+    }
+  }
+
   test("screenStream: micro-batches screen against the standing index") {
     val path = tmp()
     SpanIndex.build(corpus, col("id"), col("text"), path, n = 4)
