@@ -321,9 +321,21 @@ object SparkEntry {
       // where HLL is genuinely approximate) stays quality-gated in
       // ExtensionsSpec; at 100 TB the sketch is the same fixed 16 KiB
       // per group regardless of cardinality.
+      // The regime precondition is ASSERTED in the plan itself: each
+      // group also carries the exact distinct count, and any divergence
+      // raises a named error instead of surfacing as an opaque oracle
+      // hash mismatch if a data-generator change ever breaks the regime
+      // (group-sized rows, so the guard costs nothing at scale).
       Tables(s, d).events.where(col("value") > 150)
         .groupBy(col("user_id"))
-        .agg(approx_count_distinct(col("event_type"), 0.01).as("n_approx"))),
+        .agg(approx_count_distinct(col("event_type"), 0.01).as("__a"),
+          countDistinct(col("event_type")).as("__e"))
+        .select(col("user_id"),
+          when(col("__a") =!= col("__e"), raise_error(concat(
+            lit("q44 exactness regime broke: approx_count_distinct="), col("__a").cast("string"),
+            lit(" != exact="), col("__e").cast("string"),
+            lit(" — the event_type domain grew or its hashes now collide"))))
+          .otherwise(col("__a")).as("n_approx"))),
     "q54_approx_percentile" -> ((s, d) =>
       // Greenwald-Khanna sketch aggregate, oracle-checkable by pinning
       // the exactness regime: accuracy 1e6 ≥ any sf0.01 group count, so
@@ -332,9 +344,20 @@ object SparkEntry {
       // IEEE product). The sketch regime stays quality-gated in
       // ExtensionsSpec; at 100 TB memory is O(accuracy·log n) per group,
       // independent of group size.
+      // Regime precondition asserted in the plan: every group must fit
+      // inside the accuracy (all samples retained → rank selection is
+      // exact); a generator/SF change that outgrows it raises a named
+      // error instead of an opaque oracle hash mismatch.
       Tables(s, d).events.groupBy(col("event_type")).agg(
-        approx_percentile(col("value"), lit(0.5), lit(1000000)).as("p50"),
-        approx_percentile(col("value"), lit(0.95), lit(1000000)).as("p95"))),
+        approx_percentile(col("value"), lit(0.5), lit(1000000)).as("__p50"),
+        approx_percentile(col("value"), lit(0.95), lit(1000000)).as("p95"),
+        count(lit(1)).as("__n"))
+        .select(col("event_type"),
+          when(col("__n") > 1000000L, raise_error(concat(
+            lit("q54 exactness regime broke: a group has "), col("__n").cast("string"),
+            lit(" rows > accuracy 1e6 — GK sketch would drop samples; raise accuracy"))))
+          .otherwise(col("__p50")).as("p50"),
+          col("p95"))),
     "q53_train_split" -> ((s, d) =>
       Sampling.split(Tables(s, d).documents, col("doc_id"))
         .groupBy(col("fold"), col("lang"))
