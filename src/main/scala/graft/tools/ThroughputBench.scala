@@ -536,6 +536,97 @@ object ThroughputBench {
         f"global sort $sSort%.1f s (${sSort / sSel}%.1f x), values agree ($med)")
     }
 
+    // scenario 22: streaming cohort retention at 2M events / 100k users —
+    // the per-user (anchor, seen-periods) state path. Delivered in 8
+    // in-order micro-batches; the final complete-mode triangle must
+    // equal the batch operator over the same events (the parity
+    // contract, here held at scale). State is the distinct-period set:
+    // 52 periods max per user regardless of event count.
+    if (enabled(22)) {
+      val nEv = 2000000L
+      val nUsers = 100000L
+      val periodMs = 1000L
+      // user's signup in week (uid % 10), activity spread over 52 weeks
+      def evFrame = spark.range(nEv).select(
+        (col("id") % nUsers).as("user_id"),
+        when(col("id") < nUsers, lit("signup")).otherwise(lit("view")).as("event_type"),
+        timestamp_millis(when(col("id") < nUsers, (col("id") % 10) * periodMs)
+          .otherwise((xxhash64(col("id")).cast("double") / Long.MaxValue.toDouble * 26 + 26)
+            .cast("long") * periodMs)).as("ts"))
+      // signups (id < nUsers) sort first, so delivery is anchor-first —
+      // the in-order regime the parity contract requires
+      val ev = evFrame.as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      implicit val ctx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](spark)
+      val out = graft.ops.Cohorts.retentionStream(
+        in.toDF().toDF("user_id", "event_type", "ms")
+          .select(col("user_id"), col("event_type"), timestamp_millis(col("ms")).as("ts")),
+        col("user_id"), col("event_type"), col("ts"), "signup", periodMs = periodMs)
+      // RocksDB state backend: the at-scale configuration. The default
+      // HDFSBacked store keeps whole per-partition maps in heap and
+      // copies them on every version commit — at 100k keys that copy
+      // dominates each micro-batch in local mode.
+      GraftSession.useRocksDBStateStore(spark)
+      val q = out.writeStream.outputMode("complete")
+        .format("memory").queryName("tb_retention").start()
+      val t0 = System.nanoTime()
+      try {
+        ev.map(r => (r._1, r._2, r._3.getTime)).grouped((ev.length + 7) / 8)
+          .foreach { b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val sStream = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.table("tb_retention")
+        .as[(Long, Long, Long)].collect().toSet
+      val t1 = System.nanoTime()
+      val batch = graft.ops.Cohorts.retention(evFrame,
+        col("user_id"), col("event_type"), col("ts"), "signup", periodMs = periodMs)
+        .as[(Long, Long, Long)].collect().toSet
+      val sBatch = (System.nanoTime() - t1) / 1e9
+      require(streamed == batch,
+        s"stream/batch retention diverged: ${streamed.size} vs ${batch.size} cells")
+      println(f"scenario22 retention-stream n=$nEv users=$nUsers: 8 batches " +
+        f"$sStream%.1f s (${nEv / sStream / 1e3}%.0f K ev/s) vs batch $sBatch%.1f s, " +
+        f"${streamed.size} cells agree")
+    }
+
+    // scenario 23: bucketed span-index takedown at 200k docs — the
+    // survivor rewrite is index-sized (not corpus-text-sized: the table
+    // is gram fingerprints), and the one-exchange checkBucketed plan
+    // property must survive the rewrite.
+    if (enabled(23)) {
+      val nDocs = 200000L
+      val table = "tb_spanidx_rm"
+      val docs = spark.range(nDocs).select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          concat(lit("w"), ((xxhash64(col("id"), lit(j)) % 5000) + 5000).cast("string"))): _*)
+          .as("text"))
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val t0 = System.nanoTime()
+      graft.ops.SpanIndex.buildBucketed(docs, col("id"), col("text"), table,
+        n = 8, buckets = 64)
+      val sBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.ops.SpanIndex.removeBucketed(spark, table,
+        spark.range(nDocs / 100).toDF("rid"), col("rid")) // 1% takedown
+      val sRm = (System.nanoTime() - t1) / 1e9
+      // probe: copies of 10 REMOVED docs (must stop matching) and 10
+      // surviving docs (must still match end-to-end)
+      val probe = docs.where(col("id") < 10 ||
+          (col("id") >= 100000L && col("id") < 100010L))
+        .select((col("id") + 1000000L).as("id"), col("text"))
+      val t2 = System.nanoTime()
+      val hits = graft.ops.SpanIndex.checkBucketed(spark, probe,
+        col("id"), col("text"), table, n = 8)
+        .select(col("doc_id")).distinct().count()
+      val sChk = (System.nanoTime() - t2) / 1e9
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      require(hits == 10, s"expected exactly the 10 survivor probes to hit, got $hits")
+      println(f"scenario23 span-takedown n=$nDocs: build $sBuild%.1f s, " +
+        f"remove(1%%) $sRm%.1f s, post-remove check $sChk%.1f s, " +
+        f"survivor probes hit $hits/10, removed probes silent")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
