@@ -327,12 +327,17 @@ object SparkEntry {
       // The regime precondition is ASSERTED in the plan itself: each
       // group also carries the exact distinct count, and any divergence
       // raises a named error instead of surfacing as an opaque oracle
-      // hash mismatch if a data-generator change ever breaks the regime
-      // (group-sized rows, so the guard costs nothing at scale).
+      // hash mismatch if a data-generator change ever breaks the regime.
+      // Shape: dedup to distinct (user, type) pairs FIRST (partial-agged;
+      // HLL register updates are idempotent, so the sketch over distinct
+      // values is bit-identical to the sketch over the multiset) — then
+      // exact count and sketch ride one tiny pair-sized agg, instead of
+      // countDistinct's Expand doubling the corpus scan.
       Tables(s, d).events.where(col("value") > 150)
+        .select(col("user_id"), col("event_type")).distinct()
         .groupBy(col("user_id"))
         .agg(approx_count_distinct(col("event_type"), 0.01).as("__a"),
-          countDistinct(col("event_type")).as("__e"))
+          count(lit(1)).as("__e"))
         .select(col("user_id"),
           when(col("__a") =!= col("__e"), raise_error(concat(
             lit("q44 exactness regime broke: approx_count_distinct="), col("__a").cast("string"),
