@@ -72,6 +72,14 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("q44: regime guard rides a pair-sized agg — no count-distinct Expand") {
+    val p = plan("q44_approx_distinct")
+    assert(!p.contains("Expand"),
+      s"exact-distinct guard must dedup first, not Expand the corpus scan:\n$p")
+    // dedup agg + per-user agg, both partial (map-side combined)
+    assert("partial_".r.findAllIn(p).nonEmpty, s"no partial aggregation:\n$p")
+  }
+
   test("q42: IVF cell assignment is a narrow map — corpus never hash-partitioned") {
     // the old shape cross-joined corpus × nCells then windowed by cand_id,
     // shuffling 16× the corpus just to pick a centroid; the argmax against
