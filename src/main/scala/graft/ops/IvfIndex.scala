@@ -228,4 +228,26 @@ object IvfIndex {
         Similarity.cosine(col("qv"), col("cv")).as("cos"))
     Similarity.rankScored(scored, k)
   }
+
+  /** Continuous ANN retrieval: [[query]] per micro-batch of embedding
+    * queries — the vector twin of [[Bm25Index.searchStream]] (standing-
+    * query routing, streaming dedup-by-retrieval, online recommendation
+    * lookups). Each batch re-reads the index path, so an [[append]] /
+    * [[remove]] / [[rebuild]] / [[compact]] swap is picked up across
+    * batches; the swap's missing-path window retries via
+    * [[retryingStaleReads]], so `onBatch` must be idempotent under
+    * replay. Scale shape per batch: probes broadcast (batch-sized),
+    * DPP prunes the scan to probed cells' files — the corpus-sized
+    * index never exchanges.
+    */
+  def searchStream(spark: SparkSession, queryStream: DataFrame, queryId: Column,
+                   queryVec: Column, path: String, k: Int, nProbe: Int = 4)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        retryingStaleReads() {
+          onBatch(query(spark, path, batch, queryId, queryVec, k, nProbe))
+        }
+      }
+      .start()
 }

@@ -184,6 +184,45 @@ class IvfIndexSpec extends AnyFunSuite {
       em.count() - victims.length)
   }
 
+  test("searchStream: micro-batches query the standing index; an append lands between batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val em = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ss").toString
+    IvfIndex.build(em, col("vec_id"), col("embedding"), nCells = 16, dir)
+
+    val in = MemoryStream[Long]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+    val q = IvfIndex.searchStream(spark,
+      in.toDF().toDF("qid")
+        .join(em.select(col("vec_id").as("qid"), col("embedding")), Seq("qid")),
+      col("qid"), col("embedding"), dir, k = 3, nProbe = 4) { res =>
+      res.as[(Long, Long, Long)].collect()
+        .groupBy(_._1).foreach { case (id, rs) =>
+          got.put(id, rs.sortBy(_._3).map(r => (r._2, r._3)).toSeq)
+        }
+    }
+    try {
+      in.addData(0L, 1L, 2L); q.processAllAvailable()
+      // batch answers equal the one-shot query over the same ids
+      val expect1 = IvfIndex.query(spark, dir,
+          em.where(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 3, nProbe = 4)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._3).map(r => (r._2, r._3)).toSeq }
+      assert((0L to 2L).forall(id => got.get(id) == expect1(id)))
+
+      // an append between batches is visible to the NEXT batch: plant a
+      // near-copy of vector 7, then query 7 — the copy must rank first
+      val copy = em.where(col("vec_id") === 7)
+        .select((col("vec_id") + 500000L).as("vid"),
+          transform(col("embedding"), x => x * 1.0f).as("emb"))
+      IvfIndex.append(spark, copy, col("vid"), col("emb"), dir)
+      in.addData(7L); q.processAllAvailable()
+      assert(got.get(7L).head._1 == 500007L,
+        s"post-append batch missed the planted near-copy: ${got.get(7L)}")
+    } finally q.stop()
+  }
+
   test("retryingStaleReads: retries the missing-file family, rethrows the rest") {
     // missing-file errors retry until the (simulated) swap completes
     var calls = 0
