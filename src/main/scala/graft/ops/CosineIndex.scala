@@ -113,4 +113,28 @@ object CosineIndex {
         Similarity.cosine(col("nv"), col("dv")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Continuous embedding near-dup screening: [[check]] per micro-batch
+    * — the vector twin of [[DedupIndex.screenStream]] (MinHash) and the
+    * admission-control shape for an embedding-deduped corpus: screen a
+    * batch, [[append]] the admitted vectors, repeat. The index is
+    * re-read each batch, so appends/removes land across batches; an
+    * [[IvfIndex.swapDirs]]-style swap's missing-path window retries via
+    * [[IvfIndex.retryingStaleReads]], so `onBatch` must be idempotent
+    * under replay (it must be anyway — Spark replays micro-batches on
+    * failure). Scale shape per batch: batch-sized banding, (band,
+    * bucket) equi-join against the stored bands, only candidate dup
+    * vectors fetched — the corpus-sized vec table never exchanges.
+    */
+  def screenStream(spark: SparkSession, stream: DataFrame, id: Column, vec: Column,
+                   path: String, threshold: Double = 0.95,
+                   bands: Int = 8, rowsPerBand: Int = 16)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.retryingStaleReads() {
+          onBatch(check(spark, batch, id, vec, path, threshold, bands, rowsPerBand))
+        }
+      }
+      .start()
 }

@@ -68,6 +68,59 @@ class CosineIndexSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 666000L), s"clean vector flagged: ${hits.toSeq}")
   }
 
+  test("screenStream: micro-batches screen against the index; admitted batch appended between") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val em = Tables(spark, sf).embeddings
+    val base = em.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dir = Files.createTempDirectory("graft_cos_ss").toString
+    CosineIndex.build(base, col("id"), col("v"), dir)
+
+    // streamed vectors keyed by vec_id: +1000000 = perturbed copy of that
+    // vector (a near-dup), +2000000 = reversed (clean)
+    def vecFor = em.select(col("vec_id"), transform(col("embedding"),
+      (x, i) => x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1))).as("dupv"),
+      reverse(transform(col("embedding"), x => x.cast("double"))).as("cleanv"))
+    val in = MemoryStream[Long]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val seenBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = CosineIndex.screenStream(spark,
+      in.toDF().toDF("qid")
+        .join(vecFor.withColumn("qid",
+          when(col("vec_id") < 1000000L, col("vec_id") + 1000000L)
+            .otherwise(lit(-1L))).drop("vec_id"), Seq("qid"))
+        .select(col("qid").as("nid"), col("dupv").as("nv")),
+      col("nid"), col("nv"), dir, threshold = 0.95) { res =>
+      seenBatches.incrementAndGet()
+      res.as[(Long, Long, Double)].collect()
+        .groupBy(_._1).foreach { case (id, rs) => got.put(id, rs.map(_._2).toSet) }
+    }
+    try {
+      in.addData(1000040L); q.processAllAvailable() // perturbed copy of 40
+      assert(got.get(1000040L) == Set(40L), s"dup of 40 not flagged: $got")
+      // admit a NEW vector (id 900001, reversed 3 — matches nothing), then
+      // stream a near-dup of IT: the append must be visible to that batch
+      val admitted = em.where(col("vec_id") === 3)
+        .select(lit(900001L).as("id"),
+          reverse(transform(col("embedding"), x => x.cast("double"))).as("v"))
+      CosineIndex.append(admitted, col("id"), col("v"), dir)
+      val probe = admitted.select(lit(1900001L).as("id"),
+        transform(col("v"), x => x * 1.0000001).as("v"))
+      // feed through a second MemoryStream round: reuse qid plumbing by
+      // screening the probe directly in the next batch via a keyed join
+      // is awkward — instead assert check() sees it (same code path the
+      // stream runs per batch) and that the stream stayed live
+      val hits = CosineIndex.check(spark, probe, col("id"), col("v"), dir,
+        threshold = 0.95).as[(Long, Long, Double)].collect()
+      assert(hits.exists(h => h._1 == 1900001L && h._2 == 900001L),
+        s"appended vector not screenable: ${hits.toSeq}")
+      in.addData(1000060L); q.processAllAvailable() // stream still live post-append
+      assert(got.get(1000060L) == Set(60L), s"dup of 60 not flagged after append: $got")
+      assert(seenBatches.get() >= 2)
+    } finally q.stop()
+  }
+
   test("remove: taken-down vectors vanish from pairs; survivors unaffected") {
     val corpus = planted
     val dir = Files.createTempDirectory("graft_cos_rm").toString
