@@ -129,4 +129,23 @@ object IvfPqIndex {
     Similarity.rankScored(
       scored.select(col("query_id"), col("cand_id"), (-col("adist")).as("cos")), k)
   }
+
+  /** Continuous retrieval against the compressed index: [[query]] per
+    * micro-batch — [[IvfIndex.searchStream]]'s twin for the ~32×-smaller
+    * PQ-coded corpus (same contract: index swaps from [[append]]/
+    * [[compact]] land across batches, the swap's missing-path window
+    * retries, `onBatch` must be idempotent under replay). Per batch only
+    * the probed cells' code files are read and only batch-sized frames
+    * exchange.
+    */
+  def searchStream(spark: SparkSession, queryStream: DataFrame, queryId: Column,
+                   queryVec: Column, path: String, k: Int, nProbe: Int = 4)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.retryingStaleReads() {
+          onBatch(query(spark, path, batch, queryId, queryVec, k, nProbe))
+        }
+      }
+      .start()
 }

@@ -107,6 +107,25 @@ object KMeansIndex {
     KMeans.assign(df, id, vec, centroids(spark, path), q)
   }
 
+  /** Continuous classification against the standing model: [[assign]]
+    * per micro-batch (routing, online bucketing, streaming SemDeDup's
+    * first stage). Centroids are re-read each batch, so an [[update]]/
+    * [[remove]] model swap is picked up across batches; the swap's
+    * missing-path window retries via [[IvfIndex.retryingStaleReads]], so
+    * `onBatch` must be idempotent under replay. Per batch: centroids
+    * broadcast, one narrow argmin pass — nothing corpus-sized moves.
+    */
+  def assignStream(spark: SparkSession, stream: DataFrame, id: Column, vec: Column,
+                   path: String)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.retryingStaleReads() {
+          onBatch(assign(spark, batch, id, vec, path))
+        }
+      }
+      .start()
+
   /** The per-row `(id, cell)` assignment ledger: every indexed row at the
     * cell its statistics were folded into. Reads only the two narrow
     * columns of the sidecar.

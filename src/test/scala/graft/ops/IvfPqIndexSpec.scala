@@ -76,4 +76,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
       "compact left more than one file in a cell")
   }
+
+  test("searchStream: micro-batch answers equal the one-shot query") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val em = graft.sources.Tables(spark, sf).embeddings
+    val dir = tmp()
+    IvfPqIndex.build(em, col("vec_id"), col("embedding"),
+      nCells = 16, dir, m = 8, ksub = 16)
+    val in = MemoryStream[Long]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Set[(Long, Long)]]()
+    val q = IvfPqIndex.searchStream(spark,
+      in.toDF().toDF("qid")
+        .join(em.select(col("vec_id").as("qid"), col("embedding")), Seq("qid")),
+      col("qid"), col("embedding"), dir, k = 5, nProbe = 4) { res =>
+      res.as[(Long, Long, Long)].collect()
+        .groupBy(_._1).foreach { case (id, rs) =>
+          got.put(id, rs.map(r => (r._2, r._3)).toSet)
+        }
+    }
+    try {
+      in.addData(0L, 1L); q.processAllAvailable()
+      in.addData(2L); q.processAllAvailable()
+    } finally q.stop()
+    val expect = IvfPqIndex.query(spark, dir, em.where(col("vec_id") < 3),
+        col("vec_id"), col("embedding"), k = 5, nProbe = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    assert((0L to 2L).forall(id => got.get(id) == expect(id)),
+      s"stream answers diverge from one-shot: $got vs $expect")
+  }
 }

@@ -197,4 +197,32 @@ class KMeansIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("overflow"))
   }
+
+  test("assignStream: micro-batch assignments equal batch assign against the model") {
+    val em = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmidx_as").toString + "/m"
+    KMeansIndex.build(em.where(col("vec_id") < 200), col("vec_id"), col("embedding"),
+      k = 4, iters = 1, dir)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val emb = em.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val q = KMeansIndex.assignStream(spark,
+      in.toDF().toDF("vid").join(emb, col("vid") === col("vec_id")),
+      col("vec_id"), col("embedding"), dir) { out =>
+      out.select(col("id"), col("cell")).as[(Long, Long)].collect()
+        .foreach { case (id, c) => got.put(id, c) }
+    }
+    try {
+      in.addData(200L until 230L: _*); q.processAllAvailable()
+      in.addData(230L until 250L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expect = KMeansIndex.assign(spark,
+        em.where(col("vec_id") >= 200 && col("vec_id") < 250),
+        col("vec_id"), col("embedding"), dir)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect().toMap
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == expect && expect.size == 50)
+  }
 }
