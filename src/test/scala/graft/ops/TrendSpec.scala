@@ -93,6 +93,40 @@ class TrendSpec extends AnyFunSuite {
     assert(chain(e).contains("rescale"), s"unexpected failure:\n${chain(e)}")
   }
 
+  test("fit: random corpus equals a BigInt driver-side replica (post guard-fold)") {
+    // the guard fold moved the bound check into the aggregate — hold the
+    // actual fit arithmetic against an independent replica on data with
+    // negative values, duplicate x, single-x keys and a null sprinkle
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 4000).map { i =>
+      val k = s"k${i % 23}"
+      val x = if (i % 97 == 0) 5L else (rnd.nextInt(20001) - 10000).toLong
+      val y = (rnd.nextInt(2000001) - 1000000).toLong
+      (k, x, y)
+    }
+    val scale = 1000L
+    val got = Trend.fit(rows.toDF("k", "x", "y"), Seq("k"), "x", "y", scale)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq.sortBy(_._1)
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum
+      val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val den = n * sxx - sx * sx
+      if (den == 0) (k, rs.size.toLong, None, None)
+      else {
+        // BigInt '/' truncates toward zero, matching Spark/DuckDB div
+        val slope = (BigInt(scale) * (n * sxy - sx * sy)) / den
+        val icept = (BigInt(scale) * sy - slope * sx) / n
+        (k, rs.size.toLong, Some(slope.toLong), Some(icept.toLong))
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("fit plan: one partial-aggregated exchange, no join") {
     val df = Trend.fit(
       (0 until 1000).map(i => (i % 11L, i.toLong, i.toLong * 2)).toDF("k", "x", "y"),
