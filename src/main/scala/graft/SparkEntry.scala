@@ -39,6 +39,9 @@ object SparkEntry {
   // q117's re-chunked replay input, one per (process, sf dir)
   private val q117ReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q118's time-sliced replay input, one per (process, sf dir)
+  private val q118ReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // q102/q103's shared retrieval workload: three fixed queries over the
   // corpus vocabulary (lowercase single-space, so DuckDB's split replays
@@ -801,6 +804,53 @@ object SparkEntry {
       // reuses their partitioning (no third corpus exchange)
       Cohorts.retention(Tables(s, d).events, col("user_id"),
         col("event_type"), col("ts"), anchorType = "signup")),
+    "q118_retention_stream" -> ((s, d) => {
+      // q107's STREAMING twin made oracle-visible: replay events as an
+      // EVENT-TIME-ORDERED micro-batched file stream (8 contiguous ms
+      // slices, strictly ascending file mtimes — FileStreamSource
+      // processes oldest-first, so each user's earliest signup arrives
+      // in the earliest batch containing any of their signups and the
+      // pinned cohort equals the batch operator's global first-signup
+      // week). By retentionStream's parity contract (CohortsSpec) the
+      // final complete-mode triangle equals Cohorts.retention, so the
+      // oracle IS q107's.
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val tmp = q118ReplayCache.computeIfAbsent(d, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft_q118").toString
+        val msCol = unix_millis(col("ts"))
+        val bounds = ev.agg(min(msCol), max(msCol)).head
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/in"))
+        (0 until 8).foreach { i =>
+          val a = lo + (hi - lo + 1) * i / 8
+          val b = lo + (hi - lo + 1) * (i + 1) / 8
+          ev.where(msCol >= a && msCol < b)
+            .coalesce(1).write.mode("overwrite").parquet(s"$t/stage$i")
+          val part = new java.io.File(s"$t/stage$i").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = java.nio.file.Paths.get(s"$t/in/slice$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
+        }
+        t
+      })
+      // user-count-sized state (~1.5k keys at sf0.1): pin the streaming
+      // shuffle small (forStreaming rule), restore after
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val out = Cohorts.retentionStream(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in"),
+          col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
+        val q = out.writeStream.format("memory").queryName("graft_q118_gate")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q118_gate")
+    }),
     "q108_snapshot_diff" -> ((s, d) => {
       // lakehouse CDC: diff two deterministic versions of orders —
       // %11-keyed rows exist only in v2 (added), %13 only in v1
@@ -2219,6 +2269,19 @@ object SparkEntry {
     "q107_retention" ->
       // replay: first signup week per user, distinct active weeks,
       // offset counts; epoch-ms integer division on both engines
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
+        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
+        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
+        |       CAST(p - p0 AS BIGINT) AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM j GROUP BY p0, p""".stripMargin,
+    "q118_retention_stream" ->
+      // replay: identical to q107's — the streaming triangle's final
+      // totals equal the batch operator by the parity contract (the
+      // replay is event-time-ordered), and DuckDB replays the batch side
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
         |      WHERE event_type = 'signup' GROUP BY user_id),
