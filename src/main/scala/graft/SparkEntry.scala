@@ -39,9 +39,41 @@ object SparkEntry {
   // q117's re-chunked replay input, one per (process, sf dir)
   private val q117ReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q118's time-sliced replay input, one per (process, sf dir)
-  private val q118ReplayCache =
+  // q118/q119's time-sliced replay input, one per (process, sf dir):
+  // events split into 8 contiguous ms ranges with strictly ascending
+  // file mtimes, so a maxFilesPerTrigger=1 file stream delivers them in
+  // EVENT-TIME order (FileStreamSource processes oldest-first) — the
+  // regime where the streaming twins' parity contracts hold exactly.
+  private val eventsReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsReplayDir(s: SparkSession, d: String): String = {
+    val ev = Tables(s, d).events
+      .select(col("user_id"), col("event_type"), col("ts"))
+    eventsReplayCache.computeIfAbsent(d, _ => {
+      val t = java.nio.file.Files.createTempDirectory("graft_evreplay").toString
+      val msCol = unix_millis(col("ts"))
+      val bounds = ev.agg(min(msCol), max(msCol)).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/in"))
+      (0 until 8).foreach { i =>
+        val a = lo + (hi - lo + 1) * i / 8
+        val b = lo + (hi - lo + 1) * (i + 1) / 8
+        ev.where(msCol >= a && msCol < b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$t/stage$i")
+        val part = new java.io.File(s"$t/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(s"$t/in/slice$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
+      }
+      t
+    })
+  }
+  private def eventsReplayStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(Tables(s, d).events
+        .select(col("user_id"), col("event_type"), col("ts")).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"${eventsReplayDir(s, d)}/in")
 
   // q102/q103's shared retrieval workload: three fixed queries over the
   // corpus vocabulary (lowercase single-space, so DuckDB's split replays
@@ -814,42 +846,47 @@ object SparkEntry {
       // week). By retentionStream's parity contract (CohortsSpec) the
       // final complete-mode triangle equals Cohorts.retention, so the
       // oracle IS q107's.
-      val ev = Tables(s, d).events
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val tmp = q118ReplayCache.computeIfAbsent(d, _ => {
-        val t = java.nio.file.Files.createTempDirectory("graft_q118").toString
-        val msCol = unix_millis(col("ts"))
-        val bounds = ev.agg(min(msCol), max(msCol)).head
-        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/in"))
-        (0 until 8).foreach { i =>
-          val a = lo + (hi - lo + 1) * i / 8
-          val b = lo + (hi - lo + 1) * (i + 1) / 8
-          ev.where(msCol >= a && msCol < b)
-            .coalesce(1).write.mode("overwrite").parquet(s"$t/stage$i")
-          val part = new java.io.File(s"$t/stage$i").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = java.nio.file.Paths.get(s"$t/in/slice$i.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
-        }
-        t
-      })
       // user-count-sized state (~1.5k keys at sf0.1): pin the streaming
       // shuffle small (forStreaming rule), restore after
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val out = Cohorts.retentionStream(
-          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-            .parquet(s"$tmp/in"),
+        val out = Cohorts.retentionStream(eventsReplayStream(s, d),
           col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
         val q = out.writeStream.format("memory").queryName("graft_q118_gate")
           .outputMode("complete").start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q118_gate")
+    }),
+    "q119_funnel_stream" -> ((s, d) => {
+      // q106's STREAMING twin made oracle-visible: the per-user state
+      // machine over the same event-time-ordered replay as q118
+      // (FunnelSpec's in-order parity regime). The machine only ever
+      // ADVANCES, so the final snapshot needs no trigger ordering:
+      // max(steps_completed) per user over the update log, plus the
+      // users whose machine never left step 0 (they never emit) filled
+      // in from one static read of the replay input. Oracle = q106's.
+      val steps = Seq("view", "click", "purchase")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val out = Funnel.stepsStream(eventsReplayStream(s, d),
+          col("user_id"), col("event_type"), col("ts"), steps)
+        val q = out.writeStream.format("memory").queryName("graft_q119_updates")
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val advanced = s.table("graft_q119_updates")
+        .groupBy(col("user_id"))
+        .agg(max(col("steps_completed")).as("steps_completed"))
+      val entered = s.read.parquet(s"${eventsReplayDir(s, d)}/in")
+        .where(col("event_type").isin(steps: _*))
+        .select(col("user_id")).distinct()
+      entered.join(advanced, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("steps_completed"), lit(0L)).as("steps_completed"),
+          (coalesce(col("steps_completed"), lit(0L)) === steps.size).as("converted"))
     }),
     "q108_snapshot_diff" -> ((s, d) => {
       // lakehouse CDC: diff two deterministic versions of orders —
@@ -2311,6 +2348,24 @@ object SparkEntry {
         |         THEN 'changed' ELSE 'unchanged' END AS change_type
         |  FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
         |) WHERE change_type <> 'unchanged'""".stripMargin,
+    "q119_funnel_stream" ->
+      // replay: identical to q106's — the per-user machine's final
+      // snapshot over an event-time-ordered replay equals the batch
+      // funnel (FunnelSpec's parity), and DuckDB replays the batch side
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t IS NOT NULL THEN 3 WHEN t2.t IS NOT NULL THEN 2
+        |            WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+        |  t3.t IS NOT NULL AS converted
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |       LEFT JOIN t3 USING (user_id)""".stripMargin,
     "q106_funnel" ->
       // replay: greedy earliest-match == chained conditional mins
       // (earliest step-i match never forecloses step i+1); epoch_us is
