@@ -888,6 +888,25 @@ object SparkEntry {
           coalesce(col("steps_completed"), lit(0L)).as("steps_completed"),
           (coalesce(col("steps_completed"), lit(0L)) === steps.size).as("converted"))
     }),
+    "q120_line_scrub" -> ((s, d) => {
+      // within-document repeated-line scrub (the RefinedWeb/Dolma
+      // boilerplate filter), oracle-checked on a DETERMINISTIC
+      // multi-line reconstruction: the single-line corpus text is
+      // chunked into 2-word lines (the tiny vocabulary then repeats
+      // lines verbatim, like scraped nav bars); the scrub keeps each
+      // line's first occurrence. All narrow codegen'd expressions —
+      // zero exchange end to end (dedupLines' contract, spec-asserted).
+      val lined = Tables(s, d).documents
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("__t"))
+        .select(col("doc_id"),
+          when(size(col("__t")) === 0, lit(""))
+            .otherwise(array_join(transform(
+              sequence(lit(0), (ceil(size(col("__t")) / lit(2.0)).cast("int") - 1)),
+              j => array_join(slice(col("__t"), j * 2 + 1, lit(2)), " ")), "\n"))
+            .as("text2"))
+      TextAnalysis.dedupLines(lined, col("doc_id"), col("text2"))
+    }),
     "q108_snapshot_diff" -> ((s, d) => {
       // lakehouse CDC: diff two deterministic versions of orders —
       // %11-keyed rows exist only in v2 (added), %13 only in v1
@@ -2348,6 +2367,24 @@ object SparkEntry {
         |         THEN 'changed' ELSE 'unchanged' END AS change_type
         |  FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
         |) WHERE change_type <> 'unchanged'""".stripMargin,
+    "q120_line_scrub" ->
+      // replay: same 2-word-line reconstruction (1-based inclusive list
+      // slices == Spark's slice), then first-occurrence filter — DuckDB
+      // list_position over the preceding-lines slice returns 0 when
+      // absent, mirroring the engine's !exists(slice) predicate
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE array_to_string(
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INT)),
+        |      j -> array_to_string(toks[j*2+1 : j*2+2], ' ')), chr(10)) END AS text2
+        |  FROM t),
+        |l AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM c),
+        |k AS (SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> list_position(ls[1:i-1], x) = 0) AS kept FROM l)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned,
+        |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
     "q119_funnel_stream" ->
       // replay: identical to q106's — the per-user machine's final
       // snapshot over an event-time-ordered replay equals the batch

@@ -440,4 +440,34 @@ object TextAnalysis {
         (-col("s").getField("ns")).as("score"),
         (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** WITHIN-document repeated-line scrub — the boilerplate filter of
+    * RefinedWeb/Dolma-class pipelines (navigation bars, cookie notices
+    * and footers repeat VERBATIM inside a scraped page): every line
+    * after its first exact occurrence is dropped, order otherwise
+    * preserved. Complements [[SpanDedup]]/[[SpanIndex]], which remove
+    * text repeated ACROSS documents.
+    *
+    * Output: (doc_id, cleaned, n_lines, n_kept) — the counts make the
+    * scrub's effect measurable (and hash-visible to the oracle).
+    *
+    * Scale shape: one narrow codegen'd pass, ZERO exchange — the
+    * first-occurrence filter is a higher-order `filter(!exists(slice))`
+    * over the split array, O(lines²) per document of purely local work
+    * (boilerplate pages have tens-to-hundreds of lines; no shuffle ever
+    * sees the text).
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+                 sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "dedupLines: separator must be non-empty")
+    df.select(id.as("doc_id"),
+        split(text, java.util.regex.Pattern.quote(sep)).as("__l"))
+      .select(col("doc_id"), col("__l"),
+        filter(col("__l"), (x, i) =>
+          !exists(slice(col("__l"), lit(1), i), y => y === x)).as("__k"))
+      .select(col("doc_id"),
+        array_join(col("__k"), sep).as("cleaned"),
+        size(col("__l")).cast("long").as("n_lines"),
+        size(col("__k")).cast("long").as("n_kept"))
+  }
 }

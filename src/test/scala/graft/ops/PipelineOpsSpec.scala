@@ -660,4 +660,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("g1", "a", 3L, 1L), ("g1", "b", 3L, 2L),
       ("g2", "z", 2L, 1L), ("g2", "y", 1L, 2L)))
   }
+
+  test("dedupLines: first occurrence kept in order; empties and custom sep; zero exchange") {
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),   // boilerplate nav repeats
+      (2L, "a\n\nb\n\na"),                                  // repeated EMPTY line collapses too
+      (3L, "unique only"),                                  // no sep at all: identity
+      (4L, "x\nx\nx\nx")).toDF("id", "text")
+    val got = TextAnalysis.dedupLines(docs, col("id"), col("text"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "nav\nbody one\nbody two\nfooter", 6L, 4L),
+      (2L, "a\n\nb", 5L, 3L),
+      (3L, "unique only", 1L, 1L),
+      (4L, "x", 4L, 1L)))
+    // custom separator
+    val sepGot = TextAnalysis.dedupLines(
+        Seq((1L, "p. q. p. r")).toDF("id", "text"), col("id"), col("text"), sep = ". ")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(sepGot == Seq((1L, "p. q. r", 4L, 3L)))
+    // scale shape: narrow — no exchange anywhere in the plan
+    val plan = TextAnalysis.dedupLines(docs, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dedupLines must be zero-exchange:\n$plan")
+  }
 }
