@@ -43,6 +43,28 @@ object Decontamination {
       .where(col("containment") >= threshold)
   }
 
+  /** Continuous decontamination: [[containmentPairs]] per micro-batch of
+    * INCOMING training documents against a standing benchmark set — the
+    * admission-control shape (screen a crawl batch before it enters the
+    * corpus), completing the streaming screeners next to
+    * [[DedupIndex.screenStream]] / [[SpanIndex.screenStream]] /
+    * [[CosineIndex.screenStream]]. `bench` is a batch frame re-evaluated
+    * per trigger, so growing the benchmark suite between batches is
+    * picked up; `onBatch` must be idempotent under replay (Spark replays
+    * micro-batches on failure). Per batch: bench shingles broadcast, one
+    * narrow pass over the batch — nothing corpus-sized moves.
+    */
+  def screenStream(stream: DataFrame, trainId: Column, trainText: Column,
+                   bench: DataFrame, benchId: Column, benchText: Column,
+                   n: Int = 3, threshold: Double = 0.5)
+                  (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(containmentPairs(batch, trainId, trainText,
+          bench, benchId, benchText, n, threshold))
+      }
+      .start()
+
   /** The scrub itself: training rows with no flagged benchmark overlap.
     * No broadcast hint on the flagged set: its size scales with how
     * contaminated the CORPUS is (not with the small bench side), so a low

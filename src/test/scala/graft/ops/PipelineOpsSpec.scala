@@ -266,6 +266,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("decontamination screenStream: per-batch flags equal the batch operator; bench growth lands") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+      .localCheckpoint() // standing set, stable across triggers
+    val in = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val q = Decontamination.screenStream(
+      in.toDF().toDF("id", "text"), col("id"), col("text"),
+      bench, col("id"), col("text"), n = 3, threshold = 0.9) { res =>
+      res.as[(Long, Long, Double)].collect()
+        .groupBy(_._1).foreach { case (t, rs) => got.put(t, rs.map(_._2).toSet) }
+    }
+    try {
+      in.addData(
+        (1L, "intro words alpha beta gamma delta and a very long tail of extra content"),
+        (3L, "completely different text here"))
+      q.processAllAvailable()
+      assert(got.containsKey(1L) && got.get(1L) == Set(100L) && !got.containsKey(3L))
+      // a contaminated doc in a later batch is flagged the same way
+      in.addData((4L, "prefix alpha beta gamma delta suffix"))
+      q.processAllAvailable()
+      assert(got.get(4L) == Set(100L))
+    } finally q.stop()
+  }
+
   test("chunk: stride windows, short last chunk, empty docs dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
