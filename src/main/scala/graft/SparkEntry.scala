@@ -829,6 +829,16 @@ object SparkEntry {
         Tables(s, d).lineitem.select(
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         col("cents"), Seq(50, 90, 99))),
+    "q121_groupwise_median" -> ((s, d) =>
+      // EXACT per-supplier median price (cents) — every group bisects
+      // its own range simultaneously: group-sized bounds broadcast, per-
+      // pass (group × ≤4096)-row histograms, no per-group sort, no
+      // value buffering (Spark's exact percentile agg would buffer every
+      // value of a group in one buffer — the 100 TB OOM path)
+      Quantiles.exactPercentileByKey(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        Seq("l_suppkey"), col("cents"), 50)),
     "q107_retention" -> ((s, d) =>
       // weekly cohort retention: users cohorted by first-signup week,
       // counted active in each later week — the retention triangle.
@@ -2310,6 +2320,19 @@ object SparkEntry {
         |  SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
         |  UNION ALL SELECT w FROM tr
         |) GROUP BY id""".stripMargin,
+    "q121_groupwise_median" ->
+      // replay: per-group rank arithmetic, value by partitioned
+      // row_number — the per-group sort the engine side avoids
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, c,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v)
+        |SELECT l_suppkey, CAST(cnt AS BIGINT) AS n,
+        |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
+        |  c AS value
+        |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
     "q109_exact_percentiles" ->
       // replay: same rank arithmetic (integer ceil division), value
       // fetched by row_number — the sort the engine side avoids

@@ -117,4 +117,89 @@ object Quantiles {
       val (blo, bhi, kIn) = locate(histogram(vals, lo, hi), k, lo, hi)
       descend(vals.where(col("v").between(blo, bhi)), kIn, blo, bhi)
     }
+
+  /** PER-GROUP exact discrete percentile — the keyed twin of
+    * [[percentiles]], still sort-free and value-collection-free: every
+    * group bisects its own value range SIMULTANEOUSLY in the same
+    * passes. Per pass: the open groups' (lo, hi, remaining-rank) bounds
+    * — a group-sized frame — broadcast-join the corpus scan, each row
+    * buckets against ITS group's range, and a (group × ≤4096)-row
+    * partial-aggregated histogram plus a group-partitioned running-sum
+    * window picks each group's next sub-range. A 64-bit domain closes
+    * in ≤ ⌈64/12⌉ = 6 passes; groups that finish early ride along
+    * closed.
+    *
+    * Contrast at 100 TB: Spark's exact `percentile` aggregate buffers
+    * EVERY value of a group in one aggregation buffer (a hot group
+    * OOMs an executor); a window row_number needs a per-group sort of
+    * the whole table. Here nothing corpus-sized ever exchanges — the
+    * corpus is only scanned (once per pass), histograms are the only
+    * shuffle, and driver traffic is one tiny open-group count per pass.
+    * Requires the GROUP BOUNDS frame (not the data) to be
+    * broadcastable: fine up to millions of groups.
+    *
+    * Rank convention matches [[percentiles]]: value at 1-based rank
+    * max(1, ⌈p·n/100⌉) per group, nulls excluded; groups are rows of
+    * the output (key cols, n, rk, value).
+    */
+  def exactPercentileByKey(df: DataFrame, keys: Seq[String], value: Column,
+                           pct: Int): DataFrame = {
+    require(keys.nonEmpty, "exactPercentileByKey: at least one key column")
+    require(pct >= 1 && pct <= 100, s"exactPercentileByKey: pct in [1,100], got $pct")
+    val reserved = Seq("__v", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum")
+    require(df.columns.intersect(reserved).isEmpty,
+      s"exactPercentileByKey: input uses reserved column names: ${reserved.mkString(", ")}")
+    val one = df.select(keys.map(col) :+ value.as("__v"): _*)
+    val dt = one.schema("__v").dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+      s"quantiles: value must be integral (cast DECIMAL money to cents first), got $dt")
+    val vals = one.where(col("__v").isNotNull)
+      .select(keys.map(col) :+ col("__v").cast("long").as("__v"): _*)
+
+    // per-group n / lo / hi / target rank; fail fast (Trend's posture)
+    // if any group's range spans more than a Long
+    var bounds = vals.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
+        max(col("__v")).as("__hi"))
+      .withColumn("__rk", expr(s"greatest(1L, (${pct}L * __n + 99L) div 100L)"))
+      .withColumn("__krem", col("__rk"))
+      .withColumn("__hi", when(
+        col("__hi").cast("double") - col("__lo").cast("double") > 8.9e18,
+        raise_error(lit("quantiles: a group's value range spans more than a Long — " +
+          "rescale the column first"))).otherwise(col("__hi")))
+      .localCheckpoint()
+
+    while (!bounds.where(col("__lo") < col("__hi")).isEmpty) {
+      val open = bounds.where(col("__lo") < col("__hi"))
+        .withColumn("__w", expr(s"(__hi - __lo) div ${B}L + 1L"))
+      val hist = vals.join(broadcast(open), keys)
+        // the remaining rank is relative to the group's SURVIVING range —
+        // rows outside it must not contribute histogram mass
+        .where(col("__v").between(col("__lo"), col("__hi")))
+        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
+          col("__lo"), col("__hi"), col("__w"),
+          expr("(__v - __lo) div __w").as("__b")): _*)
+        .groupBy(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
+          col("__lo"), col("__hi"), col("__w"), col("__b")): _*)
+        .agg(count(lit(1)).as("__c"))
+      // per-group running mass in bucket order — the window partitions on
+      // the keys over a (group × ≤4096)-row frame, never the corpus
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("__b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val stepped = hist.withColumn("__cum", sum(col("__c")).over(win))
+        .where(col("__krem") > col("__cum") - col("__c") && col("__krem") <= col("__cum"))
+        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"),
+          (col("__krem") - (col("__cum") - col("__c"))).as("__krem"),
+          (col("__lo") + col("__b") * col("__w")).as("__lo"),
+          least(col("__lo") + (col("__b") + 1) * col("__w") - 1, col("__hi")).as("__hi")): _*)
+      bounds = bounds.where(col("__lo") === col("__hi"))
+        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
+          col("__lo"), col("__hi")): _*)
+        .unionByName(stepped)
+        .localCheckpoint() // group-sized; truncates the per-pass lineage
+    }
+    bounds.select(keys.map(col) ++ Seq(col("__n").as("n"), col("__rk").as("rk"),
+      col("__lo").as("value")): _*)
+  }
 }

@@ -67,4 +67,44 @@ class QuantilesSpec extends AnyFunSuite {
       "GreaterThanOrEqual(l_orderkey,100), LessThanOrEqual(l_orderkey,200)]"),
       s"range filter not pushed:\n$plan")
   }
+
+  test("exactPercentileByKey == per-group sorted replica on supplier price cents") {
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_suppkey"), (col("l_extendedprice") * 100).cast("long").as("cents"))
+    for (p <- Seq(50, 95)) {
+      val got = Quantiles.exactPercentileByKey(li, Seq("l_suppkey"), col("cents"), p)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val replica = li.as[(Long, Long)].collect().groupBy(_._1).map { case (s, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val rk = math.max(1L, (p.toLong * sorted.length + 99L) / 100L)
+        (s, sorted.length.toLong, rk, sorted((rk - 1).toInt))
+      }.toSeq.sortBy(_._1)
+      assert(got == replica && got.size >= 10, s"pct $p")
+    }
+  }
+
+  test("exactPercentileByKey: one-group input agrees with the global exactRank; edge ranks") {
+    val raw: Seq[java.lang.Long] = Seq[java.lang.Long](
+      5L, -3L, 5L, 0L, 9L, 5L, -3L, 1L << 40, 7L, null, 2L)
+    val df = raw.toDF("v").withColumn("g", lit("all"))
+    val sorted = raw.filter(_ != null).map(_.toLong).sorted
+    for (p <- Seq(1, 50, 100)) {
+      val rk = math.max(1L, (p.toLong * sorted.size + 99L) / 100L)
+      val got = Quantiles.exactPercentileByKey(df, Seq("g"), col("v"), p)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("all", sorted.size.toLong, rk, sorted((rk - 1).toInt))), s"pct $p")
+      assert(got.head._4 == Quantiles.exactRank(df, col("v"), rk))
+    }
+    // guards
+    assertThrows[IllegalArgumentException] {
+      Quantiles.exactPercentileByKey(df, Seq.empty, col("v"), 50)
+    }
+    assertThrows[IllegalArgumentException] {
+      Quantiles.exactPercentileByKey(df, Seq("g"), col("v"), 0)
+    }
+    assertThrows[IllegalArgumentException] { // non-integral
+      Quantiles.exactPercentileByKey(df.withColumn("v", col("v").cast("double")),
+        Seq("g"), col("v"), 50)
+    }
+  }
 }
