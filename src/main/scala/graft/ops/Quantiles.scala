@@ -138,6 +138,14 @@ object Quantiles {
     * Requires the GROUP BOUNDS frame (not the data) to be
     * broadcastable: fine up to millions of groups.
     *
+    * Domain (measured, ThroughputBench scenario 24): this wins when
+    * groups are HOT — 100M rows / 16 groups runs 7.1 s vs 76.3 s for
+    * the window baseline, while the exact percentile aggregate OOMs
+    * outright at that shape. With MANY TINY groups the per-pass
+    * histogram frame (groups × ≤4096 rows) outweighs the data and a
+    * plain sort-based aggregate wins (measured 0.2× at 2k-row
+    * groups) — pick by group size, not reflexively.
+    *
     * Rank convention matches [[percentiles]]: value at 1-based rank
     * max(1, ⌈p·n/100⌉) per group, nulls excluded; groups are rows of
     * the output (key cols, n, rk, value).

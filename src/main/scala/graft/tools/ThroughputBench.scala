@@ -627,6 +627,47 @@ object ThroughputBench {
         f"survivor probes hit $hits/10, removed probes silent")
     }
 
+    // scenario 24: PER-GROUP exact median in the operator's domain —
+    // HOT groups (100M rows / 16 groups ≈ 6M values per group), where
+    // the exact `percentile` aggregate buffers a whole group per
+    // aggregation buffer (the cluster OOM path: working set scales with
+    // group size) and a window baseline shuffles and per-group-sorts
+    // the whole table. Bisection's working set is O(groups × 4096)
+    // REGARDLESS of group size. Values asserted equal in-run. (With
+    // many tiny groups the histogram frame dominates and the plain
+    // aggregate wins — that trade is documented on the operator.)
+    if (enabled(24)) {
+      val nRows = 100000000L
+      val nGroups = 16L
+      val vals = spark.range(nRows).select((col("id") % nGroups).as("g"),
+        (xxhash64(col("id")) % 1000000000L).as("v"))
+      val t0 = System.nanoTime()
+      val sel = graft.ops.Quantiles.exactPercentileByKey(vals, Seq("g"), col("v"), 50)
+        .select(col("g"), col("value")).as[(Long, Long)].collect().toMap
+      val sSel = (System.nanoTime() - t0) / 1e9
+      // NOT measured here: the exact `percentile` aggregate — at this
+      // shape (32 map tasks × 16 buffered groups × ~200k rows each) it
+      // OOMs this JVM's heap and takes the SparkContext down with it,
+      // which is precisely the working-set-scales-with-group-size
+      // failure the operator exists to avoid. The window baseline
+      // survives by spilling its per-group external sort.
+      val t1 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+      val naive = vals
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        .where(col("rn") === greatest(lit(1L), expr("(50 * n + 99) div 100")))
+        .select(col("g"), col("v")).as[(Long, Long)].collect().toMap
+      val sSort = (System.nanoTime() - t1) / 1e9
+      require(sel == naive, s"bisection diverges from window baseline " +
+        s"(${sel.size} vs ${naive.size} groups)")
+      println(f"scenario24 groupwise-median n=$nRows groups=$nGroups: bisection " +
+        f"$sSel%.1f s (O(groups·4096) working set, spill-free) vs window sort " +
+        f"$sSort%.1f s (full shuffle + per-group external sort), " +
+        f"${sel.size} groups agree")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
