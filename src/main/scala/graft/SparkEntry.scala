@@ -46,34 +46,15 @@ object SparkEntry {
   // regime where the streaming twins' parity contracts hold exactly.
   private val eventsReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def eventsReplayDir(s: SparkSession, d: String): String = {
-    val ev = Tables(s, d).events
-      .select(col("user_id"), col("event_type"), col("ts"))
-    eventsReplayCache.computeIfAbsent(d, _ => {
-      val t = java.nio.file.Files.createTempDirectory("graft_evreplay").toString
-      val msCol = unix_millis(col("ts"))
-      val bounds = ev.agg(min(msCol), max(msCol)).head
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/in"))
-      (0 until 8).foreach { i =>
-        val a = lo + (hi - lo + 1) * i / 8
-        val b = lo + (hi - lo + 1) * (i + 1) / 8
-        ev.where(msCol >= a && msCol < b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$t/stage$i")
-        val part = new java.io.File(s"$t/stage$i").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(s"$t/in/slice$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
-      }
-      t
-    })
-  }
+  private def eventsReplayDir(s: SparkSession, d: String): String =
+    eventsReplayCache.computeIfAbsent(d, _ =>
+      graft.streaming.Replay.writeOrderedSlices(
+        Tables(s, d).events.select(col("user_id"), col("event_type"), col("ts")),
+        unix_millis(col("ts")),
+        java.nio.file.Files.createTempDirectory("graft_evreplay").toString))
   private def eventsReplayStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(Tables(s, d).events
-        .select(col("user_id"), col("event_type"), col("ts")).schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"${eventsReplayDir(s, d)}/in")
+    graft.streaming.Replay.orderedStream(s, eventsReplayDir(s, d),
+      Tables(s, d).events.select(col("user_id"), col("event_type"), col("ts")).schema)
 
   // q102/q103's shared retrieval workload: three fixed queries over the
   // corpus vocabulary (lowercase single-space, so DuckDB's split replays

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time-ordered replay of a batch table as a micro-batched file
+  * stream — the harness that lets a stateful streaming operator be
+  * validated against a BATCH oracle (q117/q118/q119's pattern).
+  *
+  * [[writeOrderedSlices]] splits the frame into `slices` contiguous
+  * ranges of an integral order column and writes one parquet file per
+  * slice with STRICTLY ASCENDING modification times.
+  * [[orderedStream]] then reads the directory with
+  * `maxFilesPerTrigger=1`: FileStreamSource's documented contract
+  * (`latestFirst=false`, the default) processes oldest-modified files
+  * first, so micro-batches arrive in event-time order — every record
+  * in batch i+1 has an order value ≥ every record in batch i. That is
+  * exactly the in-order-delivery regime under which the streaming
+  * twins' parity contracts (stream == batch, spec-asserted in
+  * FunnelSpec/CohortsSpec/ChecksSpec) make a batch oracle valid for a
+  * streaming run.
+  *
+  * Scale note: this is a TEST/VALIDATION harness — production streams
+  * come from Kafka/file drops with their own ordering realities, and
+  * the operators' documented straggler-drop semantics cover them. The
+  * slice write is one pass over the frame per slice (bounded, small
+  * slice counts); determinism comes from range slicing on the order
+  * column, not from file-listing luck.
+  */
+object Replay {
+
+  /** Split `df` into `slices` contiguous ranges of `orderBy` (an
+    * integral epoch-style column) under `dir/in`, mtimes ascending.
+    * Rows with null order values are dropped (they have no place in an
+    * ordered replay). Returns the directory written into.
+    */
+  def writeOrderedSlices(df: DataFrame, orderBy: Column, dir: String,
+                         slices: Int = 8): String = {
+    require(slices > 0, "replay: slices must be positive")
+    val vals = df.where(orderBy.isNotNull)
+    val bounds = vals.agg(min(orderBy).cast("long"), max(orderBy).cast("long")).head
+    require(!bounds.isNullAt(0), "replay: no rows to slice")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    (0 until slices).foreach { i =>
+      val a = lo + (hi - lo + 1) * i / slices
+      val b = lo + (hi - lo + 1) * (i + 1) / slices
+      vals.where(orderBy.cast("long") >= a && orderBy.cast("long") < b)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
+      val part = new java.io.File(s"$dir/stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/in/slice$i.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly ascending, whole-second spaced: some filesystems round
+      // mtimes to seconds, and equal stamps would surrender the order
+      // to listing luck
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
+    }
+    dir
+  }
+
+  /** One-file-per-trigger stream over a [[writeOrderedSlices]] output:
+    * micro-batches in ascending slice order.
+    */
+  def orderedStream(spark: SparkSession, dir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+}
