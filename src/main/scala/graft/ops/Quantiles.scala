@@ -152,8 +152,34 @@ object Quantiles {
     */
   def exactPercentileByKey(df: DataFrame, keys: Seq[String], value: Column,
                            pct: Int): DataFrame = {
-    require(keys.nonEmpty, "exactPercentileByKey: at least one key column")
     require(pct >= 1 && pct <= 100, s"exactPercentileByKey: pct in [1,100], got $pct")
+    selectByKey(df, keys, value, s"greatest(1L, (${pct}L * __n + 99L) div 100L)")
+  }
+
+  /** Several percentiles per group in the SAME passes: each (group,
+    * q_pct) pair bisects as its own virtual group, and one corpus scan
+    * per pass serves all of them — p50+p95+p99 per group costs the same
+    * ≤6 scans as one percentile, with the corpus rows replicated once
+    * per requested percent on the way into each histogram (|pcts| is
+    * tiny). Output adds a `q_pct` column.
+    */
+  def exactPercentilesByKey(df: DataFrame, keys: Seq[String], value: Column,
+                            pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts == pcts.distinct,
+      "exactPercentilesByKey: percents must be non-empty and distinct")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"exactPercentilesByKey: percents in [1,100], got ${pcts.mkString(",")}")
+    require(!df.columns.contains("q_pct") && !keys.contains("q_pct"),
+      "exactPercentilesByKey: q_pct is a reserved output column name")
+    val withP = df.withColumn("q_pct",
+      explode(array(pcts.map(p => lit(p.toLong)): _*)))
+    selectByKey(withP, keys :+ "q_pct", value,
+      "greatest(1L, (q_pct * __n + 99L) div 100L)")
+  }
+
+  private def selectByKey(df: DataFrame, keys: Seq[String], value: Column,
+                          rkExpr: String): DataFrame = {
+    require(keys.nonEmpty, "exactPercentileByKey: at least one key column")
     val reserved = Seq("__v", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum")
     require(df.columns.intersect(reserved).isEmpty,
       s"exactPercentileByKey: input uses reserved column names: ${reserved.mkString(", ")}")
@@ -169,7 +195,7 @@ object Quantiles {
     var bounds = vals.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
         max(col("__v")).as("__hi"))
-      .withColumn("__rk", expr(s"greatest(1L, (${pct}L * __n + 99L) div 100L)"))
+      .withColumn("__rk", expr(rkExpr))
       .withColumn("__krem", col("__rk"))
       .withColumn("__hi", when(
         col("__hi").cast("double") - col("__lo").cast("double") > 8.9e18,

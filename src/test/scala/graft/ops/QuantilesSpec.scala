@@ -83,6 +83,24 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentilesByKey: multi-pct run equals per-pct runs (shared passes)") {
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_suppkey"), (col("l_extendedprice") * 100).cast("long").as("cents"))
+    val multi = Quantiles.exactPercentilesByKey(li, Seq("l_suppkey"), col("cents"),
+        Seq(50, 95, 99))
+      .select(col("l_suppkey"), col("q_pct"), col("n"), col("rk"), col("value"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val singles = Seq(50, 95, 99).flatMap { p =>
+      Quantiles.exactPercentileByKey(li, Seq("l_suppkey"), col("cents"), p)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, p.toLong, r._2, r._3, r._4))
+    }.toSet
+    assert(multi == singles && multi.size == 30)
+    assertThrows[IllegalArgumentException] {
+      Quantiles.exactPercentilesByKey(li, Seq("l_suppkey"), col("cents"), Seq(50, 50))
+    }
+  }
+
   test("exactPercentileByKey: one-group input agrees with the global exactRank; edge ranks") {
     val raw: Seq[java.lang.Long] = Seq[java.lang.Long](
       5L, -3L, 5L, 0L, 9L, 5L, -3L, 1L << 40, 7L, null, 2L)
