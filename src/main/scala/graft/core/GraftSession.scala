@@ -41,8 +41,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
-      // reader rejects; read as Long ns and convert (Tables.events).
+      // older testdata generations wrote events.parquet as TIMESTAMP(NANOS),
+      // which Spark's reader rejects without this conf; harmless for the
+      // current timestamp[us] generation (Tables.events adapts per schema).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,10 +12,12 @@ import org.apache.spark.sql.types.StructType
   * parquet data source, so they hold at 100 TB.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  // events.parquet carries TIMESTAMP(NANOS); Spark's parquet reader rejects
-  // that type unless spark.sql.legacy.parquet.nanosAsLong=true. That conf is
+  // Older testdata generations wrote events.parquet with TIMESTAMP(NANOS);
+  // Spark's parquet reader rejects that type unless
+  // spark.sql.legacy.parquet.nanosAsLong=true. That conf is
   // session-construction state, not read-path state — GraftSession.local and
   // GraftSession.tune both set it; externally-built sessions must too.
+  // (Newer generations write timestamp[us]; [[events]] adapts per schema.)
   def table(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -26,14 +28,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  /** `ts` arrives as Long nanoseconds (see [[table]]); convert to a proper
-    * µs TimestampType with integer `div` — a double-precision division
-    * would corrupt int64 epoch-nanos (~1.7e18 > 2^53).
+  /** Normalizes `ts` to µs TimestampType regardless of which testdata
+    * generation wrote the file — the driver has regenerated events.parquet
+    * with a different physical type mid-build before (epoch-ns int64 → naive
+    * timestamp[us] on 2026-08-13), and every downstream operator assumes one
+    * type. The session timezone is pinned to UTC (GraftSession), so casting
+    * the naive TIMESTAMP_NTZ reads its wall clock as UTC — the same instants
+    * the epoch-ns path produced, and the same convention DuckDB's
+    * `epoch_ms`/`epoch_us` apply in the oracles.
+    *  - Long: epoch nanoseconds (legacy nanosAsLong read). Integer `div`,
+    *    not `/` — double division would corrupt int64 epoch-nanos
+    *    (~1.7e18 > 2^53).
+    *  - TIMESTAMP_NTZ: cast under the UTC session zone.
+    *  - TIMESTAMP: already the target type.
     */
-  def events: DataFrame =
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — testdata generation changed again; " +
+          "extend Tables.events with the new regime")
+    }
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
