@@ -46,15 +46,48 @@ object SparkEntry {
   // regime where the streaming twins' parity contracts hold exactly.
   private val eventsReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // full operator column set — q118/q119 use (user_id, event_type, ts),
+  // q123 additionally event_id, q124 event_id + the join pair columns
+  private def replayCols: Seq[Column] =
+    Seq(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
   private def eventsReplayDir(s: SparkSession, d: String): String =
     eventsReplayCache.computeIfAbsent(d, _ =>
       graft.streaming.Replay.writeOrderedSlices(
-        Tables(s, d).events.select(col("user_id"), col("event_type"), col("ts")),
+        Tables(s, d).events.select(replayCols: _*),
         unix_millis(col("ts")),
         java.nio.file.Files.createTempDirectory("graft_evreplay").toString))
   private def eventsReplayStream(s: SparkSession, d: String): DataFrame =
     graft.streaming.Replay.orderedStream(s, eventsReplayDir(s, d),
-      Tables(s, d).events.select(col("user_id"), col("event_type"), col("ts")).schema)
+      Tables(s, d).events.select(replayCols: _*).schema)
+  // q122's replay: the same 8 ordered slices PLUS a watermark-advancing
+  // sentinel slice (one row a day past the corpus, event_type
+  // "__sentinel__"). Separate dir — the sentinel row must never reach
+  // q118/q119's user-keyed state.
+  private val sentinelReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the sentinel sits at a FIXED far-future instant (2100-01-01 UTC) and
+  // consumers exclude it with a predicate ON THE EVENT-TIME COLUMN
+  // (ts < 2099-01-01): Catalyst pushes filters on other columns BELOW the
+  // EventTimeWatermark node (PushPredicateThroughNonJoin splits conjuncts
+  // by whether they reference the watermark attribute), and a pushed-down
+  // `event_type != sentinel` filter would drop the row before its event
+  // time registers — silently never advancing the watermark (observed:
+  // the last window stayed unflushed). A ts predicate is kept above the
+  // node, so the sentinel moves the clock, then vanishes.
+  private val sentinelTsUs = 4102444800000000L // 2100-01-01T00:00:00Z
+  private def sentinelCutoff: Column =
+    timestamp_micros(lit(4070908800000000L)) // 2099-01-01T00:00:00Z
+  private def sentinelReplayDir(s: SparkSession, d: String): String =
+    sentinelReplayCache.computeIfAbsent(d, _ => {
+      val ev = Tables(s, d).events.select(replayCols: _*)
+      val dir = graft.streaming.Replay.writeOrderedSlices(ev,
+        unix_millis(col("ts")),
+        java.nio.file.Files.createTempDirectory("graft_evreplay_s").toString)
+      graft.streaming.Replay.appendSlice(dir,
+        s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
+          timestamp_micros(lit(sentinelTsUs)).as("ts")), 8)
+    })
 
   // q102/q103's shared retrieval workload: three fixed queries over the
   // corpus vocabulary (lowercase single-space, so DuckDB's split replays
@@ -879,6 +912,130 @@ object SparkEntry {
           coalesce(col("steps_completed"), lit(0L)).as("steps_completed"),
           (coalesce(col("steps_completed"), lit(0L)) === steps.size).as("converted"))
     }),
+    "q122_window_stream" -> ((s, d) => {
+      // q21's STREAMING twin made oracle-visible: watermarked tumbling
+      // windows in APPEND output mode — each (hour, event_type) window
+      // emits exactly once, when the watermark passes its end (the
+      // fire-on-watermark path, reference stateful.py:198-247; q21 itself
+      // covers the window MATH, this covers the FIRING). The replay
+      // carries a far-future sentinel event that advances the final
+      // watermark so the last real windows flush (processAllAvailable
+      // is not end-of-stream). The sentinel guard is a predicate ON ts
+      // (see sentinelCutoff) — a filter on any other column would be
+      // pushed below the EventTimeWatermark node and drop the sentinel
+      // before its event time registers. Delivery is event-time-ordered
+      // and the delay is 0 s, so no real row is ever late-dropped — the
+      // append output set equals the batch tumbling aggregate and the
+      // oracle is q21's. State is ~720 hourly windows × 5 types: pin
+      // the streaming shuffle small (forStreaming rule), restore after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.Replay.orderedStream(s,
+          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
+        val out = stream.withWatermark("ts", "0 seconds")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("sum_v"))
+          .select(unix_millis(col("window.start")).as("win_start_ms"),
+            col("event_type"), col("cnt"), col("sum_v"))
+        val q = out.writeStream.format("memory").queryName("graft_q122_windows")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q122_windows")
+    }),
+    "q126_session_stream" -> ((s, d) => {
+      // q23's STREAMING twin made oracle-visible: per-user session
+      // windows in append mode — the one windowed path whose state
+      // MERGES (adjacent sessions coalesce when a bridging event
+      // arrives), unlike q122's fixed tumbling buckets. Sessions close
+      // when the watermark passes session end + gap; the same
+      // far-future sentinel flushes the final open sessions, guarded by
+      // the same ts predicate (pushdown note at sentinelCutoff). With
+      // event-time-ordered delivery and delay 0 no event is late, so
+      // the append output equals the batch session aggregate — oracle
+      // = q23's.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.Replay.orderedStream(s,
+          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
+        val out = stream.withWatermark("ts", "0 seconds")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+            col("user_id"), col("n_events"))
+        val q = out.writeStream.format("memory").queryName("graft_q126_sessions")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q126_sessions")
+    }),
+    "q123_running_agg_stream" -> ((s, d) => {
+      // q08's STREAMING twin made oracle-visible: the reference's
+      // AggregateOperator emits a refreshed per-key value after every
+      // input (stateful.py:265-342) — on Spark that is an UPDATE-mode
+      // streaming aggregation whose (min, count) state the aggregate
+      // itself maintains incrementally; no custom state op. The memory
+      // sink keeps the full update LOG; the final snapshot is recovered
+      // ordering-free: n only grows, so max(n) is each key's last
+      // update, and the running min's final value is the min over the
+      // log. Stream == batch on ANY delivery order — unlike
+      // q118/q119 this twin needs no in-order regime, which is the
+      // point: a commutative running aggregate is the easy case, and
+      // the gate shows it. Oracle = q08's.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val out = graft.streaming.StreamOps.runningAgg(eventsReplayStream(s, d),
+          Seq(col("user_id"), col("event_type")),
+          Seq(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
+        val q = out.writeStream.format("memory").queryName("graft_q123_updates")
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q123_updates").groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("first_event_id")).as("first_event_id"), max(col("n")).as("n"))
+    }),
+    "q124_interval_join_stream" -> ((s, d) => {
+      // q24's STREAMING twin made oracle-visible: a real stream-stream
+      // interval inner join — the reference's flagship stateful operator
+      // (JoinOperator, stateful.py:345-465: per-key buffers matched
+      // within ±bound, evicted behind the watermark). Both sides are
+      // watermarked and the range condition is on the raw event-time
+      // columns, so Spark derives the state-eviction bounds the
+      // reference computes by hand. An INNER join's output set is
+      // delivery-order independent: eviction is provably conservative
+      // (only rows no future input can match are dropped), so the
+      // streamed result equals the batch interval join and the oracle
+      // is q24's. The two sides are independent readStreams over the
+      // same ordered slices — each trigger feeds one file per side.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val p = eventsReplayStream(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = eventsReplayStream(s, d)
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val joined = graft.streaming.StreamOps.intervalJoin(
+          p, "p_ts", "0 seconds", c, "c_ts", "0 seconds",
+          col("p_user") === col("c_user"),
+          "p_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts + INTERVAL 6 HOURS")
+          .select(col("purchase_id"), col("click_id"),
+            (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
+        val q = joined.writeStream.format("memory").queryName("graft_q124_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q124_join")
+    }),
     "q120_line_scrub" -> ((s, d) => {
       // within-document repeated-line scrub (the RefinedWeb/Dolma
       // boilerplate filter), oracle-checked on a DETERMINISTIC
@@ -898,6 +1055,21 @@ object SparkEntry {
             .as("text2"))
       TextAnalysis.dedupLines(lined, col("doc_id"), col("text2"))
     }),
+    "q125_table_fingerprint" -> ((s, d) =>
+      // anti-entropy fingerprint per return-flag group: count + XOR +
+      // modular sum of a 60-bit md5 row hash — two 100 TB replicas
+      // compare with one scan each and a group-sized join, and only a
+      // disagreeing group ever pays a row-level diff. Hash inputs are
+      // engine-portable canonical forms (ints, cents, epoch ms, strings
+      // — never raw doubles, whose formatting is engine-specific)
+      Diff.fingerprint(
+        Tables(s, d).lineitem.select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ms_ship"),
+          col("l_linestatus")),
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber", "cents", "ms_ship", "l_linestatus"))),
     "q108_snapshot_diff" -> ((s, d) => {
       // lakehouse CDC: diff two deterministic versions of orders —
       // %11-keyed rows exist only in v2 (added), %13 only in v1
@@ -2407,6 +2579,56 @@ object SparkEntry {
         |  t3.t IS NOT NULL AS converted
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q125_table_fingerprint" ->
+      // replay: same canonical strings (chr(1) separators, chr(2) null
+      // sentinel), same 15-hex-digit md5 prefix via the '0x' cast
+      // (q110's trick), bit_xor + HUGEINT sum mod 2^62 cast back to
+      // BIGINT (the driver's hasher is type-sensitive)
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(concat_ws(chr(1),
+        |      COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(epoch_ms(l_shipdate) AS VARCHAR), chr(2)),
+        |      COALESCE(l_linestatus, chr(2)))), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, bit_xor(h) AS xor_fp,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS sum_fp
+        |FROM t GROUP BY 1""".stripMargin,
+    "q122_window_stream" ->
+      // replay: identical to q21's — event-time-ordered delivery with a
+      // sentinel-advanced final watermark makes the append-mode output
+      // set equal the batch tumbling aggregate
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q123_running_agg_stream" ->
+      // replay: identical to q08's — a commutative running aggregate's
+      // final update equals the batch aggregate on any delivery order
+      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q126_session_stream" ->
+      // replay: identical to q23's — in-order delivery with a
+      // sentinel-advanced final watermark closes every session exactly
+      // as the batch gap-split does
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
+        |d AS (SELECT user_id, ems,
+        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ems,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q124_interval_join_stream" ->
+      // replay: identical to q24's — a stream-stream INNER join's output
+      // set is delivery-order independent under conservative state
+      // eviction
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
+        |FROM events p JOIN events c
+        |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |AND abs(epoch_ms(p.ts) - epoch_ms(c.ts)) <= 21600000""".stripMargin,
     "q106_funnel" ->
       // replay: greedy earliest-match == chained conditional mins
       // (earliest step-i match never forecloses step i+1); epoch_us is

@@ -41,24 +41,44 @@ object Replay {
     val bounds = vals.agg(min(orderBy).cast("long"), max(orderBy).cast("long")).head
     require(!bounds.isNullAt(0), "replay: no rows to slice")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
     (0 until slices).foreach { i =>
       val a = lo + (hi - lo + 1) * i / slices
       val b = lo + (hi - lo + 1) * (i + 1) / slices
-      vals.where(orderBy.cast("long") >= a && orderBy.cast("long") < b)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
-      val part = new java.io.File(s"$dir/stage$i").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
-      val dst = java.nio.file.Paths.get(s"$dir/in/slice$i.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // strictly ascending, whole-second spaced: some filesystems round
-      // mtimes to seconds, and equal stamps would surrender the order
-      // to listing luck
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
+      writeSlice(dir, vals.where(orderBy.cast("long") >= a && orderBy.cast("long") < b), i)
     }
     dir
+  }
+
+  /** Append one more slice AFTER every [[writeOrderedSlices]] slice — its
+    * mtime sorts last, so it arrives as the FINAL micro-batch. The use
+    * case is a watermark-advancing sentinel: append-mode windowed
+    * aggregation only emits a window once the watermark passes its end,
+    * so without a trailing event the last real windows stay unflushed
+    * forever (`processAllAvailable` is not end-of-stream). A sentinel row
+    * one day past the corpus, filtered out AFTER `withWatermark`,
+    * advances the watermark without contributing data (q122's pattern).
+    * `index` must be ≥ the slice count already written — mtimes are
+    * derived from it, and reusing one would surrender delivery order.
+    */
+  def appendSlice(dir: String, df: DataFrame, index: Int): String = {
+    require(index > 0, "replay: appendSlice index must be positive")
+    writeSlice(dir, df, index)
+    dir
+  }
+
+  private def writeSlice(dir: String, df: DataFrame, i: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
+    val part = new java.io.File(s"$dir/stage$i").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val dst = java.nio.file.Paths.get(s"$dir/in/slice$i.parquet")
+    java.nio.file.Files.move(part, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // strictly ascending, whole-second spaced: some filesystems round
+    // mtimes to seconds, and equal stamps would surrender the order
+    // to listing luck
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
   }
 
   /** One-file-per-trigger stream over a [[writeOrderedSlices]] output:

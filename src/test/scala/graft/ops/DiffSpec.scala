@@ -196,4 +196,52 @@ class DiffSpec extends AnyFunSuite {
       s"expected a full-outer sort-merge join:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"), s"diff must not broadcast a snapshot:\n$plan")
   }
+
+  private def fpRows(df: org.apache.spark.sql.DataFrame) =
+    Diff.fingerprint(df, Seq("g"), Seq("a", "b"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+  test("fingerprint: partition- and order-invariant; equal content agrees") {
+    val df = Seq(("x", 1L, "p"), ("x", 2L, "q"), ("y", 3L, "r"), ("y", 4L, null))
+      .toDF("g", "a", "b")
+    val shuffled = df.orderBy(col("a").desc).repartition(7)
+    assert(fpRows(df) == fpRows(shuffled))
+    assert(fpRows(df) == fpRows(df.coalesce(1)))
+  }
+
+  test("fingerprint: a one-value change, a null-vs-empty flip, and an even duplicate all surface") {
+    val base = Seq(("x", 1L, "p"), ("x", 2L, "q")).toDF("g", "a", "b")
+    // one changed value
+    assert(fpRows(base) != fpRows(Seq(("x", 1L, "p"), ("x", 2L, "Q")).toDF("g", "a", "b")))
+    // null vs empty string must be distinguishable (the U+0002 sentinel)
+    assert(fpRows(Seq(("x", 1L, null.asInstanceOf[String])).toDF("g", "a", "b")) !=
+      fpRows(Seq(("x", 1L, "")).toDF("g", "a", "b")))
+    // an even-multiplicity duplicate cancels in XOR — n and sum_fp must
+    // still differ (the hole the three-measure design closes)
+    val dupTwice = Seq(("x", 1L, "p"), ("x", 2L, "q"), ("x", 2L, "q"), ("x", 2L, "q"))
+      .toDF("g", "a", "b")
+    val (fb, fd) = (fpRows(base).head, fpRows(dupTwice).head)
+    assert(fb._3 == fd._3, "xor is expected to cancel the duplicated pair")
+    assert(fb._2 != fd._2 && fb._4 != fd._4, s"count/sum failed to surface the dup: $fb vs $fd")
+  }
+
+  test("fingerprint: one scan with partial aggregation, group-sized exchange") {
+    val li = graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_returnflag").as("g"), col("l_orderkey").as("a"),
+        col("l_linestatus").as("b"))
+    val plan = Diff.fingerprint(li, Seq("g"), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // partial-then-final hash aggregate pair around one exchange; no sort
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Sort "),
+      s"fingerprint must not sort:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected exactly one exchange:\n$plan")
+  }
+
+  test("fingerprint guards: missing column, key/col overlap, no cols") {
+    val df = Seq(("x", 1L, "p")).toDF("g", "a", "b")
+    assertThrows[IllegalArgumentException] { Diff.fingerprint(df, Seq("g"), Seq.empty) }
+    assertThrows[IllegalArgumentException] { Diff.fingerprint(df, Seq("g"), Seq("zz")) }
+    assertThrows[IllegalArgumentException] { Diff.fingerprint(df, Seq("g"), Seq("g", "a")) }
+  }
 }

@@ -40,7 +40,33 @@ class ReplaySpec extends AnyFunSuite {
     assert(batches.size >= 2, s"expected a multi-batch replay: $batches")
   }
 
-  test("guards: no rows, bad slice count") {
+  test("appendSlice arrives as the FINAL micro-batch regardless of its content") {
+    // the appended slice carries SMALLER order values than every real
+    // slice — delivery order must still come from the mtime, not the data
+    val df = Seq((1L, 5000L), (2L, 6000L), (3L, 7000L), (4L, 8000L))
+      .toDF("id", "ms")
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_a").toString
+    Replay.writeOrderedSlices(df, col("ms"), dir, slices = 2)
+    Replay.appendSlice(dir, Seq((99L, 1000L)).toDF("id", "ms"), 2)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Replay.orderedStream(spark, dir, df.schema)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select(col("id")).collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.size == 3, s"expected 3 batches: $batches")
+    assert(batches.last == Set(99L), s"appended slice not delivered last: $batches")
+  }
+
+  test("guards: no rows, bad slice count, bad append index") {
+    assertThrows[IllegalArgumentException] {
+      Replay.appendSlice(
+        java.nio.file.Files.createTempDirectory("graft_replay_g3").toString,
+        Seq((1L, 1000L)).toDF("id", "ms"), 0)
+    }
     val df = Seq((1L, 1000L)).toDF("id", "ms")
     assertThrows[IllegalArgumentException] {
       Replay.writeOrderedSlices(df, col("ms"),

@@ -208,4 +208,109 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSet == Set((1000L, 3L)))
     } finally q.stop()
   }
+
+  // ---- replay-harness twins: the parity contracts the q122/q123/q124
+  // oracles rely on, each proven on a synthetic corpus ----
+
+  test("replay twin: sentinel-advanced append-mode windows equal the batch aggregate") {
+    // without the sentinel the LAST window never flushes in append mode
+    // (processAllAvailable is not end-of-stream) — equality with the
+    // batch aggregate, which includes that window, proves the sentinel
+    // advanced the final watermark and that no real row was late-dropped.
+    // The sentinel guard MUST be a predicate on the event-time column:
+    // a `typ != sentinel` filter is pushed below the EventTimeWatermark
+    // node (conjuncts not referencing the watermark attribute are
+    // pushable) and the sentinel's event time never registers — observed
+    // as the last window silently staying open
+    val rows = Seq( // deliberately unordered; ts spread over [1s, 38s)
+      (1L, "view", 2.0, ts(35)), (2L, "view", 1.0, ts(1)), (3L, "click", 4.0, ts(12)),
+      (4L, "view", 8.0, ts(22)), (5L, "click", 3.0, ts(8)), (6L, "view", 5.0, ts(37)),
+      (7L, "click", 6.0, ts(19)), (8L, "view", 7.0, ts(28)))
+    val df = rows.toDF("id", "typ", "value", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twin_win").toString
+    Replay.writeOrderedSlices(df, unix_millis(col("ts")), dir, slices = 4)
+    Replay.appendSlice(dir,
+      Seq((-1L, "__sentinel__", 0.0, ts(3600))).toDF("id", "typ", "value", "ts"), 4)
+
+    val out = Replay.orderedStream(spark, dir, df.schema)
+      .withWatermark("ts", "0 seconds")
+      .where(col("ts") < ts(1800))
+      .groupBy(window(col("ts"), "10 seconds"), col("typ"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("typ"),
+        col("cnt"), col("sum_v"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("twin_win").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = df.groupBy(window(col("ts"), "10 seconds"), col("typ"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("typ"),
+        col("cnt"), col("sum_v"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val streamed = spark.table("twin_win")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch, s"append windows != batch: $streamed vs $batch")
+    assert(streamed.exists(_._1 == 30000L), "last window missing — sentinel did not flush it")
+  }
+
+  test("replay twin: update-mode running agg log snapshots to the batch aggregate") {
+    // q123's recovery rule: n only grows so max(n) is the final update,
+    // and a running min's final value is the min over the whole log —
+    // both ordering-free, so this parity needs no in-order regime
+    val rows = Seq((10L, "a", 1000L), (11L, "b", 2000L), (12L, "a", 3000L),
+      (13L, "a", 5000L), (14L, "b", 6000L), (15L, "c", 7000L))
+    val df = rows.toDF("id", "k", "ms")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twin_agg").toString
+    Replay.writeOrderedSlices(df, col("ms"), dir, slices = 3)
+
+    val out = StreamOps.runningAgg(Replay.orderedStream(spark, dir, df.schema),
+      Seq(col("k")), Seq(min(col("id")).as("first_id"), count(lit(1)).as("n")))
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("twin_agg").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val snapshot = spark.table("twin_agg").groupBy(col("k"))
+      .agg(min(col("first_id")).as("first_id"), max(col("n")).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = df.groupBy(col("k"))
+      .agg(min(col("id")).as("first_id"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(snapshot == batch, s"update-log snapshot != batch: $snapshot vs $batch")
+    // the log must contain MORE rows than the snapshot for keys updated
+    // across batches — otherwise this test never exercised the running path
+    assert(spark.table("twin_agg").count() > snapshot.size,
+      "every key updated exactly once — replay did not split any key across batches")
+  }
+
+  test("replay twin: stream-stream interval join over file replay equals the batch join") {
+    // two INDEPENDENT readStreams over the same ordered slices (q124's
+    // shape) — an inner join's output set must equal the batch interval
+    // join no matter how micro-batches interleave the two sides
+    val rows = Seq( // (id, user, typ, ts): hand-computable ±5 s matches
+      (1L, 1L, "purchase", ts(20)), (2L, 1L, "click", ts(17)),
+      (3L, 1L, "click", ts(19)), (4L, 1L, "click", ts(26)),
+      (5L, 2L, "purchase", ts(5)), (6L, 2L, "click", ts(11)),
+      (7L, 2L, "click", ts(8)), (8L, 3L, "click", ts(21)))
+    val df = rows.toDF("id", "user", "typ", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twin_join").toString
+    Replay.writeOrderedSlices(df, unix_millis(col("ts")), dir, slices = 3)
+
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      Replay.orderedStream(spark, dir, df.schema).where(col("typ") === t)
+        .select(col("id").as(idAs), col("user").as(userAs), col("ts").as(tsAs))
+    val joined = StreamOps.intervalJoin(
+      side("purchase", "p_id", "p_user", "p_ts"), "p_ts", "0 seconds",
+      side("click", "c_id", "c_user", "c_ts"), "c_ts", "0 seconds",
+      col("p_user") === col("c_user"),
+      "p_ts BETWEEN c_ts - INTERVAL 5 SECONDS AND c_ts + INTERVAL 5 SECONDS")
+      .select(col("p_id"), col("c_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("twin_join").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("twin_join").as[(Long, Long)].collect().toSet
+    // |20-17|=3, |20-19|=1 match; |20-26|=6 out; |5-8|=3 matches; |5-11|=6 out
+    assert(streamed == Set((1L, 2L), (1L, 3L), (5L, 7L)), s"got $streamed")
+  }
 }
