@@ -1016,11 +1016,20 @@ object SparkEntry {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val p = eventsReplayStream(s, d)
+        // 2 files per trigger, not 1: the in-order-delivery regime is
+        // irrelevant to an inner join's output set, so fewer triggers
+        // buy back per-batch state-commit overhead (each trigger pays
+        // two state stores × 8 partitions) while 4 micro-batches still
+        // exercise cross-batch join state
+        def side() = s.readStream
+          .schema(Tables(s, d).events.select(replayCols: _*).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"${eventsReplayDir(s, d)}/in")
+        val p = side()
           .where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user"), col("ts").as("p_ts"))
-        val c = eventsReplayStream(s, d)
+        val c = side()
           .where(col("event_type") === "click")
           .select(col("event_id").as("click_id"),
             col("user_id").as("c_user"), col("ts").as("c_ts"))

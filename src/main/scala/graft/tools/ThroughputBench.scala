@@ -668,6 +668,50 @@ object ThroughputBench {
         f"${sel.size} groups agree")
     }
 
+    // scenario 25: anti-entropy replica compare at 50M rows / 64 groups —
+    // Diff.fingerprint (one narrow scan per replica + a 64-row join)
+    // against the row-level baseline (full-outer sort-merge join on the
+    // key + per-column compare, i.e. what Diff.snapshots pays). The
+    // fingerprint must (a) agree on identical replicas regardless of
+    // partitioning and (b) isolate a single planted 1-row mutation to
+    // its group; the baseline shuffles BOTH replicas end to end. At
+    // 100 TB the fingerprint path is the difference between a
+    // scan-bounded nightly check and a full-corpus shuffle.
+    if (enabled(25)) {
+      val n = 50000000L
+      val groups = 64L
+      def replica(parts: Int) = spark.range(n).repartition(parts)
+        .select((col("id") % groups).as("g"), col("id").as("a"),
+          xxhash64(col("id")).cast("string").as("b"))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Diff.fingerprint(df, Seq("g"), Seq("a", "b"))
+      val t0 = System.nanoTime()
+      val base = fp(replica(32)).withColumnsRenamed(
+        Map("n" -> "n2", "xor_fp" -> "xor2", "sum_fp" -> "sum2"))
+      val same = fp(replica(48)).join(base, Seq("g"))
+        .where(col("n") =!= col("n2") || col("xor_fp") =!= col("xor2") ||
+          col("sum_fp") =!= col("sum2")).count()
+      val mutated = replica(48).withColumn("b",
+        when(col("a") === 12345678L, lit("corrupted")).otherwise(col("b")))
+      val diverged = fp(mutated).join(base, Seq("g"))
+        .where(col("n") =!= col("n2") || col("xor_fp") =!= col("xor2") ||
+          col("sum_fp") =!= col("sum2")).count()
+      val sFp = (System.nanoTime() - t0) / 1e9
+      require(same == 0, s"identical replicas fingerprint-diverged in $same groups")
+      require(diverged == 1, s"planted mutation hit $diverged groups, expected 1")
+      val t1 = System.nanoTime()
+      val l = replica(32)
+      val r = mutated
+      val rowDiff = l.as("l").join(r.as("r"), Seq("a"), "full_outer")
+        .where(!(col("l.b") <=> col("r.b")) || !(col("l.g") <=> col("r.g")))
+        .count()
+      val sRow = (System.nanoTime() - t1) / 1e9
+      require(rowDiff == 1, s"row-level baseline found $rowDiff diffs, expected 1")
+      println(f"scenario25 fingerprint-compare n=$n: fingerprint x3 $sFp%.1f s " +
+        f"(narrow scans + 64-row joins) vs row-level full-outer compare $sRow%.1f s " +
+        "(both replicas shuffled); mutation isolated to 1 group")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
