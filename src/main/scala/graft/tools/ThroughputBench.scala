@@ -683,33 +683,32 @@ object ThroughputBench {
       def replica(parts: Int) = spark.range(n).repartition(parts)
         .select((col("id") % groups).as("g"), col("id").as("a"),
           xxhash64(col("id")).cast("string").as("b"))
-      def fp(df: org.apache.spark.sql.DataFrame) =
+      // a fingerprint is 64 rows — the real protocol collects it once per
+      // replica and compares driver-side (or ships it between clusters),
+      // so each check costs exactly ONE scan of each replica
+      def fp(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
         graft.ops.Diff.fingerprint(df, Seq("g"), Seq("a", "b"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map { case (g, cnt, x, sm) => g -> (cnt, x, sm) }.toMap
       val t0 = System.nanoTime()
-      val base = fp(replica(32)).withColumnsRenamed(
-        Map("n" -> "n2", "xor_fp" -> "xor2", "sum_fp" -> "sum2"))
-      val same = fp(replica(48)).join(base, Seq("g"))
-        .where(col("n") =!= col("n2") || col("xor_fp") =!= col("xor2") ||
-          col("sum_fp") =!= col("sum2")).count()
+      val base = fp(replica(32))
+      val same = fp(replica(48)).count { case (g, v) => base(g) != v }
       val mutated = replica(48).withColumn("b",
         when(col("a") === 12345678L, lit("corrupted")).otherwise(col("b")))
-      val diverged = fp(mutated).join(base, Seq("g"))
-        .where(col("n") =!= col("n2") || col("xor_fp") =!= col("xor2") ||
-          col("sum_fp") =!= col("sum2")).count()
+      val diverged = fp(mutated).count { case (g, v) => base(g) != v }
       val sFp = (System.nanoTime() - t0) / 1e9
       require(same == 0, s"identical replicas fingerprint-diverged in $same groups")
       require(diverged == 1, s"planted mutation hit $diverged groups, expected 1")
       val t1 = System.nanoTime()
-      val l = replica(32)
-      val r = mutated
-      val rowDiff = l.as("l").join(r.as("r"), Seq("a"), "full_outer")
+      val rowDiff = replica(32).as("l").join(mutated.as("r"), Seq("a"), "full_outer")
         .where(!(col("l.b") <=> col("r.b")) || !(col("l.g") <=> col("r.g")))
         .count()
       val sRow = (System.nanoTime() - t1) / 1e9
       require(rowDiff == 1, s"row-level baseline found $rowDiff diffs, expected 1")
-      println(f"scenario25 fingerprint-compare n=$n: fingerprint x3 $sFp%.1f s " +
-        f"(narrow scans + 64-row joins) vs row-level full-outer compare $sRow%.1f s " +
-        "(both replicas shuffled); mutation isolated to 1 group")
+      println(f"scenario25 fingerprint-compare n=$n: three replica scans " +
+        f"$sFp%.1f s total (${sFp / 3}%.1f s per scan-bounded check, 64-row " +
+        f"driver compare) vs one row-level full-outer compare $sRow%.1f s " +
+        "(both replicas shuffled end to end); mutation isolated to 1 group")
     }
 
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
