@@ -1064,6 +1064,27 @@ object SparkEntry {
             .as("text2"))
       TextAnalysis.dedupLines(lined, col("doc_id"), col("text2"))
     }),
+    "q127_token_drift" -> ((s, d) => {
+      // distribution drift between two corpus versions (here: md5-split
+      // halves, q53's engine-portable split rule) — the top-50 tokens by
+      // exact integer total-variation movement |n_a·TB − n_b·TA|. The
+      // pre-training QA check for "did this scrape/dedup/tokenizer
+      // change shift the data": vocab-sized join, corpus never shuffled,
+      // DECIMAL(38,0) products so every engine agrees exactly
+      val docs = Tables(s, d).documents
+      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+      TextAnalysis.tokenDrift(
+        docs.where(half < "8"), docs.where(half >= "8"),
+        col("text"), col("text"))
+        .orderBy(col("move").desc, col("token").asc)
+        .limit(50)
+        // the operator's DECIMAL(38,0) movement is for 1e13-token
+        // corpora; at the driver's SFs it fits BIGINT with 8 digits to
+        // spare, and BOTH engines' casts fail loudly (ANSI / DuckDB
+        // overflow) if a regime change ever breaks that — the q44/q54
+        // pinned-exactness posture
+        .withColumn("move", col("move").cast("long"))
+    }),
     "q125_table_fingerprint" -> ((s, d) =>
       // anti-entropy fingerprint per return-flag group: count + XOR +
       // modular sum of a 60-bit md5 row hash — two 100 TB replicas
@@ -2588,6 +2609,29 @@ object SparkEntry {
         |  t3.t IS NOT NULL AS converted
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q127_token_drift" ->
+      // replay: same md5-hex split, q04's tokenizer replay, FULL JOIN of
+      // the two vocab counts, HUGEINT products cast to DECIMAL(38,0)
+      // (Spark's decimal type — the driver's hasher is type-sensitive)
+      """WITH da AS (SELECT text FROM documents
+        |            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |db AS (SELECT text FROM documents
+        |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        |ca AS (SELECT word AS token, count(*) AS n_a FROM (
+        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM da)
+        |       WHERE word <> '' GROUP BY 1),
+        |cb AS (SELECT word AS token, count(*) AS n_b FROM (
+        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM db)
+        |       WHERE word <> '' GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ca FULL JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT (SELECT COALESCE(sum(n_a), 0) FROM j) AS ta,
+        |             (SELECT COALESCE(sum(n_b), 0) FROM j) AS tb)
+        |SELECT token, n_a, n_b,
+        |  CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS move
+        |FROM j, t
+        |ORDER BY move DESC, token ASC LIMIT 50""".stripMargin,
     "q125_table_fingerprint" ->
       // replay: same canonical strings (chr(1) separators, chr(2) null
       // sentinel), same 15-hex-digit md5 prefix via the '0x' cast

@@ -470,4 +470,42 @@ object TextAnalysis {
         size(col("__l")).cast("long").as("n_lines"),
         size(col("__k")).cast("long").as("n_kept"))
   }
+
+  /** Token-distribution drift between two corpus versions, in EXACT
+    * integer arithmetic — the data-versioning QA check before a training
+    * run (a tokenizer change, a scrape-source shift, or a dedup bug
+    * shows up here before it shows up in loss curves). Per token: its
+    * counts `n_a`/`n_b` in each corpus and the cross-normalized movement
+    * `move = |n_a·TB − n_b·TA|` (TA/TB = total tokens per side) — the
+    * integer numerator of the total-variation term |n_a/TA − n_b/TB|
+    * scaled by TA·TB, so Σ move / (2·TA·TB) IS the total-variation
+    * distance and the per-token rows rank "which tokens moved most".
+    *
+    * Exactness: the products run in DECIMAL(38,0) — ~1e13 tokens per
+    * side at 100 TB puts n·T near 1e26, past BIGINT but well inside 38
+    * digits, and decimal arithmetic agrees bit-for-bit across engines
+    * where a double would silently round (the SparkEntry parity rule).
+    *
+    * Scale shape: one narrow scan + partial-aggregated vocab count per
+    * side; ONE vocab-keyed full-outer join of the two count frames
+    * (vocab-sized, never corpus-sized); the two 1-row totals ride
+    * broadcast cross joins. Tokens absent from a side count 0 there.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame,
+                 textA: Column, textB: Column): DataFrame = {
+    def vocab(df: DataFrame, text: Column, as: String) =
+      df.select(explode(tokens(text)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = vocab(a, textA, "n_a")
+    val cb = vocab(b, textB, "n_b")
+    val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).cast(dec).as("__ta"))
+    val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).cast(dec).as("__tb"))
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("token"), col("n_a"), col("n_b"),
+        abs(col("n_a").cast(dec) * col("__tb") -
+          col("n_b").cast(dec) * col("__ta")).cast(dec).as("move"))
+  }
 }

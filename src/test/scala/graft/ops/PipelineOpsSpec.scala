@@ -710,4 +710,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"dedupLines must be zero-exchange:\n$plan")
   }
+
+  test("tokenDrift: hand-computed movement, one-sided tokens, zero drift on identical corpora") {
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x y y z")).toDF("id", "text")
+    // TA=3, TB=4: x |2·4−1·3|=5, y |1·4−2·3|=2, z |0·4−1·3|=3
+    val got = TextAnalysis.tokenDrift(a, b, col("text"), col("text"))
+      .select(col("token"), col("n_a"), col("n_b"), col("move").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("x", 2L, 1L, 5L), ("y", 1L, 2L, 2L), ("z", 0L, 1L, 3L)), s"got $got")
+    // identical corpora: TA=TB, n_a=n_b -> every move is exactly 0
+    val same = TextAnalysis.tokenDrift(a, a, col("text"), col("text"))
+      .agg(max(col("move")).cast("long")).head.getLong(0)
+    assert(same == 0L)
+  }
+
+  test("tokenDrift: scale-invariant on proportionally identical corpora; vocab-sized join only") {
+    // B = A duplicated 3x: identical distributions at different sizes —
+    // the cross-normalization must report zero movement everywhere
+    val a = Seq((1L, "p q q"), (2L, "r")).toDF("id", "text")
+    val b = (0 until 3).map(i => a.withColumn("id", col("id") + lit(i * 10L)))
+      .reduce(_ unionByName _)
+    val moved = TextAnalysis.tokenDrift(a, b, col("text"), col("text"))
+      .where(col("move") =!= 0).count()
+    assert(moved == 0, "proportionally identical corpora must have zero TV movement")
+    // plan: the totals ride broadcast nested-loop cross joins; the only
+    // non-broadcast join is the vocab-keyed full outer
+    val plan = TextAnalysis.tokenDrift(a, b, col("text"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$plan")
+    assert(plan.contains("FullOuter"), s"vocab join must be full outer:\n$plan")
+  }
 }
