@@ -711,6 +711,38 @@ object ThroughputBench {
         "(both replicas shuffled end to end); mutation isolated to 1 group")
     }
 
+    // scenario 26: distribution drift at 20M docs / ~1M-token vocab —
+    // the tokenDrift join must stay vocab-sized (the corpus is read once
+    // per side and never shuffled), and a planted 1%-of-docs vocabulary
+    // shift must surface its tokens as the top movers
+    if (enabled(26)) {
+      val nDocs = 20000000L
+      val vocab = 1000000L
+      // 3 tokens per doc from a uniform synthetic vocabulary; `shift`
+      // sends 1% of side-B docs to a disjoint "drifted_" vocab slice
+      def corpus(shift: Boolean) = {
+        val tok = (i: Int) =>
+          concat(lit("t"), pmod(xxhash64(col("id") + lit(i * 7L)), lit(vocab)))
+        val base = concat_ws(" ", tok(1), tok(2), tok(3))
+        val drifted = concat_ws(" ",
+          concat(lit("drifted_"), pmod(expr("id div 100"), lit(1000L))), tok(2), tok(3))
+        spark.range(nDocs).select(col("id"),
+          (if (shift) when(col("id") % 100 === 0, drifted).otherwise(base)
+           else base).as("text"))
+      }
+      val t0 = System.nanoTime()
+      val movers = graft.ops.TextAnalysis.tokenDrift(
+          corpus(shift = false), corpus(shift = true), col("text"), col("text"))
+        .orderBy(col("move").desc, col("token"))
+        .limit(20).select(col("token")).as[String].collect()
+      val s = (System.nanoTime() - t0) / 1e9
+      val planted = movers.count(_.startsWith("drifted_"))
+      require(planted >= 15,
+        s"planted drift tokens missing from top movers: ${movers.mkString(",")}")
+      println(f"scenario26 token-drift n=$nDocs vocab~$vocab: $s%.1f s, " +
+        s"$planted/20 top movers are the planted drift tokens")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
