@@ -946,6 +946,30 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q122_windows")
     }),
+    "q128_sliding_stream" -> ((s, d) => {
+      // q22's STREAMING twin made oracle-visible — completes the window
+      // family's streaming oracles (q122 tumbling, q126 session, this
+      // sliding): every event lands in 3 overlapping hourly windows
+      // (20-minute slide), each firing once when the watermark passes
+      // its end; same sentinel flush and ts-predicate guard as q122.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.Replay.orderedStream(s,
+          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
+        val out = stream.withWatermark("ts", "0 seconds")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(window(col("ts"), "1 hour", "20 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("sum_v"))
+          .select(unix_millis(col("window.start")).as("win_start_ms"),
+            col("event_type"), col("cnt"), col("sum_v"))
+        val q = out.writeStream.format("memory").queryName("graft_q128_sliding")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q128_sliding")
+    }),
     "q126_session_stream" -> ((s, d) => {
       // q23's STREAMING twin made oracle-visible: per-user session
       // windows in append mode — the one windowed path whose state
@@ -2660,6 +2684,13 @@ object SparkEntry {
       // final update equals the batch aggregate on any delivery order
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q128_sliding_stream" ->
+      // replay: identical to q22's — the same sentinel-flush argument
+      // as q122, per overlapping window
+      """SELECT (epoch_ms(ts) // 1200000 - k.k) * 1200000 AS win_start_ms, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events, (VALUES (0),(1),(2)) k(k)
+        |GROUP BY 1, 2""".stripMargin,
     "q126_session_stream" ->
       // replay: identical to q23's — in-order delivery with a
       // sentinel-advanced final watermark closes every session exactly
