@@ -492,16 +492,35 @@ object TextAnalysis {
     * broadcast cross joins. Tokens absent from a side count 0 there.
     */
   def tokenDrift(a: DataFrame, b: DataFrame,
-                 textA: Column, textB: Column): DataFrame = {
-    def vocab(df: DataFrame, text: Column, as: String) =
-      df.select(explode(tokens(text)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as(as))
+                 textA: Column, textB: Column): DataFrame =
+    tokenDriftCounts(vocabCounts(a, textA), vocabCounts(b, textB))
+
+  /** Per-token corpus counts — [[tokenDrift]]'s count side, exposed so a
+    * baseline can be computed ONCE and persisted (parquet), making the
+    * drift check a standing monitor: each incoming batch pays one narrow
+    * scan of itself plus a read of the (vocab-sized) baseline, never a
+    * re-scan of the reference corpus — the same build-once/check-many
+    * posture as the DedupIndex/SpanIndex/Bm25Index standing family.
+    */
+  def vocabCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** [[tokenDrift]] over precomputed count frames (each `(token, n)`,
+    * n > 0, token unique — [[vocabCounts]] output is; a duplicated token
+    * would double-count through the join).
+    */
+  def tokenDriftCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
+    Seq(ca, cb).foreach { c =>
+      require(c.columns.toSeq == Seq("token", "n"),
+        s"tokenDriftCounts: expected (token, n) columns, got ${c.columns.mkString(",")}")
+    }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ca = vocab(a, textA, "n_a")
-    val cb = vocab(b, textB, "n_b")
-    val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).cast(dec).as("__ta"))
-    val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).cast(dec).as("__tb"))
-    ca.join(cb, Seq("token"), "full_outer")
+    val a = ca.withColumnRenamed("n", "n_a")
+    val b = cb.withColumnRenamed("n", "n_b")
+    val ta = a.agg(coalesce(sum(col("n_a")), lit(0L)).cast(dec).as("__ta"))
+    val tb = b.agg(coalesce(sum(col("n_b")), lit(0L)).cast(dec).as("__tb"))
+    a.join(b, Seq("token"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
       .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
       .select(col("token"), col("n_a"), col("n_b"),

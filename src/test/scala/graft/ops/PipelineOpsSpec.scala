@@ -741,4 +741,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$plan")
     assert(plan.contains("FullOuter"), s"vocab join must be full outer:\n$plan")
   }
+
+  test("tokenDrift == tokenDriftCounts over a persisted baseline (standing-monitor path)") {
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x y y z")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftbase").toString
+    TextAnalysis.vocabCounts(a, col("text")).write.mode("overwrite").parquet(dir)
+    val standing = TextAnalysis.tokenDriftCounts(
+      spark.read.parquet(dir), TextAnalysis.vocabCounts(b, col("text")))
+      .select(col("token"), col("n_a"), col("n_b"), col("move").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = TextAnalysis.tokenDrift(a, b, col("text"), col("text"))
+      .select(col("token"), col("n_a"), col("n_b"), col("move").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(standing == direct, s"$standing vs $direct")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.tokenDriftCounts(a, TextAnalysis.vocabCounts(b, col("text")))
+    }
+  }
 }
