@@ -138,11 +138,21 @@ object Bench {
         val s = ts.sorted
         "\"" + k + "\":[" + Seq(s.head, s(s.length / 2), s.last).map(r2).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val compact = medians.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
-    }.mkString("{", ",", "}")
+    def specLine(fmt: Double => String): String = {
+      val compact = medians.sortBy(_._1).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}"""
+    }
+    // 1850-char budget: 2000-char retention minus sbt's ~110-char
+    // trailer and slack. 2 dp fits ~150 queries; past that, fall back
+    // to 1 dp (~0.05 s median error — cross-round comparison noise
+    // floor is far above that) rather than letting the line silently
+    // outgrow the window again.
+    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val line2 = specLine(r2)
     println(s"""{"diag":"full","repeats":$reps,"queries":$qs,"slow":$slowJson,"order_seed":$seed}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}""")
+    println(if (line2.length <= 1850) line2 else specLine(r1))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
