@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which is why the
+// driver's json.loads on Bench's final compact line failed for nine
+// straight rounds (BENCH_r0N.json parsed:null — the line itself fit the
+// retention window whole from r9 on, but "[info] {...}" is not JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,16 +35,33 @@ object Replay {
     * ordered replay). Returns the directory written into.
     */
   def writeOrderedSlices(df: DataFrame, orderBy: Column, dir: String,
-                         slices: Int = 8): String = {
+                         slices: Int = 8): String =
+    writeShuffledSlices(df, orderBy, dir, 0 until slices)
+
+  /** [[writeOrderedSlices]] with an explicit DELIVERY order: slice
+    * contents are the same contiguous `orderBy` ranges (slice i covers
+    * the i-th range), but mtimes follow `deliveryOrder` — the stream
+    * delivers `deliveryOrder(0)` first, then `deliveryOrder(1)`, …
+    * An out-of-order permutation makes rows of an early range arrive
+    * AFTER a later range has advanced the watermark — the deterministic
+    * late-data regime q130 validates drop semantics under (the dropped
+    * set is computable from the per-slice max event times alone).
+    */
+  def writeShuffledSlices(df: DataFrame, orderBy: Column, dir: String,
+                          deliveryOrder: Seq[Int]): String = {
+    val slices = deliveryOrder.length
     require(slices > 0, "replay: slices must be positive")
+    require(deliveryOrder.sorted == (0 until slices),
+      s"replay: deliveryOrder must be a permutation of 0..${slices - 1}")
     val vals = df.where(orderBy.isNotNull)
     val bounds = vals.agg(min(orderBy).cast("long"), max(orderBy).cast("long")).head
     require(!bounds.isNullAt(0), "replay: no rows to slice")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    (0 until slices).foreach { i =>
+    deliveryOrder.zipWithIndex.foreach { case (i, pos) =>
       val a = lo + (hi - lo + 1) * i / slices
       val b = lo + (hi - lo + 1) * (i + 1) / slices
-      writeSlice(dir, vals.where(orderBy.cast("long") >= a && orderBy.cast("long") < b), i)
+      writeSlice(dir, vals.where(orderBy.cast("long") >= a && orderBy.cast("long") < b),
+        i, pos)
     }
     dir
   }
@@ -58,15 +75,21 @@ object Replay {
     * one day past the corpus, filtered out AFTER `withWatermark`,
     * advances the watermark without contributing data (q122's pattern).
     * `index` must be ≥ the slice count already written — mtimes are
-    * derived from it, and reusing one would surrender delivery order.
+    * derived from it, and reusing one would surrender delivery order;
+    * a collision with an existing slice fails fast (a silent overwrite
+    * would reuse the victim's position and corrupt delivery order with
+    * no error).
     */
   def appendSlice(dir: String, df: DataFrame, index: Int): String = {
     require(index > 0, "replay: appendSlice index must be positive")
-    writeSlice(dir, df, index)
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/in/slice$index.parquet")),
+      s"replay: appendSlice index $index collides with an existing slice")
+    writeSlice(dir, df, index, index)
     dir
   }
 
-  private def writeSlice(dir: String, df: DataFrame, i: Int): Unit = {
+  private def writeSlice(dir: String, df: DataFrame, i: Int, mtimePos: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
     val part = new java.io.File(s"$dir/stage$i").listFiles()
@@ -74,11 +97,11 @@ object Replay {
     val dst = java.nio.file.Paths.get(s"$dir/in/slice$i.parquet")
     java.nio.file.Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // strictly ascending, whole-second spaced: some filesystems round
-    // mtimes to seconds, and equal stamps would surrender the order
-    // to listing luck
+    // strictly ascending in DELIVERY position, whole-second spaced: some
+    // filesystems round mtimes to seconds, and equal stamps would
+    // surrender the order to listing luck
     java.nio.file.Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 2000L))
+      java.nio.file.attribute.FileTime.fromMillis(1704067200000L + mtimePos * 2000L))
   }
 
   /** One-file-per-trigger stream over a [[writeOrderedSlices]] output:
