@@ -36,6 +36,25 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q103IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q132's persisted vocab-count baseline, one per (process, sf dir)
+  private val q132BaselineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q130's OUT-OF-ORDER replay (fixed slice permutation + sentinel),
+  // one per (process, sf dir)
+  private val q130ReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q130's delivery order: each quarter of the corpus arrives with its
+  // two slices swapped ACROSS the next quarter's two slices (sentinel,
+  // 8, still last). The two-position displacement matters: Spark
+  // filters late rows against the watermark LAGGED ONE BATCH behind
+  // eviction (SPARK-40925 — StreamingSpec's late-drop test pins it),
+  // so a slice delivered only ONE position after a later slice is
+  // never filtered; two positions after, it is. Under this order
+  // slices 0, 1, 4 and 5 each arrive two positions behind a slice
+  // ~270 h ahead of them, and with a 240 h delay each loses its
+  // oldest ~30 h of windows — a PARTIAL, boundary-exercising drop the
+  // oracle recomputes exactly from per-slice max event times.
+  private val q130Order = Seq(2, 3, 0, 1, 6, 7, 4, 5)
   // q117's re-chunked replay input, one per (process, sf dir)
   private val q117ReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -265,7 +284,13 @@ object SparkEntry {
         .select(EventTimeWindows.winStartMs, col("event_type"), col("cnt"), col("sum_v"))
     }),
     "q23_session" -> ((s, d) => {
+      // ts truncated to ms BEFORE gap-splitting: the oracle splits
+      // sessions on epoch_ms diffs, and with µs-grained testdata a gap
+      // within 1 ms of exactly 30 min could otherwise merge in one
+      // engine and split in the other (ms is also the engine-parity
+      // precision convention at the top of this file)
       val e = Tables(s, d).events
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       EventTimeWindows.session(e, col("ts"), "30 minutes", col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(unix_millis(col("session_window.start")).as("session_start_ms"),
@@ -986,6 +1011,10 @@ object SparkEntry {
       try {
         val stream = graft.streaming.Replay.orderedStream(s,
           sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
+          // ms truncation before the watermark — q23's precision note;
+          // slices are contiguous ms ranges, so truncation preserves the
+          // event-time-ordered delivery regime
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         val out = stream.withWatermark("ts", "0 seconds")
           .where(col("ts") < sentinelCutoff)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -1069,6 +1098,140 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q124_join")
     }),
+    "q129_restart_exactly_once" -> ((s, d) => {
+      // The reference's flagship claim — EXACTLY-ONCE across a
+      // mid-stream stop/restart (checkpoint_coordinator.py:55-311,
+      // offset seek sources.py:137-166) — made oracle-visible. Phase A
+      // stages only slices 0-4 of the event-time-ordered replay and
+      // runs q122's tumbling aggregate into a FAULT-TOLERANT FILE sink
+      // (append mode, parquet + _spark_metadata manifest) with an
+      // explicit checkpointLocation, then STOPS after those 5 triggers
+      // — mid-replay, with committed offsets AND partially-accumulated
+      // window state (windows straddling the slice-4 boundary) in the
+      // checkpoint. Phase B stages the remaining slices + sentinel and
+      // starts an IDENTICAL query on the SAME checkpoint: the source
+      // seeks past the 5 committed files, live window state is
+      // restored, and the sink manifest admits each emitted window
+      // exactly once. Reading the sink path back goes through the
+      // manifest (MetadataLogFileIndex), so partial files from a torn
+      // batch would be invisible. Oracle = q21's batch tumbling
+      // aggregate — bit-equality across the restart IS the
+      // exactly-once proof (a lost batch drops windows, a replayed one
+      // double-counts, stale state corrupts the straddling windows).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stage = sentinelReplayDir(s, d)
+        // fresh work dir PER INVOCATION: a restart cycle is only a
+        // restart cycle the first time through a given checkpoint —
+        // bench repeats must re-run both phases, not read a done sink
+        val work = java.nio.file.Files.createTempDirectory("graft_q129").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+        def copySlices(r: Range): Unit = r.foreach { i =>
+          // COPY_ATTRIBUTES keeps the staged mtimes, so delivery order
+          // inside each phase stays event-time-ordered
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
+            java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        }
+        val schema = Tables(s, d).events.select(replayCols: _*).schema
+        def runPhase(): Unit = {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+          val out = stream.withWatermark("ts", "0 seconds")
+            .where(col("ts") < sentinelCutoff)
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(dec(col("value"))).cast("double").as("sum_v"))
+            .select(unix_millis(col("window.start")).as("win_start_ms"),
+              col("event_type"), col("cnt"), col("sum_v"))
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        copySlices(0 to 4); runPhase() // 5 triggers, then stop mid-replay
+        copySlices(5 to 8); runPhase() // restart from the same checkpoint
+        s.read.parquet(s"$work/out")
+          .select(col("win_start_ms"), col("event_type"), col("cnt"), col("sum_v"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+    "q130_late_drop_stream" -> ((s, d) => {
+      // Deterministic LATE-DATA DROP made oracle-visible: the same 8
+      // contiguous event-time slices, delivered OUT OF ORDER
+      // (q130Order — quarters swapped pairwise, sentinel still last)
+      // under a 240-hour-bounded out-of-orderness watermark. Slices
+      // 0/1/4/5 each arrive two delivery positions behind a slice
+      // ~270 h ahead, so each loses its oldest ~30 h of hourly windows
+      // on arrival — the documented divergence from the reference's
+      // late-data double-fire (stateful.py:186-242: it re-emits a
+      // corrected window; Spark's append mode drops) pinned by an
+      // oracle instead of prose. The dropped set is DETERMINISTIC
+      // given the slice assignment: the late filter of the batch at
+      // delivery position p uses watermark = (max event-time ms over
+      // positions ≤ p−2) − 240 h (LAGGED one batch behind eviction —
+      // SPARK-40925, pinned in StreamingSpec), a row is dropped iff
+      // its hourly window's end ≤ that watermark, and both quantities
+      // are computable in SQL from the slice ranges alone — the
+      // oracle recomputes the kept set and its window counts exactly.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stage = q130ReplayCache.computeIfAbsent(d, _ => {
+          val ev = Tables(s, d).events.select(replayCols: _*)
+          val dir = graft.streaming.Replay.writeShuffledSlices(ev,
+            unix_millis(col("ts")),
+            java.nio.file.Files.createTempDirectory("graft_q130").toString,
+            q130Order)
+          graft.streaming.Replay.appendSlice(dir,
+            s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+              lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
+              timestamp_micros(lit(sentinelTsUs)).as("ts")), 8)
+        })
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          Tables(s, d).events.select(replayCols: _*).schema)
+        val out = stream.withWatermark("ts", "240 hours")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_millis(col("window.start")).as("win_start_ms"),
+            col("event_type"), col("cnt"))
+        val q = out.writeStream.format("memory").queryName("graft_q130_windows")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q130_windows")
+    }),
+    "q133_retention_rocksdb" -> ((s, d) => {
+      // q118's retention gate on the AT-SCALE state backend: RocksDB
+      // (the reference's Config.STATE_BACKEND=rocksdb,
+      // rocksdb_backend.py:20-165) instead of the in-memory default —
+      // state lives off-heap/on-disk, so per-key state volume is
+      // bounded by local disk, not executor heap: the backend a 100 TB
+      // deployment's multi-billion-key state actually runs on. Same
+      // replay, same operator, same oracle (q107's) — a green row here
+      // puts the RocksDB path itself inside the official correctness
+      // record rather than only in RecoverySpec.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.get(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.core.GraftSession.useRocksDBStateStore(s)
+      try {
+        val out = Cohorts.retentionStream(eventsReplayStream(s, d),
+          col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
+        val q = out.writeStream.format("memory").queryName("graft_q133_gate")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set(provKey, prevProv)
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table("graft_q133_gate")
+    }),
     "q120_line_scrub" -> ((s, d) => {
       // within-document repeated-line scrub (the RefinedWeb/Dolma
       // boilerplate filter), oracle-checked on a DETERMINISTIC
@@ -1109,6 +1272,43 @@ object SparkEntry {
         // pinned-exactness posture
         .withColumn("move", col("move").cast("long"))
     }),
+    "q132_drift_baseline" -> ((s, d) => {
+      // q127's STANDING form made oracle-visible: the reference-corpus
+      // vocabulary counts are computed ONCE, PERSISTED to parquet, and
+      // the drift check runs against the STORED baseline — the
+      // build-once/check-many posture (DedupIndex/SpanIndex/Bm25Index's
+      // family trait) that makes the monitor a standing QA gate: each
+      // corpus version pays one narrow scan of ITSELF plus a read of
+      // the vocab-sized baseline, never a re-scan of the reference
+      // corpus. Same md5-split halves and output as q127, so any
+      // roundtrip loss through the persisted counts (type widening,
+      // token normalization, count drift) breaks the hash compare.
+      val docs = Tables(s, d).documents
+      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = q132BaselineCache.computeIfAbsent(d, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft_q132").toString
+        TextAnalysis.vocabCounts(docs.where(half < "8"), col("text"))
+          .write.mode("overwrite").parquet(s"$t/baseline")
+        s"$t/baseline"
+      })
+      TextAnalysis.tokenDriftCounts(
+        s.read.parquet(base).select(col("token"), col("n")),
+        TextAnalysis.vocabCounts(docs.where(half >= "8"), col("text")))
+        .orderBy(col("move").desc, col("token").asc)
+        .limit(50)
+        .withColumn("move", col("move").cast("long"))
+    }),
+    "q131_groupwise_percentiles" -> ((s, d) =>
+      // q121's MULTI-percentile form: p50+p90+p99 per supplier in the
+      // SAME ≤6 bisection passes — each (group, pct) pair is a virtual
+      // group, so adding percentiles adds histogram rows (groups × 3 ×
+      // ≤4096), never corpus scans. The shared-pass machinery
+      // (Quantiles.scala's explode + virtual-group rank arithmetic) is
+      // the intricate path q121's single-pct query never exercises.
+      Quantiles.exactPercentilesByKey(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        Seq("l_suppkey"), col("cents"), Seq(50, 90, 99))),
     "q125_table_fingerprint" -> ((s, d) =>
       // anti-entropy fingerprint per return-flag group: count + XOR +
       // modular sum of a 60-bit md5 row hash — two 100 TB replicas
@@ -2707,12 +2907,105 @@ object SparkEntry {
     "q124_interval_join_stream" ->
       // replay: identical to q24's — a stream-stream INNER join's output
       // set is delivery-order independent under conservative state
-      // eviction
+      // eviction. The bound compares at MICROSECOND precision (epoch_us),
+      // unlike q24's ms convention: the Spark side must keep the raw µs
+      // event-time columns in its range predicate (watermark state-
+      // eviction bounds are derived from them), so the oracle follows
+      // the Spark predicate rather than the other way around — an
+      // ms-truncated oracle would diverge on any pair whose true gap
+      // falls within 1 ms of the ±6 h boundary.
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
         |FROM events p JOIN events c
         |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |AND abs(epoch_ms(p.ts) - epoch_ms(c.ts)) <= 21600000""".stripMargin,
+        |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
+    "q129_restart_exactly_once" ->
+      // replay: identical to q21's — the stop/restart must be invisible
+      // in the final table; any offset replay, lost batch or stale
+      // window state across the checkpoint boundary breaks the compare
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q130_late_drop_stream" ->
+      // replay: the drop rule itself. Slice of a row = its position
+      // among 8 equal ms-ranges (the inverse of Replay's boundary
+      // formula: idx = ((v-lo)*8+7)//N for ranges [lo+N*i/8,
+      // lo+N*(i+1)/8), N=hi-lo+1 — ReplaySpec pins the equivalence);
+      // LATE-filter watermark of the batch at delivery position p =
+      // running max of the slices' max epoch-ms over positions ≤ p−2,
+      // minus 240 h — the 2-PRECEDING frame is Spark's one-batch lag
+      // between late filtering and eviction (SPARK-40925; StreamingSpec
+      // pins it: a 1-PRECEDING rule would drop slices displaced by one
+      // position, which Spark keeps). Spark tracks event-time stats in
+      // TRUNCATED ms and updates watermarks only between micro-batches;
+      // the first two delivered slices see no watermark. A row survives
+      // iff its hourly window's end EXCEEDS the watermark (Spark drops
+      // window.end <= wm). The VALUES list is q130Order as
+      // (slice, position) pairs.
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |e AS (SELECT event_type, epoch_ms(ts) AS ems,
+        |        ((epoch_ms(ts) - b.lo) * 8 + 7) // (b.hi - b.lo + 1) AS slice
+        |      FROM events, b),
+        |sm AS (SELECT slice, max(ems) AS smax FROM e GROUP BY slice),
+        |ord(slice, pos) AS (VALUES (2,0),(3,1),(0,2),(1,3),(6,4),(7,5),(4,6),(5,7)),
+        |w AS (SELECT o.slice,
+        |        max(sm.smax) OVER (ORDER BY o.pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 864000000 AS wm
+        |      FROM ord o JOIN sm ON o.slice = sm.slice),
+        |kept AS (SELECT e.event_type, e.ems FROM e JOIN w ON e.slice = w.slice
+        |         WHERE w.wm IS NULL OR ((e.ems // 3600000) + 1) * 3600000 > w.wm)
+        |SELECT (ems // 3600000) * 3600000 AS win_start_ms, event_type,
+        |count(*) AS cnt FROM kept GROUP BY 1, 2""".stripMargin,
+    "q133_retention_rocksdb" ->
+      // replay: identical to q107's — the state backend must be
+      // invisible in the result
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
+        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
+        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
+        |       CAST(p - p0 AS BIGINT) AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM j GROUP BY p0, p""".stripMargin,
+    "q131_groupwise_percentiles" ->
+      // replay: q121's rank arithmetic per (group, pct) virtual group —
+      // value by partitioned row_number, the per-group sort the engine
+      // side avoids
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, c,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v),
+        |ks(q_pct) AS (VALUES (50), (90), (99))
+        |SELECT r.l_suppkey, CAST(ks.q_pct AS BIGINT) AS q_pct,
+        |  CAST(r.cnt AS BIGINT) AS n,
+        |  CAST(greatest(1, (ks.q_pct * r.cnt + 99) // 100) AS BIGINT) AS rk,
+        |  r.c AS value
+        |FROM r, ks WHERE r.rn = greatest(1, (ks.q_pct * r.cnt + 99) // 100)""".stripMargin,
+    "q132_drift_baseline" ->
+      // replay: identical to q127's — the persisted-baseline roundtrip
+      // must be invisible in the drift result
+      """WITH da AS (SELECT text FROM documents
+        |            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |db AS (SELECT text FROM documents
+        |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        |ca AS (SELECT word AS token, count(*) AS n_a FROM (
+        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM da)
+        |       WHERE word <> '' GROUP BY 1),
+        |cb AS (SELECT word AS token, count(*) AS n_b FROM (
+        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM db)
+        |       WHERE word <> '' GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ca FULL JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT (SELECT COALESCE(sum(n_a), 0) FROM j) AS ta,
+        |             (SELECT COALESCE(sum(n_b), 0) FROM j) AS tb)
+        |SELECT token, n_a, n_b,
+        |  CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS move
+        |FROM j, t
+        |ORDER BY move DESC, token ASC LIMIT 50""".stripMargin,
     "q106_funnel" ->
       // replay: greedy earliest-match == chained conditional mins
       // (earliest step-i match never forecloses step i+1); epoch_us is

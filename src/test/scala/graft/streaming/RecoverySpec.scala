@@ -76,6 +76,108 @@ class RecoverySpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("file-sink restart mid-replay is exactly-once: final table equals the batch aggregate") {
+    // q129's contract in miniature: phase A delivers only the first 2 of
+    // 4 ordered slices into an append-mode windowed aggregate writing a
+    // parquet FILE sink (manifest = exactly-once), stops mid-replay with
+    // committed offsets and live window state in the checkpoint; phase B
+    // stages the rest + a flushing sentinel and restarts from the SAME
+    // checkpoint. The re-read (through _spark_metadata) must equal the
+    // batch aggregate: a replayed batch double-counts, a lost one drops
+    // windows, stale state corrupts the boundary-straddling window.
+    val rows = Seq((1L, 1000L), (2L, 2500L), (3L, 4000L), (4L, 5500L),
+      (5L, 7000L), (6L, 8500L), (7L, 10000L), (8L, 11500L))
+    val df = rows.toDF("id", "ms")
+      .select(col("id"), timestamp_millis(col("ms")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_rst_stage").toString
+    Replay.writeOrderedSlices(df, unix_millis(col("ts")), stage, slices = 4)
+    Replay.appendSlice(stage,
+      Seq(-1L).toDF("id").select(col("id"),
+        timestamp_millis(lit(10000000L)).as("ts")), 4)
+    val work = java.nio.file.Files.createTempDirectory("graft_rst_work").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    def copySlices(r: Range): Unit = r.foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
+        java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    def runPhase(): Int = {
+      val q = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+        .withWatermark("ts", "0 seconds")
+        .where(col("ts") < timestamp_millis(lit(5000000L)))
+        .groupBy(window(col("ts"), "3 seconds"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("window.start")).as("win_ms"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+    }
+    val phaseABatches = { copySlices(0 to 1); runPhase() }
+    assert(phaseABatches >= 2, s"phase A must stop after >=2 data triggers, saw $phaseABatches")
+    copySlices(2 to 4); runPhase()
+
+    val got = spark.read.parquet(s"$work/out")
+      .as[(Long, Long)].collect().toSet
+    val batch = df.groupBy(window(col("ts"), "3 seconds"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("cnt"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == batch, s"restart broke exactly-once: $got vs $batch")
+    // the window straddling the phase boundary must have accumulated
+    // across the restart (rows 3000-5999 span slices on both sides)
+    assert(batch.contains((3000L, 2L)), s"fixture lost its straddling window: $batch")
+  }
+
+  test("retention gate runs green on RocksDB: stream == batch, rocksdb metrics present") {
+    // q133's spec twin: the SAME retentionStream operator, state on
+    // RocksDB, equals the batch retention triangle — and the progress
+    // metrics prove the backend was really RocksDB
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.GraftSession.useRocksDBStateStore(spark)
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Long)]
+      val out = graft.ops.Cohorts.retentionStream(
+        in.toDF().toDF("user_id", "event_type", "ms")
+          .select(col("user_id"), col("event_type"),
+            timestamp_millis(col("ms")).as("ts")),
+        col("user_id"), col("event_type"), col("ts"), "signup", periodMs = 1000L)
+      val q = out.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("rocks_retention").start()
+      val rows = Seq(
+        (1L, "signup", 0L), (1L, "view", 500L), (1L, "view", 2500L),
+        (2L, "signup", 1500L), (2L, "click", 3500L), (3L, "signup", 1000L))
+      try {
+        in.addData(rows.take(3))
+        q.processAllAvailable()
+        in.addData(rows.drop(3))
+        q.processAllAvailable()
+        val got = spark.table("rocks_retention")
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+        val batch = graft.ops.Cohorts.retention(
+          rows.toDF("user_id", "event_type", "ms")
+            .select(col("user_id"), col("event_type"),
+              timestamp_millis(col("ms")).as("ts")),
+          col("user_id"), col("event_type"), col("ts"), "signup", periodMs = 1000L)
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+        assert(got == batch, s"rocksdb retention != batch: $got vs $batch")
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.containsKey("rocksdbGetCount") ||
+            metrics.containsKey("rocksdbCommitCompactLatency"),
+          s"no rocksdb metrics in progress: $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("named savepoint: snapshot forks, original and recovered jobs advance independently") {
     // reference: POST /jobs/{id}/savepoint + /jobs/recover
     // (jobmanager/api.py:446-515) — a named snapshot of a stopped job's

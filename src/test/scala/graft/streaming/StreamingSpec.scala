@@ -254,6 +254,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._1 == 30000L), "last window missing — sentinel did not flush it")
   }
 
+  test("out-of-order replay: the late-drop set is deterministic and matches the q130 formula") {
+    // q130's contract in miniature, hand-computed. 4 content slices over
+    // ms [0, 3500]: {0,500} {1000,1500} {2000,2500} {3000,3500},
+    // delivered as 2,3,0,1 under a 0-second watermark and 1 s tumbling
+    // windows. Spark filters late rows against the watermark LAGGED ONE
+    // BATCH behind eviction (SPARK-40925: batch p's late filter uses
+    // max event time through batch p-2, its eviction uses p-1) — a row
+    // drops iff its window end <= max ms over positions <= p-2:
+    //   pos0 slice2 — kept (no watermark yet);
+    //   pos1 slice3 — kept (late filter still sees no watermark);
+    //   pos2 slice0 — late wm 2500 (slice2's max), end 1000: DROPPED;
+    //   pos3 slice1 — late wm 3500 (slice3's max), end 2000: DROPPED.
+    // An adjacent-pair swap would drop NOTHING under the lag — that is
+    // exactly the trap the q130 oracle's 2-PRECEDING frame encodes.
+    val rows = Seq((1L, 0L), (2L, 500L), (3L, 1000L), (4L, 1500L),
+      (5L, 2000L), (6L, 2500L), (7L, 3000L), (8L, 3500L))
+    val df = rows.toDF("id", "ms")
+      .select(col("id"), timestamp_millis(col("ms")).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    Replay.writeShuffledSlices(df, unix_millis(col("ts")), dir, Seq(2, 3, 0, 1))
+    Replay.appendSlice(dir,
+      Seq(-1L).toDF("id").select(col("id"),
+        timestamp_millis(lit(10000000L)).as("ts")), 4)
+
+    val out = Replay.orderedStream(spark, dir, df.schema)
+      .withWatermark("ts", "0 seconds")
+      .where(col("ts") < timestamp_millis(lit(5000000L)))
+      .groupBy(window(col("ts"), "1 second"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("cnt"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_drop").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("late_drop").as[(Long, Long)].collect().toSet
+    assert(got == Set((2000L, 2L), (3000L, 2L)),
+      s"late-drop set diverged from the pinned formula: $got")
+    // the drops happened IN the stateful operator's late filter, not a
+    // user-level filter. The metric counts POST-partial-agg rows — each
+    // dropped slice collapses to one (window, cnt) row before the
+    // stateful operator sees it, so 4 input rows register as 2.
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 2L, s"expected 2 late-dropped partial-agg rows, got $dropped")
+  }
+
   test("replay twin: update-mode running agg log snapshots to the batch aggregate") {
     // q123's recovery rule: n only grows so max(n) is the final update,
     // and a running min's final value is the min over the whole log —
