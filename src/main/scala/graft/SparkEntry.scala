@@ -1204,6 +1204,47 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q130_windows")
     }),
+    "q134_retention_restart" -> ((s, d) => {
+      // q129's restart proof for CUSTOM KEYED STATE: q129 restarts a
+      // BUILT-IN windowed aggregation (state Spark manages for the
+      // window operator); this restarts the retention gate's
+      // flatMapGroupsWithState machine (per-user anchor + seen-period
+      // state, Cohorts.scala) mid-replay. Phase A delivers slices 0-4
+      // in event-time order with an explicit checkpoint and STOPS —
+      // thousands of users' custom state objects live only in the
+      // checkpoint; phase B stages slices 5-7 and restarts. A
+      // complete-mode memory sink is restart-legal (each trigger
+      // rewrites the whole table, so the post-restart table is the
+      // full result). Oracle = q107's: lost or reset per-user state
+      // would mis-cohort every user whose activity straddles the stop.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stage = eventsReplayDir(s, d)
+        val work = java.nio.file.Files.createTempDirectory("graft_q134").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+        def copySlices(r: Range): Unit = r.foreach { i =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
+            java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        }
+        val schema = Tables(s, d).events.select(replayCols: _*).schema
+        def runPhase(): Unit = {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+          val out = Cohorts.retentionStream(stream,
+            col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
+          val q = out.writeStream.format("memory").queryName("graft_q134_gate")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        copySlices(0 to 4); runPhase() // stop with custom state checkpointed
+        copySlices(5 to 7); runPhase() // restart: state must resume, not reset
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q134_gate")
+    }),
     "q133_retention_rocksdb" -> ((s, d) => {
       // q118's retention gate on the AT-SCALE state backend: RocksDB
       // (the reference's Config.STATE_BACKEND=rocksdb,
@@ -2956,6 +2997,18 @@ object SparkEntry {
         |         WHERE w.wm IS NULL OR ((e.ems // 3600000) + 1) * 3600000 > w.wm)
         |SELECT (ems // 3600000) * 3600000 AS win_start_ms, event_type,
         |count(*) AS cnt FROM kept GROUP BY 1, 2""".stripMargin,
+    "q134_retention_restart" ->
+      // replay: identical to q107's — the mid-replay stop/restart of
+      // the custom keyed state must be invisible in the result
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
+        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
+        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
+        |       CAST(p - p0 AS BIGINT) AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM j GROUP BY p0, p""".stripMargin,
     "q133_retention_rocksdb" ->
       // replay: identical to q107's — the state backend must be
       // invisible in the result

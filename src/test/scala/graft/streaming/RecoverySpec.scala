@@ -134,6 +134,50 @@ class RecoverySpec extends AnyFunSuite {
     assert(batch.contains((3000L, 2L)), s"fixture lost its straddling window: $batch")
   }
 
+  test("custom keyed state survives a mid-replay restart (flatMapGroupsWithState checkpoint)") {
+    // q134's contract in miniature: the retention machine's PER-USER
+    // state (anchor period + seen periods) is custom state, not a
+    // built-in aggregation buffer — stop after the first slices, then
+    // restart from the checkpoint; users whose activity straddles the
+    // stop must keep their pinned cohort and period set.
+    val rows = Seq(
+      (1L, "signup", 0L), (1L, "view", 500L),      // phase A
+      (2L, "signup", 1500L), (3L, "signup", 1800L), // phase A
+      (1L, "view", 2500L),                          // phase B: user 1 week 2
+      (2L, "click", 3500L), (3L, "view", 3900L))    // phase B
+    val df = rows.toDF("user_id", "event_type", "ms")
+      .select(col("user_id"), col("event_type"), timestamp_millis(col("ms")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_crst_stage").toString
+    Replay.writeOrderedSlices(df, unix_millis(col("ts")), stage, slices = 4)
+    val work = java.nio.file.Files.createTempDirectory("graft_crst_work").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    def copySlices(r: Range): Unit = r.foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
+        java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    def runPhase(): Unit = {
+      val q = graft.ops.Cohorts.retentionStream(
+        spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/in"),
+        col("user_id"), col("event_type"), col("ts"), "signup", periodMs = 1000L)
+        .writeStream.format("memory").queryName("crst_gate")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    copySlices(0 to 1); runPhase()
+    copySlices(2 to 3); runPhase()
+    val got = spark.table("crst_gate").as[(Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.ops.Cohorts.retention(df, col("user_id"), col("event_type"),
+      col("ts"), "signup", periodMs = 1000L).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == batch, s"custom state lost across restart: $got vs $batch")
+    // the straddle matters: user 1's cohort was pinned in phase A and
+    // its week-2 activity arrived in phase B
+    assert(batch.contains((0L, 2L, 1L)), s"fixture lost its straddling cell: $batch")
+  }
+
   test("retention gate runs green on RocksDB: stream == batch, rocksdb metrics present") {
     // q133's spec twin: the SAME retentionStream operator, state on
     // RocksDB, equals the batch retention triangle — and the progress
