@@ -36,6 +36,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q103IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
+  // (process, sf dir)
+  private val q135ReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q132's persisted vocab-count baseline, one per (process, sf dir)
   private val q132BaselineCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1203,6 +1207,47 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q130_windows")
+    }),
+    "q135_dedup_stream" -> ((s, d) => {
+      // StreamOps.dedup — the reference's deduplication example with
+      // its state bug fixed (examples/stateful_deduplication.py:18-49
+      // never persists state; SURVEY §2.7) — made oracle-visible under
+      // the AT-LEAST-ONCE RE-DELIVERY regime it exists for: the replay
+      // is events UNIONED with a +60 s echo of every click row (same
+      // event_id, the redelivered copy), and dedup on event_id within
+      // a 2 h watermark must drop every echo. Each echo arrives ≤60 s
+      // of event time after its original under in-order delivery, and
+      // the late-filter watermark lags ~90 h behind the slice head, so
+      // the original's state is always alive when the echo lands —
+      // every drop is deterministic and the output is exactly the
+      // original events. Only id-stable columns are emitted (original
+      // and echo differ in ts, and which of two same-batch copies
+      // survives is an implementation choice). The 100 TB posture is
+      // the WithinWatermark variant itself: state holds ~2 h of ids,
+      // not the corpus's all-time id set (plain dropDuplicates' OOM
+      // path); the standing exact-dedup screen for unbounded horizons
+      // is DedupIndex.screenStream.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stage = q135ReplayCache.computeIfAbsent(d, _ => {
+          val ev = Tables(s, d).events.select(replayCols: _*)
+          val echoes = ev.where(col("event_type") === "click")
+            .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 60000000L))
+          graft.streaming.Replay.writeOrderedSlices(ev.unionByName(echoes),
+            unix_millis(col("ts")),
+            java.nio.file.Files.createTempDirectory("graft_q135").toString)
+        })
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          Tables(s, d).events.select(replayCols: _*).schema)
+        val out = graft.streaming.StreamOps.dedup(stream, "ts", "2 hours",
+            Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val q = out.writeStream.format("memory").queryName("graft_q135_dedup")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q135_dedup")
     }),
     "q134_retention_restart" -> ((s, d) => {
       // q129's restart proof for CUSTOM KEYED STATE: q129 restarts a
@@ -2997,6 +3042,10 @@ object SparkEntry {
         |         WHERE w.wm IS NULL OR ((e.ems // 3600000) + 1) * 3600000 > w.wm)
         |SELECT (ems // 3600000) * 3600000 AS win_start_ms, event_type,
         |count(*) AS cnt FROM kept GROUP BY 1, 2""".stripMargin,
+    "q135_dedup_stream" ->
+      // replay: the echoes must be COMPLETELY invisible — the streamed
+      // dedup of (events ∪ redelivered clicks) is exactly events
+      "SELECT event_id, user_id, event_type FROM events",
     "q134_retention_restart" ->
       // replay: identical to q107's — the mid-replay stop/restart of
       // the custom keyed state must be invisible in the result

@@ -743,6 +743,69 @@ object ThroughputBench {
         s"$planted/20 top movers are the planted drift tokens")
     }
 
+    // scenario 27: mid-stream RESTART of 200k-key custom state — the
+    // recovery cost behind the q129/q134 exactly-once gates, per state
+    // backend. 2M events / 200k users replayed as 8 ordered file
+    // slices; stop after 4 with every user's (anchor, seen-periods)
+    // state only in the checkpoint; restart from it and finish. Phase B
+    // pays the state RELOAD (HDFSBacked: whole per-partition maps back
+    // into heap; RocksDB: sst reopen) before its first commit, and the
+    // final complete-mode triangle must equal the batch operator —
+    // recovery that loses or resets any user's state fails the require,
+    // not just the stopwatch.
+    if (enabled(27)) {
+      val nEv = 2000000L
+      val nUsers = 200000L
+      val periodMs = 1000L
+      def evFrame = spark.range(nEv).select(
+        (col("id") % nUsers).as("user_id"),
+        when(col("id") < nUsers, lit("signup")).otherwise(lit("view")).as("event_type"),
+        timestamp_millis(when(col("id") < nUsers, (col("id") % 10) * periodMs)
+          .otherwise((xxhash64(col("id")).cast("double") / Long.MaxValue.toDouble * 26 + 26)
+            .cast("long") * periodMs)).as("ts"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_s27").toString
+      graft.streaming.Replay.writeOrderedSlices(evFrame, unix_millis(col("ts")),
+        stage, slices = 8)
+      val batch = graft.ops.Cohorts.retention(evFrame, col("user_id"),
+          col("event_type"), col("ts"), "signup", periodMs = periodMs)
+        .as[(Long, Long, Long)].collect().toSet
+      val schema = evFrame.schema
+      for (backend <- Seq("hdfs", "rocksdb")) {
+        if (backend == "rocksdb") GraftSession.useRocksDBStateStore(spark)
+        val work = java.nio.file.Files.createTempDirectory(s"graft_s27_$backend").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+        def copySlices(r: Range): Unit = r.foreach { i =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
+            java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        }
+        def runPhase(): Double = {
+          val t = System.nanoTime()
+          val q = graft.ops.Cohorts.retentionStream(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$work/in"),
+            col("user_id"), col("event_type"), col("ts"), "signup",
+            periodMs = periodMs)
+            .writeStream.format("memory").queryName("tb_s27")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+          (System.nanoTime() - t) / 1e9
+        }
+        copySlices(0 to 3); val sA = runPhase()
+        copySlices(4 to 7); val sB = runPhase()
+        val streamed = spark.table("tb_s27").as[(Long, Long, Long)].collect().toSet
+        require(streamed == batch,
+          s"$backend restart diverged: ${streamed.size} vs ${batch.size} cells")
+        if (backend == "rocksdb")
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        println(f"scenario27 restart-$backend n=$nEv users=$nUsers: phase A " +
+          f"(4 batches, cold start) $sA%.1f s; restart phase B (state reload " +
+          f"+ 4 batches) $sB%.1f s; ${streamed.size} cells equal batch")
+      }
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
