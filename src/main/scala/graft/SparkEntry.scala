@@ -36,6 +36,22 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q103IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // standing indexes for the continuous-screening gates (q136/q139/q140),
+  // one per (process, sf dir) — q55's memoization pattern
+  private val q136IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q139IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q140IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q143IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q144IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q145IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q146IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -78,7 +94,7 @@ object SparkEntry {
       graft.streaming.Replay.writeOrderedSlices(
         Tables(s, d).events.select(replayCols: _*),
         unix_millis(col("ts")),
-        java.nio.file.Files.createTempDirectory("graft_evreplay").toString))
+        graft.core.TempDirs.create("graft_evreplay")))
   private def eventsReplayStream(s: SparkSession, d: String): DataFrame =
     graft.streaming.Replay.orderedStream(s, eventsReplayDir(s, d),
       Tables(s, d).events.select(replayCols: _*).schema)
@@ -105,7 +121,7 @@ object SparkEntry {
       val ev = Tables(s, d).events.select(replayCols: _*)
       val dir = graft.streaming.Replay.writeOrderedSlices(ev,
         unix_millis(col("ts")),
-        java.nio.file.Files.createTempDirectory("graft_evreplay_s").toString)
+        graft.core.TempDirs.create("graft_evreplay_s"))
       graft.streaming.Replay.appendSlice(dir,
         s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
           lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
@@ -121,6 +137,47 @@ object SparkEntry {
       (2L, "customer order supplier part")).toDF("qid", "qtext")
   }
   private def ms(c: Column): Column = unix_millis(c)
+
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // q136-q142's shared staging: a batch frame replayed as contiguous
+  // order-column slices — the continuous-ingestion regime the standing-
+  // index screeners run under. Memoized per (process, sf dir, query)
+  // like every replay stage (bench runs each query 3x).
+  private val screenReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def screenReplayDir(key: String, df: => DataFrame, orderBy: Column,
+                              slices: Int): String =
+    screenReplayCache.computeIfAbsent(key, _ =>
+      graft.streaming.Replay.writeOrderedSlices(df, orderBy,
+        graft.core.TempDirs.create("graft_screen"), slices))
+
+  /** Run a foreachBatch-style screening stream to completion and return
+    * the union of every batch's result. Per-batch frames append to a
+    * FRESH parquet staging dir — result-sized (pairs / top-k / vocab
+    * counts), never corpus-sized — and the first batch pins the read
+    * schema, so batches with empty results (which write no part files)
+    * cost nothing and lose nothing. The union equals the batch operator
+    * over the whole input because every screener's result is per-row
+    * independent given the standing index (the parity contract each
+    * index spec asserts for its continuous form).
+    */
+  private def collectScreenBatches(s: SparkSession)
+      (start: (DataFrame => Unit) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val out = graft.core.TempDirs.create("graft_screen_out")
+    @volatile var sch: org.apache.spark.sql.types.StructType = null
+    val q = start { b =>
+      if (sch == null) sch = b.schema
+      b.write.mode("append").parquet(out)
+    }
+    try q.processAllAvailable() finally q.stop()
+    require(sch != null, "screen stream delivered no batches")
+    s.read.schema(sch).parquet(out)
+  }
 
   // q111/q117's shared rule suite — the batch gate and its streaming twin
   // must evaluate IDENTICAL rules for the shared oracle to be valid
@@ -523,7 +580,7 @@ object SparkEntry {
       // unmemoized build would leave one full shingles+bands copy in /tmp
       // per invocation (bench runs 3x per round) until the disk fills.
       val idx = q55IndexCache.computeIfAbsent(d, { dir =>
-        val p = java.nio.file.Files.createTempDirectory("graft_q55_idx").toString
+        val p = graft.core.TempDirs.create("graft_q55_idx")
         DedupIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p,
           shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
         p
@@ -832,7 +889,7 @@ object SparkEntry {
       // replay input written once per (process, sf dir) — bench repeats
       // measure the streaming replay, not parquet re-chunking
       val tmp = q117ReplayCache.computeIfAbsent(d, _ => {
-        val t = java.nio.file.Files.createTempDirectory("graft_q117").toString
+        val t = graft.core.TempDirs.create("graft_q117")
         li.repartition(8).write.mode("overwrite").parquet(s"$t/in")
         t
       })
@@ -1129,7 +1186,7 @@ object SparkEntry {
         // fresh work dir PER INVOCATION: a restart cycle is only a
         // restart cycle the first time through a given checkpoint —
         // bench repeats must re-run both phases, not read a done sink
-        val work = java.nio.file.Files.createTempDirectory("graft_q129").toString
+        val work = graft.core.TempDirs.create("graft_q129")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
         def copySlices(r: Range): Unit = r.foreach { i =>
           // COPY_ATTRIBUTES keeps the staged mtimes, so delivery order
@@ -1187,7 +1244,7 @@ object SparkEntry {
           val ev = Tables(s, d).events.select(replayCols: _*)
           val dir = graft.streaming.Replay.writeShuffledSlices(ev,
             unix_millis(col("ts")),
-            java.nio.file.Files.createTempDirectory("graft_q130").toString,
+            graft.core.TempDirs.create("graft_q130"),
             q130Order)
           graft.streaming.Replay.appendSlice(dir,
             s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -1236,7 +1293,7 @@ object SparkEntry {
             .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 60000000L))
           graft.streaming.Replay.writeOrderedSlices(ev.unionByName(echoes),
             unix_millis(col("ts")),
-            java.nio.file.Files.createTempDirectory("graft_q135").toString)
+            graft.core.TempDirs.create("graft_q135"))
         })
         val stream = graft.streaming.Replay.orderedStream(s, stage,
           Tables(s, d).events.select(replayCols: _*).schema)
@@ -1266,7 +1323,7 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val stage = eventsReplayDir(s, d)
-        val work = java.nio.file.Files.createTempDirectory("graft_q134").toString
+        val work = graft.core.TempDirs.create("graft_q134")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
         def copySlices(r: Range): Unit = r.foreach { i =>
           java.nio.file.Files.copy(
@@ -1372,7 +1429,7 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       val half = substring(md5(col("doc_id").cast("string")), 1, 1)
       val base = q132BaselineCache.computeIfAbsent(d, _ => {
-        val t = java.nio.file.Files.createTempDirectory("graft_q132").toString
+        val t = graft.core.TempDirs.create("graft_q132")
         TextAnalysis.vocabCounts(docs.where(half < "8"), col("text"))
           .write.mode("overwrite").parquet(s"$t/baseline")
         s"$t/baseline"
@@ -1454,8 +1511,7 @@ object SparkEntry {
       // is pruned to the query's terms by a pushed parquet In filter,
       // so the corpus-sized table is never fully read
       val idx = q103IndexCache.computeIfAbsent(d, { dir =>
-        val p = java.nio.file.Files.createTempDirectory("graft_q103_idx")
-          .toString + "/bm25"
+        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
         Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
         p
       })
@@ -1577,7 +1633,7 @@ object SparkEntry {
       // memoized even-id index): odd-id docs rebuilt with every span
       // already present in the indexed corpus removed
       val idx = q80IndexCache.computeIfAbsent(d, { dir =>
-        val p = java.nio.file.Files.createTempDirectory("graft_q80_idx").toString
+        val p = graft.core.TempDirs.create("graft_q80_idx")
         SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
           col("doc_id"), col("text"), p, n = 8)
         p
@@ -1598,7 +1654,7 @@ object SparkEntry {
       // in the indexed corpus
       val docs = Tables(s, d).documents
       val idx = q80IndexCache.computeIfAbsent(d, { dir =>
-        val p = java.nio.file.Files.createTempDirectory("graft_q80_idx").toString
+        val p = graft.core.TempDirs.create("graft_q80_idx")
         SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
           col("doc_id"), col("text"), p, n = 8)
         p
@@ -1714,6 +1770,307 @@ object SparkEntry {
       val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
       Multimodal.decodeAudio(Multimodal.syntheticWavFor(ids), dim = 16)
         .select(col("media_id"), col("n_samples"), col("mean_abs"), col("mean_square"))
+    }),
+
+    // ---- round 10: the CONTINUOUS standing-index forms, oracle-visible.
+    // Every screener/searcher below is per-row independent given the
+    // standing index, so the union over an N-micro-batch replay equals
+    // the batch operator over the whole input (the parity contract each
+    // index spec asserts); the oracle is therefore the batch oracle. ----
+    "q136_lsh_screen_stream" -> ((s, d) => {
+      // DedupIndex.screenStream: continuous MinHash-LSH admission control
+      // — odd-id docs arrive in 4 micro-batches and screen against the
+      // standing index of the even-id corpus (q71's cross-corpus shape,
+      // through the persisted index per batch). At 16 bands × 2 rows a
+      // true pair at jaccard 0.8 misses with probability < 1e-7, so the
+      // brute-force cross oracle is exact.
+      val docs = Tables(s, d).documents
+      val idx = q136IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q136_idx")
+        DedupIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p,
+          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q136",
+          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("text")).schema)
+        collectScreenBatches(s) { onBatch =>
+          DedupIndex.screenStream(s, stream, col("doc_id"), col("text"), idx,
+            threshold = 0.8, shingleN = 3, numHashes = 32,
+            bands = 16, rowsPerBand = 2)(onBatch)
+        }
+      }
+    }),
+    "q137_decon_screen_stream" -> ((s, d) => {
+      // Decontamination.screenStream: each arriving training batch is
+      // containment-checked against the standing benchmark set BEFORE
+      // admission (q66's split and threshold — the oracle is q66's).
+      val docs = Tables(s, d).documents
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q137",
+          docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")),
+          col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("text")).schema)
+        collectScreenBatches(s) { onBatch =>
+          Decontamination.screenStream(stream, col("doc_id"), col("text"),
+            docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+            n = 3, threshold = 0.3)(onBatch)
+        }
+      }
+    }),
+    "q138_bm25_search_stream" -> ((s, d) => {
+      // Bm25Index.searchStream: standing-query retrieval — q103's three
+      // queries arrive one per micro-batch and search the SAME standing
+      // inverted index; per-query independence makes q103's oracle the
+      // stream's oracle verbatim.
+      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
+        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q138", bm25Queries(s), col("qid"), 3)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          bm25Queries(s).schema)
+        collectScreenBatches(s) { onBatch =>
+          Bm25Index.searchStream(s, stream, col("qid"), col("qtext"), idx,
+            k = 10)(onBatch)
+        }
+      }
+    }),
+    "q139_ivf_search_stream" -> ((s, d) => {
+      // IvfIndex.build + searchStream: q42's ANN workload through the
+      // PERSISTED cell-partitioned index (same md5 centroid sample and
+      // shared assignment code, so q42's unrolled oracle holds — this one
+      // query gates both the standing IVF index's search path and its
+      // continuous form), queries arriving in 4 micro-batches.
+      val em = Tables(s, d).embeddings
+      val idx = q139IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q139_idx") + "/ivf"
+        IvfIndex.build(Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nCells = 16, p)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q139",
+          em.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          col("vec_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          em.select(col("vec_id"), col("embedding")).schema)
+        collectScreenBatches(s) { onBatch =>
+          IvfIndex.searchStream(s, stream, col("vec_id"), col("embedding"), idx,
+            k = 5, nProbe = 4)(onBatch)
+        }
+      }
+    }),
+    "q140_cosine_screen_stream" -> ((s, d) => {
+      // CosineIndex.screenStream: continuous embedding near-dup admission
+      // — q72's planted perturbed corpus arrives in 4 micro-batches and
+      // screens against the standing index of the base corpus. Planted
+      // cosines sit at ~0.99997 vs threshold 0.95, so banding cannot miss
+      // and the brute-force cross oracle is exact; cos is dropped from
+      // the output like q72 (pair SET is the cross-engine-stable result).
+      val em = Tables(s, d).embeddings
+      val idx = q140IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q140_idx")
+        CosineIndex.build(
+          Tables(s, dir).embeddings.select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v")),
+          col("id"), col("v"), p, bands = 8, rowsPerBand = 16)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q140",
+          em.where(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 10000000L).as("id"),
+              transform(col("embedding"), (x, i) =>
+                x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v")),
+          col("id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+        collectScreenBatches(s) { onBatch =>
+          CosineIndex.screenStream(s, stream, col("id"), col("v"), idx,
+            threshold = 0.95, bands = 8, rowsPerBand = 16)(b =>
+            onBatch(b.select(col("new_id"), col("dup_id"))))
+        }
+      }
+    }),
+    "q141_span_screen_stream" -> ((s, d) => {
+      // SpanIndex.screenStream: continuous verbatim-substring screening —
+      // odd-id docs arrive in 4 micro-batches against q80's standing gram
+      // index. Span merging is PER document and doc_id slicing keeps each
+      // doc whole in one batch, so q80's oracle holds unchanged.
+      val docs = Tables(s, d).documents
+      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q80_idx")
+        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, n = 8)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q141",
+          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("text")).schema)
+        collectScreenBatches(s) { onBatch =>
+          SpanIndex.screenStream(s, stream, col("doc_id"), col("text"), idx,
+            n = 8)(onBatch)
+        }
+      }
+    }),
+    "q142_drift_stream" -> ((s, d) => {
+      // the drift monitor's CONTINUOUS posture: the check corpus arrives
+      // in 4 micro-batches, each folds its vocabCounts increment into the
+      // staging store (counts are additive, so the fold is delivery-order
+      // independent), and the final drift check runs the summed counts
+      // against q132's PERSISTED baseline — build the baseline once,
+      // drift-check every arriving batch forever. Oracle = q127's (the
+      // whole roundtrip — slicing, per-batch counting, fold, stored
+      // baseline — must be invisible).
+      val docs = Tables(s, d).documents
+      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = q132BaselineCache.computeIfAbsent(d, _ => {
+        val t = graft.core.TempDirs.create("graft_q132")
+        TextAnalysis.vocabCounts(docs.where(half < "8"), col("text"))
+          .write.mode("overwrite").parquet(s"$t/baseline")
+        s"$t/baseline"
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q142",
+          docs.where(half >= "8").select(col("doc_id"), col("text")),
+          col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("text")).schema)
+        val perBatch = collectScreenBatches(s) { onBatch =>
+          stream.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              onBatch(TextAnalysis.vocabCounts(b, col("text")))
+            }
+            .start()
+        }
+        TextAnalysis.tokenDriftCounts(
+          s.read.parquet(base).select(col("token"), col("n")),
+          perBatch.groupBy(col("token")).agg(sum(col("n")).cast("long").as("n")))
+          .orderBy(col("move").desc, col("token").asc)
+          .limit(50)
+          .withColumn("move", col("move").cast("long"))
+      }
+    }),
+    "q143_kmeans_assign_stream" -> ((s, d) => {
+      // KMeansIndex.build + assignStream: continuous classification
+      // against the standing model — the corpus arrives in 4 micro-
+      // batches and each assigns against the STORED centroids (broadcast
+      // argmin, nothing corpus-sized moves). The stored fit is
+      // KMeans.fit's own (shared code, integer-exact), so q88's unrolled
+      // Lloyd oracle holds for the batch-by-batch assignment union.
+      val em = Tables(s, d).embeddings
+      val idx = q143IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q143_idx") + "/km"
+        KMeansIndex.build(Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), k = 8, iters = 2, p)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q143",
+          em.select(col("vec_id"), col("embedding")), col("vec_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          em.select(col("vec_id"), col("embedding")).schema)
+        collectScreenBatches(s) { onBatch =>
+          KMeansIndex.assignStream(s, stream, col("vec_id"), col("embedding"),
+            idx)(onBatch)
+        }
+      }
+    }),
+    "q144_bm25_ingest_stream" -> ((s, d) => {
+      // Bm25Index.appendStream: continuous EXACTLY-ONCE index ingestion.
+      // The standing index starts from the even-id half and the odd-id
+      // half arrives in 4 ledgered micro-batch folds (Bm25IndexSpec:
+      // streaming folds == one-shot build; a re-delivered batch id is
+      // skipped); q103's retrieval then runs THROUGH the grown index, so
+      // its full-corpus oracle gates the whole ingest-then-search
+      // lifecycle. Ingestion is memoized per (process, sf dir) like
+      // every standing index — and a re-run of the same fold stream is
+      // a no-op by the batch-id ledger anyway.
+      val idx = q144IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q144_idx") + "/bm25"
+        val docs = Tables(s, dir).documents
+        Bm25Index.build(docs.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p)
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q144",
+            docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+            col("doc_id"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage,
+            docs.select(col("doc_id"), col("text")).schema)
+          val q = Bm25Index.appendStream(s, stream, col("doc_id"), col("text"), p)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
+    }),
+    "q145_ivfpq_search_stream" -> ((s, d) => {
+      // IvfPqIndex.build + searchStream: q86's residual IVF-PQ workload
+      // through the PERSISTED compressed index (codes partitioned by
+      // cell, codebook + coarse centroids as broadcast sidecars; shared
+      // sampling/encode code, so q86's oracle holds — IvfPqIndexSpec:
+      // build+query == one-shot residual IVF-PQ exactly), queries
+      // arriving in 4 micro-batches. Completes the continuous form of
+      // the last standing ANN index.
+      val em = Tables(s, d).embeddings
+      val idx = q145IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q145_idx") + "/ivfpq"
+        IvfPqIndex.build(Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nCells = 16, p, m = 8, ksub = 16)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q145",
+          em.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          col("vec_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          em.select(col("vec_id"), col("embedding")).schema)
+        collectScreenBatches(s) { onBatch =>
+          IvfPqIndex.searchStream(s, stream, col("vec_id"), col("embedding"),
+            idx, k = 5, nProbe = 4)(onBatch)
+        }
+      }
+    }),
+    "q146_dsir_score_stream" -> ((s, d) => {
+      // DsirModel.build + scoreStream: continuous domain-targeted
+      // admission scoring — documents arrive in 4 micro-batches and each
+      // scores against the STORED count tables (broadcast, integer-exact
+      // bitlen arithmetic; DsirModelSpec: stored model == one-shot
+      // importanceWeights), so q100's full replay oracle holds.
+      val docs = Tables(s, d).documents
+      val idx = q146IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q146_idx") + "/dsir"
+        val dd = Tables(s, dir).documents
+        DsirModel.build(dd, dd.where(col("source") === "src0"),
+          col("doc_id"), col("text"), p, buckets = 1024)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q146",
+          docs.select(col("doc_id"), col("text")), col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("text")).schema)
+        collectScreenBatches(s) { onBatch =>
+          DsirModel.scoreStream(s, stream, col("doc_id"), col("text"), idx)(b =>
+            onBatch(b.withColumnRenamed("id", "doc_id")))
+        }
+      }
     }),
   )
 
@@ -1898,7 +2255,54 @@ object SparkEntry {
        |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk
        |  FROM f) WHERE rk <= 10""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the continuous standing-index forms (q136-q142) are per-row
+    // independent given the index, so the batch oracle IS the stream
+    // oracle — shared verbatim where the workload is identical:
+    "q137_decon_screen_stream" -> oracleSqlBase("q66_decontaminate"),
+    "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
+    "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
+    "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),
+    "q142_drift_stream" -> oracleSqlBase("q127_token_drift"),
+    "q143_kmeans_assign_stream" -> oracleSqlBase("q88_kmeans_assign"),
+    "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
+    "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
+    "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
+    "q136_lsh_screen_stream" ->
+      // q71's brute-force cross ground truth with the roles of the
+      // screen: new = odd-id stream docs, dup = even-id indexed corpus
+      // (same shingle construction as the q37 oracle incl. the <n
+      // whole-doc fallback — Dedup.shingles' exact convention)
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |a AS (SELECT * FROM sh WHERE doc_id % 2 = 0 AND len(sh) > 0),
+        |b AS (SELECT * FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0)
+        |SELECT new_id, dup_id, jaccard FROM (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS dup_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |  FROM a, b
+        |) WHERE jaccard >= 0.8""".stripMargin,
+    "q140_cosine_screen_stream" ->
+      // q72's brute-force cross ground truth, renamed for the screen:
+      // new = the planted perturbed corpus, dup = the base index side
+      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id + 10000000 AS id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
+        |      FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT new_id, dup_id FROM (
+        |  SELECT b.id AS new_id, a.id AS dup_id, list_cosine_similarity(a.v, b.v) AS c
+        |  FROM a, b
+        |) WHERE c >= 0.95""".stripMargin,
+  )
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q01_map_project" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price

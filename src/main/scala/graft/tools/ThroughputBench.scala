@@ -806,6 +806,62 @@ object ThroughputBench {
       }
     }
 
+    // scenario 28: continuous screen-and-admit at a 400k-doc standing
+    // MinHash-LSH index — the q136 admission-control loop at scale: four
+    // 25k-doc micro-batches each SCREEN against the index (planted: every
+    // 100th doc clones an indexed doc's content) and then ADMIT via
+    // append. The claims under measurement: per-batch cost is bounded by
+    // the batch (flat as the index grows — the stored side is looked up
+    // via the (band, bucket) equi-join, never reshuffled), and recall on
+    // the planted clones is exact per batch. Batch sources are disjoint
+    // across batches, so each batch must flag exactly nBatch/100 pairs
+    // even as earlier batches' clones accumulate in the index.
+    if (enabled(28)) {
+      val nIdx = 400000L
+      val nBatch = 25000L
+      val vocabSize = 5000
+      def content(idc: org.apache.spark.sql.Column) = array_join(transform(sequence(lit(0), lit(39)),
+        i => concat(lit("w"), pmod(xxhash64(idc * 40 + i), lit(vocabSize)))), " ")
+      val corpus = spark.range(nIdx)
+        .select(col("id").as("doc_id"), content(col("id")).as("text"))
+      val path = graft.core.TempDirs.create("graft_s28")
+      val tB = System.nanoTime()
+      graft.ops.DedupIndex.build(corpus, col("doc_id"), col("text"), path,
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+      val sBuild = (System.nanoTime() - tB) / 1e9
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[Long]
+      val batchDf = in.toDF().select(col("value").as("doc_id"),
+        when(col("value") % 100 === 0, content(pmod(col("value"), lit(nIdx))))
+          .otherwise(content(col("value"))).as("text"))
+      val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = graft.ops.DedupIndex.screenStream(spark, batchDf,
+        col("doc_id"), col("text"), path, threshold = 0.8,
+        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2) { b =>
+        hits += b.count()
+      }
+      val perBatch = (0 until 4).map { b =>
+        val lo = nIdx + b * nBatch
+        val t0 = System.nanoTime()
+        in.addData(lo until (lo + nBatch))
+        q.processAllAvailable()
+        val admit = spark.range(lo, lo + nBatch).select(col("id").as("doc_id"),
+          when(col("id") % 100 === 0, content(pmod(col("id"), lit(nIdx))))
+            .otherwise(content(col("id"))).as("text"))
+        graft.ops.DedupIndex.append(admit, col("doc_id"), col("text"), path,
+          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      require(hits.toSeq == Seq.fill(4)(nBatch / 100),
+        s"planted-clone recall broke: $hits (expected 4x${nBatch / 100})")
+      println(f"scenario28 screen-admit idx=$nIdx batch=$nBatch: build $sBuild%.1f s; " +
+        s"screen+admit per batch ${perBatch.map(t => f"$t%.1f").mkString("/")} s " +
+        f"(${nBatch / (perBatch.sum / 4) / 1e3}%.1f K docs/s through admission control, " +
+        "250/250 planted clones flagged per batch, flat as the index grows)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
