@@ -2072,6 +2072,32 @@ object SparkEntry {
         }
       }
     }),
+    "q147_media_decode_stream" -> ((s, d) => {
+      // continuous multimodal ingest: the PNG corpus arrives in 4 micro-
+      // batches of opaque binary rows and each batch runs the REAL
+      // ImageIO decode + feature pass (q68's operator, per-row
+      // independent — its pixel-formula oracle verifies the whole
+      // encode→stream→decode roundtrip batch by batch). The 100 TB shape
+      // is the batch lane's: content bytes stay inside a narrow
+      // mapPartitions per micro-batch, nothing media-sized exchanges.
+      import s.implicits._
+      withShufflePartitions(s, 8) {
+        val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
+        val stage = screenReplayDir(s"$d#q147",
+          Multimodal.syntheticPngMediaFor(ids).toDF(), col("media_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord].schema)
+        collectScreenBatches(s) { onBatch =>
+          stream.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              onBatch(Multimodal.decodeImages(b.as[Multimodal.MediaRecord], dim = 16)
+                .toDF().select(col("media_id"), col("width"), col("height"),
+                  col("mean_intensity")))
+            }
+            .start()
+        }
+      }
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2268,6 +2294,7 @@ object SparkEntry {
     "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
+    "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
     "q136_lsh_screen_stream" ->
       // q71's brute-force cross ground truth with the roles of the
       // screen: new = odd-id stream docs, dup = even-id indexed corpus

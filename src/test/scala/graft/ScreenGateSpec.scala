@@ -108,4 +108,15 @@ class ScreenGateSpec extends AnyFunSuite {
       .withColumnRenamed("id", "doc_id")
     assert(rows(streamed) == rows(direct) && streamed.count() > 0)
   }
+
+  test("q147: per-batch real PNG decode == one-shot batch decode") {
+    import spark.implicits._
+    val ids = Tables(spark, sf).embeddings.select(col("vec_id")).as[Long]
+    val streamed = SparkEntry.queries("q147_media_decode_stream")(spark, sf)
+    val direct = Multimodal.decodeImages(
+        Multimodal.syntheticPngMediaFor(ids), dim = 16)
+      .toDF().select(col("media_id"), col("width"), col("height"),
+        col("mean_intensity"))
+    assert(rows(streamed) == rows(direct) && streamed.count() > 0)
+  }
 }
