@@ -2098,6 +2098,26 @@ object SparkEntry {
         }
       }
     }),
+    "q148_stream_static_join" -> ((s, d) => {
+      // stream-static enrichment join INSIDE the streaming plan — the
+      // one streaming join class q124's stream-stream gate doesn't
+      // cover: each arriving event joins the static customer dim, which
+      // Spark re-plans (and at this size broadcasts) per micro-batch.
+      // Stateless per row, so the append output set equals the batch
+      // join and the plain SQL join is the oracle.
+      withShufflePartitions(s, 8) {
+        val stream = eventsReplayStream(s, d)
+        val cust = Tables(s, d).customer
+          .select(col("c_custkey"), col("c_nationkey"))
+        val out = stream.join(cust, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_nationkey"))
+        val q = out.writeStream.format("memory").queryName("graft_q148_enrich")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_q148_enrich")
+      }
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2295,6 +2315,11 @@ object SparkEntry {
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
     "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
+    "q148_stream_static_join" ->
+      // the enrichment join is stateless per event, so the batch join
+      // over the same two tables is the exact oracle
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "q136_lsh_screen_stream" ->
       // q71's brute-force cross ground truth with the roles of the
       // screen: new = odd-id stream docs, dup = even-id indexed corpus

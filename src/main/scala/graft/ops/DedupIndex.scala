@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *   `bands/`    — (band, bucket, id): the LSH candidate-lookup table
   *   `shingles/` — (id, sh): shingle sets for exact-Jaccard verification
   *
-  * `checkStream` works on a streaming DataFrame via two stream-static
-  * equi-joins (candidate lookup on (band, bucket), then shingle fetch by
-  * id) — both narrow on the stream side; the static sides are ordinary
-  * parquet scans that Spark re-plans per micro-batch, so rebuilding the
+  * `screenStream` runs [[check]] per micro-batch via foreachBatch (its
+  * two equi-joins — candidate lookup on (band, bucket), then shingle
+  * fetch by id — are narrow on the batch side); the static sides are
+  * ordinary parquet scans re-read per batch, so rebuilding the
   * index is picked up without restarting the query. At 100 TB the bands
   * table is (band, bucket, id) triples only — far smaller than the
   * corpus — and the shingle fetch joins only candidate ids.

@@ -119,4 +119,15 @@ class ScreenGateSpec extends AnyFunSuite {
         col("mean_intensity"))
     assert(rows(streamed) == rows(direct) && streamed.count() > 0)
   }
+
+  test("q148: stream-static enrichment join == batch join") {
+    val t = Tables(spark, sf)
+    val streamed = SparkEntry.queries("q148_stream_static_join")(spark, sf)
+    val direct = t.events.join(
+        t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_nationkey"))
+    assert(rows(streamed) == rows(direct) && streamed.count() > 0)
+  }
 }
