@@ -52,6 +52,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q146IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q150IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -116,16 +118,36 @@ object SparkEntry {
   private val sentinelTsUs = 4102444800000000L // 2100-01-01T00:00:00Z
   private def sentinelCutoff: Column =
     timestamp_micros(lit(4070908800000000L)) // 2099-01-01T00:00:00Z
+  private def sentinelRow(s: SparkSession, tsUs: Long): DataFrame =
+    s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+      lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
+      timestamp_micros(lit(tsUs)).as("ts"))
   private def sentinelReplayDir(s: SparkSession, d: String): String =
     sentinelReplayCache.computeIfAbsent(d, _ => {
       val ev = Tables(s, d).events.select(replayCols: _*)
       val dir = graft.streaming.Replay.writeOrderedSlices(ev,
         unix_millis(col("ts")),
         graft.core.TempDirs.create("graft_evreplay_s"))
+      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
+    })
+  // q149's replay: the ordered slices plus TWO trailing sentinel slices.
+  // Chained stateful aggregations cascade one micro-batch per level —
+  // the first watermark advance finalizes the windowed counts, and the
+  // SECOND batch lets the downstream per-window top-k agg see those
+  // finalized rows and fire them (StreamingSpec's trending-tokens test
+  // needed the same two flushes). Both sentinels sit past sentinelCutoff
+  // so the ts predicate removes them after their event time registers.
+  private val trendReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def trendReplayDir(s: SparkSession, d: String): String =
+    trendReplayCache.computeIfAbsent(d, _ => {
+      val ev = Tables(s, d).events.select(replayCols: _*)
+      val dir = graft.streaming.Replay.writeOrderedSlices(ev,
+        unix_millis(col("ts")),
+        graft.core.TempDirs.create("graft_evreplay_t"))
+      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
       graft.streaming.Replay.appendSlice(dir,
-        s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-          lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
-          timestamp_micros(lit(sentinelTsUs)).as("ts")), 8)
+        sentinelRow(s, sentinelTsUs + 86400000000L), 9)
     })
 
   // q102/q103's shared retrieval workload: three fixed queries over the
@@ -2118,6 +2140,118 @@ object SparkEntry {
         s.table("graft_q148_enrich")
       }
     }),
+    "q149_trending_stream" -> ((s, d) => {
+      // CHAINED stateful aggregations in one streaming query — windowed
+      // counts then per-window top-3 (the streaming form of q60's
+      // trending ranking, spec-proven in StreamingSpec and here made
+      // oracle-visible): the first agg finalizes (window, event_type)
+      // counts when the watermark passes the window end, the second
+      // ranks the finalized rows with the bounded-heap CollectBottomK
+      // kernel and fires one batch later. The replay carries TWO
+      // sentinel slices (see trendReplayDir) so both levels flush; rank
+      // ties break on event_type ascending in both engines. In-order
+      // 0-delay delivery means no real row is late-dropped, so the
+      // append output set equals the batch hourly top-3. State is ~720
+      // windows × 5 types upstream + ~720 3-element heaps downstream.
+      withShufflePartitions(s, 8) {
+        val stream = graft.streaming.Replay.orderedStream(s, trendReplayDir(s, d),
+          Tables(s, d).events.select(replayCols: _*).schema)
+        val counts = stream.withWatermark("ts", "0 seconds")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val topk = counts
+          .groupBy(col("window"))
+          .agg(graft.functions.Kernels.collect_bottom_k(
+            struct((-col("cnt")).as("nc"), col("event_type").as("event_type")), 3).as("top"))
+          .select(unix_millis(col("window.start")).as("win_start_ms"),
+            posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("win_start_ms"), col("e.event_type").as("event_type"),
+            (-col("e.nc")).as("cnt"), (col("pos") + 1).cast("long").as("rk"))
+        val q = topk.writeStream.format("memory").queryName("graft_q149_trending")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_q149_trending")
+      }
+    }),
+    "q150_kmeans_update_stream" -> ((s, d) => {
+      // KMeansIndex.updateStream: continuous mini-batch k-means
+      // (Sculley '10) made oracle-visible — the last standing-index
+      // continuous form that was spec-gated only. The model builds on
+      // the even-id half; the odd-id half arrives in 2 ordered
+      // micro-batch folds, each assigning against the CURRENT centroids
+      // and merging its (cell, d) sums into the stored statistics
+      // (centroids re-derived as s div n). Every step is integer-exact,
+      // so the oracle replays build + both folds unrolled in SQL. The
+      // batch-id ledger makes re-runs no-ops (a re-delivered fold is
+      // skipped), so the bench's repeats read the SAME final model —
+      // exactly-once ingestion proven by stability across replays. The
+      // result is the full model dump: centroids flattened to
+      // (cell, d, c) joined with the folded statistics (s, n).
+      val em = Tables(s, d).embeddings
+      val idx = q150IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q150_idx") + "/km"
+        KMeansIndex.build(Tables(s, dir).embeddings.where(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, p)
+        p
+      })
+      withShufflePartitions(s, 8) {
+        val inc = em.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+        val stage = screenReplayDir(s"$d#q150", inc, col("vec_id"), 2)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, inc.schema)
+        val q = KMeansIndex.updateStream(s, stream, col("vec_id"),
+          col("embedding"), idx)(_ => ())
+        try q.processAllAvailable() finally q.stop()
+      }
+      val cents = KMeansIndex.centroids(s, idx)
+        .select(explode(col("cents")).as("cc"))
+        .select(col("cc.cell").as("cell"),
+          posexplode(col("cc.centroid")).as(Seq("d", "c")))
+      val stats = s.read.parquet(s"$idx/_model/_stats")
+      cents.join(stats, Seq("cell", "d"), "left_outer")
+        .select(col("cell"), col("d"), col("c"), col("s"), col("n"))
+    }),
+    "q151_cluster_merge" -> ((s, d) => {
+      // Clusters.merge made oracle-visible — the incremental-ingestion
+      // step after DedupIndex.append + check: near-dup pairs among the
+      // even-id docs form the EXISTING clustering, then the remaining
+      // pairs (every pair touching an odd id — the "new batch") fold in
+      // via merge. Each old assignment is a member→representative edge,
+      // so merge runs connected components over cluster-graph-sized
+      // edges (one per clustered doc + the new pairs), never the corpus;
+      // the result must equal the full rebuild over ALL pairs — q55's
+      // oracle verbatim (PipelineOpsSpec asserts the same equivalence
+      // structurally; this puts it in the correctness record). Pairs
+      // come off q55's memoized standing index: zero extra corpus scans.
+      val idx = q55IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q55_idx")
+        DedupIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p,
+          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
+        p
+      })
+      val pairs = DedupIndex.pairs(s, idx, threshold = 0.8)
+      val bothEven = col("id_a") % 2 === 0 && col("id_b") % 2 === 0
+      val assignments = Clusters.connectedComponents(
+        pairs.where(bothEven), col("id_a"), col("id_b"))
+      Clusters.merge(assignments, pairs.where(!bothEven),
+        col("id_a"), col("id_b"))
+    }),
+    "q152_salted_join" -> ((s, d) => {
+      // Joins.saltedJoin in the correctness record: the hot-key
+      // straggler-flattening join (skewed side salted on a stable row
+      // identity, small side exploded across the salt buckets) must be
+      // RESULT-IDENTICAL to the plain join — scenario 6 measures the
+      // 2x straggler win at a 50%-hot-key fact; this gates that the
+      // rewrite never changes the output (ScaleJoinSpec asserts it
+      // structurally; the oracle is the plain SQL join). The salt
+      // column is dropped before returning, so schema matches too.
+      val t = Tables(s, d)
+      Joins.saltedJoin(t.events, t.customer.select(col("c_custkey"), col("c_nationkey")),
+          col("user_id"), col("c_custkey"), Seq(col("event_id")), buckets = 8)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_nationkey"))
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2320,6 +2454,90 @@ object SparkEntry {
       // over the same two tables is the exact oracle
       """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // merge(CC(old pairs), new pairs) partitions identically to
+    // CC(all pairs) — assignment star edges span exactly the old
+    // components — so the full-rebuild oracle is the merge oracle
+    "q151_cluster_merge" -> oracleSqlBase("q55_dup_clusters"),
+    "q152_salted_join" ->
+      // salting is a pure execution-strategy rewrite — the plain join
+      // is the exact oracle (q148's batch SQL)
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q149_trending_stream" ->
+      // in-order 0-delay delivery: the streaming chained aggs' append
+      // output equals the batch hourly top-3 (ties on event_type asc —
+      // the CollectBottomK struct order on both sides)
+      """WITH wc AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT win_start_ms, event_type, cnt, rk FROM (
+        |  SELECT win_start_ms, event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY win_start_ms
+        |      ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rk
+        |  FROM wc) WHERE rk <= 3""".stripMargin,
+    "q150_kmeans_update_stream" ->
+      // build (q88's Lloyd unroll on the even-id half + final-assignment
+      // statistics) then the two stream folds unrolled: slice bounds are
+      // writeOrderedSlices' integer-division ranges over the odd ids,
+      // each fold assigns against the pre-fold centroids (integer L2
+      // argmin, ties to the lowest cell), merges its (cell, d) sums and
+      // re-derives centroids as the truncating division s // n (DuckDB
+      // and Spark `div` both truncate toward zero) — cells with no data
+      // keep their centroid. Output = final centroids flattened
+      // (cell, d, c) LEFT JOINed with the final statistics (s, n).
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |),
+         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
+         |dms AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS d),
+         |bs AS (SELECT cell, d, CAST(sum(x[d+1]) AS BIGINT) AS s,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM af CROSS JOIN dms GROUP BY cell, d),
+         |sx AS (SELECT vec_id AS id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
+         |       FROM embeddings WHERE vec_id % 2 = 1),
+         |bnd AS (SELECT min(id) AS lo, max(id) AS hi FROM sx),
+         |fb1 AS (SELECT id, x FROM sx, bnd WHERE id < lo + (hi - lo + 1) * 1 // 2),
+         |fb2 AS (SELECT id, x FROM sx, bnd WHERE id >= lo + (hi - lo + 1) * 1 // 2),
+         |fa1 AS (SELECT id, x, cell FROM (
+         |    SELECT b.id, b.x, c.cell,
+         |      row_number() OVER (PARTITION BY b.id ORDER BY
+         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
+         |        c.cell ASC) AS rk
+         |    FROM fb1 b CROSS JOIN c2 c
+         |  ) WHERE rk = 1),
+         |u1 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT * FROM bs
+         |    UNION ALL
+         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
+         |    FROM fa1 CROSS JOIN dms GROUP BY cell, d
+         |  ) GROUP BY cell, d),
+         |v1 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u1 WHERE n > 0 GROUP BY cell),
+         |k3 AS (SELECT c.cell, coalesce(v1.cent, c.cent) AS cent
+         |       FROM c2 c LEFT JOIN v1 ON c.cell = v1.cell),
+         |fa2 AS (SELECT id, x, cell FROM (
+         |    SELECT b.id, b.x, c.cell,
+         |      row_number() OVER (PARTITION BY b.id ORDER BY
+         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
+         |        c.cell ASC) AS rk
+         |    FROM fb2 b CROSS JOIN k3 c
+         |  ) WHERE rk = 1),
+         |u2 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT * FROM u1
+         |    UNION ALL
+         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
+         |    FROM fa2 CROSS JOIN dms GROUP BY cell, d
+         |  ) GROUP BY cell, d),
+         |v2 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u2 WHERE n > 0 GROUP BY cell),
+         |k4 AS (SELECT c.cell, coalesce(v2.cent, c.cent) AS cent
+         |       FROM k3 c LEFT JOIN v2 ON c.cell = v2.cell),
+         |cf AS (SELECT cell, d, cent[d+1] AS c FROM k4 CROSS JOIN dms)
+         |SELECT cf.cell, cf.d, CAST(cf.c AS BIGINT) AS c, u2.s, u2.n
+         |FROM cf LEFT JOIN u2 USING (cell, d)""".stripMargin,
     "q136_lsh_screen_stream" ->
       // q71's brute-force cross ground truth with the roles of the
       // screen: new = odd-id stream docs, dup = even-id indexed corpus

@@ -862,6 +862,51 @@ object ThroughputBench {
         "250/250 planted clones flagged per batch, flat as the index grows)")
     }
 
+    // scenario 29: mini-batch k-means folds at 1M 64-dim vectors — the
+    // q150 continuous-model-update path at scale. Build the standing
+    // model on 500k vectors (k=64, 2 Lloyd iterations), then fold four
+    // 125k-vector batches via KMeansIndex.update. The claims under
+    // measurement: a fold costs batch-sized work (assign = broadcast
+    // argmin over the batch; stats merge = k·dim rows; sidecar append =
+    // batch rows — the 500k-row indexed corpus is NEVER revisited), so
+    // per-fold time stays flat while the model grows, and the whole
+    // build+4-folds lifecycle undercuts one full refit of the 1M-row
+    // union. Exactness check: the folded statistics must account for
+    // every vector (sum n = 1M) — the invariant KMeansIndexSpec asserts
+    // structurally, here held at scale.
+    if (enabled(29)) {
+      val nBase = 500000L
+      val nBatch = 125000L
+      def vecsOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id") * 64 + d), lit(2000)) - 1000.0) / 1000.0).as("v"))
+      val path = graft.core.TempDirs.create("graft_s29") + "/km"
+      val tB = System.nanoTime()
+      graft.ops.KMeansIndex.build(vecsOf(0, nBase), col("vec_id"), col("v"),
+        k = 64, iters = 2, path)
+      val sBuild = (System.nanoTime() - tB) / 1e9
+      val perFold = (0 until 4).map { b =>
+        val lo = nBase + b * nBatch
+        val t0 = System.nanoTime()
+        graft.ops.KMeansIndex.update(spark, vecsOf(lo, lo + nBatch),
+          col("vec_id"), col("v"), path)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val totalN = spark.read.parquet(s"$path/_model/_stats")
+        .where(col("d") === 0).agg(sum(col("n"))).head.getLong(0)
+      require(totalN == nBase + 4 * nBatch,
+        s"folded statistics lost rows: $totalN of ${nBase + 4 * nBatch}")
+      val tF = System.nanoTime()
+      graft.ops.KMeans.fit(vecsOf(0, nBase + 4 * nBatch),
+        col("vec_id"), col("v"), k = 64, iters = 2)
+      val sRefit = (System.nanoTime() - tF) / 1e9
+      println(f"scenario29 kmeans-fold base=$nBase batch=$nBatch k=64: " +
+        f"build $sBuild%.1f s; folds ${perFold.map(t => f"$t%.1f").mkString("/")} s " +
+        f"(flat, batch-sized; all ${nBase + 4 * nBatch} rows accounted); " +
+        f"full 1M refit $sRefit%.1f s vs ${perFold.sum}%.1f s for the 4 folds")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

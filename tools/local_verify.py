@@ -43,7 +43,8 @@ def main():
 
     if not skip_spark:
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch",
+             " ".join(["runMain graft.Verify", sf_dir, out_dir] + sorted(only))],
             capture_output=True, text=True, cwd=Path(__file__).parent.parent)
         if r.returncode != 0:
             print(r.stdout[-4000:])
