@@ -2252,6 +2252,99 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("c_nationkey"))
     }),
+    "q153_view_maintain" -> ((s, d) => {
+      // incremental materialized-view refresh: a per-customer (order
+      // count, total spend) view maintained from a row-level
+      // +I/-U/+U/-D changelog — Diff.maintainAgg touches ONLY changed
+      // keys (delta collapse is changelog-sized; the merge broadcasts
+      // the deltas, so the view itself never shuffles — DiffSpec
+      // plan-asserts zero shuffled joins). %5 orderkeys arrive as
+      // inserts, %7 base rows get their price doubled via a -U/+U
+      // pair, %13∧¬%7 base rows are deleted. Oracle = re-aggregating
+      // the base with the changelog applied — the equivalence
+      // maintainAgg exists to avoid paying at scale.
+      // prices ride as DECIMAL(18,2) (the q06 convention): the sums in
+      // the view, the deltas, and the merge all stay exact; one cast to
+      // double at the very end
+      val o = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val base = o.where(col("o_orderkey") % 5 =!= 0)
+      val view = base.groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+      val changes = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey"), col("o_totalprice").as("p"), lit("+I").as("op"))
+        .unionByName(base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey"), col("o_totalprice").as("p"), lit("-U").as("op")))
+        .unionByName(base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey"), (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
+        .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+          .select(col("o_custkey"), col("o_totalprice").as("p"), lit("-D").as("op")))
+      Diff.maintainAgg(view, changes, Seq("o_custkey"), "op", "cnt",
+          Seq("total" -> "p"))
+        .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
+    }),
+    "q154_sketch_rollup" -> ((s, d) => {
+      // sketch-partitioned distinct: ONE corpus pass builds per-
+      // (event_type, day) theta sketches; "distinct users over an
+      // arbitrary day slice" is then a union of bucket sketches with
+      // zero corpus re-reads (SketchesSpec plan-asserts no FileScan on
+      // the query side). Exactness regime: every sketch holds far fewer
+      // than 2^20 nominal entries, so theta stays 1 and union is a
+      // literal hash-set union — asserted IN the plan (q44 convention):
+      // each group carries the exact distinct count and any divergence
+      // raises a named error rather than an opaque hash mismatch.
+      val e = Tables(s, d).events
+      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
+        day(col("ts")), col("user_id"))
+      val est = Sketches.distinctOver(bk, Seq("event_type"),
+        col("bucket") % 3 =!= 1, out = "__a")
+      val exact = e.where(day(col("ts")) % 3 =!= 1)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("__e"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          when(col("__a") =!= col("__e"), raise_error(concat(
+            lit("q154 exactness regime broke: sketch="), col("__a").cast("string"),
+            lit(" exact="), col("__e").cast("string"))).cast("long"))
+            .otherwise(col("__a")).as("users"))
+    }),
+    "q155_sketch_overlap" -> ((s, d) => {
+      // sketch SET ALGEBRA the plain distinct count cannot answer
+      // without a re-scan: from the same standing bucket table, how
+      // many users are active on BOTH even and odd days (in_both), and
+      // how many churn either way (only_a / only_b) — theta
+      // intersection/difference per event_type over bucket-sketch
+      // unions. Exact in the same regime, and the gate carries the
+      // exact per-user replay alongside and raises on any divergence.
+      val e = Tables(s, d).events
+      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
+        day(col("ts")), col("user_id"))
+      val est = Sketches.overlapOver(bk, Seq("event_type"),
+        col("bucket") % 2 === 0, col("bucket") % 2 === 1)
+      val exact = e
+        .select(col("event_type"), col("user_id"),
+          (day(col("ts")) % 2 === 0).as("__ea"), (day(col("ts")) % 2 === 1).as("__eb"))
+        .groupBy("event_type", "user_id")
+        .agg(max(col("__ea")).as("__ia"), max(col("__eb")).as("__ib"))
+        .groupBy("event_type")
+        .agg(sum(when(col("__ia") && col("__ib"), 1L).otherwise(0L)).as("__both"),
+          sum(when(col("__ia") && !col("__ib"), 1L).otherwise(0L)).as("__oa"),
+          sum(when(col("__ib") && !col("__ia"), 1L).otherwise(0L)).as("__ob"))
+      def gated(sketchCol: String, exactCol: String, out: String) =
+        when(col(sketchCol) =!= col(exactCol), raise_error(concat(
+          lit(s"q155 exactness regime broke at $out: sketch="),
+          col(sketchCol).cast("string"),
+          lit(" exact="), col(exactCol).cast("string"))).cast("long"))
+          .otherwise(col(sketchCol)).as(out)
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          gated("in_both", "__both", "in_both"),
+          gated("only_a", "__oa", "only_a"),
+          gated("only_b", "__ob", "only_b"))
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2463,6 +2556,41 @@ object SparkEntry {
       // is the exact oracle (q148's batch SQL)
       """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q153_view_maintain" ->
+      // replay: re-aggregate the base with the changelog applied —
+      // surviving originals (neither updated nor deleted), the doubled
+      // %7 rows, and the %5 inserts; keys with no surviving rows drop
+      // out of the GROUP BY naturally (= maintainAgg's cnt > 0)
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+        |final AS (
+        |  SELECT o_custkey, o_totalprice AS p FROM base
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
+        |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
+        |FROM final GROUP BY o_custkey""".stripMargin,
+    "q154_sketch_rollup" ->
+      // the sketch union is exact in the gated regime, so the oracle is
+      // the plain distinct count over the same day slice
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
+        |GROUP BY event_type""".stripMargin,
+    "q155_sketch_overlap" ->
+      // exact per-user even/odd-day flags, then set-algebra counts
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 0 THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 1 THEN 1 ELSE 0 END) AS ib
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
+        |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        |FROM f GROUP BY event_type""".stripMargin,
     "q149_trending_stream" ->
       // in-order 0-delay delivery: the streaming chained aggs' append
       // output equals the batch hourly top-3 (ties on event_type asc —

@@ -244,4 +244,94 @@ class DiffSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { Diff.fingerprint(df, Seq("g"), Seq("zz")) }
     assertThrows[IllegalArgumentException] { Diff.fingerprint(df, Seq("g"), Seq("g", "a")) }
   }
+
+  // ---- maintainAgg ----
+
+  private def baseRows = Seq(
+    (1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (3L, 31L), (3L, 32L), (4L, 40L))
+  private def viewOf(rows: Seq[(Long, Long)]) =
+    rows.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+
+  test("maintainAgg == re-aggregation: insert, update pair, delete, net-zero key") {
+    val ch = Seq(
+      (5L, 99L, "+I"),            // brand-new key
+      (1L, 12L, "+I"),            // extra row on existing key
+      (3L, 30L, "-U"), (3L, 300L, "+U"), // update one of k=3's rows
+      (2L, 20L, "-D"),            // key 2's only row: key disappears
+      (6L, 7L, "+I"), (6L, 7L, "-D")     // insert-then-delete nets to nothing
+    ).toDF("k", "v", "op")
+    val got = Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val after = baseRows.filterNot(r => r == (3L, 30L) || r == (2L, 20L)) ++
+      Seq((5L, 99L), (1L, 12L), (3L, 300L))
+    val want = viewOf(after).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("maintainAgg: empty changelog is the identity; untouched keys byte-equal") {
+    val ch = Seq.empty[(Long, Long, String)].toDF("k", "v", "op")
+    val got = Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == viewOf(baseRows).as[(Long, Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("maintainAgg: multiple sum measures shift together") {
+    val view = Seq((1L, 2L, 10L, 100L), (2L, 1L, 20L, 200L))
+      .toDF("k", "cnt", "sum_a", "sum_b")
+    val ch = Seq((1L, 5L, 50L, "+I"), (2L, 20L, 200L, "-D"))
+      .toDF("k", "a", "b", "op")
+    val got = Diff.maintainAgg(view, ch, Seq("k"), "op", "cnt",
+        Seq("sum_a" -> "a", "sum_b" -> "b"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L, 15L, 150L)))
+  }
+
+  test("maintainAgg: retracting a row the view never had fails loudly") {
+    val ch = Seq((2L, 20L, "-D"), (2L, 21L, "-D")).toDF("k", "v", "op")
+    val ex = intercept[Exception] {
+      Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("count went negative"),
+      s"unexpected: ${ex.getMessage}")
+  }
+
+  test("maintainAgg: unknown op code fails loudly; missing columns fail fast") {
+    val ch = Seq((1L, 5L, "UPSERT")).toDF("k", "v", "op")
+    val ex = intercept[Exception] {
+      Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v")).collect()
+    }
+    assert(ex.getMessage.contains("must be one of"), s"unexpected: ${ex.getMessage}")
+    assertThrows[IllegalArgumentException] {
+      Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"), "op", "nope",
+        Seq("sum_v" -> "v"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"), "op", "cnt",
+        Seq("sum_v" -> "zz"))
+    }
+  }
+
+  test("maintainAgg plan: deltas broadcast — the view side never shuffles") {
+    val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
+    val view = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("sum_p"))
+      // materialized = read back from storage, not a live agg plan
+      .localCheckpoint()
+    val ch = o.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_custkey"), col("o_totalprice").as("p"), lit("+I").as("op"))
+    val plan = Diff.maintainAgg(view, ch, Seq("o_custkey"), "op", "cnt",
+        Seq("sum_p" -> "p"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta side must broadcast:\n$plan")
+    // the only hash exchanges allowed are the changelog's own delta
+    // aggregation — the view side must never enter a shuffled join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the view must not re-shuffle for the merge:\n$plan")
+  }
 }
