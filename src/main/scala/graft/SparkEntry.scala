@@ -2345,6 +2345,28 @@ object SparkEntry {
           gated("only_a", "__oa", "only_a"),
           gated("only_b", "__ob", "only_b"))
     }),
+    "q156_quota_stream" -> ((s, d) => {
+      // continuous per-source token-budget admission: documents arrive
+      // in 4 doc_id-ordered micro-batches and each source's stream is
+      // truncated at the 5000-char budget line
+      // (Sampling.quotaFillStream — per-domain state is ONE long). In
+      // the in-key-order replay regime the admitted set equals the
+      // batch window prefix-sum truncation, which is the DuckDB oracle.
+      val docs = Tables(s, d).documents
+      withShufflePartitions(s, 4) {
+        val stage = screenReplayDir(s"$d#q156",
+          docs.select(col("doc_id"), col("source"), col("n_chars")),
+          col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          docs.select(col("doc_id"), col("source"), col("n_chars")).schema)
+        val out = Sampling.quotaFillStream(stream, col("source"),
+          col("doc_id"), col("n_chars"), budget = 5000L)
+        val q = out.writeStream.format("memory").queryName("graft_q156_quota")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_q156_quota")
+      }
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2591,6 +2613,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
         |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b
         |FROM f GROUP BY event_type""".stripMargin,
+    "q156_quota_stream" ->
+      // replay: per-source doc_id-ordered exclusive prefix sum, admit
+      // while it is under the budget line (the tokenBudgetSample rule
+      // with doc_id order in md5-order's place)
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+        |  FROM documents)
+        |SELECT source AS dom, doc_id AS key, n_chars AS n_tok,
+        |  CAST(pe AS BIGINT) AS prefix_excl
+        |FROM c WHERE pe < 5000""".stripMargin,
     "q149_trending_stream" ->
       // in-order 0-delay delivery: the streaming chained aggs' append
       // output equals the batch hourly top-3 (ties on event_type asc —

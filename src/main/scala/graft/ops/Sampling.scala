@@ -209,6 +209,54 @@ object Sampling {
         col("l.n_tok").as("n_tok"), col("prefix_excl"))
   }
 
+  /** Continuous per-domain token-budget admission — the streaming twin
+    * of [[tokenBudgetSample]]'s `prefix_excl < budget` rule, with
+    * arrival order taking md5-order's place: every arriving document
+    * either fits under its domain's remaining budget and is admitted,
+    * or the domain is full and it (and everything after it) is turned
+    * away. The running total accumulates ALL seen tokens, so the
+    * admitted set is exactly "truncate the domain's key-ordered stream
+    * at the budget line" — the rule a batch engine can replay as one
+    * window prefix sum, which is the parity contract SamplingSpec
+    * asserts and q156's DuckDB oracle replays (under in-key-order
+    * delivery; within a trigger the batch is sorted by key so
+    * intra-batch iterator order can never matter).
+    *
+    * Scale shape: one domain-keyed stateful exchange; per-domain state
+    * is a single long (tokens seen). Batches sort only their own rows.
+    * Domains are few; if one domain dominates arrival volume the
+    * exchange is the admission ledger's unavoidable serialization
+    * point — the state itself stays O(domains).
+    */
+  def quotaFillStream(docs: DataFrame, domain: Column, key: Column,
+                      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "quotaFillStream: budget must be non-negative")
+    val sp = docs.sparkSession
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(String, Long, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long, Long)] =
+      sp.implicits.newProductEncoder
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      sp.implicits.newLongEncoder
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val rows = docs
+      .select(domain.cast("string").as("dom"), key.cast("long").as("k"),
+        coalesce(tokens.cast("long"), lit(0L)).as("t"))
+      .as[(String, Long, Long)]
+    graft.streaming.KeyedProcess[String, (String, Long, Long),
+        Long, (String, Long, Long, Long)](rows, _._1) { (dom, evs, state) =>
+      var seen = if (state.exists) state.get else 0L
+      val out = evs.toSeq.sortBy(_._2).flatMap { case (_, k, t) =>
+        val before = seen
+        seen += t
+        if (before < budget) Some((dom, k, t, before)) else None
+      }
+      state.update(seen)
+      out.iterator
+    }.toDF("dom", "key", "n_tok", "prefix_excl")
+  }
+
   /** Priority sampling (Duffield–Lund–Thorup '07): a weight-proportional
     * sample of k rows WITHOUT replacement — each row draws priority
     * q = u / w with u a deterministic 52-bit uniform from the key's md5,

@@ -759,4 +759,62 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextAnalysis.tokenDriftCounts(a, TextAnalysis.vocabCounts(b, col("text")))
     }
   }
+
+  // ---- quotaFillStream ----
+
+  test("quotaFillStream: in-key-order delivery equals the batch prefix-sum truncation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // (dom, key, tokens): budgets cross mid-batch for "a", exactly at a
+    // boundary for "b"; "c" never fills. Batches are key-contiguous
+    // ranges (the replay regime) but internally unsorted.
+    val batches = Seq(
+      Seq(("a", 1L, 40L), ("b", 2L, 50L), ("a", 3L, 30L)),
+      Seq(("a", 5L, 40L), ("b", 4L, 50L), ("c", 6L, 10L)),   // a crosses at key 5
+      Seq(("a", 7L, 1L), ("b", 8L, 0L), ("c", 9L, 20L)))     // b exactly full: 8 rejected
+    val budget = 100L
+    val in = MemoryStream[(String, Long, Long)]
+    val out = Sampling.quotaFillStream(in.toDF().toDF("dom", "key", "n"),
+      col("dom"), col("key"), col("n"), budget)
+    val q = out.writeStream.format("memory").queryName("quota_fill_test")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("quota_fill_test")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // batch replay: per domain in key order, admit while exclusive prefix < budget
+    val all = batches.flatten
+    val want = all.groupBy(_._1).flatMap { case (dom, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).flatMap { case (_, k, t) =>
+        val o = if (cum < budget) Some((dom, k, t, cum)) else None
+        cum += t
+        o
+      }
+    }.toSet
+    assert(got == want, s"got=$got want=$want")
+    // a's key 5 overflows the line and is the LAST admitted; key 7 rejected
+    assert(got.contains(("a", 5L, 40L, 70L)) && !got.exists(r => r._1 == "a" && r._2 == 7L))
+    // b filled exactly: the zero-token row at the line is rejected
+    assert(!got.exists(r => r._1 == "b" && r._2 == 8L))
+    // c stayed under budget: everything admitted
+    assert(got.count(_._1 == "c") == 2)
+  }
+
+  test("quotaFillStream: zero budget admits nothing; guard rejects negatives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val out = Sampling.quotaFillStream(in.toDF().toDF("dom", "key", "n"),
+      col("dom"), col("key"), col("n"), 0L)
+    val q = out.writeStream.format("memory").queryName("quota_zero_test")
+      .outputMode("append").start()
+    try { in.addData(("a", 1L, 5L)); q.processAllAvailable() } finally q.stop()
+    assert(spark.table("quota_zero_test").count() == 0)
+    assertThrows[IllegalArgumentException] {
+      Sampling.quotaFillStream(Seq(("a", 1L, 1L)).toDF("dom", "key", "n"),
+        col("dom"), col("key"), col("n"), -1L)
+    }
+  }
 }
