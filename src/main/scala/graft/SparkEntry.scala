@@ -54,6 +54,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q150IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q160ViewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -2367,6 +2369,130 @@ object SparkEntry {
         s.table("graft_q156_quota")
       }
     }),
+    "q157_quantile_rollup" -> ((s, d) => {
+      // mergeable quantile roll-up — the KLL twin of q154: per-
+      // (event_type, weekday, day) KLL sketches built in ONE corpus
+      // pass answer "the value distribution per type and weekday over
+      // an arbitrary day slice" by merging bucket sketches, never
+      // re-reading events. Exactness regime: merged item counts stay
+      // ≤ k = 65535 (≈11k per group at sf0.1), so every sketch is
+      // uncompacted and the INCLUSIVE-rank quantile equals SQL
+      // percentile_disc — asserted in-plan against the exact percentile
+      // (which doubles as the regime guard at any future SF).
+      val e = Tables(s, d).events
+      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      val qb = Sketches.kllBuckets(e,
+        Seq(col("event_type"), (day(col("ts")) % 7).as("dow")),
+        day(col("ts")), floor(col("value")), k = 65535)
+      val est = Sketches.quantilesOver(qb, Seq("event_type", "dow"),
+        col("bucket") % 3 =!= 1, Seq(0.5, 0.9), k = 65535)
+      val exact = e.where(day(col("ts")) % 3 =!= 1)
+        .select(col("event_type"), (day(col("ts")) % 7).as("dow"),
+          floor(col("value")).cast("long").as("fv"))
+        .groupBy("event_type", "dow")
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
+      def gated(sk: String, ex: String, out: String) =
+        when(col(sk) =!= col(ex), raise_error(concat(
+          lit(s"q157 exactness regime broke at $out: sketch="), col(sk).cast("string"),
+          lit(" exact="), col(ex).cast("string"))).cast("long"))
+          .otherwise(col(sk)).as(out)
+      est.join(exact, Seq("event_type", "dow"))
+        .select(col("event_type"), col("dow"),
+          gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
+    }),
+    "q158_distinct_stream" -> ((s, d) => {
+      // q154's STREAMING form: a continuously-maintained distinct-users
+      // count per event_type — update-mode running theta sketch over
+      // the 8-slice ordered event replay. Per-group state is the
+      // sketch (≤8·distinct bytes), NEVER the user set as rows; the
+      // estimate is monotone per group so the final snapshot is the
+      // MAX over the update log (ordering-free), and in the exact
+      // regime it equals the batch distinct count — enforced in-plan
+      // against the exact side (q44 convention), oracle = plain
+      // COUNT(DISTINCT).
+      val updates = withShufflePartitions(s, 4) {
+        val out = Sketches.runningDistinct(eventsReplayStream(s, d),
+          Seq(col("event_type")), col("user_id"))
+        val q = out.writeStream.format("memory").queryName("graft_q158_distinct")
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_q158_distinct")
+      }
+      val fin = updates.groupBy("event_type")
+        .agg(max(col("distinct_count")).as("__a"))
+      val exact = Tables(s, d).events
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("__e"))
+      fin.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          when(col("__a") =!= col("__e"), raise_error(concat(
+            lit("q158 exactness regime broke: sketch="), col("__a").cast("string"),
+            lit(" exact="), col("__e").cast("string"))).cast("long"))
+            .otherwise(col("__a")).as("users"))
+    }),
+    "q159_topk_rollup" -> ((s, d) => {
+      // heavy-hitters roll-up — the frequent-items member of the
+      // standing-sketch family (theta q154, KLL q157): per-(lang,
+      // source) approx_top_k accumulate sketches built in ONE corpus
+      // pass answer "top tokens per lang over any source slice" by
+      // COMBINING sketches, zero corpus re-reads. q64's exactness
+      // regime (capacity 10k ≫ the 31-word vocab — combine preserves
+      // it since the item union still fits) plus the deterministic
+      // (count desc, item asc) re-rank make the plain GROUP BY truth
+      // the oracle.
+      val docs = Tables(s, d).documents
+      val tb = Sketches.topKBuckets(
+        docs.select(col("lang"), col("source"),
+          explode(Stateless.tokens(col("text"))).as("w")),
+        Seq(col("lang")), col("source"), col("w"))
+      Sketches.topKOver(tb, Seq("lang"), col("bucket").rlike("[02468]$"), k = 5)
+        .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
+    }),
+    "q160_view_maintain_stream" -> ((s, d) => {
+      // q153's CONTINUOUS form: the same changelog arrives as 4
+      // orderkey-ordered micro-batches and folds into the PERSISTED
+      // view via Diff.maintainAggStream — per trigger the batch
+      // collapses to key deltas, broadcasts, and merges through two
+      // narrow scans of the current view, landing with the advanced
+      // batch ledger in one crash-safe swap. Deltas are additive and
+      // commutative per key, so the final view is slicing-independent
+      // and equals q153's one-shot refresh (oracle = q153's SQL);
+      // bench re-runs replay batch ids the ledger already holds, so
+      // they are no-ops and the standing view stays correct
+      // (exactly-once under redelivery, the q144 posture).
+      val o = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val base = o.where(col("o_orderkey") % 5 =!= 0)
+      def changelog = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("p"), lit("+I").as("op"))
+        .unionByName(base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("p"), lit("-U").as("op")))
+        .unionByName(base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
+        .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("p"), lit("-D").as("op")))
+      val path = q160ViewCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q160_view")
+        Diff.initView(base.groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total")), p)
+        p
+      })
+      withShufflePartitions(s, 4) {
+        val stage = screenReplayDir(s"$d#q160", changelog, col("o_orderkey"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, changelog.schema)
+        val q = Diff.maintainAggStream(s, stream, path, Seq("o_custkey"),
+          "op", "cnt", Seq("total" -> "p"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      Diff.readView(s, path)
+        .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2625,6 +2751,56 @@ object SparkEntry {
         |SELECT source AS dom, doc_id AS key, n_chars AS n_tok,
         |  CAST(pe AS BIGINT) AS prefix_excl
         |FROM c WHERE pe < 5000""".stripMargin,
+    "q157_quantile_rollup" ->
+      // replay the inclusive-rank percentile definition explicitly
+      // (least value whose cume_dist ≥ q — what percentile_disc and an
+      // uncompacted KLL sketch both compute)
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value) AS BIGINT) AS value
+        |  FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1),
+        |r AS (
+        |  SELECT event_type, day % 7 AS dow, value,
+        |    cume_dist() OVER (PARTITION BY event_type, day % 7
+        |      ORDER BY value) AS cd
+        |  FROM e)
+        |SELECT event_type, dow,
+        |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+        |  min(CASE WHEN cd >= 0.9 THEN value END) AS p90
+        |FROM r GROUP BY event_type, dow""".stripMargin,
+    "q158_distinct_stream" ->
+      // the running sketch's final snapshot equals the batch distinct
+      // in the gated exact regime
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q159_topk_rollup" ->
+      // exact in the capacity-over-vocab regime after the deterministic
+      // re-rank — the q64 contract, here over combined bucket sketches
+      """WITH t AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS item
+        |  FROM documents WHERE regexp_matches(source, '[02468]$')),
+        |c AS (SELECT lang, item, count(*) AS cnt FROM t GROUP BY lang, item)
+        |SELECT lang, item, cnt, rk FROM (
+        |  SELECT lang, item, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
+        |  FROM c) WHERE rk <= 5""".stripMargin,
+    "q160_view_maintain_stream" ->
+      // the continuous fold must converge to exactly q153's one-shot
+      // refresh — same re-aggregation replay
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+        |final AS (
+        |  SELECT o_custkey, o_totalprice AS p FROM base
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
+        |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
+        |FROM final GROUP BY o_custkey""".stripMargin,
     "q149_trending_stream" ->
       // in-order 0-delay delivery: the streaming chained aggs' append
       // output equals the batch hourly top-3 (ties on event_type asc —

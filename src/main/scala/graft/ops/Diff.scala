@@ -205,6 +205,80 @@ object Diff {
       .where(col(cntCol) > 0)
   }
 
+  /** Persist the initial materialized view for the continuous
+    * [[maintainAggStream]] lifecycle: `path/_view/data` holds the view
+    * rows, `path/_view/ledger` the last-applied changelog batch id —
+    * both inside ONE swap unit, so view content and ledger can never
+    * disagree after a crash.
+    */
+  def initView(view: DataFrame, path: String): Unit = {
+    val sp = view.sparkSession
+    val tmp = s"$path/_view.next"
+    view.write.mode("overwrite").parquet(s"$tmp/data")
+    sp.range(1).select(lit(-1L).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_view")))
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/_view")),
+        s"initView: rename $tmp failed")
+    else IvfIndex.swapDirs(sp, s"$path/_view", tmp)
+  }
+
+  /** The current view under [[maintainAggStream]]. */
+  def readView(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_view/data")
+
+  /** Apply one changelog batch to the persisted view — [[maintainAgg]]
+    * plus the exactly-once ledger: a re-delivered batch (id ≤ the
+    * ledger's last_batch, the foreachBatch restart case) is a no-op, so
+    * replays converge instead of double-applying. The refreshed view
+    * and the advanced ledger land in one crash-safe directory swap.
+    */
+  def applyChangelogBatch(spark: org.apache.spark.sql.SparkSession,
+                          changes: DataFrame, path: String, keys: Seq[String],
+                          opCol: String, cntCol: String,
+                          sums: Seq[(String, String)], batchId: Long,
+                          broadcastDeltas: Boolean = true): Unit = {
+    val last = spark.read.parquet(s"$path/_view/ledger").head.getLong(0)
+    if (batchId <= last) return
+    // the write below fully executes (reading the CURRENT view files)
+    // before the swap renames anything, so no checkpoint is needed
+    val refreshed = maintainAgg(readView(spark, path), changes, keys,
+      opCol, cntCol, sums, broadcastDeltas)
+    val tmp = s"$path/_view.next"
+    refreshed.write.mode("overwrite").parquet(s"$tmp/data")
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    IvfIndex.swapDirs(spark, s"$path/_view", tmp)
+  }
+
+  /** Continuous materialized-view maintenance: a streaming row-level
+    * changelog folds into the persisted view once per micro-batch —
+    * the Delta-MERGE-shaped lakehouse loop expressed as
+    * [[maintainAgg]] + foreachBatch. Work per trigger is
+    * batch-collapse + two narrow scans of the current view (the
+    * maintainAgg shape); the base table never exists here at all —
+    * the view IS the state. Exactly-once under foreachBatch's
+    * at-least-once redelivery via the in-swap ledger
+    * (DiffSpec: re-applying a batch is a no-op).
+    */
+  def maintainAggStream(spark: org.apache.spark.sql.SparkSession,
+                        changeStream: DataFrame, path: String,
+                        keys: Seq[String], opCol: String, cntCol: String,
+                        sums: Seq[(String, String)],
+                        broadcastDeltas: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeStream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        IvfIndex.retryingStaleReads() {
+          applyChangelogBatch(spark, batch, path, keys, opCol, cntCol,
+            sums, bid, broadcastDeltas)
+        }
+      }
+      .start()
+
   /** Build SCD-2 (slowly-changing-dimension type 2) history from a
     * changelog: every version row gets a half-open validity interval —
     * `seqCol` is valid_from, `valid_to` is the NEXT version's seq for

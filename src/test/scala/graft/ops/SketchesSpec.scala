@@ -87,6 +87,123 @@ class SketchesSpec extends AnyFunSuite {
       s"range query must not re-read the corpus:\n$qPlan")
   }
 
+  test("kll quantile rollup == percentile_disc for every bucket range (exact regime)") {
+    // values chosen with duplicates and skew; per-range n ≤ 8 « k
+    val qb = Sketches.kllBuckets(df, Seq(col("g")), col("b"), col("v"), k = 64)
+    for (lo <- 0L to 3L; hi <- lo to 3L) {
+      val got = Sketches.quantilesOver(qb, Seq("g"),
+          col("bucket").between(lo, hi), Seq(0.5, 0.9), k = 64)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = df.where(col("b").between(lo, hi))
+        .groupBy("g").agg(
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p90"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"range [$lo,$hi]")
+    }
+  }
+
+  test("kll rollup exact at scale: 50k values per group across 8 buckets, k=65535") {
+    // n = 50k ≤ k keeps every level-0 buffer (and the merged sketch)
+    // uncompacted — the documented exact regime; 100k items against the
+    // same k measured rank error ~2e-5 (946 vs 947), the graceful
+    // degradation the op promises beyond capacity
+    val big = spark.range(50000)
+      .select(lit("g").as("g"), (col("id") % 8).as("b"),
+        // skewed: squares mod large prime — ties and gaps
+        ((col("id") * col("id")) % 99991L).as("v"))
+    val qb = Sketches.kllBuckets(big, Seq(col("g")), col("b"), col("v"), k = 65535)
+    val got = Sketches.quantilesOver(qb, Seq("g"), lit(true),
+        Seq(0.01, 0.5, 0.99), k = 65535)
+      .as[(String, Long, Long, Long)].collect().head
+    val want = big.groupBy("g").agg(
+        expr("CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY v) AS BIGINT)"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v) AS BIGINT)"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == want)
+  }
+
+  test("topKOver == exact counts and deterministic rank for every bucket range (capacity regime)") {
+    // items with cross-bucket repeats and ties (1 appears in b0 and b3)
+    val tb = Sketches.topKBuckets(df, Seq(col("g")), col("b"),
+      concat(lit("w"), col("v")), maxItems = 64)
+    for (lo <- 0L to 3L; hi <- lo to 3L) {
+      val got = Sketches.topKOver(tb, Seq("g"), col("bucket").between(lo, hi),
+          k = 3, maxItems = 64)
+        .as[(String, String, Long, Int)].collect().toSet
+      val want = rows.filter(r => r._2 >= lo && r._2 <= hi)
+        .groupBy(r => (r._1, s"w${r._3}")).map { case ((g, w), rs) => (g, w, rs.size.toLong) }
+        .groupBy(_._1).flatMap { case (g, items) =>
+          items.toSeq.sortBy(i => (-i._3, i._2)).zipWithIndex.take(3)
+            .map { case ((_, w, c), i) => (g, w, c, i + 1) }
+        }.toSet
+      assert(got == want, s"range [$lo,$hi]")
+    }
+  }
+
+  test("appendThetaBuckets == rebuild over the combined input") {
+    val (first, second) = (rows.take(7), rows.drop(7))
+    val appended = Sketches.appendThetaBuckets(
+      Sketches.thetaBuckets(first.toDF("g", "b", "v"), Seq(col("g")), col("b"), col("v")),
+      second.toDF("g", "b", "v"), Seq(col("g")), col("b"), col("v"))
+    val est = Sketches.distinctOver(appended, Seq("g"), lit(true))
+      .as[(String, Long)].collect().toMap
+    val want = Sketches.distinctOver(buckets, Seq("g"), lit(true))
+      .as[(String, Long)].collect().toMap
+    assert(est == want)
+    // overlap algebra still works off the appended table
+    val o1 = Sketches.overlapOver(appended, Seq("g"), col("bucket") <= 1, col("bucket") >= 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val o2 = Sketches.overlapOver(buckets, Seq("g"), col("bucket") <= 1, col("bucket") >= 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(o1 == o2)
+  }
+
+  test("runningDistinct: update-mode stream — final max per group equals batch distinct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val batches = Seq(
+      Seq(("x", 1L), ("x", 2L), ("y", 10L)),
+      Seq(("x", 2L), ("x", 3L), ("y", 10L)),   // x grows, y unchanged
+      Seq(("z", 100L), ("x", 1L)))             // new group; x all-dup batch
+    val in = MemoryStream[(String, Long)]
+    val out = Sketches.runningDistinct(in.toDF().toDF("g", "u"),
+      Seq(col("g")), col("u"))
+    val q = out.writeStream.format("memory").queryName("theta_run_test")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("theta_run_test")
+      .groupBy("g").agg(max("distinct_count").as("d"))
+      .as[(String, Long)].collect().toMap
+    val want = batches.flatten.groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+    assert(got == want)
+    // y was re-emitted only when it changed: exactly the batches where
+    // its sketch grew (batch 1) — x emits in batch 1 and 2 (3 distinct)
+    // and again in batch 3 only if the engine re-emits unchanged groups;
+    // either way every emitted value is an exact running distinct, so
+    // all emits for x must be in {2, 3}
+    val xs = spark.table("theta_run_test").where(col("g") === "x")
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(xs.subsetOf(Set(2L, 3L)), s"unexpected x emits: $xs")
+  }
+
+  test("kll guards: k bounds, rank bounds") {
+    assertThrows[IllegalArgumentException] {
+      Sketches.kllBuckets(df, Seq(col("g")), col("b"), col("v"), k = 4)
+    }
+    val qb = Sketches.kllBuckets(df, Seq(col("g")), col("b"), col("v"))
+    assertThrows[IllegalArgumentException] {
+      Sketches.quantilesOver(qb, Seq("g"), lit(true), Seq(0.0))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sketches.quantilesOver(qb, Seq("g"), lit(true), Seq.empty)
+    }
+  }
+
   test("guards: lgK bounds") {
     assertThrows[IllegalArgumentException] {
       Sketches.thetaBuckets(df, Seq(col("g")), col("b"), col("v"), lgK = 2)
