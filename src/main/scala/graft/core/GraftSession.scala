@@ -40,6 +40,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // STATIC conf (must be set at build time): the default 100-entry
+      // codegen class cache thrashes once a process runs >100 distinct
+      // plans (a 160-query bench recompiles generated classes on every
+      // repeat late in the run — measured as 2-3x inflated medians for
+      // whatever queries land after the cache fills)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       // older testdata generations wrote events.parquet as TIMESTAMP(NANOS),
       // which Spark's reader rejects without this conf; harmless for the

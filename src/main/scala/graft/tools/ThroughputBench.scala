@@ -1012,6 +1012,48 @@ object ThroughputBench {
         f"scans $sDirect%.1f s; spot slice exact-equal")
     }
 
+    // scenario 32: streaming quota-fill admission at 8M docs — the q156
+    // path at scale. 20 domains, 4 key-ordered micro-batches of 2M rows
+    // each; per-domain state is ONE long, so the stateful exchange
+    // carries data rows but keeps O(domains) state regardless of
+    // volume. The budget line (per domain) crosses inside batch 2, so
+    // batches 3-4 measure the full-reject regime (state lookups only,
+    // nothing admitted — the cheap steady state of a filled quota).
+    if (enabled(32)) {
+      val nDocs = 8000000L
+      def docs = spark.range(nDocs).select(
+        concat(lit("dom"), (col("id") % 20).cast("string")).as("dom"),
+        col("id").as("k"),
+        (pmod(xxhash64(col("id")), lit(900)) + 100).as("t"))
+      val stage = graft.streaming.Replay.writeOrderedSlices(docs, col("k"),
+        graft.core.TempDirs.create("graft_s32"), 4)
+      // ~half of each domain's ~220M total tokens
+      val budget = 110000000L
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      val admitted = try {
+        val stream = graft.streaming.Replay.orderedStream(spark, stage, docs.schema)
+        val out = graft.ops.Sampling.quotaFillStream(stream, col("dom"),
+          col("k"), col("t"), budget)
+        val q = out.writeStream.format("memory").queryName("graft_s32_quota")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table("graft_s32_quota").count()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val s = (System.nanoTime() - t0) / 1e9
+      // every domain must have filled to within one doc of its budget
+      val fills = spark.table("graft_s32_quota")
+        .groupBy("dom").agg(max(col("prefix_excl") + col("n_tok")).as("filled"))
+        .agg(min(col("filled"))).head.getLong(0)
+      require(fills > budget - 1000,
+        s"a domain stopped $fills short of the $budget budget line")
+      println(f"scenario32 quota-stream n=$nDocs domains=20 budget=$budget: " +
+        f"$s%.1f s end-to-end (${nDocs / s / 1e6}%.1f M docs/s), " +
+        f"$admitted admitted, every domain filled to its line; " +
+        f"state = 20 longs regardless of volume")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
