@@ -24,9 +24,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // static conf: default 100-entry codegen cache recompiles every
-      // generated class each repeat once 160 queries have filled it
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.GraftSession.CodegenCacheMaxEntries)
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -205,6 +205,55 @@ object SparkEntry {
 
   // q111/q117's shared rule suite — the batch gate and its streaming twin
   // must evaluate IDENTICAL rules for the shared oracle to be valid
+  /** q153/q160's SHARED changelog recipe over the orders table — the
+    * pair must stay in lockstep (q160's continuous fold must converge
+    * to q153's one-shot refresh, and both replay [[viewMaintainOracle]]
+    * in DuckDB). Prices ride as DECIMAL(18,2) (the q06 convention);
+    * %5 orderkeys arrive as +I inserts, %7 base rows get their price
+    * doubled via a -U/+U pair, %13∧¬%7 base rows are -D deleted. The
+    * o_orderkey column rides along for q160's replay slicing;
+    * maintainAgg ignores changelog columns it does not need.
+    */
+  private def viewMaintainInput(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val o = Tables(s, d).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val base = o.where(col("o_orderkey") % 5 =!= 0)
+    val changes = o.where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("p"), lit("+I").as("op"))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("p"), lit("-U").as("op")))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
+      .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("p"), lit("-D").as("op")))
+    (base, changes)
+  }
+
+  /** The one oracle both q153 and q160 declare: re-aggregate the base
+    * with the changelog applied — surviving originals, doubled %7 rows,
+    * %5 inserts; keys with no surviving rows drop out of the GROUP BY
+    * naturally (= maintainAgg's cnt > 0).
+    */
+  private val viewMaintainOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
+      |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+      |final AS (
+      |  SELECT o_custkey, o_totalprice AS p FROM base
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
+      |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
+      |FROM final GROUP BY o_custkey""".stripMargin
+
   private def qualityRules: Seq[(String, Column)] = Seq(
     "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
     "qty_range" -> col("l_quantity").between(1, 50),
@@ -2260,28 +2309,11 @@ object SparkEntry {
       // +I/-U/+U/-D changelog — Diff.maintainAgg touches ONLY changed
       // keys (delta collapse is changelog-sized; the merge broadcasts
       // the deltas, so the view itself never shuffles — DiffSpec
-      // plan-asserts zero shuffled joins). %5 orderkeys arrive as
-      // inserts, %7 base rows get their price doubled via a -U/+U
-      // pair, %13∧¬%7 base rows are deleted. Oracle = re-aggregating
-      // the base with the changelog applied — the equivalence
-      // maintainAgg exists to avoid paying at scale.
-      // prices ride as DECIMAL(18,2) (the q06 convention): the sums in
-      // the view, the deltas, and the merge all stay exact; one cast to
-      // double at the very end
-      val o = Tables(s, d).orders
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
-      val base = o.where(col("o_orderkey") % 5 =!= 0)
+      // plan-asserts zero shuffled joins). Changelog recipe + oracle
+      // are shared with q160 (viewMaintainInput/viewMaintainOracle).
+      val (base, changes) = viewMaintainInput(s, d)
       val view = base.groupBy("o_custkey")
         .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
-      val changes = o.where(col("o_orderkey") % 5 === 0)
-        .select(col("o_custkey"), col("o_totalprice").as("p"), lit("+I").as("op"))
-        .unionByName(base.where(col("o_orderkey") % 7 === 0)
-          .select(col("o_custkey"), col("o_totalprice").as("p"), lit("-U").as("op")))
-        .unionByName(base.where(col("o_orderkey") % 7 === 0)
-          .select(col("o_custkey"), (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
-        .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
-          .select(col("o_custkey"), col("o_totalprice").as("p"), lit("-D").as("op")))
       Diff.maintainAgg(view, changes, Seq("o_custkey"), "op", "cnt",
           Seq("total" -> "p"))
         .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
@@ -2450,33 +2482,19 @@ object SparkEntry {
         .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
     }),
     "q160_view_maintain_stream" -> ((s, d) => {
-      // q153's CONTINUOUS form: the same changelog arrives as 4
-      // orderkey-ordered micro-batches and folds into the PERSISTED
-      // view via Diff.maintainAggStream — per trigger the batch
-      // collapses to key deltas, broadcasts, and merges through two
-      // narrow scans of the current view, landing with the advanced
-      // batch ledger in one crash-safe swap. Deltas are additive and
-      // commutative per key, so the final view is slicing-independent
-      // and equals q153's one-shot refresh (oracle = q153's SQL);
-      // bench re-runs replay batch ids the ledger already holds, so
-      // they are no-ops and the standing view stays correct
-      // (exactly-once under redelivery, the q144 posture).
-      val o = Tables(s, d).orders
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
-      val base = o.where(col("o_orderkey") % 5 =!= 0)
-      def changelog = o.where(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").as("p"), lit("+I").as("op"))
-        .unionByName(base.where(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").as("p"), lit("-U").as("op")))
-        .unionByName(base.where(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
-        .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").as("p"), lit("-D").as("op")))
+      // q153's CONTINUOUS form: the SAME changelog (viewMaintainInput)
+      // arrives as 4 orderkey-ordered micro-batches and folds into the
+      // PERSISTED view via Diff.maintainAggStream — per trigger the
+      // batch collapses to key deltas, broadcasts, and merges through
+      // two narrow scans of the current view, landing with the
+      // advanced batch ledger in one crash-safe swap. Deltas are
+      // additive and commutative per key, so the final view is
+      // slicing-independent and equals q153's one-shot refresh (oracle
+      // = viewMaintainOracle, shared); bench re-runs replay batch ids
+      // the ledger already holds, so they are no-ops and the standing
+      // view stays correct (exactly-once under redelivery, the q144
+      // posture).
+      val (base, changes) = viewMaintainInput(s, d)
       val path = q160ViewCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q160_view")
         Diff.initView(base.groupBy("o_custkey")
@@ -2484,8 +2502,8 @@ object SparkEntry {
         p
       })
       withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q160", changelog, col("o_orderkey"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage, changelog.schema)
+        val stage = screenReplayDir(s"$d#q160", changes, col("o_orderkey"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
         val q = Diff.maintainAggStream(s, stream, path, Seq("o_custkey"),
           "op", "cnt", Seq("total" -> "p"))
         try q.processAllAvailable() finally q.stop()
@@ -2704,23 +2722,7 @@ object SparkEntry {
       // is the exact oracle (q148's batch SQL)
       """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
-    "q153_view_maintain" ->
-      // replay: re-aggregate the base with the changelog applied —
-      // surviving originals (neither updated nor deleted), the doubled
-      // %7 rows, and the %5 inserts; keys with no surviving rows drop
-      // out of the GROUP BY naturally (= maintainAgg's cnt > 0)
-      """WITH o AS (SELECT o_orderkey, o_custkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
-        |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
-        |final AS (
-        |  SELECT o_custkey, o_totalprice AS p FROM base
-        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
-        |  UNION ALL
-        |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
-        |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
-        |FROM final GROUP BY o_custkey""".stripMargin,
+    "q153_view_maintain" -> viewMaintainOracle,
     "q154_sketch_rollup" ->
       // the sketch union is exact in the gated regime, so the oracle is
       // the plain distinct count over the same day slice
@@ -2786,21 +2788,7 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
         |  FROM c) WHERE rk <= 5""".stripMargin,
-    "q160_view_maintain_stream" ->
-      // the continuous fold must converge to exactly q153's one-shot
-      // refresh — same re-aggregation replay
-      """WITH o AS (SELECT o_orderkey, o_custkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
-        |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
-        |final AS (
-        |  SELECT o_custkey, o_totalprice AS p FROM base
-        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
-        |  UNION ALL
-        |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
-        |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
-        |FROM final GROUP BY o_custkey""".stripMargin,
+    "q160_view_maintain_stream" -> viewMaintainOracle,
     "q149_trending_stream" ->
       // in-order 0-delay delivery: the streaming chained aggs' append
       // output equals the batch hourly top-3 (ties on event_type asc —

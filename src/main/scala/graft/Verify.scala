@@ -16,7 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.GraftSession.CodegenCacheMaxEntries)
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

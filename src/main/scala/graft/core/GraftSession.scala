@@ -21,6 +21,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** STATIC conf (build-time only — ignored once the first session
+    * exists): the default 100-entry generated-class cache thrashes in
+    * any process running >100 distinct plans; a 160-query bench
+    * recompiled generated classes on every repeat late in the run
+    * (measured: 2-3x inflated medians for whichever queries landed
+    * after the cache filled; raising it took the suite 215->173 s).
+    * Every session builder in this repo must set it — new mains that
+    * build their own session should reference this constant.
+    */
+  val CodegenCacheMaxEntries = "4000"
+
   /** Default parallelism knob; mirrors `Config.PARALLELISM`
     * (reference: common/config.py) but resolved from the host.
     */
@@ -40,12 +51,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // STATIC conf (must be set at build time): the default 100-entry
-      // codegen class cache thrashes once a process runs >100 distinct
-      // plans (a 160-query bench recompiles generated classes on every
-      // repeat late in the run — measured as 2-3x inflated medians for
-      // whatever queries land after the cache fills)
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheMaxEntries)
       .config("spark.sql.session.timeZone", "UTC")
       // older testdata generations wrote events.parquet as TIMESTAMP(NANOS),
       // which Spark's reader rejects without this conf; harmless for the

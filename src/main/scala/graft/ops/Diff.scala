@@ -151,6 +151,16 @@ object Diff {
       require(view.columns.contains(c), s"maintainAgg: view has no column $c"))
     (keys ++ Seq(opCol) ++ sums.map(_._2)).foreach(c =>
       require(changes.columns.contains(c), s"maintainAgg: changes has no column $c"))
+    // the output carries exactly keys + cnt + sums — an extra view
+    // attribute would be silently DROPPED (and, in the
+    // maintainAggStream lifecycle, deleted from the persisted view on
+    // the first fold); only count/sum are maintainable here, so make
+    // the caller strip or widen explicitly
+    val extras = view.columns.filterNot(c =>
+      keys.contains(c) || c == cntCol || sums.exists(_._1 == c))
+    require(extras.isEmpty,
+      s"maintainAgg: view has non-maintained columns ${extras.mkString(", ")} — " +
+        "drop them or carry them in a separate attribute table")
     val ops = Seq("+I", "+U", "-U", "-D")
     val sign = when(col(opCol).isin("+I", "+U"), lit(1L))
       .when(col(opCol).isin("-U", "-D"), lit(-1L))

@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Largest theta nominal-entries exponent DataSketches accepts; the
+    * query-side default, so a merge can never undercut (and so
+    * downsample) what the buckets were built with.
+    */
+  val MaxLgK = 26
+
+  /** Largest KLL k; same role for the quantile merges. */
+  val MaxKllK = 65535
+
   /** The standing table: one theta sketch of `value` per (groups...,
     * bucket). `lgK` is the nominal-entries exponent — the exact-mode
     * capacity is 2^lgK distinct values per sketch.
@@ -61,24 +70,32 @@ object Sketches {
   def appendThetaBuckets(existing: DataFrame, df: DataFrame,
                          groups: Seq[Column], bucket: Column, value: Column,
                          lgK: Int = 20): DataFrame = {
-    val groupNames = thetaBuckets(df.limit(0), groups, bucket, value, lgK)
-      .columns.dropRight(1)
-    thetaBuckets(df, groups, bucket, value, lgK)
+    val fresh = thetaBuckets(df, groups, bucket, value, lgK)
+    val groupNames = fresh.columns.dropRight(1).toSeq
+    fresh
       .unionByName(existing.select(groupNames.map(col) :+ col("sketch"): _*))
       .groupBy(groupNames.map(col): _*)
-      .agg(theta_union_agg(col("sketch"), lgK).as("sketch"))
+      // union at MAX nominal so it can never undercut either side's
+      // build-time capacity (see distinctOver)
+      .agg(theta_union_agg(col("sketch"), MaxLgK).as("sketch"))
   }
 
   /** Distinct count per group over every bucket row passing `pred` —
     * a union of bucket sketches, zero corpus reads.
     */
   def distinctOver(buckets: DataFrame, groups: Seq[String], pred: Column,
-                   out: String = "distinct_count", lgK: Int = 20): DataFrame =
-    // the union's own nominal-entry bound must not undercut the bucket
-    // sketches' — a default-k union would downsample exact inputs
+                   out: String = "distinct_count", lgK: Int = MaxLgK): DataFrame = {
+    // the union runs at the MAXIMUM nominal by default: a union whose
+    // bound undercuts the bucket sketches' build-time lgK would
+    // DOWNSAMPLE exact inputs into estimates with no error — and the
+    // query side cannot see what lgK the buckets were built with. A
+    // larger-than-needed union nominal costs nothing (union state grows
+    // with retained entries, not with the bound).
+    require(lgK >= 4 && lgK <= MaxLgK, s"distinctOver: lgK $lgK outside [4, $MaxLgK]")
     buckets.where(pred)
       .groupBy(groups.map(col): _*)
       .agg(theta_sketch_estimate(theta_union_agg(col("sketch"), lgK)).as(out))
+  }
 
   /** Set algebra between two bucket slices per group: how many values
     * appear in both slices, only in A, only in B — plus each slice's
@@ -90,7 +107,8 @@ object Sketches {
     * intersection/difference are per-group scalar sketch ops.
     */
   def overlapOver(buckets: DataFrame, groups: Seq[String],
-                  predA: Column, predB: Column, lgK: Int = 20): DataFrame =
+                  predA: Column, predB: Column, lgK: Int = MaxLgK): DataFrame = {
+    require(lgK >= 4 && lgK <= MaxLgK, s"overlapOver: lgK $lgK outside [4, $MaxLgK]")
     buckets.where(predA || predB)
       .groupBy(groups.map(col): _*)
       .agg(
@@ -105,6 +123,7 @@ object Sketches {
           .as("only_b"),
         theta_sketch_estimate(col("__a")).as("a_total"),
         theta_sketch_estimate(col("__b")).as("b_total")): _*)
+  }
 
   /** Continuous distinct counting — the streaming form of the theta
     * family: an update-mode running `theta_sketch_agg` per group whose
@@ -193,9 +212,14 @@ object Sketches {
     * `p<q·100>` (e.g. p50, p99).
     */
   def quantilesOver(buckets: DataFrame, groups: Seq[String], pred: Column,
-                    qs: Seq[Double], k: Int = 4096): DataFrame = {
+                    qs: Seq[Double], k: Int = MaxKllK): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantilesOver: ranks must be in (0, 1], got ${qs.mkString(",")}")
+    // merge at MAX k by default — a merge target with a smaller k than
+    // the bucket sketches would compact exact inputs silently (the
+    // distinctOver rationale; a larger target preserves the inputs'
+    // accuracy and costs only retained-item memory)
+    require(k >= 8 && k <= MaxKllK, s"quantilesOver: k $k outside [8, $MaxKllK]")
     buckets.where(pred)
       .groupBy(groups.map(col): _*)
       .agg(kll_merge_agg_bigint(col("qsketch"), k).as("__m"))

@@ -907,56 +907,76 @@ object ThroughputBench {
         f"full 1M refit $sRefit%.1f s vs ${perFold.sum}%.1f s for the 4 folds")
     }
 
-    // scenario 30: incremental view maintenance at a 50M-row base — the
-    // q153 path at scale. A 2M-key materialized (count, sum) view is
-    // refreshed from a 1M-row changelog touching 100k keys. The claim:
-    // Diff.maintainAgg costs changelog-collapse + two NARROW view scans
-    // (broadcast merge, zero view shuffles), so the refresh undercuts
-    // re-aggregating the 51M-row base+changelog union — and the gap is
-    // the base re-read, which grows with the base while the refresh
-    // only grows with the view width. Equality of the two results is
-    // the spec's job (DiffSpec); here the refreshed row count and a
-    // spot-checked key must agree with the recompute.
+    // scenario 30: incremental view maintenance — the q153 path at
+    // scale. A 2M-key materialized (count, sum) view is refreshed from
+    // a 1M-row changelog touching 100k keys. The claim under
+    // measurement is the SCALING LAW, not one point: refresh cost is
+    // O(view + changelog) — changelog-collapse + two narrow scans of
+    // the view (broadcast merge, zero view shuffles) — while
+    // re-aggregation is O(base). Doubling the base from 50M to 100M
+    // parquet rows must move the recompute, not the refresh; at a
+    // production base:view ratio the gap is the whole base re-read.
+    // The recompute applies the retraction arithmetic too (update
+    // pairs shift sums, counts unchanged) and the refreshed view is
+    // asserted ROW-FOR-ROW equal to it at each size.
     if (enabled(30)) {
-      val nBase = 50000000L
       val keysN = 2000000L
-      def base = spark.range(nBase).select(
-        (xxhash64(col("id")) % keysN).as("k"),
-        (col("id") % 1000).as("v"))
-      val dir = graft.core.TempDirs.create("graft_s30")
-      base.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
-        .write.parquet(s"$dir/view")
-      val view = spark.read.parquet(s"$dir/view")
-      // 1M-row changelog on 100k keys: 600k inserts, 200k update pairs,
-      // deletes avoided (a delete needs a live row's exact value; the
-      // insert/update mix measures the same merge shape)
+      def updKeys = spark.range(200000).select(
+        pmod(xxhash64(col("id") + 13), lit(100000L)).as("k"))
       val changes = spark.range(600000).select(
-          (xxhash64(col("id") + 7) % 100000).as("k"),
+          pmod(xxhash64(col("id") + 7), lit(100000L)).as("k"),
           (col("id") % 1000).as("v"), lit("+I").as("op"))
-        .unionByName(spark.range(200000).select(
-          (xxhash64(col("id") + 13) % 100000).as("k"),
-          lit(0L).as("v"), lit("+U").as("op")))
-        .unionByName(spark.range(200000).select(
-          (xxhash64(col("id") + 13) % 100000).as("k"),
-          lit(1L).as("v"), lit("-U").as("op")))
-      val t0 = System.nanoTime()
-      val refreshed = graft.ops.Diff.maintainAgg(view, changes, Seq("k"),
-        "op", "cnt", Seq("sum_v" -> "v"))
-      refreshed.write.parquet(s"$dir/refreshed")
-      val sInc = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val recomputed = base.select(col("k"), col("v"))
+        .unionByName(updKeys.select(col("k"), lit(0L).as("v"), lit("+U").as("op")))
+        .unionByName(updKeys.select(col("k"), lit(1L).as("v"), lit("-U").as("op")))
+      def refreshOf(view: org.apache.spark.sql.DataFrame) =
+        graft.ops.Diff.maintainAgg(view, changes, Seq("k"),
+          "op", "cnt", Seq("sum_v" -> "v"))
+      def recomputeOf(base: org.apache.spark.sql.DataFrame) = base
         .unionByName(changes.where(col("op") === "+I").select(col("k"), col("v")))
-        .unionByName(changes.where(col("op") === "+U").select(col("k"), col("v")))
-        // -U retractions cancel via negated values in the count/sum
         .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
-      recomputed.write.format("noop").mode("overwrite").save()
-      val sFull = (System.nanoTime() - t1) / 1e9
-      val nInc = spark.read.parquet(s"$dir/refreshed").count()
-      println(f"scenario30 view-maintain base=$nBase keys=$keysN changelog=1M: " +
-        f"incremental refresh $sInc%.1f s ($nInc rows) vs full re-aggregation " +
-        f"$sFull%.1f s (recompute shown WITHOUT retraction arithmetic — its " +
-        f"cost is the 50M-row re-read the refresh never pays)")
+        .join(updKeys.groupBy("k").agg(count(lit(1)).as("pairs")), Seq("k"), "left_outer")
+        .select(col("k"), col("cnt"),
+          (col("sum_v") - coalesce(col("pairs"), lit(0L))).as("sum_v"))
+      var warmed = false
+      val results = Seq(100000000L, 400000000L).map { nBase =>
+        val dir = graft.core.TempDirs.create(s"graft_s30_$nBase")
+        // a REAL parquet base (written once, untimed): the comparison
+        // is storage re-read vs no re-read
+        spark.range(nBase).select(
+            pmod(xxhash64(col("id")), lit(keysN)).as("k"),
+            (col("id") % 1000).as("v"))
+          .write.parquet(s"$dir/base")
+        def base = spark.read.parquet(s"$dir/base")
+        base.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+          .write.parquet(s"$dir/view")
+        val view = spark.read.parquet(s"$dir/view")
+        if (!warmed) {
+          // one untimed execution of each plan SHAPE so codegen/JIT
+          // lands outside the measurements (shapes are size-invariant)
+          refreshOf(view).write.parquet(s"$dir/warm_r")
+          recomputeOf(base).write.parquet(s"$dir/warm_f")
+          warmed = true
+        }
+        val t0 = System.nanoTime()
+        refreshOf(view).write.parquet(s"$dir/refreshed")
+        val sInc = (System.nanoTime() - t0) / 1e9
+        // honest recompute WITH the retractions: re-aggregate base +
+        // inserts, then shift each key's sum by (after - before) x pairs
+        val t1 = System.nanoTime()
+        recomputeOf(base).write.parquet(s"$dir/recomputed")
+        val sFull = (System.nanoTime() - t1) / 1e9
+        val inc = spark.read.parquet(s"$dir/refreshed")
+        val full = spark.read.parquet(s"$dir/recomputed")
+        val diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+        require(diff == 0, s"incremental refresh diverged from recompute on $diff rows")
+        (nBase, sInc, sFull)
+      }
+      val line = results.map { case (n, i, f) =>
+        f"base=${n / 1000000}M: refresh $i%.1f s vs recompute $f%.1f s"
+      }.mkString("; ")
+      println(s"scenario30 view-maintain keys=$keysN changelog=1M: $line " +
+        "(row-for-row equal at each size; refresh cost tracks the view, " +
+        "recompute cost tracks the base)")
     }
 
     // scenario 31: theta-sketch distinct roll-up at 50M events — the
@@ -975,9 +995,9 @@ object ThroughputBench {
     if (enabled(31)) {
       val nEv = 50000000L
       def ev = spark.range(nEv).select(
-        (xxhash64(col("id")) % 20).as("g"),
+        pmod(xxhash64(col("id")), lit(20)).as("g"),
         (col("id") % 32).as("b"),
-        (xxhash64(col("id") * 31 + 5) % 100000).as("u"))
+        pmod(xxhash64(col("id") * 31 + 5), lit(100000L)).as("u"))
       val dir = graft.core.TempDirs.create("graft_s31")
       val t0 = System.nanoTime()
       graft.ops.Sketches.thetaBuckets(ev, Seq(col("g")), col("b"), col("u"))

@@ -290,6 +290,7 @@ class DiffSpec extends AnyFunSuite {
   }
 
   test("maintainAgg: retracting a row the view never had fails loudly") {
+    // merged branch: key 2 IS in the view, over-retracted
     val ch = Seq((2L, 20L, "-D"), (2L, 21L, "-D")).toDF("k", "v", "op")
     val ex = intercept[Exception] {
       Diff.maintainAgg(viewOf(baseRows), ch, Seq("k"),
@@ -297,6 +298,33 @@ class DiffSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null && ex.getMessage.contains("count went negative"),
       s"unexpected: ${ex.getMessage}")
+    // FRESH branch: key 99 was never in the view at all — the guard
+    // behind the nondeterministic pushdown barrier must still fire
+    // (a pushed-down cnt>0 filter would silently swallow this row)
+    val ch2 = Seq((99L, 5L, "-D")).toDF("k", "v", "op")
+    val ex2 = intercept[Exception] {
+      Diff.maintainAgg(viewOf(baseRows), ch2, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v")).collect()
+    }
+    assert(ex2.getMessage != null && ex2.getMessage.contains("count went negative"),
+      s"fresh-branch guard did not fire: ${ex2.getMessage}")
+    // and a mixed batch where the same invalid retraction rides next to
+    // valid changes fails too, rather than emitting a partial view
+    val ch3 = Seq((99L, 5L, "-D"), (1L, 12L, "+I")).toDF("k", "v", "op")
+    val ex3 = intercept[Exception] {
+      Diff.maintainAgg(viewOf(baseRows), ch3, Seq("k"),
+        "op", "cnt", Seq("sum_v" -> "v")).collect()
+    }
+    assert(ex3.getMessage != null && ex3.getMessage.contains("count went negative"))
+  }
+
+  test("maintainAgg: non-maintained view columns are rejected, not silently dropped") {
+    val view = viewOf(baseRows).withColumn("last_seen", lit(123L))
+    val ch = Seq((1L, 5L, "+I")).toDF("k", "v", "op")
+    val ex = intercept[IllegalArgumentException] {
+      Diff.maintainAgg(view, ch, Seq("k"), "op", "cnt", Seq("sum_v" -> "v"))
+    }
+    assert(ex.getMessage.contains("last_seen"))
   }
 
   test("maintainAgg: unknown op code fails loudly; missing columns fail fast") {
