@@ -56,6 +56,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q160ViewCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q161StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -253,6 +255,15 @@ object SparkEntry {
       |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
       |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
       |FROM final GROUP BY o_custkey""".stripMargin
+
+  /** q154/q161's shared oracle: the sketch union is exact in the gated
+    * regime, so the truth is the plain distinct count over the same day
+    * slice — q161's stream-grown store must converge to it exactly.
+    */
+  private val sketchRollupOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users
+      |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
+      |GROUP BY event_type""".stripMargin
 
   private def qualityRules: Seq[(String, Column)] = Seq(
     "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
@@ -2511,6 +2522,47 @@ object SparkEntry {
       Diff.readView(s, path)
         .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
     }),
+    "q161_sketch_ingest_stream" -> ((s, d) => {
+      // q154's standing table made CONTINUOUS (the q144 ingest-then-
+      // query lifecycle for distinct analytics): the store starts from
+      // the even-event_id half, the odd half arrives in 4 ordered
+      // micro-batches, each folding batch-sized sketches into the
+      // persisted bucket table through the SwapStore ledger (re-runs
+      // replay applied batch ids — no-ops). Sketch union is
+      // associative and idempotent-per-value, so the grown store
+      // answers q154's slice EXACTLY as a one-shot build over all
+      // events would — same oracle, same in-plan exactness assert.
+      val e = Tables(s, d).events
+      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      val path = q161StoreCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q161_store")
+        Sketches.initThetaStore(e.where(col("event_id") % 2 === 0),
+          Seq(col("event_type")), day(col("ts")), col("user_id"), p)
+        p
+      })
+      withShufflePartitions(s, 4) {
+        val stage = screenReplayDir(s"$d#q161",
+          e.where(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("user_id"), col("ts")),
+          col("event_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          e.select(col("event_id"), col("event_type"), col("user_id"), col("ts")).schema)
+        val q = Sketches.ingestThetaStream(s, stream, Seq(col("event_type")),
+          day(col("ts")), col("user_id"), path)
+        try q.processAllAvailable() finally q.stop()
+      }
+      val est = Sketches.distinctOver(Sketches.readThetaStore(s, path),
+        Seq("event_type"), col("bucket") % 3 =!= 1, out = "__a")
+      val exact = e.where(day(col("ts")) % 3 =!= 1)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("__e"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          when(col("__a") =!= col("__e"), raise_error(concat(
+            lit("q161 exactness regime broke: sketch="), col("__a").cast("string"),
+            lit(" exact="), col("__e").cast("string"))).cast("long"))
+            .otherwise(col("__a")).as("users"))
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -2723,12 +2775,8 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "q153_view_maintain" -> viewMaintainOracle,
-    "q154_sketch_rollup" ->
-      // the sketch union is exact in the gated regime, so the oracle is
-      // the plain distinct count over the same day slice
-      """SELECT event_type, count(DISTINCT user_id) AS users
-        |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
-        |GROUP BY event_type""".stripMargin,
+    "q154_sketch_rollup" -> sketchRollupOracle,
+    "q161_sketch_ingest_stream" -> sketchRollupOracle,
     "q155_sketch_overlap" ->
       // exact per-user even/odd-day flags, then set-algebra counts
       """WITH f AS (

@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A tiny crash-safe persisted-table lifecycle shared by the continuous
+  * folds ([[graft.ops.Diff.maintainAggStream]]'s materialized view,
+  * [[graft.ops.Sketches]]' standing bucket tables): `path/_store/data`
+  * holds the table, `path/_store/ledger` the last-applied streaming
+  * batch id — both inside ONE directory swap, so content and ledger can
+  * never disagree after a crash, and a foreachBatch re-delivery
+  * (batchId ≤ ledger) is a no-op instead of a double-apply.
+  *
+  * The swap itself is [[graft.ops.IvfIndex.swapDirs]]' two-rename
+  * protocol; readers racing the visibility window retry via
+  * `retryingStaleReads` at the call sites that fold.
+  */
+object SwapStore {
+
+  private def store(path: String) = s"$path/_store"
+
+  /** Create (or replace) the store with `df` and an empty ledger. */
+  def init(df: DataFrame, path: String): Unit = {
+    val sp = df.sparkSession
+    val tmp = s"$path/_store.next"
+    df.write.mode("overwrite").parquet(s"$tmp/data")
+    sp.range(1).select(lit(-1L).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(store(path))))
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(store(path))),
+        s"SwapStore.init: rename $tmp failed")
+    else graft.ops.IvfIndex.swapDirs(sp, store(path), tmp)
+  }
+
+  /** The current table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${store(path)}/data")
+
+  /** The last applied batch id (-1 after [[init]]). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"${store(path)}/ledger").head.getLong(0)
+
+  /** Apply `transform` to the current table and swap the result in,
+    * advancing the ledger to `batchId` — or do nothing if `batchId` was
+    * already applied. The transform's output plan executes fully
+    * (reading the CURRENT files) before any rename happens.
+    */
+  def fold(spark: SparkSession, path: String, batchId: Long)
+          (transform: DataFrame => DataFrame): Unit = {
+    if (batchId <= lastBatch(spark, path)) return
+    val out = transform(read(spark, path))
+    val tmp = s"$path/_store.next"
+    out.write.mode("overwrite").parquet(s"$tmp/data")
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    graft.ops.IvfIndex.swapDirs(spark, store(path), tmp)
+  }
+}

@@ -216,53 +216,30 @@ object Diff {
   }
 
   /** Persist the initial materialized view for the continuous
-    * [[maintainAggStream]] lifecycle: `path/_view/data` holds the view
-    * rows, `path/_view/ledger` the last-applied changelog batch id —
-    * both inside ONE swap unit, so view content and ledger can never
-    * disagree after a crash.
+    * [[maintainAggStream]] lifecycle — a [[graft.core.SwapStore]]:
+    * view rows and the last-applied changelog batch id live inside ONE
+    * swap unit, so content and ledger can never disagree after a crash.
     */
-  def initView(view: DataFrame, path: String): Unit = {
-    val sp = view.sparkSession
-    val tmp = s"$path/_view.next"
-    view.write.mode("overwrite").parquet(s"$tmp/data")
-    sp.range(1).select(lit(-1L).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_view")))
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$path/_view")),
-        s"initView: rename $tmp failed")
-    else IvfIndex.swapDirs(sp, s"$path/_view", tmp)
-  }
+  def initView(view: DataFrame, path: String): Unit =
+    graft.core.SwapStore.init(view, path)
 
   /** The current view under [[maintainAggStream]]. */
   def readView(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/_view/data")
+    graft.core.SwapStore.read(spark, path)
 
   /** Apply one changelog batch to the persisted view — [[maintainAgg]]
     * plus the exactly-once ledger: a re-delivered batch (id ≤ the
     * ledger's last_batch, the foreachBatch restart case) is a no-op, so
-    * replays converge instead of double-applying. The refreshed view
-    * and the advanced ledger land in one crash-safe directory swap.
+    * replays converge instead of double-applying.
     */
   def applyChangelogBatch(spark: org.apache.spark.sql.SparkSession,
                           changes: DataFrame, path: String, keys: Seq[String],
                           opCol: String, cntCol: String,
                           sums: Seq[(String, String)], batchId: Long,
-                          broadcastDeltas: Boolean = true): Unit = {
-    val last = spark.read.parquet(s"$path/_view/ledger").head.getLong(0)
-    if (batchId <= last) return
-    // the write below fully executes (reading the CURRENT view files)
-    // before the swap renames anything, so no checkpoint is needed
-    val refreshed = maintainAgg(readView(spark, path), changes, keys,
-      opCol, cntCol, sums, broadcastDeltas)
-    val tmp = s"$path/_view.next"
-    refreshed.write.mode("overwrite").parquet(s"$tmp/data")
-    spark.range(1).select(lit(batchId).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    IvfIndex.swapDirs(spark, s"$path/_view", tmp)
-  }
+                          broadcastDeltas: Boolean = true): Unit =
+    graft.core.SwapStore.fold(spark, path, batchId) { cur =>
+      maintainAgg(cur, changes, keys, opCol, cntCol, sums, broadcastDeltas)
+    }
 
   /** Continuous materialized-view maintenance: a streaming row-level
     * changelog folds into the persisted view once per micro-batch —

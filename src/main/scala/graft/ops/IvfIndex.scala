@@ -167,7 +167,7 @@ object IvfIndex {
     * [[retryingStaleReads]]; ad-hoc batch readers should either quiesce
     * around compaction or wrap reads the same way.
     */
-  private[ops] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
+  private[graft] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)

@@ -125,6 +125,45 @@ object Sketches {
         theta_sketch_estimate(col("__b")).as("b_total")): _*)
   }
 
+  /** Persist a bucket table as a standing store ([[graft.core.SwapStore]]
+    * layout: data + last-applied-batch ledger in one swap unit) — the
+    * build side of the continuous [[ingestThetaStream]] lifecycle.
+    */
+  def initThetaStore(df: DataFrame, groups: Seq[Column], bucket: Column,
+                     value: Column, path: String, lgK: Int = 20): Unit =
+    graft.core.SwapStore.init(thetaBuckets(df, groups, bucket, value, lgK), path)
+
+  /** The current standing bucket table under [[ingestThetaStream]] —
+    * feed it to [[distinctOver]]/[[overlapOver]] as usual.
+    */
+  def readThetaStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
+
+  /** Continuous sketch ingestion: each arriving micro-batch folds into
+    * the persisted bucket table via [[appendThetaBuckets]] — work per
+    * trigger is batch-sized plus the (tiny) bucket table, the rows
+    * already summarized are never revisited, and the SwapStore ledger
+    * makes re-delivered batches no-ops (exactly-once under foreachBatch
+    * redelivery — the q144 ingestion posture, here for distinct
+    * analytics). Union is associative and idempotent-per-value, so the
+    * grown store equals a one-shot build over everything delivered
+    * regardless of slicing (SketchesSpec / q161).
+    */
+  def ingestThetaStream(spark: org.apache.spark.sql.SparkSession,
+                        stream: DataFrame, groups: Seq[Column], bucket: Column,
+                        value: Column, path: String, lgK: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        IvfIndex.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid) { cur =>
+            appendThetaBuckets(cur, batch, groups, bucket, value, lgK)
+          }
+        }
+      }
+      .start()
+
   /** Continuous distinct counting — the streaming form of the theta
     * family: an update-mode running `theta_sketch_agg` per group whose
     * state is the sketch itself (bounded: ≤ 8·min(distinct, 2^lgK)

@@ -160,6 +160,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(o1 == o2)
   }
 
+  test("ingestThetaStream: micro-batches grow the standing store; equals one-shot build; replays are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val path = graft.core.TempDirs.create("graft_theta_store")
+    val (first, rest) = (rows.take(4), rows.drop(4))
+    Sketches.initThetaStore(first.toDF("g", "b", "v"),
+      Seq(col("g")), col("b"), col("v"), path)
+    val in = MemoryStream[(String, Long, Long)]
+    val q = Sketches.ingestThetaStream(spark, in.toDF().toDF("g", "b", "v"),
+      Seq(col("g")), col("b"), col("v"), path)
+    try {
+      rest.grouped(3).foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val store = Sketches.readThetaStore(spark, path)
+    val got = Sketches.distinctOver(store, Seq("g"), lit(true))
+      .as[(String, Long)].collect().toMap
+    val want = Sketches.distinctOver(buckets, Seq("g"), lit(true))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // exactly-once: re-folding an already-applied batch id is a no-op
+    graft.core.SwapStore.fold(spark, path, batchId = 0L) { cur =>
+      Sketches.appendThetaBuckets(cur,
+        Seq(("x", 0L, 777L)).toDF("g", "b", "v"), Seq(col("g")), col("b"), col("v"))
+    }
+    val after = Sketches.distinctOver(Sketches.readThetaStore(spark, path),
+      Seq("g"), lit(true)).as[(String, Long)].collect().toMap
+    assert(after == want, "replayed batch must not grow the store")
+  }
+
   test("runningDistinct: update-mode stream — final max per group equals batch distinct") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
