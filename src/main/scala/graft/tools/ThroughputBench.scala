@@ -1032,6 +1032,46 @@ object ThroughputBench {
         f"scans $sDirect%.1f s; spot slice exact-equal")
     }
 
+    // scenario 33: continuous sketch ingestion at 40M events — the q161
+    // lifecycle at scale. The standing (group, day) theta store starts
+    // from 20M rows; four 5M-row micro-batches fold in via
+    // appendThetaBuckets through the SwapStore ledger. Claims measured:
+    // per-fold cost is batch-sized + store-sized (the 20M summarized
+    // rows are never revisited, so folds stay flat while coverage
+    // grows), and the grown store answers a slice EXACTLY like a
+    // one-shot build over all 40M rows.
+    if (enabled(33)) {
+      def evOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        pmod(xxhash64(col("id")), lit(20)).as("g"),
+        (col("id") % 32).as("b"),
+        pmod(xxhash64(col("id") * 31 + 5), lit(100000L)).as("u"))
+      val path = graft.core.TempDirs.create("graft_s33")
+      val tB = System.nanoTime()
+      graft.ops.Sketches.initThetaStore(evOf(0, 20000000L),
+        Seq(col("g")), col("b"), col("u"), path)
+      val sInit = (System.nanoTime() - tB) / 1e9
+      val perFold = (0 until 4).map { i =>
+        val lo = 20000000L + i * 5000000L
+        val t0 = System.nanoTime()
+        graft.core.SwapStore.fold(spark, path, i.toLong) { cur =>
+          graft.ops.Sketches.appendThetaBuckets(cur, evOf(lo, lo + 5000000L),
+            Seq(col("g")), col("b"), col("u"))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val grown = graft.ops.Sketches.distinctOver(
+          graft.ops.Sketches.readThetaStore(spark, path), Seq("g"),
+          col("bucket") <= 15)
+        .orderBy("g").collect().map(_.getLong(1)).toSeq
+      val direct = evOf(0, 40000000L).where(col("b") <= 15).groupBy("g")
+        .agg(countDistinct("u")).orderBy("g").collect().map(_.getLong(1)).toSeq
+      require(grown == direct, s"stream-grown store diverged: $grown vs $direct")
+      println(f"scenario33 sketch-ingest init=20M folds=4x5M: init $sInit%.1f s; " +
+        f"folds ${perFold.map(t => f"$t%.1f").mkString("/")} s (flat, batch-sized; " +
+        "the summarized rows never re-read); grown store slice == direct " +
+        "distinct over all 40M rows")
+    }
+
     // scenario 32: streaming quota-fill admission at 8M docs — the q156
     // path at scale. 20 domains, 4 key-ordered micro-batches of 2M rows
     // each; per-domain state is ONE long, so the stateful exchange
