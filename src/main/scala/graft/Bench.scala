@@ -152,9 +152,24 @@ object Bench {
     // floor is far above that) rather than letting the line silently
     // outgrow the window again.
     def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // Final fallback past ~165 queries (1 dp ~1810 chars at 161): keep
+    // per-query detail only for medians >= 0.05 s and report how many
+    // sub-noise entries were folded into "fast_sum" — the driver still
+    // parses a complete JSON line and every nontrivial query stays
+    // individually comparable across rounds.
+    def slowOnlyLine: String = {
+      val (slowM, fastM) = medians.partition(_._2 >= 0.05)
+      val compact = slowM.sortBy(_._1).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r1(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"fast_omitted":${fastM.size},"fast_sum":${r2(fastM.map(_._2).sum)},"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}"""
+    }
     val line2 = specLine(r2)
+    val line1dp = specLine(r1)
     println(s"""{"diag":"full","repeats":$reps,"queries":$qs,"slow":$slowJson,"order_seed":$seed}""")
-    println(if (line2.length <= 1850) line2 else specLine(r1))
+    println(if (line2.length <= 1850) line2
+      else if (line1dp.length <= 1850) line1dp
+      else slowOnlyLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

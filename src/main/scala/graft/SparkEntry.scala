@@ -205,8 +205,6 @@ object SparkEntry {
     s.read.schema(sch).parquet(out)
   }
 
-  // q111/q117's shared rule suite — the batch gate and its streaming twin
-  // must evaluate IDENTICAL rules for the shared oracle to be valid
   /** q153/q160's SHARED changelog recipe over the orders table — the
     * pair must stay in lockstep (q160's continuous fold must converge
     * to q153's one-shot refresh, and both replay [[viewMaintainOracle]]
@@ -265,6 +263,17 @@ object SparkEntry {
       |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
       |GROUP BY event_type""".stripMargin
 
+  /** Epoch-day bucket shared by the sketch gates (q154/q155/q157/q161)
+    * — FLOOR division to match DuckDB's `//` even for pre-epoch
+    * timestamps (a bare cast would truncate toward zero and diverge on
+    * negative epoch-ms; |epoch_ms| < 2^53 keeps the double floor
+    * exact).
+    */
+  private def dayBucket(ts: Column): Column =
+    floor(unix_millis(ts) / lit(86400000.0)).cast("long")
+
+  // q111/q117's shared rule suite — the batch gate and its streaming twin
+  // must evaluate IDENTICAL rules for the shared oracle to be valid
   private def qualityRules: Seq[(String, Column)] = Seq(
     "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
     "qty_range" -> col("l_quantity").between(1, 50),
@@ -2340,7 +2349,7 @@ object SparkEntry {
       // each group carries the exact distinct count and any divergence
       // raises a named error rather than an opaque hash mismatch.
       val e = Tables(s, d).events
-      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      def day(ts: Column) = dayBucket(ts)
       val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
         day(col("ts")), col("user_id"))
       val est = Sketches.distinctOver(bk, Seq("event_type"),
@@ -2364,7 +2373,7 @@ object SparkEntry {
       // unions. Exact in the same regime, and the gate carries the
       // exact per-user replay alongside and raises on any divergence.
       val e = Tables(s, d).events
-      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      def day(ts: Column) = dayBucket(ts)
       val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
         day(col("ts")), col("user_id"))
       val est = Sketches.overlapOver(bk, Seq("event_type"),
@@ -2423,7 +2432,7 @@ object SparkEntry {
       // percentile_disc — asserted in-plan against the exact percentile
       // (which doubles as the regime guard at any future SF).
       val e = Tables(s, d).events
-      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      def day(ts: Column) = dayBucket(ts)
       val qb = Sketches.kllBuckets(e,
         Seq(col("event_type"), (day(col("ts")) % 7).as("dow")),
         day(col("ts")), floor(col("value")), k = 65535)
@@ -2533,7 +2542,7 @@ object SparkEntry {
       // answers q154's slice EXACTLY as a one-shot build over all
       // events would — same oracle, same in-plan exactness assert.
       val e = Tables(s, d).events
-      def day(ts: Column) = (unix_millis(ts) / lit(86400000L)).cast("long")
+      def day(ts: Column) = dayBucket(ts)
       val path = q161StoreCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q161_store")
         Sketches.initThetaStore(e.where(col("event_id") % 2 === 0),

@@ -11,13 +11,57 @@ import org.apache.spark.sql.functions._
   * never disagree after a crash, and a foreachBatch re-delivery
   * (batchId ≤ ledger) is a no-op instead of a double-apply.
   *
-  * The swap itself is [[graft.ops.IvfIndex.swapDirs]]' two-rename
-  * protocol; readers racing the visibility window retry via
-  * `retryingStaleReads` at the call sites that fold.
+  * The swap itself is the two-rename protocol ([[swapDirs]], shared
+  * with every standing index); readers racing the visibility window
+  * retry via [[retryingStaleReads]] at the call sites that fold.
   */
 object SwapStore {
 
   private def store(path: String) = s"$path/_store"
+
+  /** Atomically replace the directory at `path` with `tmp` via two
+    * renames (path -> path.old, tmp -> path). Crash between the
+    * renames leaves the previous content at `path.old`; the window
+    * where `path` does not exist is what [[retryingStaleReads]]
+    * absorbs on the reader side.
+    */
+  private[graft] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    val fs = dst.getFileSystem(conf)
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(dst, old), s"swap failed: rename $path -> $path.old")
+    require(fs.rename(src, dst), s"swap failed: rename $tmp -> $path " +
+      s"(previous content preserved at $path.old)")
+    fs.delete(old, true)
+  }
+
+  /** Run `body`, retrying (bounded, short linear backoff) when it dies
+    * on a missing path/file — the [[swapDirs]] visibility window.
+    */
+  private[graft] def retryingStaleReads[T](attempts: Int = 5, backoffMs: Long = 500)
+                                          (body: => T): T = {
+    def missingFile(e: Throwable): Boolean = e != null && {
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("FileNotFoundException")) ||
+        missingFile(e.getCause)
+    }
+    var left = math.max(attempts, 1)
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if missingFile(e) && left > 1 =>
+          left -= 1
+          Thread.sleep(backoffMs)
+        case e: Throwable => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Create (or replace) the store with `df` and an empty ledger. */
   def init(df: DataFrame, path: String): Unit = {
@@ -32,7 +76,7 @@ object SwapStore {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(store(path))),
         s"SwapStore.init: rename $tmp failed")
-    else graft.ops.IvfIndex.swapDirs(sp, store(path), tmp)
+    else swapDirs(sp, store(path), tmp)
   }
 
   /** The current table. */
@@ -56,6 +100,6 @@ object SwapStore {
     out.write.mode("overwrite").parquet(s"$tmp/data")
     spark.range(1).select(lit(batchId).as("last_batch"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    graft.ops.IvfIndex.swapDirs(spark, store(path), tmp)
+    swapDirs(spark, store(path), tmp)
   }
 }

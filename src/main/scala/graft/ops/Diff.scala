@@ -255,16 +255,22 @@ object Diff {
                         changeStream: DataFrame, path: String,
                         keys: Seq[String], opCol: String, cntCol: String,
                         sums: Seq[(String, String)],
-                        broadcastDeltas: Boolean = true)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    changeStream.writeStream
+                        broadcastDeltas: Boolean = true,
+                        checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // exactly-once rides on batch ids ascending across restarts — a
+    // view that outlives one query needs a DURABLE checkpoint, else a
+    // fresh query restarts ids at 0 and the ledger silently no-ops new
+    // batches of an advanced source (see Sketches.ingestThetaStream)
+    val w = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        IvfIndex.retryingStaleReads() {
+        graft.core.SwapStore.retryingStaleReads() {
           applyChangelogBatch(spark, batch, path, keys, opCol, cntCol,
             sums, bid, broadcastDeltas)
         }
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Build SCD-2 (slowly-changing-dimension type 2) history from a
     * changelog: every version row gets a half-open validity interval —

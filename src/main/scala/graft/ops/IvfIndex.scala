@@ -167,18 +167,8 @@ object IvfIndex {
     * [[retryingStaleReads]]; ad-hoc batch readers should either quiesce
     * around compaction or wrap reads the same way.
     */
-  private[graft] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    val fs = dst.getFileSystem(conf)
-    fs.delete(old, true) // clear any leftover from a prior crashed swap
-    require(fs.rename(dst, old), s"index swap failed: rename $path -> $path.old")
-    require(fs.rename(src, dst), s"index swap failed: rename $tmp -> $path " +
-      s"(previous index preserved at $path.old)")
-    fs.delete(old, true)
-  }
+  private[graft] def swapDirs(spark: SparkSession, path: String, tmp: String): Unit =
+    graft.core.SwapStore.swapDirs(spark, path, tmp)
 
   /** Run `body`, retrying (bounded, short linear backoff) when it dies on
     * a missing path/file — the [[swapDirs]] visibility window: between the
@@ -189,26 +179,8 @@ object IvfIndex {
     * already is — Spark itself replays micro-batches on failure).
     */
   private[ops] def retryingStaleReads[T](attempts: Int = 5, backoffMs: Long = 500)
-                                        (body: => T): T = {
-    def missingFile(e: Throwable): Boolean = e != null && {
-      e.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(e.getMessage).exists(m =>
-          m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
-            m.contains("FileNotFoundException")) ||
-        missingFile(e.getCause)
-    }
-    var left = math.max(attempts, 1)
-    while (true) {
-      try return body
-      catch {
-        case e: Throwable if missingFile(e) && left > 1 =>
-          left -= 1
-          Thread.sleep(backoffMs)
-        case e: Throwable => throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+                                        (body: => T): T =
+    graft.core.SwapStore.retryingStaleReads(attempts, backoffMs)(body)
 
   /** Top-k over the index for a (small, broadcastable) query set.
     * Returns (query_id, cand_id, rk) like the other ANN operators.

@@ -75,9 +75,12 @@ object Sketches {
     fresh
       .unionByName(existing.select(groupNames.map(col) :+ col("sketch"): _*))
       .groupBy(groupNames.map(col): _*)
-      // union at MAX nominal so it can never undercut either side's
-      // build-time capacity (see distinctOver)
-      .agg(theta_union_agg(col("sketch"), MaxLgK).as("sketch"))
+      // union at the STORE's own lgK — the caller passes the build-time
+      // bound explicitly here (unlike the query-side merges, which
+      // cannot see it and default to MaxLgK): an estimate-mode store
+      // (small lgK) must keep its sketches capped at 2^lgK, not grow
+      // 8 B per distinct value forever
+      .agg(theta_union_agg(col("sketch"), lgK).as("sketch"))
   }
 
   /** Distinct count per group over every bucket row passing `pred` —
@@ -152,17 +155,24 @@ object Sketches {
     */
   def ingestThetaStream(spark: org.apache.spark.sql.SparkSession,
                         stream: DataFrame, groups: Seq[Column], bucket: Column,
-                        value: Column, path: String, lgK: Int = 20)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                        value: Column, path: String, lgK: Int = 20,
+                        checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // The ledger de-duplicates batch IDS, so exactly-once holds only
+    // while ids keep ascending across restarts — which requires a
+    // DURABLE checkpoint. A fresh checkpoint restarts ids at 0 and the
+    // ledger would silently no-op genuinely new batches of an advanced
+    // source; pass `checkpoint` for any store that outlives one query.
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        IvfIndex.retryingStaleReads() {
+        graft.core.SwapStore.retryingStaleReads() {
           graft.core.SwapStore.fold(spark, path, bid) { cur =>
             appendThetaBuckets(cur, batch, groups, bucket, value, lgK)
           }
         }
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Continuous distinct counting — the streaming form of the theta
     * family: an update-mode running `theta_sketch_agg` per group whose
