@@ -189,6 +189,52 @@ class SketchesSpec extends AnyFunSuite {
     assert(after == want, "replayed batch must not grow the store")
   }
 
+  test("ingestThetaStream restart: durable checkpoint continues batch ids; a fresh query replays into ledger no-ops") {
+    // the documented exactly-once contract: the SwapStore ledger
+    // de-duplicates BATCH IDS, so across a stop/restart the ids must
+    // keep ascending — which requires the same durable checkpoint.
+    val data = (0L until 80L).map(i => ("g", i % 4, i % 40)) // 40 distinct values
+    val df = data.toDF("g", "b", "v")
+    val stage = graft.core.TempDirs.create("graft_theta_restart")
+    graft.streaming.Replay.writeOrderedSlices(
+      df.where(col("v") < 20), col("v"), stage, 2)
+    val path = graft.core.TempDirs.create("graft_theta_restart_store")
+    val ckpt = graft.core.TempDirs.create("graft_theta_restart_ckpt")
+    Sketches.initThetaStore(df.limit(0), Seq(col("g")), col("b"), col("v"), path)
+    def startIngest() = Sketches.ingestThetaStream(spark,
+      graft.streaming.Replay.orderedStream(spark, stage, df.schema),
+      Seq(col("g")), col("b"), col("v"), path, checkpoint = Some(ckpt))
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()          // bids 0,1 applied
+    assert(graft.core.SwapStore.lastBatch(spark, path) == 1L)
+    // phase B: more data arrives while the query is DOWN, then restart
+    // from the same checkpoint — ids continue at 2,3 and the new
+    // slices fold in
+    graft.streaming.Replay.appendSlice(stage,
+      df.where(col("v") >= 20 && col("v") < 30), 2)
+    graft.streaming.Replay.appendSlice(stage, df.where(col("v") >= 30), 3)
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.core.SwapStore.lastBatch(spark, path) == 3L)
+    val got = Sketches.distinctOver(Sketches.readThetaStore(spark, path),
+      Seq("g"), lit(true)).as[(String, Long)].collect().toMap
+    assert(got == Map("g" -> 40L))
+    // the HAZARD, pinned: a FRESH checkpoint restarts ids at 0 — its
+    // first batch re-reads available files under an already-advanced
+    // ledger and must no-op rather than double-apply (and would
+    // equally no-op genuinely new data, which is why stores that
+    // outlive one query need the durable checkpoint above)
+    val q3 = Sketches.ingestThetaStream(spark,
+      graft.streaming.Replay.orderedStream(spark, stage, df.schema),
+      Seq(col("g")), col("b"), col("v"), path, checkpoint = None)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.core.SwapStore.lastBatch(spark, path) == 3L,
+      "fresh-checkpoint replay must not advance the ledger")
+    val after = Sketches.distinctOver(Sketches.readThetaStore(spark, path),
+      Seq("g"), lit(true)).as[(String, Long)].collect().toMap
+    assert(after == Map("g" -> 40L))
+  }
+
   test("runningDistinct: update-mode stream — final max per group equals batch distinct") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
