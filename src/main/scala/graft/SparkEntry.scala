@@ -58,6 +58,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q161StoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q162StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q163StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -262,6 +266,40 @@ object SparkEntry {
     """SELECT event_type, count(DISTINCT user_id) AS users
       |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
       |GROUP BY event_type""".stripMargin
+
+  /** q157/q162's shared oracle: the inclusive-rank percentile replay
+    * (least value whose cume_dist ≥ q — what percentile_disc and an
+    * uncompacted KLL sketch both compute) over the day slice.
+    */
+  private val quantileRollupOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(floor(value) AS BIGINT) AS value
+      |  FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1),
+      |r AS (
+      |  SELECT event_type, day % 7 AS dow, value,
+      |    cume_dist() OVER (PARTITION BY event_type, day % 7
+      |      ORDER BY value) AS cd
+      |  FROM e)
+      |SELECT event_type, dow,
+      |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+      |  min(CASE WHEN cd >= 0.9 THEN value END) AS p90
+      |FROM r GROUP BY event_type, dow""".stripMargin
+
+  /** q159/q163's shared oracle: exact counts + deterministic rank over
+    * the even-digit source slice (the q64 capacity-over-vocab regime).
+    */
+  private val topkRollupOracle: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '')) AS item
+      |  FROM documents WHERE regexp_matches(source, '[02468]$')),
+      |c AS (SELECT lang, item, count(*) AS cnt FROM t GROUP BY lang, item)
+      |SELECT lang, item, cnt, rk FROM (
+      |  SELECT lang, item, cnt,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
+      |  FROM c) WHERE rk <= 5""".stripMargin
 
   /** Epoch-day bucket shared by the sketch gates (q154/q155/q157/q161)
     * — FLOOR division to match DuckDB's `//` even for pre-epoch
@@ -2386,7 +2424,9 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(sum(when(col("__ia") && col("__ib"), 1L).otherwise(0L)).as("__both"),
           sum(when(col("__ia") && !col("__ib"), 1L).otherwise(0L)).as("__oa"),
-          sum(when(col("__ib") && !col("__ia"), 1L).otherwise(0L)).as("__ob"))
+          sum(when(col("__ib") && !col("__ia"), 1L).otherwise(0L)).as("__ob"),
+          sum(when(col("__ia"), 1L).otherwise(0L)).as("__at"),
+          sum(when(col("__ib"), 1L).otherwise(0L)).as("__bt"))
       def gated(sketchCol: String, exactCol: String, out: String) =
         when(col(sketchCol) =!= col(exactCol), raise_error(concat(
           lit(s"q155 exactness regime broke at $out: sketch="),
@@ -2397,7 +2437,9 @@ object SparkEntry {
         .select(col("event_type"),
           gated("in_both", "__both", "in_both"),
           gated("only_a", "__oa", "only_a"),
-          gated("only_b", "__ob", "only_b"))
+          gated("only_b", "__ob", "only_b"),
+          gated("a_total", "__at", "a_total"),
+          gated("b_total", "__bt", "b_total"))
     }),
     "q156_quota_stream" -> ((s, d) => {
       // continuous per-source token-budget admission: documents arrive
@@ -2571,6 +2613,79 @@ object SparkEntry {
             lit("q161 exactness regime broke: sketch="), col("__a").cast("string"),
             lit(" exact="), col("__e").cast("string"))).cast("long"))
             .otherwise(col("__a")).as("users"))
+    }),
+    "q162_kll_ingest_stream" -> ((s, d) => {
+      // q157's standing table made CONTINUOUS — the quantile member of
+      // the sketch-store family (theta q161, heavy-hitters q163): the
+      // per-(event_type, weekday, day) KLL store starts from the
+      // even-event_id half, the odd half folds in over 4 ordered
+      // micro-batches through the SwapStore ledger. Merging uncompacted
+      // sketches is lossless, so the grown store answers q157's slice
+      // quantiles EXACTLY like a one-shot build — same oracle, same
+      // in-plan percentile_disc assert.
+      val e = Tables(s, d).events
+      def day(ts: Column) = dayBucket(ts)
+      def prep(df: DataFrame) = df.select(col("event_id"), col("event_type"),
+        (day(col("ts")) % 7).as("dow"), day(col("ts")).as("day"),
+        floor(col("value")).cast("long").as("fv"))
+      val path = q162StoreCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q162_store")
+        Sketches.initKllStore(prep(e.where(col("event_id") % 2 === 0)),
+          Seq(col("event_type"), col("dow")), col("day"), col("fv"), p, k = 65535)
+        p
+      })
+      withShufflePartitions(s, 4) {
+        val stage = screenReplayDir(s"$d#q162",
+          prep(e.where(col("event_id") % 2 === 1)), col("event_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          prep(e).schema)
+        val q = Sketches.ingestKllStream(s, stream,
+          Seq(col("event_type"), col("dow")), col("day"), col("fv"), path, k = 65535)
+        try q.processAllAvailable() finally q.stop()
+      }
+      val est = Sketches.quantilesOver(graft.core.SwapStore.read(s, path),
+        Seq("event_type", "dow"), col("bucket") % 3 =!= 1, Seq(0.5, 0.9), k = 65535)
+      val exact = prep(e).where(col("day") % 3 =!= 1)
+        .groupBy("event_type", "dow")
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
+      def gated(sk: String, ex: String, out: String) =
+        when(col(sk) =!= col(ex), raise_error(concat(
+          lit(s"q162 exactness regime broke at $out: sketch="), col(sk).cast("string"),
+          lit(" exact="), col(ex).cast("string"))).cast("long"))
+          .otherwise(col(sk)).as(out)
+      est.join(exact, Seq("event_type", "dow"))
+        .select(col("event_type"), col("dow"),
+          gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
+    }),
+    "q163_topk_ingest_stream" -> ((s, d) => {
+      // q159's standing table made CONTINUOUS: the per-(lang, source)
+      // frequent-items store starts from the even-doc_id half; odd
+      // docs arrive (pre-exploded to words, sliced by doc_id) in 4
+      // micro-batches and COMBINE into the store. In the capacity
+      // regime the grown store's deterministic top-5 equals the plain
+      // GROUP BY truth over all documents — q159's oracle.
+      val docs = Tables(s, d).documents
+      def prep(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        col("source"), explode(Stateless.tokens(col("text"))).as("w"))
+      val path = q163StoreCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q163_store")
+        Sketches.initTopKStore(prep(docs.where(col("doc_id") % 2 === 0)),
+          Seq(col("lang")), col("source"), col("w"), p)
+        p
+      })
+      withShufflePartitions(s, 4) {
+        val stage = screenReplayDir(s"$d#q163",
+          prep(docs.where(col("doc_id") % 2 === 1)), col("doc_id"), 4)
+        val stream = graft.streaming.Replay.orderedStream(s, stage,
+          prep(docs).schema)
+        val q = Sketches.ingestTopKStream(s, stream, Seq(col("lang")),
+          col("source"), col("w"), path)
+        try q.processAllAvailable() finally q.stop()
+      }
+      Sketches.topKOver(graft.core.SwapStore.read(s, path), Seq("lang"),
+          col("bucket").rlike("[02468]$"), k = 5)
+        .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
     }),
   )
 
@@ -2796,7 +2911,9 @@ object SparkEntry {
         |SELECT event_type,
         |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
         |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
-        |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |  CAST(sum(ia) AS BIGINT) AS a_total,
+        |  CAST(sum(ib) AS BIGINT) AS b_total
         |FROM f GROUP BY event_type""".stripMargin,
     "q156_quota_stream" ->
       // replay: per-source doc_id-ordered exclusive prefix sum, admit
@@ -2810,41 +2927,15 @@ object SparkEntry {
         |SELECT source AS dom, doc_id AS key, n_chars AS n_tok,
         |  CAST(pe AS BIGINT) AS prefix_excl
         |FROM c WHERE pe < 5000""".stripMargin,
-    "q157_quantile_rollup" ->
-      // replay the inclusive-rank percentile definition explicitly
-      // (least value whose cume_dist ≥ q — what percentile_disc and an
-      // uncompacted KLL sketch both compute)
-      """WITH e AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |    CAST(floor(value) AS BIGINT) AS value
-        |  FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1),
-        |r AS (
-        |  SELECT event_type, day % 7 AS dow, value,
-        |    cume_dist() OVER (PARTITION BY event_type, day % 7
-        |      ORDER BY value) AS cd
-        |  FROM e)
-        |SELECT event_type, dow,
-        |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
-        |  min(CASE WHEN cd >= 0.9 THEN value END) AS p90
-        |FROM r GROUP BY event_type, dow""".stripMargin,
+    "q157_quantile_rollup" -> quantileRollupOracle,
+    "q162_kll_ingest_stream" -> quantileRollupOracle,
     "q158_distinct_stream" ->
       // the running sketch's final snapshot equals the batch distinct
       // in the gated exact regime
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
-    "q159_topk_rollup" ->
-      // exact in the capacity-over-vocab regime after the deterministic
-      // re-rank — the q64 contract, here over combined bucket sketches
-      """WITH t AS (
-        |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> x <> '')) AS item
-        |  FROM documents WHERE regexp_matches(source, '[02468]$')),
-        |c AS (SELECT lang, item, count(*) AS cnt FROM t GROUP BY lang, item)
-        |SELECT lang, item, cnt, rk FROM (
-        |  SELECT lang, item, cnt,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
-        |  FROM c) WHERE rk <= 5""".stripMargin,
+    "q159_topk_rollup" -> topkRollupOracle,
+    "q163_topk_ingest_stream" -> topkRollupOracle,
     "q160_view_maintain_stream" -> viewMaintainOracle,
     "q149_trending_stream" ->
       // in-order 0-delay delivery: the streaming chained aggs' append

@@ -174,6 +174,83 @@ object Sketches {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** [[appendThetaBuckets]] for the quantile buckets: fold a new batch
+    * into an existing KLL bucket table. Merging uncompacted sketches is
+    * lossless (append == rebuild in the exact regime, SketchesSpec);
+    * compacted merges compose the published rank-error bounds. `k` is
+    * the STORE's build-time parameter — honored, not maxed, so an
+    * estimate-mode store stays capped.
+    */
+  def appendKllBuckets(existing: DataFrame, df: DataFrame,
+                       groups: Seq[Column], bucket: Column, value: Column,
+                       k: Int = 4096): DataFrame = {
+    val fresh = kllBuckets(df, groups, bucket, value, k)
+    val groupNames = fresh.columns.dropRight(1).toSeq
+    fresh
+      .unionByName(existing.select(groupNames.map(col) :+ col("qsketch"): _*))
+      .groupBy(groupNames.map(col): _*)
+      .agg(kll_merge_agg_bigint(col("qsketch"), k).as("qsketch"))
+  }
+
+  /** [[appendThetaBuckets]] for the heavy-hitters buckets. Exact while
+    * each bucket's item union keeps fitting `maxItems` (the q64
+    * capacity regime).
+    */
+  def appendTopKBuckets(existing: DataFrame, df: DataFrame,
+                        groups: Seq[Column], bucket: Column, item: Column,
+                        maxItems: Int = 10000): DataFrame = {
+    val fresh = topKBuckets(df, groups, bucket, item, maxItems)
+    val groupNames = fresh.columns.dropRight(1).toSeq
+    fresh
+      .unionByName(existing.select(groupNames.map(col) :+ col("tksketch"): _*))
+      .groupBy(groupNames.map(col): _*)
+      .agg(expr(s"approx_top_k_combine(tksketch, $maxItems)").as("tksketch"))
+  }
+
+  /** [[initThetaStore]]/[[ingestThetaStream]] for the quantile buckets. */
+  def initKllStore(df: DataFrame, groups: Seq[Column], bucket: Column,
+                   value: Column, path: String, k: Int = 4096): Unit =
+    graft.core.SwapStore.init(kllBuckets(df, groups, bucket, value, k), path)
+
+  def ingestKllStream(spark: org.apache.spark.sql.SparkSession,
+                      stream: DataFrame, groups: Seq[Column], bucket: Column,
+                      value: Column, path: String, k: Int = 4096,
+                      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid) { cur =>
+            appendKllBuckets(cur, batch, groups, bucket, value, k)
+          }
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** [[initThetaStore]]/[[ingestThetaStream]] for the heavy-hitters
+    * buckets.
+    */
+  def initTopKStore(df: DataFrame, groups: Seq[Column], bucket: Column,
+                    item: Column, path: String, maxItems: Int = 10000): Unit =
+    graft.core.SwapStore.init(topKBuckets(df, groups, bucket, item, maxItems), path)
+
+  def ingestTopKStream(spark: org.apache.spark.sql.SparkSession,
+                       stream: DataFrame, groups: Seq[Column], bucket: Column,
+                       item: Column, path: String, maxItems: Int = 10000,
+                       checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid) { cur =>
+            appendTopKBuckets(cur, batch, groups, bucket, item, maxItems)
+          }
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Continuous distinct counting — the streaming form of the theta
     * family: an update-mode running `theta_sketch_agg` per group whose
     * state is the sketch itself (bounded: ≤ 8·min(distinct, 2^lgK)

@@ -189,6 +189,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(after == want, "replayed batch must not grow the store")
   }
 
+  test("appendKllBuckets / appendTopKBuckets == rebuild over the combined input (exact regimes)") {
+    val (first, second) = (rows.take(7), rows.drop(7))
+    // KLL: quantiles from the appended store equal the one-shot build
+    val kllApp = Sketches.appendKllBuckets(
+      Sketches.kllBuckets(first.toDF("g", "b", "v"), Seq(col("g")), col("b"), col("v"), k = 64),
+      second.toDF("g", "b", "v"), Seq(col("g")), col("b"), col("v"), k = 64)
+    val kllFull = Sketches.kllBuckets(df, Seq(col("g")), col("b"), col("v"), k = 64)
+    val qa = Sketches.quantilesOver(kllApp, Seq("g"), lit(true), Seq(0.5, 0.9), k = 64)
+      .as[(String, Long, Long)].collect().toSet
+    val qf = Sketches.quantilesOver(kllFull, Seq("g"), lit(true), Seq(0.5, 0.9), k = 64)
+      .as[(String, Long, Long)].collect().toSet
+    assert(qa == qf)
+    // topK: ranks from the appended store equal the one-shot build
+    val tkApp = Sketches.appendTopKBuckets(
+      Sketches.topKBuckets(first.toDF("g", "b", "v"), Seq(col("g")), col("b"),
+        concat(lit("w"), col("v")), maxItems = 64),
+      second.toDF("g", "b", "v"), Seq(col("g")), col("b"),
+      concat(lit("w"), col("v")), maxItems = 64)
+    val tkFull = Sketches.topKBuckets(df, Seq(col("g")), col("b"),
+      concat(lit("w"), col("v")), maxItems = 64)
+    val ta = Sketches.topKOver(tkApp, Seq("g"), lit(true), k = 3, maxItems = 64)
+      .as[(String, String, Long, Int)].collect().toSet
+    val tf = Sketches.topKOver(tkFull, Seq("g"), lit(true), k = 3, maxItems = 64)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(ta == tf)
+  }
+
   test("ingestThetaStream restart: durable checkpoint continues batch ids; a fresh query replays into ledger no-ops") {
     // the documented exactly-once contract: the SwapStore ledger
     // de-duplicates BATCH IDS, so across a stop/restart the ids must
