@@ -229,8 +229,10 @@ object Sampling {
     * point — the state itself stays O(domains).
     */
   def quotaFillStream(docs: DataFrame, domain: Column, key: Column,
-                      tokens: Column, budget: Long): DataFrame = {
-    require(budget >= 0, "quotaFillStream: budget must be non-negative")
+                      tokens: Column, budget: Long,
+                      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    require(budget >= 0 && budgets.values.forall(_ >= 0),
+      "quotaFillStream: budgets must be non-negative")
     val sp = docs.sparkSession
     implicit val rowEnc: org.apache.spark.sql.Encoder[(String, Long, Long)] =
       sp.implicits.newProductEncoder
@@ -246,11 +248,14 @@ object Sampling {
       .as[(String, Long, Long)]
     graft.streaming.KeyedProcess[String, (String, Long, Long),
         Long, (String, Long, Long, Long)](rows, _._1) { (dom, evs, state) =>
+      // per-domain override falls back to the shared default — the
+      // batch twin's budgets-map contract
+      val domBudget = budgets.getOrElse(dom, budget)
       var seen = if (state.exists) state.get else 0L
       val out = evs.toSeq.sortBy(_._2).flatMap { case (_, k, t) =>
         val before = seen
         seen += t
-        if (before < budget) Some((dom, k, t, before)) else None
+        if (before < domBudget) Some((dom, k, t, before)) else None
       }
       state.update(seen)
       out.iterator

@@ -802,6 +802,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == "c") == 2)
   }
 
+  test("quotaFillStream: per-domain budget overrides, default for the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val out = Sampling.quotaFillStream(in.toDF().toDF("dom", "key", "n"),
+      col("dom"), col("key"), col("n"), budget = 100L,
+      budgets = Map("small" -> 10L, "big" -> 1000L))
+    val q = out.writeStream.format("memory").queryName("quota_map_test")
+      .outputMode("append").start()
+    try {
+      in.addData(("small", 1L, 10L), ("small", 2L, 10L),
+        ("big", 3L, 500L), ("big", 4L, 500L),
+        ("other", 5L, 90L), ("other", 6L, 90L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_map_test")
+      .select("dom", "key").as[(String, Long)].collect().toSet
+    // small: 10-budget admits only key 1; big: 1000 admits both;
+    // other: default 100 admits key 5 and the line-crossing key 6
+    assert(got == Set(("small", 1L), ("big", 3L), ("big", 4L),
+      ("other", 5L), ("other", 6L)), s"got $got")
+  }
+
   test("quotaFillStream: zero budget admits nothing; guard rejects negatives") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
