@@ -301,6 +301,16 @@ object SparkEntry {
       |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
       |  FROM c) WHERE rk <= 5""".stripMargin
 
+  /** The q44-convention in-plan exactness gate shared by the sketch
+    * queries: output the sketch-side value, raising a named error if it
+    * ever diverges from the exact side.
+    */
+  private def exactnessGate(qname: String)(sk: String, ex: String, out: String): Column =
+    when(col(sk) =!= col(ex), raise_error(concat(
+      lit(s"$qname exactness regime broke at $out: sketch="), col(sk).cast("string"),
+      lit(" exact="), col(ex).cast("string"))).cast("long"))
+      .otherwise(col(sk)).as(out)
+
   /** Epoch-day bucket shared by the sketch gates (q154/q155/q157/q161)
     * — FLOOR division to match DuckDB's `//` even for pre-epoch
     * timestamps (a bare cast would truncate toward zero and diverge on
@@ -2427,12 +2437,7 @@ object SparkEntry {
           sum(when(col("__ib") && !col("__ia"), 1L).otherwise(0L)).as("__ob"),
           sum(when(col("__ia"), 1L).otherwise(0L)).as("__at"),
           sum(when(col("__ib"), 1L).otherwise(0L)).as("__bt"))
-      def gated(sketchCol: String, exactCol: String, out: String) =
-        when(col(sketchCol) =!= col(exactCol), raise_error(concat(
-          lit(s"q155 exactness regime broke at $out: sketch="),
-          col(sketchCol).cast("string"),
-          lit(" exact="), col(exactCol).cast("string"))).cast("long"))
-          .otherwise(col(sketchCol)).as(out)
+      def gated = exactnessGate("q155") _
       est.join(exact, Seq("event_type"))
         .select(col("event_type"),
           gated("in_both", "__both", "in_both"),
@@ -2486,11 +2491,7 @@ object SparkEntry {
         .groupBy("event_type", "dow")
         .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
           expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
-      def gated(sk: String, ex: String, out: String) =
-        when(col(sk) =!= col(ex), raise_error(concat(
-          lit(s"q157 exactness regime broke at $out: sketch="), col(sk).cast("string"),
-          lit(" exact="), col(ex).cast("string"))).cast("long"))
-          .otherwise(col(sk)).as(out)
+      def gated = exactnessGate("q157") _
       est.join(exact, Seq("event_type", "dow"))
         .select(col("event_type"), col("dow"),
           gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
@@ -2643,17 +2644,13 @@ object SparkEntry {
           Seq(col("event_type"), col("dow")), col("day"), col("fv"), path, k = 65535)
         try q.processAllAvailable() finally q.stop()
       }
-      val est = Sketches.quantilesOver(graft.core.SwapStore.read(s, path),
+      val est = Sketches.quantilesOver(Sketches.readKllStore(s, path),
         Seq("event_type", "dow"), col("bucket") % 3 =!= 1, Seq(0.5, 0.9), k = 65535)
       val exact = prep(e).where(col("day") % 3 =!= 1)
         .groupBy("event_type", "dow")
         .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
           expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
-      def gated(sk: String, ex: String, out: String) =
-        when(col(sk) =!= col(ex), raise_error(concat(
-          lit(s"q162 exactness regime broke at $out: sketch="), col(sk).cast("string"),
-          lit(" exact="), col(ex).cast("string"))).cast("long"))
-          .otherwise(col(sk)).as(out)
+      def gated = exactnessGate("q162") _
       est.join(exact, Seq("event_type", "dow"))
         .select(col("event_type"), col("dow"),
           gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
@@ -2683,7 +2680,7 @@ object SparkEntry {
           col("source"), col("w"), path)
         try q.processAllAvailable() finally q.stop()
       }
-      Sketches.topKOver(graft.core.SwapStore.read(s, path), Seq("lang"),
+      Sketches.topKOver(Sketches.readTopKStore(s, path), Seq("lang"),
           col("bucket").rlike("[02468]$"), k = 5)
         .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
     }),

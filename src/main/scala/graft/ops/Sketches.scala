@@ -128,6 +128,27 @@ object Sketches {
         theta_sketch_estimate(col("__b")).as("b_total")): _*)
   }
 
+  /** Shared store-lifecycle skeleton for the three sketch types: the
+    * SwapStore ledger gives per-batch exactly-once — WHICH REQUIRES a
+    * durable `checkpoint` for any store that outlives one query (a
+    * fresh checkpoint restarts batch ids at 0 and the ledger silently
+    * no-ops genuinely new batches of an advanced source; pinned by
+    * SketchesSpec's restart test).
+    */
+  private def ingestStore(spark: org.apache.spark.sql.SparkSession,
+                          stream: DataFrame, path: String,
+                          checkpoint: Option[String])
+                         (append: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid)(cur => append(cur, batch))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Persist a bucket table as a standing store ([[graft.core.SwapStore]]
     * layout: data + last-applied-batch ledger in one swap unit) — the
     * build side of the continuous [[ingestThetaStream]] lifecycle.
@@ -157,22 +178,9 @@ object Sketches {
                         stream: DataFrame, groups: Seq[Column], bucket: Column,
                         value: Column, path: String, lgK: Int = 20,
                         checkpoint: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    // The ledger de-duplicates batch IDS, so exactly-once holds only
-    // while ids keep ascending across restarts — which requires a
-    // DURABLE checkpoint. A fresh checkpoint restarts ids at 0 and the
-    // ledger would silently no-op genuinely new batches of an advanced
-    // source; pass `checkpoint` for any store that outlives one query.
-    val w = stream.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.core.SwapStore.retryingStaleReads() {
-          graft.core.SwapStore.fold(spark, path, bid) { cur =>
-            appendThetaBuckets(cur, batch, groups, bucket, value, lgK)
-          }
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStore(spark, stream, path, checkpoint)(
+      appendThetaBuckets(_, _, groups, bucket, value, lgK))
 
   /** [[appendThetaBuckets]] for the quantile buckets: fold a new batch
     * into an existing KLL bucket table. Merging uncompacted sketches is
@@ -216,17 +224,14 @@ object Sketches {
                       stream: DataFrame, groups: Seq[Column], bucket: Column,
                       value: Column, path: String, k: Int = 4096,
                       checkpoint: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = stream.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.core.SwapStore.retryingStaleReads() {
-          graft.core.SwapStore.fold(spark, path, bid) { cur =>
-            appendKllBuckets(cur, batch, groups, bucket, value, k)
-          }
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStore(spark, stream, path, checkpoint)(
+      appendKllBuckets(_, _, groups, bucket, value, k))
+
+  /** The current standing KLL bucket table — feed to [[quantilesOver]]. */
+  def readKllStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
 
   /** [[initThetaStore]]/[[ingestThetaStream]] for the heavy-hitters
     * buckets.
@@ -239,17 +244,14 @@ object Sketches {
                        stream: DataFrame, groups: Seq[Column], bucket: Column,
                        item: Column, path: String, maxItems: Int = 10000,
                        checkpoint: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = stream.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.core.SwapStore.retryingStaleReads() {
-          graft.core.SwapStore.fold(spark, path, bid) { cur =>
-            appendTopKBuckets(cur, batch, groups, bucket, item, maxItems)
-          }
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStore(spark, stream, path, checkpoint)(
+      appendTopKBuckets(_, _, groups, bucket, item, maxItems))
+
+  /** The current standing frequent-items table — feed to [[topKOver]]. */
+  def readTopKStore(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
 
   /** Continuous distinct counting — the streaming form of the theta
     * family: an update-mode running `theta_sketch_agg` per group whose
