@@ -13,11 +13,51 @@ import org.apache.spark.sql.functions._
   *
   * The swap itself is the two-rename protocol ([[swapDirs]], shared
   * with every standing index); readers racing the visibility window
-  * retry via [[retryingStaleReads]] at the call sites that fold.
+  * retry via [[retryingStaleReads]] at the call sites that fold, and a
+  * crash BETWEEN the two renames (no `_store` at all) is rolled
+  * forward or back by [[ensureStore]] on the next read — the staging
+  * dir always holds a complete replacement (its writes finish before
+  * any rename starts), and the first rename parks the previous content
+  * at `_store.old`, so one of the two is always restorable.
   */
 object SwapStore {
 
   private def store(path: String) = s"$path/_store"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recover from a crash inside [[swapDirs]]' two-rename window: if
+    * `_store` is missing, roll FORWARD to a complete `_store.next`
+    * (both its parquet writes carry `_SUCCESS` markers — the ledger is
+    * written last, so its marker implies the data's) or, failing that,
+    * roll BACK to `_store.old`. Either direction converges: forward
+    * lands with the advanced ledger (the crashed fold's replay is a
+    * no-op), back lands with the previous ledger (the replay re-folds).
+    * A rename lost to a concurrent completing swap is fine as long as
+    * `_store` exists afterwards.
+    */
+  private def ensureStore(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val st = new org.apache.hadoop.fs.Path(store(path))
+    if (fs.exists(st)) return
+    val next = new org.apache.hadoop.fs.Path(s"$path/_store.next")
+    val old = new org.apache.hadoop.fs.Path(s"${store(path)}.old")
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "data/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "ledger/_SUCCESS"))
+    if (fs.exists(next) && complete(next)) {
+      if (fs.rename(next, st)) fs.delete(old, true)
+      else require(fs.exists(st),
+        s"SwapStore.ensureStore: roll-forward rename $next -> $st failed")
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, st) || fs.exists(st),
+        s"SwapStore.ensureStore: roll-back rename $old -> $st failed")
+    }
+    // neither exists: nothing to recover — let the read surface the
+    // genuine missing-store error
+  }
 
   /** Atomically replace the directory at `path` with `tmp` via two
     * renames (path -> path.old, tmp -> path). Crash between the
@@ -39,15 +79,20 @@ object SwapStore {
   }
 
   /** Run `body`, retrying (bounded, short linear backoff) when it dies
-    * on a missing path/file — the [[swapDirs]] visibility window.
+    * on a missing path/file — the [[swapDirs]] visibility window. The
+    * classifier is scoped to the two exception TYPES a mid-swap read
+    * actually produces (`FileNotFoundException` from a listed-then-
+    * vanished file, `AnalysisException [PATH_NOT_FOUND]` from plan-time
+    * resolution), anywhere in the cause chain — a genuinely wrong store
+    * path raises something else and surfaces immediately instead of
+    * burning the retry budget.
     */
   private[graft] def retryingStaleReads[T](attempts: Int = 5, backoffMs: Long = 500)
                                           (body: => T): T = {
     def missingFile(e: Throwable): Boolean = e != null && {
       e.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(e.getMessage).exists(m =>
-          m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
-            m.contains("FileNotFoundException")) ||
+        (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+          Option(e.getMessage).exists(_.contains("PATH_NOT_FOUND"))) ||
         missingFile(e.getCause)
     }
     var left = math.max(attempts, 1)
@@ -80,12 +125,16 @@ object SwapStore {
   }
 
   /** The current table. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    ensureStore(spark, path)
     spark.read.parquet(s"${store(path)}/data")
+  }
 
   /** The last applied batch id (-1 after [[init]]). */
-  def lastBatch(spark: SparkSession, path: String): Long =
+  def lastBatch(spark: SparkSession, path: String): Long = {
+    ensureStore(spark, path)
     spark.read.parquet(s"${store(path)}/ledger").head.getLong(0)
+  }
 
   /** Apply `transform` to the current table and swap the result in,
     * advancing the ledger to `batchId` — or do nothing if `batchId` was
@@ -99,6 +148,24 @@ object SwapStore {
     val tmp = s"$path/_store.next"
     out.write.mode("overwrite").parquet(s"$tmp/data")
     spark.range(1).select(lit(batchId).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    swapDirs(spark, store(path), tmp)
+  }
+
+  /** Rewrite the store's data into `files` parquet files WITHOUT
+    * advancing the ledger — the small-file bound for stores that fold
+    * often (every fold's groupBy writes shuffle-partition-many files;
+    * a periodic compact keeps the read side to `files` regardless of
+    * fold count). Content- and ledger-invariant (SwapStoreSpec), same
+    * crash-safe swap as [[fold]].
+    */
+  def compact(spark: SparkSession, path: String, files: Int = 1): Unit = {
+    require(files > 0, "SwapStore.compact: files must be positive")
+    val last = lastBatch(spark, path)
+    val tmp = s"$path/_store.next"
+    read(spark, path).coalesce(files)
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    spark.range(1).select(lit(last).as("last_batch"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
     swapDirs(spark, store(path), tmp)
   }

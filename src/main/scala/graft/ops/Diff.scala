@@ -261,7 +261,9 @@ object Diff {
     // exactly-once rides on batch ids ascending across restarts — a
     // view that outlives one query needs a DURABLE checkpoint, else a
     // fresh query restarts ids at 0 and the ledger silently no-ops new
-    // batches of an advanced source (see Sketches.ingestThetaStream)
+    // batches of an advanced source (warned loudly, like the sketch
+    // ingests)
+    Sketches.warnIfEphemeral(checkpoint, path)
     val w = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

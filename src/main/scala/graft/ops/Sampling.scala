@@ -226,7 +226,14 @@ object Sampling {
     * is a single long (tokens seen). Batches sort only their own rows.
     * Domains are few; if one domain dominates arrival volume the
     * exchange is the admission ledger's unavoidable serialization
-    * point — the state itself stays O(domains).
+    * point — the state itself stays O(domains). PER-TRIGGER memory is
+    * a different bound: the state function materializes and sorts one
+    * domain's whole micro-batch in its task's heap (the in-key-order
+    * determinism requires the sort, and group iterators are not
+    * order-guaranteed), so a single trigger must be sized such that
+    * its largest domain's rows fit one executor — cap it at the source
+    * (maxFilesPerTrigger / maxOffsetsPerTrigger), which any admission
+    * stream needs anyway for latency.
     */
   def quotaFillStream(docs: DataFrame, domain: Column, key: Column,
                       tokens: Column, budget: Long,

@@ -107,25 +107,36 @@ object Sketches {
     *
     * One pass over the (tiny) bucket table: the two slice unions ride
     * the same aggregate via null-skipped conditional inputs, then the
-    * intersection/difference are per-group scalar sketch ops.
+    * intersection/difference are per-group scalar sketch ops. A group
+    * whose rows all fall on ONE side leaves the other side's union
+    * null (an aggregate over no inputs has no sketch) — the
+    * set-algebra answers for that group are well-defined (empty set),
+    * so the one-sided cases resolve explicitly to zeros / the present
+    * side's own count instead of letting the null poison every
+    * estimate downstream.
     */
   def overlapOver(buckets: DataFrame, groups: Seq[String],
                   predA: Column, predB: Column, lgK: Int = MaxLgK): DataFrame = {
     require(lgK >= 4 && lgK <= MaxLgK, s"overlapOver: lgK $lgK outside [4, $MaxLgK]")
+    val estA = theta_sketch_estimate(col("__a"))
+    val estB = theta_sketch_estimate(col("__b"))
     buckets.where(predA || predB)
       .groupBy(groups.map(col): _*)
       .agg(
         theta_union_agg(when(predA, col("sketch")), lgK).as("__a"),
         theta_union_agg(when(predB, col("sketch")), lgK).as("__b"))
       .select(groups.map(col) ++ Seq(
-        theta_sketch_estimate(theta_intersection(col("__a"), col("__b")))
+        when(col("__a").isNull || col("__b").isNull, lit(0L))
+          .otherwise(theta_sketch_estimate(theta_intersection(col("__a"), col("__b"))))
           .as("in_both"),
-        theta_sketch_estimate(theta_difference(col("__a"), col("__b")))
+        when(col("__a").isNull, lit(0L)).when(col("__b").isNull, estA)
+          .otherwise(theta_sketch_estimate(theta_difference(col("__a"), col("__b"))))
           .as("only_a"),
-        theta_sketch_estimate(theta_difference(col("__b"), col("__a")))
+        when(col("__b").isNull, lit(0L)).when(col("__a").isNull, estB)
+          .otherwise(theta_sketch_estimate(theta_difference(col("__b"), col("__a"))))
           .as("only_b"),
-        theta_sketch_estimate(col("__a")).as("a_total"),
-        theta_sketch_estimate(col("__b")).as("b_total")): _*)
+        coalesce(estA, lit(0L)).as("a_total"),
+        coalesce(estB, lit(0L)).as("b_total")): _*)
   }
 
   /** Shared store-lifecycle skeleton for the three sketch types: the
@@ -140,6 +151,7 @@ object Sketches {
                           checkpoint: Option[String])
                          (append: (DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    warnIfEphemeral(checkpoint, path)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {
@@ -148,6 +160,20 @@ object Sketches {
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** The silent-data-loss mode made loud: exactly-once rides on batch
+    * ids ascending ACROSS restarts, which only a durable checkpoint
+    * provides — a restarted checkpoint-less query numbers from 0 again
+    * and the store ledger no-ops genuinely new batches. None stays
+    * available as a single-query/test convenience, but never quietly.
+    */
+  private[graft] def warnIfEphemeral(checkpoint: Option[String], path: String): Unit =
+    if (checkpoint.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(Sketches.getClass).warn(
+        s"continuous ingest into $path started WITHOUT a durable checkpoint: " +
+          "if this query ever restarts, batch ids reset to 0 and the store's " +
+          "ledger will silently skip new data. Pass checkpoint=Some(dir) for " +
+          "any store that outlives one query.")
 
   /** Persist a bucket table as a standing store ([[graft.core.SwapStore]]
     * layout: data + last-applied-batch ledger in one swap unit) — the

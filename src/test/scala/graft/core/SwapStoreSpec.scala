@@ -45,6 +45,74 @@ class SwapStoreSpec extends AnyFunSuite {
     assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 2L)))
   }
 
+  test("a crash BETWEEN the two swap renames rolls FORWARD to a complete staging dir") {
+    val path = TempDirs.create("swapstore_midswap_fwd")
+    SwapStore.init(Seq((1L, 1L)).toDF("k", "n"), path)
+    // stage a complete replacement (data + ledger, _SUCCESS-marked) ...
+    Seq((1L, 99L)).toDF("k", "n").write.parquet(s"$path/_store.next/data")
+    spark.range(1).select(lit(7L).as("last_batch"))
+      .coalesce(1).write.parquet(s"$path/_store.next/ledger")
+    // ... then simulate dying after rename #1: _store is gone
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/_store"),
+      java.nio.file.Paths.get(s"$path/_store.old"))
+    assert(SwapStore.lastBatch(spark, path) == 7L,
+      "read must complete the crashed swap, not fail on the missing store")
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 99L)))
+    // the crashed fold's replay is now a no-op (ledger already advanced)
+    SwapStore.fold(spark, path, 7L)(_.withColumn("n", col("n") + 1))
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 99L)))
+  }
+
+  test("a crash between the renames with an INCOMPLETE staging dir rolls BACK") {
+    val path = TempDirs.create("swapstore_midswap_back")
+    SwapStore.init(Seq((1L, 1L)).toDF("k", "n"), path)
+    // staging dir exists but its ledger never finished (no _SUCCESS)
+    Seq((1L, 99L)).toDF("k", "n").write.parquet(s"$path/_store.next/data")
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/_store"),
+      java.nio.file.Paths.get(s"$path/_store.old"))
+    assert(SwapStore.lastBatch(spark, path) == -1L,
+      "read must restore the previous content from _store.old")
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 1L)))
+    // the interrupted fold replays cleanly on the restored store
+    SwapStore.fold(spark, path, 0L)(_.withColumn("n", col("n") * 2))
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 2L)))
+  }
+
+  test("retryingStaleReads: only missing-file errors burn retries") {
+    var other = 0
+    intercept[IllegalStateException] {
+      SwapStore.retryingStaleReads(attempts = 5, backoffMs = 1) {
+        other += 1; throw new IllegalStateException("not a swap window")
+      }
+    }
+    assert(other == 1, "an unrelated error must surface immediately, no retries")
+    var missing = 0
+    val e = intercept[RuntimeException] {
+      SwapStore.retryingStaleReads(attempts = 3, backoffMs = 1) {
+        missing += 1; throw new RuntimeException("wrapped",
+          new java.io.FileNotFoundException("gone"))
+      }
+    }
+    assert(e.getCause.isInstanceOf[java.io.FileNotFoundException])
+    assert(missing == 3, "a missing file (even as a cause) retries to exhaustion")
+  }
+
+  test("compact bounds the data file count and changes neither content nor ledger") {
+    val path = TempDirs.create("swapstore_compact")
+    SwapStore.init(spark.range(100).toDF("k").repartition(8), path)
+    SwapStore.fold(spark, path, 3L)(df => df.withColumn("n", col("k") * 2))
+    val before = SwapStore.read(spark, path).as[(Long, Long)].collect().toSet
+    SwapStore.compact(spark, path, files = 1)
+    assert(SwapStore.lastBatch(spark, path) == 3L, "compact must not advance the ledger")
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().toSet == before)
+    val parts = new java.io.File(s"$path/_store/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 1, s"expected 1 data file after compact, found $parts")
+    // folds keep applying normally on the compacted store
+    SwapStore.fold(spark, path, 4L)(_.where(col("k") < 50))
+    assert(SwapStore.read(spark, path).count() == 50)
+  }
+
   test("init over an existing store replaces it atomically and resets the ledger") {
     val path = TempDirs.create("swapstore_reinit")
     SwapStore.init(Seq((1L, "old")).toDF("k", "v"), path)

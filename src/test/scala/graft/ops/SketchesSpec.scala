@@ -42,6 +42,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapOver: a one-sided group reports zeros, not nulls") {
+    // g2's rows all land on the A side — the B union aggregates no
+    // inputs, and the set algebra must resolve to empty-set answers
+    val oneSided = Seq(("g1", 0L, 1L), ("g1", 1L, 2L), ("g2", 0L, 3L))
+      .toDF("g", "b", "v")
+    val bk = Sketches.thetaBuckets(oneSided, Seq(col("g")), col("b"), col("v"))
+    val got = Sketches.overlapOver(bk, Seq("g"), col("bucket") === 0, col("bucket") === 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("g2") == ((0L, 1L, 0L, 1L, 0L)), "A-only group: only_a = a_total, rest 0")
+    assert(got("g1") == ((0L, 1L, 1L, 1L, 1L)))
+    val flipped = Sketches.overlapOver(bk, Seq("g"), col("bucket") === 1, col("bucket") === 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(flipped("g2") == ((0L, 0L, 1L, 0L, 1L)), "B-only group: only_b = b_total, rest 0")
+  }
+
   test("union of bucket sketches == one direct sketch over the filtered rows") {
     val direct = df.where(col("b") <= 2).groupBy("g")
       .agg(theta_sketch_estimate(theta_sketch_agg(col("v"), 20)).as("d"))
