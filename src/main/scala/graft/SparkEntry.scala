@@ -62,6 +62,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q163StoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // q164's atomic multi-store catalog (built once, crash-replayed inside
+  // the build), one per (process, sf dir)
+  private val q164CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -2684,6 +2688,124 @@ object SparkEntry {
           col("bucket").rlike("[02468]$"), k = 5)
         .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
     }),
+    "q164_catalog_ingest" -> ((s, d) => {
+      // ATOMIC MULTI-STORE INGESTION under one shared batch ledger —
+      // the honest version of the reference's claimed-but-sequential
+      // transactional checkpoint commit (jobmanager/
+      // checkpoint_coordinator.py:485-527): each admitted batch folds
+      // into THREE standing sketch stores (theta distinct-users, KLL
+      // value quantiles, frequent-user top-k, all per event_type) via
+      // Catalog.ingest, whose single manifest swap makes the fold
+      // all-or-nothing. The build INJECTS A CRASH mid-batch-1 (two of
+      // three store generations written, manifest untouched), asserts
+      // the catalog still answers pre-batch, then replays batch 1 —
+      // the foreachBatch restart path — before batch 2. The gate then
+      // answers all three questions FROM THE STORES, exactness-gated
+      // in-plan, while the oracle re-derives every answer from the raw
+      // events: any torn or double-applied fold in any store breaks
+      // the compare.
+      val e = Tables(s, d).events
+      def prep(df: DataFrame) = df.select(col("event_id"), col("event_type"),
+        col("user_id"), dayBucket(col("ts")).as("day"),
+        floor(col("value")).cast("long").as("fv"))
+      val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+        "theta" -> ((cur, b) => Sketches.appendThetaBuckets(cur, b,
+          Seq(col("event_type")), col("day"), col("user_id"))),
+        "kll" -> ((cur, b) => Sketches.appendKllBuckets(cur, b,
+          Seq(col("event_type")), col("day"), col("fv"), k = 65535)),
+        "topk" -> ((cur, b) => Sketches.appendTopKBuckets(cur, b,
+          Seq(col("event_type")), col("day"), col("user_id"))))
+      val base = q164CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q164_catalog")
+        val init = prep(e.where(col("event_id") % 2 === 0))
+        graft.core.Catalog.init(p, Map(
+          "theta" -> Sketches.thetaBuckets(init,
+            Seq(col("event_type")), col("day"), col("user_id")),
+          "kll" -> Sketches.kllBuckets(init,
+            Seq(col("event_type")), col("day"), col("fv"), k = 65535),
+          "topk" -> Sketches.topKBuckets(init,
+            Seq(col("event_type")), col("day"), col("user_id"))))
+        // the odd half arrives as three admitted batches (odd event_ids
+        // have event_id % 6 in {1, 3, 5})
+        def slice(i: Int) = prep(e.where(col("event_id") % 6 === 2 * i + 1))
+        withShufflePartitions(s, 4) {
+          graft.core.Catalog.ingest(s, p, 0L, slice(0), folds)
+          try graft.core.Catalog.ingestImpl(s, p, 1L, slice(1), folds, failAfter = 2)
+          catch { case _: IllegalStateException => () }
+          require(graft.core.Catalog.lastBatch(s, p) == 0L,
+            "q164: a torn batch must never become visible")
+          graft.core.Catalog.ingest(s, p, 1L, slice(1), folds)
+          graft.core.Catalog.ingest(s, p, 2L, slice(2), folds)
+        }
+        p
+      })
+      val users = Sketches.distinctOver(
+        graft.core.Catalog.read(s, base, "theta"), Seq("event_type"),
+        lit(true), out = "__users")
+      val p50 = Sketches.quantilesOver(
+        graft.core.Catalog.read(s, base, "kll"), Seq("event_type"),
+        lit(true), Seq(0.5), k = 65535)
+      val top = Sketches.topKOver(
+          graft.core.Catalog.read(s, base, "topk"), Seq("event_type"),
+          lit(true), k = 1)
+        .select(col("event_type"), col("item").as("top_user"),
+          col("cnt").as("__top_cnt"))
+      val exact = prep(e).groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("__eu"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)")
+          .as("__e50"))
+      val exactTop = e.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("__c").desc, col("user_id").asc)))
+        .where(col("__rk") === 1)
+        .select(col("event_type"), col("user_id").as("__etu"), col("__c").as("__etc"))
+      def gated = exactnessGate("q164") _
+      users.join(p50, Seq("event_type")).join(top, Seq("event_type"))
+        .join(exact, Seq("event_type")).join(exactTop, Seq("event_type"))
+        .select(col("event_type"),
+          gated("__users", "__eu", "users"),
+          gated("p50", "__e50", "p50"),
+          gated("top_user", "__etu", "top_user"),
+          gated("__top_cnt", "__etc", "top_cnt"))
+    }),
+    "q165_scd2_history" -> ((s, d) => {
+      // Diff.scd2 oracle-gated (was spec-only, VERDICT-r10 #5): SCD-2
+      // dimension history from the events changelog — each user's
+      // purchase events, collapsed to one version per (user, ms) so
+      // (key, seq) is total, become half-open validity intervals via
+      // ONE keyed window pass (no self-join). Oracle = the same lead()
+      // replay in DuckDB.
+      val versions = Tables(s, d).events
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
+        .agg(max(col("value")).as("p_value"))
+      Diff.scd2(versions, Seq("user_id"), "vms")
+        .select(col("user_id"), col("vms"), col("p_value"),
+          col("valid_to"), col("is_current").cast("int").as("is_current"))
+    }),
+    "q166_temporal_attach" -> ((s, d) => {
+      // Diff.temporalJoin oracle-gated (was spec-only, VERDICT-r10 #5):
+      // the point-in-time attach a training pipeline uses — every
+      // click gets the purchase-version attributes valid AT ITS
+      // event time. The dimension is q165's SCD-2 history with the
+      // odd-ms versions REMOVED, leaving real gaps: a click landing in
+      // a dropped version's interval must come back NULL (the retained
+      // predecessor's valid_to excludes it) — the expired-version miss
+      // branch. One union-plus-window keyed exchange, no join node;
+      // oracle = DuckDB ASOF LEFT JOIN plus the same coverage CASE.
+      val e = Tables(s, d).events
+      val versions = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
+        .agg(max(col("value")).as("p_value"))
+      val dim = Diff.scd2(versions, Seq("user_id"), "vms")
+        .where(col("vms") % 2 === 0)
+        .select(col("user_id"), col("vms"), col("valid_to"), col("p_value"))
+      val facts = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), ms(col("ts")).as("cms"))
+      Diff.temporalJoin(facts, dim, Seq("user_id"), "cms", "vms", "valid_to",
+        Seq("p_value"))
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -3041,6 +3163,49 @@ object SparkEntry {
         |  SELECT b.id AS new_id, a.id AS dup_id, list_cosine_similarity(a.v, b.v) AS c
         |  FROM a, b
         |) WHERE c >= 0.95""".stripMargin,
+    "q164_catalog_ingest" ->
+      // rebuilt-from-scratch truth for all three catalog stores: if any
+      // fold tore (a store missing a batch) or double-applied (the
+      // crashed batch-1 replay landing twice), distinct counts, the
+      // median, or the top-user counts diverge and the compare breaks
+      """WITH t AS (SELECT event_type, user_id,
+        |            CAST(floor(value) AS BIGINT) AS fv FROM events),
+        |u AS (SELECT event_type, count(DISTINCT user_id) AS users FROM t GROUP BY 1),
+        |q AS (SELECT event_type,
+        |        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT) AS p50
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, user_id AS top_user, cnt AS top_cnt,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY cnt DESC, user_id) AS rk FROM c)
+        |SELECT u.event_type, u.users, q.p50, k.top_user, k.top_cnt
+        |FROM u JOIN q USING (event_type) JOIN k USING (event_type)
+        |WHERE k.rk = 1""".stripMargin,
+    "q165_scd2_history" ->
+      // the lead() window replay of the SCD-2 interval derivation
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, vms, p_value,
+        |  lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to,
+        |  CAST(lead(vms) OVER (PARTITION BY user_id ORDER BY vms) IS NULL
+        |       AS INTEGER) AS is_current
+        |FROM p""".stripMargin,
+    "q166_temporal_attach" ->
+      // DuckDB's native ASOF LEFT JOIN picks the same greatest
+      // valid_from <= fact ts; the CASE applies the identical coverage
+      // rule (a fact past its version's valid_to is a miss)
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |h AS (SELECT user_id, vms, p_value,
+        |        lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |      FROM p),
+        |d AS (SELECT * FROM h WHERE vms % 2 = 0),
+        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
+        |      FROM events WHERE event_type = 'click')
+        |SELECT f.event_id, f.user_id, f.cms,
+        |  CASE WHEN d.vms IS NOT NULL AND (d.valid_to IS NULL OR f.cms < d.valid_to)
+        |       THEN d.p_value END AS p_value
+        |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.cms >= d.vms""".stripMargin,
   )
 
   private val oracleSqlBase: Map[String, String] = Map(

@@ -1,0 +1,166 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Atomic multi-store ingestion — one admitted batch folds into SEVERAL
+  * standing stores with all-or-nothing visibility under ONE shared
+  * batch ledger.
+  *
+  * Each standing index in this library ([[graft.ops.DedupIndex]],
+  * [[graft.ops.Bm25Index]], the sketch stores, the materialized views)
+  * is individually crash-safe, but a pipeline that admits a batch and
+  * then folds it into every index one-by-one is NOT: a crash
+  * mid-sequence leaves the indexes mutually inconsistent (some saw the
+  * batch, some did not), and a replay double-applies into the ones that
+  * did. This is the honest version of the reference's claimed — but
+  * not actually transactional — checkpoint commit (reference:
+  * jobmanager/checkpoint_coordinator.py:485-527 "commits" per-operator
+  * state files sequentially with no atomicity point; a crash between
+  * files yields exactly the torn state described above).
+  *
+  * Design: generation-addressed stores behind a single manifest swap.
+  * ```
+  *   base/_manifest            SwapStore: rows (store, gen) + the shared
+  *                             last-applied-batch ledger, one swap unit
+  *   base/stores/<name>/g<N>   immutable parquet tables; N = the batch
+  *                             id that produced it (init = g-1)
+  * ```
+  * [[ingest]] writes every store's NEW generation to `g<batchId>`
+  * (never touching the current ones), then swaps the manifest — the
+  * single atomic point — to reference them all and advance the ledger.
+  * Crash anywhere before the swap: the manifest still references the
+  * old generations, every reader sees the pre-batch catalog, and the
+  * replay (same batch id, deterministic generation names) simply
+  * overwrites the partial `g<batchId>` dirs and swaps. Crash during
+  * the swap: [[SwapStore]]'s own roll-forward/back recovery. A
+  * re-delivered batch (id ≤ ledger) is a no-op before any write.
+  *
+  * Scale shape: a fold's work per store is whatever the caller's fold
+  * function costs (the standing-index appends are all new-batch-sized
+  * plus the store's own summary tables); the manifest is a
+  * store-count-sized table and its swap is two renames. Generations
+  * older than the previous one are deleted after a successful swap —
+  * the previous survives one fold so readers that resolved the
+  * manifest just before the swap can finish (the same bounded-retry
+  * posture as every swap reader, [[SwapStore.retryingStaleReads]]).
+  */
+object Catalog {
+
+  private def manifestPath(base: String) = s"$base/_manifest"
+  private def genDir(base: String, store: String, gen: Long) =
+    s"$base/stores/$store/g$gen"
+
+  /** Create the catalog: every store's initial table becomes its g-1
+    * generation and the manifest starts with ledger -1.
+    */
+  def init(base: String, stores: Map[String, DataFrame]): Unit = {
+    require(stores.nonEmpty, "Catalog.init: at least one store")
+    val spark = stores.head._2.sparkSession
+    stores.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(genDir(base, name, -1L))
+    }
+    import spark.implicits._
+    SwapStore.init(
+      stores.keys.toSeq.sorted.map(n => (n, -1L)).toDF("store", "gen"),
+      manifestPath(base))
+  }
+
+  /** Current generation per store. */
+  def gens(spark: SparkSession, base: String): Map[String, Long] =
+    SwapStore.read(spark, manifestPath(base))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The current table of one store — resolved through the manifest, so
+    * a reader can never see a half-ingested batch.
+    */
+  def read(spark: SparkSession, base: String, store: String): DataFrame = {
+    val g = gens(spark, base).getOrElse(store,
+      throw new IllegalArgumentException(s"Catalog: no store '$store' under $base"))
+    spark.read.parquet(genDir(base, store, g))
+  }
+
+  /** The shared ledger: last batch id applied to the catalog (-1 after
+    * [[init]]).
+    */
+  def lastBatch(spark: SparkSession, base: String): Long =
+    SwapStore.lastBatch(spark, manifestPath(base))
+
+  /** Fold one admitted batch into every named store atomically: each
+    * fold function maps (current store table, batch) to the store's
+    * next table. Either every store advances to the batch's generation
+    * and the ledger moves, or (on any failure) none does. Stores in
+    * the manifest but absent from `folds` keep their generation.
+    */
+  def ingest(spark: SparkSession, base: String, batchId: Long, batch: DataFrame,
+             folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)]): Unit =
+    ingestImpl(spark, base, batchId, batch, folds, failAfter = Int.MaxValue)
+
+  /** [[ingest]] with a crash-injection point for the atomicity tests:
+    * throws after `failAfter` store generations are written (== folds
+    * size: after all writes, before the manifest swap).
+    */
+  private[graft] def ingestImpl(spark: SparkSession, base: String, batchId: Long,
+                                batch: DataFrame,
+                                folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
+                                failAfter: Int): Unit = {
+    require(folds.nonEmpty, "Catalog.ingest: at least one fold")
+    require(folds.map(_._1).distinct.size == folds.size,
+      "Catalog.ingest: duplicate store names in folds")
+    if (batchId <= lastBatch(spark, base)) return // re-delivered batch: no-op
+    val cur = gens(spark, base)
+    folds.foreach { case (name, _) =>
+      require(cur.contains(name),
+        s"Catalog.ingest: store '$name' not in the catalog (${cur.keys.toSeq.sorted.mkString(", ")})")
+    }
+    folds.zipWithIndex.foreach { case ((name, fold), i) =>
+      if (i >= failAfter)
+        throw new IllegalStateException(
+          s"Catalog: injected crash after $i of ${folds.size} store writes")
+      val current = spark.read.parquet(genDir(base, name, cur(name)))
+      fold(current, batch).write.mode("overwrite")
+        .parquet(genDir(base, name, batchId))
+    }
+    if (failAfter == folds.size)
+      throw new IllegalStateException(
+        "Catalog: injected crash after all store writes, before the manifest swap")
+    val folded = folds.map(_._1).toSet
+    SwapStore.fold(spark, manifestPath(base), batchId) { m =>
+      m.select(col("store"),
+        when(col("store").isin(folded.toSeq: _*), lit(batchId))
+          .otherwise(col("gen")).as("gen"))
+    }
+    // GC superseded generations: keep the new one and its immediate
+    // predecessor (for readers that resolved the manifest pre-swap)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    folds.foreach { case (name, _) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$base/stores/$name")
+      val keep = Set(s"g$batchId", s"g${cur(name)}")
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+        }
+    }
+  }
+
+  /** Continuous atomic ingestion: every arriving micro-batch folds into
+    * ALL the named stores under the shared ledger — the streaming form
+    * of [[ingest]], with the same exactly-once replay semantics
+    * (foreachBatch re-deliveries are no-ops) and the same durable-
+    * checkpoint requirement as every store that outlives one query.
+    */
+  def ingestStream(spark: SparkSession, stream: DataFrame, base: String,
+                   folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
+                   checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.ops.Sketches.warnIfEphemeral(checkpoint, base)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        SwapStore.retryingStaleReads() {
+          ingest(spark, base, bid, batch, folds)
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // three tiny "indexes" over a (k, v) batch: a row count, a per-key
+  // sum, and a distinct-key list — shapes enough to tell torn state
+  private def folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+    "cnt" -> ((cur, b) => cur.unionByName(b.agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("n"))),
+    "sums" -> ((cur, b) => cur.unionByName(b.groupBy("k").agg(sum(col("v")).as("s")))
+      .groupBy("k").agg(sum(col("s")).as("s"))),
+    "keys" -> ((cur, b) => cur.unionByName(b.select(col("k"))).distinct()))
+
+  private def initStores(base: String): Unit =
+    Catalog.init(base, Map(
+      "cnt" -> Seq(0L).toDF("n"),
+      "sums" -> Seq.empty[(Long, Long)].toDF("k", "s"),
+      "keys" -> Seq.empty[Tuple1[Long]].toDF("k")))
+
+  private def snapshot(base: String): (Long, Map[Long, Long], Set[Long]) = (
+    Catalog.read(spark, base, "cnt").as[Long].collect().head,
+    Catalog.read(spark, base, "sums").as[(Long, Long)].collect().toMap,
+    Catalog.read(spark, base, "keys").as[Long].collect().toSet)
+
+  test("ingest folds one batch into every store; replays are no-ops") {
+    val base = TempDirs.create("catalog_basic")
+    initStores(base)
+    assert(Catalog.lastBatch(spark, base) == -1L)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), folds)
+    assert(Catalog.lastBatch(spark, base) == 0L)
+    assert(snapshot(base) == ((2L, Map(1L -> 10L, 2L -> 20L), Set(1L, 2L))))
+    // re-delivery of the same batch id must change nothing
+    Catalog.ingest(spark, base, 0L, Seq((9L, 999L)).toDF("k", "v"), folds)
+    assert(snapshot(base) == ((2L, Map(1L -> 10L, 2L -> 20L), Set(1L, 2L))))
+    Catalog.ingest(spark, base, 1L, Seq((1L, 5L)).toDF("k", "v"), folds)
+    assert(snapshot(base) == ((3L, Map(1L -> 15L, 2L -> 20L), Set(1L, 2L))))
+  }
+
+  test("a crash at EVERY point of the fold sequence leaves the catalog atomic") {
+    // failAfter = 0 (before any store), 1, 2 (mid-sequence), 3 (all
+    // stores written, manifest not yet swapped) — in every case the
+    // catalog must answer as if the batch never arrived, and the
+    // replay must land it exactly once
+    for (failAfter <- 0 to 3) {
+      val base = TempDirs.create(s"catalog_crash$failAfter")
+      initStores(base)
+      Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+      val before = snapshot(base)
+      val batch = Seq((1L, 1L), (3L, 30L)).toDF("k", "v")
+      intercept[IllegalStateException] {
+        Catalog.ingestImpl(spark, base, 1L, batch, folds, failAfter)
+      }
+      assert(Catalog.lastBatch(spark, base) == 0L,
+        s"failAfter=$failAfter: ledger must not advance")
+      assert(snapshot(base) == before,
+        s"failAfter=$failAfter: no store may see the torn batch")
+      // the replay (the foreachBatch restart path) applies it exactly once
+      Catalog.ingest(spark, base, 1L, batch, folds)
+      assert(snapshot(base) == ((3L, Map(1L -> 11L, 3L -> 30L), Set(1L, 3L))),
+        s"failAfter=$failAfter: replay must converge to the no-crash result")
+    }
+  }
+
+  test("stores outside the fold set keep their generation and content") {
+    val base = TempDirs.create("catalog_subset")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds.take(2))
+    assert(Catalog.read(spark, base, "keys").count() == 0, "unfolded store untouched")
+    assert(Catalog.gens(spark, base)("keys") == -1L)
+    assert(Catalog.gens(spark, base)("cnt") == 0L)
+  }
+
+  test("superseded generations are deleted; current + previous survive") {
+    val base = TempDirs.create("catalog_gc")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 1L)).toDF("k", "v"), folds)
+    Catalog.ingest(spark, base, 1L, Seq((2L, 2L)).toDF("k", "v"), folds)
+    val dirs = new java.io.File(s"$base/stores/cnt").listFiles().map(_.getName).toSet
+    assert(dirs == Set("g0", "g1"), s"expected current+previous, got $dirs")
+  }
+
+  test("continuous ingestion: the streaming form folds each micro-batch atomically") {
+    val base = TempDirs.create("catalog_stream")
+    initStores(base)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = Catalog.ingestStream(spark, mem.toDF().toDF("k", "v"), base, folds)
+    try {
+      mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      mem.addData((1L, 5L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(snapshot(base) == ((3L, Map(1L -> 15L, 2L -> 20L), Set(1L, 2L))))
+    assert(Catalog.lastBatch(spark, base) == 1L)
+  }
+
+  test("unknown store names and duplicate folds fail fast") {
+    val base = TempDirs.create("catalog_guards")
+    initStores(base)
+    val b = Seq((1L, 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Catalog.ingest(spark, base, 0L, b, Seq("nope" -> folds.head._2))
+    }
+    intercept[IllegalArgumentException] {
+      Catalog.ingest(spark, base, 0L, b, folds.take(1) ++ folds.take(1))
+    }
+    intercept[IllegalArgumentException] { Catalog.read(spark, base, "nope") }
+  }
+}
