@@ -89,6 +89,17 @@ object SparkEntry {
   // oldest ~30 h of windows — a PARTIAL, boundary-exercising drop the
   // oracle recomputes exactly from per-slice max event times.
   private val q130Order = Seq(2, 3, 0, 1, 6, 7, 4, 5)
+  // the shared out-of-order stage (q130 tumbling late-drop, q167 session
+  // late-drop): events in q130Order slices plus the far-future sentinel
+  private def shuffledReplayDir(s: SparkSession, d: String): String =
+    q130ReplayCache.computeIfAbsent(d, _ => {
+      val ev = Tables(s, d).events.select(replayCols: _*)
+      val dir = graft.streaming.Replay.writeShuffledSlices(ev,
+        unix_millis(col("ts")),
+        graft.core.TempDirs.create("graft_q130"),
+        q130Order)
+      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
+    })
   // q117's re-chunked replay input, one per (process, sf dir)
   private val q117ReplayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1385,18 +1396,8 @@ object SparkEntry {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val stage = q130ReplayCache.computeIfAbsent(d, _ => {
-          val ev = Tables(s, d).events.select(replayCols: _*)
-          val dir = graft.streaming.Replay.writeShuffledSlices(ev,
-            unix_millis(col("ts")),
-            graft.core.TempDirs.create("graft_q130"),
-            q130Order)
-          graft.streaming.Replay.appendSlice(dir,
-            s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-              lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
-              timestamp_micros(lit(sentinelTsUs)).as("ts")), 8)
-        })
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
+        val stream = graft.streaming.Replay.orderedStream(s,
+          shuffledReplayDir(s, d),
           Tables(s, d).events.select(replayCols: _*).schema)
         val out = stream.withWatermark("ts", "240 hours")
           .where(col("ts") < sentinelCutoff)
@@ -2806,6 +2807,45 @@ object SparkEntry {
       Diff.temporalJoin(facts, dim, Seq("user_id"), "cms", "vms", "valid_to",
         Seq("p_value"))
     }),
+    "q167_session_late_stream" -> ((s, d) => {
+      // SESSION windows under OUT-OF-ORDER delivery — q130's
+      // deterministic late-drop regime applied to the one windowed path
+      // whose state MERGES. Same stage (q130Order slices, 240 h delay,
+      // sentinel), but the drop rule is the session form pinned in
+      // SessionLateSpec: a row is dropped iff its PROVISIONAL
+      // single-event session end (ts + 30 min) ≤ the one-batch-lagged
+      // watermark. Late survivors then merge into live per-user session
+      // state. The batch-recompute oracle (sessions over exactly the
+      // surviving rows) is valid because this geometry never lets a
+      // survivor overlap an ALREADY-EMITTED session: when late slice i
+      // arrives, sessions emitted so far ended ≤ the eviction watermark
+      // of the previous batch == this batch's FILTER watermark (the
+      // SPARK-40925 lag), and they came from slices ≥ two event-time
+      // ranges below it — the newest emitted end sits a full slice span
+      // (~3.75 d at sf0.01) below the oldest surviving ts, dwarfing the
+      // 30 min bridge reach (SessionLateSpec pins what would happen if
+      // this margin were violated: a second, overlapping session).
+      // ts is ms-truncated BEFORE the watermark (q23/q126's precision
+      // rule) so gap splits and watermark stats are engine-exact.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.Replay.orderedStream(s,
+            shuffledReplayDir(s, d),
+            Tables(s, d).events.select(replayCols: _*).schema)
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+        val out = stream.withWatermark("ts", "240 hours")
+          .where(col("ts") < sentinelCutoff)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+            col("user_id"), col("n_events"))
+        val q = out.writeStream.format("memory").queryName("graft_q167_sessions")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q167_sessions")
+    }),
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
@@ -3206,6 +3246,36 @@ object SparkEntry {
         |  CASE WHEN d.vms IS NOT NULL AND (d.valid_to IS NULL OR f.cms < d.valid_to)
         |       THEN d.p_value END AS p_value
         |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.cms >= d.vms""".stripMargin,
+    "q167_session_late_stream" ->
+      // q130's watermark-lag recipe with the SESSION drop rule
+      // (SessionLateSpec): the late-filter watermark of the batch at
+      // delivery position p is the running slice max over positions
+      // ≤ p−2 minus 240 h, and a row survives iff its provisional
+      // session end (ems + 30 min) EXCEEDS it. Sessions are then the
+      // plain gaps-and-islands split (q23's oracle) over exactly the
+      // surviving rows — valid because this geometry admits no
+      // survivor that overlaps an already-emitted session (see the
+      // query comment).
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |e AS (SELECT user_id, epoch_ms(ts) AS ems,
+        |        ((epoch_ms(ts) - b.lo) * 8 + 7) // (b.hi - b.lo + 1) AS slice
+        |      FROM events, b),
+        |sm AS (SELECT slice, max(ems) AS smax FROM e GROUP BY slice),
+        |ord(slice, pos) AS (VALUES (2,0),(3,1),(0,2),(1,3),(6,4),(7,5),(4,6),(5,7)),
+        |w AS (SELECT o.slice,
+        |        max(sm.smax) OVER (ORDER BY o.pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 864000000 AS wm
+        |      FROM ord o JOIN sm ON o.slice = sm.slice),
+        |kept AS (SELECT e.user_id, e.ems FROM e JOIN w ON e.slice = w.slice
+        |         WHERE w.wm IS NULL OR e.ems + 1800000 > w.wm),
+        |d AS (SELECT user_id, ems,
+        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
+        |       THEN 1 ELSE 0 END AS new_s FROM kept),
+        |s AS (SELECT user_id, ems,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
   )
 
   private val oracleSqlBase: Map[String, String] = Map(
