@@ -80,6 +80,12 @@ final class JobServer(spark: SparkSession) {
       s"stop the query using $checkpointDir before taking a savepoint")
     val dst = Paths.get(savepointRoot, name)
     require(!Files.exists(dst), s"savepoint '$name' already exists at $dst")
+    copyTree(src, dst)
+    dst.toString
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
@@ -88,7 +94,59 @@ final class JobServer(spark: SparkSession) {
         Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
-    dst.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+
+  /** [[savepoint]] for a [[graft.core.SwapStore]]-backed INGEST job —
+    * the foreachBatch lifecycle of `Sketches.ingest*Stream`,
+    * `Diff.maintainAggStream` and `Catalog.ingestStream`, which the
+    * plain checkpoint copy cannot snapshot alone (their state lives in
+    * the store, not the checkpoint). Copies the STOPPED query's
+    * checkpoint AND the store's current swap unit under one name; both
+    * are captured at rest, so the pair is mutually consistent — the
+    * store ledger's last-applied batch id matches the checkpoint's
+    * committed offsets, i.e. the savepoint IS a named generation pin.
+    * Returns the checkpoint snapshot path.
+    */
+  def ingestSavepoint(checkpointDir: String, storePath: String, name: String,
+                      savepointRoot: String): String = {
+    val cp = savepoint(checkpointDir, name, savepointRoot)
+    val storeSrc = java.nio.file.Paths.get(storePath, "_store")
+    require(java.nio.file.Files.isDirectory(storeSrc),
+      s"$storePath is not a SwapStore (no _store swap unit)")
+    copyTree(storeSrc, java.nio.file.Paths.get(savepointRoot, s"$name.store"))
+    cp
+  }
+
+  /** [[recover]] for an ingest job: restores the store snapshot into
+    * `storePath` via the crash-safe swap (a concurrent reader never
+    * sees a half-copied store), then starts the query from the
+    * savepoint checkpoint. The recovered job resumes folding at
+    * exactly the pinned ledger batch: the sources replay from the
+    * snapshot offsets and every batch id the restored ledger already
+    * holds is a no-op — exactly-once across the rollback.
+    */
+  def ingestRecover(savepointRoot: String, name: String, storePath: String)
+                   (start: String => StreamingQuery): JobHandle = {
+    import java.nio.file.{Files, Paths}
+    val snap = Paths.get(savepointRoot, s"$name.store")
+    require(Files.isDirectory(snap),
+      s"no ingest savepoint '$name' under $savepointRoot")
+    val tmp = Paths.get(storePath, "_store.next")
+    deleteTree(tmp)
+    copyTree(snap, tmp)
+    val live = Paths.get(storePath, "_store")
+    if (Files.isDirectory(live))
+      graft.core.SwapStore.swapDirs(spark, live.toString, tmp.toString)
+    else {
+      Files.createDirectories(live.getParent)
+      Files.move(tmp, live)
+    }
+    recover(savepointRoot, name)(start)
   }
 
   /** POST /jobs/recover (api.py:476-515): start a job from a named

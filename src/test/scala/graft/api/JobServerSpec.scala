@@ -43,6 +43,59 @@ class JobServerSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest job lifecycle: savepoint pins the store generation, recover resumes it") {
+    import graft.core.SwapStore
+    import graft.ops.Sketches
+    val js = new JobServer(spark)
+    val dir = graft.core.TempDirs.create("jobsrv_ingest_src")
+    val store = graft.core.TempDirs.create("jobsrv_ingest_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("jobsrv_ingest_ckpt").toString
+    val spRoot = java.nio.file.Files.createTempDirectory("jobsrv_ingest_sp").toString
+    val all = spark.range(100).select(lit("g").as("g"), (col("id") % 4).as("b"),
+      col("id").as("v"), col("id").as("ord"))
+    Sketches.initThetaStore(all.where(lit(false)), Seq(col("g")), col("b"), col("v"), store)
+    def distinctNow: Long =
+      Sketches.distinctOver(SwapStore.read(spark, store), Seq("g"), lit(true))
+        .as[(String, Long)].collect().headOption.map(_._2).getOrElse(0L)
+    def runIngest(cp: String): Unit = {
+      val job = js.submit("theta_ingest", Sketches.ingestThetaStream(spark,
+        graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+        Seq(col("g")), col("b"), col("v"), store, checkpoint = Some(cp)))
+      try job.query.processAllAvailable() finally js.cancel(job.query)
+    }
+    try {
+      // phase A: two slices fold in (batch ids 0, 1), then stop + savepoint
+      graft.streaming.Replay.writeOrderedSlices(
+        all.where(col("ord") < 50), col("ord"), dir, 2)
+      runIngest(ckpt)
+      assert(SwapStore.lastBatch(spark, store) == 1L && distinctNow == 50L)
+      js.ingestSavepoint(ckpt, store, "sp1", spRoot)
+      // phase B: two MORE slices arrive; the restarted job (same live
+      // checkpoint) folds them as batches 2, 3
+      graft.streaming.Replay.appendSlice(dir,
+        all.where(col("ord") >= 50 && col("ord") < 75), 2)
+      graft.streaming.Replay.appendSlice(dir, all.where(col("ord") >= 75), 3)
+      runIngest(ckpt)
+      assert(SwapStore.lastBatch(spark, store) == 3L && distinctNow == 100L)
+      // disaster: the live store is lost entirely
+      val storeUnit = java.nio.file.Paths.get(store, "_store")
+      java.nio.file.Files.walk(storeUnit).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+      // recover from the named pin: the store comes back at ledger
+      // batch 1, and the recovered query replays slices 2/3 from the
+      // snapshot offsets as batches 2/3 — converging to the same table
+      val job = js.ingestRecover(spRoot, "sp1", store) { cp =>
+        Sketches.ingestThetaStream(spark,
+          graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+          Seq(col("g")), col("b"), col("v"), store, checkpoint = Some(cp))
+      }
+      try job.query.processAllAvailable() finally js.cancel(job.query)
+      assert(SwapStore.lastBatch(spark, store) == 3L,
+        "recovered job must resume at the pinned batch and catch up")
+      assert(distinctNow == 100L, "recovered store must converge to the full build")
+    } finally js.close()
+  }
+
   test("WebSocket binding: RFC6455 handshake + live metric frames for a running job") {
     implicit val ctx = spark.sqlContext
     val js = new JobServer(spark)
