@@ -1072,6 +1072,56 @@ object ThroughputBench {
         "distinct over all 40M rows")
     }
 
+    // scenario 34: fold-count endurance + compaction — the sketch
+    // stores' posture under HIGH TRIGGER RATES. 200 micro-folds of 10k
+    // rows each into a (20 group, 32 bucket) theta store: per-fold
+    // latency must stay FLAT across the run (a fold rewrites only the
+    // tiny bucket table and the swap discards the previous generation,
+    // so nothing accumulates — neither files nor dirs), and
+    // SwapStore.compact bounds the read-side data-file count without
+    // touching content or ledger (invariance spec: SwapStoreSpec).
+    if (enabled(34)) {
+      def evOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        pmod(xxhash64(col("id")), lit(20)).as("g"),
+        (col("id") % 32).as("b"),
+        pmod(xxhash64(col("id") * 31 + 5), lit(100000L)).as("u"))
+      val path = graft.core.TempDirs.create("graft_s34")
+      graft.ops.Sketches.initThetaStore(evOf(0, 10000),
+        Seq(col("g")), col("b"), col("u"), path)
+      val folds = 200
+      val times = (0 until folds).map { i =>
+        val lo = 10000L + i * 10000L
+        val t0 = System.nanoTime()
+        graft.core.SwapStore.fold(spark, path, i.toLong) { cur =>
+          graft.ops.Sketches.appendThetaBuckets(cur, evOf(lo, lo + 10000L),
+            Seq(col("g")), col("b"), col("u"))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val early = med(times.slice(10, 50).toSeq)
+      val late = med(times.slice(folds - 40, folds).toSeq)
+      require(late < early * 2.5,
+        f"fold latency drifted across $folds folds: early $early%.3f s late $late%.3f s")
+      def dataFiles = new java.io.File(s"$path/_store/data").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val filesBefore = dataFiles
+      graft.core.SwapStore.compact(spark, path, files = 1)
+      val filesAfter = dataFiles
+      require(filesAfter == 1, s"compact left $filesAfter data files")
+      // folds keep landing on the compacted store, and the ledger is intact
+      graft.core.SwapStore.fold(spark, path, folds.toLong) { cur =>
+        graft.ops.Sketches.appendThetaBuckets(cur,
+          evOf(10000L + folds * 10000L, 10000L + folds * 10000L + 10000L),
+          Seq(col("g")), col("b"), col("u"))
+      }
+      require(graft.core.SwapStore.lastBatch(spark, path) == folds.toLong)
+      println(f"scenario34 fold-endurance folds=$folds x10k: early-median " +
+        f"$early%.3f s, late-median $late%.3f s (flat — nothing accumulates); " +
+        f"compact $filesBefore -> $filesAfter data files, ledger intact, " +
+        "post-compact folds unaffected")
+    }
+
     // scenario 32: streaming quota-fill admission at 8M docs — the q156
     // path at scale. 20 domains, 4 key-ordered micro-batches of 2M rows
     // each; per-domain state is ONE long, so the stateful exchange
