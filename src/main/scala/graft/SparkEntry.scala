@@ -66,6 +66,8 @@ object SparkEntry {
   // the build), one per (process, sf dir)
   private val q164CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q168CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -315,6 +317,85 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY lang
       |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
       |  FROM c) WHERE rk <= 5""".stripMargin
+
+  /** q164/q168's shared catalog recipe: three standing sketch stores
+    * over events (theta distinct-users, KLL value quantiles,
+    * frequent-user top-k — all per event_type, bucketed by day), the
+    * per-batch fold set, and the store-answers frame with the q44
+    * in-plan exactness gates. The pair must stay in lockstep: both
+    * forms (batch crash-replay q164, continuous q168) converge to the
+    * same grown catalog and replay [[catalogOracle]] in DuckDB.
+    */
+  private def catalogPrep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("event_id"), col("event_type"), col("user_id"),
+      dayBucket(col("ts")).as("day"), floor(col("value")).cast("long").as("fv"))
+  private def catalogFolds
+      : Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] = Seq(
+    "theta" -> ((cur, b) => Sketches.appendThetaBuckets(cur, b,
+      Seq(col("event_type")), col("day"), col("user_id"))),
+    "kll" -> ((cur, b) => Sketches.appendKllBuckets(cur, b,
+      Seq(col("event_type")), col("day"), col("fv"), k = 65535)),
+    "topk" -> ((cur, b) => Sketches.appendTopKBuckets(cur, b,
+      Seq(col("event_type")), col("day"), col("user_id"))))
+  private def catalogInit(p: String, init: org.apache.spark.sql.DataFrame): Unit =
+    graft.core.Catalog.init(p, Map(
+      "theta" -> Sketches.thetaBuckets(init,
+        Seq(col("event_type")), col("day"), col("user_id")),
+      "kll" -> Sketches.kllBuckets(init,
+        Seq(col("event_type")), col("day"), col("fv"), k = 65535),
+      "topk" -> Sketches.topKBuckets(init,
+        Seq(col("event_type")), col("day"), col("user_id"))))
+  private def catalogAnswers(s: SparkSession, d: String, base: String,
+                             qname: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, d).events
+    val users = Sketches.distinctOver(
+      graft.core.Catalog.read(s, base, "theta"), Seq("event_type"),
+      lit(true), out = "__users")
+    val p50 = Sketches.quantilesOver(
+      graft.core.Catalog.read(s, base, "kll"), Seq("event_type"),
+      lit(true), Seq(0.5), k = 65535)
+    val top = Sketches.topKOver(
+        graft.core.Catalog.read(s, base, "topk"), Seq("event_type"),
+        lit(true), k = 1)
+      .select(col("event_type"), col("item").as("top_user"),
+        col("cnt").as("__top_cnt"))
+    val exact = catalogPrep(e).groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("__eu"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)")
+        .as("__e50"))
+    val exactTop = e.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("__c").desc, col("user_id").asc)))
+      .where(col("__rk") === 1)
+      .select(col("event_type"), col("user_id").as("__etu"), col("__c").as("__etc"))
+    def gated = exactnessGate(qname) _
+    users.join(p50, Seq("event_type")).join(top, Seq("event_type"))
+      .join(exact, Seq("event_type")).join(exactTop, Seq("event_type"))
+      .select(col("event_type"),
+        gated("__users", "__eu", "users"),
+        gated("p50", "__e50", "p50"),
+        gated("top_user", "__etu", "top_user"),
+        gated("__top_cnt", "__etc", "top_cnt"))
+  }
+  /** Rebuilt-from-scratch truth for all three catalog stores — shared
+    * by q164 and q168: any torn or double-applied fold in any store
+    * breaks the compare.
+    */
+  private val catalogOracle: String =
+    """WITH t AS (SELECT event_type, user_id,
+      |            CAST(floor(value) AS BIGINT) AS fv FROM events),
+      |u AS (SELECT event_type, count(DISTINCT user_id) AS users FROM t GROUP BY 1),
+      |q AS (SELECT event_type,
+      |        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT) AS p50
+      |      FROM t GROUP BY 1),
+      |c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |k AS (SELECT event_type, user_id AS top_user, cnt AS top_cnt,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY cnt DESC, user_id) AS rk FROM c)
+      |SELECT u.event_type, u.users, q.p50, k.top_user, k.top_cnt
+      |FROM u JOIN q USING (event_type) JOIN k USING (event_type)
+      |WHERE k.rk = 1""".stripMargin
 
   /** The q44-convention in-plan exactness gate shared by the sketch
     * queries: output the sketch-side value, raising a named error if it
@@ -2706,69 +2787,50 @@ object SparkEntry {
       // events: any torn or double-applied fold in any store breaks
       // the compare.
       val e = Tables(s, d).events
-      def prep(df: DataFrame) = df.select(col("event_id"), col("event_type"),
-        col("user_id"), dayBucket(col("ts")).as("day"),
-        floor(col("value")).cast("long").as("fv"))
-      val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
-        "theta" -> ((cur, b) => Sketches.appendThetaBuckets(cur, b,
-          Seq(col("event_type")), col("day"), col("user_id"))),
-        "kll" -> ((cur, b) => Sketches.appendKllBuckets(cur, b,
-          Seq(col("event_type")), col("day"), col("fv"), k = 65535)),
-        "topk" -> ((cur, b) => Sketches.appendTopKBuckets(cur, b,
-          Seq(col("event_type")), col("day"), col("user_id"))))
       val base = q164CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q164_catalog")
-        val init = prep(e.where(col("event_id") % 2 === 0))
-        graft.core.Catalog.init(p, Map(
-          "theta" -> Sketches.thetaBuckets(init,
-            Seq(col("event_type")), col("day"), col("user_id")),
-          "kll" -> Sketches.kllBuckets(init,
-            Seq(col("event_type")), col("day"), col("fv"), k = 65535),
-          "topk" -> Sketches.topKBuckets(init,
-            Seq(col("event_type")), col("day"), col("user_id"))))
+        catalogInit(p, catalogPrep(e.where(col("event_id") % 2 === 0)))
         // the odd half arrives as three admitted batches (odd event_ids
         // have event_id % 6 in {1, 3, 5})
-        def slice(i: Int) = prep(e.where(col("event_id") % 6 === 2 * i + 1))
+        def slice(i: Int) = catalogPrep(e.where(col("event_id") % 6 === 2 * i + 1))
         withShufflePartitions(s, 4) {
-          graft.core.Catalog.ingest(s, p, 0L, slice(0), folds)
-          try graft.core.Catalog.ingestImpl(s, p, 1L, slice(1), folds, failAfter = 2)
+          graft.core.Catalog.ingest(s, p, 0L, slice(0), catalogFolds)
+          try graft.core.Catalog.ingestImpl(s, p, 1L, slice(1), catalogFolds,
+            failAfter = 2)
           catch { case _: IllegalStateException => () }
           require(graft.core.Catalog.lastBatch(s, p) == 0L,
             "q164: a torn batch must never become visible")
-          graft.core.Catalog.ingest(s, p, 1L, slice(1), folds)
-          graft.core.Catalog.ingest(s, p, 2L, slice(2), folds)
+          graft.core.Catalog.ingest(s, p, 1L, slice(1), catalogFolds)
+          graft.core.Catalog.ingest(s, p, 2L, slice(2), catalogFolds)
         }
         p
       })
-      val users = Sketches.distinctOver(
-        graft.core.Catalog.read(s, base, "theta"), Seq("event_type"),
-        lit(true), out = "__users")
-      val p50 = Sketches.quantilesOver(
-        graft.core.Catalog.read(s, base, "kll"), Seq("event_type"),
-        lit(true), Seq(0.5), k = 65535)
-      val top = Sketches.topKOver(
-          graft.core.Catalog.read(s, base, "topk"), Seq("event_type"),
-          lit(true), k = 1)
-        .select(col("event_type"), col("item").as("top_user"),
-          col("cnt").as("__top_cnt"))
-      val exact = prep(e).groupBy("event_type").agg(
-        countDistinct(col("user_id")).as("__eu"),
-        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)")
-          .as("__e50"))
-      val exactTop = e.groupBy("event_type", "user_id")
-        .agg(count(lit(1)).as("__c"))
-        .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
-          .orderBy(col("__c").desc, col("user_id").asc)))
-        .where(col("__rk") === 1)
-        .select(col("event_type"), col("user_id").as("__etu"), col("__c").as("__etc"))
-      def gated = exactnessGate("q164") _
-      users.join(p50, Seq("event_type")).join(top, Seq("event_type"))
-        .join(exact, Seq("event_type")).join(exactTop, Seq("event_type"))
-        .select(col("event_type"),
-          gated("__users", "__eu", "users"),
-          gated("p50", "__e50", "p50"),
-          gated("top_user", "__etu", "top_user"),
-          gated("__top_cnt", "__etc", "top_cnt"))
+      catalogAnswers(s, d, base, "q164")
+    }),
+    "q168_catalog_ingest_stream" -> ((s, d) => {
+      // q164's CONTINUOUS form: the same three-store catalog, with the
+      // odd half arriving as 4 ordered micro-batches through
+      // Catalog.ingestStream — every trigger folds into ALL three
+      // stores and lands behind the ONE manifest swap (all-or-nothing
+      // per trigger; bench re-runs re-deliver applied batch ids, which
+      // the shared ledger no-ops). Work per trigger is batch-sized plus
+      // the three tiny bucket tables; the events already summarized are
+      // never revisited. Oracle = q164's rebuild-from-scratch answers.
+      val e = Tables(s, d).events
+      val base = q168CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q168_catalog")
+        catalogInit(p, catalogPrep(e.where(col("event_id") % 2 === 0)))
+        withShufflePartitions(s, 4) {
+          val stage = screenReplayDir(s"$d#q168",
+            catalogPrep(e.where(col("event_id") % 2 === 1)), col("event_id"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage,
+            catalogPrep(e).schema)
+          val q = graft.core.Catalog.ingestStream(s, stream, p, catalogFolds)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      catalogAnswers(s, d, base, "q168")
     }),
     "q165_scd2_history" -> ((s, d) => {
       // Diff.scd2 oracle-gated (was spec-only, VERDICT-r10 #5): SCD-2
@@ -3203,24 +3265,8 @@ object SparkEntry {
         |  SELECT b.id AS new_id, a.id AS dup_id, list_cosine_similarity(a.v, b.v) AS c
         |  FROM a, b
         |) WHERE c >= 0.95""".stripMargin,
-    "q164_catalog_ingest" ->
-      // rebuilt-from-scratch truth for all three catalog stores: if any
-      // fold tore (a store missing a batch) or double-applied (the
-      // crashed batch-1 replay landing twice), distinct counts, the
-      // median, or the top-user counts diverge and the compare breaks
-      """WITH t AS (SELECT event_type, user_id,
-        |            CAST(floor(value) AS BIGINT) AS fv FROM events),
-        |u AS (SELECT event_type, count(DISTINCT user_id) AS users FROM t GROUP BY 1),
-        |q AS (SELECT event_type,
-        |        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT) AS p50
-        |      FROM t GROUP BY 1),
-        |c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
-        |k AS (SELECT event_type, user_id AS top_user, cnt AS top_cnt,
-        |        row_number() OVER (PARTITION BY event_type
-        |          ORDER BY cnt DESC, user_id) AS rk FROM c)
-        |SELECT u.event_type, u.users, q.p50, k.top_user, k.top_cnt
-        |FROM u JOIN q USING (event_type) JOIN k USING (event_type)
-        |WHERE k.rk = 1""".stripMargin,
+    "q164_catalog_ingest" -> catalogOracle,
+    "q168_catalog_ingest_stream" -> catalogOracle,
     "q165_scd2_history" ->
       // the lead() window replay of the SCD-2 interval derivation
       """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * dir always holds a complete replacement (its writes finish before
   * any rename starts), and the first rename parks the previous content
   * at `_store.old`, so one of the two is always restorable.
+  *
+  * SINGLE-WRITER CONTRACT: folds serialize through the shared
+  * `_store.next` staging dir, which is exactly foreachBatch's
+  * serial-per-query execution model — two DIFFERENT queries folding
+  * the same path concurrently would race the staging dir and must not
+  * be run. A pipeline that needs one batch applied to MANY stores (the
+  * multi-writer-shaped case) goes through [[Catalog]], which keeps one
+  * writer per store generation and serializes visibility at its
+  * manifest swap.
   */
 object SwapStore {
 
