@@ -68,6 +68,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q168CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q169CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -2832,6 +2834,77 @@ object SparkEntry {
       })
       catalogAnswers(s, d, base, "q168")
     }),
+    "q169_admission_pipeline" -> ((s, d) => {
+      // END-TO-END CORPUS ADMISSION — the composition the standing
+      // pieces exist for: every arriving batch passes ALL screens
+      // (first-occurrence-wins exact dedup against the standing
+      // fingerprint store; 3-gram containment decontamination against
+      // the broadcast benchmark set) or is turned away, and the
+      // admitted rows fold ATOMICALLY into three catalog stores
+      // (fingerprint set, per-source stats, per-source vocabulary
+      // top-k) under the shared ledger. The corpus is the non-benchmark
+      // documents PLUS a planted echo of every one (+100000 ids, same
+      // text), delivered as four ascending-id batches — every echo
+      // arrives batches after its original and must be rejected by the
+      // CROSS-BATCH screen; the q66 contamination pair is rejected by
+      // the decon screen. The oracle re-derives the admitted set (min
+      // id per fingerprint class, minus contaminated) and the store
+      // answers from scratch: any screen miss, torn fold, or
+      // double-apply breaks the compare.
+      val docs = Tables(s, d).documents
+      val orig = docs.where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val corpus = orig.unionByName(
+        orig.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+        "fps" -> ((cur, b) =>
+          cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
+        "stats" -> ((cur, b) => cur.unionByName(
+            b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+              sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
+          .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))),
+        "vocab" -> ((cur, b) => Sketches.appendTopKBuckets(cur,
+          b.select(col("source"), col("lang"),
+            explode(Stateless.tokens(col("text"))).as("w")),
+          Seq(col("source")), col("lang"), col("w"))))
+      val base = q169CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q169_catalog")
+        graft.core.Catalog.init(p, Map(
+          "fps" -> corpus.where(lit(false))
+            .select(TextAnalysis.fingerprint(col("text")).as("fp")),
+          "stats" -> corpus.where(lit(false)).groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
+          "vocab" -> Sketches.topKBuckets(
+            corpus.where(lit(false)).select(col("source"), col("lang"),
+              explode(Stateless.tokens(col("text"))).as("w")),
+            Seq(col("source")), col("lang"), col("w"))))
+        // fixed ascending-id bounds: originals split in two, then the
+        // echoes split in two (echo ids start above 100000 at every sf)
+        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
+        withShufflePartitions(s, 4) {
+          (0 until 4).foreach { i =>
+            val batch = corpus.where(
+              col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
+            val admitted = Admission.screen(s, p, "fps", batch,
+              col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+              n = 3, threshold = 0.3)
+            Admission.ingest(s, p, i.toLong, admitted, folds)
+          }
+        }
+        p
+      })
+      val stats = graft.core.Catalog.read(s, base, "stats")
+      val top = Sketches.topKOver(graft.core.Catalog.read(s, base, "vocab"),
+          Seq("source"), lit(true), k = 1)
+        .select(col("source"), col("item").as("top_token"),
+          col("cnt").as("top_cnt"))
+      stats.join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("top_token"), col("top_cnt"))
+    }),
     "q165_scd2_history" -> ((s, d) => {
       // Diff.scd2 oracle-gated (was spec-only, VERDICT-r10 #5): SCD-2
       // dimension history from the events changelog — each user's
@@ -3267,6 +3340,47 @@ object SparkEntry {
         |) WHERE c >= 0.95""".stripMargin,
     "q164_catalog_ingest" -> catalogOracle,
     "q168_catalog_ingest_stream" -> catalogOracle,
+    "q169_admission_pipeline" ->
+      // the admitted set from scratch: min-id winner of every
+      // fingerprint class over (originals ∪ echoes), minus the docs the
+      // q66 containment rule flags — then the three store answers
+      // (per-source doc/token counts, deterministic top token) over it
+      """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
+        |              WHERE doc_id % 50 <> 0),
+        |corpus AS (SELECT doc_id, source, lang, text FROM orig
+        |           UNION ALL
+        |           SELECT doc_id + 100000, source, lang, text FROM orig),
+        |tok AS (SELECT doc_id, source, lang,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM corpus),
+        |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
+        |k AS (SELECT doc_id, source, lang, toks FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |        FROM fp) WHERE rn = 1),
+        |ksh AS (SELECT doc_id,
+        |          list_distinct(list_transform(range(len(toks)-2),
+        |            i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM k),
+        |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
+        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |              FROM documents WHERE doc_id % 50 = 0)),
+        |cont AS (SELECT DISTINCT t.doc_id
+        |         FROM (SELECT * FROM ksh WHERE len(s) > 0) t,
+        |              (SELECT * FROM bsh WHERE len(s) > 0) b
+        |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
+        |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |st AS (SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |       FROM a GROUP BY 1),
+        |w AS (SELECT source, unnest(toks) AS w FROM a),
+        |wc AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |top AS (SELECT source, w AS top_token, cnt AS top_cnt FROM (
+        |          SELECT source, w, cnt, row_number() OVER (PARTITION BY source
+        |            ORDER BY cnt DESC, w) AS rn
+        |          FROM wc) WHERE rn = 1)
+        |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
+        |FROM st JOIN top USING (source)""".stripMargin,
     "q165_scd2_history" ->
       // the lead() window replay of the SCD-2 interval derivation
       """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus admission control — the front door of a training-data
+  * pipeline: every arriving batch of documents passes ALL screens or is
+  * turned away, and the admitted rows then fold into EVERY standing
+  * store of a [[graft.core.Catalog]] atomically (all-or-nothing
+  * visibility under the shared batch ledger). This is the composition
+  * the individual pieces exist for: [[Dedup]]-style exact screening
+  * against a standing fingerprint store, [[Decontamination]] against a
+  * broadcast benchmark set, and the catalog's transactional multi-store
+  * fold (reference anchor: the checkpoint "commit" this makes honest,
+  * jobmanager/checkpoint_coordinator.py:485-527).
+  *
+  * Determinism contract (what makes a batch oracle valid): batches
+  * arrive in ascending-id order, and within a batch the lowest id wins
+  * a fingerprint tie — so the admitted set is exactly "the minimum-id
+  * document of every fingerprint class, minus contaminated docs",
+  * computable by any engine with a window + two joins. Fingerprint-
+  * equal documents share their text, hence their contamination status,
+  * so the screen order (dedup → decon vs decon → dedup) cannot change
+  * the result.
+  *
+  * Scale shape: the dedup screen is an anti join of the batch against
+  * the fingerprint store — fingerprint-sized rows on both sides, the
+  * document text never enters that exchange. The decon screen is
+  * [[Decontamination.containmentPairs]]'s broadcast-bench narrow pass.
+  * One batch-sized fingerprint window handles in-batch ties. The
+  * admitted frame is STAGED to parquet once before folding, so every
+  * store folds the identical rows and the screen plan runs once, not
+  * once per store.
+  */
+object Admission {
+
+  /** The admitted subset of `batch`: first-occurrence-wins exact dedup
+    * (in-batch by lowest `id`, cross-batch against the catalog's
+    * `fpStore` table, which must carry one `fp` column) followed by
+    * n-gram containment decontamination against `bench`. The result
+    * carries the batch's columns plus `__fp` — feed that to the
+    * `fpStore` fold so the store grows by exactly the admitted
+    * fingerprints.
+    */
+  def screen(spark: SparkSession, catalogBase: String, fpStore: String,
+             batch: DataFrame, id: Column, text: Column,
+             bench: DataFrame, benchId: Column, benchText: Column,
+             n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    Seq("__fp", "__id").foreach(c => require(!batch.columns.contains(c),
+      s"Admission.screen: batch already has a $c column — rename it first"))
+    val withFp = batch
+      .withColumn("__fp", TextAnalysis.fingerprint(text))
+      .withColumn("__id", id)
+    val first = withFp
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("__id"))))
+      .where(col("__rk") === 1).drop("__rk")
+    val standing = graft.core.Catalog.read(spark, catalogBase, fpStore)
+      .select(col("fp").as("__fp"))
+    val fresh = first.join(standing, Seq("__fp"), "left_anti")
+    val contaminated = Decontamination.containmentPairs(fresh, col("__id"), text,
+        bench, benchId, benchText, n, threshold)
+      .select(col("train_id").as("__id")).distinct()
+    fresh.join(contaminated, Seq("__id"), "left_anti").drop("__id")
+  }
+
+  /** Stage `admitted` once, then fold it into every store atomically
+    * ([[graft.core.Catalog.ingest]] — a re-delivered `batchId` is a
+    * ledger no-op before anything is written). The staging read is
+    * schema-pinned so an all-rejected batch (empty parquet dir) still
+    * folds cleanly as zero rows.
+    */
+  def ingest(spark: SparkSession, catalogBase: String, batchId: Long,
+             admitted: DataFrame,
+             folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)]): Unit = {
+    val stage = graft.core.TempDirs.create("graft_admit")
+    admitted.write.mode("overwrite").parquet(stage)
+    graft.core.Catalog.ingest(spark, catalogBase, batchId,
+      spark.read.schema(admitted.schema).parquet(stage), folds)
+  }
+}

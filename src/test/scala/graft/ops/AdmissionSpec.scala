@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.{Catalog, TempDirs}
+
+class AdmissionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "source", "text")
+
+  private val bench = Seq((9000L, "bench", "one two three four")).toDF("doc_id", "source", "text")
+
+  private def folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+    "fps" -> ((cur, b) => cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
+    "stats" -> ((cur, b) => cur.unionByName(
+        b.groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+      .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"))))
+
+  private def initCatalog(): String = {
+    val p = TempDirs.create("admission_spec")
+    val empty = docsDF()
+    Catalog.init(p, Map(
+      "fps" -> empty.select(TextAnalysis.fingerprint(col("text")).as("fp")),
+      "stats" -> empty.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))))
+    p
+  }
+
+  private def admittedIds(base: String, batch: DataFrame): Set[Long] =
+    Admission.screen(spark, base, "fps", batch, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("screen: in-batch dups, cross-batch dups, and contaminated docs are rejected") {
+    val base = initCatalog()
+    val b1 = docsDF(
+      (1L, "s0", "alpha beta gamma delta"),
+      (2L, "s0", "alpha beta gamma delta"),    // in-batch dup of 1 (higher id loses)
+      (3L, "s1", "zz one two three four zz"))  // contains 100% of bench's 3-grams
+    val a1 = Admission.screen(spark, base, "fps", b1, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 3, threshold = 0.3)
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(1L))
+    Admission.ingest(spark, base, 0L, a1, folds)
+    assert(Catalog.lastBatch(spark, base) == 0L)
+    // batch 2: a cross-batch dup of doc 1 must be rejected against the
+    // STANDING store; fresh content passes
+    val b2 = docsDF(
+      (4L, "s0", "alpha beta gamma delta"),
+      (5L, "s1", "fresh unique content entirely new"))
+    assert(admittedIds(base, b2) == Set(5L))
+  }
+
+  test("ingest: admitted rows land in every store; replays are no-ops; empty batches fold cleanly") {
+    val base = initCatalog()
+    val b1 = docsDF((1L, "s0", "alpha beta gamma delta"),
+      (2L, "s1", "epsilon zeta eta theta"))
+    val a1 = Admission.screen(spark, base, "fps", b1, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"))
+    Admission.ingest(spark, base, 0L, a1, folds)
+    def stats = Catalog.read(spark, base, "stats").as[(String, Long)].collect().toMap
+    assert(stats == Map("s0" -> 1L, "s1" -> 1L))
+    assert(Catalog.read(spark, base, "fps").count() == 2)
+    // replay of batch 0 with DIFFERENT content: ledger no-op
+    Admission.ingest(spark, base, 0L,
+      Admission.screen(spark, base, "fps",
+        docsDF((9L, "s9", "should never land")), col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text")), folds)
+    assert(stats == Map("s0" -> 1L, "s1" -> 1L))
+    // an all-rejected batch folds as zero rows without erroring
+    val a2 = Admission.screen(spark, base, "fps",
+      docsDF((7L, "s0", "alpha beta gamma delta")), col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"))
+    Admission.ingest(spark, base, 1L, a2, folds)
+    assert(Catalog.lastBatch(spark, base) == 1L)
+    assert(stats == Map("s0" -> 1L, "s1" -> 1L))
+  }
+}
