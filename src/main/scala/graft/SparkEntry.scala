@@ -2905,6 +2905,32 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("top_token"), col("top_cnt"))
     }),
+    "q170_view_minmax" -> ((s, d) => {
+      // Insert-only materialized-view maintenance WITH min/max: under
+      // an append-only changelog (the dominant lakehouse ingest shape)
+      // the extremes ARE self-maintainable — the view's min/max fold
+      // monotonically against each batch's extremes, while the in-plan
+      // guard raises on any retraction op (q153's count/sum protocol
+      // stays the full-retraction path). View = per-customer stats over
+      // the %5-excluded orders; the held-out %5 rows arrive as +I
+      // inserts; the maintained view must equal the re-aggregate over
+      // ALL orders.
+      val o = Tables(s, d).orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val view = o.where(col("o_orderkey") % 5 =!= 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"),
+          sum(col("p")).as("total"), min(col("p")).as("min_p"),
+          max(col("p")).as("max_p"))
+      val changes = o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit("+I"))
+      Diff.maintainAgg(view, changes, Seq("o_custkey"), "op", "cnt",
+          Seq("total" -> "p"), mins = Seq("min_p" -> "p"),
+          maxs = Seq("max_p" -> "p"))
+        .select(col("o_custkey"), col("cnt"),
+          col("total").cast("double").as("total"),
+          col("min_p").cast("double").as("min_p"),
+          col("max_p").cast("double").as("max_p"))
+    }),
     "q165_scd2_history" -> ((s, d) => {
       // Diff.scd2 oracle-gated (was spec-only, VERDICT-r10 #5): SCD-2
       // dimension history from the events changelog — each user's
@@ -3381,6 +3407,13 @@ object SparkEntry {
         |          FROM wc) WHERE rn = 1)
         |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
         |FROM st JOIN top USING (source)""".stripMargin,
+    "q170_view_minmax" ->
+      // maintained view == plain re-aggregate over all orders
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p
+        |FROM orders GROUP BY 1""".stripMargin,
     "q165_scd2_history" ->
       // the lead() window replay of the SCD-2 interval derivation
       """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value

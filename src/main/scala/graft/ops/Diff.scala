@@ -124,9 +124,14 @@ object Diff {
     * untouched keys pass through byte-identical.
     *
     * Count/sum (and avg = sum/cnt, derivable) are the self-maintainable
-    * aggregates; min/max are NOT maintainable under deletes (a
-    * retracted maximum needs that key's surviving rows re-read) and are
-    * deliberately out of scope.
+    * aggregates under the full retraction protocol; min/max are NOT
+    * maintainable under deletes (a retracted maximum needs that key's
+    * surviving rows re-read). Under an INSERT-ONLY changelog they are:
+    * pass `mins`/`maxs` pairs and the view's min/max columns fold
+    * monotonically (`least`/`greatest` against the batch extremes) —
+    * with an in-plan guard that raises on ANY retraction op, so a
+    * delete sneaking into a supposedly append-only stream fails loudly
+    * instead of silently corrupting the extremes.
     *
     * Scale shape: the changelog first collapses to ONE delta row per
     * touched key via a partial aggregate — the exchange carries
@@ -145,34 +150,54 @@ object Diff {
   def maintainAgg(view: DataFrame, changes: DataFrame, keys: Seq[String],
                   opCol: String, cntCol: String,
                   sums: Seq[(String, String)],
-                  broadcastDeltas: Boolean = true): DataFrame = {
+                  broadcastDeltas: Boolean = true,
+                  mins: Seq[(String, String)] = Nil,
+                  maxs: Seq[(String, String)] = Nil): DataFrame = {
     require(keys.nonEmpty, "maintainAgg: at least one key column")
-    (keys ++ Seq(cntCol) ++ sums.map(_._1)).foreach(c =>
+    val insertOnly = mins.nonEmpty || maxs.nonEmpty
+    (keys ++ Seq(cntCol) ++ (sums ++ mins ++ maxs).map(_._1)).foreach(c =>
       require(view.columns.contains(c), s"maintainAgg: view has no column $c"))
-    (keys ++ Seq(opCol) ++ sums.map(_._2)).foreach(c =>
+    (keys ++ Seq(opCol) ++ (sums ++ mins ++ maxs).map(_._2)).foreach(c =>
       require(changes.columns.contains(c), s"maintainAgg: changes has no column $c"))
-    // the output carries exactly keys + cnt + sums — an extra view
-    // attribute would be silently DROPPED (and, in the
+    // the output carries exactly keys + cnt + maintained measures — an
+    // extra view attribute would be silently DROPPED (and, in the
     // maintainAggStream lifecycle, deleted from the persisted view on
-    // the first fold); only count/sum are maintainable here, so make
-    // the caller strip or widen explicitly
+    // the first fold); only the declared aggregates are maintainable
+    // here, so make the caller strip or widen explicitly
     val extras = view.columns.filterNot(c =>
-      keys.contains(c) || c == cntCol || sums.exists(_._1 == c))
+      keys.contains(c) || c == cntCol || (sums ++ mins ++ maxs).exists(_._1 == c))
     require(extras.isEmpty,
       s"maintainAgg: view has non-maintained columns ${extras.mkString(", ")} — " +
         "drop them or carry them in a separate attribute table")
     val ops = Seq("+I", "+U", "-U", "-D")
-    val sign = when(col(opCol).isin("+I", "+U"), lit(1L))
-      .when(col(opCol).isin("-U", "-D"), lit(-1L))
-      .otherwise(raise_error(concat(lit(
-        s"maintainAgg: $opCol must be one of ${ops.mkString(", ")}, got "),
-        coalesce(col(opCol), lit("null")))))
+    // with min/max aboard, a retraction is unanswerable (the retracted
+    // extreme would need the key's surviving rows re-read) — raise
+    // in-plan instead of silently corrupting the extremes
+    val sign =
+      if (insertOnly)
+        when(col(opCol).isin("+I", "+U"), lit(1L))
+          .otherwise(raise_error(concat(lit(
+            "maintainAgg: min/max maintenance requires an insert-only " +
+              s"changelog (+I/+U), got "),
+            coalesce(col(opCol), lit("null")))))
+      else
+        when(col(opCol).isin("+I", "+U"), lit(1L))
+          .when(col(opCol).isin("-U", "-D"), lit(-1L))
+          .otherwise(raise_error(concat(lit(
+            s"maintainAgg: $opCol must be one of ${ops.mkString(", ")}, got "),
+            coalesce(col(opCol), lit("null")))))
+    val viewCols = (sums ++ mins ++ maxs).map(_._1)
+    require(viewCols.distinct.size == viewCols.size,
+      s"maintainAgg: a view column appears under more than one aggregate: " +
+        viewCols.diff(viewCols.distinct).mkString(", "))
     val deltas0 = changes
       .select(keys.map(col) ++ (sign.as("__sign") +:
-        sums.map { case (_, m) => col(m) }): _*)
+        (sums ++ mins ++ maxs).map(_._2).distinct.map(col)): _*)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
-        sums.map { case (s, m) => sum(col("__sign") * col(m)).as(s"__d_$s") }: _*)
+        (sums.map { case (s, m) => sum(col("__sign") * col(m)).as(s"__d_$s") } ++
+          mins.map { case (s, m) => min(col(m)).as(s"__d_$s") } ++
+          maxs.map { case (s, m) => max(col(m)).as(s"__d_$s") }): _*)
     val deltas = if (broadcastDeltas) broadcast(deltas0) else deltas0
     def negErr = raise_error(concat(
       lit("maintainAgg: count went negative for key "),
@@ -186,15 +211,19 @@ object Diff {
     val mergedCnt = col("__vcnt") + coalesce(col("__dcnt"), lit(0L))
     val merged = view
       .select(keys.map(col) ++ (col(cntCol).cast("long").as("__vcnt") +:
-        sums.map { case (s, _) => col(s).as(s"__v_$s") }): _*)
+        (sums ++ mins ++ maxs).map { case (s, _) => col(s).as(s"__v_$s") }): _*)
       .join(deltas, keys, "left_outer")
       .select(keys.map(col) ++ (
         when(mergedCnt < 0, negErr.cast("long")).otherwise(mergedCnt)
           .as(cntCol) +:
-        sums.map { case (s, _) =>
+        (sums.map { case (s, _) =>
           // exact arithmetic: long/decimal measures stay exact through +
           (col(s"__v_$s") + coalesce(col(s"__d_$s"), lit(0))).as(s)
-        }): _*)
+        } ++
+          // least/greatest skip nulls, so an untouched key (null delta)
+          // keeps its view extreme unchanged
+          mins.map { case (s, _) => least(col(s"__v_$s"), col(s"__d_$s")).as(s) } ++
+          maxs.map { case (s, _) => greatest(col(s"__v_$s"), col(s"__d_$s")).as(s) })): _*)
     // brand-new keys: delta keys absent from the view. The "which delta
     // keys exist" semi scan is broadcast-pruned and delta-sized, so the
     // anti join runs between two small frames. A net-negative NEW key
@@ -210,7 +239,7 @@ object Diff {
       .where(when(rand() >= -1 && col("__dcnt") < 0, negErr.cast("boolean"))
         .otherwise(lit(true)))
       .select(keys.map(col) ++ (col("__dcnt").as(cntCol) +:
-        sums.map { case (s, _) => col(s"__d_$s").as(s) }): _*)
+        (sums ++ mins ++ maxs).map { case (s, _) => col(s"__d_$s").as(s) }): _*)
     merged.unionByName(fresh, allowMissingColumns = false)
       .where(col(cntCol) > 0)
   }

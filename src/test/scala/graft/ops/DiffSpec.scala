@@ -253,6 +253,33 @@ class DiffSpec extends AnyFunSuite {
     rows.toDF("k", "v").groupBy("k")
       .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
 
+  test("maintainAgg insert-only min/max: extremes fold monotonically; retractions raise") {
+    val view = Seq((1L, 2L, 10L, 3L, 7L)).toDF("k", "cnt", "s", "mn", "mx")
+    val changes = Seq((1L, "+I", 1L), (1L, "+I", 9L), (2L, "+I", 5L))
+      .toDF("k", "op", "v")
+    val out = Diff.maintainAgg(view, changes, Seq("k"), "op", "cnt",
+        Seq("s" -> "v"), mins = Seq("mn" -> "v"), maxs = Seq("mx" -> "v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // key 1: count 2+2, sum 10+10, min least(3,1), max greatest(7,9);
+    // key 2 is brand new and takes the batch extremes directly
+    assert(out == Set((1L, 4L, 20L, 1L, 9L), (2L, 1L, 5L, 5L, 5L)))
+    // untouched keys keep their extremes byte-identical
+    val untouched = Diff.maintainAgg(view,
+        Seq((2L, "+I", 5L)).toDF("k", "op", "v"), Seq("k"), "op", "cnt",
+        Seq("s" -> "v"), mins = Seq("mn" -> "v"), maxs = Seq("mx" -> "v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(untouched == Set((1L, 2L, 10L, 3L, 7L), (2L, 1L, 5L, 5L, 5L)))
+    // any retraction op under min/max maintenance must raise in-plan
+    val e = intercept[Throwable] {
+      Diff.maintainAgg(view, Seq((1L, "-D", 1L)).toDF("k", "op", "v"),
+        Seq("k"), "op", "cnt", Seq("s" -> "v"),
+        mins = Seq("mn" -> "v"), maxs = Seq("mx" -> "v")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("insert-only")), chain(e).mkString(" | "))
+  }
+
   test("maintainAgg == re-aggregation: insert, update pair, delete, net-zero key") {
     val ch = Seq(
       (5L, 99L, "+I"),            // brand-new key
