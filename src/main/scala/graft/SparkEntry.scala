@@ -350,14 +350,12 @@ object SparkEntry {
   private def catalogAnswers(s: SparkSession, d: String, base: String,
                              qname: String): org.apache.spark.sql.DataFrame = {
     val e = Tables(s, d).events
+    val stores = graft.core.Catalog.readAll(s, base) // one manifest read
     val users = Sketches.distinctOver(
-      graft.core.Catalog.read(s, base, "theta"), Seq("event_type"),
-      lit(true), out = "__users")
+      stores("theta"), Seq("event_type"), lit(true), out = "__users")
     val p50 = Sketches.quantilesOver(
-      graft.core.Catalog.read(s, base, "kll"), Seq("event_type"),
-      lit(true), Seq(0.5), k = 65535)
-    val top = Sketches.topKOver(
-        graft.core.Catalog.read(s, base, "topk"), Seq("event_type"),
+      stores("kll"), Seq("event_type"), lit(true), Seq(0.5), k = 65535)
+    val top = Sketches.topKOver(stores("topk"), Seq("event_type"),
         lit(true), k = 1)
       .select(col("event_type"), col("item").as("top_user"),
         col("cnt").as("__top_cnt"))
@@ -2896,12 +2894,11 @@ object SparkEntry {
         }
         p
       })
-      val stats = graft.core.Catalog.read(s, base, "stats")
-      val top = Sketches.topKOver(graft.core.Catalog.read(s, base, "vocab"),
-          Seq("source"), lit(true), k = 1)
+      val stores = graft.core.Catalog.readAll(s, base) // one manifest read
+      val top = Sketches.topKOver(stores("vocab"), Seq("source"), lit(true), k = 1)
         .select(col("source"), col("item").as("top_token"),
           col("cnt").as("top_cnt"))
-      stats.join(top, Seq("source"))
+      stores("stats").join(top, Seq("source"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("top_token"), col("top_cnt"))
     }),
@@ -2988,9 +2985,7 @@ object SparkEntry {
       // this margin were violated: a second, overlapping session).
       // ts is ms-truncated BEFORE the watermark (q23/q126's precision
       // rule) so gap splits and watermark stats are engine-exact.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withShufflePartitions(s, 8) {
         val stream = graft.streaming.Replay.orderedStream(s,
             shuffledReplayDir(s, d),
             Tables(s, d).events.select(replayCols: _*).schema)
@@ -3004,7 +2999,7 @@ object SparkEntry {
         val q = out.writeStream.format("memory").queryName("graft_q167_sessions")
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table("graft_q167_sessions")
     }),
   )

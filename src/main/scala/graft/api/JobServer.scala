@@ -96,11 +96,6 @@ final class JobServer(spark: SparkSession) {
     }
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(java.nio.file.Files.delete(_))
-
   /** [[savepoint]] for a [[graft.core.SwapStore]]-backed INGEST job —
     * the foreachBatch lifecycle of `Sketches.ingest*Stream`,
     * `Diff.maintainAggStream` and `Catalog.ingestStream`, which the
@@ -110,14 +105,16 @@ final class JobServer(spark: SparkSession) {
     * are captured at rest, so the pair is mutually consistent — the
     * store ledger's last-applied batch id matches the checkpoint's
     * committed offsets, i.e. the savepoint IS a named generation pin.
-    * Returns the checkpoint snapshot path.
+    * The store is validated FIRST so a bad path cannot leave a
+    * checkpoint-only half-savepoint squatting on the name. Returns the
+    * checkpoint snapshot path.
     */
   def ingestSavepoint(checkpointDir: String, storePath: String, name: String,
                       savepointRoot: String): String = {
-    val cp = savepoint(checkpointDir, name, savepointRoot)
     val storeSrc = java.nio.file.Paths.get(storePath, "_store")
     require(java.nio.file.Files.isDirectory(storeSrc),
       s"$storePath is not a SwapStore (no _store swap unit)")
+    val cp = savepoint(checkpointDir, name, savepointRoot)
     copyTree(storeSrc, java.nio.file.Paths.get(savepointRoot, s"$name.store"))
     cp
   }
@@ -137,7 +134,7 @@ final class JobServer(spark: SparkSession) {
     require(Files.isDirectory(snap),
       s"no ingest savepoint '$name' under $savepointRoot")
     val tmp = Paths.get(storePath, "_store.next")
-    deleteTree(tmp)
+    graft.core.TempDirs.deleteRecursively(tmp)
     copyTree(snap, tmp)
     val live = Paths.get(storePath, "_store")
     if (Files.isDirectory(live))
@@ -150,14 +147,21 @@ final class JobServer(spark: SparkSession) {
   }
 
   /** POST /jobs/recover (api.py:476-515): start a job from a named
-    * savepoint. The caller's `start` function receives the savepoint path
-    * to use as the new query's checkpointLocation — state and source
-    * offsets resume from the snapshot.
+    * savepoint. The snapshot is copied to a FRESH run directory
+    * (`<root>/<name>.run<N>`, first free N) and the caller's `start`
+    * function receives THAT path as the new query's checkpointLocation
+    * — the recovered query advances its own copy, never the pin, so
+    * the named savepoint stays a fork point that any number of later
+    * recoveries can start from.
     */
   def recover(savepointRoot: String, name: String)(start: String => StreamingQuery): JobHandle = {
-    val dst = java.nio.file.Paths.get(savepointRoot, name)
-    require(java.nio.file.Files.isDirectory(dst), s"no savepoint '$name' under $savepointRoot")
-    JobHandle(name, start(dst.toString))
+    import java.nio.file.{Files, Paths}
+    val dst = Paths.get(savepointRoot, name)
+    require(Files.isDirectory(dst), s"no savepoint '$name' under $savepointRoot")
+    val run = Iterator.from(0).map(i => Paths.get(savepointRoot, s"$name.run$i"))
+      .find(!Files.exists(_)).get
+    copyTree(dst, run)
+    JobHandle(name, start(run.toString))
   }
 
   /** True iff the active query's resolved checkpoint root points at `dir`

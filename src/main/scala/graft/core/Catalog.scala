@@ -80,6 +80,15 @@ object Catalog {
     spark.read.parquet(genDir(base, store, g))
   }
 
+  /** Every store's current table, resolved through ONE manifest read —
+    * prefer this over repeated [[read]] calls when answering from
+    * several stores (each single read re-collects the manifest).
+    */
+  def readAll(spark: SparkSession, base: String): Map[String, DataFrame] =
+    gens(spark, base).map { case (n, g) =>
+      n -> spark.read.parquet(genDir(base, n, g))
+    }
+
   /** The shared ledger: last batch id applied to the catalog (-1 after
     * [[init]]).
     */

@@ -44,8 +44,17 @@ object SwapStore {
     * roll BACK to `_store.old`. Either direction converges: forward
     * lands with the advanced ledger (the crashed fold's replay is a
     * no-op), back lands with the previous ledger (the replay re-folds).
-    * A rename lost to a concurrent completing swap is fine as long as
-    * `_store` exists afterwards.
+    *
+    * A reader can race a LIVE writer inside the same window (the
+    * writer is between its two renames, not crashed). Both sides
+    * tolerate losing that race: here, a rename that fails because the
+    * writer completed first is accepted as long as `_store` exists
+    * afterwards, and a rename that instead lands INSIDE the concurrent
+    * store (filesystems resolve rename-onto-existing-dir by moving the
+    * source into it) is detected and the junk removed — the moved dir
+    * is a stale copy either way. On the writer side, [[swapDirs]]
+    * accepts its second rename failing when the recovery completed the
+    * swap for it.
     */
   private def ensureStore(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
@@ -56,13 +65,20 @@ object SwapStore {
     def complete(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(p, "data/_SUCCESS")) &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "ledger/_SUCCESS"))
+    def cleanNested(): Unit =
+      Seq("_store.next", "_store.old").foreach { n =>
+        val junk = new org.apache.hadoop.fs.Path(st, n)
+        if (fs.exists(junk)) fs.delete(junk, true)
+      }
     if (fs.exists(next) && complete(next)) {
       if (fs.rename(next, st)) fs.delete(old, true)
       else require(fs.exists(st),
         s"SwapStore.ensureStore: roll-forward rename $next -> $st failed")
+      cleanNested()
     } else if (fs.exists(old)) {
       require(fs.rename(old, st) || fs.exists(st),
         s"SwapStore.ensureStore: roll-back rename $old -> $st failed")
+      cleanNested()
     }
     // neither exists: nothing to recover — let the read surface the
     // genuine missing-store error
@@ -82,8 +98,13 @@ object SwapStore {
     val fs = dst.getFileSystem(conf)
     fs.delete(old, true) // clear any leftover from a prior crashed swap
     require(fs.rename(dst, old), s"swap failed: rename $path -> $path.old")
-    require(fs.rename(src, dst), s"swap failed: rename $tmp -> $path " +
-      s"(previous content preserved at $path.old)")
+    // a racing reader's ensureStore may roll our own staging dir
+    // forward between the two renames — losing the second rename is
+    // fine iff the swap nonetheless completed (dst present, src gone)
+    if (!fs.rename(src, dst))
+      require(fs.exists(dst) && !fs.exists(src),
+        s"swap failed: rename $tmp -> $path " +
+          s"(previous content preserved at $path.old)")
     fs.delete(old, true)
   }
 

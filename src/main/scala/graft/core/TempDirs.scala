@@ -27,7 +27,11 @@ object TempDirs {
   /** Register an existing path for deletion at JVM exit; returns it. */
   def register(path: String): String = { dirs.add(path); path }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Best-effort recursive delete — the one implementation of the
+    * walk/reverse/delete idiom (callers: the exit hook, eager staging
+    * cleanup in [[graft.ops.Admission]], savepoint plumbing).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {
         val walk = Files.walk(p)

@@ -66,17 +66,24 @@ object Admission {
   }
 
   /** Stage `admitted` once, then fold it into every store atomically
-    * ([[graft.core.Catalog.ingest]] — a re-delivered `batchId` is a
-    * ledger no-op before anything is written). The staging read is
+    * ([[graft.core.Catalog.ingest]]). A re-delivered `batchId` returns
+    * BEFORE the screen plan executes or anything is staged — the
+    * ledger check is the cheap first step, so foreachBatch replays
+    * cost one manifest read, not a batch pass. The staging dir is
+    * deleted as soon as the fold lands (a long-lived admission stream
+    * must not accumulate one stage per trigger); the read is
     * schema-pinned so an all-rejected batch (empty parquet dir) still
     * folds cleanly as zero rows.
     */
   def ingest(spark: SparkSession, catalogBase: String, batchId: Long,
              admitted: DataFrame,
              folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)]): Unit = {
+    if (batchId <= graft.core.Catalog.lastBatch(spark, catalogBase)) return
     val stage = graft.core.TempDirs.create("graft_admit")
-    admitted.write.mode("overwrite").parquet(stage)
-    graft.core.Catalog.ingest(spark, catalogBase, batchId,
-      spark.read.schema(admitted.schema).parquet(stage), folds)
+    try {
+      admitted.write.mode("overwrite").parquet(stage)
+      graft.core.Catalog.ingest(spark, catalogBase, batchId,
+        spark.read.schema(admitted.schema).parquet(stage), folds)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(stage))
   }
 }

@@ -93,6 +93,20 @@ class JobServerSpec extends AnyFunSuite {
       assert(SwapStore.lastBatch(spark, store) == 3L,
         "recovered job must resume at the pinned batch and catch up")
       assert(distinctNow == 100L, "recovered store must converge to the full build")
+      // the savepoint is a FORK POINT: the first recovery ran on its own
+      // checkpoint copy, so a SECOND recovery from the same name starts
+      // at the pinned batch again and converges identically
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store, "_store"))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+      val again = js.ingestRecover(spRoot, "sp1", store) { cp =>
+        Sketches.ingestThetaStream(spark,
+          graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+          Seq(col("g")), col("b"), col("v"), store, checkpoint = Some(cp))
+      }
+      try again.query.processAllAvailable() finally js.cancel(again.query)
+      assert(SwapStore.lastBatch(spark, store) == 3L && distinctNow == 100L,
+        "a second recovery from the same pin must converge the same way")
     } finally js.close()
   }
 
