@@ -70,6 +70,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q169CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q171CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -396,6 +398,102 @@ object SparkEntry {
       |SELECT u.event_type, u.users, q.p50, k.top_user, k.top_cnt
       |FROM u JOIN q USING (event_type) JOIN k USING (event_type)
       |WHERE k.rk = 1""".stripMargin
+
+  /** q169/q171's shared admission recipe over documents: the ingested
+    * corpus is every non-benchmark doc PLUS a planted echo of each
+    * (+100000 ids, same text — the cross-batch duplicates the standing
+    * screen must catch); bench is the %50 docs. Three catalog stores:
+    * the fingerprint set the dedup screen reads, per-source stats,
+    * per-source vocabulary top-k. Both gate forms (batch q169,
+    * continuous q171) must converge to the same catalog and replay
+    * [[admissionOracle]].
+    */
+  private def admissionCorpus(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(s, d).documents
+    val orig = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    (orig.unionByName(orig.withColumn("doc_id", col("doc_id") + lit(100000L))),
+      docs.where(col("doc_id") % 50 === 0))
+  }
+  private def admissionFolds
+      : Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] = Seq(
+    "fps" -> ((cur, b) =>
+      cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
+    "stats" -> ((cur, b) => cur.unionByName(
+        b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
+      .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))),
+    "vocab" -> ((cur, b) => Sketches.appendTopKBuckets(cur,
+      b.select(col("source"), col("lang"),
+        explode(Stateless.tokens(col("text"))).as("w")),
+      Seq(col("source")), col("lang"), col("w"))))
+  private def admissionInit(p: String, corpus: org.apache.spark.sql.DataFrame): Unit =
+    graft.core.Catalog.init(p, Map(
+      "fps" -> corpus.where(lit(false))
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")),
+      "stats" -> corpus.where(lit(false)).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
+      "vocab" -> Sketches.topKBuckets(
+        corpus.where(lit(false)).select(col("source"), col("lang"),
+          explode(Stateless.tokens(col("text"))).as("w")),
+        Seq(col("source")), col("lang"), col("w"))))
+  private def admissionAnswers(s: SparkSession, base: String)
+      : org.apache.spark.sql.DataFrame = {
+    val stores = graft.core.Catalog.readAll(s, base) // one manifest read
+    val top = Sketches.topKOver(stores("vocab"), Seq("source"), lit(true), k = 1)
+      .select(col("source"), col("item").as("top_token"),
+        col("cnt").as("top_cnt"))
+    stores("stats").join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("top_token"), col("top_cnt"))
+  }
+  /** The admitted set from scratch: min-id winner of every fingerprint
+    * class over (originals ∪ echoes), minus the docs the q66
+    * containment rule flags — then the three store answers (per-source
+    * doc/token counts, deterministic top token) over it. Any screen
+    * miss, torn fold, or double-apply in either gate form breaks the
+    * compare.
+    */
+  private val admissionOracle: String =
+    """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
+      |              WHERE doc_id % 50 <> 0),
+      |corpus AS (SELECT doc_id, source, lang, text FROM orig
+      |           UNION ALL
+      |           SELECT doc_id + 100000, source, lang, text FROM orig),
+      |tok AS (SELECT doc_id, source, lang,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM corpus),
+      |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
+      |k AS (SELECT doc_id, source, lang, toks FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |        FROM fp) WHERE rn = 1),
+      |ksh AS (SELECT doc_id,
+      |          list_distinct(list_transform(range(len(toks)-2),
+      |            i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+      |        FROM k),
+      |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
+      |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+      |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |              FROM documents WHERE doc_id % 50 = 0)),
+      |cont AS (SELECT DISTINCT t.doc_id
+      |         FROM (SELECT * FROM ksh WHERE len(s) > 0) t,
+      |              (SELECT * FROM bsh WHERE len(s) > 0) b
+      |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
+      |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |st AS (SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      |       FROM a GROUP BY 1),
+      |w AS (SELECT source, unnest(toks) AS w FROM a),
+      |wc AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |top AS (SELECT source, w AS top_token, cnt AS top_cnt FROM (
+      |          SELECT source, w, cnt, row_number() OVER (PARTITION BY source
+      |            ORDER BY cnt DESC, w) AS rn
+      |          FROM wc) WHERE rn = 1)
+      |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
+      |FROM st JOIN top USING (source)""".stripMargin
 
   /** The q44-convention in-plan exactness gate shared by the sketch
     * queries: output the sketch-side value, raising a named error if it
@@ -2849,36 +2947,10 @@ object SparkEntry {
       // id per fingerprint class, minus contaminated) and the store
       // answers from scratch: any screen miss, torn fold, or
       // double-apply breaks the compare.
-      val docs = Tables(s, d).documents
-      val orig = docs.where(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      val corpus = orig.unionByName(
-        orig.withColumn("doc_id", col("doc_id") + lit(100000L)))
-      val bench = docs.where(col("doc_id") % 50 === 0)
-      val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
-        "fps" -> ((cur, b) =>
-          cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
-        "stats" -> ((cur, b) => cur.unionByName(
-            b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
-              sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
-          .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("n_tokens")).as("n_tokens"))),
-        "vocab" -> ((cur, b) => Sketches.appendTopKBuckets(cur,
-          b.select(col("source"), col("lang"),
-            explode(Stateless.tokens(col("text"))).as("w")),
-          Seq(col("source")), col("lang"), col("w"))))
+      val (corpus, bench) = admissionCorpus(s, d)
       val base = q169CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q169_catalog")
-        graft.core.Catalog.init(p, Map(
-          "fps" -> corpus.where(lit(false))
-            .select(TextAnalysis.fingerprint(col("text")).as("fp")),
-          "stats" -> corpus.where(lit(false)).groupBy(col("source"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
-          "vocab" -> Sketches.topKBuckets(
-            corpus.where(lit(false)).select(col("source"), col("lang"),
-              explode(Stateless.tokens(col("text"))).as("w")),
-            Seq(col("source")), col("lang"), col("w"))))
+        admissionInit(p, corpus)
         // fixed ascending-id bounds: originals split in two, then the
         // echoes split in two (echo ids start above 100000 at every sf)
         val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
@@ -2889,18 +2961,38 @@ object SparkEntry {
             val admitted = Admission.screen(s, p, "fps", batch,
               col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
               n = 3, threshold = 0.3)
-            Admission.ingest(s, p, i.toLong, admitted, folds)
+            Admission.ingest(s, p, i.toLong, admitted, admissionFolds)
           }
         }
         p
       })
-      val stores = graft.core.Catalog.readAll(s, base) // one manifest read
-      val top = Sketches.topKOver(stores("vocab"), Seq("source"), lit(true), k = 1)
-        .select(col("source"), col("item").as("top_token"),
-          col("cnt").as("top_cnt"))
-      stores("stats").join(top, Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("top_token"), col("top_cnt"))
+      admissionAnswers(s, base)
+    }),
+    "q171_admission_stream" -> ((s, d) => {
+      // q169's CONTINUOUS form — the admission front door as ONE
+      // streaming query (Admission.ingestStream): each micro-batch
+      // screens against the fingerprint store AS GROWN by the previous
+      // trigger, then folds the admitted rows into all three stores
+      // behind the one manifest swap. The replay slices the corpus by
+      // doc_id span, so the originals arrive before the echo block and
+      // the cross-batch dedup screen carries the rejections; re-runs
+      // re-deliver applied batch ids, which return after one manifest
+      // read. Oracle = q169's from-scratch derivation.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q171CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q171_catalog")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          val stage = screenReplayDir(s"$d#q171", corpus, col("doc_id"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
+          val q = Admission.ingestStream(s, p, "fps", stream,
+            col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+            admissionFolds)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      admissionAnswers(s, base)
     }),
     "q170_view_minmax" -> ((s, d) => {
       // Insert-only materialized-view maintenance WITH min/max: under
@@ -3361,47 +3453,8 @@ object SparkEntry {
         |) WHERE c >= 0.95""".stripMargin,
     "q164_catalog_ingest" -> catalogOracle,
     "q168_catalog_ingest_stream" -> catalogOracle,
-    "q169_admission_pipeline" ->
-      // the admitted set from scratch: min-id winner of every
-      // fingerprint class over (originals ∪ echoes), minus the docs the
-      // q66 containment rule flags — then the three store answers
-      // (per-source doc/token counts, deterministic top token) over it
-      """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
-        |              WHERE doc_id % 50 <> 0),
-        |corpus AS (SELECT doc_id, source, lang, text FROM orig
-        |           UNION ALL
-        |           SELECT doc_id + 100000, source, lang, text FROM orig),
-        |tok AS (SELECT doc_id, source, lang,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM corpus),
-        |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
-        |k AS (SELECT doc_id, source, lang, toks FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |        FROM fp) WHERE rn = 1),
-        |ksh AS (SELECT doc_id,
-        |          list_distinct(list_transform(range(len(toks)-2),
-        |            i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-        |        FROM k),
-        |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
-        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |              FROM documents WHERE doc_id % 50 = 0)),
-        |cont AS (SELECT DISTINCT t.doc_id
-        |         FROM (SELECT * FROM ksh WHERE len(s) > 0) t,
-        |              (SELECT * FROM bsh WHERE len(s) > 0) b
-        |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
-        |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-        |st AS (SELECT source, count(*) AS n_docs,
-        |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
-        |       FROM a GROUP BY 1),
-        |w AS (SELECT source, unnest(toks) AS w FROM a),
-        |wc AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2),
-        |top AS (SELECT source, w AS top_token, cnt AS top_cnt FROM (
-        |          SELECT source, w, cnt, row_number() OVER (PARTITION BY source
-        |            ORDER BY cnt DESC, w) AS rn
-        |          FROM wc) WHERE rn = 1)
-        |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
-        |FROM st JOIN top USING (source)""".stripMargin,
+    "q169_admission_pipeline" -> admissionOracle,
+    "q171_admission_stream" -> admissionOracle,
     "q170_view_minmax" ->
       // maintained view == plain re-aggregate over all orders
       """SELECT o_custkey, count(*) AS cnt,

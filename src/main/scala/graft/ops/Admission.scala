@@ -86,4 +86,34 @@ object Admission {
         spark.read.schema(admitted.schema).parquet(stage), folds)
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(stage))
   }
+
+  /** Continuous admission: [[screen]] + [[ingest]] per micro-batch —
+    * the full front door as ONE streaming query. Each trigger screens
+    * against the fingerprint store AS GROWN BY the previous trigger
+    * (the standing-store read resolves the current generation), folds
+    * the admitted rows into every store atomically, and advances the
+    * shared ledger; a foreachBatch re-delivery returns after one
+    * manifest read. The screen plan is lazy, so a replayed batch never
+    * executes it. Durable-checkpoint rule as every store ingest
+    * ([[Sketches.warnIfEphemeral]]).
+    */
+  def ingestStream(spark: SparkSession, catalogBase: String, fpStore: String,
+                   stream: DataFrame, id: Column, text: Column,
+                   bench: DataFrame, benchId: Column, benchText: Column,
+                   folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
+                   n: Int = 3, threshold: Double = 0.3,
+                   checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Sketches.warnIfEphemeral(checkpoint, catalogBase)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          ingest(spark, catalogBase, bid,
+            screen(spark, catalogBase, fpStore, batch, id, text,
+              bench, benchId, benchText, n, threshold),
+            folds)
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

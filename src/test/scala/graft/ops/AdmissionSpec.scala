@@ -79,4 +79,43 @@ class AdmissionSpec extends AnyFunSuite {
     assert(Catalog.lastBatch(spark, base) == 1L)
     assert(stats == Map("s0" -> 1L, "s1" -> 1L))
   }
+
+  test("ingestStream: each trigger screens against the store grown by the previous one; restart resumes batch ids") {
+    val base = initCatalog()
+    val stage = TempDirs.create("admission_stream_replay")
+    val ckpt = TempDirs.create("admission_stream_ckpt")
+    // phase A, two slices by doc_id: slice 0 = docs 1,2 (2 an in-batch
+    // dup of 1), slice 1 = docs 3 (CROSS-batch dup of 1 — must be
+    // rejected against the store as grown by trigger 0) and 4 (fresh)
+    val phaseA = docsDF(
+      (1L, "s0", "alpha beta gamma delta"),
+      (2L, "s0", "alpha beta gamma delta"),
+      (3L, "s1", "alpha beta gamma delta"),
+      (4L, "s1", "epsilon zeta eta theta"))
+    graft.streaming.Replay.writeOrderedSlices(phaseA, col("doc_id"), stage, 2)
+    def startIngest() = Admission.ingestStream(spark, base, "fps",
+      graft.streaming.Replay.orderedStream(spark, stage, phaseA.schema),
+      col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+      folds, checkpoint = Some(ckpt))
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Catalog.lastBatch(spark, base) == 1L)
+    def stats = Catalog.read(spark, base, "stats")
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("s0" -> 1L, "s1" -> 1L))
+    assert(Catalog.read(spark, base, "fps").count() == 2)
+    // phase B arrives while the query is DOWN: a cross-RESTART dup of
+    // doc 4, one fresh doc, one contaminated doc. The durable
+    // checkpoint restart continues at batch id 2 and the standing
+    // store carries the phase-A fingerprints across the restart.
+    graft.streaming.Replay.appendSlice(stage, docsDF(
+      (5L, "s0", "epsilon zeta eta theta"),
+      (6L, "s1", "fresh unique content entirely new"),
+      (7L, "s1", "zz one two three four zz")), 2)
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Catalog.lastBatch(spark, base) == 2L)
+    assert(stats == Map("s0" -> 1L, "s1" -> 2L))
+    assert(Catalog.read(spark, base, "fps").count() == 3)
+  }
 }
