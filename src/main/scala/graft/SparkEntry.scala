@@ -72,6 +72,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q171CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q172CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -2994,6 +2996,39 @@ object SparkEntry {
       })
       admissionAnswers(s, base)
     }),
+    "q172_admission_audit" -> ((s, d) => {
+      // REJECTION LINEAGE — the audit form of the admission front
+      // door: batch 0 (the originals) is ingested through the standing
+      // catalog, then the echo block is AUDITED against the store
+      // batch 0 grew — every row comes back with a verdict instead of
+      // silently vanishing at an anti join. Echoes whose original (or
+      // its lower-id text twin) was admitted → dup_standing; echo-
+      // block fingerprint ties → dup_in_batch; echoes of CONTAMINATED
+      // originals were never admitted, so their fingerprints are not
+      // standing and they re-trip the containment screen →
+      // contaminated. Output = per-source verdict counts, the
+      // admission-rate dashboard a real pipeline watches; the oracle
+      // re-derives every verdict from scratch.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q172CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q172_catalog")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          val originals = corpus.where(col("doc_id") < 100000)
+          Admission.ingest(s, p, 0L, Admission.screen(s, p, "fps",
+            originals, col("doc_id"), col("text"),
+            bench, col("doc_id"), col("text"),
+            n = 3, threshold = 0.3), admissionFolds)
+        }
+        p
+      })
+      val echoes = corpus.where(col("doc_id") >= 100000)
+      Admission.audit(s, base, "fps", echoes, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), n = 3, threshold = 0.3)
+        .groupBy(col("source"),
+          coalesce(col("reason"), lit("admitted")).as("verdict"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "q170_view_minmax" -> ((s, d) => {
       // Insert-only materialized-view maintenance WITH min/max: under
       // an append-only changelog (the dominant lakehouse ingest shape)
@@ -3455,6 +3490,46 @@ object SparkEntry {
     "q168_catalog_ingest_stream" -> catalogOracle,
     "q169_admission_pipeline" -> admissionOracle,
     "q171_admission_stream" -> admissionOracle,
+    "q172_admission_audit" ->
+      // re-derive every verdict from scratch: batch 0's standing fps =
+      // min-id winner per fingerprint class among the originals, minus
+      // contaminated; then rank the echo block per class and classify
+      """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
+        |              WHERE doc_id % 50 <> 0),
+        |tok AS (SELECT doc_id, source,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM orig),
+        |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
+        |k0 AS (SELECT doc_id, fp, toks FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |        FROM fp) WHERE rn = 1),
+        |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
+        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |              FROM documents WHERE doc_id % 50 = 0)),
+        |ksh0 AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |           i -> array_to_string(toks[i+1:i+3], ' '))) AS s FROM k0),
+        |cont0 AS (SELECT DISTINCT t.doc_id
+        |          FROM (SELECT * FROM ksh0 WHERE len(s) > 0) t,
+        |               (SELECT * FROM bsh WHERE len(s) > 0) b
+        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
+        |std AS (SELECT fp FROM k0 WHERE doc_id NOT IN (SELECT doc_id FROM cont0)),
+        |er AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |       FROM (SELECT doc_id + 100000 AS doc_id, source, fp, toks FROM fp)),
+        |esh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM er WHERE rn = 1 AND fp NOT IN (SELECT fp FROM std)),
+        |conte AS (SELECT DISTINCT t.doc_id
+        |          FROM (SELECT * FROM esh WHERE len(s) > 0) t,
+        |               (SELECT * FROM bsh WHERE len(s) > 0) b
+        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3)
+        |SELECT source,
+        |  CASE WHEN rn > 1 THEN 'dup_in_batch'
+        |       WHEN fp IN (SELECT fp FROM std) THEN 'dup_standing'
+        |       WHEN doc_id IN (SELECT doc_id FROM conte) THEN 'contaminated'
+        |       ELSE 'admitted' END AS verdict,
+        |  count(*) AS n
+        |FROM er GROUP BY 1, 2""".stripMargin,
     "q170_view_minmax" ->
       // maintained view == plain re-aggregate over all orders
       """SELECT o_custkey, count(*) AS cnt,

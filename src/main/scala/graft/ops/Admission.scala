@@ -65,6 +65,55 @@ object Admission {
     fresh.join(contaminated, Seq("__id"), "left_anti").drop("__id")
   }
 
+  /** Per-row admission verdicts — the audit/lineage form of [[screen]]:
+    * EVERY batch row comes back (plus `__fp`), carrying `admitted` and
+    * a rejection `reason` of `dup_in_batch` (a lower id in this batch
+    * has the same fingerprint), `dup_standing` (the catalog's
+    * fingerprint store already holds it), `contaminated`
+    * ([[Decontamination]] containment ≥ threshold against `bench`), or
+    * null when admitted. `audit(...).where($"admitted")` is row-for-row
+    * [[screen]] — pinned by AdmissionSpec — but [[screen]] stays the
+    * ingest hot path (its anti joins never materialize the rejected
+    * side), while this is what a takedown review or an
+    * admission-rate dashboard reads.
+    *
+    * Scale shape: identical exchanges to [[screen]] (one batch-sized
+    * fingerprint window, one fp-only join against the standing store,
+    * the broadcast-bench containment pass) — the only extra is that
+    * rejected rows flow to the output instead of stopping at an anti
+    * join, and rejected rows are exactly what the caller asked to see.
+    */
+  def audit(spark: SparkSession, catalogBase: String, fpStore: String,
+            batch: DataFrame, id: Column, text: Column,
+            bench: DataFrame, benchId: Column, benchText: Column,
+            n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    Seq("__fp", "__id", "__rk", "__hit", "__cont", "admitted", "reason")
+      .foreach(c => require(!batch.columns.contains(c),
+        s"Admission.audit: batch already has a $c column — rename it first"))
+    val ranked = batch
+      .withColumn("__fp", TextAnalysis.fingerprint(text))
+      .withColumn("__id", id)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("__id"))))
+    val standing = graft.core.Catalog.read(spark, catalogBase, fpStore)
+      .select(col("fp").as("__fp")).distinct().withColumn("__hit", lit(true))
+    val joined = ranked.join(standing, Seq("__fp"), "left")
+    // containment runs only over rows still in the running after the
+    // two dedup screens — the same candidate set screen() hands it
+    val survivors = joined.where(col("__rk") === 1 && col("__hit").isNull)
+    val contaminated = Decontamination.containmentPairs(survivors, col("__id"),
+        text, bench, benchId, benchText, n, threshold)
+      .select(col("train_id").as("__id")).distinct()
+      .withColumn("__cont", lit(true))
+    joined.join(contaminated, Seq("__id"), "left")
+      .withColumn("reason",
+        when(col("__rk") > 1, lit("dup_in_batch"))
+          .when(col("__hit"), lit("dup_standing"))
+          .when(col("__cont"), lit("contaminated")))
+      .withColumn("admitted", col("reason").isNull)
+      .drop("__id", "__rk", "__hit", "__cont")
+  }
+
   /** Stage `admitted` once, then fold it into every store atomically
     * ([[graft.core.Catalog.ingest]]). A re-delivered `batchId` returns
     * BEFORE the screen plan executes or anything is staged — the

@@ -80,6 +80,31 @@ class AdmissionSpec extends AnyFunSuite {
     assert(stats == Map("s0" -> 1L, "s1" -> 1L))
   }
 
+  test("audit: every row carries a verdict, and the admitted slice is row-for-row screen()") {
+    val base = initCatalog()
+    val b1 = docsDF((1L, "s0", "alpha beta gamma delta"))
+    Admission.ingest(spark, base, 0L,
+      Admission.screen(spark, base, "fps", b1, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text")), folds)
+    val b2 = docsDF(
+      (4L, "s0", "alpha beta gamma delta"),     // dup_standing (batch 0 holds it)
+      (5L, "s1", "brand new text here today"),  // admitted
+      (6L, "s1", "brand new text here today"),  // dup_in_batch (5 wins the tie)
+      (7L, "s1", "zz one two three four zz"))   // contaminated vs bench
+    val a = Admission.audit(spark, base, "fps", b2, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"))
+    assert(a.count() == 4, "audit must return every batch row")
+    val verdicts = a.select(col("doc_id"), col("reason"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(verdicts == Map(4L -> Some("dup_standing"), 5L -> None,
+      6L -> Some("dup_in_batch"), 7L -> Some("contaminated")))
+    val screened = Admission.screen(spark, base, "fps", b2, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.where(col("admitted")).select("doc_id").as[Long].collect().toSet
+      == screened)
+  }
+
   test("ingestStream: each trigger screens against the store grown by the previous one; restart resumes batch ids") {
     val base = initCatalog()
     val stage = TempDirs.create("admission_stream_replay")
