@@ -74,6 +74,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q172CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q173CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3029,6 +3031,44 @@ object SparkEntry {
           coalesce(col("reason"), lit("admitted")).as("verdict"))
         .agg(count(lit(1)).as("n"))
     }),
+    "q173_catalog_savepoint" -> ((s, d) => {
+      // CATALOG TIME TRAVEL — a savepoint is a POINTER SET over the
+      // immutable generations (store gens + the shared ledger), not a
+      // copy: pinning a 100 TB catalog costs one manifest read, and
+      // restore is two renames. The gate drives the full fork cycle
+      // through q169's pipeline: ingest the originals, PIN, ingest the
+      // echo batches, RESTORE to the pin (ledger rewinds, pinned
+      // generations must have survived two folds of GC), then replay
+      // the echo batches from the fork. The final catalog must answer
+      // exactly as the straight-through run — a stale pin, a GC'd
+      // generation, or a ledger that refused to rewind all break the
+      // from-scratch oracle compare.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q173CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q173_catalog")
+        admissionInit(p, corpus)
+        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
+        def ingestBatch(i: Int): Unit = {
+          val batch = corpus.where(
+            col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
+          Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
+            batch, col("doc_id"), col("text"),
+            bench, col("doc_id"), col("text"),
+            n = 3, threshold = 0.3), admissionFolds)
+        }
+        withShufflePartitions(s, 4) {
+          ingestBatch(0); ingestBatch(1)
+          graft.core.Catalog.savepoint(s, p, "after-originals")
+          ingestBatch(2); ingestBatch(3)
+          graft.core.Catalog.restore(s, p, "after-originals")
+          require(graft.core.Catalog.lastBatch(s, p) == 1L,
+            "q173: restore must rewind the ledger to the fork point")
+          ingestBatch(2); ingestBatch(3)
+        }
+        p
+      })
+      admissionAnswers(s, base)
+    }),
     "q170_view_minmax" -> ((s, d) => {
       // Insert-only materialized-view maintenance WITH min/max: under
       // an append-only changelog (the dominant lakehouse ingest shape)
@@ -3490,6 +3530,7 @@ object SparkEntry {
     "q168_catalog_ingest_stream" -> catalogOracle,
     "q169_admission_pipeline" -> admissionOracle,
     "q171_admission_stream" -> admissionOracle,
+    "q173_catalog_savepoint" -> admissionOracle,
     "q172_admission_audit" ->
       // re-derive every verdict from scratch: batch 0's standing fps =
       // min-id winner per fingerprint class among the originals, minus

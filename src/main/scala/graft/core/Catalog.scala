@@ -50,6 +50,12 @@ object Catalog {
   private def manifestPath(base: String) = s"$base/_manifest"
   private def genDir(base: String, store: String, gen: Long) =
     s"$base/stores/$store/g$gen"
+  private def savepointDir(base: String, name: String) =
+    s"$base/_savepoints/$name"
+
+  private def fsOf(spark: SparkSession, base: String) =
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Create the catalog: every store's initial table becomes its g-1
     * generation and the manifest starts with ledger -1.
@@ -95,6 +101,86 @@ object Catalog {
   def lastBatch(spark: SparkSession, base: String): Long =
     SwapStore.lastBatch(spark, manifestPath(base))
 
+  /** Pin the catalog's CURRENT state under a name. Because generations
+    * are immutable, a savepoint is a POINTER SET — every store's
+    * current generation plus the shared ledger, written once under
+    * `base/_savepoints/<name>` — not a copy: pinning a 100 TB catalog
+    * costs one store-count-sized manifest read and one tiny write,
+    * where a copy-based savepoint ([[graft.api.JobServer.savepoint]]'s
+    * per-job checkpoint clone, the right tool for single-store ingest
+    * jobs) would move the data. Pinned generations are exempt from
+    * [[ingest]]'s GC until [[dropSavepoint]].
+    *
+    * Same single-writer contract as every fold: take savepoints from
+    * the ingest driver between batches (in foreachBatch terms, inside
+    * or between triggers, never concurrently with one).
+    */
+  def savepoint(spark: SparkSession, base: String, name: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
+      s"Catalog.savepoint: name '$name' must be non-empty without '/' or '.'")
+    val fs = fsOf(spark, base)
+    val dst = new org.apache.hadoop.fs.Path(savepointDir(base, name))
+    require(!fs.exists(dst), s"Catalog.savepoint: '$name' already exists")
+    // stage fully, then one rename — a reader never sees a half-written
+    // savepoint, and a crashed attempt leaves only an ignorable .tmp
+    val tmp = s"$base/_savepoints/.tmp-$name"
+    SwapStore.read(spark, manifestPath(base))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+    spark.range(1).select(lit(lastBatch(spark, base)).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"Catalog.savepoint: rename $tmp -> $dst failed")
+  }
+
+  /** Names of the existing savepoints. */
+  def savepoints(spark: SparkSession, base: String): Seq[String] = {
+    val fs = fsOf(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/_savepoints")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).toSeq.sorted
+  }
+
+  /** Every generation some savepoint pins, per store — what [[ingest]]'s
+    * GC must keep alive in addition to current + previous.
+    */
+  private def pinnedGens(spark: SparkSession, base: String): Map[String, Set[Long]] =
+    savepoints(spark, base)
+      .flatMap { n =>
+        spark.read.parquet(s"${savepointDir(base, n)}/manifest")
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+      }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+
+  /** Roll the catalog back to a savepoint: the manifest swaps to the
+    * pinned (store, gen) rows and the pinned ledger — two renames and
+    * a tiny write, regardless of catalog size, because the pinned
+    * generations never moved. FORK-POINT semantics: the savepoint
+    * survives the restore (restore any number of times), the ledger
+    * rewinds to the pin so the batches beyond it replay as genuinely
+    * new, and the first post-restore fold's GC clears the abandoned
+    * future generations (they are neither current, previous, nor
+    * pinned). Single-writer: stop any ingest before restoring.
+    */
+  def restore(spark: SparkSession, base: String, name: String): Unit = {
+    val sp = savepointDir(base, name)
+    require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
+      s"Catalog.restore: no savepoint '$name' under $base")
+    SwapStore.reset(spark, manifestPath(base),
+      spark.read.parquet(s"$sp/manifest"),
+      spark.read.parquet(s"$sp/ledger").head.getLong(0))
+  }
+
+  /** Delete a savepoint; its generations become GC-eligible at the
+    * next fold (unless still current, previous, or otherwise pinned).
+    */
+  def dropSavepoint(spark: SparkSession, base: String, name: String): Unit = {
+    val fs = fsOf(spark, base)
+    val dst = new org.apache.hadoop.fs.Path(savepointDir(base, name))
+    require(fs.exists(dst), s"Catalog.dropSavepoint: no savepoint '$name'")
+    fs.delete(dst, true)
+  }
+
   /** Fold one admitted batch into every named store atomically: each
     * fold function maps (current store table, batch) to the store's
     * next table. Either every store advances to the batch's generation
@@ -139,13 +225,15 @@ object Catalog {
         when(col("store").isin(folded.toSeq: _*), lit(batchId))
           .otherwise(col("gen")).as("gen"))
     }
-    // GC superseded generations: keep the new one and its immediate
-    // predecessor (for readers that resolved the manifest pre-swap)
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC superseded generations: keep the new one, its immediate
+    // predecessor (for readers that resolved the manifest pre-swap),
+    // and every savepoint-pinned generation
+    val fs = fsOf(spark, base)
+    val pinned = pinnedGens(spark, base)
     folds.foreach { case (name, _) =>
       val dir = new org.apache.hadoop.fs.Path(s"$base/stores/$name")
-      val keep = Set(s"g$batchId", s"g${cur(name)}")
+      val keep = Set(s"g$batchId", s"g${cur(name)}") ++
+        pinned.getOrElse(name, Set.empty).map(g => s"g$g")
       if (fs.exists(dir))
         fs.listStatus(dir).foreach { st =>
           if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)

@@ -182,6 +182,22 @@ object SwapStore {
     swapDirs(spark, store(path), tmp)
   }
 
+  /** Replace the store's table AND ledger unconditionally — the
+    * restore path ([[Catalog.restore]]): unlike [[fold]], the ledger
+    * may move BACKWARD, to a savepoint's fork point, after which the
+    * batches beyond the pin replay as genuinely new ids. `df` must not
+    * read from this store's current files (a restore reads an
+    * immutable snapshot, never the table it replaces). Same crash-safe
+    * swap as [[fold]], same single-writer contract.
+    */
+  def reset(spark: SparkSession, path: String, df: DataFrame, batchId: Long): Unit = {
+    val tmp = s"$path/_store.next"
+    df.write.mode("overwrite").parquet(s"$tmp/data")
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+    swapDirs(spark, store(path), tmp)
+  }
+
   /** Rewrite the store's data into `files` parquet files WITHOUT
     * advancing the ledger — the small-file bound for stores that fold
     * often (every fold's groupBy writes shuffle-partition-many files;

@@ -101,6 +101,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.lastBatch(spark, base) == 1L)
   }
 
+  test("savepoint pins generations against GC; restore rewinds to the fork point and the tail replays") {
+    val base = TempDirs.create("catalog_savepoint")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.savepoint(spark, base, "p0")
+    val pinned = snapshot(base)
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+    def gensOf(store: String) =
+      new java.io.File(s"$base/stores/$store").listFiles().map(_.getName).toSet
+    assert(gensOf("cnt").contains("g0"),
+      "the pinned generation must survive GC two folds later")
+    Catalog.restore(spark, base, "p0")
+    assert(Catalog.lastBatch(spark, base) == 0L, "ledger rewinds to the pin")
+    assert(snapshot(base) == pinned)
+    // fork replay with DIFFERENT content than the abandoned timeline;
+    // its fold overwrites the orphaned g1 and GCs the orphaned g2
+    Catalog.ingest(spark, base, 1L, Seq((9L, 90L)).toDF("k", "v"), folds)
+    assert(snapshot(base) == ((2L, Map(1L -> 10L, 9L -> 90L), Set(1L, 9L))))
+    assert(!gensOf("cnt").contains("g2"),
+      "abandoned future generations are GC'd by the first post-restore fold")
+    // the savepoint is a standing fork point: restore again
+    Catalog.restore(spark, base, "p0")
+    assert(snapshot(base) == pinned)
+    intercept[IllegalArgumentException] { Catalog.savepoint(spark, base, "p0") }
+    intercept[IllegalArgumentException] { Catalog.restore(spark, base, "nope") }
+    assert(Catalog.savepoints(spark, base) == Seq("p0"))
+    Catalog.dropSavepoint(spark, base, "p0")
+    assert(Catalog.savepoints(spark, base).isEmpty)
+    intercept[IllegalArgumentException] { Catalog.dropSavepoint(spark, base, "p0") }
+  }
+
   test("unknown store names and duplicate folds fail fast") {
     val base = TempDirs.create("catalog_guards")
     initStores(base)
