@@ -76,6 +76,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q173CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q174CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -433,8 +435,20 @@ object SparkEntry {
       b.select(col("source"), col("lang"),
         explode(Stateless.tokens(col("text"))).as("w")),
       Seq(col("source")), col("lang"), col("w"))))
-  private def admissionInit(p: String, corpus: org.apache.spark.sql.DataFrame): Unit =
-    graft.core.Catalog.init(p, Map(
+  /** The doc-level lineage rows the takedown path keys on: what was
+    * admitted, from which source, with which fingerprint, at what token
+    * weight — tiny scalar rows, so the store folds at fps-store cost.
+    */
+  private def admissionLineage(b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    b.select(col("doc_id"), col("source"), col("lang"),
+      col("__fp").as("fp"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+  private def admissionLineageFold
+      : (String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+    "docs" -> ((cur, b) => cur.unionByName(admissionLineage(b)))
+  private def admissionInit(p: String, corpus: org.apache.spark.sql.DataFrame,
+                            withLineage: Boolean = false): Unit = {
+    val stores = Map(
       "fps" -> corpus.where(lit(false))
         .select(TextAnalysis.fingerprint(col("text")).as("fp")),
       "stats" -> corpus.where(lit(false)).groupBy(col("source"))
@@ -443,7 +457,12 @@ object SparkEntry {
       "vocab" -> Sketches.topKBuckets(
         corpus.where(lit(false)).select(col("source"), col("lang"),
           explode(Stateless.tokens(col("text"))).as("w")),
-        Seq(col("source")), col("lang"), col("w"))))
+        Seq(col("source")), col("lang"), col("w")))
+    graft.core.Catalog.init(p, if (!withLineage) stores
+      else stores + ("docs" -> admissionLineage(
+        corpus.where(lit(false))
+          .withColumn("__fp", TextAnalysis.fingerprint(col("text"))))))
+  }
   private def admissionAnswers(s: SparkSession, base: String)
       : org.apache.spark.sql.DataFrame = {
     val stores = graft.core.Catalog.readAll(s, base) // one manifest read
@@ -498,6 +517,15 @@ object SparkEntry {
       |          FROM wc) WHERE rn = 1)
       |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
       |FROM st JOIN top USING (source)""".stripMargin
+
+  /** [[admissionOracle]] after an atomic takedown of one source: the
+    * same from-scratch derivation with that source's admitted docs
+    * removed before the store answers.
+    */
+  private def admissionOracleMinus(source: String): String =
+    admissionOracle.replace(
+      "NOT IN (SELECT doc_id FROM cont))",
+      s"NOT IN (SELECT doc_id FROM cont) AND source <> '$source')")
 
   /** The q44-convention in-plan exactness gate shared by the sketch
     * queries: output the sketch-side value, raising a named error if it
@@ -3069,6 +3097,58 @@ object SparkEntry {
       })
       admissionAnswers(s, base)
     }),
+    "q174_catalog_takedown" -> ((s, d) => {
+      // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
+      // SUBTRACT. The catalog carries a doc-level lineage store
+      // (doc_id, source, lang, fp, n_tokens) alongside fps/stats/
+      // vocab; retracting a source derives the ticket FROM the lineage
+      // store and folds the removal into every store under one ledger
+      // batch — same all-or-nothing visibility as admission, so no
+      // reader ever sees the source half-removed. Per-store cost:
+      // lineage + fps are ticket-sized anti joins (admitted docs own
+      // their fingerprint exclusively, so fp removal is exact and the
+      // content becomes re-admittable); stats subtracts the ticket's
+      // per-source aggregates and drops rows reaching zero; vocab's
+      // top-k sketches are NOT invertible, but the store is bucketed
+      // BY the takedown key, so retracting a source deletes its
+      // bucket rows exactly — no corpus re-read (a finer-than-bucket
+      // predicate would rebuild only the affected buckets). Oracle =
+      // the from-scratch derivation minus the retracted source.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q174CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q174_catalog")
+        admissionInit(p, corpus, withLineage = true)
+        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
+        withShufflePartitions(s, 4) {
+          (0 until 4).foreach { i =>
+            val batch = corpus.where(
+              col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
+            Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
+              batch, col("doc_id"), col("text"),
+              bench, col("doc_id"), col("text"),
+              n = 3, threshold = 0.3), admissionFolds :+ admissionLineageFold)
+          }
+          val ticket = graft.core.Catalog.read(s, p, "docs")
+            .where(col("source") === "src7")
+          graft.core.Catalog.ingest(s, p, 4L, ticket, Seq(
+            "docs" -> ((cur, t) =>
+              cur.join(t.select("doc_id"), Seq("doc_id"), "left_anti")),
+            "fps" -> ((cur, t) =>
+              cur.join(t.select("fp"), Seq("fp"), "left_anti")),
+            "stats" -> ((cur, t) => cur.join(
+                t.groupBy(col("source")).agg(count(lit(1)).as("__d"),
+                  sum(col("n_tokens")).as("__t")), Seq("source"), "left")
+              .select(col("source"),
+                (col("n_docs") - coalesce(col("__d"), lit(0L))).as("n_docs"),
+                (col("n_tokens") - coalesce(col("__t"), lit(0L))).as("n_tokens"))
+              .where(col("n_docs") > 0)),
+            "vocab" -> ((cur, t) =>
+              cur.join(t.select("source").distinct(), Seq("source"), "left_anti"))))
+        }
+        p
+      })
+      admissionAnswers(s, base)
+    }),
     "q170_view_minmax" -> ((s, d) => {
       // Insert-only materialized-view maintenance WITH min/max: under
       // an append-only changelog (the dominant lakehouse ingest shape)
@@ -3531,6 +3611,7 @@ object SparkEntry {
     "q169_admission_pipeline" -> admissionOracle,
     "q171_admission_stream" -> admissionOracle,
     "q173_catalog_savepoint" -> admissionOracle,
+    "q174_catalog_takedown" -> admissionOracleMinus("src7"),
     "q172_admission_audit" ->
       // re-derive every verdict from scratch: batch 0's standing fps =
       // min-id winner per fingerprint class among the originals, minus
