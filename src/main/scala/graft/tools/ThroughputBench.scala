@@ -1122,6 +1122,97 @@ object ThroughputBench {
         "post-compact folds unaffected")
     }
 
+    // scenario 35: the admission front door at 4M docs — the q169/q174
+    // path at scale. Each of 4 batches of 1M runs the full screen
+    // (standing-fp dedup + in-batch fingerprint window + broadcast-
+    // bench decontamination) and folds atomically into 3 catalog
+    // stores; then one atomic source takedown. Planted rejections:
+    // every 10th doc is an in-batch dup, every 100th doc of batches
+    // 1-3 echoes a batch-0 doc (caught ONLY by the standing store),
+    // every 1000th embeds a full bench doc (caught by decon).
+    // Correctness is asserted exactly: the final fingerprint count
+    // must equal the from-scratch distinct content-class count over
+    // clean docs, and the takedown must leave 19 of 20 sources.
+    if (enabled(35)) {
+      val batchN = 1000000L
+      val batches = 4
+      val total = batchN * batches
+      // content class of an id: cross-batch echoes collapse onto the
+      // batch-0 id, then in-batch dups onto the predecessor (the rule
+      // sets are digit-disjoint, so the collapse order is immaterial)
+      def contentKey(id: org.apache.spark.sql.Column) = {
+        val base = when(id % 100 === 50 && id >= batchN, id % batchN).otherwise(id)
+        when(base % 10 === 9, base - 1).otherwise(base)
+      }
+      def benchText(docId: org.apache.spark.sql.Column) =
+        array_join(transform(sequence(lit(0), lit(7)),
+          j => concat(lit("bw"), pmod(xxhash64(docId * 8 + j), lit(400)))), " ")
+      val benchDocs = spark.range(50).select(
+        col("id").as("doc_id"), benchText(col("id")).as("text"))
+      def docsOf(b: Int) =
+        spark.range(b * batchN, (b + 1) * batchN).select(
+          col("id").as("doc_id"),
+          // hashed source: decorrelated from the digit-based planted-
+          // rejection rules, so every source retains admitted docs
+          concat(lit("src"),
+            pmod(xxhash64(col("id") + 1234567), lit(20)).cast("string")).as("source"),
+          when(col("id") % 1000 === 7,
+            // contaminated: one full bench doc plus a unique suffix
+            concat(benchText(col("id") % 50), lit(" zq"), col("id")))
+          .otherwise(array_join(transform(sequence(lit(0), lit(14)),
+            j => concat(lit("w"),
+              pmod(xxhash64(contentKey(col("id")) * 15 + j), lit(50000)))), " "))
+          .as("text"))
+      val base = graft.core.TempDirs.create("graft_s35")
+      val empty = docsOf(0).limit(0)
+      graft.core.Catalog.init(base, Map(
+        "fps" -> empty.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "stats" -> empty.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+        "docs" -> empty.select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))))
+      import org.apache.spark.sql.DataFrame
+      val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+        "fps" -> ((cur, b) => cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
+        "stats" -> ((cur, b) => cur.unionByName(
+            b.groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+          .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"))),
+        "docs" -> ((cur, b) => cur.unionByName(
+          b.select(col("doc_id"), col("source"), col("__fp").as("fp")))))
+      val times = (0 until batches).map { i =>
+        val t0 = System.nanoTime()
+        graft.ops.Admission.ingest(spark, base, i.toLong,
+          graft.ops.Admission.screen(spark, base, "fps", docsOf(i),
+            col("doc_id"), col("text"), benchDocs, col("doc_id"), col("text")),
+          folds)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val expected = spark.range(total).where(col("id") % 1000 =!= 7)
+        .select(contentKey(col("id")).as("k")).distinct().count()
+      val got = graft.core.Catalog.read(spark, base, "fps").count()
+      require(got == expected,
+        s"admission missed or double-admitted classes: fps=$got expected=$expected")
+      val tdT0 = System.nanoTime()
+      val ticket = graft.core.Catalog.read(spark, base, "docs")
+        .where(col("source") === "src7")
+      graft.core.Catalog.ingest(spark, base, batches.toLong, ticket, Seq(
+        "docs" -> ((cur, t) => cur.join(t.select("doc_id"), Seq("doc_id"), "left_anti")),
+        "fps" -> ((cur, t) => cur.join(t.select("fp"), Seq("fp"), "left_anti")),
+        "stats" -> ((cur, t) => cur.join(
+            t.groupBy(col("source")).agg(count(lit(1)).as("__d")), Seq("source"), "left")
+          .select(col("source"),
+            (col("n_docs") - coalesce(col("__d"), lit(0L))).as("n_docs"))
+          .where(col("n_docs") > 0))))
+      val tdS = (System.nanoTime() - tdT0) / 1e9
+      require(graft.core.Catalog.read(spark, base, "stats").count() == 19,
+        "takedown must leave 19 of 20 sources")
+      val totalS = times.sum
+      println(f"scenario35 admission n=$total (${batches}x$batchN): " +
+        times.zipWithIndex.map { case (t, i) => f"b$i $t%.1f s" }.mkString(", ") +
+        f"; total $totalS%.1f s (${total / totalS / 1e6}%.2f M docs/s end-to-end " +
+        f"incl. 3-store atomic folds); takedown src7 $tdS%.1f s; " +
+        f"fps=$got == from-scratch $expected (exact)")
+    }
+
     // scenario 32: streaming quota-fill admission at 8M docs — the q156
     // path at scale. 20 domains, 4 key-ordered micro-batches of 2M rows
     // each; per-domain state is ONE long, so the stateful exchange
