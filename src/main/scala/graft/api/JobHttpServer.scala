@@ -29,6 +29,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   POST /jobs/{id}/cancel
   *   POST /jobs/savepoint?checkpoint=C&name=N&root=R
   *   POST /jobs/recover?pipeline=P&name=N&root=R   start P from savepoint
+  *   POST /jobs/catalog-savepoint?checkpoint=C&catalog=B&name=N&root=R
+  *   POST /jobs/catalog-recover?pipeline=P&catalog=B&name=N&root=R
   */
 final class JobHttpServer(spark: SparkSession, js: JobServer, port: Int = 0) {
 
@@ -133,6 +135,21 @@ final class JobHttpServer(spark: SparkSession, js: JobServer, port: Int = 0) {
           pipelines.get(p("pipeline")) match {
             case Some(start) =>
               val h = js.recover(p("root"), p("name"))(sp => track(start(Some(sp))))
+              respond(ex, 200, jobJson(h.query))
+            case None => respond(ex, 404, s"""{"error":"unknown pipeline"}""")
+          }
+
+        case ("POST", List("jobs", "catalog-savepoint")) =>
+          val p = params(ex)
+          val sp = js.catalogSavepoint(p("checkpoint"), p("catalog"), p("name"), p("root"))
+          respond(ex, 200, s"""{"savepoint":"${jsonEscape(sp)}"}""")
+
+        case ("POST", List("jobs", "catalog-recover")) =>
+          val p = params(ex)
+          pipelines.get(p("pipeline")) match {
+            case Some(start) =>
+              val h = js.catalogRecover(p("root"), p("name"), p("catalog"))(sp =>
+                track(start(Some(sp))))
               respond(ex, 200, jobJson(h.query))
             case None => respond(ex, 404, s"""{"error":"unknown pipeline"}""")
           }

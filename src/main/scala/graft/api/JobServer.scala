@@ -146,6 +146,44 @@ final class JobServer(spark: SparkSession) {
     recover(savepointRoot, name)(start)
   }
 
+  /** [[ingestSavepoint]] for a CATALOG-backed ingest job
+    * ([[graft.core.Catalog.ingestStream]],
+    * [[graft.ops.Admission.ingestStream]]): the stopped query's
+    * checkpoint is copied under the name, and the catalog pins its
+    * current generations under the SAME name via
+    * [[graft.core.Catalog.savepoint]] — an O(stores) pointer-set pin
+    * instead of a data copy, because catalog generations are
+    * immutable (this is the scale difference from the single-store
+    * form: a 100 TB catalog savepoints in milliseconds). Both sides
+    * are captured at rest, so checkpoint offsets and the shared
+    * ledger are mutually consistent. A failed catalog pin removes the
+    * checkpoint copy so no half-savepoint squats on the name.
+    */
+  def catalogSavepoint(checkpointDir: String, catalogBase: String, name: String,
+                       savepointRoot: String): String = {
+    graft.core.Catalog.lastBatch(spark, catalogBase) // validate the base first
+    val cp = savepoint(checkpointDir, name, savepointRoot)
+    try graft.core.Catalog.savepoint(spark, catalogBase, name)
+    catch { case e: Throwable =>
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(cp)); throw e
+    }
+    cp
+  }
+
+  /** [[ingestRecover]] for a catalog job: [[graft.core.Catalog.restore]]
+    * rewinds the manifest to the pin (two renames, no data copy), then
+    * the query starts from a fresh copy of the savepoint checkpoint.
+    * The sources replay from the snapshot offsets; batch ids at or
+    * below the restored ledger no-op, ids beyond it fold — exactly-once
+    * across the rollback, any number of times (the pin is a standing
+    * fork point).
+    */
+  def catalogRecover(savepointRoot: String, name: String, catalogBase: String)
+                    (start: String => StreamingQuery): JobHandle = {
+    graft.core.Catalog.restore(spark, catalogBase, name)
+    recover(savepointRoot, name)(start)
+  }
+
   /** POST /jobs/recover (api.py:476-515): start a job from a named
     * savepoint. The snapshot is copied to a FRESH run directory
     * (`<root>/<name>.run<N>`, first free N) and the caller's `start`

@@ -110,6 +110,97 @@ class JobServerSpec extends AnyFunSuite {
     } finally js.close()
   }
 
+  test("catalog job lifecycle: savepoint pins generations O(1), recover rewinds and replays the tail") {
+    import org.apache.spark.sql.DataFrame
+    import graft.core.Catalog
+    val js = new JobServer(spark)
+    val dir = graft.core.TempDirs.create("jobsrv_cat_src")
+    val base = graft.core.TempDirs.create("jobsrv_cat_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("jobsrv_cat_ckpt").toString
+    val spRoot = java.nio.file.Files.createTempDirectory("jobsrv_cat_sp").toString
+    val all = spark.range(100).select((col("id") % 4).as("k"), col("id").as("v"))
+    val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      "cnt" -> ((cur, b) => cur.unionByName(b.agg(count(lit(1)).as("n")))
+        .agg(sum(col("n")).as("n"))),
+      "sums" -> ((cur, b) => cur.unionByName(b.groupBy("k").agg(sum(col("v")).as("s")))
+        .groupBy("k").agg(sum(col("s")).as("s"))))
+    Catalog.init(base, Map(
+      "cnt" -> Seq(0L).toDF("n"),
+      "sums" -> Seq.empty[(Long, Long)].toDF("k", "s")))
+    def cntNow: Long = Catalog.read(spark, base, "cnt").as[Long].collect().head
+    def runIngest(cp: String): Unit = {
+      val job = js.submit("cat_ingest", Catalog.ingestStream(spark,
+        graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+        base, folds, checkpoint = Some(cp)))
+      try job.query.processAllAvailable() finally js.cancel(job.query)
+    }
+    try {
+      // phase A: two slices fold in (shared-ledger batches 0, 1)
+      graft.streaming.Replay.writeOrderedSlices(
+        all.where(col("v") < 50), col("v"), dir, 2)
+      runIngest(ckpt)
+      assert(Catalog.lastBatch(spark, base) == 1L && cntNow == 50L)
+      js.catalogSavepoint(ckpt, base, "csp1", spRoot)
+      // phase B: two MORE slices; the restarted live job folds 2, 3 —
+      // post-pin folds GC everything except current/previous/pinned
+      graft.streaming.Replay.appendSlice(dir,
+        all.where(col("v") >= 50 && col("v") < 75), 2)
+      graft.streaming.Replay.appendSlice(dir, all.where(col("v") >= 75), 3)
+      runIngest(ckpt)
+      assert(Catalog.lastBatch(spark, base) == 3L && cntNow == 100L)
+      // recover: the manifest rewinds to the pin (no data copy), the
+      // recovered query replays slices 2/3 from the snapshot offsets
+      // and converges; a SECOND recovery from the same name works too
+      for (round <- 1 to 2) {
+        val job = js.catalogRecover(spRoot, "csp1", base) { cp =>
+          Catalog.ingestStream(spark,
+            graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+            base, folds, checkpoint = Some(cp))
+        }
+        try job.query.processAllAvailable() finally js.cancel(job.query)
+        assert(Catalog.lastBatch(spark, base) == 3L && cntNow == 100L,
+          s"recovery $round must rewind to the pin and converge on replay")
+        assert(Catalog.read(spark, base, "sums").as[(Long, Long)].collect().toMap
+          == (0L until 100L).groupBy(_ % 4).view.mapValues(_.sum).toMap,
+          s"recovery $round: per-key sums must match the straight-through run")
+      }
+      // the REST binding drives the same pair end-to-end
+      val http = new JobHttpServer(spark, js)
+      try {
+        http.registerPipeline("cat_ingest") { cpo =>
+          Catalog.ingestStream(spark,
+            graft.streaming.Replay.orderedStream(spark, dir, all.schema),
+            base, folds, checkpoint = cpo.orElse(Some(ckpt)))
+        }
+        def call(method: String, pathAndQuery: String): (Int, String) = {
+          val conn = new java.net.URL(s"http://127.0.0.1:${http.boundPort}$pathAndQuery")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod(method)
+          val code = conn.getResponseCode
+          val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+          val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+          conn.disconnect()
+          (code, body)
+        }
+        def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        val (spc, spBody) = call("POST", s"/jobs/catalog-savepoint?checkpoint=${enc(ckpt)}" +
+          s"&catalog=${enc(base)}&name=csp2&root=${enc(spRoot)}")
+        assert(spc == 200, spBody)
+        // duplicate name -> 400, and no half-savepoint squats on it
+        assert(call("POST", s"/jobs/catalog-savepoint?checkpoint=${enc(ckpt)}" +
+          s"&catalog=${enc(base)}&name=csp2&root=${enc(spRoot)}")._1 == 400)
+        val (rc, rBody) = call("POST", s"/jobs/catalog-recover?pipeline=cat_ingest" +
+          s"&catalog=${enc(base)}&name=csp2&root=${enc(spRoot)}")
+        assert(rc == 200, rBody)
+        val rid = """"id":"([^"]+)"""".r.findFirstMatchIn(rBody).get.group(1)
+        val rq = spark.streams.get(java.util.UUID.fromString(rid))
+        try rq.processAllAvailable() finally rq.stop()
+        assert(Catalog.lastBatch(spark, base) == 3L && cntNow == 100L,
+          "REST catalog-recover must rewind to the pin and converge on replay")
+      } finally http.close()
+    } finally js.close()
+  }
+
   test("WebSocket binding: RFC6455 handshake + live metric frames for a running job") {
     implicit val ctx = spark.sqlContext
     val js = new JobServer(spark)

@@ -350,4 +350,35 @@ class PlanQualitySpec extends AnyFunSuite {
         s"shingle arrays travel through the candidate shuffle:\n${bucketExchanges.mkString("\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("admission screen/audit: the standing-store scan is pruned to the fingerprint column") {
+    // q169/q171/q174's 100 TB contract: the standing dedup side reads
+    // and exchanges fingerprint rows ONLY — a store scan that drags
+    // extra columns (or the batch text) into the anti join would grow
+    // with corpus size instead of fingerprint-table size. The batch
+    // side legitimately shuffles once (the in-batch fp window); the
+    // decon bench side must broadcast.
+    import org.apache.spark.sql.functions._
+    import graft.core.{Catalog, TempDirs}
+    val docs = graft.sources.Tables(spark, sf).documents
+    val base = TempDirs.create("planq_admission")
+    Catalog.init(base, Map("fps" -> docs.limit(50)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        lit("meta").as("extra"))))
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    for (df <- Seq(
+        Admission.screen(spark, base, "fps", docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text")),
+        Admission.audit(spark, base, "fps", docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text")))) {
+      val p = df.queryExecution.executedPlan.toString
+      val storeScans = p.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains(base)).toSeq
+      assert(storeScans.nonEmpty, s"no standing-store scan found:\n$p")
+      assert(storeScans.forall(l => l.contains("ReadSchema: struct<fp:string>")),
+        s"standing-store scan not pruned to fp:\n${storeScans.mkString("\n")}")
+      assert(p.contains("BroadcastExchange"),
+        s"bench containment side does not broadcast:\n$p")
+    }
+  }
 }
