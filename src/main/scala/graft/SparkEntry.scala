@@ -78,6 +78,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q174CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q175CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3097,6 +3099,50 @@ object SparkEntry {
       })
       admissionAnswers(s, base)
     }),
+    "q175_admission_restart" -> ((s, d) => {
+      // q171 ACROSS A STOP/RESTART — the reference's flagship recovery
+      // claim applied to the whole admission catalog: the continuous
+      // front door runs over the original batches, STOPS, more data
+      // (the echo block) arrives while it is down, and a new query
+      // restarts from the same durable checkpoint. Batch ids must
+      // continue where the ledger left off (a fresh checkpoint would
+      // silently no-op the new batches — the documented hazard), and
+      // the standing fingerprint store must carry the pre-restart
+      // screen decisions so the echoes are rejected cross-RESTART.
+      // Oracle = q169's from-scratch derivation: any resume drift,
+      // double-fold, or lost screen state breaks the compare.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q175CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q175_catalog")
+        admissionInit(p, corpus)
+        val stage = graft.core.TempDirs.create("graft_q175_replay")
+        val ckpt = graft.core.TempDirs.create("graft_q175_ckpt")
+        def run(): Unit = withShufflePartitions(s, 4) {
+          val q = Admission.ingestStream(s, p, "fps",
+            graft.streaming.Replay.orderedStream(s, stage, corpus.schema),
+            col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+            admissionFolds, checkpoint = Some(ckpt))
+          try q.processAllAvailable() finally q.stop()
+        }
+        // phase A: the originals, two slices; then the query STOPS
+        graft.streaming.Replay.writeOrderedSlices(
+          corpus.where(col("doc_id") < 100000), col("doc_id"), stage, 2)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 1L,
+          "q175: phase A must land batches 0 and 1")
+        // phase B: the echo block arrives while the query is DOWN;
+        // the restart resumes at batch id 2 from the durable checkpoint
+        graft.streaming.Replay.appendSlice(stage,
+          corpus.where(col("doc_id") >= 100000 && col("doc_id") < 100250), 2)
+        graft.streaming.Replay.appendSlice(stage,
+          corpus.where(col("doc_id") >= 100250), 3)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 3L,
+          "q175: the restart must resume batch ids at 2, not restart at 0")
+        p
+      })
+      admissionAnswers(s, base)
+    }),
     "q174_catalog_takedown" -> ((s, d) => {
       // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
       // SUBTRACT. The catalog carries a doc-level lineage store
@@ -3612,6 +3658,7 @@ object SparkEntry {
     "q171_admission_stream" -> admissionOracle,
     "q173_catalog_savepoint" -> admissionOracle,
     "q174_catalog_takedown" -> admissionOracleMinus("src7"),
+    "q175_admission_restart" -> admissionOracle,
     "q172_admission_audit" ->
       // re-derive every verdict from scratch: batch 0's standing fps =
       // min-id winner per fingerprint class among the originals, minus

@@ -133,6 +133,53 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Catalog.dropSavepoint(spark, base, "p0") }
   }
 
+  test("a racing reader never observes a torn batch: cross-store invariant holds under live folds") {
+    // the manifest swap is the single atomicity point, so one
+    // readAll's pointer set is always a consistent snapshot; the
+    // invariant "total count == sum of per-key counts" can only break
+    // if a reader saw store A at batch i and store B at batch j != i.
+    // The reader loop races 15 live folds, retrying only the bounded
+    // swap-visibility window (a GC'd generation re-resolves on retry).
+    val base = TempDirs.create("catalog_race")
+    Catalog.init(base, Map(
+      "cnt" -> Seq(0L).toDF("n"),
+      "sums" -> Seq.empty[(Long, Long)].toDF("k", "n")))
+    val raceFolds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      "cnt" -> ((cur, b) => cur.unionByName(b.agg(count(lit(1)).as("n")))
+        .agg(sum(col("n")).as("n"))),
+      "sums" -> ((cur, b) => cur.unionByName(b.groupBy("k").agg(count(lit(1)).as("n")))
+        .groupBy("k").agg(sum(col("n")).as("n"))))
+    @volatile var stop = false
+    val torn = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => {
+      while (!stop) {
+        try SwapStore.retryingStaleReads() {
+          val st = Catalog.readAll(spark, base)
+          val c = st("cnt").as[Long].collect().head
+          val s = st("sums").agg(coalesce(sum(col("n")), lit(0L)))
+            .as[Long].collect().head
+          if (c != s) torn.incrementAndGet()
+          reads.incrementAndGet()
+        } catch { case e: Throwable => failures.add(e.toString) }
+      }
+    })
+    reader.start()
+    try {
+      (0 until 15).foreach { i =>
+        Catalog.ingest(spark, base, i.toLong,
+          spark.range(i * 100L, (i + 1) * 100L)
+            .select((col("id") % 7).as("k"), col("id").as("v")),
+          raceFolds)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, s"reader died mid-race: ${failures.peek()}")
+    assert(torn.get() == 0, s"${torn.get()} of ${reads.get()} reads saw a torn batch")
+    assert(reads.get() > 0, "the reader never completed a read — the race was vacuous")
+    assert(Catalog.read(spark, base, "cnt").as[Long].collect().head == 1500L)
+  }
+
   test("unknown store names and duplicate folds fail fast") {
     val base = TempDirs.create("catalog_guards")
     initStores(base)

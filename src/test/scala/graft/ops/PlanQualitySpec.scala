@@ -381,4 +381,16 @@ class PlanQualitySpec extends AnyFunSuite {
         s"bench containment side does not broadcast:\n$p")
     }
   }
+
+  test("q169: catalog answers read standing stores only — the corpus is never re-scanned") {
+    // the point of the catalog: answering (per-source stats + top
+    // token) costs store-table reads, not a corpus pass. Any
+    // documents.parquet scan in the answer plan means a store fold
+    // leaked a corpus dependency into the read side.
+    val p = plan("q169_admission_pipeline")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty, s"no scans at all?\n$p")
+    assert(scans.forall(!_.contains("documents")),
+      s"the answer plan re-reads the corpus:\n${scans.mkString("\n")}")
+  }
 }
