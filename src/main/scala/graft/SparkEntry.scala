@@ -80,6 +80,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q175CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q176CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -528,6 +530,18 @@ object SparkEntry {
     admissionOracle.replace(
       "NOT IN (SELECT doc_id FROM cont))",
       s"NOT IN (SELECT doc_id FROM cont) AND source <> '$source')")
+
+  /** [[admissionOracle]]'s admitted set, answered per (source, lang) —
+    * q176's mid-stream-added store must be indistinguishable from one
+    * that existed from batch 0.
+    */
+  private def admissionOracleByLang: String = {
+    val cut = admissionOracle.indexOf("\nst AS (")
+    admissionOracle.substring(0, cut).stripSuffix(",") + "\n" +
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |FROM a GROUP BY 1, 2""".stripMargin
+  }
 
   /** The q44-convention in-plan exactness gate shared by the sketch
     * queries: output the sketch-side value, raising a named error if it
@@ -3143,6 +3157,54 @@ object SparkEntry {
       })
       admissionAnswers(s, base)
     }),
+    "q176_catalog_addstore" -> ((s, d) => {
+      // ADD AN INDEX TO A LIVE CORPUS — Catalog.addStore: the
+      // per-(source, lang) stats store does not exist for the first
+      // half of the stream; it is added mid-stream with a BACKFILL
+      // derived from the doc-level lineage store, then folds like a
+      // founding member. Contract under the gate: pre-add batches
+      // reach the store through the backfill, post-add batches through
+      // folds, and the result must be indistinguishable from a store
+      // that existed from batch 0 (the from-scratch oracle). 100 TB
+      // shape: the backfill reads the lineage store's scalar rows,
+      // never the corpus, and the manifest swap makes the store appear
+      // atomically with a table already consistent with the ledger.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q176CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q176_catalog")
+        admissionInit(p, corpus, withLineage = true)
+        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
+        val langStatsFold: (String, (DataFrame, DataFrame) => DataFrame) =
+          "lang_stats" -> ((cur, b) => cur.unionByName(
+              b.groupBy(col("source"), col("lang")).agg(
+                count(lit(1)).as("n_docs"),
+                sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
+            .groupBy(col("source"), col("lang")).agg(
+              sum(col("n_docs")).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens")))
+        def ingestBatch(i: Int,
+            folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)]): Unit = {
+          val batch = corpus.where(
+            col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
+          Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
+            batch, col("doc_id"), col("text"),
+            bench, col("doc_id"), col("text"),
+            n = 3, threshold = 0.3), folds)
+        }
+        withShufflePartitions(s, 4) {
+          (0 until 2).foreach(ingestBatch(_, admissionFolds :+ admissionLineageFold))
+          graft.core.Catalog.addStore(s, p, "lang_stats",
+            graft.core.Catalog.read(s, p, "docs")
+              .groupBy(col("source"), col("lang")).agg(
+                count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")))
+          (2 until 4).foreach(ingestBatch(_,
+            admissionFolds :+ admissionLineageFold :+ langStatsFold))
+        }
+        p
+      })
+      graft.core.Catalog.read(s, base, "lang_stats")
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"))
+    }),
     "q174_catalog_takedown" -> ((s, d) => {
       // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
       // SUBTRACT. The catalog carries a doc-level lineage store
@@ -3659,6 +3721,7 @@ object SparkEntry {
     "q173_catalog_savepoint" -> admissionOracle,
     "q174_catalog_takedown" -> admissionOracleMinus("src7"),
     "q175_admission_restart" -> admissionOracle,
+    "q176_catalog_addstore" -> admissionOracleByLang,
     "q172_admission_audit" ->
       // re-derive every verdict from scratch: batch 0's standing fps =
       // min-id winner per fingerprint class among the originals, minus

@@ -101,6 +101,31 @@ object Catalog {
   def lastBatch(spark: SparkSession, base: String): Long =
     SwapStore.lastBatch(spark, manifestPath(base))
 
+  /** Add a store to a LIVE catalog: `init` (typically a BACKFILL
+    * derived from an existing store — the lineage store exists for
+    * exactly this) becomes the new store's generation at the current
+    * ledger, and the manifest row appears in one swap. From the next
+    * batch on, the store folds like any founding member; the invariant
+    * every reader relies on — a store's table reflects exactly the
+    * ledger's batches — holds because the backfill is itself derived
+    * from stores that reflect them. Single-writer contract as every
+    * fold: call between batches, never concurrently with one.
+    */
+  def addStore(spark: SparkSession, base: String, name: String,
+               init: DataFrame): Unit = {
+    val cur = gens(spark, base)
+    require(!cur.contains(name),
+      s"Catalog.addStore: store '$name' already exists")
+    val led = lastBatch(spark, base)
+    init.write.mode("overwrite").parquet(genDir(base, name, led))
+    import spark.implicits._
+    // same read-current-then-swap shape as every fold: the new manifest
+    // materializes fully to the staging dir before any rename
+    SwapStore.reset(spark, manifestPath(base),
+      SwapStore.read(spark, manifestPath(base))
+        .unionByName(Seq((name, led)).toDF("store", "gen")), led)
+  }
+
   /** Pin the catalog's CURRENT state under a name. Because generations
     * are immutable, a savepoint is a POINTER SET — every store's
     * current generation plus the shared ledger, written once under

@@ -183,12 +183,12 @@ object SwapStore {
   }
 
   /** Replace the store's table AND ledger unconditionally — the
-    * restore path ([[Catalog.restore]]): unlike [[fold]], the ledger
-    * may move BACKWARD, to a savepoint's fork point, after which the
-    * batches beyond the pin replay as genuinely new ids. `df` must not
-    * read from this store's current files (a restore reads an
-    * immutable snapshot, never the table it replaces). Same crash-safe
-    * swap as [[fold]], same single-writer contract.
+    * restore path ([[Catalog.restore]]) and the in-place manifest
+    * rewrite ([[Catalog.addStore]]): unlike [[fold]], the ledger may
+    * move BACKWARD (to a savepoint's fork point) or stay put. `df` may
+    * read the store's current files — like [[fold]]'s transform, the
+    * plan materializes fully into the staging dir before any rename.
+    * Same crash-safe swap as [[fold]], same single-writer contract.
     */
   def reset(spark: SparkSession, path: String, df: DataFrame, batchId: Long): Unit = {
     val tmp = s"$path/_store.next"

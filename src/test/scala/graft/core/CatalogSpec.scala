@@ -133,6 +133,30 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Catalog.dropSavepoint(spark, base, "p0") }
   }
 
+  test("addStore: a store added mid-stream backfills, then folds like a founding member") {
+    val base = TempDirs.create("catalog_addstore")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), folds)
+    // backfill the new store FROM an existing one — the lineage pattern
+    Catalog.addStore(spark, base, "negsums",
+      Catalog.read(spark, base, "sums").select(col("k"), (-col("s")).as("ns")))
+    assert(Catalog.gens(spark, base)("negsums") == 0L,
+      "the backfill generation carries the current ledger id")
+    assert(Catalog.lastBatch(spark, base) == 0L, "addStore must not advance the ledger")
+    val foldsPlus = folds :+ ("negsums" -> ((cur: DataFrame, b: DataFrame) =>
+      cur.unionByName(b.groupBy("k").agg((-sum(col("v"))).as("ns")))
+        .groupBy("k").agg(sum(col("ns")).as("ns"))))
+    Catalog.ingest(spark, base, 1L, Seq((1L, 5L), (3L, 7L)).toDF("k", "v"), foldsPlus)
+    assert(Catalog.read(spark, base, "negsums").as[(Long, Long)].collect().toMap
+      == Map(1L -> -15L, 2L -> -20L, 3L -> -7L),
+      "post-add batches must fold into the added store on top of its backfill")
+    assert(snapshot(base) == ((4L, Map(1L -> 15L, 2L -> 20L, 3L -> 7L), Set(1L, 2L, 3L))),
+      "founding stores unaffected by the add")
+    intercept[IllegalArgumentException] {
+      Catalog.addStore(spark, base, "cnt", Seq(0L).toDF("n"))
+    }
+  }
+
   test("a racing reader never observes a torn batch: cross-store invariant holds under live folds") {
     // the manifest swap is the single atomicity point, so one
     // readAll's pointer set is always a consistent snapshot; the
