@@ -467,6 +467,21 @@ object SparkEntry {
         corpus.where(lit(false))
           .withColumn("__fp", TextAnalysis.fingerprint(col("text"))))))
   }
+  /** The four ascending-id batches every admission gate replays:
+    * originals split in two, then the echoes split in two (echo ids
+    * start above 100000 at every sf).
+    */
+  private val admissionBounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
+  private def admissionIngestBatch(s: SparkSession, p: String,
+      corpus: org.apache.spark.sql.DataFrame, bench: org.apache.spark.sql.DataFrame,
+      i: Int,
+      folds: Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)]): Unit = {
+    val batch = corpus.where(col("doc_id") >= admissionBounds(i) &&
+      col("doc_id") < admissionBounds(i + 1))
+    Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps", batch,
+      col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+      n = 3, threshold = 0.3), folds)
+  }
   private def admissionAnswers(s: SparkSession, base: String)
       : org.apache.spark.sql.DataFrame = {
     val stores = graft.core.Catalog.readAll(s, base) // one manifest read
@@ -484,7 +499,12 @@ object SparkEntry {
     * miss, torn fold, or double-apply in either gate form breaks the
     * compare.
     */
-  private val admissionOracle: String =
+  // the oracle family builds from two explicit parts: the WITH-prefix
+  // through the admitted set `a` (with `/*EXTRA*/` as the post-screen
+  // filter hook the takedown form fills) and a per-query answer tail —
+  // string surgery on a shared literal would silently no-op if the base
+  // were reworded
+  private val admissionOraclePrefix: String =
     """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
       |              WHERE doc_id % 50 <> 0),
       |corpus AS (SELECT doc_id, source, lang, text FROM orig
@@ -509,7 +529,9 @@ object SparkEntry {
       |         FROM (SELECT * FROM ksh WHERE len(s) > 0) t,
       |              (SELECT * FROM bsh WHERE len(s) > 0) b
       |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
-      |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)/*EXTRA*/)""".stripMargin
+  private val admissionStatsTail: String =
+    """,
       |st AS (SELECT source, count(*) AS n_docs,
       |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
       |       FROM a GROUP BY 1),
@@ -521,27 +543,26 @@ object SparkEntry {
       |          FROM wc) WHERE rn = 1)
       |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
       |FROM st JOIN top USING (source)""".stripMargin
+  private val admissionOracle: String =
+    admissionOraclePrefix.replace("/*EXTRA*/", "") + admissionStatsTail
 
   /** [[admissionOracle]] after an atomic takedown of one source: the
     * same from-scratch derivation with that source's admitted docs
     * removed before the store answers.
     */
   private def admissionOracleMinus(source: String): String =
-    admissionOracle.replace(
-      "NOT IN (SELECT doc_id FROM cont))",
-      s"NOT IN (SELECT doc_id FROM cont) AND source <> '$source')")
+    admissionOraclePrefix.replace("/*EXTRA*/", s" AND source <> '$source'") +
+      admissionStatsTail
 
   /** [[admissionOracle]]'s admitted set, answered per (source, lang) —
     * q176's mid-stream-added store must be indistinguishable from one
     * that existed from batch 0.
     */
-  private def admissionOracleByLang: String = {
-    val cut = admissionOracle.indexOf("\nst AS (")
-    admissionOracle.substring(0, cut).stripSuffix(",") + "\n" +
+  private def admissionOracleByLang: String =
+    admissionOraclePrefix.replace("/*EXTRA*/", "") + "\n" +
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
         |FROM a GROUP BY 1, 2""".stripMargin
-  }
 
   /** The q44-convention in-plan exactness gate shared by the sketch
     * queries: output the sketch-side value, raising a named error if it
@@ -2999,18 +3020,9 @@ object SparkEntry {
       val base = q169CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q169_catalog")
         admissionInit(p, corpus)
-        // fixed ascending-id bounds: originals split in two, then the
-        // echoes split in two (echo ids start above 100000 at every sf)
-        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
         withShufflePartitions(s, 4) {
-          (0 until 4).foreach { i =>
-            val batch = corpus.where(
-              col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
-            val admitted = Admission.screen(s, p, "fps", batch,
-              col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-              n = 3, threshold = 0.3)
-            Admission.ingest(s, p, i.toLong, admitted, admissionFolds)
-          }
+          (0 until 4).foreach(
+            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
         }
         p
       })
@@ -3080,34 +3092,30 @@ object SparkEntry {
       // immutable generations (store gens + the shared ledger), not a
       // copy: pinning a 100 TB catalog costs one manifest read, and
       // restore is two renames. The gate drives the full fork cycle
-      // through q169's pipeline: ingest the originals, PIN, ingest the
-      // echo batches, RESTORE to the pin (ledger rewinds, pinned
-      // generations must have survived two folds of GC), then replay
-      // the echo batches from the fork. The final catalog must answer
-      // exactly as the straight-through run — a stale pin, a GC'd
-      // generation, or a ledger that refused to rewind all break the
-      // from-scratch oracle compare.
+      // through q169's pipeline: ingest the FIRST original batch, PIN,
+      // ingest the remaining three, RESTORE to the pin (ledger
+      // rewinds, pinned generations must have survived three folds of
+      // GC), then replay the tail from the fork. The pin sits BEFORE
+      // batch 1 — the second half of the originals, which admits
+      // hundreds of rows — so the post-restore replay re-folds real
+      // data: a restore that rewound the ledger but failed to roll the
+      // store generations back would double-fold batch 1 and break the
+      // from-scratch oracle compare (as would a stale pin or a GC'd
+      // generation).
       val (corpus, bench) = admissionCorpus(s, d)
       val base = q173CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q173_catalog")
         admissionInit(p, corpus)
-        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
-        def ingestBatch(i: Int): Unit = {
-          val batch = corpus.where(
-            col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
-          Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
-            batch, col("doc_id"), col("text"),
-            bench, col("doc_id"), col("text"),
-            n = 3, threshold = 0.3), admissionFolds)
-        }
         withShufflePartitions(s, 4) {
-          ingestBatch(0); ingestBatch(1)
-          graft.core.Catalog.savepoint(s, p, "after-originals")
-          ingestBatch(2); ingestBatch(3)
-          graft.core.Catalog.restore(s, p, "after-originals")
-          require(graft.core.Catalog.lastBatch(s, p) == 1L,
+          def ingestBatch(i: Int): Unit =
+            admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
+          ingestBatch(0)
+          graft.core.Catalog.savepoint(s, p, "after-first-batch")
+          (1 until 4).foreach(ingestBatch)
+          graft.core.Catalog.restore(s, p, "after-first-batch")
+          require(graft.core.Catalog.lastBatch(s, p) == 0L,
             "q173: restore must rewind the ledger to the fork point")
-          ingestBatch(2); ingestBatch(3)
+          (1 until 4).foreach(ingestBatch)
         }
         p
       })
@@ -3160,12 +3168,14 @@ object SparkEntry {
     "q176_catalog_addstore" -> ((s, d) => {
       // ADD AN INDEX TO A LIVE CORPUS — Catalog.addStore: the
       // per-(source, lang) stats store does not exist for the first
-      // half of the stream; it is added mid-stream with a BACKFILL
-      // derived from the doc-level lineage store, then folds like a
-      // founding member. Contract under the gate: pre-add batches
-      // reach the store through the backfill, post-add batches through
-      // folds, and the result must be indistinguishable from a store
-      // that existed from batch 0 (the from-scratch oracle). 100 TB
+      // batch; it is added mid-stream with a BACKFILL derived from the
+      // doc-level lineage store, then folds like a founding member.
+      // The add sits BEFORE batch 1 — the second half of the
+      // originals, which admits hundreds of rows — so the post-add
+      // fold path carries real data: a broken fold (or a backfill
+      // inconsistent with the ledger) breaks the compare against the
+      // from-scratch oracle, which demands the store be
+      // indistinguishable from one that existed from batch 0. 100 TB
       // shape: the backfill reads the lineage store's scalar rows,
       // never the corpus, and the manifest swap makes the store appear
       // atomically with a table already consistent with the ledger.
@@ -3173,7 +3183,6 @@ object SparkEntry {
       val base = q176CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q176_catalog")
         admissionInit(p, corpus, withLineage = true)
-        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
         val langStatsFold: (String, (DataFrame, DataFrame) => DataFrame) =
           "lang_stats" -> ((cur, b) => cur.unionByName(
               b.groupBy(col("source"), col("lang")).agg(
@@ -3182,22 +3191,14 @@ object SparkEntry {
             .groupBy(col("source"), col("lang")).agg(
               sum(col("n_docs")).as("n_docs"),
               sum(col("n_tokens")).as("n_tokens")))
-        def ingestBatch(i: Int,
-            folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)]): Unit = {
-          val batch = corpus.where(
-            col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
-          Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
-            batch, col("doc_id"), col("text"),
-            bench, col("doc_id"), col("text"),
-            n = 3, threshold = 0.3), folds)
-        }
         withShufflePartitions(s, 4) {
-          (0 until 2).foreach(ingestBatch(_, admissionFolds :+ admissionLineageFold))
+          admissionIngestBatch(s, p, corpus, bench, 0,
+            admissionFolds :+ admissionLineageFold)
           graft.core.Catalog.addStore(s, p, "lang_stats",
             graft.core.Catalog.read(s, p, "docs")
               .groupBy(col("source"), col("lang")).agg(
                 count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")))
-          (2 until 4).foreach(ingestBatch(_,
+          (1 until 4).foreach(admissionIngestBatch(s, p, corpus, bench, _,
             admissionFolds :+ admissionLineageFold :+ langStatsFold))
         }
         p
@@ -3226,32 +3227,12 @@ object SparkEntry {
       val base = q174CatalogCache.computeIfAbsent(d, { _ =>
         val p = graft.core.TempDirs.create("graft_q174_catalog")
         admissionInit(p, corpus, withLineage = true)
-        val bounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
         withShufflePartitions(s, 4) {
-          (0 until 4).foreach { i =>
-            val batch = corpus.where(
-              col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
-            Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps",
-              batch, col("doc_id"), col("text"),
-              bench, col("doc_id"), col("text"),
-              n = 3, threshold = 0.3), admissionFolds :+ admissionLineageFold)
-          }
+          (0 until 4).foreach(admissionIngestBatch(s, p, corpus, bench, _,
+            admissionFolds :+ admissionLineageFold))
           val ticket = graft.core.Catalog.read(s, p, "docs")
             .where(col("source") === "src7")
-          graft.core.Catalog.ingest(s, p, 4L, ticket, Seq(
-            "docs" -> ((cur, t) =>
-              cur.join(t.select("doc_id"), Seq("doc_id"), "left_anti")),
-            "fps" -> ((cur, t) =>
-              cur.join(t.select("fp"), Seq("fp"), "left_anti")),
-            "stats" -> ((cur, t) => cur.join(
-                t.groupBy(col("source")).agg(count(lit(1)).as("__d"),
-                  sum(col("n_tokens")).as("__t")), Seq("source"), "left")
-              .select(col("source"),
-                (col("n_docs") - coalesce(col("__d"), lit(0L))).as("n_docs"),
-                (col("n_tokens") - coalesce(col("__t"), lit(0L))).as("n_tokens"))
-              .where(col("n_docs") > 0)),
-            "vocab" -> ((cur, t) =>
-              cur.join(t.select("source").distinct(), Seq("source"), "left_anti"))))
+          graft.core.Catalog.ingest(s, p, 4L, ticket, Admission.retractFolds())
         }
         p
       })

@@ -180,6 +180,12 @@ final class JobServer(spark: SparkSession) {
     */
   def catalogRecover(savepointRoot: String, name: String, catalogBase: String)
                     (start: String => StreamingQuery): JobHandle = {
+    // validate the checkpoint-side savepoint BEFORE touching the live
+    // catalog: a typo'd root/name must fail without rolling anything
+    // back (the restore is the destructive half of this pair)
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(savepointRoot, name)),
+      s"no savepoint '$name' under $savepointRoot")
     graft.core.Catalog.restore(spark, catalogBase, name)
     recover(savepointRoot, name)(start)
   }

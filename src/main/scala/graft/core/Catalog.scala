@@ -167,13 +167,20 @@ object Catalog {
   }
 
   /** Every generation some savepoint pins, per store — what [[ingest]]'s
-    * GC must keep alive in addition to current + previous.
+    * GC must keep alive in addition to current + previous. A
+    * savepoint's pin set is immutable from creation (write-once by
+    * construction), so the per-name manifest read caches for the
+    * process lifetime and a fold's GC pays one directory listing, not
+    * one Spark job per savepoint per trigger; [[dropSavepoint]] evicts.
     */
+  private val pinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
   private def pinnedGens(spark: SparkSession, base: String): Map[String, Set[Long]] =
     savepoints(spark, base)
       .flatMap { n =>
-        spark.read.parquet(s"${savepointDir(base, n)}/manifest")
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+        pinCache.computeIfAbsent(s"$base $n", _ =>
+          spark.read.parquet(s"${savepointDir(base, n)}/manifest")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap).toSeq
       }
       .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
 
@@ -204,6 +211,7 @@ object Catalog {
     val dst = new org.apache.hadoop.fs.Path(savepointDir(base, name))
     require(fs.exists(dst), s"Catalog.dropSavepoint: no savepoint '$name'")
     fs.delete(dst, true)
+    pinCache.remove(s"$base $name")
   }
 
   /** Fold one admitted batch into every named store atomically: each

@@ -136,6 +136,42 @@ object Admission {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(stage))
   }
 
+  /** The subtract folds for the standard admission-catalog shape — the
+    * takedown counterpart of [[ingest]]. Retraction IS an ingest: feed
+    * [[graft.core.Catalog.ingest]] a retraction TICKET (rows of the
+    * doc-level lineage store: `doc_id`, `source`, `fp`, `n_tokens`,
+    * typically `Catalog.read(_, base, lineage).where(pred)`) with
+    * these folds and the removal lands in every store under one
+    * ledger batch. Lineage and fingerprint stores subtract via
+    * ticket-sized anti joins (an admitted doc owns its fingerprint
+    * exclusively, so fp removal is exact and the content becomes
+    * re-admittable); the stats store — columns `(source, n_docs,
+    * n_tokens)` — subtracts the ticket's per-source aggregates and
+    * drops rows reaching zero; each `vocab` store is a bucket table
+    * keyed by `source`, and because top-k sketches are NOT invertible
+    * the retraction is exact bucket-row DELETION — valid only when the
+    * ticket covers its sources completely (a finer-than-bucket
+    * predicate must instead rebuild the affected buckets from
+    * retained data).
+    */
+  def retractFolds(lineage: String = "docs", fps: String = "fps",
+                   stats: String = "stats", vocab: Seq[String] = Seq("vocab"))
+      : Seq[(String, (DataFrame, DataFrame) => DataFrame)] =
+    Seq(
+      lineage -> ((cur: DataFrame, t: DataFrame) =>
+        cur.join(t.select("doc_id"), Seq("doc_id"), "left_anti")),
+      fps -> ((cur: DataFrame, t: DataFrame) =>
+        cur.join(t.select("fp"), Seq("fp"), "left_anti")),
+      stats -> ((cur: DataFrame, t: DataFrame) => cur.join(
+          t.groupBy(col("source")).agg(count(lit(1)).as("__d"),
+            sum(col("n_tokens")).as("__t")), Seq("source"), "left")
+        .select(col("source"),
+          (col("n_docs") - coalesce(col("__d"), lit(0L))).as("n_docs"),
+          (col("n_tokens") - coalesce(col("__t"), lit(0L))).as("n_tokens"))
+        .where(col("n_docs") > 0))
+    ) ++ vocab.map(v => v -> ((cur: DataFrame, t: DataFrame) =>
+      cur.join(t.select("source").distinct(), Seq("source"), "left_anti")))
+
   /** Continuous admission: [[screen]] + [[ingest]] per micro-batch —
     * the full front door as ONE streaming query. Each trigger screens
     * against the fingerprint store AS GROWN BY the previous trigger

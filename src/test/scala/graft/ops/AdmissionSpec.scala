@@ -80,32 +80,36 @@ class AdmissionSpec extends AnyFunSuite {
     assert(stats == Map("s0" -> 1L, "s1" -> 1L))
   }
 
-  test("takedown: retract folds subtract a source from every store atomically; its content re-admits") {
+  test("takedown: Admission.retractFolds subtracts a source from every store atomically; its content re-admits") {
     val p = TempDirs.create("admission_retract")
     val empty = docsDF()
     Catalog.init(p, Map(
       "fps" -> empty.select(TextAnalysis.fingerprint(col("text")).as("fp")),
-      "stats" -> empty.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      "stats" -> empty.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
       "docs" -> empty.select(col("doc_id"), col("source"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))))
-    val foldsL = folds :+ ("docs" -> ((cur: DataFrame, b: DataFrame) =>
-      cur.unionByName(b.select(col("doc_id"), col("source"),
-        col("__fp").as("fp")))))
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))))
+    val foldsL: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      "fps" -> ((cur, b) => cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
+      "stats" -> ((cur, b) => cur.unionByName(
+          b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
+        .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))),
+      "docs" -> ((cur, b) => cur.unionByName(b.select(col("doc_id"), col("source"),
+        col("__fp").as("fp"), TextAnalysis.tokenCount(col("text")).as("n_tokens")))))
     Admission.ingest(spark, p, 0L, Admission.screen(spark, p, "fps",
       docsDF((1L, "s0", "alpha beta gamma delta"),
         (2L, "s1", "epsilon zeta eta theta")),
       col("doc_id"), col("text"), bench, col("doc_id"), col("text")), foldsL)
-    // the retraction ticket comes FROM the lineage store
+    // the retraction ticket comes FROM the lineage store; the folds
+    // come from the library (no vocab store in this catalog)
     val ticket = Catalog.read(spark, p, "docs").where(col("source") === "s0")
-    Catalog.ingest(spark, p, 1L, ticket, Seq(
-      "docs" -> ((cur, t) => cur.join(t.select("doc_id"), Seq("doc_id"), "left_anti")),
-      "fps" -> ((cur, t) => cur.join(t.select("fp"), Seq("fp"), "left_anti")),
-      "stats" -> ((cur, t) => cur.join(
-          t.groupBy(col("source")).agg(count(lit(1)).as("__d")), Seq("source"), "left")
-        .select(col("source"), (col("n_docs") - coalesce(col("__d"), lit(0L))).as("n_docs"))
-        .where(col("n_docs") > 0))))
-    assert(Catalog.read(spark, p, "stats").as[(String, Long)].collect().toMap
-      == Map("s1" -> 1L), "the zero-doc source row is dropped, not left at 0")
+    Catalog.ingest(spark, p, 1L, ticket,
+      Admission.retractFolds(vocab = Seq.empty))
+    assert(Catalog.read(spark, p, "stats").as[(String, Long, Long)].collect().toList
+      == List(("s1", 1L, 4L)), "the zero-doc source row is dropped, not left at 0")
     assert(Catalog.read(spark, p, "docs").count() == 1)
     assert(Catalog.read(spark, p, "fps").count() == 1)
     // the retracted fingerprint is gone, so the SAME text re-admits
