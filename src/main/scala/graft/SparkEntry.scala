@@ -82,6 +82,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q176CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q177CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -482,9 +484,9 @@ object SparkEntry {
       col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
       n = 3, threshold = 0.3), folds)
   }
-  private def admissionAnswers(s: SparkSession, base: String)
+  private def admissionAnswersFrom(
+      stores: Map[String, org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
-    val stores = graft.core.Catalog.readAll(s, base) // one manifest read
     val top = Sketches.topKOver(stores("vocab"), Seq("source"), lit(true), k = 1)
       .select(col("source"), col("item").as("top_token"),
         col("cnt").as("top_cnt"))
@@ -492,6 +494,9 @@ object SparkEntry {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("top_token"), col("top_cnt"))
   }
+  private def admissionAnswers(s: SparkSession, base: String)
+      : org.apache.spark.sql.DataFrame =
+    admissionAnswersFrom(graft.core.Catalog.readAll(s, base)) // one manifest read
   /** The admitted set from scratch: min-id winner of every fingerprint
     * class over (originals ∪ echoes), minus the docs the q66
     * containment rule flags — then the three store answers (per-source
@@ -504,12 +509,10 @@ object SparkEntry {
   // filter hook the takedown form fills) and a per-query answer tail —
   // string surgery on a shared literal would silently no-op if the base
   // were reworded
-  private val admissionOraclePrefix: String =
+  private def admissionOraclePrefixOver(corpusSql: String): String =
     """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
       |              WHERE doc_id % 50 <> 0),
-      |corpus AS (SELECT doc_id, source, lang, text FROM orig
-      |           UNION ALL
-      |           SELECT doc_id + 100000, source, lang, text FROM orig),
+      |corpus AS (/*CORPUS*/),
       |tok AS (SELECT doc_id, source, lang,
       |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
       |        FROM corpus),
@@ -530,6 +533,14 @@ object SparkEntry {
       |              (SELECT * FROM bsh WHERE len(s) > 0) b
       |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
       |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)/*EXTRA*/)""".stripMargin
+      .replace("/*CORPUS*/", corpusSql)
+  /** The standard corpus: originals plus their planted echoes. */
+  private val admissionCorpusSql: String =
+    """SELECT doc_id, source, lang, text FROM orig
+      |           UNION ALL
+      |           SELECT doc_id + 100000, source, lang, text FROM orig""".stripMargin
+  private val admissionOraclePrefix: String =
+    admissionOraclePrefixOver(admissionCorpusSql)
   private val admissionStatsTail: String =
     """,
       |st AS (SELECT source, count(*) AS n_docs,
@@ -3206,6 +3217,32 @@ object SparkEntry {
       graft.core.Catalog.read(s, base, "lang_stats")
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"))
     }),
+    "q177_catalog_timetravel" -> ((s, d) => {
+      // TIME-TRAVEL READS — Catalog.readAt: answer from the pinned
+      // generations of a savepoint WITHOUT restoring, while the live
+      // catalog has long since advanced. The gate pins after the first
+      // batch, folds the remaining three (whose GC must leave the
+      // pinned generations alone), and answers AS OF the pin — the
+      // oracle is the from-scratch derivation over the first batch's
+      // id span only. A GC'd pinned generation, a pin that drifted
+      // with the live stores, or a manifest resolved live instead of
+      // at the pin all break the compare. Cost model on a 100 TB
+      // catalog: the snapshot view is pointer chasing — no data copied
+      // at pin time, none at read time.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q177CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q177_catalog")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          admissionIngestBatch(s, p, corpus, bench, 0, admissionFolds)
+          graft.core.Catalog.savepoint(s, p, "asof-batch0")
+          (1 until 4).foreach(
+            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
+        }
+        p
+      })
+      admissionAnswersFrom(graft.core.Catalog.readAt(s, base, "asof-batch0"))
+    }),
     "q174_catalog_takedown" -> ((s, d) => {
       // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
       // SUBTRACT. The catalog carries a doc-level lineage store
@@ -3703,6 +3740,11 @@ object SparkEntry {
     "q174_catalog_takedown" -> admissionOracleMinus("src7"),
     "q175_admission_restart" -> admissionOracle,
     "q176_catalog_addstore" -> admissionOracleByLang,
+    "q177_catalog_timetravel" ->
+      // the from-scratch derivation over the FIRST batch's id span only
+      (admissionOraclePrefixOver(
+          "SELECT doc_id, source, lang, text FROM orig WHERE doc_id < 250")
+        .replace("/*EXTRA*/", "") + admissionStatsTail),
     "q172_admission_audit" ->
       // re-derive every verdict from scratch: batch 0's standing fps =
       // min-id winner per fingerprint class among the originals, minus

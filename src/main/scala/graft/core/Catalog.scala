@@ -184,6 +184,22 @@ object Catalog {
       }
       .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
 
+  /** Read every store AS OF a savepoint WITHOUT restoring — snapshot
+    * reads against the pinned generations while the live catalog keeps
+    * advancing. The pin is immutable and GC-exempt, so this view stays
+    * valid for as long as the savepoint exists, and it costs nothing
+    * beyond the reads themselves: time travel is pointer chasing in
+    * the generation model.
+    */
+  def readAt(spark: SparkSession, base: String, name: String): Map[String, DataFrame] = {
+    val sp = savepointDir(base, name)
+    require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
+      s"Catalog.readAt: no savepoint '$name' under $base")
+    spark.read.parquet(s"$sp/manifest").collect()
+      .map(r => r.getString(0) ->
+        spark.read.parquet(genDir(base, r.getString(0), r.getLong(1)))).toMap
+  }
+
   /** Roll the catalog back to a savepoint: the manifest swaps to the
     * pinned (store, gen) rows and the pinned ledger — two renames and
     * a tiny write, regardless of catalog size, because the pinned

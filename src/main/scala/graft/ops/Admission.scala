@@ -46,7 +46,8 @@ object Admission {
   def screen(spark: SparkSession, catalogBase: String, fpStore: String,
              batch: DataFrame, id: Column, text: Column,
              bench: DataFrame, benchId: Column, benchText: Column,
-             n: Int = 3, threshold: Double = 0.3): DataFrame = {
+             n: Int = 3, threshold: Double = 0.3,
+             standingBloomFpp: Option[Double] = None): DataFrame = {
     Seq("__fp", "__id").foreach(c => require(!batch.columns.contains(c),
       s"Admission.screen: batch already has a $c column — rename it first"))
     val withFp = batch
@@ -56,8 +57,31 @@ object Admission {
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col("__id"))))
       .where(col("__rk") === 1).drop("__rk")
-    val standing = graft.core.Catalog.read(spark, catalogBase, fpStore)
+    val standing0 = graft.core.Catalog.read(spark, catalogBase, fpStore)
       .select(col("fp").as("__fp"))
+    // The 100 TB shape of the cross-batch screen: the standing store
+    // dwarfs the batch, and a plain anti join would SHUFFLE the whole
+    // fingerprint table by fp every trigger. With standingBloomFpp
+    // set, a Bloom built over the BATCH's fingerprints (batch-sized,
+    // broadcast to the standing scan) prunes the standing side to
+    // ~(true matches + fpp x standing rows) survivors BEFORE the join;
+    // a Bloom has no false negatives, so dropping non-members cannot
+    // change the anti join, and false positives only add rows the
+    // exact join discards. The survivor set is then broadcast — the
+    // standing store is scanned but never shuffled. Pick fpp so
+    // fpp x |standing| stays broadcastable (1e-4 on a 10^10-row store
+    // leaves ~10^6 survivors for a ~3 MB/10^6-key filter). Default
+    // None keeps the plain join (right for stores that fit a shuffle).
+    val standing = standingBloomFpp match {
+      case Some(fpp) =>
+        val keys = withFp.select(col("__fp"))
+        val bf = keys.stat.bloomFilter(col("__fp"),
+          math.max(keys.count(), 1L), fpp)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val probe = udf((s: String) => s != null && bfB.value.mightContainString(s))
+        broadcast(standing0.where(probe(col("__fp"))))
+      case None => standing0
+    }
     val fresh = first.join(standing, Seq("__fp"), "left_anti")
     val contaminated = Decontamination.containmentPairs(fresh, col("__id"), text,
         bench, benchId, benchText, n, threshold)
@@ -187,7 +211,8 @@ object Admission {
                    bench: DataFrame, benchId: Column, benchText: Column,
                    folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
                    n: Int = 3, threshold: Double = 0.3,
-                   checkpoint: Option[String] = None)
+                   checkpoint: Option[String] = None,
+                   standingBloomFpp: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     Sketches.warnIfEphemeral(checkpoint, catalogBase)
     val w = stream.writeStream
@@ -195,7 +220,7 @@ object Admission {
         graft.core.SwapStore.retryingStaleReads() {
           ingest(spark, catalogBase, bid,
             screen(spark, catalogBase, fpStore, batch, id, text,
-              bench, benchId, benchText, n, threshold),
+              bench, benchId, benchText, n, threshold, standingBloomFpp),
             folds)
         }
       }

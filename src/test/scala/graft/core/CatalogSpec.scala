@@ -127,6 +127,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(snapshot(base) == pinned)
     intercept[IllegalArgumentException] { Catalog.savepoint(spark, base, "p0") }
     intercept[IllegalArgumentException] { Catalog.restore(spark, base, "nope") }
+    // snapshot reads: the pinned view answers AS OF the pin while the
+    // live catalog sits elsewhere, without restoring anything
+    val asOf = Catalog.readAt(spark, base, "p0")
+    assert(asOf("cnt").as[Long].collect().head == 1L)
+    assert(asOf("sums").as[(Long, Long)].collect().toMap == Map(1L -> 10L))
+    assert(Catalog.lastBatch(spark, base) == 0L, "readAt must not mutate")
+    intercept[IllegalArgumentException] { Catalog.readAt(spark, base, "nope") }
     assert(Catalog.savepoints(spark, base) == Seq("p0"))
     Catalog.dropSavepoint(spark, base, "p0")
     assert(Catalog.savepoints(spark, base).isEmpty)

@@ -116,6 +116,43 @@ class AdmissionSpec extends AnyFunSuite {
     assert(admittedIds(p, docsDF((9L, "s0", "alpha beta gamma delta"))) == Set(9L))
   }
 
+  test("screen with a standing-side Bloom prefilter: identical result, standing side broadcasts") {
+    val base = initCatalog()
+    Admission.ingest(spark, base, 0L, Admission.screen(spark, base, "fps",
+      docsDF((1L, "s0", "alpha beta gamma delta"),
+        (2L, "s1", "epsilon zeta eta theta")),
+      col("doc_id"), col("text"), bench, col("doc_id"), col("text")), folds)
+    val b2 = docsDF(
+      (4L, "s0", "alpha beta gamma delta"),      // standing dup
+      (5L, "s1", "epsilon zeta eta theta"),      // standing dup
+      (6L, "s1", "fresh unique content entirely new"))
+    def ids(df: DataFrame) = df.select("doc_id").as[Long].collect().toSet
+    val plain = Admission.screen(spark, base, "fps", b2, col("doc_id"),
+      col("text"), bench, col("doc_id"), col("text"))
+    val pre = Admission.screen(spark, base, "fps", b2, col("doc_id"),
+      col("text"), bench, col("doc_id"), col("text"),
+      standingBloomFpp = Some(0.01))
+    assert(ids(pre) == ids(plain) && ids(pre) == Set(6L),
+      "the Bloom prefilter must not change the admitted set")
+    // the scale contract: with auto-broadcast off, the plain form sort-
+    // merges the standing anti join, the prefiltered form broadcasts it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def antiJoins(df: DataFrame) = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(antiJoins(Admission.screen(spark, base, "fps", b2, col("doc_id"),
+          col("text"), bench, col("doc_id"), col("text"),
+          standingBloomFpp = Some(0.01)))
+        .exists(_.contains("BroadcastHashJoin")),
+        "prefiltered standing side must broadcast")
+      assert(!antiJoins(Admission.screen(spark, base, "fps", b2, col("doc_id"),
+          col("text"), bench, col("doc_id"), col("text")))
+        .exists(_.contains("BroadcastHashJoin")),
+        "sanity: without the prefilter nothing forces the broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("audit: every row carries a verdict, and the admitted slice is row-for-row screen()") {
     val base = initCatalog()
     val b1 = docsDF((1L, "s0", "alpha beta gamma delta"))
