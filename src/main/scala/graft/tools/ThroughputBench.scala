@@ -1205,12 +1205,32 @@ object ThroughputBench {
       val tdS = (System.nanoTime() - tdT0) / 1e9
       require(graft.core.Catalog.read(spark, base, "stats").count() == 19,
         "takedown must leave 19 of 20 sources")
+      // the 100 TB join shape, measured: screen a FRESH 1M batch (ids
+      // beyond the corpus -> ~no true matches) against the grown
+      // standing store, plain anti join vs the Bloom-prefiltered
+      // broadcast form. The prefilter survivor set is ~fpp x store.
+      def freshBatch = spark.range(10000000L, 11000000L).select(
+        col("id").as("doc_id"), lit("srcF").as("source"),
+        array_join(transform(sequence(lit(0), lit(14)),
+          j => concat(lit("f"), pmod(xxhash64(col("id") * 15 + j), lit(50000)))), " ")
+          .as("text"))
+      def timeScreen(fpp: Option[Double]): Double = {
+        val t0 = System.nanoTime()
+        val n = graft.ops.Admission.screen(spark, base, "fps", freshBatch,
+          col("doc_id"), col("text"), benchDocs, col("doc_id"), col("text"),
+          standingBloomFpp = fpp).count()
+        require(n == 1000000L, s"fresh batch must all survive, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val plainS = timeScreen(None)
+      val bloomS = timeScreen(Some(1e-3))
       val totalS = times.sum
       println(f"scenario35 admission n=$total (${batches}x$batchN): " +
         times.zipWithIndex.map { case (t, i) => f"b$i $t%.1f s" }.mkString(", ") +
         f"; total $totalS%.1f s (${total / totalS / 1e6}%.2f M docs/s end-to-end " +
         f"incl. 3-store atomic folds); takedown src7 $tdS%.1f s; " +
-        f"fps=$got == from-scratch $expected (exact)")
+        f"fps=$got == from-scratch $expected (exact); " +
+        f"fresh-batch screen plain $plainS%.1f s vs bloom-broadcast $bloomS%.1f s")
     }
 
     // scenario 32: streaming quota-fill admission at 8M docs — the q156
