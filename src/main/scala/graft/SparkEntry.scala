@@ -84,6 +84,12 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q177CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q178CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q179CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q180CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3243,6 +3249,110 @@ object SparkEntry {
       })
       admissionAnswersFrom(graft.core.Catalog.readAt(s, base, "asof-batch0"))
     }),
+    "q178_catalog_replicate" -> ((s, d) => {
+      // DISASTER RECOVERY — Catalog.replicate: the full admission
+      // catalog ships to a second base path as pointers plus
+      // generation copies under a pinned snapshot, with a crash
+      // injected after two of the three store copies and the re-run
+      // converging on the SAME snapshot (already-complete copies skip
+      // by their _SUCCESS markers; the cutover is one manifest swap).
+      // The gate answers from the REPLICA: a torn copy, a stale
+      // generation, or ledger drift breaks the from-scratch oracle.
+      // 100 TB shape: replication cost is the changed stores' bytes
+      // (generation diff against the replica's manifest, never catalog
+      // size), the pin keeps the long copy phase stable against
+      // concurrent primary folds and their GC, and the final call
+      // proves convergence is a copy-free pointer compare.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val rep = q178CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q178_primary")
+        val r = graft.core.TempDirs.create("graft_q178_replica")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          (0 until 4).foreach(
+            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
+          try graft.core.Catalog.replicateImpl(s, p, r, full = false, failAfter = 2)
+          catch { case _: IllegalStateException => () }
+          graft.core.Catalog.replicate(s, p, r)
+          require(graft.core.Catalog.lastBatch(s, r) == 3L,
+            "q178: the cutover must carry the pinned ledger")
+          require(graft.core.Catalog.replicate(s, p, r).isEmpty,
+            "q178: a converged replica must copy nothing")
+        }
+        r
+      })
+      admissionAnswers(s, rep)
+    }),
+    "q179_catalog_logship" -> ((s, d) => {
+      // LOG-SHIPPING REPLICATION — the steady-state complement to
+      // q178's physical copy: bootstrap the replica physically at
+      // batch 1, then catch up by replaying the RAW batches through
+      // the SAME screen + folds. Determinism makes this state-machine
+      // replication: the replica's standing fingerprint store equals
+      // the primary's at the fork point, so every screen decision
+      // replays identically, and the shared ledger makes re-delivery
+      // exactly-once. Cost model at 100 TB: batch-sized work per
+      // shipped batch, never store-sized — the mode a cross-region
+      // follower runs between (rarer) physical syncs. Oracle = the
+      // full from-scratch derivation over all four batches, answered
+      // from the REPLICA: any bootstrap drift cascades into wrong
+      // screen decisions downstream and breaks the compare.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val rep = q179CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q179_primary")
+        val r = graft.core.TempDirs.create("graft_q179_replica")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          (0 until 2).foreach(
+            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
+          graft.core.Catalog.replicate(s, p, r) // physical bootstrap at batch 1
+          (2 until 4).foreach { i =>            // primary advances...
+            admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
+            admissionIngestBatch(s, r, corpus, bench, i, admissionFolds)
+          }                                     // ...and the replica replays the log
+          require(graft.core.Catalog.lastBatch(s, r) == 3L,
+            "q179: the replayed log must advance the replica's ledger")
+        }
+        r
+      })
+      admissionAnswers(s, rep)
+    }),
+    "q180_catalog_vacuum" -> ((s, d) => {
+      // STORAGE HYGIENE — Catalog.vacuum: crashed ingests strand
+      // partial g<batch> dirs (batch 4 below dies after one store
+      // write and never commits) and the per-fold GC keeps each
+      // previous generation alive for racing readers; vacuum sweeps
+      // everything that is neither current nor savepoint-pinned. The
+      // gate pins after batch 0, builds out, strands an orphan,
+      // vacuums, then answers BOTH live (oracle compare) and as-of
+      // the pin (require) — a sweep that touched a referenced or a
+      // pinned generation breaks one of the two. At 100 TB this is
+      // the reclamation path that bounds catalog storage at
+      // ~current + pins instead of one generation per batch ever run.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val base = q180CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q180_catalog")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          admissionIngestBatch(s, p, corpus, bench, 0, admissionFolds)
+          graft.core.Catalog.savepoint(s, p, "pin0")
+          (1 until 4).foreach(
+            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
+          try graft.core.Catalog.ingestImpl(s, p, 4L,
+            corpus.where(col("doc_id") < 0)
+              .withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
+            admissionFolds, failAfter = 1)
+          catch { case _: IllegalStateException => () }
+          val swept = graft.core.Catalog.vacuum(s, p)
+          require(swept.exists(_.endsWith("/g4")),
+            "q180: the crashed batch's orphan generation must be swept")
+          require(graft.core.Catalog.readAt(s, p, "pin0")("fps").count() > 0,
+            "q180: the pinned snapshot must survive the sweep")
+        }
+        p
+      })
+      admissionAnswers(s, base)
+    }),
     "q174_catalog_takedown" -> ((s, d) => {
       // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
       // SUBTRACT. The catalog carries a doc-level lineage store
@@ -3739,6 +3849,9 @@ object SparkEntry {
     "q173_catalog_savepoint" -> admissionOracle,
     "q174_catalog_takedown" -> admissionOracleMinus("src7"),
     "q175_admission_restart" -> admissionOracle,
+    "q178_catalog_replicate" -> admissionOracle,
+    "q179_catalog_logship" -> admissionOracle,
+    "q180_catalog_vacuum" -> admissionOracle,
     "q176_catalog_addstore" -> admissionOracleByLang,
     "q177_catalog_timetravel" ->
       // the from-scratch derivation over the FIRST batch's id span only

@@ -290,6 +290,169 @@ object Catalog {
     }
   }
 
+  /** Incremental physical replication into a second catalog — the
+    * disaster-recovery half of the generation model. Because
+    * generations are immutable and batch-id-addressed, a replica is a
+    * COPY OF POINTERS plus the generation dirs they reference:
+    *
+    *  1. pin the primary's current state under an internal savepoint
+    *     (`repl-<replica-hash>`) — the pin makes the snapshot stable
+    *     against concurrent primary folds AND exempts its generations
+    *     from the primary's fold GC for the whole copy, however long
+    *     the copy takes;
+    *  2. copy every pinned generation the replica does not already
+    *     have (stores whose replica manifest already records the
+    *     pinned generation ship NOTHING — replication cost is the
+    *     changed stores' bytes, never catalog size);
+    *  3. cut over: swap the replica's manifest to the pinned (store,
+    *     gen) rows and ledger — the same single atomic visibility
+    *     point as [[ingest]], so a replica reader never sees a
+    *     half-shipped snapshot;
+    *  4. GC the replica's superseded generations (keeping, as
+    *     everywhere, the new current, the immediately previous, and
+    *     anything the REPLICA's own savepoints pin) and drop the
+    *     primary-side pin.
+    *
+    * Crash anywhere: re-running resumes the SAME pinned snapshot (the
+    * inflight pin survives, already-complete generation copies are
+    * detected by their `_SUCCESS` marker and skipped — Spark writes it
+    * last, and a crashed `overwrite` leaves none) and converges to the
+    * identical cutover; the replica meanwhile still serves its
+    * pre-cutover state. Returns the (store -> generation) pairs this
+    * call actually copied.
+    *
+    * The replica is read-only between replications and single-writer
+    * during one (one replicator per replica). Taking the pin inherits
+    * [[savepoint]]'s coordination contract (between primary batches);
+    * once the pin EXISTS, the long copy phase runs safely concurrent
+    * with primary folds — that is what the pin buys. Steady-state
+    * alternative when the raw batch log is retained: replay the batches
+    * through [[ingest]] with the same folds on the replica — the
+    * ledger makes the replay exactly-once and the cost is batch-sized,
+    * not store-sized (gated as log-shipping in q179).
+    *
+    * FORK CAVEAT: [[restore]] rewinds the primary's ledger, so replayed
+    * batches re-mint generation NUMBERS the old timeline already used
+    * with different content. A replica taken before the fork would
+    * wrongly skip those; replicate with `full = true` after any
+    * primary restore to recopy unconditionally.
+    *
+    * At 100 TB the copy step is the distcp slot: this implementation
+    * ships each generation as one distributed parquet read→write
+    * (executor-parallel, preserves the data, re-encodes the files); a
+    * byte-level distcp of the same immutable directories is a drop-in
+    * replacement and the manifest cutover stays the consistency point
+    * either way.
+    */
+  def replicate(spark: SparkSession, primary: String, replica: String,
+                full: Boolean = false): Map[String, Long] =
+    replicateImpl(spark, primary, replica, full, failAfter = Int.MaxValue)
+
+  /** [[replicate]] with a crash-injection point for the resumability
+    * tests: throws after `failAfter` generation copies (== copy-set
+    * size: after all copies, before the cutover swap).
+    */
+  private[graft] def replicateImpl(spark: SparkSession, primary: String,
+                                   replica: String, full: Boolean,
+                                   failAfter: Int): Map[String, Long] = {
+    val pin = f"repl-${replica.hashCode}%08x"
+    if (!savepoints(spark, primary).contains(pin))
+      savepoint(spark, primary, pin)
+    val sp = savepointDir(primary, pin)
+    val snapGens = spark.read.parquet(s"$sp/manifest").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snapLedger = spark.read.parquet(s"$sp/ledger").head.getLong(0)
+    val rfs = fsOf(spark, replica)
+    def manifestExists: Boolean =
+      Seq("_store", "_store.old", "_store.next").exists(n =>
+        rfs.exists(new org.apache.hadoop.fs.Path(s"${manifestPath(replica)}/$n")))
+    // the replica's pre-cutover pointers: what incremental copies skip,
+    // and what the post-cutover GC keeps one fold of (racing readers)
+    val prevGens: Map[String, Long] =
+      if (manifestExists) gens(spark, replica) else Map.empty
+    val toCopy = snapGens.toSeq.sortBy(_._1).filter { case (n, g) =>
+      full || !prevGens.get(n).contains(g)
+    }
+    var copied = Map.empty[String, Long]
+    toCopy.zipWithIndex.foreach { case ((name, g), i) =>
+      if (i >= failAfter)
+        throw new IllegalStateException(
+          s"Catalog: injected crash after $i of ${toCopy.size} generation copies")
+      val dst = genDir(replica, name, g)
+      val done = !full &&
+        rfs.exists(new org.apache.hadoop.fs.Path(s"$dst/_SUCCESS"))
+      if (!done) {
+        spark.read.parquet(genDir(primary, name, g))
+          .write.mode("overwrite").parquet(dst)
+        copied += (name -> g)
+      }
+    }
+    if (failAfter == toCopy.size)
+      throw new IllegalStateException(
+        "Catalog: injected crash after all generation copies, before the cutover swap")
+    val snapDf = spark.read.parquet(s"$sp/manifest")
+    if (!manifestExists) SwapStore.init(snapDf, manifestPath(replica))
+    SwapStore.reset(spark, manifestPath(replica), snapDf, snapLedger)
+    val pinned = pinnedGens(spark, replica)
+    snapGens.foreach { case (name, g) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$replica/stores/$name")
+      val keep = Set(s"g$g") ++ prevGens.get(name).map(p => s"g$p") ++
+        pinned.getOrElse(name, Set.empty).map(x => s"g$x")
+      if (rfs.exists(dir))
+        rfs.listStatus(dir).foreach { st =>
+          if (!keep.contains(st.getPath.getName)) rfs.delete(st.getPath, true)
+        }
+    }
+    dropSavepoint(spark, primary, pin)
+    copied
+  }
+
+  /** Delete every generation directory the catalog no longer
+    * references: anything that is neither some store's CURRENT
+    * generation nor pinned by a savepoint, plus whole store dirs absent
+    * from both the manifest and every pin (a crashed [[addStore]]),
+    * plus crashed savepoint staging dirs (`.tmp-*`). Orphans accrue
+    * from injected/real crashes mid-[[ingest]] (the partial
+    * `g<batchId>` dirs of a batch that never committed) and from
+    * [[restore]] forks whose abandoned future generations belong to
+    * stores later folds never touch (the per-fold GC only sweeps
+    * FOLDED stores). Content-invariant by construction — it never
+    * touches a referenced generation — and gated so in q180.
+    *
+    * MAINTENANCE-WINDOW CONTRACT: unlike the per-fold GC (which keeps
+    * each previous generation alive for one fold), vacuum keeps ONLY
+    * current + pinned, so run it quiesced or accept that a reader that
+    * resolved the manifest just before the sweep may have to retry
+    * ([[SwapStore.retryingStaleReads]] re-resolves through the
+    * manifest). Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, base: String): Seq[String] = {
+    val fs = fsOf(spark, base)
+    val cur = gens(spark, base)
+    val pinned = pinnedGens(spark, base)
+    val deleted = scala.collection.mutable.ListBuffer.empty[String]
+    def rm(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(p, true); deleted += p.toString
+    }
+    val storesDir = new org.apache.hadoop.fs.Path(s"$base/stores")
+    if (fs.exists(storesDir))
+      fs.listStatus(storesDir).foreach { sd =>
+        val name = sd.getPath.getName
+        val keep = cur.get(name).map(g => s"g$g").toSet ++
+          pinned.getOrElse(name, Set.empty).map(g => s"g$g")
+        if (keep.isEmpty) rm(sd.getPath)
+        else fs.listStatus(sd.getPath).foreach { st =>
+          if (!keep.contains(st.getPath.getName)) rm(st.getPath)
+        }
+      }
+    val spDir = new org.apache.hadoop.fs.Path(s"$base/_savepoints")
+    if (fs.exists(spDir))
+      fs.listStatus(spDir).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-")) rm(st.getPath)
+      }
+    deleted.toSeq
+  }
+
   /** Continuous atomic ingestion: every arriving micro-batch folds into
     * ALL the named stores under the shared ledger — the streaming form
     * of [[ingest]], with the same exactly-once replay semantics

@@ -211,6 +211,119 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.read(spark, base, "cnt").as[Long].collect().head == 1500L)
   }
 
+  test("replicate bootstraps a replica, ships only changed generations, cuts over atomically") {
+    val base = TempDirs.create("catalog_repl_p")
+    val rep = TempDirs.create("catalog_repl_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), folds)
+    // bootstrap: every store ships
+    assert(Catalog.replicate(spark, base, rep).keySet == Set("cnt", "sums", "keys"))
+    assert(snapshot(rep) == snapshot(base))
+    assert(Catalog.lastBatch(spark, rep) == 0L)
+    // incremental: a batch folding TWO stores ships exactly those two
+    Catalog.ingest(spark, base, 1L, Seq((1L, 5L)).toDF("k", "v"), folds.take(2))
+    assert(Catalog.replicate(spark, base, rep) == Map("cnt" -> 1L, "sums" -> 1L),
+      "unchanged stores must ship nothing")
+    assert(snapshot(rep) == snapshot(base))
+    // convergence: an untouched primary replicates as a copy-free no-op
+    assert(Catalog.replicate(spark, base, rep).isEmpty)
+    assert(Catalog.savepoints(spark, base).isEmpty,
+      "the internal replication pin must not outlive the call")
+  }
+
+  test("a crash at every point of the copy sequence leaves the replica serving its old state; re-runs converge") {
+    val base = TempDirs.create("catalog_replcrash_p")
+    val rep = TempDirs.create("catalog_replcrash_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    val v1 = snapshot(rep)
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    // failAfter = 0, 1, 2 (mid-copy), 3 (all copies done, cutover not):
+    // the replica must keep answering v1 after every crash
+    for (failAfter <- 0 to 3) {
+      intercept[IllegalStateException] {
+        Catalog.replicateImpl(spark, base, rep, full = false, failAfter)
+      }
+      assert(Catalog.lastBatch(spark, rep) == 0L,
+        s"failAfter=$failAfter: replica ledger must not move before the cutover")
+      assert(snapshot(rep) == v1,
+        s"failAfter=$failAfter: replica readers must still see the old snapshot")
+    }
+    // the resumed run completes the SAME pinned snapshot
+    Catalog.replicate(spark, base, rep)
+    assert(snapshot(rep) == snapshot(base))
+    assert(Catalog.lastBatch(spark, rep) == 1L)
+    assert(Catalog.savepoints(spark, base).isEmpty)
+  }
+
+  test("the replica's own savepoints pin its generations across replications") {
+    val base = TempDirs.create("catalog_replsp_p")
+    val rep = TempDirs.create("catalog_replsp_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    Catalog.savepoint(spark, rep, "rp")
+    val pinnedView = snapshot(rep)
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    Catalog.replicate(spark, base, rep) // second no-op pass re-runs the GC sweep
+    assert(snapshot(rep) == snapshot(base))
+    val asOf = Catalog.readAt(spark, rep, "rp")
+    assert(asOf("cnt").as[Long].collect().head == pinnedView._1,
+      "replication GC must not collect generations the replica pinned")
+  }
+
+  test("a primary fork (restore) re-mints generation ids; full replication recopies them") {
+    val base = TempDirs.create("catalog_replfork_p")
+    val rep = TempDirs.create("catalog_replfork_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.savepoint(spark, base, "fork")
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    // fork: the replayed batch reuses generation id 1 with new content,
+    // so the incremental gen-number check cannot see the change — the
+    // documented caveat — and full=true is the recovery
+    Catalog.restore(spark, base, "fork")
+    Catalog.ingest(spark, base, 1L, Seq((9L, 90L)).toDF("k", "v"), folds)
+    assert(Catalog.replicate(spark, base, rep).isEmpty,
+      "incremental replication is blind to a fork that reuses gen ids (documented)")
+    assert(Catalog.replicate(spark, base, rep, full = true).keySet
+      == Set("cnt", "sums", "keys"))
+    assert(snapshot(rep) == snapshot(base))
+  }
+
+  test("vacuum removes crash orphans and strays, never referenced or pinned generations") {
+    val base = TempDirs.create("catalog_vacuum")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.savepoint(spark, base, "keep")
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+    val live = snapshot(base)
+    // orphan: a crashed ingest of batch 3 wrote cnt's g3, never committed
+    intercept[IllegalStateException] {
+      Catalog.ingestImpl(spark, base, 3L, Seq((4L, 40L)).toDF("k", "v"), folds, 1)
+    }
+    // stray: a crashed addStore wrote a generation, never swapped the manifest
+    Seq(1L).toDF("x").write.parquet(s"$base/stores/stray/g2")
+    // stray: a crashed savepoint left its staging dir
+    new java.io.File(s"$base/_savepoints/.tmp-dead").mkdirs()
+    val deleted = Catalog.vacuum(spark, base)
+    def gensOf(store: String) =
+      new java.io.File(s"$base/stores/$store").listFiles().map(_.getName).toSet
+    assert(gensOf("cnt") == Set("g2", "g0"),
+      "keep current + pinned; the orphan g3 and the superseded g1 go")
+    assert(!new java.io.File(s"$base/stores/stray").exists(), "unreferenced store dir goes")
+    assert(!new java.io.File(s"$base/_savepoints/.tmp-dead").exists())
+    assert(deleted.exists(_.endsWith("stores/cnt/g3")))
+    assert(snapshot(base) == live, "vacuum is content-invariant")
+    assert(Catalog.readAt(spark, base, "keep")("cnt").as[Long].collect().head == 1L,
+      "pinned snapshot reads survive the sweep")
+  }
+
   test("unknown store names and duplicate folds fail fast") {
     val base = TempDirs.create("catalog_guards")
     initStores(base)
