@@ -355,17 +355,28 @@ object Catalog {
   private[graft] def replicateImpl(spark: SparkSession, primary: String,
                                    replica: String, full: Boolean,
                                    failAfter: Int): Map[String, Long] = {
-    val pin = f"repl-${replica.hashCode}%08x"
-    if (!savepoints(spark, primary).contains(pin))
-      savepoint(spark, primary, pin)
-    val sp = savepointDir(primary, pin)
-    val snapGens = spark.read.parquet(s"$sp/manifest").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val snapLedger = spark.read.parquet(s"$sp/ledger").head.getLong(0)
     val rfs = fsOf(spark, replica)
     def manifestExists: Boolean =
       Seq("_store", "_store.old", "_store.next").exists(n =>
         rfs.exists(new org.apache.hadoop.fs.Path(s"${manifestPath(replica)}/$n")))
+    val pin = f"repl-${replica.hashCode}%08x"
+    val havePin = savepoints(spark, primary).contains(pin)
+    // fast path: a replica whose pointers already equal the primary's
+    // needs no pin, no copies, and no swap — the converged steady state
+    // is two manifest reads. (A torn primary read cannot fake a match:
+    // a fold swapping between the gens and ledger reads moves the
+    // ledger past the replica's either way.) `full` always takes the
+    // pinned path — it exists to recopy despite matching pointers.
+    if (!full && !havePin && manifestExists &&
+        gens(spark, replica) == gens(spark, primary) &&
+        lastBatch(spark, replica) == lastBatch(spark, primary))
+      return Map.empty
+    if (!havePin) savepoint(spark, primary, pin)
+    val sp = savepointDir(primary, pin)
+    val snapDf = spark.read.parquet(s"$sp/manifest")
+    val snapGens = snapDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snapLedger = spark.read.parquet(s"$sp/ledger").head.getLong(0)
     // the replica's pre-cutover pointers: what incremental copies skip,
     // and what the post-cutover GC keeps one fold of (racing readers)
     val prevGens: Map[String, Long] =
@@ -390,7 +401,6 @@ object Catalog {
     if (failAfter == toCopy.size)
       throw new IllegalStateException(
         "Catalog: injected crash after all generation copies, before the cutover swap")
-    val snapDf = spark.read.parquet(s"$sp/manifest")
     if (!manifestExists) SwapStore.init(snapDf, manifestPath(replica))
     SwapStore.reset(spark, manifestPath(replica), snapDf, snapLedger)
     val pinned = pinnedGens(spark, replica)

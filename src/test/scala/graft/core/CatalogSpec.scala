@@ -268,7 +268,7 @@ class CatalogSpec extends AnyFunSuite {
     Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
     Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
     Catalog.replicate(spark, base, rep)
-    Catalog.replicate(spark, base, rep) // second no-op pass re-runs the GC sweep
+    Catalog.replicate(spark, base, rep) // converged: the pointer-compare fast path
     assert(snapshot(rep) == snapshot(base))
     val asOf = Catalog.readAt(spark, rep, "rp")
     assert(asOf("cnt").as[Long].collect().head == pinnedView._1,
