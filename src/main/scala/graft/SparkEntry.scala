@@ -90,6 +90,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q180CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q181CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3317,6 +3319,48 @@ object SparkEntry {
       })
       admissionAnswers(s, rep)
     }),
+    "q181_catalog_follow" -> ((s, d) => {
+      // CONTINUOUS FOLLOWER — Catalog.replicateStream: q178's DR sync
+      // as a standing query beside the ingest, one incremental sync
+      // per tick. The follower carries NO checkpoint by design:
+      // replicate is idempotent and convergent, so a restarted
+      // follower re-syncs from wherever both sides stand — gated by
+      // stopping it mid-build and finishing under a fresh one. Each
+      // sync ships only the generations the replica lacks (changed
+      // bytes, never catalog size); convergence is verified with
+      // CONTENT fingerprints (verifyReplica — a pointer compare
+      // cannot see fork divergence), and the gate answers from the
+      // REPLICA against the full from-scratch oracle.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val rep = q181CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q181_primary")
+        val r = graft.core.TempDirs.create("graft_q181_replica")
+        admissionInit(p, corpus)
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        withShufflePartitions(s, 4) {
+          def syncedBatches(range: Range): Unit = {
+            val ticks =
+              org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+            val q = graft.core.Catalog.replicateStream(s, p, r,
+              ticks = Some(ticks.toDF()))
+            try range.foreach { i =>
+              admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
+              ticks.addData(i); q.processAllAvailable()
+            } finally q.stop()
+          }
+          syncedBatches(0 until 2)
+          syncedBatches(2 until 4) // a FRESH follower: nothing to recover
+          require(graft.core.Catalog.lastBatch(s, r) == 3L,
+            "q181: the follower must have synced the final batch")
+          require(graft.core.Catalog.verifyReplica(s, p, r)
+            .where(!col("consistent")).isEmpty,
+            "q181: content fingerprints must verify every store")
+        }
+        r
+      })
+      admissionAnswers(s, rep)
+    }),
     "q180_catalog_vacuum" -> ((s, d) => {
       // STORAGE HYGIENE — Catalog.vacuum: crashed ingests strand
       // partial g<batch> dirs (batch 4 below dies after one store
@@ -3851,6 +3895,7 @@ object SparkEntry {
     "q175_admission_restart" -> admissionOracle,
     "q178_catalog_replicate" -> admissionOracle,
     "q179_catalog_logship" -> admissionOracle,
+    "q181_catalog_follow" -> admissionOracle,
     "q180_catalog_vacuum" -> admissionOracle,
     "q176_catalog_addstore" -> admissionOracleByLang,
     "q177_catalog_timetravel" ->

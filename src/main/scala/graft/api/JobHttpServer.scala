@@ -31,6 +31,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   POST /jobs/recover?pipeline=P&name=N&root=R   start P from savepoint
   *   POST /jobs/catalog-savepoint?checkpoint=C&catalog=B&name=N&root=R
   *   POST /jobs/catalog-recover?pipeline=P&catalog=B&name=N&root=R
+  *   POST /jobs/catalog-replicate?primary=P&replica=R[&full=true]
+  *   GET  /jobs/catalog-verify?primary=P&replica=R
   */
 final class JobHttpServer(spark: SparkSession, js: JobServer, port: Int = 0) {
 
@@ -153,6 +155,21 @@ final class JobHttpServer(spark: SparkSession, js: JobServer, port: Int = 0) {
               respond(ex, 200, jobJson(h.query))
             case None => respond(ex, 404, s"""{"error":"unknown pipeline"}""")
           }
+
+        case ("POST", List("jobs", "catalog-replicate")) =>
+          val p = params(ex)
+          val copied = js.catalogReplicate(p("primary"), p("replica"),
+            p.get("full").contains("true"))
+          respond(ex, 200, copied.toSeq.sorted
+            .map { case (s, g) => s""""${jsonEscape(s)}":$g""" }
+            .mkString("""{"copied":{""", ",", "}}"))
+
+        case ("GET", List("jobs", "catalog-verify")) =>
+          val p = params(ex)
+          val rows = js.catalogVerify(p("primary"), p("replica"))
+          respond(ex, 200, rows.map { case (s, np, nr, ok) =>
+            s"""{"store":"${jsonEscape(s)}","n_primary":$np,"n_replica":$nr,"consistent":$ok}"""
+          }.mkString("[", ",", "]"))
 
         case _ => respond(ex, 404, s"""{"error":"no route"}""")
       }

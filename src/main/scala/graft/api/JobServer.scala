@@ -190,6 +190,27 @@ final class JobServer(spark: SparkSession) {
     recover(savepointRoot, name)(start)
   }
 
+  /** POST /jobs/catalog-replicate: one DR sync pass
+    * ([[graft.core.Catalog.replicate]]) through the same facade that
+    * manages the ingest jobs, so an external scheduler drives sync
+    * cadence next to savepoint/recover. Returns the (store, gen)
+    * pairs this pass actually shipped (empty = already converged);
+    * `full = true` after a primary restore (the re-minted-generation
+    * fork caveat).
+    */
+  def catalogReplicate(primary: String, replica: String,
+                       full: Boolean = false): Map[String, Long] =
+    graft.core.Catalog.replicate(spark, primary, replica, full)
+
+  /** GET /jobs/catalog-verify: per-store DR consistency verdicts
+    * ([[graft.core.Catalog.verifyReplica]] — content fingerprints,
+    * not pointer compares). Rows of (store, nPrimary, nReplica,
+    * consistent).
+    */
+  def catalogVerify(primary: String, replica: String): Seq[(String, Long, Long, Boolean)] =
+    graft.core.Catalog.verifyReplica(spark, primary, replica)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
   /** POST /jobs/recover (api.py:476-515): start a job from a named
     * savepoint. The snapshot is copied to a FRESH run directory
     * (`<root>/<name>.run<N>`, first free N) and the caller's `start`

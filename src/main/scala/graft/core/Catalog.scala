@@ -136,9 +136,11 @@ object Catalog {
     * jobs) would move the data. Pinned generations are exempt from
     * [[ingest]]'s GC until [[dropSavepoint]].
     *
-    * Same single-writer contract as every fold: take savepoints from
-    * the ingest driver between batches (in foreachBatch terms, inside
-    * or between triggers, never concurrently with one).
+    * Safe concurrent with a live ingest: the (gens, ledger) pair is
+    * captured consistently by re-reading the ledger after staging the
+    * manifest — folds strictly advance it, so equal before/after means
+    * no fold swapped inside the window (a restore DOES require
+    * quiescence, as everywhere). One savepoint writer per name.
     */
   def savepoint(spark: SparkSession, base: String, name: String): Unit = {
     require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
@@ -149,12 +151,24 @@ object Catalog {
     // stage fully, then one rename — a reader never sees a half-written
     // savepoint, and a crashed attempt leaves only an ignorable .tmp
     val tmp = s"$base/_savepoints/.tmp-$name"
-    SwapStore.read(spark, manifestPath(base))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
-    spark.range(1).select(lit(lastBatch(spark, base)).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"Catalog.savepoint: rename $tmp -> $dst failed")
+    var attempts = 0
+    while (true) {
+      val before = lastBatch(spark, base)
+      SwapStore.retryingStaleReads() {
+        SwapStore.read(spark, manifestPath(base))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+      }
+      spark.range(1).select(lit(before).as("last_batch"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      if (lastBatch(spark, base) == before) {
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+          s"Catalog.savepoint: rename $tmp -> $dst failed")
+        return
+      }
+      attempts += 1
+      require(attempts < 10,
+        s"Catalog.savepoint: no consistent (gens, ledger) snapshot in $attempts tries under concurrent folds")
+    }
   }
 
   /** Names of the existing savepoints. */
@@ -322,10 +336,14 @@ object Catalog {
     * call actually copied.
     *
     * The replica is read-only between replications and single-writer
-    * during one (one replicator per replica). Taking the pin inherits
-    * [[savepoint]]'s coordination contract (between primary batches);
-    * once the pin EXISTS, the long copy phase runs safely concurrent
-    * with primary folds — that is what the pin buys. Steady-state
+    * during one (one replicator per replica); the primary's ingest may
+    * keep folding throughout — [[savepoint]] captures a consistent
+    * (gens, ledger) pair under concurrent folds, and once the pin
+    * EXISTS the long copy phase is GC-exempt. The one residual race
+    * (a pin whose rename lands only after TWO full fold+GC cycles
+    * already swept its generations) self-heals: a copy that finds a
+    * pinned generation deleted drops the dead pin and re-pins fresh.
+    * Steady-state
     * alternative when the raw batch log is retained: replay the batches
     * through [[ingest]] with the same folds on the replica — the
     * ledger makes the replay exactly-once and the cost is batch-sized,
@@ -354,7 +372,8 @@ object Catalog {
     */
   private[graft] def replicateImpl(spark: SparkSession, primary: String,
                                    replica: String, full: Boolean,
-                                   failAfter: Int): Map[String, Long] = {
+                                   failAfter: Int,
+                                   retryOnDeadPin: Boolean = true): Map[String, Long] = {
     val rfs = fsOf(spark, replica)
     def manifestExists: Boolean =
       Seq("_store", "_store.old", "_store.next").exists(n =>
@@ -385,7 +404,7 @@ object Catalog {
       full || !prevGens.get(n).contains(g)
     }
     var copied = Map.empty[String, Long]
-    toCopy.zipWithIndex.foreach { case ((name, g), i) =>
+    try toCopy.zipWithIndex.foreach { case ((name, g), i) =>
       if (i >= failAfter)
         throw new IllegalStateException(
           s"Catalog: injected crash after $i of ${toCopy.size} generation copies")
@@ -397,6 +416,18 @@ object Catalog {
           .write.mode("overwrite").parquet(dst)
         copied += (name -> g)
       }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if retryOnDeadPin &&
+            Option(e.getMessage).exists(_.contains("PATH_NOT_FOUND")) =>
+        // dead pin: its rename lost the race against two full fold+GC
+        // cycles and a pinned generation is gone — generations are
+        // immutable, so a missing dir is deleted, not mid-swap. Drop
+        // the pin and run ONCE more against a fresh one (a second
+        // PATH_NOT_FOUND means a genuinely broken catalog — surface it).
+        dropSavepoint(spark, primary, pin)
+        return replicateImpl(spark, primary, replica, full, failAfter,
+          retryOnDeadPin = false)
     }
     if (failAfter == toCopy.size)
       throw new IllegalStateException(
@@ -461,6 +492,73 @@ object Catalog {
         if (st.getPath.getName.startsWith(".tmp-")) rm(st.getPath)
       }
     deleted.toSeq
+  }
+
+  /** The verification half of DR — an order-independent consistency
+    * check between two catalogs. Per store (names from either side's
+    * manifest): row count plus content fingerprint (XOR and modular
+    * sum of per-row hashes over ALL columns, sorted by name —
+    * [[graft.ops.Diff.fingerprint]]), which is one distributed scan
+    * and a 1-row reduce per store; nothing data-sized ever shuffles or
+    * reaches the driver, so the check is 100 TB-shaped. Returns one
+    * row per store: `(store, n_primary, n_replica, consistent)` —
+    * `consistent` is false for a store missing on one side (its count
+    * reported as -1) or a column-set mismatch. Content-based on
+    * purpose: a pointer compare cannot see fork divergence (the
+    * re-minted-generation caveat on [[replicate]]); this can.
+    */
+  def verifyReplica(spark: SparkSession, primary: String,
+                    replica: String): DataFrame = {
+    val pg = readAll(spark, primary)
+    val rg = readAll(spark, replica)
+    val rows = (pg.keySet ++ rg.keySet).toSeq.sorted.map { n =>
+      (pg.get(n), rg.get(n)) match {
+        case (Some(a), Some(b))
+            if java.util.Arrays.equals(
+              a.columns.sorted.asInstanceOf[Array[AnyRef]],
+              b.columns.sorted.asInstanceOf[Array[AnyRef]]) =>
+          val cols = a.columns.sorted.toSeq
+          def fp(df: DataFrame): (Long, Option[Long], Option[Long]) = {
+            val r = graft.ops.Diff.fingerprint(df, Seq.empty, cols).head
+            (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))
+          }
+          val fa = fp(a); val fb = fp(b)
+          (n, fa._1, fb._1, fa == fb)
+        case (Some(a), Some(b)) => (n, a.count(), b.count(), false)
+        case (pa, pb) => (n, pa.map(_.count()).getOrElse(-1L),
+          pb.map(_.count()).getOrElse(-1L), false)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("store", "n_primary", "n_replica", "consistent")
+  }
+
+  /** Continuous follower: re-sync `replica` from `primary` on every
+    * tick of `ticks` (default: a 1-row/s rate source triggered every
+    * `intervalMs`). Deliberately NO checkpoint: [[replicate]] is
+    * idempotent and convergent, so a restarted follower re-syncs from
+    * wherever both sides stand, and a tick with nothing changed costs
+    * only the pointer-compare fast path — exactly-once machinery
+    * would add state for no semantics. Tick content is ignored; tests
+    * inject a MemoryStream to make sync points deterministic.
+    */
+  def replicateStream(spark: SparkSession, primary: String, replica: String,
+                      intervalMs: Long = 10000, full: Boolean = false,
+                      ticks: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = ticks.getOrElse(
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load())
+    val w = src.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        SwapStore.retryingStaleReads() {
+          replicate(spark, primary, replica, full); ()
+        }
+      }
+    (if (ticks.isEmpty)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+    else w).start()
   }
 
   /** Continuous atomic ingestion: every arriving micro-batch folds into

@@ -201,6 +201,48 @@ class JobServerSpec extends AnyFunSuite {
     } finally js.close()
   }
 
+  test("DR through the facade: catalog-replicate syncs a replica, catalog-verify fingerprints it") {
+    import org.apache.spark.sql.DataFrame
+    import graft.core.Catalog
+    val js = new JobServer(spark)
+    val base = graft.core.TempDirs.create("jobsrv_dr_p")
+    val rep = graft.core.TempDirs.create("jobsrv_dr_r")
+    val folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      "cnt" -> ((cur, b) => cur.unionByName(b.agg(count(lit(1)).as("n")))
+        .agg(sum(col("n")).as("n"))))
+    Catalog.init(base, Map("cnt" -> Seq(0L).toDF("n")))
+    Catalog.ingest(spark, base, 0L, spark.range(10).toDF("v"), folds)
+    try {
+      assert(js.catalogReplicate(base, rep) == Map("cnt" -> 0L))
+      assert(js.catalogVerify(base, rep) == Seq(("cnt", 1L, 1L, true)))
+      val http = new JobHttpServer(spark, js)
+      try {
+        def call(method: String, pathAndQuery: String): (Int, String) = {
+          val conn = new java.net.URL(s"http://127.0.0.1:${http.boundPort}$pathAndQuery")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod(method)
+          val code = conn.getResponseCode
+          val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+          val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+          conn.disconnect()
+          (code, body)
+        }
+        def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        Catalog.ingest(spark, base, 1L, spark.range(5).toDF("v"), folds)
+        val (c1, b1) = call("POST",
+          s"/jobs/catalog-replicate?primary=${enc(base)}&replica=${enc(rep)}")
+        assert(c1 == 200 && b1 == """{"copied":{"cnt":1}}""", b1)
+        val (c2, b2) = call("POST",
+          s"/jobs/catalog-replicate?primary=${enc(base)}&replica=${enc(rep)}")
+        assert(c2 == 200 && b2 == """{"copied":{}}""", s"converged sync must ship nothing: $b2")
+        val (c3, b3) = call("GET",
+          s"/jobs/catalog-verify?primary=${enc(base)}&replica=${enc(rep)}")
+        assert(c3 == 200 &&
+          b3 == """[{"store":"cnt","n_primary":1,"n_replica":1,"consistent":true}]""", b3)
+      } finally http.close()
+    } finally js.close()
+  }
+
   test("WebSocket binding: RFC6455 handshake + live metric frames for a running job") {
     implicit val ctx = spark.sqlContext
     val js = new JobServer(spark)

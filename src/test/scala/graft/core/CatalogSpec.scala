@@ -295,6 +295,69 @@ class CatalogSpec extends AnyFunSuite {
     assert(snapshot(rep) == snapshot(base))
   }
 
+  test("verifyReplica: content fingerprints catch divergence pointer compares cannot") {
+    val base = TempDirs.create("catalog_verify_p")
+    val rep = TempDirs.create("catalog_verify_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    def verdicts = Catalog.verifyReplica(spark, base, rep)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(verdicts.values.forall(_._3), s"fresh replica must verify clean: $verdicts")
+    // fork divergence: same generation NUMBERS and ledger, different
+    // content — the pointer-compare fast path is blind to it (replicate
+    // no-ops); the content fingerprint is not. Same row COUNT on the
+    // diverged store, so only the value hash can tell.
+    Catalog.savepoint(spark, base, "f")
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    Catalog.restore(spark, base, "f")
+    Catalog.ingest(spark, base, 1L, Seq((2L, 99L)).toDF("k", "v"), folds)
+    assert(Catalog.replicate(spark, base, rep).isEmpty,
+      "matching pointers: incremental replication cannot see the fork")
+    val v2 = verdicts
+    assert(!v2("sums")._3 && v2("sums")._1 == v2("sums")._2,
+      s"equal counts with different content must fail the fingerprint: $v2")
+    assert(v2("cnt")._3 && v2("keys")._3,
+      s"stores whose content agrees still verify clean: $v2")
+    // missing store on one side
+    Catalog.addStore(spark, base, "extra", Seq((1L, 1L)).toDF("k", "s"))
+    val v3 = verdicts
+    assert(v3("extra") == ((1L, -1L, false)))
+  }
+
+  test("replicateStream: a follower converges after every tick; restarts need no checkpoint") {
+    val base = TempDirs.create("catalog_follow_p")
+    val rep = TempDirs.create("catalog_follow_r")
+    initStores(base)
+    implicit val sqlCtx = spark.sqlContext
+    def follow(body: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int],
+                      org.apache.spark.sql.streaming.StreamingQuery) => Unit): Unit = {
+      val ticks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = Catalog.replicateStream(spark, base, rep, ticks = Some(ticks.toDF()))
+      try body(ticks, q) finally q.stop()
+    }
+    follow { (ticks, q) =>
+      Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+      ticks.addData(1); q.processAllAvailable()
+      assert(snapshot(rep) == snapshot(base))
+      Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+      ticks.addData(2); q.processAllAvailable()
+      assert(snapshot(rep) == snapshot(base))
+    }
+    // primary advances while the follower is DOWN; a fresh follower
+    // (no checkpoint to recover) converges on its first tick
+    Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+    follow { (ticks, q) =>
+      ticks.addData(3); q.processAllAvailable()
+      assert(snapshot(rep) == snapshot(base))
+      assert(Catalog.lastBatch(spark, rep) == 2L)
+    }
+    assert(Catalog.verifyReplica(spark, base, rep)
+      .as[(String, Long, Long, Boolean)].collect().forall(_._4))
+  }
+
   test("vacuum removes crash orphans and strays, never referenced or pinned generations") {
     val base = TempDirs.create("catalog_vacuum")
     initStores(base)
