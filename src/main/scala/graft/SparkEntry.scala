@@ -3470,6 +3470,34 @@ object SparkEntry {
         .select(col("user_id"), col("vms"), col("p_value"),
           col("valid_to"), col("is_current").cast("int").as("is_current"))
     }),
+    "q182_scd2_apply" -> ((s, d) => {
+      // INCREMENTAL SCD-2 — Diff.scd2Apply: q165's dimension history
+      // maintained by FOLDING a later changelog slice into a standing
+      // history instead of rebuilding. The versions split at the
+      // midpoint of their time range (per-key order holds because the
+      // split is on the seq itself); the history builds over the
+      // prefix, the suffix applies as a fold: close each affected
+      // key's current row at its first new version, chain the batch,
+      // union. The oracle IS q165's full-replay derivation — any
+      // interval the fold closes at the wrong seq, double-applies, or
+      // leaves open breaks the compare. Scale shape: the standing
+      // history is touched only by a broadcast batch-key join (never
+      // shuffled, never re-windowed); the suffix alone pays the keyed
+      // window exchange — per-fold cost is batch-sized, not
+      // history-sized.
+      val versions = Tables(s, d).events
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
+        .agg(max(col("value")).as("p_value"))
+      val bounds = versions.agg(min(col("vms")), max(col("vms"))).head
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val history =
+        Diff.scd2(versions.where(col("vms") < mid), Seq("user_id"), "vms")
+      Diff.scd2Apply(history, versions.where(col("vms") >= mid),
+          Seq("user_id"), "vms")
+        .select(col("user_id"), col("vms"), col("p_value"),
+          col("valid_to"), col("is_current").cast("int").as("is_current"))
+    }),
     "q166_temporal_attach" -> ((s, d) => {
       // Diff.temporalJoin oracle-gated (was spec-only, VERDICT-r10 #5):
       // the point-in-time attach a training pipeline uses — every
@@ -3712,6 +3740,19 @@ object SparkEntry {
        |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk
        |  FROM f) WHERE rk <= 10""".stripMargin
 
+  /** The lead() window replay of the SCD-2 interval derivation —
+    * shared by q165 (full build) and q182 (incremental apply): the
+    * fold must be indistinguishable from the rebuild.
+    */
+  private val scd2HistoryOracle: String =
+    """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT user_id, vms, p_value,
+      |  lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to,
+      |  CAST(lead(vms) OVER (PARTITION BY user_id ORDER BY vms) IS NULL
+      |       AS INTEGER) AS is_current
+      |FROM p""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // the continuous standing-index forms (q136-q142) are per-row
     // independent given the index, so the batch oracle IS the stream
@@ -3950,15 +3991,9 @@ object SparkEntry {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p
         |FROM orders GROUP BY 1""".stripMargin,
-    "q165_scd2_history" ->
-      // the lead() window replay of the SCD-2 interval derivation
-      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT user_id, vms, p_value,
-        |  lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to,
-        |  CAST(lead(vms) OVER (PARTITION BY user_id ORDER BY vms) IS NULL
-        |       AS INTEGER) AS is_current
-        |FROM p""".stripMargin,
+    "q165_scd2_history" -> scd2HistoryOracle,
+    // the incremental apply must be indistinguishable from the rebuild
+    "q182_scd2_apply" -> scd2HistoryOracle,
     "q166_temporal_attach" ->
       // DuckDB's native ASOF LEFT JOIN picks the same greatest
       // valid_from <= fact ts; the CASE applies the identical coverage

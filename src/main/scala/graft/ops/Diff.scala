@@ -331,6 +331,62 @@ object Diff {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incrementally maintain an SCD-2 history with a new changelog
+    * slice — the lakehouse "merge into dimension" step, and [[scd2]]'s
+    * fold form: close each affected key's current row at its batch's
+    * first new version, chain the batch's versions among themselves,
+    * union. `scd2Apply(scd2(prefix), suffix) == scd2(prefix ∪ suffix)`
+    * whenever the slice respects the IN-ORDER CONTRACT: per key, every
+    * new version's `seqCol` must exceed the key's current valid_from
+    * (checked fail-fast — which also makes an accidental double-apply
+    * of the same slice fail loudly instead of corrupting intervals;
+    * out-of-order history repair is a rebuild, not an apply).
+    *
+    * Scale shape: the history side is touched by ONE join against the
+    * batch's per-key first-version table (batch-key-sized — broadcast
+    * by default, matching [[applyChangelogBatch]]'s convention), so
+    * the standing history never shuffles and never re-enters a window;
+    * only the batch itself pays the keyed window exchange. That is the
+    * difference from re-running [[scd2]] at 100 TB: per-fold cost is
+    * batch-sized, not history-sized.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keys: Seq[String],
+                seqCol: String, broadcastChanges: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply: at least one key column")
+    (keys :+ seqCol).foreach(k => require(changes.columns.contains(k),
+      s"scd2Apply: changes has no column $k"))
+    Seq("valid_to", "is_current").foreach(c => require(history.columns.contains(c),
+      s"scd2Apply: history lacks $c — not an scd2() output"))
+    Seq("valid_to", "is_current", "__first_new", "__cur_from").foreach(c =>
+      require(!changes.columns.contains(c),
+        s"scd2Apply: changes already has a $c column — rename it first"))
+    val dup = changes.groupBy((keys :+ seqCol).map(col): _*)
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"scd2Apply: duplicate (key, $seqCol) rows in the slice (e.g. ${dup.headOption.orNull})")
+    val current = history.where(col("is_current"))
+      .select(keys.map(col) :+ col(seqCol).as("__cur_from"): _*)
+    val viol = changes.join(current, keys)
+      .where(col(seqCol) <= col("__cur_from")).limit(1).collect()
+    require(viol.isEmpty,
+      s"scd2Apply: out-of-order version (e.g. ${viol.headOption.orNull}) — every new " +
+        s"$seqCol must exceed its key's current valid_from (a replayed slice trips this too)")
+    val firstNew0 = changes.groupBy(keys.map(col): _*)
+      .agg(min(col(seqCol)).as("__first_new"))
+    val firstNew = if (broadcastChanges) broadcast(firstNew0) else firstNew0
+    val closed = history.join(firstNew, keys, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__first_new").isNotNull, col("__first_new"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__first_new").isNull)
+      .drop("__first_new")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    val appended = changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+    closed.unionByName(appended)
+  }
+
   /** Look up the dimension version valid at each fact's time: for every
     * fact row, the dim row with the greatest `validFrom` ≤ fact ts that
     * still covers it (`ts < validTo`, null validTo = open-ended) — the

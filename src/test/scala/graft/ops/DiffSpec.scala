@@ -108,6 +108,54 @@ class DiffSpec extends AnyFunSuite {
       (2L, 5L, "x", None, true)))
   }
 
+  test("scd2Apply: the fold is indistinguishable from the rebuild") {
+    val prefix = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"),
+      (2L, 5L, "x")).toDF("k", "seq", "s")
+    val slice = Seq(
+      (1L, 30L, "c"), (1L, 40L, "d"), // two chained new versions
+      (3L, 7L, "n")                   // a brand-new key
+    ).toDF("k", "seq", "s")           // key 2: untouched, stays current
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("seq"), col("s"), col("valid_to"), col("is_current"))
+        .as[(Long, Long, String, Option[Long], Boolean)].collect().sorted.toSeq
+    val applied = Diff.scd2Apply(Diff.scd2(prefix, Seq("k"), "seq"), slice,
+      Seq("k"), "seq")
+    assert(canon(applied) == canon(Diff.scd2(prefix.unionByName(slice), Seq("k"), "seq")))
+    assert(canon(applied) == canon(Diff.scd2Apply(Diff.scd2(prefix, Seq("k"), "seq"),
+      slice, Seq("k"), "seq", broadcastChanges = false)))
+    // empty slice: a no-op fold
+    assert(canon(Diff.scd2Apply(applied, slice.limit(0), Seq("k"), "seq"))
+      == canon(applied))
+  }
+
+  test("scd2Apply guards: out-of-order versions and replayed slices fail fast") {
+    val hist = Diff.scd2(Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "seq", "s"),
+      Seq("k"), "seq")
+    // a version at or before the key's current valid_from
+    intercept[IllegalArgumentException] {
+      Diff.scd2Apply(hist, Seq((1L, 20L, "dup")).toDF("k", "seq", "s"), Seq("k"), "seq")
+    }
+    intercept[IllegalArgumentException] {
+      Diff.scd2Apply(hist, Seq((1L, 15L, "late")).toDF("k", "seq", "s"), Seq("k"), "seq")
+    }
+    // double-apply of an accepted slice trips the same contract
+    val slice = Seq((1L, 30L, "c")).toDF("k", "seq", "s")
+    val once = Diff.scd2Apply(hist, slice, Seq("k"), "seq")
+    intercept[IllegalArgumentException] {
+      Diff.scd2Apply(once, slice, Seq("k"), "seq")
+    }
+    // duplicate (key, seq) within one slice
+    intercept[IllegalArgumentException] {
+      Diff.scd2Apply(hist, Seq((1L, 30L, "c"), (1L, 30L, "c2")).toDF("k", "seq", "s"),
+        Seq("k"), "seq")
+    }
+    // not an scd2 output
+    intercept[IllegalArgumentException] {
+      Diff.scd2Apply(Seq((1L, 10L, "a")).toDF("k", "seq", "s"), slice, Seq("k"), "seq")
+    }
+  }
+
   test("temporalJoin: as-of version per fact, gap after expiry, pre-history miss") {
     val dim = Seq(
       (1L, 10L, Some(20L), "v1"),  // k=1 [10,20)
