@@ -92,6 +92,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q181CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q183StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3498,6 +3500,49 @@ object SparkEntry {
         .select(col("user_id"), col("vms"), col("p_value"),
           col("valid_to"), col("is_current").cast("int").as("is_current"))
     }),
+    "q183_scd2_stream" -> ((s, d) => {
+      // CONTINUOUS SCD-2 — Diff.scd2Stream: q182's fold as a standing
+      // streaming query over a PERSISTED history, ACROSS a stop/
+      // restart. Three vms-ordered slices; the query stops after two,
+      // the tail arrives while it is down, and the restart resumes
+      // from the durable checkpoint — batch ids continue, the ledger
+      // no-ops only true re-deliveries, and the final history must
+      // equal q165's full rebuild (oracle). A fresh-checkpoint restart
+      // would silently no-op the new batch (the documented hazard);
+      // per-key version order holds across slices because the slicing
+      // is by the seq itself.
+      val store = q183StoreCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q183_store")
+        val stage = graft.core.TempDirs.create("graft_q183_replay")
+        val ckpt = graft.core.TempDirs.create("graft_q183_ckpt")
+        val versions = Tables(s, d).events
+          .where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), ms(col("ts")).as("vms"))
+          .agg(max(col("value")).as("p_value"))
+        graft.core.SwapStore.init(
+          Diff.scd2(versions.where(lit(false)), Seq("user_id"), "vms"), p)
+        val bounds = versions.agg(min(col("vms")), max(col("vms"))).head
+        val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        def run(): Unit = withShufflePartitions(s, 4) {
+          val q = Diff.scd2Stream(s,
+            graft.streaming.Replay.orderedStream(s, stage, versions.schema),
+            p, Seq("user_id"), "vms", checkpoint = Some(ckpt))
+          try q.processAllAvailable() finally q.stop()
+        }
+        graft.streaming.Replay.writeOrderedSlices(
+          versions.where(col("vms") < mid), col("vms"), stage, 2)
+        run()
+        graft.streaming.Replay.appendSlice(stage,
+          versions.where(col("vms") >= mid), 2)
+        run()
+        require(graft.core.SwapStore.lastBatch(s, p) == 2L,
+          "q183: the restart must resume batch ids from the durable checkpoint")
+        p
+      })
+      graft.core.SwapStore.read(s, store)
+        .select(col("user_id"), col("vms"), col("p_value"),
+          col("valid_to"), col("is_current").cast("int").as("is_current"))
+    }),
     "q166_temporal_attach" -> ((s, d) => {
       // Diff.temporalJoin oracle-gated (was spec-only, VERDICT-r10 #5):
       // the point-in-time attach a training pipeline uses — every
@@ -3994,6 +4039,8 @@ object SparkEntry {
     "q165_scd2_history" -> scd2HistoryOracle,
     // the incremental apply must be indistinguishable from the rebuild
     "q182_scd2_apply" -> scd2HistoryOracle,
+    // ...and so must the continuous fold across a stop/restart
+    "q183_scd2_stream" -> scd2HistoryOracle,
     "q166_temporal_attach" ->
       // DuckDB's native ASOF LEFT JOIN picks the same greatest
       // valid_from <= fact ts; the CASE applies the identical coverage

@@ -387,6 +387,33 @@ object Diff {
     closed.unionByName(appended)
   }
 
+  /** Continuous SCD-2 maintenance: each micro-batch of version rows
+    * folds into a PERSISTED history ([[graft.core.SwapStore]]) via
+    * [[scd2Apply]] — the dimension table a streaming lakehouse keeps
+    * current. Exactly-once rides on the store's ledger: a re-delivered
+    * foreachBatch id no-ops BEFORE [[scd2Apply]] runs, so its loud
+    * double-apply guard only ever fires on a genuine contract breach,
+    * never on a replay. Seed the store with an scd2-shaped table
+    * (e.g. `SwapStore.init(Diff.scd2(emptyChangelog, ...), path)`).
+    * Same durable-checkpoint requirement as every store that outlives
+    * one query (warned loudly), same single-writer contract.
+    */
+  def scd2Stream(spark: org.apache.spark.sql.SparkSession,
+                 changeStream: DataFrame, path: String, keys: Seq[String],
+                 seqCol: String, broadcastChanges: Boolean = true,
+                 checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Sketches.warnIfEphemeral(checkpoint, path)
+    val w = changeStream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid)(hist =>
+            scd2Apply(hist, batch, keys, seqCol, broadcastChanges))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Look up the dimension version valid at each fact's time: for every
     * fact row, the dim row with the greatest `validFrom` ≤ fact ts that
     * still covers it (`ts < validTo`, null validTo = open-ended) — the

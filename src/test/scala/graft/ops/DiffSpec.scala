@@ -156,6 +156,33 @@ class DiffSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Stream: version batches fold into the persisted history; the ledger no-ops replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val path = graft.core.TempDirs.create("graft_scd2s_test")
+    val all = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"),
+      (1L, 30L, "c"), (3L, 7L, "n"))
+    graft.core.SwapStore.init(
+      Diff.scd2(all.take(0).toDF("k", "seq", "s"), Seq("k"), "seq"), path)
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Diff.scd2Stream(spark, in.toDF().toDF("k", "seq", "s"), path,
+      Seq("k"), "seq")
+    try {
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("seq"), col("s"), col("valid_to"), col("is_current"))
+        .as[(Long, Long, String, Option[Long], Boolean)].collect().sorted.toSeq
+    val want = canon(Diff.scd2(all.toDF("k", "seq", "s"), Seq("k"), "seq"))
+    assert(canon(graft.core.SwapStore.read(spark, path)) == want)
+    // a re-delivered batch id no-ops at the ledger BEFORE scd2Apply's
+    // double-apply guard could fire
+    graft.core.SwapStore.fold(spark, path, 1L)(h =>
+      Diff.scd2Apply(h, all.drop(3).toDF("k", "seq", "s"), Seq("k"), "seq"))
+    assert(canon(graft.core.SwapStore.read(spark, path)) == want)
+  }
+
   test("temporalJoin: as-of version per fact, gap after expiry, pre-history miss") {
     val dim = Seq(
       (1L, 10L, Some(20L), "v1"),  // k=1 [10,20)
