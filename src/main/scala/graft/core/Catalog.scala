@@ -153,14 +153,14 @@ object Catalog {
     val tmp = s"$base/_savepoints/.tmp-$name"
     var attempts = 0
     while (true) {
-      val before = lastBatch(spark, base)
+      val before = SwapStore.retryingStaleReads() { lastBatch(spark, base) }
       SwapStore.retryingStaleReads() {
         SwapStore.read(spark, manifestPath(base))
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
       }
       spark.range(1).select(lit(before).as("last_batch"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-      if (lastBatch(spark, base) == before) {
+      if (SwapStore.retryingStaleReads() { lastBatch(spark, base) } == before) {
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
           s"Catalog.savepoint: rename $tmp -> $dst failed")
         return
@@ -403,6 +403,18 @@ object Catalog {
     val toCopy = snapGens.toSeq.sortBy(_._1).filter { case (n, g) =>
       full || !prevGens.get(n).contains(g)
     }
+    // a to-copy generation can collide with one the REPLICA's own
+    // savepoints pin only after a primary fork re-minted its id
+    // (replica pins reference gens a past manifest held; the primary
+    // re-uses a number only after restore) — overwriting it would
+    // silently corrupt the replica's pinned snapshot, so fail fast
+    val rPinned = pinnedGens(spark, replica)
+    toCopy.foreach { case (n, g) =>
+      require(!rPinned.getOrElse(n, Set.empty).contains(g),
+        s"Catalog.replicate: replica savepoints pin generation g$g of store '$n' " +
+          "from a diverged timeline (primary fork re-minted the id) — drop the " +
+          "replica savepoint or replicate into a fresh base")
+    }
     var copied = Map.empty[String, Long]
     try toCopy.zipWithIndex.foreach { case ((name, g), i) =>
       if (i >= failAfter)
@@ -434,11 +446,10 @@ object Catalog {
         "Catalog: injected crash after all generation copies, before the cutover swap")
     if (!manifestExists) SwapStore.init(snapDf, manifestPath(replica))
     SwapStore.reset(spark, manifestPath(replica), snapDf, snapLedger)
-    val pinned = pinnedGens(spark, replica)
     snapGens.foreach { case (name, g) =>
       val dir = new org.apache.hadoop.fs.Path(s"$replica/stores/$name")
       val keep = Set(s"g$g") ++ prevGens.get(name).map(p => s"g$p") ++
-        pinned.getOrElse(name, Set.empty).map(x => s"g$x")
+        rPinned.getOrElse(name, Set.empty).map(x => s"g$x")
       if (rfs.exists(dir))
         rfs.listStatus(dir).foreach { st =>
           if (!keep.contains(st.getPath.getName)) rfs.delete(st.getPath, true)

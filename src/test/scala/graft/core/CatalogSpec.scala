@@ -358,6 +358,31 @@ class CatalogSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().forall(_._4))
   }
 
+  test("replicate refuses to overwrite a generation the replica's savepoints pin") {
+    // the collision exists only after a primary fork re-mints a gen id
+    // the replica pinned from the old timeline — overwriting in place
+    // would silently corrupt the replica's pinned snapshot
+    val base = TempDirs.create("catalog_replpin_p")
+    val rep = TempDirs.create("catalog_replpin_r")
+    initStores(base)
+    Catalog.savepoint(spark, base, "f") // fork point BEFORE batch 0
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    Catalog.savepoint(spark, rep, "keep") // replica pins the g0 timeline
+    Catalog.restore(spark, base, "f")
+    Catalog.ingest(spark, base, 0L, Seq((9L, 90L)).toDF("k", "v"), folds)
+    val ex = intercept[IllegalArgumentException] {
+      Catalog.replicate(spark, base, rep, full = true)
+    }
+    assert(ex.getMessage.contains("diverged timeline"), ex.getMessage)
+    assert(Catalog.readAt(spark, rep, "keep")("sums")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 10L),
+      "the pinned snapshot must be untouched by the refused sync")
+    Catalog.dropSavepoint(spark, rep, "keep")
+    Catalog.replicate(spark, base, rep, full = true)
+    assert(snapshot(rep) == snapshot(base))
+  }
+
   test("vacuum removes crash orphans and strays, never referenced or pinned generations") {
     val base = TempDirs.create("catalog_vacuum")
     initStores(base)
