@@ -479,6 +479,28 @@ class DiffSpec extends AnyFunSuite {
     assert(bumped == ((1L, 4L, 10L + 11L + 12L + 1000L)))
   }
 
+  test("scd2Apply plan: the slice broadcasts — the history side never shuffles or re-windows") {
+    val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        col("o_totalprice").as("p"))
+    val hist = Diff.scd2(o.where(col("seq") % 7 =!= 0), Seq("k"), "seq")
+      // materialized = read back from storage, not a live window plan
+      .localCheckpoint()
+    val maxSeq = o.agg(max(col("seq"))).head.getLong(0)
+    val slice = o.where(col("seq") % 7 === 0)
+      .withColumn("seq", col("seq") + maxSeq) // respect the in-order contract
+    val plan = Diff.scd2Apply(hist, slice, Seq("k"), "seq")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the slice's first-version table must broadcast into the close:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the history must not re-shuffle for the close:\n$plan")
+    // exactly one window (the slice's own chain); the history is never
+    // re-windowed
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"only the slice may pay a window exchange:\n$plan")
+  }
+
   test("maintainAgg plan: deltas broadcast — the view side never shuffles") {
     val o = graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
     val view = o.groupBy("o_custkey")
