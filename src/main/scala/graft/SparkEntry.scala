@@ -94,6 +94,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q183StoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q184OutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3543,6 +3545,57 @@ object SparkEntry {
         .select(col("user_id"), col("vms"), col("p_value"),
           col("valid_to"), col("is_current").cast("int").as("is_current"))
     }),
+    "q184_temporal_attach_stream" -> ((s, d) => {
+      // CONTINUOUS POINT-IN-TIME ATTACH — Diff.temporalJoinStream over
+      // a GROWING dimension: fact batch 1 attaches while only the
+      // first half of the version history is folded (a click whose
+      // as-of version arrives later comes back NULL), the second
+      // scd2Apply fold lands BETWEEN triggers, and fact batch 2
+      // attaches against the full history — attach-at-processing-time,
+      // each fact stamped with the catalog as it stood on arrival.
+      // Oracle: two ASOF branches (half dim for early facts, full dim
+      // for late) with the same midpoint cuts computed in SQL — a
+      // batch that saw the wrong store generation lands in the wrong
+      // branch and breaks the compare.
+      val outDir = q184OutCache.computeIfAbsent(d, { _ =>
+        val e = Tables(s, d).events
+        val versions = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), ms(col("ts")).as("vms"))
+          .agg(max(col("value")).as("p_value"))
+        val facts = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), ms(col("ts")).as("cms"))
+        val vb = versions.agg(min(col("vms")), max(col("vms"))).head
+        val dimMid = (vb.getLong(0) + vb.getLong(1)) / 2
+        val fb = facts.agg(min(col("cms")), max(col("cms"))).head
+        val factMid = (fb.getLong(0) + fb.getLong(1)) / 2
+        val out = graft.core.TempDirs.create("graft_q184_out")
+        withShufflePartitions(s, 8) {
+          val dim = graft.core.TempDirs.create("graft_q184_dim")
+          graft.core.SwapStore.init(
+            Diff.scd2(versions.where(lit(false)), Seq("user_id"), "vms"), dim)
+          graft.core.SwapStore.fold(s, dim, 0L)(h => Diff.scd2Apply(h,
+            versions.where(col("vms") < dimMid), Seq("user_id"), "vms"))
+          val stage = graft.core.TempDirs.create("graft_q184_replay")
+          graft.streaming.Replay.writeOrderedSlices(
+            facts.where(col("cms") < factMid), col("cms"), stage, 1)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, facts.schema)
+          val q = Diff.temporalJoinStream(s, stream, dim, Seq("user_id"),
+            "cms", "vms", "valid_to", Seq("p_value")) { b =>
+            b.write.mode("append").parquet(out)
+          }
+          try {
+            q.processAllAvailable()
+            graft.core.SwapStore.fold(s, dim, 1L)(h => Diff.scd2Apply(h,
+              versions.where(col("vms") >= dimMid), Seq("user_id"), "vms"))
+            graft.streaming.Replay.appendSlice(stage,
+              facts.where(col("cms") >= factMid), 1)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        out
+      })
+      s.read.parquet(outDir)
+    }),
     "q166_temporal_attach" -> ((s, d) => {
       // Diff.temporalJoin oracle-gated (was spec-only, VERDICT-r10 #5):
       // the point-in-time attach a training pipeline uses — every
@@ -4041,6 +4094,34 @@ object SparkEntry {
     "q182_scd2_apply" -> scd2HistoryOracle,
     // ...and so must the continuous fold across a stop/restart
     "q183_scd2_stream" -> scd2HistoryOracle,
+    "q184_temporal_attach_stream" ->
+      // attach-at-processing-time over a growing dimension: early
+      // facts ASOF against the half-folded history, late facts
+      // against the full one — the same midpoint cuts computed in SQL
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cut AS (SELECT (min(vms)+max(vms))//2 AS dm FROM p),
+        |h2 AS (SELECT user_id, vms, p_value,
+        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |       FROM p),
+        |h1 AS (SELECT user_id, vms, p_value,
+        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |       FROM p WHERE vms < (SELECT dm FROM cut)),
+        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
+        |      FROM events WHERE event_type = 'click'),
+        |fcut AS (SELECT (min(cms)+max(cms))//2 AS fm FROM f),
+        |f1 AS (SELECT * FROM f WHERE cms < (SELECT fm FROM fcut)),
+        |f2 AS (SELECT * FROM f WHERE cms >= (SELECT fm FROM fcut))
+        |SELECT event_id, user_id, cms, p_value FROM (
+        |  SELECT f1.event_id, f1.user_id, f1.cms,
+        |    CASE WHEN h1.vms IS NOT NULL AND (h1.valid_to IS NULL OR f1.cms < h1.valid_to)
+        |         THEN h1.p_value END AS p_value
+        |  FROM f1 ASOF LEFT JOIN h1 ON f1.user_id = h1.user_id AND f1.cms >= h1.vms
+        |  UNION ALL
+        |  SELECT f2.event_id, f2.user_id, f2.cms,
+        |    CASE WHEN h2.vms IS NOT NULL AND (h2.valid_to IS NULL OR f2.cms < h2.valid_to)
+        |         THEN h2.p_value END AS p_value
+        |  FROM f2 ASOF LEFT JOIN h2 ON f2.user_id = h2.user_id AND f2.cms >= h2.vms)""".stripMargin,
     "q166_temporal_attach" ->
       // DuckDB's native ASOF LEFT JOIN picks the same greatest
       // valid_from <= fact ts; the CASE applies the identical coverage

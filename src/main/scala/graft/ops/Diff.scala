@@ -414,6 +414,34 @@ object Diff {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Continuous point-in-time attach: [[temporalJoin]] per micro-batch
+    * of facts against the LIVE persisted dimension history
+    * ([[scd2Stream]]'s store). Each batch re-reads the store, so a
+    * version fold landing between triggers is visible to the next
+    * batch and not to the previous one — attach-at-PROCESSING-time
+    * semantics, the shape a training pipeline uses to stamp documents
+    * with the metadata as the catalog knew it on arrival (event-time
+    * backfill against the FINAL history is the batch [[temporalJoin]];
+    * the two agree only for facts arriving after their version did).
+    * The store swap's missing-path window retries like every consumer;
+    * `onBatch` must be idempotent under replay.
+    */
+  def temporalJoinStream(spark: org.apache.spark.sql.SparkSession,
+                         factStream: DataFrame, dimPath: String,
+                         keys: Seq[String], factTs: String, validFrom: String,
+                         validTo: String, carry: Seq[String])
+                        (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    factStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          onBatch(temporalJoin(batch,
+            graft.core.SwapStore.read(spark, dimPath),
+            keys, factTs, validFrom, validTo, carry))
+        }
+      }
+      .start()
+
   /** Look up the dimension version valid at each fact's time: for every
     * fact row, the dim row with the greatest `validFrom` ≤ fact ts that
     * still covers it (`ts < validTo`, null validTo = open-ended) — the
