@@ -1284,6 +1284,42 @@ object ThroughputBench {
         "(pointer compare, no pin)")
     }
 
+    // scenario 37: incremental SCD-2 at scale — apply a 100k-version
+    // slice to a 50M-row dimension history vs rebuilding it. The
+    // apply's history side is one broadcast-join pass (no shuffle, no
+    // window — plan-pinned in DiffSpec); the rebuild re-windows all
+    // 50M rows. At 100 TB the gap IS the keyed shuffle of the whole
+    // history; locally it shows as the window + exchange saved.
+    if (enabled(37)) {
+      val keys = 5000000L
+      val versPerKey = 10L
+      val nHist = keys * versPerKey
+      // id -> (key = id % keys, seq = id / keys): per key, seq runs
+      // 0..versPerKey-1, so (key, seq) is unique and ordered by id
+      def ver(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        (col("id") % keys).as("k"), (col("id") / keys).as("seq"),
+        xxhash64(col("id")).as("payload"))
+      val histPath = graft.core.TempDirs.create("graft_s37_hist")
+      graft.ops.Diff.scd2(ver(0, nHist), Seq("k"), "seq")
+        .write.mode("overwrite").parquet(histPath)
+      val hist = spark.read.parquet(histPath)
+      val slice = ver(nHist, nHist + 100000L) // seq = versPerKey, all in-order
+      def timed(body: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = body
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nApply, sApply) = timed(
+        graft.ops.Diff.scd2Apply(hist, slice, Seq("k"), "seq").count())
+      val (nRebuild, sRebuild) = timed(
+        graft.ops.Diff.scd2(ver(0, nHist + 100000L), Seq("k"), "seq").count())
+      require(nApply == nHist + 100000L && nApply == nRebuild,
+        s"apply and rebuild must carry every version: $nApply vs $nRebuild")
+      println(f"scenario37 scd2-apply hist=$nHist slice=100k: " +
+        f"incremental apply $sApply%.1f s vs full rebuild $sRebuild%.1f s " +
+        f"(${sRebuild / sApply}%.1fx — the rebuild re-windows the history; " +
+        "the apply broadcasts the slice keys)")
+    }
+
     // scenario 32: streaming quota-fill admission at 8M docs — the q156
     // path at scale. 20 domains, 4 key-ordered micro-batches of 2M rows
     // each; per-domain state is ONE long, so the stateful exchange
