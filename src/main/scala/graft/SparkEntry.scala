@@ -96,6 +96,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q184OutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q185CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
   // (process, sf dir)
   private val q135ReplayCache =
@@ -3365,6 +3367,46 @@ object SparkEntry {
       })
       admissionAnswers(s, rep)
     }),
+    "q185_admission_follow" -> ((s, d) => {
+      // THE DR CAPSTONE — a LIVE follower racing a continuous
+      // admission stream: q171's front door folds the corpus while
+      // Catalog.replicateStream syncs every 200 ms against the moving
+      // primary. The mid-run syncs exercise the whole concurrency
+      // surface for real — savepoint's consistent (gens, ledger)
+      // capture beside live folds, pin-vs-GC survival, the dead-pin
+      // self-heal, the pointer-compare fast path — and any torn pin
+      // or stale copy would cut a corrupted snapshot over the replica.
+      // After the ingest finishes, one deterministic final sync
+      // converges the replica, content fingerprints verify every
+      // store, and the gate answers FROM THE REPLICA against the
+      // from-scratch oracle.
+      val (corpus, bench) = admissionCorpus(s, d)
+      val rep = q185CatalogCache.computeIfAbsent(d, { _ =>
+        val p = graft.core.TempDirs.create("graft_q185_primary")
+        val r = graft.core.TempDirs.create("graft_q185_replica")
+        admissionInit(p, corpus)
+        withShufflePartitions(s, 4) {
+          val follower = graft.core.Catalog.replicateStream(s, p, r,
+            intervalMs = 200)
+          try {
+            val stage = screenReplayDir(s"$d#q185", corpus, col("doc_id"), 4)
+            val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
+            val q = Admission.ingestStream(s, p, "fps", stream,
+              col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+              admissionFolds)
+            try q.processAllAvailable() finally q.stop()
+          } finally follower.stop()
+          graft.core.Catalog.replicate(s, p, r) // deterministic final sync
+          require(graft.core.Catalog.lastBatch(s, r) == 3L,
+            "q185: the converged replica must carry the final ledger")
+          require(graft.core.Catalog.verifyReplica(s, p, r)
+            .where(!col("consistent")).isEmpty,
+            "q185: content fingerprints must verify every store after the race")
+        }
+        r
+      })
+      admissionAnswers(s, rep)
+    }),
     "q180_catalog_vacuum" -> ((s, d) => {
       // STORAGE HYGIENE — Catalog.vacuum: crashed ingests strand
       // partial g<batch> dirs (batch 4 below dies after one store
@@ -4035,6 +4077,7 @@ object SparkEntry {
     "q178_catalog_replicate" -> admissionOracle,
     "q179_catalog_logship" -> admissionOracle,
     "q181_catalog_follow" -> admissionOracle,
+    "q185_admission_follow" -> admissionOracle,
     "q180_catalog_vacuum" -> admissionOracle,
     "q176_catalog_addstore" -> admissionOracleByLang,
     "q177_catalog_timetravel" ->
