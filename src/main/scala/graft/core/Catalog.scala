@@ -349,6 +349,12 @@ object Catalog {
     * ledger makes the replay exactly-once and the cost is batch-sized,
     * not store-sized (gated as log-shipping in q179).
     *
+    * Savepoints are SITE-LOCAL: replication ships the current catalog
+    * (manifest + referenced generations), not the primary's pin
+    * history — pins are a retention policy, not data, and shipping
+    * them would drag every pinned generation across. Replicas fan out
+    * (each gets its own inflight pin name) and keep their own pins.
+    *
     * FORK CAVEAT: [[restore]] rewinds the primary's ledger, so replayed
     * batches re-mint generation NUMBERS the old timeline already used
     * with different content. A replica taken before the fork would

@@ -358,6 +358,31 @@ class CatalogSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().forall(_._4))
   }
 
+  test("replicas fan out: two replicas sync independently, each with its own pin") {
+    val base = TempDirs.create("catalog_replfan_p")
+    val r1 = TempDirs.create("catalog_replfan_r1")
+    val r2 = TempDirs.create("catalog_replfan_r2")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, r1)
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    // r2 bootstraps at batch 1 while r1 sits at batch 0; a crashed r1
+    // sync in between leaves ITS inflight pin without touching r2's
+    intercept[IllegalStateException] {
+      Catalog.replicateImpl(spark, base, r1, full = false, failAfter = 0)
+    }
+    Catalog.replicate(spark, base, r2)
+    assert(Catalog.lastBatch(spark, r2) == 1L)
+    assert(Catalog.lastBatch(spark, r1) == 0L, "r1 still serves its old snapshot")
+    Catalog.replicate(spark, base, r1) // resumes r1's own pin
+    assert(snapshot(r1) == snapshot(base) && snapshot(r2) == snapshot(base))
+    assert(Catalog.savepoints(spark, base).isEmpty,
+      "both inflight pins must be dropped after their syncs complete")
+    assert(Catalog.verifyReplica(spark, base, r1)
+      .unionByName(Catalog.verifyReplica(spark, base, r2))
+      .where(!col("consistent")).isEmpty)
+  }
+
   test("replicate refuses to overwrite a generation the replica's savepoints pin") {
     // the collision exists only after a primary fork re-mints a gen id
     // the replica pinned from the old timeline — overwriting in place
