@@ -1368,6 +1368,19 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"), 50)),
+    "q186_mad_outliers" -> ((s, d) =>
+      // EXACT robust outlier screen — per-supplier median + MAD over
+      // price cents, both by range bisection (no per-group sort, no
+      // value buffering), then |x − median| > 3·MAD counted per
+      // group. The classical z-score breaks on the very outliers it
+      // hunts (mean and stddev absorb them); median/MAD has a 50%
+      // breakdown point — the robust form a data-quality monitor
+      // actually wants. Oracle replays BOTH medians under q121's
+      // exact rank convention, then the same count.
+      Quantiles.madOutliers(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        Seq("l_suppkey"), col("cents"))),
     "q107_retention" -> ((s, d) =>
       // weekly cohort retention: users cohorted by first-signup week,
       // counted active in each later week — the retention triangle.
@@ -5141,6 +5154,27 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q186_mad_outliers" ->
+      // both medians replayed with q121's rank convention, then the
+      // identical |x - med| > 3*MAD count per group
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |m AS (SELECT l_suppkey, x AS med FROM (
+        |    SELECT l_suppkey, x, row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS rn,
+        |           count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v)
+        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
+        |d AS (SELECT v.l_suppkey, v.x, m.med, abs(v.x - m.med) AS dev
+        |      FROM v JOIN m ON v.l_suppkey = m.l_suppkey),
+        |md AS (SELECT l_suppkey, dev AS mad FROM (
+        |    SELECT l_suppkey, dev, row_number() OVER (PARTITION BY l_suppkey ORDER BY dev) AS rn,
+        |           count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM d)
+        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100))
+        |SELECT d.l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  min(d.med) AS median, min(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON d.l_suppkey = md.l_suppkey
+        |GROUP BY 1""".stripMargin,
     "q109_exact_percentiles" ->
       // replay: same rank arithmetic (integer ceil division), value
       // fetched by row_number — the sort the engine side avoids

@@ -68,6 +68,35 @@ class QuantilesSpec extends AnyFunSuite {
       s"range filter not pushed:\n$plan")
   }
 
+  test("madOutliers == sorted-replica medians and count; degenerate and null handling") {
+    // group 1: sorted (8,10,11,15,100), rank ⌈2.5⌉=3 -> median 11;
+    // deviations sorted (0,1,3,4,89) -> MAD 3; dev > 9: the 100 only
+    // group 2: all values equal -> MAD 0, zero outliers under strict >
+    // group 3: MAD 0 with ONE off-median value -> that value flags
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 8L), (1L, 15L), (1L, 100L),
+      (2L, 7L), (2L, 7L), (2L, 7L),
+      (3L, 5L), (3L, 5L), (3L, 5L), (3L, 9L)).toDF("g", "v")
+      .unionByName(Seq((1L, Option.empty[Long])).toDF("g", "v")) // null excluded
+    val got = Quantiles.madOutliers(rows, Seq("g"), col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 11L, 3L, 1L),
+      (2L, 3L, 7L, 0L, 0L),
+      (3L, 4L, 5L, 0L, 1L)))
+    // guards
+    intercept[IllegalArgumentException] {
+      Quantiles.madOutliers(rows, Seq("g"), col("v"), k = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.madOutliers(rows.withColumnRenamed("v", "__x"), Seq("g"), col("__x"))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.madOutliers(rows.withColumnRenamed("g", "median"),
+        Seq("median"), col("v"))
+    }
+  }
+
   test("exactPercentileByKey == per-group sorted replica on supplier price cents") {
     val li = Tables(spark, "/root/testdata/sf0.001").lineitem
       .select(col("l_suppkey"), (col("l_extendedprice") * 100).cast("long").as("cents"))
