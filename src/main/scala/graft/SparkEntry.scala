@@ -2255,6 +2255,21 @@ object SparkEntry {
         }
       }
     }),
+    "q187_boolean_search" -> ((s, d) => {
+      // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
+      // containing EVERY query term, over the SAME standing inverted
+      // index as q103 (alerting rules, mandatory-term filters,
+      // candidate cuts before ranking). Postings scan pruned to the
+      // query vocabulary at the source; the AND is a counting
+      // aggregate against broadcast per-query term counts. Oracle
+      // re-derives postings and the same count-equality in SQL.
+      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
+        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      Bm25Index.searchAll(s, bm25Queries(s), col("qid"), col("qtext"), idx)
+    }),
     "q138_bm25_search_stream" -> ((s, d) => {
       // Bm25Index.searchStream: standing-query retrieval — q103's three
       // queries arrive one per micro-batch and search the SAME standing
@@ -3871,6 +3886,16 @@ object SparkEntry {
     s"""$bm25Ctes
        |SELECT qid, doc_id, score_fp, rk FROM bmr WHERE rk <= 10""".stripMargin
 
+  // q187 replay: postings re-derived, then AND = count-equality against
+  // the per-query distinct term counts
+  private val booleanSearchOracle: String =
+    s"""$bm25Ctes,
+       |mm AS (SELECT qt.qid, post.doc_id, CAST(count(*) AS BIGINT) AS hit
+       |       FROM qt JOIN post USING (term) GROUP BY 1, 2),
+       |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1)
+       |SELECT CAST(mm.qid AS BIGINT) AS qid, mm.doc_id
+       |FROM mm JOIN qn ON mm.qid = qn.qid AND mm.hit = qn.qn""".stripMargin
+
   // q104 replay: the proven bm25 chain (top 10) fused with q39's cosine
   // ranking (top 5, query vectors 0-2) by reciprocal rank — integer
   // contributions 2^20 // (60 + rk), absent-list docs contribute 0
@@ -5020,6 +5045,7 @@ object SparkEntry {
          |FROM v8""".stripMargin,
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
+    "q187_boolean_search" -> booleanSearchOracle,
     "q104_hybrid_rrf" -> rrfOracleSql,
     "q112_changelog_apply" ->
       // replay: same three-part log, latest-wins by row_number over

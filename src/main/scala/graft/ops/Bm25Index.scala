@@ -252,6 +252,39 @@ object Bm25Index {
       math.max(1L, if (m.nDocs == 0) 1L else m.totTokens / m.nDocs)), k)
   }
 
+  /** Boolean AND retrieval over the standing index: the documents
+    * containing EVERY term of each query — the exact-match complement
+    * of [[search]]'s ranked scoring (alerting rules, mandatory-term
+    * filters, retrieval-before-rank candidate cuts). A query term
+    * absent from the corpus makes its query unsatisfiable (no doc
+    * reaches the required count); a query with no tokens returns no
+    * rows (the vacuous all-docs answer is never what a filter means).
+    *
+    * Scale shape identical to [[search]]: the postings scan prunes to
+    * the query vocabulary at the source (`isin` over ≤ maxQueryTerms
+    * literals), candidates exchange once on (qid, doc), and the AND is
+    * a counting aggregate against the broadcast per-query term counts
+    * — postings are (term, doc)-unique by construction, so no per-doc
+    * term set ever materializes.
+    */
+  def searchAll(spark: SparkSession, queries: DataFrame, qid: Column,
+                qtext: Column, path: String,
+                maxQueryTerms: Int = 10000): DataFrame = {
+    val qt = queries.select(qid.as("qid"), explode(toks(qtext)).as("term"))
+      .distinct().localCheckpoint()
+    val terms = qt.select(col("term")).distinct().collect().map(_.getString(0))
+    require(terms.length <= maxQueryTerms,
+      s"bm25 searchAll: ${terms.length} distinct query terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — raise the cap or batch the queries")
+    val qn = qt.groupBy(col("qid")).agg(count(lit(1)).as("__qn"))
+    readPost(spark, path).where(col("term").isin(terms.toSeq: _*))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("__m"))
+      .join(broadcast(qn), Seq("qid"))
+      .where(col("__m") === col("__qn"))
+      .select(col("qid"), col("doc_id"))
+  }
+
   /** Continuous retrieval: [[search]] per micro-batch of queries — the
     * standing-query shape (alerting, routing, dedup-by-retrieval). The
     * index re-reads each batch, so an [[append]]/[[remove]]/[[compact]]

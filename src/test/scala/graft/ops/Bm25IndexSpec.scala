@@ -84,6 +84,31 @@ class Bm25IndexSpec extends AnyFunSuite {
       s"unexpected exchange in search:\n${hashEx.mkString("\n")}")
   }
 
+  test("searchAll: boolean AND == brute-force containment; plan stays term-pruned") {
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft_bm25_all").toString + "/idx"
+    Bm25Index.build(docs, col("doc_id"), col("text"), dir)
+    import spark.implicits._
+    val qs = Seq((0L, "the data"), (1L, "the"), (2L, "zz_never_a_term the"),
+      (3L, "")).toDF("qid", "qtext")
+    val got = Bm25Index.searchAll(spark, qs, col("qid"), col("qtext"), dir)
+      .as[(Long, Long)].collect().toSet
+    val toks = docs.select(col("doc_id"),
+        graft.ops.Stateless.tokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val want = (for {
+      (qid, terms) <- Seq(0L -> Seq("the", "data"), 1L -> Seq("the"))
+      (d, ts) <- toks if terms.forall(ts.contains)
+    } yield (qid, d)).toSet
+    assert(got == want, s"AND semantics drifted (got ${got.size}, want ${want.size})")
+    assert(!got.exists(_._1 == 2L), "a corpus-absent term must make its query unsatisfiable")
+    assert(!got.exists(_._1 == 3L), "an empty query returns no rows, not all docs")
+    assert(want.exists(_._1 == 0L), "the fixture must produce real AND matches")
+    val plan = Bm25Index.searchAll(spark, qs, col("qid"), col("qtext"), dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
+  }
+
   test("append == fresh build over the union, bit for bit") {
     val docs = Tables(spark, sf).documents
     val d1 = Files.createTempDirectory("graft_bm25").toString + "/idx"
