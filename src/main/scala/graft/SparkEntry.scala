@@ -1302,6 +1302,15 @@ object SparkEntry {
           .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
           .agg(max(col("value")).as("value")),
         Seq("user_id"), "ms", 21600000L, Seq("value"))),
+    "q188_table_profile" -> ((s, d) =>
+      // ANALYZE-style exact column profile in ONE scan — rows, nulls,
+      // exact distinct count, double-cast min/max per column: the
+      // stats broadcast and skew decisions read at 100 TB, and the
+      // baseline a pipeline monitors between loads. The multiple
+      // exact count_distincts share the scan via Expand (the honest
+      // cost of exactness; the theta stores are the continuous form).
+      Checks.profile(Tables(s, d).lineitem,
+        Seq("l_suppkey", "l_quantity", "l_extendedprice", "l_tax"))),
     "q111_quality_checks" -> ((s, d) =>
       // data-quality gate: five named rules over lineitem in ONE
       // partial-aggregated scan (a rule suite never costs a scan per
@@ -5046,6 +5055,16 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q187_boolean_search" -> booleanSearchOracle,
+    "q188_table_profile" ->
+      // per-column aggregates replayed verbatim, one UNION branch per
+      // profiled column
+      Seq("l_suppkey", "l_quantity", "l_extendedprice", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min(CAST($c AS DOUBLE)) AS min_d, max(CAST($c AS DOUBLE)) AS max_d
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q104_hybrid_rrf" -> rrfOracleSql,
     "q112_changelog_apply" ->
       // replay: same three-part log, latest-wins by row_number over

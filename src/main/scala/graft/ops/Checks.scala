@@ -67,4 +67,40 @@ object Checks {
       .agg(count(lit(1)).as("n_rows"), sum(col("r.v")).as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** ANALYZE-style EXACT column profile in one scan: per named column,
+    * row count, null count, exact distinct count, and double-cast
+    * min/max — the statistics a planner's broadcast and skew decisions
+    * read, and the drift baseline a pipeline monitors between loads.
+    * Output one row per column: `(col_name, n_rows, n_nulls,
+    * n_distinct, min_d, max_d)`.
+    *
+    * Scale shape: ONE aggregate over one scan; Spark serves the
+    * multiple exact `count_distinct`s by Expand (the scan's rows
+    * replicated |cols| ways into partial aggregates — the honest cost
+    * of exactness; reach for the theta-sketch stores when |cols| is
+    * large or the profile is maintained continuously). Min/max cast
+    * to double for a uniform report row — profile numeric columns, or
+    * accept null min/max where the cast is undefined.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: name at least one column")
+    require(cols == cols.distinct, "profile: duplicate column names")
+    cols.foreach(c => require(df.columns.contains(c), s"profile: no column $c"))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__c_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__c_$c")).as("n_nulls"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_d"),
+        col(s"__mx_$c").as("max_d"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

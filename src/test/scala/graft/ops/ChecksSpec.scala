@@ -92,4 +92,24 @@ class ChecksSpec extends AnyFunSuite {
     assert(sortedGate(Checks.validateStream(df, parityRules)) ==
       sortedGate(Checks.validate(df, parityRules)))
   }
+
+  test("profile: exact per-column stats in one pass, nulls counted not profiled") {
+    val df = Seq(
+      (Some(1L), Some(2.5), "a"),
+      (Some(1L), None, "b"),
+      (Some(3L), Some(-1.0), "a"),
+      (None, Some(2.5), "c")).toDF("k", "v", "s")
+    val got = Checks.profile(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 2L, Some(1.0), Some(3.0)),
+      ("v", 4L, 1L, 2L, Some(-1.0), Some(2.5))))
+    // a single aggregate over a single scan — no join, no second scan
+    val plan = Checks.profile(df, Seq("k", "v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+    intercept[IllegalArgumentException] { Checks.profile(df, Seq.empty) }
+    intercept[IllegalArgumentException] { Checks.profile(df, Seq("k", "k")) }
+    intercept[IllegalArgumentException] { Checks.profile(df, Seq("nope")) }
+  }
 }
