@@ -2264,6 +2264,26 @@ object SparkEntry {
         }
       }
     }),
+    "q189_phrase_search" -> ((s, d) => {
+      // PHRASE RETRIEVAL — Bm25Index.searchPhrase: docs containing
+      // the query tokens as a CONSECUTIVE sequence. Candidates cut by
+      // the boolean AND over the scan-pruned postings, then only the
+      // candidates' token arrays fetch from the corpus (semi join)
+      // for a positional slice-equality verify — per-candidate work,
+      // never corpus-wide. Oracle: space-joined token string contains
+      // the space-joined phrase with boundary pads (tokens cannot
+      // contain whitespace, so string containment == sequence match).
+      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
+        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "table hash"), (1L, "customer join"),
+        (2L, "merge batch part")).toDF("qid", "qtext")
+      Bm25Index.searchPhrase(s, qs, col("qid"), col("qtext"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx)
+    }),
     "q187_boolean_search" -> ((s, d) => {
       // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
       // containing EVERY query term, over the SAME standing inverted
@@ -5055,6 +5075,17 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q187_boolean_search" -> booleanSearchOracle,
+    "q189_phrase_search" ->
+      // boundary-padded containment over the space-joined tokens —
+      // exact sequence semantics because tokens contain no whitespace
+      """WITH t AS (SELECT doc_id,
+        |    ' ' || array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> x <> ''), ' ') || ' ' AS s
+        |  FROM documents),
+        |q(qid, ph) AS (VALUES (0, 'table hash'), (1, 'customer join'),
+        |                      (2, 'merge batch part'))
+        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
+        |FROM q JOIN t ON instr(t.s, ' ' || q.ph || ' ') > 0""".stripMargin,
     "q188_table_profile" ->
       // per-column aggregates replayed verbatim, one UNION branch per
       // profiled column

@@ -285,6 +285,31 @@ object Bm25Index {
       .select(col("qid"), col("doc_id"))
   }
 
+  /** Phrase retrieval: the documents containing each query's tokens AS
+    * A CONSECUTIVE SEQUENCE. Two stages: [[searchAll]] cuts candidates
+    * from the postings (a doc lacking any term cannot contain the
+    * phrase — the scan-pruned cheap stage), then only the CANDIDATE
+    * documents' token arrays are fetched from `corpus` (semi join on
+    * doc id) and verified positionally with a slice-equality scan —
+    * per-candidate work, never corpus-wide. The index stores no
+    * positions by design (postings stay BM25-sized); the corpus pays
+    * one candidate-pruned read instead, the right trade while
+    * candidate sets are query-selective. Output `(qid, doc_id)`.
+    */
+  def searchPhrase(spark: SparkSession, queries: DataFrame, qid: Column,
+                   qtext: Column, corpus: DataFrame, id: Column, text: Column,
+                   path: String, maxQueryTerms: Int = 10000): DataFrame = {
+    val cands = searchAll(spark, queries, qid, qtext, path, maxQueryTerms)
+    val q = queries.select(qid.as("qid"), toks(qtext).as("__qt"))
+    val docs = corpus.select(id.as("doc_id"), toks(text).as("__dt"))
+      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"))
+    cands.join(broadcast(q), Seq("qid")).join(docs, Seq("doc_id"))
+      .where(size(col("__dt")) >= size(col("__qt")) && size(col("__qt")) > 0 &&
+        expr("exists(sequence(1, size(__dt) - size(__qt) + 1), " +
+          "i -> slice(__dt, i, size(__qt)) == __qt)"))
+      .select(col("qid"), col("doc_id"))
+  }
+
   /** Continuous retrieval: [[search]] per micro-batch of queries — the
     * standing-query shape (alerting, routing, dedup-by-retrieval). The
     * index re-reads each batch, so an [[append]]/[[remove]]/[[compact]]

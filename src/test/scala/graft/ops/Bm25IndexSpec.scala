@@ -109,6 +109,22 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
   }
 
+  test("searchPhrase: consecutive-sequence semantics, not bag-of-words") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d"), (2L, "b a c"), (3L, "c a b")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_bm25_ph").toString + "/idx"
+    Bm25Index.build(corpus, col("doc_id"), col("text"), dir)
+    val qs = Seq((0L, "a b"), (1L, "a b c"), (2L, "d"), (3L, "a x")).toDF("qid", "qtext")
+    val got = Bm25Index.searchPhrase(spark, qs, col("qid"), col("qtext"),
+        corpus, col("doc_id"), col("text"), dir)
+      .as[(Long, Long)].collect().toSet
+    // "a b": docs 1 and 3 carry the sequence; doc 2 has both tokens but
+    // never adjacent in order — the boolean AND would admit it, the
+    // phrase verify must not. "a b c": only doc 1. "d": single-token
+    // phrase == containment. "a x": x unseen -> unsatisfiable.
+    assert(got == Set((0L, 1L), (0L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
   test("append == fresh build over the union, bit for bit") {
     val docs = Tables(spark, sf).documents
     val d1 = Files.createTempDirectory("graft_bm25").toString + "/idx"
