@@ -1302,6 +1302,21 @@ object SparkEntry {
           .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
           .agg(max(col("value")).as("value")),
         Seq("user_id"), "ms", 21600000L, Seq("value"))),
+    "q190_ks_drift" -> ((s, d) => {
+      // EXACT two-sample KS distance per group — the numeric drift
+      // monitor between loads: even- vs odd-key orders per priority,
+      // D = max |F_a - F_b| with ties resolved by the RANGE frame and
+      // the statistic kept in integers (d_num / (n_a*n_b)) so it is
+      // exact and hash-stable. One union scan + one group-partitioned
+      // ordered window — KS is an ordered-traversal statistic, and
+      // the partitioning keeps the sort group-local, never global.
+      val o = Tables(s, d).orders.select(col("o_orderpriority").as("pri"),
+        col("o_orderkey"), (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      Quantiles.ksDistance(
+        o.where(col("o_orderkey") % 2 === 0).select(col("pri"), col("cents")),
+        o.where(col("o_orderkey") % 2 =!= 0).select(col("pri"), col("cents")),
+        Seq("pri"), col("cents"))
+    }),
     "q188_table_profile" -> ((s, d) =>
       // ANALYZE-style exact column profile in ONE scan — rows, nulls,
       // exact distinct count, double-cast min/max per column: the
@@ -5075,6 +5090,46 @@ object SparkEntry {
     "q102_bm25_topk" -> bm25OracleSql,
     "q103_bm25_search" -> bm25OracleSql,
     "q187_boolean_search" -> booleanSearchOracle,
+    "q190_ks_drift" ->
+      // the same RANGE-frame CDF replay, integer cross-multiplied
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+        |u AS (SELECT pri, v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS b FROM o),
+        |c AS (SELECT pri, v,
+        |    sum(a) OVER (PARTITION BY pri ORDER BY v
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(b) OVER (PARTITION BY pri ORDER BY v
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(a) OVER (PARTITION BY pri) AS na,
+        |    sum(b) OVER (PARTITION BY pri) AS nb
+        |  FROM u)
+        |SELECT pri, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(ca*nb - cb*na)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(ca*nb - cb*na)) AS DOUBLE) /
+        |    (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)) AS d
+        |FROM c GROUP BY 1""".stripMargin,
+    "q190_ks_drift" ->
+      // the same RANGE-frame CDF replay, integer cross-multiplied
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+        |u AS (SELECT pri, v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS b FROM o),
+        |c AS (SELECT pri, v,
+        |    sum(a) OVER (PARTITION BY pri ORDER BY v
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(b) OVER (PARTITION BY pri ORDER BY v
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(a) OVER (PARTITION BY pri) AS na,
+        |    sum(b) OVER (PARTITION BY pri) AS nb
+        |  FROM u)
+        |SELECT pri, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(ca*nb - cb*na)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(ca*nb - cb*na)) AS DOUBLE) /
+        |    (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)) AS d
+        |FROM c GROUP BY 1""".stripMargin,
     "q189_phrase_search" ->
       // boundary-padded containment over the space-joined tokens —
       // exact sequence semantics because tokens contain no whitespace

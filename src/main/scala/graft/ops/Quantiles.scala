@@ -237,6 +237,52 @@ object Quantiles {
       col("__lo").as("value")): _*)
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov distance per group — the
+    * numeric-drift monitor between two loads (yesterday's prices vs
+    * today's, corpus A vs corpus B): D = max over v of
+    * |F_a(v) − F_b(v)| with the empirical CDFs evaluated AFTER all
+    * ties at v (RANGE frame, the textbook convention). Computed in
+    * integers — `d_num = max |ca·n_b − cb·n_a|` with D = d_num/(n_a·n_b)
+    * — so the statistic is exact and hash-stable; the double `d` is
+    * one final division. Output per group:
+    * `(keys, n_a, n_b, d_num, d)`.
+    *
+    * Scale shape: one union scan, ONE group-partitioned range-ordered
+    * window (KS is an ordered-traversal statistic — a per-group sort
+    * is its lower bound; the partitioning keeps it group-local, never
+    * a global sort), and a per-group max. Empty sides yield no row
+    * for that group (D is undefined without both samples).
+    */
+  def ksDistance(a: DataFrame, b: DataFrame, keys: Seq[String],
+                 value: Column): DataFrame = {
+    require(keys.nonEmpty, "ksDistance: at least one key column")
+    val working = Seq("__v", "__a", "__b", "__ca", "__cb", "__na", "__nb")
+    require(a.columns.intersect(working).isEmpty &&
+      b.columns.intersect(working).isEmpty,
+      s"ksDistance: inputs use reserved working names (${working.mkString(", ")})")
+    def side(df: DataFrame, av: Int, bv: Int) =
+      df.select(keys.map(col) ++ Seq(value.as("__v"),
+        lit(av.toLong).as("__a"), lit(bv.toLong).as("__b")): _*)
+        .where(col("__v").isNotNull)
+    val u = side(a, 1, 0).unionByName(side(b, 0, 1))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    u.withColumn("__ca", sum(col("__a")).over(wr))
+      .withColumn("__cb", sum(col("__b")).over(wr))
+      .withColumn("__na", sum(col("__a")).over(wk))
+      .withColumn("__nb", sum(col("__b")).over(wk))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("d_num"))
+      .withColumn("d", col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+  }
+
   /** Robust per-group outlier screen: EXACT median and EXACT MAD
     * (median absolute deviation) per group via the same range-bisection
     * machinery — no per-group sort, no value buffering — then count

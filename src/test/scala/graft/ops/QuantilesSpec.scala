@@ -97,6 +97,25 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ksDistance: textbook hand example, tie convention, identical and one-sided inputs") {
+    // a=(1,2,3), b=(2,4): D peaks after v=3 — F_a=1, F_b=1/2 -> 1/2
+    val a = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("g", "v")
+    val b = Seq((1L, 2L), (1L, 4L)).toDF("g", "v")
+    val got = Quantiles.ksDistance(a, b, Seq("g"), col("v"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 3L, 0.5)))
+    // identical samples -> D = 0 exactly
+    assert(Quantiles.ksDistance(a, a, Seq("g"), col("v"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      == Seq((1L, 3L, 3L, 0L, 0.0)))
+    // a group present on one side only yields no row (D undefined)
+    val b2 = Seq((2L, 5L)).toDF("g", "v")
+    assert(Quantiles.ksDistance(a, b2, Seq("g"), col("v")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Quantiles.ksDistance(a.withColumnRenamed("v", "__v"), b, Seq("g"), col("__v"))
+    }
+  }
+
   test("exactPercentileByKey == per-group sorted replica on supplier price cents") {
     val li = Tables(spark, "/root/testdata/sf0.001").lineitem
       .select(col("l_suppkey"), (col("l_extendedprice") * 100).cast("long").as("cents"))
