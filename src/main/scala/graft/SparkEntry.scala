@@ -42,6 +42,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q139IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q191IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q143IndexCache =
@@ -2297,6 +2299,25 @@ object SparkEntry {
       val qs = Seq((0L, "table hash"), (1L, "customer join"),
         (2L, "merge batch part")).toDF("qid", "qtext")
       Bm25Index.searchPhrase(s, qs, col("qid"), col("qtext"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx)
+    }),
+    "q191_substring_search" -> ((s, d) => {
+      // SUBSTRING RETRIEVAL — TrigramIndex.search: accelerated
+      // `LIKE '%pat%'` over a standing character-trigram index;
+      // patterns cross token boundaries ("ge bat" spans "merge batch")
+      // and match inside words, which no token index can answer.
+      // Candidates are cut by the counting AND over the gram-pruned
+      // postings scan, then only candidates' text fetches for the
+      // exact contains verify. Oracle: the plain corpus-scan LIKE.
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
+        .toDF("qid", "pat")
+      TrigramIndex.search(s, qs, col("qid"), col("pat"),
         Tables(s, d).documents, col("doc_id"), col("text"), idx)
     }),
     "q187_boolean_search" -> ((s, d) => {
@@ -5110,26 +5131,12 @@ object SparkEntry {
         |  CAST(max(abs(ca*nb - cb*na)) AS DOUBLE) /
         |    (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)) AS d
         |FROM c GROUP BY 1""".stripMargin,
-    "q190_ks_drift" ->
-      // the same RANGE-frame CDF replay, integer cross-multiplied
-      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
-        |u AS (SELECT pri, v,
-        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS b FROM o),
-        |c AS (SELECT pri, v,
-        |    sum(a) OVER (PARTITION BY pri ORDER BY v
-        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-        |    sum(b) OVER (PARTITION BY pri ORDER BY v
-        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-        |    sum(a) OVER (PARTITION BY pri) AS na,
-        |    sum(b) OVER (PARTITION BY pri) AS nb
-        |  FROM u)
-        |SELECT pri, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
-        |  CAST(max(abs(ca*nb - cb*na)) AS BIGINT) AS d_num,
-        |  CAST(max(abs(ca*nb - cb*na)) AS DOUBLE) /
-        |    (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)) AS d
-        |FROM c GROUP BY 1""".stripMargin,
+    "q191_substring_search" ->
+      // the unaccelerated form: a full corpus LIKE scan
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |q(qid, pat) AS (VALUES (0, 'ge bat'), (1, 'le sor'), (2, 'rt join'))
+        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
+        |FROM q JOIN t ON instr(t.s, q.pat) > 0""".stripMargin,
     "q189_phrase_search" ->
       // boundary-padded containment over the space-joined tokens —
       // exact sequence semantics because tokens contain no whitespace

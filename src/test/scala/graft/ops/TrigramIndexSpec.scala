@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TrigramIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_trigram").toString
+
+  private def corpus = Seq(
+    (1L, "merge sort join"),
+    (2L, "the big MERGE Sort"),      // case folds
+    (3L, "sorted merges"),           // substrings inside words
+    (4L, "abc then bcd apart")).toDF("id", "text") // grams of "abcd" w/o the substring
+
+  private def search(qs: Seq[(Long, String)], path: String) =
+    TrigramIndex.search(spark, qs.toDF("qid", "pat"), col("qid"), col("pat"),
+      corpus, col("id"), col("text"), path)
+      .as[(Long, Long)].collect().toSet
+
+  test("substring search crosses token boundaries, folds case, verifies grams") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    assert(search(Seq((0L, "merge sort")), path) == Set((0L, 1L), (0L, 2L)))
+    assert(search(Seq((1L, "sort")), path) == Set((1L, 1L), (1L, 2L), (1L, 3L)))
+    // doc 4 carries grams {abc, bcd} but not the contiguous "abcd":
+    // the candidate stage admits it, the contains verify must drop it
+    assert(search(Seq((2L, "abcd")), path) == Set.empty)
+    assert(search(Seq((3L, "ted mer")), path) == Set((3L, 3L)))
+  }
+
+  test("patterns shorter than 3 chars fail fast") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val e = intercept[IllegalArgumentException] {
+      search(Seq((0L, "ab")), path)
+    }
+    assert(e.getMessage.contains("shorter than 3"))
+  }
+
+  test("postings scan is pruned by a pushed gram filter") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val plan = TrigramIndex.search(spark, Seq((0L, "merge")).toDF("qid", "pat"),
+      col("qid"), col("pat"), corpus, col("id"), col("text"), path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(gram"), s"gram filter not pushed:\n$plan")
+  }
+
+  test("append folds new docs in exactly-once under batch-id replay") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val batch = Seq((10L, "fresh quicksort pass")).toDF("id", "text")
+    TrigramIndex.append(batch, col("id"), col("text"), path, batchId = 0L)
+    val after = TrigramIndex.search(spark, Seq((0L, "quicksort")).toDF("qid", "pat"),
+      col("qid"), col("pat"), corpus.unionByName(batch), col("id"), col("text"), path)
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((0L, 10L)))
+    // re-delivered batch id: a no-op, postings must not double
+    TrigramIndex.append(batch, col("id"), col("text"), path, batchId = 0L)
+    val post = spark.read.parquet(s"$path/_post")
+      .where(col("doc_id") === 10L).count()
+    assert(post == spark.read.parquet(s"$path/_post/fold=1").count())
+  }
+}
