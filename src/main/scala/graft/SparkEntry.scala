@@ -1407,6 +1407,19 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q192_skyline" -> ((s, d) =>
+      // PARETO FRONTIER per brand — Frontier.skyline2d: the parts not
+      // dominated on (size max, price min) within their brand. NOT the
+      // O(n²) dominance self-join: one hash aggregate to (brand, size)
+      // minima, a per-brand running min over that aggregate-sized
+      // staircase, one broadcast join back. Price compares in
+      // DECIMAL(18,2) on both sides (exact, per the oracle-parity
+      // conventions). Oracle is the naive NOT EXISTS dominance filter.
+      Frontier.skyline2d(
+        Tables(s, d).part.select(col("p_brand"), col("p_partkey"),
+          col("p_size"), dec(col("p_retailprice")).as("price")),
+        Seq("p_brand"), "p_size", "price")
+        .withColumn("price", col("price").cast("double"))),
     "q107_retention" -> ((s, d) =>
       // weekly cohort retention: users cohorted by first-signup week,
       // counted active in each later week — the retention triangle.
@@ -5292,6 +5305,16 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q192_skyline" ->
+      // the naive quadratic dominance filter the operator avoids
+      """WITH p AS (SELECT p_brand, p_partkey, p_size,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part)
+        |SELECT r.p_brand, r.p_partkey, r.p_size,
+        |  CAST(r.price AS DOUBLE) AS price
+        |FROM p r WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q WHERE q.p_brand = r.p_brand
+        |    AND q.p_size >= r.p_size AND q.price <= r.price
+        |    AND (q.p_size > r.p_size OR q.price < r.price))""".stripMargin,
     "q186_mad_outliers" ->
       // both medians replayed with q121's rank convention, then the
       // identical |x - med| > 3*MAD count per group
