@@ -1407,6 +1407,22 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q193_fuzzy_vocab_join" -> ((s, d) => {
+      // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
+      // corpus+catalog vocabulary: every unordered word pair within
+      // levenshtein 2, via FastSS deletion-neighborhood candidates +
+      // exact verify, NEVER the |V|² cross join the oracle runs. The
+      // typo-tolerant linkage primitive (vocab canonicalization,
+      // entity-name near-miss screens).
+      val p = Tables(s, d).part
+      val words = p.select(explode(split(col("p_name"), " ")).as("w"))
+        .unionByName(p.select(explode(split(col("p_type"), " ")).as("w")))
+        .unionByName(p.select(explode(split(col("p_brand"), " ")).as("w")))
+        .unionByName(Tables(s, d).documents
+          .select(explode(split(lower(col("text")), " ")).as("w")))
+        .where(length(col("w")) > 0).select(lower(col("w")).as("w"))
+      Fuzzy.editSelfJoin(words, col("w"), maxDistance = 2)
+    }),
     "q192_skyline" -> ((s, d) =>
       // PARETO FRONTIER per brand — Frontier.skyline2d: the parts not
       // dominated on (size max, price min) within their brand. NOT the
@@ -5305,6 +5321,17 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q193_fuzzy_vocab_join" ->
+      // the |V|² cross join the deletion-neighborhood scheme replaces
+      """WITH v AS (SELECT DISTINCT lower(w) AS w FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+        |    UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+        |    UNION ALL SELECT unnest(string_split(p_brand, ' ')) FROM part
+        |    UNION ALL SELECT unnest(string_split(lower(text), ' ')) FROM documents)
+        |  WHERE length(w) > 0)
+        |SELECT a.w AS a, b.w AS b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2""".stripMargin,
     "q192_skyline" ->
       // the naive quadratic dominance filter the operator avoids
       """WITH p AS (SELECT p_brand, p_partkey, p_size,
