@@ -1407,6 +1407,21 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q194_k_anonymize" -> ((s, d) =>
+      // K-ANONYMITY RELEASE GATE — Privacy.kAnonymize: each customer
+      // takes the finest generalization level (nation+segment+balance
+      // bucket → nation+segment → segment) whose quasi group reaches
+      // k=8; outliers failing every level suppress. ONE corpus shuffle
+      // to distinct quasi cells, level counts roll up from the cell
+      // frame, one join back — not a shuffle per ladder rung. Oracle
+      // replays the three counts and the same CASE pick.
+      Privacy.kAnonymize(Tables(s, d).customer,
+        Seq("nation" -> col("c_nationkey"),
+          "seg" -> col("c_mktsegment"),
+          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
+        Seq(Seq("nation", "seg", "bal"), Seq("nation", "seg"), Seq("seg")),
+        k = 8)
+        .select(col("c_custkey"), col("lvl"), col("grp_n"))),
     "q193_fuzzy_vocab_join" -> ((s, d) => {
       // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
       // corpus+catalog vocabulary: every unordered word pair within
@@ -5321,6 +5336,22 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q194_k_anonymize" ->
+      // the three level counts and the same finest-first CASE pick
+      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal FROM customer),
+        |n0 AS (SELECT nation, seg, bal, count(*) AS c FROM q GROUP BY 1, 2, 3),
+        |n1 AS (SELECT nation, seg, count(*) AS c FROM q GROUP BY 1, 2),
+        |n2 AS (SELECT seg, count(*) AS c FROM q GROUP BY 1)
+        |SELECT q.c_custkey,
+        |  CAST(CASE WHEN n0.c >= 8 THEN 0 WHEN n1.c >= 8 THEN 1
+        |            WHEN n2.c >= 8 THEN 2 END AS BIGINT) AS lvl,
+        |  CAST(CASE WHEN n0.c >= 8 THEN n0.c WHEN n1.c >= 8 THEN n1.c
+        |            WHEN n2.c >= 8 THEN n2.c END AS BIGINT) AS grp_n
+        |FROM q JOIN n0 USING (nation, seg, bal)
+        |  JOIN n1 USING (nation, seg) JOIN n2 USING (seg)
+        |WHERE n0.c >= 8 OR n1.c >= 8 OR n2.c >= 8""".stripMargin,
     "q193_fuzzy_vocab_join" ->
       // the |V|² cross join the deletion-neighborhood scheme replaces
       """WITH v AS (SELECT DISTINCT lower(w) AS w FROM (

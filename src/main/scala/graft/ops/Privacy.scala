@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity enforcement over a generalization ladder — the privacy
+  * screen a training-data release pipeline runs before shipping rows
+  * that carry quasi-identifiers (demographics, coarse location,
+  * account buckets): every emitted row must be indistinguishable from
+  * at least k−1 others at SOME level of the ladder, and each row takes
+  * the FINEST level that reaches k.
+  *
+  * `quasi` names the candidate quasi-identifier columns once (raw or
+  * coarsened — a bucket width is just another named expression);
+  * `levels` lists name-subsets finest-first. A row reports the first
+  * level whose group (over that level's columns) has ≥ k members; rows
+  * failing even the coarsest level are SUPPRESSED (dropped), k-anonymity's
+  * standard outlier treatment.
+  *
+  * Scale shape: ONE corpus-sized shuffle to the distinct quasi cells
+  * (`groupBy` over the union of all quasi columns, map-side partial),
+  * then every level's counts aggregate from the CELL frame (cells ≪
+  * rows), fold back into it by cell-sized joins, and the annotated
+  * cells join to the rows once. The naive form is one full shuffle +
+  * full join PER LEVEL; this is one of each regardless of ladder
+  * depth. All joins are null-safe (`<=>`): NULL is a quasi value, not
+  * a row-dropper.
+  *
+  * Reference scope: the reference has no privacy surface; this extends
+  * the release-gate family next to [[Checks]] (quality contracts) and
+  * the PII scrub (q57).
+  */
+object Privacy {
+
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+                           names: Seq[String], keep: Seq[String]): DataFrame = {
+    val l = left.alias("__l")
+    val r = right.alias("__r")
+    val cond = names.map(n => col(s"__l.$n") <=> col(s"__r.$n")).reduce(_ && _)
+    l.join(r, cond)
+      .select(left.columns.map(n => col(s"__l.$n")) ++
+        keep.map(n => col(s"__r.$n")): _*)
+  }
+
+  /** Annotate `df` with (`lvl`, `grp_n`): the 0-based index of the
+    * finest generalization level whose quasi group reaches `k`, and
+    * that group's size; rows failing every level are dropped.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[(String, Column)],
+                 levels: Seq[Seq[String]], k: Long): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(levels.nonEmpty && levels.forall(_.nonEmpty),
+      "k-anonymity needs at least one non-empty level")
+    val qnames = quasi.map(_._1)
+    require(qnames.distinct == qnames, "quasi names must be unique")
+    levels.foreach(l => require(l.forall(qnames.contains),
+      s"level ${l.mkString(",")} references undeclared quasi columns"))
+    val g = (n: String) => s"__q_$n"
+    val proj = df.select(df.columns.map(col) ++
+      quasi.map { case (n, c) => c.as(g(n)) }: _*)
+    val all = qnames.map(g)
+    val cells0 = proj.groupBy(all.map(col): _*).agg(count(lit(1)).as("__cn"))
+    // fold each level's roll-up back into the cell frame — cell-sized work
+    val cells = levels.zipWithIndex.foldLeft(cells0) { case (cs, (lvl, i)) =>
+      val cols = lvl.map(g)
+      val cnt = cs.groupBy(cols.map(col): _*)
+        .agg(sum(col("__cn")).as(s"__n$i"))
+      nullSafeJoin(cs, cnt, cols, Seq(s"__n$i"))
+    }
+    val annotated = nullSafeJoin(proj, cells, all,
+      levels.indices.map(i => s"__n$i"))
+    val lvl = coalesce(levels.indices.map(i =>
+      when(col(s"__n$i") >= k, lit(i.toLong))): _*)
+    val grpN = coalesce(levels.indices.map(i =>
+      when(col(s"__n$i") >= k, col(s"__n$i"))): _*)
+    annotated
+      .withColumn("lvl", lvl).withColumn("grp_n", grpN)
+      .where(col("lvl").isNotNull)
+      .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n"): _*)
+  }
+}
