@@ -1407,6 +1407,17 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q195_cusum" -> ((s, d) =>
+      // CUSUM DRIFT ALARM — Timeseries.cusum: the clamped sequential
+      // recurrence s_i = max(0, s_{i-1} + (x_i - target)) per user,
+      // computed as a SCAN (running sum minus clamped running min of
+      // it) — two windows over one per-key sort, exact integer cents,
+      // no iteration. Reports max excursion, breach count, first
+      // breach time. Oracle replays the same closed form.
+      Timeseries.cusum(Tables(s, d).events, Seq("user_id"),
+        col("ts"), col("event_id"),
+        (dec(col("value")) * 100).cast("long"),
+        target = 5000L, threshold = 20000L)),
     "q194_k_anonymize" -> ((s, d) =>
       // K-ANONYMITY RELEASE GATE — Privacy.kAnonymize: each customer
       // takes the finest generalization level (nation+segment+balance
@@ -5336,6 +5347,24 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q195_cusum" ->
+      // the same scan identity: s = P - least(0, running min P)
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000 AS d
+        |  FROM events),
+        |c1 AS (SELECT user_id, ts, event_id, d,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS p FROM e),
+        |c2 AS (SELECT user_id, ts, p,
+        |    least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING)) AS m FROM c1),
+        |s AS (SELECT user_id, ts, p - m AS s FROM c2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(s) AS BIGINT) AS max_cusum,
+        |  CAST(sum(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
+        |  CAST(min(CASE WHEN s > 20000 THEN epoch_us(ts) END) AS BIGINT)
+        |    AS first_breach_us
+        |FROM s GROUP BY 1""".stripMargin,
     "q194_k_anonymize" ->
       // the three level counts and the same finest-first CASE pick
       """WITH q AS (SELECT c_custkey, c_nationkey AS nation,

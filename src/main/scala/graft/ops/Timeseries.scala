@@ -93,4 +93,61 @@ object Timeseries {
       .select(keys.map(col) ++ ((col("__b") * step).as(tsCol) +:
         valueCols.map(c => col(s"_v.$c").as(c))): _*)
   }
+
+  /** One-sided CUSUM change detection per key — the classical
+    * sequential drift alarm (Page 1954): over each key's observations
+    * in (ts, tieBreak) order, the clamped cumulative sum of deviations
+    *
+    *   s_i = max(0, s_{i-1} + (x_i − target)),   s_{-1} = 0
+    *
+    * with a breach wherever s_i > threshold. Reported per key:
+    * `n` observations, `max_cusum`, `n_breach`, and `first_breach_us`
+    * (epoch-µs of the first breach, null if none).
+    *
+    * The recurrence LOOKS inherently sequential, but clamping at zero
+    * has a closed scan form: with prefix sums P_i = Σ_{j≤i} (x_j −
+    * target),
+    *
+    *   s_i = P_i − min(0, min_{j≤i} P_j)
+    *
+    * so the whole path is two running window functions (running sum,
+    * then running min of it) over ONE per-key sort — no iteration, no
+    * state loop, and EXACT integer arithmetic end to end (`value` must
+    * be integral: scale currency to cents first; engine-portable, no
+    * FP accumulation drift by construction).
+    *
+    * Scale shape: one keyed exchange; both windows and the final
+    * per-key aggregate share the same hash partitioning, so the
+    * aggregate adds no second shuffle. Sequentialism is bounded by the
+    * per-key series length, keys run in parallel.
+    *
+    * Reference scope: the reference's anomaly surface is stateless
+    * per-row rules (GUI `filter_op`); CUSUM is the stateful drift
+    * complement next to [[Trend]] and the KS drift screen (q190).
+    */
+  def cusum(df: DataFrame, keys: Seq[String], ts: org.apache.spark.sql.Column,
+            tieBreak: org.apache.spark.sql.Column,
+            value: org.apache.spark.sql.Column,
+            target: Long, threshold: Long): DataFrame = {
+    require(keys.nonEmpty, "cusum: at least one key column")
+    require(threshold > 0, "cusum: threshold must be positive")
+    val vType = df.select(value.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vType),
+      s"cusum: value must be integral for exact arithmetic (got $vType) — " +
+        "scale currency to cents first")
+    val base = df.select(keys.map(col) ++ Seq(ts.as("__ts"),
+      tieBreak.as("__tie"), (value.cast("long") - target).as("__d")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = base
+      .withColumn("__p", sum(col("__d")).over(w))
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+    s.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      max(col("__s")).as("max_cusum"),
+      sum(when(col("__s") > threshold, 1L).otherwise(0L)).as("n_breach"),
+      min(when(col("__s") > threshold, unix_micros(col("__ts"))))
+        .as("first_breach_us"))
+  }
 }

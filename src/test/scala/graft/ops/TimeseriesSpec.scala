@@ -87,4 +87,49 @@ class TimeseriesSpec extends AnyFunSuite {
       .where(col("n") =!= col("span") / 21600000L + 1).count()
     assert(bad == 0, "per-key grid must be contiguous")
   }
+
+  // sequential reference for the cusum scan identity
+  private def cusumRef(xs: Seq[Long], target: Long, h: Long): (Long, Long, Option[Int]) = {
+    var s = 0L; var mx = 0L; var nb = 0L; var first = Option.empty[Int]
+    xs.zipWithIndex.foreach { case (x, i) =>
+      s = math.max(0L, s + (x - target))
+      mx = math.max(mx, s)
+      if (s > h) { nb += 1; if (first.isEmpty) first = Some(i) }
+    }
+    (mx, nb, first)
+  }
+
+  test("cusum scan identity matches the sequential recurrence, randomized") {
+    val rnd = new scala.util.Random(11)
+    val series = (0 until 5).map(k =>
+      k.toLong -> (0 until 200).map(_ => rnd.nextInt(100).toLong))
+    val rows = for ((k, xs) <- series; (x, i) <- xs.zipWithIndex)
+      yield (k, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, x)
+    val df = rows.toDF("k", "ts", "eid", "x")
+    val got = Timeseries.cusum(df, Seq("k"), col("ts"), col("eid"), col("x"),
+      target = 50L, threshold = 300L)
+      .select(col("k"), col("max_cusum"), col("n_breach"), col("first_breach_us"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    series.foreach { case (k, xs) =>
+      val (mx, nb, first) = cusumRef(xs, 50L, 300L)
+      val expFirst = first.map(i => (1700000000000L + i * 1000L) * 1000L)
+      assert(got(k) == ((mx, nb, expFirst)), s"key $k")
+    }
+  }
+
+  test("cusum rejects non-integral values and plans one exchange") {
+    intercept[IllegalArgumentException] {
+      Timeseries.cusum(Seq((1L, 1L, 1.5)).toDF("k", "t", "v"), Seq("k"),
+        col("t"), col("t"), col("v"), 0L, 1L)
+    }
+    val df = Timeseries.cusum(
+      Seq((1L, new java.sql.Timestamp(0L), 0L, 5L)).toDF("k", "ts", "eid", "x"),
+      Seq("k"), col("ts"), col("eid"), col("x"), 1L, 2L)
+    val plan = df.queryExecution.executedPlan.toString
+    // window partitioning must be reused by the aggregate: exactly one
+    // hash exchange on k in the whole plan
+    val exchanges = "hashpartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(exchanges <= 1, s"cusum should shuffle once:\n$plan")
+  }
 }
