@@ -1407,6 +1407,17 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q196_ewma_fold" -> ((s, d) =>
+      // ORDERED SEQUENTIAL FOLD — Timeseries.ewmaHalf: integer EWMA
+      // s_i = (s_{i-1} + x_i) div 2 per user in (ts, event_id) order.
+      // Unlike q195's CUSUM there is NO closed scan form (each step
+      // truncates), so this gates the foldOrdered primitive: one keyed
+      // exchange into a sorted collect, the fold runs in a codegen'd
+      // higher-order aggregate. Oracle: DuckDB list_reduce over the
+      // same ordered list — both sides fold left-to-right in exact
+      // integer cents.
+      Timeseries.ewmaHalf(Tables(s, d).events, Seq("user_id"),
+        col("ts"), col("event_id"), (dec(col("value")) * 100).cast("long"))),
     "q195_cusum" -> ((s, d) =>
       // CUSUM DRIFT ALARM — Timeseries.cusum: the clamped sequential
       // recurrence s_i = max(0, s_{i-1} + (x_i - target)) per user,
@@ -5347,6 +5358,15 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q196_ewma_fold" ->
+      // the same left-to-right fold over the same ordered list
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        |  CAST(list_reduce(vs, (x, y) -> (x + y) // 2) AS BIGINT) AS ewma
+        |FROM (SELECT user_id, list(v ORDER BY ts, event_id) AS vs
+        |      FROM e GROUP BY 1)""".stripMargin,
     "q195_cusum" ->
       // the same scan identity: s = P - least(0, running min P)
       """WITH e AS (SELECT user_id, ts, event_id,

@@ -150,4 +150,71 @@ object Timeseries {
       min(when(col("__s") > threshold, unix_micros(col("__ts"))))
         .as("first_breach_us"))
   }
+
+  /** Per-key ORDERED sequential fold: collect each key's values in
+    * (ts, tieBreak) order and fold them left-to-right through `merge`
+    * — the primitive for genuinely sequential statistics with no scan
+    * identity (state-dependent smoothing, path-dependent simulations).
+    * The first element seeds the accumulator; keys with one value
+    * return it. Output: keys, `n`, `folded`.
+    *
+    * Scale shape: ONE keyed exchange into `collect_list`, the fold
+    * runs inside a codegen'd higher-order `aggregate` over the sorted
+    * array — sequentialism bounded by series length, keys parallel.
+    * The whole series buffers in one task's heap (the same per-key
+    * memory bound as any per-key sort); series are expected BOUNDED
+    * (events per user, ticks per instrument) — shard the key or
+    * pre-aggregate if a key's series is unbounded.
+    *
+    * Struct ordering does the sort: (ts, tie, value) sorts
+    * lexicographically, so (ts, tie) must be integral/comparable and
+    * unique per key for a deterministic fold.
+    */
+  def foldOrdered(df: DataFrame, keys: Seq[String],
+                  ts: org.apache.spark.sql.Column,
+                  tieBreak: org.apache.spark.sql.Column,
+                  value: org.apache.spark.sql.Column)
+                 (merge: (org.apache.spark.sql.Column,
+                          org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "foldOrdered: at least one key column")
+    df.select(keys.map(col) :+
+        struct(ts.as("t"), tieBreak.as("i"), value.as("v")).as("__e"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .withColumn("__vs", transform(col("__es"), e => e.getField("v")))
+      .select(keys.map(col) ++ Seq(
+        size(col("__vs")).cast("long").as("n"),
+        aggregate(
+          slice(col("__vs"), lit(2), size(col("__vs")) - 1),
+          element_at(col("__vs"), 1),
+          merge).as("folded")): _*)
+  }
+
+  /** Integer EWMA with α = 1/2: s_0 = x_0, s_i = (s_{i-1} + x_i) div 2
+    * — deterministic smoothing in EXACT integer arithmetic (truncating
+    * div; values must be non-negative integral, e.g. cents, or the
+    * truncation direction becomes engine-dependent). A [[foldOrdered]]
+    * instance: the recurrence is genuinely sequential (unlike
+    * [[cusum]], no closed scan form — each step truncates), so it
+    * rides the ordered fold. Output: keys, `n`, `ewma`.
+    */
+  def ewmaHalf(df: DataFrame, keys: Seq[String],
+               ts: org.apache.spark.sql.Column,
+               tieBreak: org.apache.spark.sql.Column,
+               value: org.apache.spark.sql.Column): DataFrame = {
+    val vType = df.select(value.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vType),
+      s"ewmaHalf: value must be integral (got $vType) — scale to cents first")
+    // projection-side guard (a filter-side raise_error can be pushed
+    // past joins — SparkEntry convention); >> 1 is exact halving on
+    // the guaranteed-non-negative sums
+    val guarded = when(value < 0,
+      raise_error(concat(lit("ewmaHalf: negative value (truncation "),
+        lit("direction is engine-dependent below zero): "),
+        value.cast("string"))))
+      .otherwise(value.cast("long"))
+    foldOrdered(df, keys, ts, tieBreak, guarded)(
+      (acc, x) => shiftright(acc + x, 1))
+      .withColumnRenamed("folded", "ewma")
+  }
 }

@@ -132,4 +132,35 @@ class TimeseriesSpec extends AnyFunSuite {
     val exchanges = "hashpartitioning".r.findAllIn(plan.toLowerCase).size
     assert(exchanges <= 1, s"cusum should shuffle once:\n$plan")
   }
+
+  test("ewmaHalf folds in (ts, tie) order and matches the recurrence") {
+    val rnd = new scala.util.Random(13)
+    val series = (0 until 4).map(k =>
+      k.toLong -> (0 until 100).map(_ => rnd.nextInt(10000).toLong))
+    // shuffle row order to prove the sort governs, not arrival order
+    val rows = rnd.shuffle(for ((k, xs) <- series; (x, i) <- xs.zipWithIndex)
+      yield (k, i.toLong, (i % 7).toLong * 1000 + i, x))
+    // ts deliberately non-unique ACROSS keys; (ts=i, tie) unique per key
+    val df = rows.toDF("k", "ts", "tie", "x")
+    val got = Timeseries.ewmaHalf(df, Seq("k"), col("ts"), col("tie"), col("x"))
+      .select(col("k"), col("n"), col("ewma"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    series.foreach { case (k, xs) =>
+      val exp = xs.tail.foldLeft(xs.head)((a, x) => (a + x) >> 1)
+      assert(got(k) == ((xs.size.toLong, exp)), s"key $k")
+    }
+  }
+
+  test("ewmaHalf: single-element series returns the element; negatives fail") {
+    val one = Timeseries.ewmaHalf(Seq((1L, 5L, 0L, 42L)).toDF("k", "ts", "tie", "x"),
+      Seq("k"), col("ts"), col("tie"), col("x"))
+      .select(col("n"), col("ewma")).as[(Long, Long)].head()
+    assert(one == ((1L, 42L)))
+    val e = intercept[Exception] {
+      Timeseries.ewmaHalf(Seq((1L, 1L, 0L, -3L)).toDF("k", "ts", "tie", "x"),
+        Seq("k"), col("ts"), col("tie"), col("x")).collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      (e.getCause != null && e.getCause.getMessage.contains("negative")))
+  }
 }
