@@ -44,6 +44,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q191IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q197IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q143IndexCache =
@@ -2598,6 +2600,35 @@ object SparkEntry {
       })
       Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
     }),
+    "q197_substring_ingest_stream" -> ((s, d) => {
+      // TrigramIndex.appendStream: continuous exactly-once ingestion
+      // into the substring index — q144's lifecycle for the trigram
+      // family. Standing index starts from the even-id half, the odd
+      // half arrives in 4 ledgered micro-batch folds, then q191's
+      // patterns search THROUGH the grown index — so q191's
+      // full-corpus LIKE oracle gates ingest-then-search end to end.
+      val idx = q197IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q197_idx") + "/tri"
+        val docs = Tables(s, dir).documents
+        TrigramIndex.build(docs.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p)
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q197",
+            docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+            col("doc_id"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage,
+            docs.select(col("doc_id"), col("text")).schema)
+          val q = TrigramIndex.appendStream(s, stream, col("doc_id"), col("text"), p)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
+        .toDF("qid", "pat")
+      TrigramIndex.search(s, qs, col("qid"), col("pat"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx)
+    }),
     "q145_ivfpq_search_stream" -> ((s, d) => {
       // IvfPqIndex.build + searchStream: q86's residual IVF-PQ workload
       // through the PERSISTED compressed index (codes partitioned by
@@ -4074,6 +4105,7 @@ object SparkEntry {
     "q143_kmeans_assign_stream" -> oracleSqlBase("q88_kmeans_assign"),
     "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
+    "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
     "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
     "q148_stream_static_join" ->
