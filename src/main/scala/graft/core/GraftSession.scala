@@ -52,6 +52,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", CodegenCacheMaxEntries)
+      // index lookups push `col IN (query vocabulary)` into parquet;
+      // past this threshold Spark silently degrades the pushed filter
+      // to [min, max] — which spans the whole key space for a
+      // scattered vocabulary and decodes entire postings tables
+      // (measured 2.3x on the trigram index's 188-gram read). Query
+      // vocabularies are bounded (maxQueryTerms/maxQueryGrams), so a
+      // generous literal count is safe.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       // older testdata generations wrote events.parquet as TIMESTAMP(NANOS),
       // which Spark's reader rejects without this conf; harmless for the

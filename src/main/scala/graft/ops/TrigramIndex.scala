@@ -74,15 +74,27 @@ object TrigramIndex {
     Meta(m.getLong(0), m.getLong(1))
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+  /** df (gram, df) + meta commit together as ONE `_model` swap — the
+    * df table powers rarest-gram selection at search time, the meta
+    * `last_batch` is the exactly-once ledger.
+    */
+  private def writeModel(spark: SparkSession, dir: String,
+                         df: DataFrame, m: Meta): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/df")
     spark.range(1)
       .select(lit(m.folds).as("folds"), lit(m.lastBatch).as("last_batch"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   private def commitFold(df: DataFrame, dir: String, fold: Long): Unit = {
     val spark = df.sparkSession
     val staging = s"$dir/_staging"
-    df.write.mode("overwrite").parquet(staging)
+    // small row groups: the search-side pushed `gram IN` prunes at
+    // row-group min/max granularity, and posting reads should cost
+    // the selected grams' lists, not an eighth of the corpus
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (4L << 20).toString)
+      .parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(staging)
     val dst = new org.apache.hadoop.fs.Path(s"$dir/fold=$fold")
@@ -100,7 +112,9 @@ object TrigramIndex {
     commitFold(postings(docs, id, text)
       .repartitionByRange(col("gram")).sortWithinPartitions(col("gram")),
       s"$path/_post", 0L)
-    writeMeta(spark, s"$path/_model", Meta(folds = 0L, lastBatch = -1L))
+    writeModel(spark, s"$path/_model",
+      readPost(spark, path).groupBy(col("gram")).agg(count(lit(1)).as("df")),
+      Meta(folds = 0L, lastBatch = -1L))
   }
 
   /** Substring search: `queries` is (qid, pattern); output (qid,
@@ -108,35 +122,87 @@ object TrigramIndex {
     * (case-insensitive). Patterns shorter than 3 characters fail fast —
     * a trigram index cannot prune them and a silent corpus scan is
     * never what an index caller wants.
+    *
+    * Candidate generation uses only each pattern's `gramsPerQuery`
+    * RAREST grams (by the index's df table — the code-search trick): a
+    * matching document contains EVERY pattern gram, so requiring any
+    * subset stays complete, and dropping the common grams ("e ", "th")
+    * keeps the postings read proportional to the rare grams' lists
+    * instead of the corpus. The contains verify makes the result exact
+    * either way.
     */
   def search(spark: SparkSession, queries: DataFrame, qid: Column, qtext: Column,
              corpus: DataFrame, id: Column, text: Column, path: String,
-             maxQueryGrams: Int = 10000): DataFrame = {
-    val q = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
-      .localCheckpoint()
-    val nShort = q.where(length(col("pat")) < N).count()
-    require(nShort == 0,
-      s"trigram search: $nShort pattern(s) shorter than $N chars — the index " +
-        "cannot prune them; filter or pad the patterns")
-    val qg = q.select(col("qid"), explode(grams(col("pat"))).as("gram"))
-      .localCheckpoint()
-    val gs = qg.select(col("gram")).distinct().collect().map(_.getString(0))
-    require(gs.length <= maxQueryGrams,
-      s"trigram search: ${gs.length} distinct query grams exceed " +
+             maxQueryGrams: Int = 10000, gramsPerQuery: Int = 4): DataFrame = {
+    require(gramsPerQuery > 0, "trigram search: gramsPerQuery must be positive")
+    import spark.implicits._
+    // query tables are tiny by contract (maxQueryGrams-bounded):
+    // collect ONCE and drive selection locally — index search latency
+    // is job-count-bound, not data-bound, so the whole path is three
+    // jobs (queries, pruned df read, the search itself)
+    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val short = pats.filter(_._2.length < N)
+    require(short.isEmpty,
+      s"trigram search: ${short.size} pattern(s) shorter than $N chars (e.g. " +
+        s"'${short.head._2}') — the index cannot prune them; filter or pad")
+    val patsDf = pats.toDF("qid", "pat")
+    // gram the literal patterns through the SAME Column expression the
+    // build used (local-relation job: no scan, keeps the char/codepoint
+    // semantics bit-identical to the index side)
+    val qgAll = patsDf.select(col("qid"), explode(grams(col("pat"))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val allGs = qgAll.map(_._2).distinct
+    require(allGs.length <= maxQueryGrams,
+      s"trigram search: ${allGs.length} distinct query grams exceed " +
         s"maxQueryGrams=$maxQueryGrams — batch the queries")
-    val qn = qg.groupBy(col("qid")).agg(count(lit(1)).as("__qn"))
-    val cands = readPost(spark, path).where(col("gram").isin(gs.toSeq: _*))
+    // rarest-k selection from the (query-vocabulary-pruned) df table;
+    // a gram the index has never seen has df 0 — maximally selective,
+    // and correctly yields zero candidates for its query
+    val dfMap = spark.read.parquet(s"$path/_model/df")
+      .where(col("gram").isin(allGs: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = qgAll.groupBy(_._1).iterator.flatMap { case (q, gs) =>
+      gs.map(_._2).distinct
+        .sortBy(g => (dfMap.getOrElse(g, 0L), g))
+        .take(gramsPerQuery).map(q -> _)
+    }.toSeq
+    val qg = sel.toDF("qid", "gram")
+    val qn = sel.groupBy(_._1).map { case (q, gs) => (q, gs.size.toLong) }
+      .toSeq.toDF("qid", "__qn")
+    val gs = sel.map(_._2).distinct
+    // materialize candidates once (rare-gram-selective, so usually
+    // small): the verify then runs as two BROADCAST joins — the corpus
+    // is filtered scan-side by the candidate ids, never shuffled. A
+    // low-selectivity pattern set (every rare gram still common) can
+    // defeat that, so past `broadcastCandidateLimit` candidates the
+    // verify falls back to shuffle joins instead of an OOM broadcast.
+    val broadcastCandidateLimit = 4000000L
+    val cands = candidateStage(spark, path, gs, qg, qn).localCheckpoint()
+    val small = cands.count() <= broadcastCandidateLimit
+    val bc = (df: DataFrame) => if (small) broadcast(df) else df
+    val docsPruned = requireIntegralId(
+        corpus.select(id.as("doc_id"), norm(text).as("__s")))
+      .join(bc(cands.select(col("doc_id")).distinct()), Seq("doc_id"))
+    docsPruned.join(bc(cands), Seq("doc_id"))
+      .join(broadcast(patsDf), Seq("qid"))
+      .where(contains(col("__s"), col("pat")))
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** The counting-AND candidate cut over the gram-pruned postings scan
+    * — package-visible so the spec can pin the pushed `In(gram)` filter
+    * on the UNexecuted plan ([[search]] eagerly materializes it).
+    */
+  private[ops] def candidateStage(spark: SparkSession, path: String,
+                                  gs: Seq[String], qg: DataFrame,
+                                  qn: DataFrame): DataFrame =
+    readPost(spark, path).where(col("gram").isin(gs: _*))
       .join(broadcast(qg), Seq("gram"))
       .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("__m"))
       .join(broadcast(qn), Seq("qid"))
       .where(col("__m") === col("__qn"))
       .select(col("qid"), col("doc_id"))
-    val docs = requireIntegralId(corpus.select(id.as("doc_id"), norm(text).as("__s")))
-      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"))
-    cands.join(broadcast(q), Seq("qid")).join(docs, Seq("doc_id"))
-      .where(contains(col("__s"), col("pat")))
-      .select(col("qid"), col("doc_id"))
-  }
 
   /** Fold a batch of NEW documents in as fold `folds+1` — exactly-once
     * under streaming replay via the `last_batch` ledger in the `_model`
@@ -152,8 +218,14 @@ object TrigramIndex {
     commitFold(postings(docs, id, text)
       .repartitionByRange(col("gram")).sortWithinPartitions(col("gram")),
       s"$path/_post", fold)
+    // df grows from the WRITTEN fold (materialize-once: a replay into
+    // the same fold dir recomputes the identical increment)
+    val fPost = spark.read.schema(postSchema).parquet(s"$path/_post/fold=$fold")
+    val grown = spark.read.parquet(s"$path/_model/df")
+      .unionByName(fPost.groupBy(col("gram")).agg(count(lit(1)).as("df")))
+      .groupBy(col("gram")).agg(sum(col("df")).as("df"))
     val tmp = s"$path/_model.next"
-    writeMeta(spark, tmp, Meta(fold, math.max(batchId, m.lastBatch)))
+    writeModel(spark, tmp, grown, Meta(fold, math.max(batchId, m.lastBatch)))
     IvfIndex.swapDirs(spark, s"$path/_model", tmp)
   }
 

@@ -1362,6 +1362,143 @@ object ThroughputBench {
         f"state = 20 longs regardless of volume")
     }
 
+    // scenario 38: trigram substring index vs the full LIKE scan — the
+    // q191 path at 4M ~50-char docs of letter-coded words (a trigram
+    // space like real text; an all-digit vocabulary shares trigrams so
+    // heavily that NO substring index can prune it). 48 standing
+    // patterns sampled from the corpus, crossing word boundaries. The
+    // decisive scale metric is BYTES TOUCHED: the scan reads every doc
+    // for every query set; the index reads the selected grams' posting
+    // lists plus the candidates — on a 100 TB corpus that ratio is the
+    // whole game, single-node in-memory wall clock merely ties.
+    if (enabled(38)) {
+      val nDocs = 4000000L
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(9)),
+          i => translate(
+            conv(pmod(xxhash64(col("id") * 10 + i), lit(456976)).cast("string"), 10, 26),
+            "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")),
+          " ").as("text")).localCheckpoint()
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_s38").toString + "/tri"
+      val t0 = System.nanoTime()
+      graft.ops.TrigramIndex.build(docs, col("doc_id"), col("text"), idxDir)
+      val sBuild = (System.nanoTime() - t0) / 1e9
+      val pats = docs.where(col("doc_id") % 83333 === 7).limit(48)
+        .select((col("doc_id") % 48).as("qid"), substring(col("text"), 4, 9).as("pat"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("qid", "pat")
+      def timed(body: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val r = body; (r, (System.nanoTime() - t) / 1e9)
+      }
+      val (nIdx, sIdx) = timed(graft.ops.TrigramIndex.search(
+        spark, pats, col("qid"), col("pat"),
+        docs, col("doc_id"), col("text"), idxDir).count())
+      val (nScan, sScan) = timed(
+        docs.crossJoin(broadcast(pats))
+          .where(contains(lower(col("text")), col("pat")))
+          .select(col("qid"), col("doc_id")).count())
+      require(nIdx == nScan, s"index answered $nIdx rows, scan $nScan")
+      // rows the index actually decodes: df of the selected grams
+      val grams = pats.select(explode(expr(
+        "array_distinct(transform(sequence(1, length(pat) - 2), i -> substr(pat, i, 3)))"))
+        .as("gram"))
+      val touched = spark.read.parquet(s"$idxDir/_model/df")
+        .join(grams.distinct(), Seq("gram"))
+        .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+      println(f"scenario38 trigram n=$nDocs: build $sBuild%.1f s (once); " +
+        f"48-pattern search $sIdx%.2f s (touches <= $touched posting rows = " +
+        f"${touched * 100.0 / (nDocs * 48)}%.3f%% of the scan's ${nDocs * 48} " +
+        f"doc-pattern probes) vs full LIKE scan $sScan%.2f s; " +
+        f"$nIdx matches both ways")
+    }
+
+    // scenario 39: skyline staircase vs the all-row window form at 50M
+    // rows — the q192 path. Aggregate-first touches (group, size)
+    // cells; the window form sorts every row per group.
+    if (enabled(39)) {
+      val rows = spark.range(n).select(
+        (col("id") % 100).as("grp"),
+        pmod(xxhash64(col("id")), lit(200)).cast("int").as("size"),
+        pmod(xxhash64(col("id") + 7), lit(1000000)).as("price")).localCheckpoint()
+      def timed(body: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val r = body; (r, (System.nanoTime() - t) / 1e9)
+      }
+      val (nSky, sSky) = timed(
+        graft.ops.Frontier.skyline2d(rows, Seq("grp"), "size", "price").count())
+      // the naive-but-still-scan form: per-row windows over ALL rows
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("size").desc)
+      val (nWin, sWin) = timed {
+        val ranked = rows
+          .withColumn("__own", min(col("price")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("grp"), col("size"))))
+          .withColumn("__better", min(col("price")).over(
+            wAll.rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        ranked.where(col("price") === col("__own") &&
+          (col("__better").isNull || col("price") < col("__better"))).count()
+      }
+      require(nSky == nWin, s"staircase found $nSky, window form $nWin")
+      println(f"scenario39 skyline n=$n groups=100: staircase $sSky%.1f s vs " +
+        f"all-row window $sWin%.1f s (${sWin / sSky}%.1fx), frontier $nSky rows")
+    }
+
+    // scenario 40: deletion-neighborhood edit join over a 2M-string
+    // dictionary with planted 1-typo pairs — candidates stay ~linear
+    // (|V| * (L+1) variants), never the |V|^2 cross join.
+    if (enabled(40)) {
+      val nStr = 2000000L
+      // random 16-hex strings (sparse in edit space — unlike dense
+      // sequential ids, random pairs at d<=1 are vanishingly rare);
+      // every 100th string also plants a copy with one char deleted
+      val base = spark.range(nStr).select(
+        lpad(hex(xxhash64(col("id"))), 16, "0").as("s"))
+      val typos = spark.range(nStr / 100).select(
+        lpad(hex(xxhash64(col("id") * 100)), 16, "0").as("t"))
+        .select(concat(substring(col("t"), 1, 7), substring(col("t"), 9, 16)).as("s"))
+      val dict = base.unionByName(typos).distinct().localCheckpoint()
+      val t0 = System.nanoTime()
+      val nPairs = graft.ops.Fuzzy.editSelfJoin(dict, col("s"), maxDistance = 1).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario40 fuzzy-join dict=${nStr + nStr / 100}: $s%.1f s, " +
+        f"$nPairs pairs at d<=1 (>= ${nStr / 100} planted)")
+    }
+
+    // scenario 41: k-anonymity ladder at n rows — one corpus shuffle
+    // to cells, level counts from the cell frame (the q194 shape), vs
+    // the naive shuffle-per-level form.
+    if (enabled(41)) {
+      val rows = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(25)).as("nation"),
+        pmod(xxhash64(col("id") + 1), lit(5)).as("seg"),
+        pmod(xxhash64(col("id") + 2), lit(4000)).as("bal")).localCheckpoint()
+      val quasi = Seq("nation" -> col("nation"), "seg" -> col("seg"),
+        "bal" -> col("bal"))
+      val ladder = Seq(Seq("nation", "seg", "bal"), Seq("nation", "seg"), Seq("seg"))
+      val t0 = System.nanoTime()
+      val kept = graft.ops.Privacy.kAnonymize(rows, quasi, ladder, k = 100).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"scenario41 k-anonymize n=$n cells=500k: $s%.1f s " +
+        f"(${n / s / 1e6}%.1f M rows/s), $kept released")
+    }
+
+    // scenario 42: CUSUM scan + ordered fold at n events over 1M keys —
+    // sequential recurrences as one keyed exchange each (q195/q196).
+    if (enabled(42)) {
+      val ev = spark.range(n).select(
+        (col("id") % 1000000).as("k"), timestamp_micros(col("id")).as("t"),
+        pmod(xxhash64(col("id")), lit(10000)).as("x")).localCheckpoint()
+      def timed(body: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val r = body; (r, (System.nanoTime() - t) / 1e9)
+      }
+      val (nc, sc) = timed(graft.ops.Timeseries.cusum(ev, Seq("k"),
+        col("t"), col("t"), col("x"), target = 5000L, threshold = 100000L).count())
+      val (ne, se) = timed(graft.ops.Timeseries.ewmaHalf(ev, Seq("k"),
+        col("t"), col("t"), col("x")).count())
+      println(f"scenario42 sequential-stats n=$n keys=$nc: cusum $sc%.1f s " +
+        f"(${n / sc / 1e6}%.1f M rec/s), fold-ewma $se%.1f s " +
+        f"(${n / se / 1e6}%.1f M rec/s), $ne folded")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

@@ -34,6 +34,20 @@ class TrigramIndexSpec extends AnyFunSuite {
     assert(search(Seq((3L, "ted mer")), path) == Set((3L, 3L)))
   }
 
+  test("rarest-gram selection stays complete at any gramsPerQuery") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val full = search(Seq((0L, "merge sort"), (1L, "sort")), path)
+    for (k <- Seq(1, 2, 8)) {
+      val got = TrigramIndex.search(spark,
+        Seq((0L, "merge sort"), (1L, "sort")).toDF("qid", "pat"),
+        col("qid"), col("pat"), corpus, col("id"), col("text"), path,
+        gramsPerQuery = k)
+        .as[(Long, Long)].collect().toSet
+      assert(got == full, s"gramsPerQuery=$k")
+    }
+  }
+
   test("patterns shorter than 3 chars fail fast") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
@@ -46,8 +60,12 @@ class TrigramIndexSpec extends AnyFunSuite {
   test("postings scan is pruned by a pushed gram filter") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
-    val plan = TrigramIndex.search(spark, Seq((0L, "merge")).toDF("qid", "pat"),
-      col("qid"), col("pat"), corpus, col("id"), col("text"), path)
+    // the candidate stage un-executed (search eagerly materializes it,
+    // hiding the postings scan behind the checkpoint)
+    val gs = Seq("mer", "erg", "rge")
+    val plan = TrigramIndex.candidateStage(spark, path, gs,
+      Seq((0L, "mer"), (0L, "erg"), (0L, "rge")).toDF("qid", "gram"),
+      Seq((0L, 3L)).toDF("qid", "__qn"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(gram"), s"gram filter not pushed:\n$plan")
   }
