@@ -46,6 +46,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q197IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q198StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q143IndexCache =
@@ -1461,6 +1463,35 @@ object SparkEntry {
           .select(explode(split(lower(col("text")), " ")).as("w")))
         .where(length(col("w")) > 0).select(lower(col("w")).as("w"))
       Fuzzy.editSelfJoin(words, col("w"), maxDistance = 2)
+    }),
+    "q198_skyline_stream" -> ((s, d) => {
+      // CONTINUOUS FRONTIER MAINTENANCE — Frontier.skylineStream:
+      // skyline distributes over union (SKY(A∪B) = SKY(SKY(A)∪B)) and
+      // dominated rows can never rejoin, so the standing state IS the
+      // frontier — per-trigger work is frontier+batch-sized no matter
+      // how many rows streamed through. Store seeds from the even
+      // partkeys, the odd half arrives in 4 ledgered micro-batches;
+      // the grown frontier must equal q192's one-shot skyline, so its
+      // NOT EXISTS oracle gates the whole lifecycle.
+      val store = q198StoreCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q198_store") + "/sky"
+        val rows = Tables(s, dir).part.select(col("p_brand"), col("p_partkey"),
+          col("p_size"), dec(col("p_retailprice")).as("price"))
+        Frontier.initSkylineStore(rows.where(col("p_partkey") % 2 === 0),
+          Seq("p_brand"), "p_size", "price", p)
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q198",
+            rows.where(col("p_partkey") % 2 === 1), col("p_partkey"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, rows.schema)
+          val q = Frontier.skylineStream(s, stream,
+            Seq("p_brand"), "p_size", "price", p)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      Frontier.readSkylineStore(s, store)
+        .select(col("p_brand"), col("p_partkey"), col("p_size"),
+          col("price").cast("double").as("price"))
     }),
     "q192_skyline" -> ((s, d) =>
       // PARETO FRONTIER per brand — Frontier.skyline2d: the parts not
@@ -4106,6 +4137,7 @@ object SparkEntry {
     "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
+    "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
     "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
     "q148_stream_static_join" ->

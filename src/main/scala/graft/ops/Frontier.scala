@@ -65,4 +65,43 @@ object Frontier {
         (col("__better").isNull || col(minCol) < col("__better")))
       .drop("__own", "__better")
   }
+
+  // ---- standing frontier (continuous form) ----
+  // Skyline distributes over union — SKY(A ∪ B) = SKY(SKY(A) ∪ B) — and
+  // a dominated row can never rejoin a frontier, so the standing state
+  // IS the frontier itself: per trigger the (small) frontier unions the
+  // batch and re-skylines, frontier-plus-batch-sized work regardless of
+  // how many rows ever streamed through. Exactly-once rides the
+  // SwapStore ledger (re-delivered batch ids are no-ops).
+
+  /** Seed the persisted frontier at `path` from an initial batch. */
+  def initSkylineStore(df: DataFrame, groupCols: Seq[String],
+                       maxCol: String, minCol: String, path: String): Unit =
+    graft.core.SwapStore.init(skyline2d(df, groupCols, maxCol, minCol), path)
+
+  /** The current standing frontier under [[skylineStream]]. */
+  def readSkylineStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
+
+  /** Continuous frontier maintenance: each arriving micro-batch unions
+    * into the persisted frontier and re-skylines. Batch schema must
+    * match the seeded store's. Pass a durable `checkpoint` for any
+    * store that outlives one query (Sketches' loud-ephemeral posture).
+    */
+  def skylineStream(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame, groupCols: Seq[String],
+                    maxCol: String, minCol: String, path: String,
+                    checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Sketches.warnIfEphemeral(checkpoint, path)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid)(cur =>
+            skyline2d(cur.unionByName(batch), groupCols, maxCol, minCol))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

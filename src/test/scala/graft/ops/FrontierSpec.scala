@@ -62,6 +62,36 @@ class FrontierSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("id", "grp", "size", "price"))
   }
 
+  test("stream-grown frontier equals the one-shot skyline; replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val data = (1L to 400L).map(i =>
+      (i, "g" + rnd.nextInt(3), rnd.nextInt(15), rnd.nextInt(12).toDouble))
+    val (seed, rest) = data.splitAt(100)
+    val path = graft.core.TempDirs.create("graft_skyline_store")
+    Frontier.initSkylineStore(seed.toDF("id", "grp", "size", "price"),
+      Seq("grp"), "size", "price", path)
+    val in = MemoryStream[(Long, String, Int, Double)]
+    val q = Frontier.skylineStream(spark,
+      in.toDF().toDF("id", "grp", "size", "price"),
+      Seq("grp"), "size", "price", path)
+    try {
+      rest.grouped(100).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Frontier.readSkylineStore(spark, path)
+      .select(col("id")).as[Long].collect().toSet
+    val want = Frontier.skyline2d(data.toDF("id", "grp", "size", "price"),
+      Seq("grp"), "size", "price").select(col("id")).as[Long].collect().toSet
+    assert(got == want)
+    // exactly-once: re-folding an applied batch id leaves the store as is
+    graft.core.SwapStore.fold(spark, path, batchId = 0L)(cur => cur.limit(0))
+    val after = Frontier.readSkylineStore(spark, path)
+      .select(col("id")).as[Long].collect().toSet
+    assert(after == want)
+  }
+
   test("randomized agreement with brute force") {
     val rnd = new scala.util.Random(7)
     val data = (1L to 300L).map(i =>
