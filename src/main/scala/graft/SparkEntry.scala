@@ -1411,6 +1411,18 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q199_winsorize" -> ((s, d) =>
+      // PER-GROUP WINSORIZATION — Quantiles.winsorize: every lineitem's
+      // price cents clamped into its supplier's exact [p5, p95] band —
+      // robust feature normalization before training, tails capped not
+      // dropped. Both bounds from the shared ≤6-scan bisection passes,
+      // one group-keyed join against the group-sized bounds table.
+      // Oracle replays q121's inclusive-rank percentiles + the clamp.
+      Quantiles.winsorize(
+        Tables(s, d).lineitem.select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        Seq("l_suppkey"), col("cents"), 5, 95, out = "cents_w")),
     "q196_ewma_fold" -> ((s, d) =>
       // ORDERED SEQUENTIAL FOLD — Timeseries.ewmaHalf: integer EWMA
       // s_i = (s_{i-1} + x_i) div 2 per user in (ts, event_id) order.
@@ -5422,6 +5434,22 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q199_winsorize" ->
+      // q121's inclusive-rank percentiles per group, then the clamp
+      """WITH v AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, cents AS c,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v),
+        |b AS (SELECT l_suppkey,
+        |    max(CASE WHEN rn = greatest(1, (5 * cnt + 99) // 100) THEN c END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, (95 * cnt + 99) // 100) THEN c END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT v.l_orderkey, v.l_linenumber, v.l_suppkey, v.cents,
+        |  CAST(least(greatest(v.cents, b.lo), b.hi) AS BIGINT) AS cents_w
+        |FROM v JOIN b USING (l_suppkey)""".stripMargin,
     "q196_ewma_fold" ->
       // the same left-to-right fold over the same ordered list
       """WITH e AS (SELECT user_id, ts, event_id,

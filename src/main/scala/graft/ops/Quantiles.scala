@@ -326,4 +326,39 @@ object Quantiles {
         sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Per-group winsorization: clamp `value` into its group's exact
+    * [lowPct, highPct] percentile band (the standard robust feature
+    * normalization before training — tails capped, not dropped).
+    * Returns the input rows with `out` appended; NULL values pass
+    * through unclamped (they carry no tail information).
+    *
+    * Both bounds come out of [[exactPercentilesByKey]]'s shared
+    * bisection passes (the ≤6-scan machinery — no per-group sort, no
+    * value buffering), pivot to one (keys, lo, hi) row per group, and
+    * meet the corpus in ONE group-keyed join against the GROUP-SIZED
+    * bounds table. Percentile convention is q121's inclusive rank —
+    * the oracle replays it verbatim.
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], value: Column,
+                lowPct: Int, highPct: Int, out: String = "winsorized"): DataFrame = {
+    require(lowPct >= 1 && highPct <= 100 && lowPct < highPct,
+      s"winsorize: need 1 <= lowPct < highPct <= 100, got [$lowPct, $highPct]")
+    val working = Seq("__x", "__lo", "__hi")
+    require(df.columns.intersect(working :+ out).isEmpty,
+      s"winsorize: input uses reserved or output names (${(working :+ out).mkString(", ")})")
+    val vals = df.select(keys.map(col) :+ value.as("__x"): _*)
+      .where(col("__x").isNotNull)
+    val bounds = exactPercentilesByKey(vals, keys, col("__x"), Seq(lowPct, highPct))
+      .groupBy(keys.map(col): _*)
+      .agg(max(when(col("q_pct") === lowPct, col("value"))).as("__lo"),
+        max(when(col("q_pct") === highPct, col("value"))).as("__hi"))
+    df.join(bounds, keys, "left") // group-sized right side
+      // greatest/least IGNORE nulls, which is right for a group with
+      // no bounds (pass through) but wrong for a NULL value (it would
+      // clamp to a bound) — keep nulls null explicitly
+      .withColumn(out, when(value.isNull, lit(null))
+        .otherwise(least(greatest(value, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

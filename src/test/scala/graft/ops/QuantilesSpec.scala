@@ -173,4 +173,32 @@ class QuantilesSpec extends AnyFunSuite {
         Seq("g"), col("v"), 50)
     }
   }
+
+  test("winsorize clamps to the exact per-group band; nulls stay null") {
+    val rnd = new scala.util.Random(31)
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 200)
+      yield (g, i.toLong, rnd.nextInt(1000).toLong)
+    val df = rows.toDF("g", "id", "v")
+    val got = Quantiles.winsorize(df, Seq("g"), col("v"), 5, 95)
+      .select($"g", $"id", $"winsorized").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // reference: q121's inclusive-rank convention
+    def bound(g: String, pct: Int): Long = {
+      val vs = rows.filter(_._1 == g).map(_._3).sorted
+      vs(math.max(1, (pct * vs.size + 99) / 100).toInt - 1)
+    }
+    for ((g, id, v) <- rows) {
+      val exp = math.min(math.max(v, bound(g, 5)), bound(g, 95))
+      assert(got((g, id)) == exp, s"($g,$id)")
+    }
+    // null value passes through as null, all original columns kept
+    val withNull = df.unionByName(
+      Seq(("a", 999L, null.asInstanceOf[java.lang.Long])).toDF("g", "id", "v"))
+    val out = Quantiles.winsorize(withNull, Seq("g"), col("v"), 5, 95)
+    assert(out.where($"id" === 999L).select($"winsorized").head().isNullAt(0))
+    assert(out.columns.toSeq == Seq("g", "id", "v", "winsorized"))
+    assertThrows[IllegalArgumentException] {
+      Quantiles.winsorize(df, Seq("g"), col("v"), 95, 5)
+    }
+  }
 }
