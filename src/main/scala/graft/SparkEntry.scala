@@ -48,6 +48,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q198StoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q200StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q143IndexCache =
@@ -1411,6 +1413,35 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q200_cusum_stream" -> ((s, d) => {
+      // CONTINUOUS CUSUM — Timeseries.cusumStream: q195's drift alarm
+      // live. Per-key state (s, max, breaches, first breach) persists
+      // in a SwapStore; each event-time-ordered micro-batch folds in
+      // via the same clamped recurrence (batch events sorted, fold
+      // seeded from the stored accumulator), exactly-once under the
+      // ledger. The store starts COLD (empty state) and all events
+      // arrive in 6 contiguous event-time slices, so the grown state
+      // must equal q195's one-shot scan — its oracle gates the
+      // lifecycle.
+      val store = q200StoreCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q200_store") + "/cusum"
+        val ev = Tables(s, dir).events.select(col("user_id"), col("ts"),
+          col("event_id"), (dec(col("value")) * 100).cast("long").as("cents"))
+        Timeseries.initCusumStore(ev.where(lit(false)), Seq("user_id"),
+          col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p)
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q200", ev, unix_micros(col("ts")), 6)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
+          val q = Timeseries.cusumStream(s, stream, Seq("user_id"),
+            col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      Timeseries.readCusumStore(s, store)
+        .select(col("user_id"), col("n"), col("max_cusum"),
+          col("n_breach"), col("first_breach_us"))
+    }),
     "q199_winsorize" -> ((s, d) =>
       // PER-GROUP WINSORIZATION — Quantiles.winsorize: every lineitem's
       // price cents clamped into its supplier's exact [p5, p95] band —
@@ -4150,6 +4181,7 @@ object SparkEntry {
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
     "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
+    "q200_cusum_stream" -> oracleSqlBase("q195_cusum"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
     "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
     "q148_stream_static_join" ->

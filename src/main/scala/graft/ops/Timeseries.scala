@@ -151,6 +151,114 @@ object Timeseries {
         .as("first_breach_us"))
   }
 
+  /** One micro-batch of the continuous CUSUM: fold `batch`'s events
+    * (sorted in (ts, tie) order) into the per-key state table `cur`
+    * with schema (keys…, n, max_cusum, n_breach, first_breach_us, s).
+    * The clamped recurrence is genuinely order-dependent across
+    * batches, so the stream contract is IN-ORDER DELIVERY: every event
+    * of batch k+1 at-or-after batch k's (the replay harness's ordered
+    * slices; a Kafka source partitioned by key with in-partition order
+    * gives the same per-key guarantee). Untouched keys carry over
+    * unchanged; new keys start from zero state.
+    */
+  private def requireIntegralValue(df: DataFrame,
+                                   value: org.apache.spark.sql.Column,
+                                   who: String): Unit = {
+    val vType = df.select(value.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vType),
+      s"$who: value must be integral for exact arithmetic (got $vType) — " +
+        "scale currency to cents first")
+  }
+
+  private[ops] def foldCusum(cur: DataFrame, batch: DataFrame,
+                             keys: Seq[String],
+                             ts: org.apache.spark.sql.Column,
+                             tieBreak: org.apache.spark.sql.Column,
+                             value: org.apache.spark.sql.Column,
+                             target: Long, threshold: Long): DataFrame = {
+    val b = batch.select(keys.map(col) :+ struct(ts.as("t"), tieBreak.as("i"),
+        (value.cast("long") - target).as("d"),
+        unix_micros(ts).as("us")).as("__e"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    val init = struct(
+      coalesce(col("s"), lit(0L)).as("s"),
+      coalesce(col("max_cusum"), lit(0L)).as("mx"),
+      coalesce(col("n_breach"), lit(0L)).as("nb"),
+      coalesce(col("first_breach_us"), lit(null).cast("long")).as("first"))
+    val touched = cur.join(b, keys, "full_outer")
+      .where(col("__es").isNotNull)
+      .withColumn("__f", aggregate(col("__es"), init, (acc, e) => {
+        val s2 = greatest(lit(0L), acc.getField("s") + e.getField("d"))
+        struct(s2.as("s"),
+          greatest(acc.getField("mx"), s2).as("mx"),
+          (acc.getField("nb") +
+            when(s2 > threshold, 1L).otherwise(0L)).as("nb"),
+          coalesce(acc.getField("first"),
+            when(s2 > threshold, e.getField("us"))).as("first"))
+      }))
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + size(col("__es"))).as("n"),
+        col("__f.mx").as("max_cusum"),
+        col("__f.nb").as("n_breach"),
+        col("__f.first").as("first_breach_us"),
+        col("__f.s").as("s")): _*)
+    touched.unionByName(cur.join(b.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
+  /** Seed the persisted CUSUM state store at `path` from an initial
+    * batch (pass an empty frame of the right schema to start cold).
+    */
+  def initCusumStore(df: DataFrame, keys: Seq[String],
+                     ts: org.apache.spark.sql.Column,
+                     tieBreak: org.apache.spark.sql.Column,
+                     value: org.apache.spark.sql.Column,
+                     target: Long, threshold: Long, path: String): Unit = {
+    requireIntegralValue(df, value, "initCusumStore")
+    val empty = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        df.select(keys.map(col): _*).schema.fields ++
+          Seq("n", "max_cusum", "n_breach", "first_breach_us", "s").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))))
+    graft.core.SwapStore.init(
+      foldCusum(empty, df, keys, ts, tieBreak, value, target, threshold), path)
+  }
+
+  /** The current per-key drift state under [[cusumStream]]: the q195
+    * report columns plus the live accumulator `s`.
+    */
+  def readCusumStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
+
+  /** Continuous CUSUM: each micro-batch folds into the persisted state
+    * under the SwapStore ledger (exactly-once; re-delivered batches
+    * no-op). Per-trigger work is batch-plus-state-sized. Requires
+    * in-order delivery (see [[foldCusum]]); pass a durable
+    * `checkpoint` for any store that outlives one query.
+    */
+  def cusumStream(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame, keys: Seq[String],
+                  ts: org.apache.spark.sql.Column,
+                  tieBreak: org.apache.spark.sql.Column,
+                  value: org.apache.spark.sql.Column,
+                  target: Long, threshold: Long, path: String,
+                  checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireIntegralValue(stream, value, "cusumStream")
+    Sketches.warnIfEphemeral(checkpoint, path)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid)(cur =>
+            foldCusum(cur, batch, keys, ts, tieBreak, value, target, threshold))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Per-key ORDERED sequential fold: collect each key's values in
     * (ts, tieBreak) order and fold them left-to-right through `merge`
     * — the primitive for genuinely sequential statistics with no scan

@@ -133,6 +133,41 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"cusum should shuffle once:\n$plan")
   }
 
+  test("stream-grown cusum state equals the batch scan; replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      (i.toLong % 5, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rnd.nextInt(100).toLong)
+    }
+    val (seed, rest) = rows.splitAt(150)
+    val path = graft.core.TempDirs.create("graft_cusum_store")
+    Timeseries.initCusumStore(seed.toDF("k", "ts", "eid", "x"), Seq("k"),
+      col("ts"), col("eid"), col("x"), target = 50L, threshold = 300L, path)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val q = Timeseries.cusumStream(spark, in.toDF().toDF("k", "ts", "eid", "x"),
+      Seq("k"), col("ts"), col("eid"), col("x"), 50L, 300L, path)
+    // event-time-ordered delivery: contiguous chunks in row order
+    try {
+      rest.grouped(150).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Timeseries.readCusumStore(spark, path)
+      .select(col("k"), col("n"), col("max_cusum"), col("n_breach"),
+        col("first_breach_us"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    val want = Timeseries.cusum(rows.toDF("k", "ts", "eid", "x"), Seq("k"),
+      col("ts"), col("eid"), col("x"), 50L, 300L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == want)
+    // exactly-once: re-folding an applied batch id leaves the store as is
+    graft.core.SwapStore.fold(spark, path, batchId = 0L)(cur => cur.limit(0))
+    assert(Timeseries.readCusumStore(spark, path)
+      .select(col("k"), col("n"), col("max_cusum"), col("n_breach"),
+        col("first_breach_us"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet == want)
+  }
+
   test("ewmaHalf folds in (ts, tie) order and matches the recurrence") {
     val rnd = new scala.util.Random(13)
     val series = (0 until 4).map(k =>
