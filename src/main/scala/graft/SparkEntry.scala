@@ -1413,6 +1413,17 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q201_quantile_bins" -> ((s, d) =>
+      // EQUI-DEPTH BINNING — Quantiles.quantileBins: every lineitem
+      // assigned its bin of 16 equal-count buckets over global price
+      // order (feature discretization), via the two-phase distributed
+      // rank — one range shuffle, structural partition ids, never the
+      // oracle's single-partition global window.
+      Quantiles.quantileBins(
+        Tables(s, d).lineitem.select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        col("lid"), col("cents"), nBins = 16)),
     "q200_cusum_stream" -> ((s, d) => {
       // CONTINUOUS CUSUM — Timeseries.cusumStream: q195's drift alarm
       // live. Per-key state (s, max, breaches, first breach) persists
@@ -5466,6 +5477,15 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q201_quantile_bins" ->
+      // the naive global window the two-phase rank replaces
+      """WITH v AS (SELECT l_orderkey * 8 + l_linenumber AS lid,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT lid, row_number() OVER (ORDER BY cents, lid) AS rk,
+        |    count(*) OVER () AS n FROM v)
+        |SELECT lid AS key, CAST(rk AS BIGINT) AS rank,
+        |  CAST((rk - 1) * 16 // n + 1 AS BIGINT) AS bin FROM r""".stripMargin,
     "q199_winsorize" ->
       // q121's inclusive-rank percentiles per group, then the clamp
       """WITH v AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

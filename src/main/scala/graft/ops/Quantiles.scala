@@ -327,6 +327,30 @@ object Quantiles {
           .as("n_outliers"))
   }
 
+  /** Equi-depth (quantile) binning: every row gets its 1-based bin of
+    * `nBins` equal-COUNT buckets over the global (`value`, `key`)
+    * order — feature discretization for training, deterministic under
+    * ties (the unique key breaks them). bin = ((rank−1)·nBins) div N
+    * + 1, from [[Sampling.rankBy]]'s two-phase distributed rank — one
+    * range shuffle, never a single-partition global window. Rows with
+    * a null value are dropped. Returns (key, rank, bin); join on key
+    * to recover full rows.
+    *
+    * Equal-count semantics means a run of EQUAL values can straddle a
+    * bin boundary; for value-boundary semantics clamp with
+    * [[winsorize]]-style percentile bounds instead.
+    */
+  def quantileBins(df: DataFrame, key: Column, value: Column,
+                   nBins: Int): DataFrame = {
+    require(nBins >= 2, s"quantileBins: need nBins >= 2, got $nBins")
+    val vals = df.where(value.isNotNull)
+    val n = vals.count()
+    require(n > 0, "quantileBins: no rows with a non-null value")
+    Sampling.rankBy(vals, key, value)
+      .withColumn("bin",
+        expr(s"((rank - 1) * ${nBins}L) div ${n}L") + 1L)
+  }
+
   /** Per-group winsorization: clamp `value` into its group's exact
     * [lowPct, highPct] percentile band (the standard robust feature
     * normalization before training — tails capped, not dropped).

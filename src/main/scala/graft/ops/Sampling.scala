@@ -120,14 +120,27 @@ object Sampling {
     * counts go through a window. `key` must be unique and non-null.
     * Returns (key, shuffle_rank); join on key to recover full rows.
     */
-  def shuffleRank(df: DataFrame, key: Column, numPartitions: Int = 0): DataFrame = {
+  def shuffleRank(df: DataFrame, key: Column, numPartitions: Int = 0): DataFrame =
+    rankBy(df, key, md5(key.cast("string")), numPartitions, "shuffle_rank")
+
+  /** The general form of [[shuffleRank]]: every row's 1-based position
+    * in (`order`, `key`) order, via the same two-phase distributed
+    * prefix count — one range shuffle, structural partition ids, only
+    * the #partitions counts through a window, never a global
+    * single-partition sort. `key` must be unique and non-null (the
+    * deterministic tie-break); rows with a null `order` are dropped
+    * (they have no place in a total order). Returns (key, <rankName>).
+    */
+  def rankBy(df: DataFrame, key: Column, order: Column,
+             numPartitions: Int = 0, rankName: String = "rank"): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // pin the slim projection so the range-boundary sampling job reads
-    // (key, hash) only — never re-runs upstream work (the q59 lesson)
-    val slim = df.select(key.as("k"), md5(key.cast("string")).as("h")).localCheckpoint()
+    // (key, order) only — never re-runs upstream work (the q59 lesson)
+    val slim = df.select(key.as("k"), order.as("h"))
+      .where(col("h").isNotNull).localCheckpoint()
     val ranged = slim
       .repartitionByRange(parts, col("h"), col("k"))
       .sortWithinPartitions(col("h"), col("k"))
@@ -136,7 +149,7 @@ object Sampling {
       StructField("local_rank", LongType, nullable = false)))
     val withPid = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = 0L
-      it.map { r => i += 1; Row(r.get(0), r.getString(1), pid, i) }
+      it.map { r => i += 1; Row(r.get(0), r.get(1), pid, i) }
     }
     val local = spark.createDataFrame(withPid, outSchema)
     val offsets = local.groupBy(col("pid"))
@@ -146,7 +159,7 @@ object Sampling {
           Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), Seq("pid"))
-      .select(col("k").as("key"), (col("offset") + col("local_rank")).as("shuffle_rank"))
+      .select(col("k").as("key"), (col("offset") + col("local_rank")).as(rankName))
   }
 
   def tokenBudgetSample(df: DataFrame, key: Column, domain: Column,

@@ -242,6 +242,46 @@ object TrigramIndex {
       }
       .start()
 
+  /** Takedown: drop the given doc ids. Index-sized work, no corpus
+    * re-read — postings rewrite through a broadcast anti join into one
+    * fresh fold, df rederives from the survivors, so a re-issued
+    * (crashed or duplicate) remove converges ([[Bm25Index.remove]]'s
+    * posture).
+    */
+  def remove(spark: SparkSession, ids: DataFrame, idCol: Column, path: String): Unit = {
+    val gone = ids.select(idCol.cast("long").as("doc_id")).distinct().localCheckpoint()
+    val m = meta(spark, path)
+    val fold = m.folds + 1
+    val kept = readPost(spark, path).join(broadcast(gone), Seq("doc_id"), "left_anti")
+    val tmpPost = s"$path/_post.next"
+    commitFold(kept.repartitionByRange(col("gram")).sortWithinPartitions(col("gram")),
+      tmpPost, fold)
+    IvfIndex.swapDirs(spark, s"$path/_post", tmpPost)
+    val tmp = s"$path/_model.next"
+    writeModel(spark, tmp,
+      readPost(spark, path).groupBy(col("gram")).agg(count(lit(1)).as("df")),
+      Meta(fold, m.lastBatch))
+    IvfIndex.swapDirs(spark, s"$path/_model", tmp)
+  }
+
+  /** Rewrite postings into one fresh fold of `partitions` gram-range
+    * files (small-file compaction after many [[append]]s); results
+    * unchanged (spec-asserted).
+    */
+  def compact(spark: SparkSession, path: String, partitions: Int = 32): Unit = {
+    val m = meta(spark, path)
+    val fold = m.folds + 1
+    val tmpPost = s"$path/_post.next"
+    commitFold(readPost(spark, path)
+      .repartitionByRange(partitions, col("gram")).sortWithinPartitions(col("gram")),
+      tmpPost, fold)
+    IvfIndex.swapDirs(spark, s"$path/_post", tmpPost)
+    val tmp = s"$path/_model.next"
+    writeModel(spark, tmp, spark.read.parquet(s"$path/_model/df"),
+      m.copy(folds = fold))
+    IvfIndex.swapDirs(spark, s"$path/_model", tmp)
+  }
+
   /** Continuous retrieval: [[search]] per micro-batch of patterns — the
     * standing-grep shape (PII sweeps, contamination alerts). Index
     * swaps from a concurrent [[append]] are picked up across batches;

@@ -201,4 +201,24 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.winsorize(df, Seq("g"), col("v"), 95, 5)
     }
   }
+
+  test("quantileBins: equal-count bins over the global (value, key) order") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 1000L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v")
+    val got = Quantiles.quantileBins(df, col("id"), col("v"), 8)
+      .select($"key", $"rank", $"bin").as[(Long, Long, Long)].collect()
+    // reference: sort by (v, id), rank = position, bin from the formula
+    val ref = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> ((i + 1).toLong, (i.toLong * 8) / 1000 + 1) }
+      .toMap
+    got.foreach { case (id, rk, b) => assert((rk, b) == ref(id), s"id $id") }
+    // every bin holds exactly N/nBins rows when divisible
+    val sizes = got.groupBy(_._3).map(_._2.length).toSet
+    assert(sizes == Set(125))
+    // survives a downstream coalesce(1) (the q59 structural-id lesson)
+    val one = Quantiles.quantileBins(df, col("id"), col("v"), 8)
+      .coalesce(1).select($"key", $"rank").as[(Long, Long)].collect()
+    one.foreach { case (id, rk) => assert(rk == ref(id)._1) }
+  }
 }

@@ -70,6 +70,21 @@ class TrigramIndexSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(gram"), s"gram filter not pushed:\n$plan")
   }
 
+  test("remove takes a doc down and its grams' df shrinks; compact preserves results") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    TrigramIndex.remove(spark, Seq(1L).toDF("id"), col("id"), path)
+    // doc 1 ("merge sort join") no longer matches; doc 2 still does
+    assert(search(Seq((0L, "merge sort")), path) == Set((0L, 2L)))
+    // df rederived from survivors: "joi" appeared only in doc 1
+    val dfJoi = spark.read.parquet(s"$path/_model/df")
+      .where(col("gram") === "joi").count()
+    assert(dfJoi == 0)
+    val before = search(Seq((1L, "sort")), path)
+    TrigramIndex.compact(spark, path, partitions = 2)
+    assert(search(Seq((1L, "sort")), path) == before)
+  }
+
   test("append folds new docs in exactly-once under batch-id replay") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
