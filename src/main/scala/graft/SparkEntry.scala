@@ -1413,6 +1413,20 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q202_correlations" -> ((s, d) =>
+      // PAIRWISE CORRELATION PROFILER — Checks.correlations: Pearson r
+      // over four lineitem measures in ONE scan; moments accumulate in
+      // DECIMAL(38,0) (exact, no FP summation-order drift), r is one
+      // deterministic double expression over the double-cast moments.
+      // Oracle replays the identical moments and formula.
+      Checks.correlations(
+        Tables(s, d).lineitem.select(
+          (dec(col("l_quantity")) * 100).cast("long").as("qty"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("price"),
+          (dec(col("l_discount")) * 100).cast("long").as("disc"),
+          (dec(col("l_tax")) * 100).cast("long").as("tax")),
+        Seq("qty" -> col("qty"), "price" -> col("price"),
+          "disc" -> col("disc"), "tax" -> col("tax")))),
     "q201_quantile_bins" -> ((s, d) =>
       // EQUI-DEPTH BINNING — Quantiles.quantileBins: every lineitem
       // assigned its bin of 16 equal-count buckets over global price
@@ -4135,6 +4149,45 @@ object SparkEntry {
 
   // q187 replay: postings re-derived, then AND = count-equality against
   // the per-query distinct term counts
+  // q202: the identical DECIMAL(38,0) moments + double formula — one
+  // wide moment row, then one SELECT per pair. The measures carry no
+  // nulls, so unconditional sums equal the operator's
+  // pairwise-complete ones.
+  private val corrOracle: String = {
+    val cs = Seq("qty", "price", "disc", "tax")
+    val pairs = for (i <- cs.indices; j <- cs.indices if i < j)
+      yield (cs(i), cs(j))
+    val momentCols =
+      (Seq("CAST(count(*) AS BIGINT) AS n") ++
+        cs.map(c => s"sum($c) AS s_$c") ++
+        cs.map(c => s"sum($c * $c) AS ss_$c") ++
+        pairs.map { case (a, b) => s"sum($a * $b) AS c_${a}_$b" })
+        .mkString(",\n    ")
+    val selects = pairs.map { case (a, b) =>
+      val nD = "CAST(n AS DOUBLE)"
+      val sa = s"CAST(s_$a AS DOUBLE)"
+      val sb = s"CAST(s_$b AS DOUBLE)"
+      val cab = s"CAST(c_${a}_$b AS DOUBLE)"
+      val ssa = s"CAST(ss_$a AS DOUBLE)"
+      val ssb = s"CAST(ss_$b AS DOUBLE)"
+      val denom = s"(sqrt(($nD * $ssa) - ($sa * $sa)) * " +
+        s"sqrt(($nD * $ssb) - ($sb * $sb)))"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n, $sa AS sum_a, $sb AS sum_b,
+         |  $cab AS sum_ab, $ssa AS sum_aa, $ssb AS sum_bb,
+         |  CASE WHEN $denom > 0
+         |       THEN ((($nD * $cab) - ($sa * $sb)) / $denom) END AS r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT
+       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS qty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS price,
+       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS disc,
+       |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS tax
+       |  FROM lineitem),
+       |m AS (SELECT $momentCols FROM v)
+       |$selects""".stripMargin
+  }
+
   private val booleanSearchOracle: String =
     s"""$bm25Ctes,
        |mm AS (SELECT qt.qid, post.doc_id, CAST(count(*) AS BIGINT) AS hit
@@ -5477,6 +5530,7 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q202_correlations" -> corrOracle,
     "q201_quantile_bins" ->
       // the naive global window the two-phase rank replaces
       """WITH v AS (SELECT l_orderkey * 8 + l_linenumber AS lid,

@@ -103,4 +103,69 @@ object Checks {
         col(s"__mx_$c").as("max_d"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Pairwise Pearson correlations over integral feature columns in
+    * ONE scan — the profiler's second moment: feature redundancy
+    * screens, drift root-causing, "which quality signals co-move".
+    *
+    * Exactness posture: all five moments (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in DECIMAL(38,0) — exact integer arithmetic, no FP
+    * summation-order drift, engine-portable (`value` columns must be
+    * integral: scale currency to cents first). The correlation itself
+    * is then ONE deterministic double expression over the double-cast
+    * moments, identical on any engine from identical moments. Pairs
+    * with n < 2 or zero variance report r = NULL.
+    *
+    * Scale shape: one aggregate over one scan serves all m·(m−1)/2
+    * pairs (each moment is a plain conditional sum — no Expand, unlike
+    * [[profile]]'s exact distincts); output is pair-sized. Null
+    * handling is pairwise-complete: a row counts toward a pair iff
+    * both sides are non-null.
+    */
+  def correlations(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlations: need at least two columns")
+    val names = cols.map(_._1)
+    require(names == names.distinct, "correlations: duplicate column names")
+    cols.foreach { case (n, c) =>
+      val t = df.select(c.as("__v")).schema.head.dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(t),
+        s"correlations: $n must be integral for exact moments (got $t)")
+    }
+    val proj = df.select(cols.map { case (n, c) =>
+      c.cast("decimal(38,0)").as(s"__x_$n") }: _*)
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (x, y) = (col(s"__x_$a"), col(s"__x_$b"))
+      val both = x.isNotNull && y.isNotNull
+      val z = lit(0).cast("decimal(38,0)")
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"__n_${a}_$b"),
+        sum(when(both, x).otherwise(z)).as(s"__sx_${a}_$b"),
+        sum(when(both, y).otherwise(z)).as(s"__sy_${a}_$b"),
+        sum(when(both, x * y).otherwise(z)).as(s"__sxy_${a}_$b"),
+        sum(when(both, x * x).otherwise(z)).as(s"__sxx_${a}_$b"),
+        sum(when(both, y * y).otherwise(z)).as(s"__syy_${a}_$b"))
+    }
+    val one = proj.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(pairs.map { case (a, b) =>
+      val nD = col(s"__n_${a}_$b").cast("double")
+      val sx = col(s"__sx_${a}_$b").cast("double")
+      val sy = col(s"__sy_${a}_$b").cast("double")
+      val sxy = col(s"__sxy_${a}_$b").cast("double")
+      val sxx = col(s"__sxx_${a}_$b").cast("double")
+      val syy = col(s"__syy_${a}_$b").cast("double")
+      val denom = sqrt((nD * sxx) - (sx * sx)) * sqrt((nD * syy) - (sy * sy))
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_${a}_$b").as("n"),
+        sx.as("sum_a"), sy.as("sum_b"), sxy.as("sum_ab"),
+        sxx.as("sum_aa"), syy.as("sum_bb"),
+        // zero variance (or n < 2) → NULL, and the guard also keeps
+        // ANSI mode from raising on the zero divisor
+        when(denom > 0, ((nD * sxy) - (sx * sy)) / denom).as("r"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

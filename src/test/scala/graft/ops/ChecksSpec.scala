@@ -112,4 +112,56 @@ class ChecksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Checks.profile(df, Seq("k", "k")) }
     intercept[IllegalArgumentException] { Checks.profile(df, Seq("nope")) }
   }
+
+  test("correlations: exact pairwise moments, pairwise-complete nulls, one scan") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 300).map { i =>
+      val x = rnd.nextInt(1000).toLong
+      (x, x * 2 + rnd.nextInt(50), rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val got = Checks.correlations(df,
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .select($"col_a", $"col_b", $"n", $"r")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+      val sxx = xs.map(a => a.toDouble * a).sum
+      val syy = ys.map(b => b.toDouble * b).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val rxy = pearson(rows.map(_._1), rows.map(_._2))
+    assert(math.abs(got(("x", "y"))._2.get - rxy) < 1e-9)
+    assert(got(("x", "y"))._2.get > 0.99, "y is nearly linear in x")
+    assert(math.abs(got(("x", "z"))._2.get) < 0.2, "z is independent noise")
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // pairwise-complete: a null on one side drops the row for that pair only
+    val withNull = Seq((Some(1L), Some(2L), Some(3L)),
+      (Some(2L), None, Some(5L)), (Some(3L), Some(6L), Some(7L)),
+      (Some(4L), Some(9L), None)).toDF("x", "y", "z")
+    val n2 = Checks.correlations(withNull,
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .select($"col_a", $"col_b", $"n").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(n2 == Map(("x", "y") -> 3L, ("x", "z") -> 3L, ("y", "z") -> 2L))
+    // zero variance reports null, not NaN
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val r0 = Checks.correlations(const, Seq("x" -> col("x"), "y" -> col("y")))
+      .select($"r").as[Option[Double]].head()
+    assert(r0.isEmpty)
+    // one scan, no join
+    val plan = Checks.correlations(df, Seq("x" -> col("x"), "y" -> col("y")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"correlations must not join:\n$plan")
+    intercept[IllegalArgumentException] {
+      Checks.correlations(df, Seq("x" -> col("x")))
+    }
+    intercept[IllegalArgumentException] {
+      Checks.correlations(df.withColumn("d", col("x").cast("double")),
+        Seq("x" -> col("x"), "d" -> col("d")))
+    }
+  }
 }
