@@ -1413,6 +1413,21 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q203_mode" -> ((s, d) =>
+      // EXACT PER-KEY MODE — Aggregates.modeByKey: each user's most
+      // frequent event type, largest-value tie-break (deterministic,
+      // engine-portable struct-max — no arbitrary first()). Two
+      // map-side-partial hash aggregates, nothing buffers a group.
+      Aggregates.modeByKey(Tables(s, d).events, col("event_type"),
+        col("user_id"))),
+    "q204_transitions" -> ((s, d) =>
+      // TRANSITION MATRIX — Cohorts.transitions: consecutive
+      // (from → to) event-type pairs per user in (ts, event_id) order,
+      // globally counted — the Markov / next-event statistics a
+      // curriculum or session-flow analysis starts from. One keyed lag
+      // window + one pair-cardinality aggregate.
+      Cohorts.transitions(Tables(s, d).events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))),
     "q202_correlations" -> ((s, d) =>
       // PAIRWISE CORRELATION PROFILER — Checks.correlations: Pearson r
       // over four lineitem measures in ONE scan; moments accumulate in
@@ -5530,6 +5545,24 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q203_mode" ->
+      // counts, per-key max count, then the same largest-value pick
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
+        |           WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(n) AS mn FROM c GROUP BY 1)
+        |SELECT c.user_id, max(c.event_type) AS mode,
+        |  CAST(min(c.n) AS BIGINT) AS mode_n
+        |FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mn
+        |GROUP BY 1""".stripMargin,
+    "q204_transitions" ->
+      // the same lag replay
+      """WITH e AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_state, event_type AS to_state,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q202_correlations" -> corrOracle,
     "q201_quantile_bins" ->
       // the naive global window the two-phase rank replaces

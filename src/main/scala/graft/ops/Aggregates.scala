@@ -52,4 +52,26 @@ object Aggregates {
   /** Extension: cube over dimensions. */
   def cubeAgg(df: DataFrame, valueCol: Column, keys: Column*): DataFrame =
     df.cube(keys: _*).agg(count(lit(1)).as("cnt"), sum(dec(valueCol)).cast("double").as("sum_v"))
+
+  /** Exact per-key mode (most frequent value) — the categorical
+    * imputation / canonicalization primitive. Deterministic tie-break:
+    * among equally frequent values the LARGEST wins (struct-max over
+    * (count, value) — engine-portable, no arbitrary first()). NULL
+    * values don't compete (they're what imputation fills). Output:
+    * keys…, `mode`, `mode_n`.
+    *
+    * Scale shape: two hash aggregates — (keys, value) counts, then a
+    * struct-max per key; both map-side partial, nothing buffers a
+    * group. The value column must be max-comparable (string/numeric).
+    */
+  def modeByKey(df: DataFrame, valueCol: Column, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "modeByKey: at least one key column")
+    df.where(valueCol.isNotNull)
+      .groupBy(keys :+ valueCol.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys: _*)
+      .agg(max(struct(col("__c"), col("__v"))).as("__m"))
+      .select(keys ++ Seq(col("__m.__v").as("mode"),
+        col("__m.__c").as("mode_n")): _*)
+  }
 }

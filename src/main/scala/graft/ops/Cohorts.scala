@@ -116,4 +116,27 @@ object Cohorts {
       .groupBy(col("cohort_ms"), col("period_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** First-order transition counts: how often each (from → to) state
+    * pair occurs CONSECUTIVELY within a key's (ts, tie)-ordered
+    * sequence — the Markov-matrix / next-event-statistics primitive
+    * (session-flow analysis, curriculum ordering, behavioral drift).
+    * Output: (from_state, to_state, n), globally aggregated.
+    *
+    * Scale shape: one keyed window (lag 1 over the per-key sort —
+    * group-local, never a global sort) into one hash aggregate of
+    * state-pair cardinality; each key's first event has no
+    * predecessor and contributes nothing.
+    */
+  def transitions(events: DataFrame, key: Column, ts: Column, tie: Column,
+                  state: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t"), col("__i"))
+    events.select(key.as("__k"), ts.as("__t"), tie.as("__i"),
+        state.as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .where(col("from_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

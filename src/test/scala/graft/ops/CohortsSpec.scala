@@ -117,4 +117,34 @@ class CohortsSpec extends AnyFunSuite {
       Seq((2L, "signup", 0L), (2L, "view", 6500L))), periodMs = W)
     assert(straggler == Seq((5000L, 0L, 1L), (5000L, 1L, 1L)))
   }
+
+  test("transitions: consecutive pairs per key, firsts contribute nothing") {
+    import org.apache.spark.sql.functions.col
+    // key 1: a->b->b->c ; key 2: a->c ; key 3: lone event
+    val ev = Seq(
+      (1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"), (1L, 30L, 2L, "b"),
+      (1L, 40L, 3L, "c"),
+      (2L, 15L, 4L, "a"), (2L, 25L, 5L, "c"),
+      (3L, 99L, 6L, "z")).toDF("k", "ts", "eid", "et")
+    val got = Cohorts.transitions(ev, col("k"), col("ts"), col("eid"), col("et"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "b", 1L), ("b", "c", 1L),
+      ("a", "c", 1L)))
+    // tie-break column governs equal timestamps
+    val tied = Seq((1L, 10L, 0L, "x"), (1L, 10L, 1L, "y"))
+      .toDF("k", "ts", "eid", "et")
+    val g2 = Cohorts.transitions(tied, col("k"), col("ts"), col("eid"), col("et"))
+      .as[(String, String, Long)].collect().toSet
+    assert(g2 == Set(("x", "y", 1L)))
+  }
+
+  test("modeByKey: most frequent value, largest wins ties, nulls out") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Some("a")), (1L, Some("a")), (1L, Some("b")),
+      (2L, Some("x")), (2L, Some("y")),      // tie -> "y" (largest)
+      (3L, None), (3L, Some("q"))).toDF("k", "v")
+    val got = Aggregates.modeByKey(df, col("v"), col("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 2L), (2L, "y", 1L), (3L, "q", 1L)))
+  }
 }
