@@ -1413,6 +1413,16 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q205_changepoint" -> ((s, d) =>
+      // CHANGEPOINT LOCALIZATION — Timeseries.changepoint: per user,
+      // the split maximizing the two-segment SSE reduction over price
+      // cents in event order (q195's CUSUM says THAT it drifted; this
+      // says WHERE). The identity gain = S_i²/i + (S_n−S_i)²/(n−i) −
+      // S_n²/n needs only exact prefix sums; the argmax is an
+      // engine-stable struct-max over identical doubles. Oracle
+      // replays windows, formula, and the (gain desc, i asc) pick.
+      Timeseries.changepoint(Tables(s, d).events, Seq("user_id"),
+        col("ts"), col("event_id"), (dec(col("value")) * 100).cast("long"))),
     "q203_mode" -> ((s, d) =>
       // EXACT PER-KEY MODE — Aggregates.modeByKey: each user's most
       // frequent event type, largest-value tie-break (deterministic,
@@ -5545,6 +5555,30 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q205_changepoint" ->
+      // the same prefix-sum windows, double formula, and argmax pick
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS us,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    sum(c) OVER (PARTITION BY user_id) AS st,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |g AS (SELECT user_id, n, i, us,
+        |    (((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(i AS DOUBLE)) +
+        |     (((CAST(st AS DOUBLE) - CAST(s AS DOUBLE)) *
+        |       (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))) /
+        |      (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)))) -
+        |    ((CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      AS gain
+        |  FROM r WHERE i < n),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                ORDER BY gain DESC, i ASC) AS rn FROM g)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_idx,
+        |  CAST(us AS BIGINT) AS cp_us, gain
+        |FROM p WHERE rn = 1""".stripMargin,
     "q203_mode" ->
       // counts, per-key max count, then the same largest-value pick
       """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events

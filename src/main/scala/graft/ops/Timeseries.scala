@@ -259,6 +259,61 @@ object Timeseries {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Single changepoint localization per key: the split index i that
+    * maximizes the two-segment SSE reduction over the (ts, tie)-ordered
+    * series — "where did this metric's level shift" (CUSUM says THAT it
+    * drifted; this says WHERE). The classical identity removes the
+    * squares entirely:
+    *
+    *   gain(i) = S_i²/i + (S_n−S_i)²/(n−i) − S_n²/n
+    *
+    * so the whole scan is ONE prefix-sum window + per-key totals, and
+    * the argmax is a struct-max (deterministic ties: smallest i). All
+    * sums are exact integers (`value` must be integral); gain is one
+    * double expression over them, identical on any engine, so the
+    * argmax is engine-stable. Keys with fewer than 2 observations have
+    * no valid split and are absent from the output.
+    *
+    * Output: keys…, `n`, `cp_idx` (last index of the left segment,
+    * 1-based), `cp_us` (epoch-µs of that observation), `gain`.
+    *
+    * Scale shape: one keyed exchange; the windows and the final
+    * struct-max aggregate share its partitioning.
+    */
+  def changepoint(df: DataFrame, keys: Seq[String],
+                  ts: org.apache.spark.sql.Column,
+                  tieBreak: org.apache.spark.sql.Column,
+                  value: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "changepoint: at least one key column")
+    requireIntegralValue(df, value, "changepoint")
+    val wRun = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val base = df.select(keys.map(col) ++ Seq(ts.as("__t"), tieBreak.as("__i"),
+        value.cast("long").as("__x")): _*)
+      .withColumn("__s", sum(col("__x")).over(wRun))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__i"))))
+      .withColumn("__st", sum(col("__x")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__r") < col("__n"))
+    val sD = col("__s").cast("double")
+    val stD = col("__st").cast("double")
+    val iD = col("__r").cast("double")
+    val nD = col("__n").cast("double")
+    val gain = (((sD * sD) / iD) +
+      (((stD - sD) * (stD - sD)) / (nD - iD))) - ((stD * stD) / nD)
+    base
+      .withColumn("__g", struct(gain.as("g"), (-col("__r")).as("ni"),
+        unix_micros(col("__t")).as("us")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__g")).as("__m"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        (-col("__m.ni")).as("cp_idx"), col("__m.us").as("cp_us"),
+        col("__m.g").as("gain")): _*)
+  }
+
   /** Per-key ORDERED sequential fold: collect each key's values in
     * (ts, tieBreak) order and fold them left-to-right through `merge`
     * — the primitive for genuinely sequential statistics with no scan

@@ -168,6 +168,42 @@ class TimeseriesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Option[Long])].collect().toSet == want)
   }
 
+  test("changepoint finds the planted level shift; brute-force agreement") {
+    val rnd = new scala.util.Random(19)
+    // key 0: level 100 then 500 after index 60; key 1: pure noise
+    val series = Map(
+      0L -> ((0 until 100).map(i =>
+        (if (i < 60) 100L else 500L) + rnd.nextInt(20))),
+      1L -> (0 until 80).map(_ => rnd.nextInt(1000).toLong))
+    val rows = for ((k, xs) <- series.toSeq; (x, i) <- xs.zipWithIndex)
+      yield (k, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, x)
+    val got = Timeseries.changepoint(rows.toDF("k", "ts", "eid", "x"),
+      Seq("k"), col("ts"), col("eid"), col("x"))
+      .select(col("k"), col("n"), col("cp_idx"), col("gain"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def brute(xs: Seq[Long]): (Long, Double) = {
+      val n = xs.size
+      val st = xs.sum.toDouble
+      (1 until n).map { i =>
+        val s = xs.take(i).sum.toDouble
+        (i.toLong, s * s / i + (st - s) * (st - s) / (n - i) - st * st / n)
+      }.maxBy { case (i, g) => (g, -i) }
+    }
+    series.foreach { case (k, xs) =>
+      val (bi, bg) = brute(xs)
+      assert(got(k)._1 == xs.size.toLong)
+      assert(got(k)._2 == bi, s"key $k")
+      assert(math.abs(got(k)._3 - bg) < 1e-6, s"key $k gain")
+    }
+    assert(got(0L)._2 == 60L, "the planted shift is at index 60")
+    // single-observation keys have no split
+    val one = Timeseries.changepoint(
+      Seq((9L, new java.sql.Timestamp(0L), 0L, 5L)).toDF("k", "ts", "eid", "x"),
+      Seq("k"), col("ts"), col("eid"), col("x"))
+    assert(one.count() == 0)
+  }
+
   test("ewmaHalf folds in (ts, tie) order and matches the recurrence") {
     val rnd = new scala.util.Random(13)
     val series = (0 until 4).map(k =>
