@@ -1413,6 +1413,19 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q206_weighted_median" -> ((s, d) =>
+      // WEIGHTED EXACT MEDIAN — Quantiles.exactWeightedPercentileByKey:
+      // per supplier, the smallest price whose cumulative QUANTITY
+      // reaches half the total units moved — the volume-weighted
+      // median, the fair "typical price" a unit was sold at. Same
+      // ≤6 bisection passes, bucket mass = Σweight; exact integer
+      // mass arithmetic end to end. Oracle replays the cumulative-
+      // weight window.
+      Quantiles.exactWeightedPercentileByKey(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("units")),
+        Seq("l_suppkey"), col("cents"), col("units"), 50)),
     "q205_changepoint" -> ((s, d) =>
       // CHANGEPOINT LOCALIZATION — Timeseries.changepoint: per user,
       // the split maximizing the two-segment SSE reduction over price
@@ -5555,6 +5568,21 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q206_weighted_median" ->
+      // smallest value whose cumulative weight reaches the rank
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |t AS (SELECT l_suppkey, sum(w) AS wt FROM v GROUP BY 1),
+        |r AS (SELECT l_suppkey, c,
+        |    sum(w) OVER (PARTITION BY l_suppkey ORDER BY c
+        |                 ROWS UNBOUNDED PRECEDING) AS cum FROM v),
+        |j AS (SELECT r.l_suppkey, t.wt,
+        |    greatest(1, (50 * t.wt + 99) // 100) AS rk, r.c, r.cum
+        |  FROM r JOIN t USING (l_suppkey))
+        |SELECT l_suppkey, CAST(wt AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk,
+        |  CAST(min(c) AS BIGINT) AS value
+        |FROM j WHERE cum >= rk GROUP BY 1, 2, 3""".stripMargin,
     "q205_changepoint" ->
       // the same prefix-sum windows, double formula, and argmax pick
       """WITH e AS (SELECT user_id, ts, event_id,

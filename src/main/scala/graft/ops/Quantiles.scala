@@ -156,6 +156,24 @@ object Quantiles {
     selectByKey(df, keys, value, s"greatest(1L, (${pct}L * __n + 99L) div 100L)")
   }
 
+  /** WEIGHTED exact percentile per group: the smallest value whose
+    * cumulative WEIGHT reaches ⌈p·W/100⌉ of the group's total weight W
+    * — "median document length weighted by token count", "p95 latency
+    * weighted by request volume". Same bisection passes as
+    * [[exactPercentileByKey]] with bucket mass = Σweight instead of
+    * row count; weights must be non-negative integral (exact mass
+    * arithmetic — the whole point of the bisection is that no float
+    * ever accumulates). Output (keys…, n = total weight, rk, value).
+    */
+  def exactWeightedPercentileByKey(df: DataFrame, keys: Seq[String],
+                                   value: Column, weight: Column,
+                                   pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100,
+      s"exactWeightedPercentileByKey: pct in [1,100], got $pct")
+    selectByKey(df, keys, value,
+      s"greatest(1L, (${pct}L * __n + 99L) div 100L)", Some(weight))
+  }
+
   /** Several percentiles per group in the SAME passes: each (group,
     * q_pct) pair bisects as its own virtual group, and one corpus scan
     * per pass serves all of them — p50+p95+p99 per group costs the same
@@ -178,22 +196,32 @@ object Quantiles {
   }
 
   private def selectByKey(df: DataFrame, keys: Seq[String], value: Column,
-                          rkExpr: String): DataFrame = {
+                          rkExpr: String,
+                          weight: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "exactPercentileByKey: at least one key column")
-    val reserved = Seq("__v", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum")
+    val reserved = Seq("__v", "__m", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum")
     require(df.columns.intersect(reserved).isEmpty,
       s"exactPercentileByKey: input uses reserved column names: ${reserved.mkString(", ")}")
-    val one = df.select(keys.map(col) :+ value.as("__v"): _*)
+    val wCol = weight.getOrElse(lit(1L))
+    val one = df.select(keys.map(col) ++ Seq(value.as("__v"), wCol.as("__m")): _*)
     val dt = one.schema("__v").dataType.simpleString
     require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
       s"quantiles: value must be integral (cast DECIMAL money to cents first), got $dt")
+    weight.foreach { _ =>
+      val wt = one.schema("__m").dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(wt),
+        s"quantiles: weight must be integral (exact mass arithmetic), got $wt")
+    }
     val vals = one.where(col("__v").isNotNull)
-      .select(keys.map(col) :+ col("__v").cast("long").as("__v"): _*)
+      .select(keys.map(col) ++ Seq(col("__v").cast("long").as("__v"),
+        when(col("__m").isNull || col("__m") < 0,
+          raise_error(lit("quantiles: weights must be non-negative and " +
+            "non-null"))).otherwise(col("__m").cast("long")).as("__m")): _*)
 
-    // per-group n / lo / hi / target rank; fail fast (Trend's posture)
-    // if any group's range spans more than a Long
+    // per-group mass / lo / hi / target rank; fail fast (Trend's
+    // posture) if any group's range spans more than a Long
     var bounds = vals.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
+      .agg(sum(col("__m")).as("__n"), min(col("__v")).as("__lo"),
         max(col("__v")).as("__hi"))
       .withColumn("__rk", expr(rkExpr))
       .withColumn("__krem", col("__rk"))
@@ -211,11 +239,11 @@ object Quantiles {
         // rows outside it must not contribute histogram mass
         .where(col("__v").between(col("__lo"), col("__hi")))
         .select(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
-          col("__lo"), col("__hi"), col("__w"),
+          col("__lo"), col("__hi"), col("__w"), col("__m"),
           expr("(__v - __lo) div __w").as("__b")): _*)
         .groupBy(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
           col("__lo"), col("__hi"), col("__w"), col("__b")): _*)
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__m")).as("__c"))
       // per-group running mass in bucket order — the window partitions on
       // the keys over a (group × ≤4096)-row frame, never the corpus
       val win = org.apache.spark.sql.expressions.Window

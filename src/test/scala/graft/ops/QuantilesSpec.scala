@@ -202,6 +202,44 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted percentile: smallest value whose cumulative weight reaches the rank") {
+    val rnd = new scala.util.Random(37)
+    val rows = for (g <- Seq("a", "b"); _ <- 1 to 300)
+      yield (g, rnd.nextInt(10000).toLong, (rnd.nextInt(9) + 1).toLong)
+    val df = rows.toDF("g", "v", "w")
+    for (p <- Seq(50, 90)) {
+      val got = Quantiles.exactWeightedPercentileByKey(df, Seq("g"),
+        col("v"), col("w"), p)
+        .select($"g", $"n", $"value").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      for (g <- Seq("a", "b")) {
+        val gs = rows.filter(_._1 == g).map(t => (t._2, t._3)).sortBy(_._1)
+        val wTot = gs.map(_._2).sum
+        val rk = math.max(1L, (p * wTot + 99) / 100)
+        var cum = 0L
+        val exp = gs.find { case (_, w) => cum += w; cum >= rk }.get._1
+        assert(got(g) == ((wTot, exp)), s"g=$g p=$p")
+      }
+    }
+    // weight 1 degenerates to the unweighted percentile
+    val uw = Quantiles.exactPercentileByKey(df, Seq("g"), col("v"), 50)
+      .select($"g", $"value").as[(String, Long)].collect().toSet
+    val w1 = Quantiles.exactWeightedPercentileByKey(df, Seq("g"), col("v"),
+      lit(1L), 50).select($"g", $"value").as[(String, Long)].collect().toSet
+    assert(uw == w1)
+    // negative weights fail loudly; fractional weight types rejected
+    intercept[Exception] {
+      Quantiles.exactWeightedPercentileByKey(
+        Seq(("a", 1L, -1L)).toDF("g", "v", "w"), Seq("g"),
+        col("v"), col("w"), 50).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactWeightedPercentileByKey(
+        Seq(("a", 1L, 0.5)).toDF("g", "v", "w"), Seq("g"),
+        col("v"), col("w"), 50)
+    }
+  }
+
   test("quantileBins: equal-count bins over the global (value, key) order") {
     val rnd = new scala.util.Random(41)
     val rows = (1L to 1000L).map(i => (i, rnd.nextInt(50).toLong))
