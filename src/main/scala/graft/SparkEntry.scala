@@ -1413,6 +1413,25 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q207_sessionize" -> ((s, d) =>
+      // PER-EVENT SESSIONIZATION — EventTimeWindows.sessionize: every
+      // event labeled with its user's session ordinal (30-min gap
+      // rule) and position within the session — the labeling step
+      // session_window's aggregates skip. One keyed exchange: lag,
+      // both running sums, and the row number share a single per-key
+      // sort (plan-pinned in the spec).
+      EventTimeWindows.sessionize(Tables(s, d).events, Seq("user_id"),
+        col("ts"), col("event_id"), gapMs = 30L * 60 * 1000)),
+    "q208_zscore" -> ((s, d) =>
+      // PER-GROUP Z-SCORE — Aggregates.zscoreByKey: each event's price
+      // cents standardized against its user's exact decimal moments —
+      // the plain scaling next to q199's robust winsorize. One
+      // aggregate, one group-keyed join, one deterministic double
+      // expression.
+      Aggregates.zscoreByKey(
+        Tables(s, d).events.select(col("user_id"), col("event_id"),
+          (dec(col("value")) * 100).cast("long").as("cents")),
+        col("cents"), Seq("user_id"))),
     "q206_weighted_median" -> ((s, d) =>
       // WEIGHTED EXACT MEDIAN — Quantiles.exactWeightedPercentileByKey:
       // per supplier, the smallest price whose cumulative QUANTITY
@@ -5568,6 +5587,45 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q207_sessionize" ->
+      // the same lag/run-sum/last-break windows
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |r AS (SELECT user_id, us, event_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM e),
+        |s AS (SELECT user_id, us, event_id, rn,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+        |                   ROWS UNBOUNDED PRECEDING) + 1 AS sidx,
+        |    max(CASE WHEN brk = 1 THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS UNBOUNDED PRECEDING) AS lastb
+        |  FROM r)
+        |SELECT user_id, CAST(us AS BIGINT) AS us, event_id AS tie,
+        |  CAST(sidx AS BIGINT) AS session_idx,
+        |  CAST(rn - coalesce(lastb, 1) + 1 AS BIGINT) AS event_idx
+        |FROM s""".stripMargin,
+    "q208_zscore" ->
+      // the identical decimal moments + double formula per user
+      """WITH v AS (SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS sxx
+        |  FROM v GROUP BY 1)
+        |SELECT v.user_id, v.event_id, v.cents,
+        |  CASE WHEN m.n >= 2 AND
+        |    ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |     ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) > 0
+        |  THEN (CAST(v.cents AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |    sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |         ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  END AS z
+        |FROM v JOIN m USING (user_id)""".stripMargin,
     "q206_weighted_median" ->
       // smallest value whose cumulative weight reaches the rank
       """WITH v AS (SELECT l_suppkey,

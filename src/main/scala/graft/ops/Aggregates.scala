@@ -74,4 +74,36 @@ object Aggregates {
       .select(keys ++ Seq(col("__m.__v").as("mode"),
         col("__m.__c").as("mode_n")): _*)
   }
+
+  /** Per-group z-score normalization: `out` = (x − mean)/σ (population
+    * σ) — the plain feature-scaling step beside the robust
+    * [[Quantiles.winsorize]]. Moments accumulate in DECIMAL(38,0)
+    * (`value` must be integral — exact, order-independent), the score
+    * is ONE deterministic double expression over the double-cast
+    * moments (engine-portable like [[Checks.correlations]]). Rows in a
+    * zero-variance or singleton group, and NULL values, score NULL.
+    *
+    * Scale shape: one hash aggregate to the group-sized moment table,
+    * one group-keyed join back.
+    */
+  def zscoreByKey(df: DataFrame, valueCol: Column, keys: Seq[String],
+                  out: String = "z"): DataFrame = {
+    require(keys.nonEmpty, "zscoreByKey: at least one key column")
+    require(!df.columns.contains(out), s"zscoreByKey: column $out already exists")
+    val vt = df.select(valueCol.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vt),
+      s"zscoreByKey: value must be integral for exact moments (got $vt)")
+    val d = valueCol.cast("decimal(38,0)")
+    val m = df.groupBy(keys.map(col): _*).agg(
+      sum(when(d.isNotNull, 1L).otherwise(0L)).as("__n"),
+      sum(coalesce(d, lit(0).cast("decimal(38,0)"))).as("__sx"),
+      sum(coalesce(d * d, lit(0).cast("decimal(38,0)"))).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val meanD = col("__sx").cast("double") / nD
+    val varD = (col("__sxx").cast("double") / nD) - (meanD * meanD)
+    df.join(m, keys, "left")
+      .withColumn(out, when(col("__n") >= 2L && varD > 0,
+        (valueCol.cast("double") - meanD) / sqrt(varD)))
+      .drop("__n", "__sx", "__sxx")
+  }
 }

@@ -52,4 +52,42 @@ object EventTimeWindows {
     */
   def winStartMs: Column = unix_millis(col("window.start")).as("win_start_ms")
   def winEndMs: Column   = unix_millis(col("window.end")).as("win_end_ms")
+
+  /** Per-EVENT sessionization: assign every event its key's 1-based
+    * session ordinal under a gap rule (a session breaks when the gap
+    * to the previous event exceeds `gapMs`) plus its 1-based position
+    * within that session. `session_window` aggregates PER SESSION;
+    * this keeps the EVENT rows — the labeling step before
+    * session-scoped features (position-in-session, entry/exit events,
+    * session joins).
+    *
+    * Scale shape: one keyed exchange; lag + two running sums share
+    * the single per-key sort. Gap convention: strictly greater than
+    * `gapMs` breaks (a gap of exactly `gapMs` continues the session),
+    * matching `session_window`'s half-open [start, last+gap) windows.
+    * Output: keys…, `us` (event epoch-µs), `tie`, `session_idx`,
+    * `event_idx`.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], ts: Column, tie: Column,
+                 gapMs: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionize: at least one key column")
+    require(gapMs > 0, "sessionize: gapMs must be positive")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("us"), col("tie"))
+    val run = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(keys.map(col) ++ Seq(unix_micros(ts).as("us"),
+        tie.as("tie")): _*)
+      .withColumn("__brk",
+        when(col("us") - lag(col("us"), 1).over(ord) > gapMs * 1000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("session_idx", sum(col("__brk")).over(run) + 1L)
+      // position within the session from the SAME sorted frame (no
+      // second exchange): distance past the last session break
+      .withColumn("event_idx",
+        col("__rn") - coalesce(
+          max(when(col("__brk") === 1L, col("__rn"))).over(run), lit(1L)) + 1L)
+      .drop("__brk", "__rn")
+  }
 }

@@ -147,4 +147,54 @@ class CohortsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "a", 2L), (2L, "y", 1L), (3L, "q", 1L)))
   }
+
+  test("zscoreByKey: exact moments, degenerate groups and nulls score null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Some(10L)), (1L, Some(20L)), (1L, Some(30L)),
+      (1L, None),
+      (2L, Some(7L)), (2L, Some(7L)),    // zero variance
+      (3L, Some(99L))                     // singleton
+    ).toDF("k", "v")
+    val got = Aggregates.zscoreByKey(df, col("v"), Seq("k"))
+      .select($"k", $"v", $"z").as[(Long, Option[Long], Option[Double])]
+      .collect().toSet
+    // key 1: mean 20, population sigma = sqrt(200/3)
+    val sd = math.sqrt(200.0 / 3.0)
+    def z(x: Long) = (x - 20.0) / sd
+    assert(got.filter(_._1 == 1L) == Set(
+      (1L, Some(10L), Some(z(10))), (1L, Some(20L), Some(z(20))),
+      (1L, Some(30L), Some(z(30))), (1L, None, None)))
+    assert(got.filter(_._1 != 1L).forall(_._3.isEmpty))
+    intercept[IllegalArgumentException] {
+      Aggregates.zscoreByKey(df.withColumn("v", col("v").cast("double")),
+        col("v"), Seq("k"))
+    }
+  }
+
+  test("sessionize: gap rule, ordinals, within-session positions, one exchange") {
+    import org.apache.spark.sql.functions.col
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // key 1: events at 0s, 10s, 100s, 105s, 400s with gap 60s
+    //        -> sessions [0,10], [100,105], [400]
+    val ev = Seq(
+      (1L, t(0L), 0L), (1L, t(10000L), 1L), (1L, t(100000L), 2L),
+      (1L, t(105000L), 3L), (1L, t(400000L), 4L),
+      (2L, t(5000L), 5L)).toDF("k", "ts", "eid")
+    val got = EventTimeWindows.sessionize(ev, Seq("k"), col("ts"), col("eid"), 60000L)
+      .select(col("k"), col("tie"), col("session_idx"), col("event_idx"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 2L), (1L, 2L, 2L, 1L),
+      (1L, 3L, 2L, 2L), (1L, 4L, 3L, 1L), (2L, 5L, 1L, 1L)))
+    // a gap of exactly gapMs continues the session
+    val edge = Seq((1L, t(0L), 0L), (1L, t(60000L), 1L)).toDF("k", "ts", "eid")
+    val g2 = EventTimeWindows.sessionize(edge, Seq("k"), col("ts"), col("eid"), 60000L)
+      .select(col("session_idx")).as[Long].collect().toSet
+    assert(g2 == Set(1L))
+    // single keyed exchange: all three windows share one sort
+    val plan = EventTimeWindows.sessionize(ev, Seq("k"), col("ts"), col("eid"), 60000L)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size <= 1,
+      s"sessionize should shuffle once:\n$plan")
+  }
 }
