@@ -133,25 +133,33 @@ object Sampling {
     */
   def rankBy(df: DataFrame, key: Column, order: Column,
              numPartitions: Int = 0, rankName: String = "rank"): DataFrame = {
-    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // pin the slim projection so the range-boundary sampling job reads
-    // (key, order) only — never re-runs upstream work (the q59 lesson)
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // slim projection, NOT pinned: the range-boundary sampling job
+    // re-scans it once, but boundaries only steer partition BALANCE —
+    // every row lands by comparing its own value, so correctness never
+    // depends on the sample and the full materialization the old pin
+    // paid (a second 50M-row checkpoint) is pure overhead. The pin
+    // that matters for correctness is the one AFTER id assignment.
     val slim = df.select(key.as("k"), order.as("h"))
-      .where(col("h").isNotNull).localCheckpoint()
-    val ranged = slim
+      .where(col("h").isNotNull)
+    // (partition id, within-partition sequence) from the documented
+    // monotonically_increasing_id layout — pid in the upper 31 bits,
+    // record number in the lower 33 — assigned in the sorted iterator
+    // order and IMMEDIATELY materialized: the checkpoint pins the
+    // nondeterministic ids against recompute AND against a downstream
+    // coalesce re-numbering partitions (the q59 lesson's structural-id
+    // requirement, columnar instead of the old RDD round-trip — the
+    // Row conversion was 0.8 M rows/s at 50M, this path is codegen'd)
+    val local = slim
       .repartitionByRange(parts, col("h"), col("k"))
       .sortWithinPartitions(col("h"), col("k"))
-    val outSchema = StructType(ranged.schema.fields ++ Seq(
-      StructField("pid", IntegerType, nullable = false),
-      StructField("local_rank", LongType, nullable = false)))
-    val withPid = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = 0L
-      it.map { r => i += 1; Row(r.get(0), r.get(1), pid, i) }
-    }
-    val local = spark.createDataFrame(withPid, outSchema)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+      .select(col("k"),
+        shiftright(col("__mid"), 33).cast("int").as("pid"),
+        (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L).as("local_rank"))
     val offsets = local.groupBy(col("pid"))
       .agg(max(col("local_rank")).as("cnt"))
       .withColumn("offset",

@@ -1499,6 +1499,30 @@ object ThroughputBench {
         f"(${n / se / 1e6}%.1f M rec/s), $ne folded")
     }
 
+    // scenario 43: the session-5 analytics batch at n rows — global
+    // equi-depth binning (two-phase rank), per-event sessionization
+    // (single-sort windows), and the one-scan correlation matrix.
+    if (enabled(43)) {
+      val ev = spark.range(n).select(
+        (col("id") % 1000000).as("k"), timestamp_micros(col("id") * 3000000).as("t"),
+        col("id").as("eid"),
+        pmod(xxhash64(col("id")), lit(100000)).as("x"),
+        pmod(xxhash64(col("id") + 1), lit(100000)).as("y")).localCheckpoint()
+      def timed(body: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val r = body; (r, (System.nanoTime() - t) / 1e9)
+      }
+      val (nb, sb) = timed(graft.ops.Quantiles.quantileBins(
+        ev, col("eid"), col("x"), 16).count())
+      val (ns, ss) = timed(graft.ops.EventTimeWindows.sessionize(
+        ev, Seq("k"), col("t"), col("eid"), gapMs = 3600000L).count())
+      val (nc, sc) = timed(graft.ops.Checks.correlations(
+        ev, Seq("x" -> col("x"), "y" -> col("y"), "k" -> col("k"))).count())
+      println(f"scenario43 analytics n=$n: quantile-bins $sb%.1f s " +
+        f"(${n / sb / 1e6}%.1f M rows/s, $nb binned), sessionize $ss%.1f s " +
+        f"(${n / ss / 1e6}%.1f M rows/s), correlations(3 cols, $nc pairs) " +
+        f"$sc%.1f s (${n / sc / 1e6}%.1f M rows/s)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
