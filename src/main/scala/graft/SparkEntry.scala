@@ -2756,6 +2756,29 @@ object SparkEntry {
       })
       Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
     }),
+    "q209_substring_search_stream" -> ((s, d) => {
+      // TrigramIndex.searchStream: standing-grep retrieval — q191's
+      // three patterns arrive one per micro-batch and search the SAME
+      // standing trigram index; per-pattern independence makes q191's
+      // LIKE oracle the stream's oracle verbatim (the q138 pattern for
+      // the substring axis).
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val pats = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
+        .toDF("qid", "pat")
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q209", pats, col("qid"), 3)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, pats.schema)
+        collectScreenBatches(s) { onBatch =>
+          TrigramIndex.searchStream(s, stream, col("qid"), col("pat"),
+            Tables(s, d).documents, col("doc_id"), col("text"), idx)(onBatch)
+        }
+      }
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram
@@ -4301,6 +4324,7 @@ object SparkEntry {
     "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
+    "q209_substring_search_stream" -> oracleSqlBase("q191_substring_search"),
     "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
     "q200_cusum_stream" -> oracleSqlBase("q195_cusum"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
