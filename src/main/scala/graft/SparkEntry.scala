@@ -1413,6 +1413,28 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q210_sessionize_stream" -> ((s, d) => {
+      // CONTINUOUS SESSIONIZATION — EventTimeWindows.sessionizeStream:
+      // q207's labeling live, sessions CONTINUING across micro-batch
+      // cuts through per-key state (last event time, session count,
+      // current-session length) folded exactly-once under the
+      // SwapStore ledger. Cold start + 6 event-time-ordered slices, so
+      // the concatenated batch outputs must equal q207's one-shot
+      // labeling — its window oracle gates the lifecycle.
+      val ev = Tables(s, d).events.select(col("user_id"), col("ts"),
+        col("event_id"))
+      withShufflePartitions(s, 8) {
+        val p = graft.core.TempDirs.create("graft_q210_store") + "/sess"
+        EventTimeWindows.initSessionStore(ev.where(lit(false)),
+          Seq("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000, p)
+        val stage = screenReplayDir(s"$d#q210", ev, unix_micros(col("ts")), 6)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
+        collectScreenBatches(s) { onBatch =>
+          EventTimeWindows.sessionizeStream(s, stream, Seq("user_id"),
+            col("ts"), col("event_id"), gapMs = 30L * 60 * 1000, p)(onBatch)
+        }
+      }
+    }),
     "q207_sessionize" -> ((s, d) =>
       // PER-EVENT SESSIONIZATION — EventTimeWindows.sessionize: every
       // event labeled with its user's session ordinal (30-min gap
@@ -4325,6 +4347,7 @@ object SparkEntry {
     "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
     "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
     "q209_substring_search_stream" -> oracleSqlBase("q191_substring_search"),
+    "q210_sessionize_stream" -> oracleSqlBase("q207_sessionize"),
     "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
     "q200_cusum_stream" -> oracleSqlBase("q195_cusum"),
     "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),

@@ -171,6 +171,50 @@ class CohortsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeStream: sessions continue across batches; equals batch labeling") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    // per key: events every 10-90s, gap 60s -> sessions break and
+    // CONTINUE across the batch cuts
+    var t = 0L
+    val rows = (0 until 300).map { i =>
+      t += (rnd.nextInt(9) + 1) * 10000L
+      (i.toLong % 3, new java.sql.Timestamp(t), i.toLong)
+    }
+    val (seed, rest) = rows.splitAt(60)
+    val path = graft.core.TempDirs.create("graft_sess_store")
+    EventTimeWindows.initSessionStore(seed.toDF("k", "ts", "eid"),
+      Seq("k"), col("ts"), col("eid"), 60000L, path)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = EventTimeWindows.sessionizeStream(spark,
+      in.toDF().toDF("k", "ts", "eid"), Seq("k"), col("ts"), col("eid"),
+      60000L, path) { out =>
+      got ++= out.select(col("k"), col("tie"), col("session_idx"), col("event_idx"))
+        .as[(Long, Long, Long, Long)].collect()
+    }
+    try {
+      rest.grouped(80).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val batchAll = EventTimeWindows.sessionize(rows.toDF("k", "ts", "eid"),
+      Seq("k"), col("ts"), col("eid"), 60000L)
+      .select(col("k"), col("tie"), col("session_idx"), col("event_idx"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, tie, s, e) =>
+      assert(batchAll((k, tie)) == ((s, e)), s"key $k tie $tie")
+    }
+    // replay no-op: re-folding an applied batch id leaves state as is
+    val before = graft.core.SwapStore.read(spark, path)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.core.SwapStore.fold(spark, path, batchId = 0L)(cur => cur.limit(0))
+    assert(graft.core.SwapStore.read(spark, path)
+      .as[(Long, Long, Long, Long)].collect().toSet == before)
+  }
+
   test("sessionize: gap rule, ordinals, within-session positions, one exchange") {
     import org.apache.spark.sql.functions.col
     def t(ms: Long) = new java.sql.Timestamp(ms)
