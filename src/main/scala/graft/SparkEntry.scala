@@ -1413,6 +1413,16 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q211_basket_lift" -> ((s, d) =>
+      // MARKET-BASKET LIFT — Cohorts.basketLift: co-occurrence lift of
+      // event-type pairs within (user, day) baskets, in EXACT 1e4
+      // fixed point ((N·n_ab·10000) div (n_a·n_b) — no float). One
+      // distinct pass, a basket-keyed self-join bounded by per-basket
+      // item counts, broadcast item totals. Oracle replays the same
+      // integer arithmetic.
+      Cohorts.basketLift(Tables(s, d).events,
+        Seq(col("user_id"), expr("unix_millis(ts) div 86400000")),
+        col("event_type"))),
     "q210_sessionize_stream" -> ((s, d) => {
       // CONTINUOUS SESSIONIZATION — EventTimeWindows.sessionizeStream:
       // q207's labeling live, sessions CONTINUING across micro-batch
@@ -5634,6 +5644,25 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q211_basket_lift" ->
+      // the same distinct baskets, pair join, and fixed-point lift
+      """WITH b AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day, event_type FROM events
+        |  WHERE event_type IS NOT NULL),
+        |n AS (SELECT count(*) AS nb FROM
+        |      (SELECT DISTINCT user_id, day FROM b)),
+        |i AS (SELECT event_type, count(*) AS ni FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b2,
+        |    count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type GROUP BY 1, 2)
+        |SELECT p.a, p.b2 AS b, CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  CAST(ia.ni AS BIGINT) AS n_a, CAST(ib.ni AS BIGINT) AS n_b,
+        |  CAST(n.nb AS BIGINT) AS n_baskets,
+        |  CAST((n.nb * p.n_ab * 10000) // (ia.ni * ib.ni) AS BIGINT) AS lift_fp
+        |FROM p CROSS JOIN n
+        |  JOIN i ia ON ia.event_type = p.a
+        |  JOIN i ib ON ib.event_type = p.b2""".stripMargin,
     "q207_sessionize" ->
       // the same lag/run-sum/last-break windows
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -128,6 +128,48 @@ object Cohorts {
     * state-pair cardinality; each key's first event has no
     * predecessor and contributes nothing.
     */
+  /** Market-basket lift between item pairs: how much more often two
+    * items co-occur in a basket than independence predicts —
+    * association mining's first screen (co-purchase, co-engagement,
+    * topic co-occurrence). `lift_fp` is the lift in 1e4 fixed point,
+    * EXACT integer arithmetic: (N·n_ab·10000) div (n_a·n_b) — no
+    * float, engine-portable (10000 = lift 1.0). Output one row per
+    * unordered item pair (a < b) with support ≥ `minPairSupport`:
+    * (a, b, n_ab, n_a, n_b, n_baskets, lift_fp).
+    *
+    * Scale shape: one distinct pass to (basket, item), a basket-keyed
+    * self-join bounded by per-basket item-set size (baskets are small
+    * by construction — dedup items first), two broadcast-sized item/
+    * total aggregates folded in at the pair level. Long-overflow
+    * guard: N·n_ab·10000 must fit — fail fast past 2^49 baskets.
+    */
+  def basketLift(df: DataFrame, basket: Seq[Column], item: Column,
+                 minPairSupport: Long = 1L): DataFrame = {
+    require(basket.nonEmpty, "basketLift: at least one basket column")
+    require(minPairSupport >= 1, "basketLift: minPairSupport must be >= 1")
+    val bi = df.select(basket.zipWithIndex.map { case (c, i) =>
+        c.as(s"__b$i") } :+ item.as("__it"): _*)
+      .where(col("__it").isNotNull).distinct().localCheckpoint()
+    val bcols = basket.indices.map(i => s"__b$i")
+    val nBaskets = bi.select(bcols.map(col): _*).distinct().count()
+    require(nBaskets < (1L << 49),
+      s"basketLift: $nBaskets baskets would overflow the fixed-point " +
+        "lift arithmetic — shard the corpus")
+    val items = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+    val pairs = bi.join(bi.toDF(bi.columns.map(_ + "_r").toIndexedSeq: _*),
+        bcols.map(c => col(c) === col(s"${c}_r")).reduce(_ && _) &&
+          col("__it") < col("__it_r"))
+      .groupBy(col("__it").as("a"), col("__it_r").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairSupport)
+    pairs
+      .join(broadcast(items.select(col("__it").as("a"), col("__ni").as("n_a"))), Seq("a"))
+      .join(broadcast(items.select(col("__it").as("b"), col("__ni").as("n_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        lit(nBaskets).as("n_baskets"),
+        expr(s"(${nBaskets}L * n_ab * 10000L) div (n_a * n_b)").as("lift_fp"))
+  }
+
   def transitions(events: DataFrame, key: Column, ts: Column, tie: Column,
                   state: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -148,6 +148,27 @@ class CohortsSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 2L), (2L, "y", 1L), (3L, "q", 1L)))
   }
 
+  test("basketLift: fixed-point lift, within-basket dedup, support floor") {
+    import org.apache.spark.sql.functions.col
+    // baskets: {a,b}, {a,b}, {a,c}, {b} — n=4, n_a=3, n_b=3, n_c=1
+    // n_ab=2 -> lift = 4*2/(3*3) = 0.888..; n_ac=1 -> 4/(3*1) = 1.333..
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),   // duplicate item in basket 1
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b")).toDF("bk", "it")
+    val got = Cohorts.basketLift(df, Seq(col("bk")), col("it"))
+      .select(col("a"), col("b"), col("n_ab"), col("lift_fp"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 4L * 2 * 10000 / 9),
+      ("a", "c", 1L, 4L * 1 * 10000 / 3)))
+    val floored = Cohorts.basketLift(df, Seq(col("bk")), col("it"),
+      minPairSupport = 2L).select(col("a"), col("b"))
+      .as[(String, String)].collect().toSet
+    assert(floored == Set(("a", "b")))
+  }
+
   test("zscoreByKey: exact moments, degenerate groups and nulls score null") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, Some(10L)), (1L, Some(20L)), (1L, Some(30L)),
