@@ -1413,6 +1413,17 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q212_rolling_sum" -> ((s, d) =>
+      // TRAILING ROLLING AGGREGATE — Timeseries.rolling: per user per
+      // day, the day's revenue cents plus the trailing-7-day sum and
+      // active-day count via a RANGE frame on the day grain (gaps
+      // contribute nothing by construction — no dense spine). The
+      // row-sized data exchanges once, partially aggregated; the
+      // window moves only the day-sized frame. Oracle replays the
+      // identical RANGE window.
+      Timeseries.rolling(Tables(s, d).events, Seq("user_id"),
+        expr("unix_millis(ts) div 86400000"),
+        (dec(col("value")) * 100).cast("long"), windowTicks = 7L)),
     "q211_basket_lift" -> ((s, d) =>
       // MARKET-BASKET LIFT — Cohorts.basketLift: co-occurrence lift of
       // event-type pairs within (user, day) baskets, in EXACT 1e4
@@ -5644,6 +5655,19 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q212_rolling_sum" ->
+      // the identical RANGE frame over the per-day pre-aggregate
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS tick,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |p AS (SELECT user_id, tick, CAST(sum(c) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, tick, v,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY tick
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY tick
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_ticks
+        |FROM p""".stripMargin,
     "q211_basket_lift" ->
       // the same distinct baskets, pair join, and fixed-point lift
       """WITH b AS (SELECT DISTINCT user_id,

@@ -259,6 +259,42 @@ object Timeseries {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Trailing rolling aggregate on an integral tick grain: per (key,
+    * tick), the tick's own total plus the sum and observation count
+    * over the trailing `windowTicks`-wide RANGE — "7-day trailing
+    * revenue per user", the moving-aggregate workhorse. The RANGE
+    * frame makes gaps correct by construction (an absent tick simply
+    * contributes nothing — no dense spine needed; [[gapFill]] first if
+    * a row per tick is wanted). Exact integer sums.
+    *
+    * Scale shape: one map-side-partial pre-aggregate to (key, tick),
+    * so the ROW-sized data exchanges exactly once, partially
+    * aggregated; the window's re-exchange on the key alone moves only
+    * the TICK-sized aggregate (plan-pinned in the spec — forcing a
+    * single exchange would shuffle raw rows unaggregated, the wrong
+    * trade when rows ≫ ticks). Output: keys…, tick, `v` (tick total),
+    * `trail_sum`, `trail_ticks` over [tick−windowTicks+1, tick].
+    */
+  def rolling(df: DataFrame, keys: Seq[String], tick: org.apache.spark.sql.Column,
+              value: org.apache.spark.sql.Column, windowTicks: Long): DataFrame = {
+    require(keys.nonEmpty, "rolling: at least one key column")
+    require(windowTicks >= 1, "rolling: windowTicks must be >= 1")
+    val tType = df.select(tick.as("__t")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(tType),
+      s"rolling: tick must be integral (got $tType) — bucket timestamps first")
+    requireIntegralValue(df, value, "rolling")
+    val per = df.select(keys.map(col) ++ Seq(tick.cast("long").as("tick"),
+        value.cast("long").as("__x")): _*)
+      .where(col("tick").isNotNull)
+      .groupBy(keys.map(col) :+ col("tick"): _*)
+      .agg(sum(col("__x")).as("v"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("tick"))
+      .rangeBetween(-(windowTicks - 1), 0)
+    per
+      .withColumn("trail_sum", sum(col("v")).over(w))
+      .withColumn("trail_ticks", count(lit(1)).over(w))
+  }
+
   /** Single changepoint localization per key: the split index i that
     * maximizes the two-segment SSE reduction over the (ts, tie)-ordered
     * series — "where did this metric's level shift" (CUSUM says THAT it

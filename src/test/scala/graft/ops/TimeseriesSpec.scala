@@ -168,6 +168,32 @@ class TimeseriesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Option[Long])].collect().toSet == want)
   }
 
+  test("rolling: trailing range sums are gap-correct and reuse one exchange") {
+    // key 1 ticks: 1, 2, 5 (gap) with values 10, 20, 40; window 3
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 2L, 5L), (1L, 5L, 40L),
+      (2L, 1L, 7L)).toDF("k", "d", "x")
+    val got = Timeseries.rolling(df, Seq("k"), col("d"), col("x"), 3L)
+      .select(col("k"), col("tick"), col("v"), col("trail_sum"), col("trail_ticks"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 10L, 10L, 1L),
+      (1L, 2L, 25L, 35L, 2L),      // pre-aggregated 20+5; trailing covers 1,2
+      (1L, 5L, 40L, 40L, 1L),      // ticks 3,4 absent: the gap contributes nothing
+      (2L, 1L, 7L, 7L, 1L)))
+    // two exchanges by design: the row-sized one carries PARTIALLY
+    // AGGREGATED (k, tick) rows, the window's k-only one moves the
+    // tick-sized frame
+    val plan = Timeseries.rolling(df, Seq("k"), col("d"), col("x"), 3L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 2, s"expected the two-exchange shape:\n$plan")
+    assert(plan.contains("HashAggregate"), s"pre-aggregate missing:\n$plan")
+    intercept[IllegalArgumentException] {
+      Timeseries.rolling(df.withColumn("d", col("d").cast("double")),
+        Seq("k"), col("d"), col("x"), 3L)
+    }
+  }
+
   test("changepoint finds the planted level shift; brute-force agreement") {
     val rnd = new scala.util.Random(19)
     // key 0: level 100 then 500 after index 60; key 1: pure noise
