@@ -1413,6 +1413,28 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q214_join_skew" -> ((s, d) =>
+      // JOIN-SKEW REPORT — Checks.joinSkewReport: the exact per-key
+      // join-output contributions, total cardinality, and hot-key
+      // shares BEFORE the join runs (the salting/broadcast decision
+      // input). Events self-joined on event_type: two count
+      // aggregates, a key-sized join, a key-sized top-k — the
+      // row-sized data never joins. Oracle replays counts, HUGEINT
+      // products, and the (contrib desc, key) pick.
+      Checks.joinSkewReport(Tables(s, d).events, col("event_type"),
+        Tables(s, d).events, col("event_type"), k = 3)),
+    "q213_gini" -> ((s, d) =>
+      // GINI CONCENTRATION — Quantiles.giniByKey: how concentrated is
+      // each supplier's revenue across its line items, in exact 1e4
+      // fixed point (G = (2·Σi·x_(i) − (n+1)·Σx)/(n·Σx), moment in
+      // DECIMAL(38,0), truncating div — the numerator is ≥ 0 so
+      // DuckDB's floor // replays it). The corpus/source balance
+      // audit's inequality screen. One group-local sort, one
+      // partitioning-sharing aggregate.
+      Quantiles.giniByKey(
+        Tables(s, d).lineitem.select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+        Seq("l_suppkey"), col("cents"))),
     "q212_rolling_sum" -> ((s, d) =>
       // TRAILING ROLLING AGGREGATE — Timeseries.rolling: per user per
       // day, the day's revenue cents plus the trailing-7-day sum and
@@ -5655,6 +5677,38 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q214_join_skew" ->
+      // the same counts, exact products, and deterministic pick
+      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events
+        |           WHERE event_type IS NOT NULL GROUP BY 1),
+        |per AS (SELECT a.key, a.n AS n_left, b.n AS n_right,
+        |    CAST(a.n AS HUGEINT) * b.n AS contrib
+        |  FROM c a JOIN c b USING (key)),
+        |tot AS (SELECT sum(contrib) AS t FROM per)
+        |SELECT key, CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(t AS BIGINT) AS total_rows,
+        |  CAST(contrib * 1000000 // t AS BIGINT) AS share_fp
+        |FROM per CROSS JOIN tot
+        |ORDER BY contrib DESC, key LIMIT 3""".stripMargin,
+    "q213_gini" ->
+      // the same sorted-rank moment in HUGEINT, floor-divided
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, x,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS i FROM v),
+        |g AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT l_suppkey, n, total,
+        |  CAST(CASE WHEN n >= 2 AND total > 0 THEN
+        |    (2 * six - (CAST(n AS HUGEINT) + 1) * CAST(total AS HUGEINT)) * 10000
+        |      // (CAST(n AS HUGEINT) * CAST(total AS HUGEINT)) END AS BIGINT)
+        |    AS gini_fp
+        |FROM g""".stripMargin,
     "q212_rolling_sum" ->
       // the identical RANGE frame over the per-day pre-aggregate
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS tick,

@@ -104,6 +104,43 @@ object Checks {
       .select(col("p.*"))
   }
 
+  /** Join-skew report BEFORE running the join: per-key cardinalities
+    * of both sides, each key's exact inner-join output contribution
+    * (n_left·n_right), the exact total output rows, and each hot
+    * key's share in 1e6 fixed point — the "why would this join
+    * explode" diagnostic that decides salting/broadcast up front.
+    *
+    * Exact integer arithmetic end to end (contributions accumulate in
+    * DECIMAL(38,0)); output is the top `k` keys by (contribution
+    * desc, key asc). Keys present on one side only contribute nothing
+    * and never surface (they produce no join rows).
+    *
+    * Scale shape: two per-side count aggregates (map-side partial) —
+    * the only row-sized work — joined at KEY cardinality; the top-k
+    * is a TakeOrderedAndProject over the key-sized frame, never a
+    * full sort of data.
+    */
+  def joinSkewReport(left: DataFrame, lkey: Column,
+                     right: DataFrame, rkey: Column, k: Int): DataFrame = {
+    require(k >= 1, "joinSkewReport: k must be >= 1")
+    val cl = left.select(lkey.as("key")).where(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_left"))
+    val cr = right.select(rkey.as("key")).where(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_right"))
+    val per = cl.join(cr, Seq("key"))
+      .withColumn("contrib",
+        col("n_left").cast("decimal(38,0)") * col("n_right").cast("decimal(38,0)"))
+      .localCheckpoint() // the total and the top-k both read it
+    val tot = per.agg(coalesce(sum(col("contrib")),
+      lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    per.orderBy(col("contrib").desc, col("key").asc).limit(k)
+      .select(col("key"), col("n_left"), col("n_right"),
+        col("contrib").cast("long").as("contrib"),
+        lit(tot).cast("long").as("total_rows"),
+        expr(s"CAST(contrib * 1000000 div CAST('$tot' AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_fp"))
+  }
+
   /** Pairwise Pearson correlations over integral feature columns in
     * ONE scan — the profiler's second moment: feature redundancy
     * screens, drift root-causing, "which quality signals co-move".

@@ -379,6 +379,53 @@ object Quantiles {
         expr(s"((rank - 1) * ${nBins}L) div ${n}L") + 1L)
   }
 
+  /** Gini concentration coefficient per group, in EXACT 1e4 fixed
+    * point — "how concentrated is revenue across this supplier's
+    * orders", the inequality screen for corpus/source balance audits.
+    * Over each group's sorted non-negative values x_(1) ≤ … ≤ x_(n):
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    *
+    * kept in integers: `gini_fp` = that ratio ×10000, truncating div.
+    * Ties take ascending ranks (row_number) — Σ i·x_(i) is invariant
+    * under tie order because tied values are equal. Zero-total or
+    * singleton groups report NULL. `value` must be non-negative
+    * integral (loud guard — Gini is undefined under negatives).
+    *
+    * Scale shape: one group-partitioned sort (the rank is the
+    * statistic's lower bound — group-local, never global) into one
+    * per-group aggregate sharing its partitioning. Σ i·x at 100 TB can
+    * exceed a Long (rank × value both large), so the moment
+    * accumulates in DECIMAL(38,0).
+    */
+  def giniByKey(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    require(keys.nonEmpty, "giniByKey: at least one key column")
+    val vt = df.select(value.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vt),
+      s"giniByKey: value must be integral (got $vt) — scale to cents first")
+    val guarded = when(value < 0,
+      raise_error(concat(lit("giniByKey: negative value: "),
+        value.cast("string")))).otherwise(value.cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__x"), col("__rnd"))
+    val ranked = df.select(keys.map(col) :+ guarded.as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .withColumn("__rnd", monotonically_increasing_id()) // stable tie order
+      .withColumn("__i", row_number().over(w).cast("long"))
+    ranked.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("total"),
+      sum(col("__i").cast("decimal(38,0)") * col("__x").cast("decimal(38,0)"))
+        .as("__ix"))
+      // the numerator 2·Σix − (n+1)·Σx is ≥ 0 by rearrangement, so
+      // truncating div == floor div and DuckDB's // replays it
+      .withColumn("gini_fp",
+        when(col("n") >= 2 && col("total") > 0, expr(
+          "CAST((2 * __ix - CAST(n + 1 AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))) " +
+            "* 10000 div (CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))) AS BIGINT)")))
+      .drop("__ix")
+  }
+
   /** Per-group winsorization: clamp `value` into its group's exact
     * [lowPct, highPct] percentile band (the standard robust feature
     * normalization before training — tails capped, not dropped).

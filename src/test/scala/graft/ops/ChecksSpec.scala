@@ -113,6 +113,20 @@ class ChecksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Checks.profile(df, Seq("nope")) }
   }
 
+  test("joinSkewReport: exact contributions, totals, deterministic top-k") {
+    val left = Seq("a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val right = Seq("a", "a", "b", "b", "b", "c", "z").toDF("k")
+    // contrib: a=3*2=6, b=2*3=6, c=1*1=1; d/z one-sided -> absent; tot=13
+    val got = Checks.joinSkewReport(left, col("k"), right, col("k"), 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 2L, 6L, 13L, 6L * 1000000 / 13),
+      ("b", 2L, 3L, 6L, 13L, 6L * 1000000 / 13)))
+    // the reported total equals the real join cardinality
+    val real = left.join(right, Seq("k")).count()
+    assert(got.head._5 == real)
+  }
+
   test("correlations: exact pairwise moments, pairwise-complete nulls, one scan") {
     val rnd = new scala.util.Random(43)
     val rows = (1 to 300).map { i =>

@@ -240,6 +240,34 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("giniByKey: fixed-point Gini matches the sorted-rank formula") {
+    val rnd = new scala.util.Random(47)
+    val rows = (for (g <- Seq("a", "b"); _ <- 1 to 150)
+      yield (g, rnd.nextInt(10000).toLong)) ++
+      Seq(("eq", 5L), ("eq", 5L), ("eq", 5L),   // perfect equality -> 0-ish
+        ("one", 9L),                             // singleton -> null
+        ("zero", 0L), ("zero", 0L))              // zero total -> null
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.giniByKey(df, Seq("g"), col("v"))
+      .select($"g", $"n", $"total", $"gini_fp")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (g <- Seq("a", "b", "eq")) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val n = vs.size.toLong
+      val tot = vs.sum
+      val six = vs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val exp = ((2 * six - BigInt(n + 1) * tot) * 10000 / (BigInt(n) * tot)).toLong
+      assert(got(g) == ((n, tot, Some(exp))), s"group $g")
+    }
+    assert(got("eq")._3.contains(0L))
+    assert(got("one")._3.isEmpty && got("zero")._3.isEmpty)
+    intercept[Exception] {
+      Quantiles.giniByKey(Seq(("x", -1L)).toDF("g", "v"), Seq("g"), col("v"))
+        .collect()
+    }
+  }
+
   test("quantileBins: equal-count bins over the global (value, key) order") {
     val rnd = new scala.util.Random(41)
     val rows = (1L to 1000L).map(i => (i, rnd.nextInt(50).toLong))
