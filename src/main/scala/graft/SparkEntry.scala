@@ -1413,6 +1413,36 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q215_vocab_canonicalize" -> ((s, d) => {
+      // VOCAB CANONICALIZATION — the typo-clustering composition:
+      // Fuzzy.editSelfJoin (d ≤ 1 pairs) → lexicographic ids via
+      // Sampling.rankBy → Clusters.connectedComponents → every word
+      // maps to its cluster's lexicographically-smallest member
+      // (singletons map to themselves). The entity-resolution shape:
+      // candidate pairs, transitive closure, canonical representative.
+      // Oracle: recursive min-STRING-label reachability (q55's CC
+      // convention seeded from every word).
+      val p = Tables(s, d).part
+      val words = p.select(explode(split(col("p_name"), " ")).as("w"))
+        .unionByName(p.select(explode(split(col("p_type"), " ")).as("w")))
+        .unionByName(p.select(explode(split(col("p_brand"), " ")).as("w")))
+        .unionByName(Tables(s, d).documents
+          .select(explode(split(lower(col("text")), " ")).as("w")))
+        .where(length(col("w")) > 0).select(lower(col("w")).as("w"))
+        .distinct().localCheckpoint()
+      val ids = Sampling.rankBy(words, col("w"), col("w"))
+        .select(col("key").as("w"), col("rank").as("id")).localCheckpoint()
+      val pairs = Fuzzy.editSelfJoin(words, col("w"), maxDistance = 1)
+      val edges = pairs
+        .join(ids.select(col("w").as("a"), col("id").as("ida")), Seq("a"))
+        .join(ids.select(col("w").as("b"), col("id").as("idb")), Seq("b"))
+      val cc = Clusters.connectedComponents(edges, col("ida"), col("idb"))
+      ids.join(cc.select(col("id"), col("cluster")), Seq("id"), "left")
+        .withColumn("__comp", coalesce(col("cluster"), col("id")))
+        .join(ids.select(col("id").as("__comp"), col("w").as("canon")),
+          Seq("__comp"))
+        .select(col("w"), col("canon"))
+    }),
     "q214_join_skew" -> ((s, d) =>
       // JOIN-SKEW REPORT — Checks.joinSkewReport: the exact per-key
       // join-output contributions, total cardinality, and hot-key
@@ -5677,6 +5707,23 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q215_vocab_canonicalize" ->
+      // recursive min-string-label reachability, seeded from every word
+      """WITH RECURSIVE v AS (SELECT DISTINCT lower(w) AS w FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+        |    UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+        |    UNION ALL SELECT unnest(string_split(p_brand, ' ')) FROM part
+        |    UNION ALL SELECT unnest(string_split(lower(text), ' ')) FROM documents)
+        |  WHERE length(w) > 0),
+        |pr AS (SELECT a.w AS a, b.w AS b FROM v a JOIN v b
+        |       ON a.w < b.w AND levenshtein(a.w, b.w) <= 1),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |cc AS (
+        |  SELECT w AS id, w AS label FROM v
+        |  UNION
+        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id)
+        |SELECT id AS w, min(label) AS canon FROM cc GROUP BY 1""".stripMargin,
     "q214_join_skew" ->
       // the same counts, exact products, and deterministic pick
       """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events
