@@ -1413,6 +1413,24 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q216_nearest_join" -> ((s, d) => {
+      // NEAREST-IN-TIME JOIN — Joins.asofNearest: each error event
+      // attaches its user's CLOSEST purchase (either direction, ties
+      // to the earlier) — where q62's backward-only as-of would skip a
+      // purchase seconds later. One keyed union exchange, one sort
+      // serving both directions, no join node. Oracle: per-left min
+      // |dt| with the (distance, earlier) pick over the key-pair join.
+      val ev = Tables(s, d).events
+      val l = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val r = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("rus"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+      Joins.asofNearest(l, r, col("user_id"), col("user_id"),
+        col("us"), col("rus"), Seq("cents" -> col("cents")))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("nearest.cents").as("nearest_cents"), col("nearest_dt"))
+    }),
     "q215_vocab_canonicalize" -> ((s, d) => {
       // VOCAB CANONICALIZATION — the typo-clustering composition:
       // Fuzzy.editSelfJoin (d ≤ 1 pairs) → lexicographic ids via
@@ -5707,6 +5725,21 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q216_nearest_join" ->
+      // per-left min |dt|, ties to the earlier right row
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, epoch_us(ts) AS rus,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT l.user_id, l.event_id, l.us, r.rus, r.cents,
+        |    abs(r.rus - l.us) AS ad FROM l JOIN r USING (user_id)),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+        |                ORDER BY ad, rus) AS rn FROM j)
+        |SELECT l.user_id, l.event_id, CAST(l.us AS BIGINT) AS us,
+        |  p.cents AS nearest_cents, CAST(p.rus - l.us AS BIGINT) AS nearest_dt
+        |FROM l LEFT JOIN (SELECT * FROM p WHERE rn = 1) p
+        |  ON l.user_id = p.user_id AND l.event_id = p.event_id""".stripMargin,
     "q215_vocab_canonicalize" ->
       // recursive min-string-label reachability, seeded from every word
       """WITH RECURSIVE v AS (SELECT DISTINCT lower(w) AS w FROM (

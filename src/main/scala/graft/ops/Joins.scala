@@ -232,4 +232,72 @@ object Joins {
       .where(col("_side") === 1)
       .select(leftFields.map(f => col(f.name)) :+ col("asof"): _*)
   }
+
+  /** NEAREST-in-time join: each left row attaches the right row with
+    * the minimum |Δts| within its key — sensor alignment, "closest
+    * quote to this trade", nearest-reading enrichment — where
+    * [[asofJoin]]'s backward-only semantics would skip a reading just
+    * after the event. Ties (equal distance both sides) take the
+    * EARLIER right row. Timestamps must be integral (epoch units —
+    * the house epoch-ms/µs convention; distance needs arithmetic).
+    *
+    * Same scale shape as [[asofJoin]]: one keyed union exchange, one
+    * per-key sort serving BOTH directions (backward carry via a
+    * trailing last, forward via a leading first — two frames, one
+    * sort), no range explosion, no join node. Right rows at the same
+    * (key, ts) are ambiguous — pre-aggregate for determinism. Returns
+    * every left column plus `nearest` (carried struct, null when the
+    * key has no right row) and `nearest_dt` (right ts − left ts).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTs: Column, rightTs: Column,
+                  carry: Seq[(String, Column)]): DataFrame = {
+    require(carry.nonEmpty, "carry: name the right-side columns to attach")
+    val reserved = Seq("_k", "_ts", "_side", "_pc", "nearest", "nearest_dt")
+    require(left.columns.intersect(reserved).isEmpty,
+      s"left side uses reserved column names: ${reserved.mkString(", ")}")
+    Seq(("left", left, leftTs), ("right", right, rightTs)).foreach {
+      case (side, df, ts) =>
+        val t = df.select(ts.as("__t")).schema.head.dataType.simpleString
+        require(Seq("bigint", "int", "smallint", "tinyint").contains(t),
+          s"asofNearest: $side ts must be integral epoch units (got $t)")
+    }
+    import org.apache.spark.sql.expressions.Window
+
+    val rightPrepped = right
+      .where(rightKey.isNotNull && rightTs.isNotNull)
+      .select(rightKey.as("_k"), rightTs.cast("long").as("_ts"),
+        lit(0).as("_side"),
+        struct((("_mts", rightTs.cast("long")) +: carry).map {
+          case (n, c) => c.as(n) }: _*).as("_pc"))
+    val pcType = rightPrepped.schema("_pc").dataType
+    val leftFields = left.schema.fields.toSeq
+    val leftSide = left.select(
+      leftFields.map(f => col(f.name)) ++
+        Seq(leftKey.as("_k"), leftTs.cast("long").as("_ts"), lit(1).as("_side"),
+          lit(null).cast(pcType).as("_pc")): _*)
+    val rightSide = rightPrepped.select(
+      leftFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(col("_k"), col("_ts"), col("_side"), col("_pc")): _*)
+
+    val ord = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev = col("__prev")
+    val next = col("__next")
+    val dPrev = col("_ts") - prev.getField("_mts") // >= 0
+    val dNext = next.getField("_mts") - col("_ts") // > 0 (equal ts lands in prev)
+    val pick = when(prev.isNull, next)
+      .when(next.isNull, prev)
+      .when(dPrev <= dNext, prev).otherwise(next)
+    leftSide.unionByName(rightSide)
+      .withColumn("__prev", last(col("_pc"), ignoreNulls = true).over(back))
+      .withColumn("__next", first(col("_pc"), ignoreNulls = true).over(fwd))
+      .where(col("_side") === 1)
+      .withColumn("__pick", pick)
+      .select(leftFields.map(f => col(f.name)) ++ Seq(
+        col("__pick").dropFields("_mts").as("nearest"),
+        (col("__pick").getField("_mts") - col("_ts")).as("nearest_dt")): _*)
+  }
 }

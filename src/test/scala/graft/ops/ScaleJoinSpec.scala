@@ -183,4 +183,42 @@ class ScaleJoinSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("asofNearest: minimum |dt| wins, earlier on ties, no-match nulls, no join node") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (1L, 400L, "e3"),
+      (2L, 50L, "lonely")).toDF("k", "ts", "tag")
+    // key 1 right: 90 (|10| to e1), 210 (|5| to e2), 300
+    //   e2 at 205: prev 210? no — prev is <=205: 90? 210>205 so prev=90(|115|),
+    //   next=210(|5|) -> 210; e3 at 400: prev 300 (|100|), no next -> 300
+    //   e1 at 100: prev 90 (|10|), next 210 (|110|) -> 90
+    val right = Seq((1L, 90L, 9L), (1L, 210L, 21L), (1L, 300L, 30L))
+      .toDF("k", "ts", "v")
+    val got = Joins.asofNearest(left, right, col("k"), col("k"),
+      col("ts"), col("ts"), Seq("v" -> col("v")))
+      .select(col("tag"), col("nearest.v"), col("nearest_dt"))
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(("e1", Some(9L), Some(-10L)), ("e2", Some(21L), Some(5L)),
+      ("e3", Some(30L), Some(-100L)), ("lonely", None, None)))
+    // exact tie: right at 100 and 300, left at 200 -> EARLIER (100) wins
+    val tied = Joins.asofNearest(Seq((1L, 200L)).toDF("k", "ts"),
+      Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("k", "ts", "v"),
+      col("k"), col("k"), col("ts"), col("ts"), Seq("v" -> col("v")))
+      .select(col("nearest.v")).as[String].head()
+    assert(tied == "a")
+    // equal timestamp: distance 0 via the backward carry
+    val eq = Joins.asofNearest(Seq((1L, 100L)).toDF("k", "ts"),
+      Seq((1L, 100L, "x")).toDF("k", "ts", "v"),
+      col("k"), col("k"), col("ts"), col("ts"), Seq("v" -> col("v")))
+      .select(col("nearest_dt")).as[Long].head()
+    assert(eq == 0L)
+    val plan = Joins.asofNearest(left, right, col("k"), col("k"),
+      col("ts"), col("ts"), Seq("v" -> col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofNearest must not contain a join:\n$plan")
+    intercept[IllegalArgumentException] {
+      Joins.asofNearest(left.withColumn("ts", col("ts").cast("double")), right,
+        col("k"), col("k"), col("ts"), col("ts"), Seq("v" -> col("v")))
+    }
+  }
 }
