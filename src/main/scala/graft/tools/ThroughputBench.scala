@@ -1523,6 +1523,29 @@ object ThroughputBench {
         f"$sc%.1f s (${n / sc / 1e6}%.1f M rows/s)")
     }
 
+    // scenario 44: nearest join, Gini, and rolling windows at n rows —
+    // the q216/q213/q212 shapes.
+    if (enabled(44)) {
+      val ev = spark.range(n).select(
+        (col("id") % 1000000).as("k"), col("id").as("t"),
+        pmod(xxhash64(col("id")), lit(100000)).as("x")).localCheckpoint()
+      def timed(body: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val r = body; (r, (System.nanoTime() - t) / 1e9)
+      }
+      val left = ev.where(col("x") % 10 === 0)
+      val right = ev.where(col("x") % 10 === 1)
+      val (nn, sn) = timed(graft.ops.Joins.asofNearest(left, right,
+        col("k"), col("k"), col("t"), col("t"), Seq("x" -> col("x"))).count())
+      val (ng, sg) = timed(graft.ops.Quantiles.giniByKey(
+        ev, Seq("k"), col("x")).count())
+      val (nr, sr) = timed(graft.ops.Timeseries.rolling(
+        ev, Seq("k"), (col("t") % 64).cast("long"), col("x"), 7L).count())
+      println(f"scenario44 temporal n=$n keys=1M: nearest-join $sn%.1f s " +
+        f"(${n / sn / 1e6}%.1f M rows/s, $nn matched), gini $sg%.1f s " +
+        f"(${n / sg / 1e6}%.1f M rows/s, $ng groups), rolling $sr%.1f s " +
+        f"(${n / sr / 1e6}%.1f M rows/s, $nr cells)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
