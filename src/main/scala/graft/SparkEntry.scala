@@ -1413,6 +1413,19 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q217_peak_sessions" -> ((s, d) => {
+      // PEAK CONCURRENCY — Timeseries.maxConcurrency over q207's
+      // session intervals: the most user sessions simultaneously
+      // active, and the earliest microsecond attaining it (capacity
+      // ceilings). Tick aggregation makes the sweep order-unambiguous
+      // and collapses the data before the only ordered window. Oracle
+      // replays sessionize, the interval roll-up, and the same sweep.
+      val sess = EventTimeWindows.sessionize(Tables(s, d).events,
+        Seq("user_id"), col("ts"), col("event_id"), gapMs = 30L * 60 * 1000)
+      val iv = sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      Timeseries.maxConcurrency(iv, col("s"), col("e"))
+    }),
     "q216_nearest_join" -> ((s, d) => {
       // NEAREST-IN-TIME JOIN — Joins.asofNearest: each error event
       // attaches its user's CLOSEST purchase (either direction, ties
@@ -5725,6 +5738,28 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q217_peak_sessions" ->
+      // sessionize replay -> intervals -> tick-aggregated sweep
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |r AS (SELECT user_id, us, event_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) + 1 AS sidx
+        |  FROM r),
+        |iv AS (SELECT user_id, sidx, min(us) AS st, max(us) AS en
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS tick, 1 AS dd FROM iv
+        |      UNION ALL SELECT en + 1, -1 FROM iv),
+        |dt AS (SELECT tick, sum(dd) AS dd FROM d GROUP BY 1),
+        |rr AS (SELECT tick,
+        |    sum(dd) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM dt)
+        |SELECT CAST(run AS BIGINT) AS max_concurrent,
+        |  CAST(tick AS BIGINT) AS at_tick
+        |FROM rr ORDER BY run DESC, tick ASC LIMIT 1""".stripMargin,
     "q216_nearest_join" ->
       // per-left min |dt|, ties to the earlier right row
       """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us

@@ -259,6 +259,55 @@ object Timeseries {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Exact peak concurrency over closed integral intervals [start,
+    * end]: the maximum number of intervals active at any tick, and the
+    * earliest tick attaining it — "peak concurrent sessions", live
+    * connection ceilings, capacity sizing. The classic sweep, made
+    * order-unambiguous and distribution-friendly by TICK AGGREGATION:
+    * +1 lands at `start`, −1 at `end + 1` (closed-interval semantics:
+    * a session ending at t and one starting at t ARE concurrent),
+    * deltas SUM per distinct tick first — so the running sum never
+    * depends on intra-tick event order — then one ordered window over
+    * the tick-level frame takes the running maximum.
+    *
+    * Scale shape: the interval-sized data collapses map-side into the
+    * distinct-tick frame (one hash aggregate); only that frame sees
+    * the ordered window. With second-or-coarser ticks the frame is
+    * calendar-sized; if ticks approach interval cardinality, bucket
+    * the grain first (the window is the only non-partitioned step).
+    * Output one row: (max_concurrent, at_tick); empty input yields
+    * (0, null). Intervals with end < start fail loudly.
+    */
+  def maxConcurrency(intervals: DataFrame,
+                     start: org.apache.spark.sql.Column,
+                     end: org.apache.spark.sql.Column): DataFrame = {
+    val spark = intervals.sparkSession
+    Seq("start" -> start, "end" -> end).foreach { case (n, c) =>
+      val t = intervals.select(c.as("__t")).schema.head.dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(t),
+        s"maxConcurrency: $n must be integral ticks (got $t)")
+    }
+    val iv = intervals.select(start.cast("long").as("__s"),
+        when(end.cast("long") < start.cast("long"),
+          raise_error(lit("maxConcurrency: interval with end < start")))
+          .otherwise(end.cast("long")).as("__e"))
+      .where(col("__s").isNotNull && col("__e").isNotNull)
+    val deltas = iv.select(col("__s").as("tick"), lit(1L).as("__d"))
+      .unionByName(iv.select((col("__e") + 1L).as("tick"), lit(-1L).as("__d")))
+      .groupBy(col("tick")).agg(sum(col("__d")).as("__d"))
+    val w = Window.orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaked = deltas
+      .withColumn("__run", sum(col("__d")).over(w))
+      .agg(max(struct(col("__run"), (-col("tick")).as("nt"))).as("__m"))
+      .select(col("__m.__run").as("max_concurrent"),
+        (-col("__m.nt")).as("at_tick"))
+    // empty input: no deltas -> the agg returns one null row; pin (0, null)
+    peaked.select(
+      coalesce(col("max_concurrent"), lit(0L)).as("max_concurrent"),
+      col("at_tick"))
+  }
+
   /** Trailing rolling aggregate on an integral tick grain: per (key,
     * tick), the tick's own total plus the sum and observation count
     * over the trailing `windowTicks`-wide RANGE — "7-day trailing

@@ -194,6 +194,36 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("maxConcurrency: closed-interval sweep, boundary touch counts, randomized") {
+    // [1,5] [3,8] [5,6]: at tick 5 all three are active
+    val iv = Seq((1L, 5L), (3L, 8L), (5L, 6L)).toDF("s", "e")
+    val got = Timeseries.maxConcurrency(iv, col("s"), col("e"))
+      .as[(Long, Option[Long])].head()
+    assert(got == ((3L, Some(5L))))
+    // back-to-back closed intervals ARE concurrent at the shared tick
+    val touch = Timeseries.maxConcurrency(
+      Seq((1L, 3L), (3L, 7L)).toDF("s", "e"), col("s"), col("e"))
+      .as[(Long, Option[Long])].head()
+    assert(touch == ((2L, Some(3L))))
+    // empty input
+    val none = Timeseries.maxConcurrency(iv.where(lit(false)), col("s"), col("e"))
+      .as[(Long, Option[Long])].head()
+    assert(none == ((0L, None)))
+    // randomized vs brute force over a small tick domain
+    val rnd = new scala.util.Random(53)
+    val rs = (1 to 200).map { _ =>
+      val s = rnd.nextInt(100).toLong; (s, s + rnd.nextInt(20)) }
+    val brute = (0L to 130L).map(t => (rs.count(r => r._1 <= t && t <= r._2), t))
+      .maxBy(p => (p._1, -p._2))
+    val g2 = Timeseries.maxConcurrency(rs.toDF("s", "e"), col("s"), col("e"))
+      .as[(Long, Option[Long])].head()
+    assert(g2 == ((brute._1.toLong, Some(brute._2))))
+    intercept[Exception] {
+      Timeseries.maxConcurrency(Seq((5L, 3L)).toDF("s", "e"),
+        col("s"), col("e")).collect()
+    }
+  }
+
   test("changepoint finds the planted level shift; brute-force agreement") {
     val rnd = new scala.util.Random(19)
     // key 0: level 100 then 500 after index 60; key 1: pure noise
