@@ -42,4 +42,26 @@ object KafkaRecords {
     * reference, TimestampType here).
     */
   def eventTime: Column = col("timestamp")
+
+  // ---- encode (the write-side twin; serialization.py:44-56's dumps) ----
+  // Kafka's sink contract is just (key Binary, value Binary, headers
+  // Array<Struct<key,value>>) columns on the frame handed to
+  // format("kafka") — these builders produce exactly that, so the full
+  // encode→decode cycle round-trips in a spec without a broker.
+
+  /** JSONSerializer encode: a struct column → value bytes. */
+  def toJsonValue(record: Column): Column =
+    to_json(record).cast("binary")
+
+  /** StringSerializer encode. */
+  def toStringValue(v: Column): Column = v.cast(StringType).cast("binary")
+
+  /** Key bytes from any key column. */
+  def toKeyBytes(key: Column): Column = key.cast(StringType).cast("binary")
+
+  /** Wire headers from (name, value) pairs. */
+  def toHeaders(pairs: (String, Column)*): Column =
+    array(pairs.map { case (k, v) =>
+      struct(lit(k).as("key"), v.cast(StringType).cast("binary").as("value"))
+    }: _*)
 }

@@ -81,4 +81,26 @@ class SourcesSpec extends AnyFunSuite {
     val rows = parsed.as[(String, String, Double, Long, String)].collect().toSet
     assert(rows == Set(("k1", "s1", 20.5, 1000L, "abc"), ("k2", "s2", -1.0, 2000L, "def")))
   }
+
+  test("kafka wire-record encode -> decode round-trips without a broker") {
+    val typed = Seq((7L, "s9", 42.25, "t-1"), (8L, "s10", -3.5, "t-2"))
+      .toDF("id", "sensor", "temp", "trace")
+    // encode to the exact frame format("kafka") ships
+    val wire = typed.select(
+      KafkaRecords.toKeyBytes(col("id")).as("key"),
+      KafkaRecords.toJsonValue(struct(col("sensor"), col("temp"))).as("value"),
+      KafkaRecords.toHeaders("trace" -> col("trace")).as("headers"))
+      .withColumn("timestamp", lit(new java.sql.Timestamp(5000)))
+    assert(wire.schema("key").dataType.simpleString == "binary")
+    assert(wire.schema("value").dataType.simpleString == "binary")
+    assert(wire.schema("headers").dataType.simpleString ==
+      "array<struct<key:string,value:binary>>")
+    val schema = StructType(Seq(StructField("sensor", StringType), StructField("temp", DoubleType)))
+    val back = KafkaRecords.parseJson(wire, schema)
+      .select(KafkaRecords.keyString.cast("long").as("id"),
+        col("record.sensor"), col("record.temp"),
+        KafkaRecords.header("trace").as("trace"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(back == Set((7L, "s9", 42.25, "t-1"), (8L, "s10", -3.5, "t-2")))
+  }
 }
