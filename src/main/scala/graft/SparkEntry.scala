@@ -1413,6 +1413,16 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q218_rolling_wau" -> ((s, d) =>
+      // ROLLING DISTINCT ACTIVES — Timeseries.rollingDistinct: the
+      // DAU/WAU curve, exact. COUNT DISTINCT can't ride a window
+      // frame; each distinct (user, day) activity EXPLODES its
+      // 7-tick contribution span, then one exact distinct aggregate
+      // per report day — |activity|×7 work, linear. Gap days inside
+      // the span still report. Oracle replays the contribution join.
+      Timeseries.rollingDistinct(Tables(s, d).events,
+        expr("unix_millis(ts) div 86400000"), col("user_id"),
+        windowTicks = 7L)),
     "q217_peak_sessions" -> ((s, d) => {
       // PEAK CONCURRENCY — Timeseries.maxConcurrency over q207's
       // session intervals: the most user sessions simultaneously
@@ -5738,6 +5748,20 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q218_rolling_wau" ->
+      // the same contribution span, clipped at the observed max
+      """WITH p AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+        |    user_id AS u FROM events),
+        |m AS (SELECT max(day) AS mx FROM p),
+        |w AS (SELECT p.day + s.g AS tick, p.u FROM p
+        |      CROSS JOIN generate_series(0, 6) AS s(g), m
+        |      WHERE p.day + s.g <= m.mx),
+        |ww AS (SELECT tick, count(DISTINCT u) AS n_window FROM w GROUP BY 1),
+        |dd AS (SELECT day AS tick, count(DISTINCT u) AS n_active
+        |       FROM p GROUP BY 1)
+        |SELECT ww.tick, CAST(coalesce(dd.n_active, 0) AS BIGINT) AS n_active,
+        |  CAST(ww.n_window AS BIGINT) AS n_window
+        |FROM ww LEFT JOIN dd ON ww.tick = dd.tick""".stripMargin,
     "q217_peak_sessions" ->
       // sessionize replay -> intervals -> tick-aggregated sweep
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

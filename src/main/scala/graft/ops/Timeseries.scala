@@ -259,6 +259,46 @@ object Timeseries {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Exact rolling distinct actives — the DAU/WAU/MAU curve: for every
+    * tick in the observed span, how many distinct ids were active in
+    * the trailing `windowTicks` window, plus that tick's own count.
+    * COUNT DISTINCT cannot ride a window frame; the scalable exact
+    * form is contribution EXPLOSION: each distinct (id, tick) activity
+    * contributes itself to ticks t..t+w−1 (clipped at the observed
+    * max), then one exact distinct aggregate per report tick. Work is
+    * |distinct activity| × w — linear, tunable by w; for long windows
+    * at extreme scale, the theta-sketch stores ([[Sketches]]) are the
+    * approximate alternative. Gap ticks inside the span still report
+    * (their trailing window reaches back); their own count is 0.
+    * Output: (tick, n_active, n_window).
+    */
+  def rollingDistinct(df: DataFrame, tick: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column,
+                      windowTicks: Long): DataFrame = {
+    require(windowTicks >= 1, "rollingDistinct: windowTicks must be >= 1")
+    val tType = df.select(tick.as("__t")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(tType),
+      s"rollingDistinct: tick must be integral (got $tType)")
+    val p = df.select(tick.cast("long").as("tick"), id.as("__id"))
+      .where(col("tick").isNotNull && col("__id").isNotNull)
+      .distinct().localCheckpoint() // the max job and the explode share it
+    val mx = p.agg(max(col("tick"))).head
+    if (mx.isNullAt(0)) return p.sparkSession.emptyDataFrame
+      .select(lit(0L).as("tick"), lit(0L).as("n_active"), lit(0L).as("n_window"))
+      .limit(0)
+    val maxTick = mx.getLong(0)
+    val win = p
+      .select(explode(sequence(col("tick"),
+        least(col("tick") + (windowTicks - 1), lit(maxTick)))).as("tick"),
+        col("__id"))
+      .groupBy(col("tick"))
+      .agg(countDistinct(col("__id")).as("n_window"))
+    val today = p.groupBy(col("tick")).agg(countDistinct(col("__id")).as("n_active"))
+    win.join(today, Seq("tick"), "left")
+      .select(col("tick"), coalesce(col("n_active"), lit(0L)).as("n_active"),
+        col("n_window"))
+  }
+
   /** Exact peak concurrency over closed integral intervals [start,
     * end]: the maximum number of intervals active at any tick, and the
     * earliest tick attaining it — "peak concurrent sessions", live

@@ -194,6 +194,30 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingDistinct: trailing distinct actives, gap ticks report, randomized") {
+    // users: u1 on days 1,2; u2 on day 1; u3 on day 5 — window 3
+    val df = Seq((1L, "u1"), (1L, "u1"), (2L, "u1"), (1L, "u2"), (5L, "u3"))
+      .toDF("d", "u")
+    val got = Timeseries.rollingDistinct(df, col("d"), col("u"), 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L), (2L, 1L, 2L), (3L, 0L, 2L),  // day 3: window {1,2} actives
+      (4L, 0L, 1L),                               // only u1's day-2 activity
+      (5L, 1L, 1L)))                              // u3 (window clipped at max)
+    // randomized vs brute force
+    val rnd = new scala.util.Random(59)
+    val acts = (1 to 400).map(_ => (rnd.nextInt(30).toLong, "u" + rnd.nextInt(25)))
+    val g2 = Timeseries.rollingDistinct(acts.toDF("d", "u"), col("d"), col("u"), 7L)
+      .as[(Long, Long, Long)].collect().toSet
+    val mx = acts.map(_._1).max
+    val brute = (acts.map(_._1).min to mx).flatMap { d =>
+      val w = acts.filter(a => a._1 <= d && a._1 > d - 7).map(_._2).distinct.size
+      if (w == 0 && !acts.exists(_._1 == d)) None
+      else Some((d, acts.filter(_._1 == d).map(_._2).distinct.size.toLong, w.toLong))
+    }.filter(_._3 > 0).toSet
+    assert(g2 == brute)
+  }
+
   test("maxConcurrency: closed-interval sweep, boundary touch counts, randomized") {
     // [1,5] [3,8] [5,6]: at tick 5 all three are active
     val iv = Seq((1L, 5L), (3L, 8L), (5L, 6L)).toDF("s", "e")
