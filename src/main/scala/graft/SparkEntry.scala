@@ -1413,6 +1413,17 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q219_funnel_latency" -> ((s, d) =>
+      // CONVERSION-LATENCY DISTRIBUTION — Funnel.conversionLatency →
+      // Quantiles.percentiles: the time from first view to the
+      // purchase that completes the funnel, exact p50/p90/p99 over
+      // converting users by range bisection (no sort, no value
+      // collection). Oracle replays q106's chained conditional mins,
+      // then the q121 rank convention over the latencies.
+      Quantiles.percentiles(
+        Funnel.conversionLatency(Tables(s, d).events, col("user_id"),
+          col("event_type"), col("ts"), Seq("view", "click", "purchase")),
+        col("latency_us"), Seq(50, 90, 99))),
     "q218_rolling_wau" -> ((s, d) =>
       // ROLLING DISTINCT ACTIVES — Timeseries.rollingDistinct: the
       // DAU/WAU curve, exact. COUNT DISTINCT can't ride a window
@@ -5748,6 +5759,23 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q219_funnel_latency" ->
+      // chained conditional mins -> latencies -> q121 rank convention
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
+        |l AS (SELECT t3.t - t1.t AS lat FROM t3 JOIN t1 USING (user_id)),
+        |r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn,
+        |    count(*) OVER () AS n FROM l),
+        |ks(q_pct) AS (VALUES (50), (90), (99))
+        |SELECT CAST(ks.q_pct AS BIGINT) AS q_pct,
+        |  CAST(greatest(1, (ks.q_pct * r.n + 99) // 100) AS BIGINT) AS rk,
+        |  r.lat AS value
+        |FROM r, ks WHERE r.rn = greatest(1, (ks.q_pct * r.n + 99) // 100)""".stripMargin,
     "q218_rolling_wau" ->
       // the same contribution span, clipped at the observed max
       """WITH p AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,

@@ -64,6 +64,57 @@ object Funnel {
       .withColumn("converted", col("steps_completed") === n)
   }
 
+  /** Time-to-convert for the users who COMPLETE the funnel: the same
+    * greedy earliest-match fold as [[steps]], additionally carrying
+    * the first matched step's time and the last advance's time —
+    * (user_id, start_us, end_us, latency_us), converted users only.
+    * Feed `latency_us` to [[Quantiles.percentiles]] for the
+    * conversion-latency distribution. Same one-exchange shape and
+    * same-microsecond ambiguity guard as [[steps]].
+    */
+  def conversionLatency(events: DataFrame, user: Column, etype: Column,
+                        time: Column, stepNames: Seq[String]): DataFrame = {
+    require(stepNames.nonEmpty, "funnel: at least one step")
+    require(stepNames.distinct.size == stepNames.size,
+      s"funnel: steps must be distinct, got ${stepNames.mkString(", ")}")
+    val n = stepNames.size
+    val si = stepNames.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(etype === s, lit(i)).otherwise(acc)
+    }
+    val evs = col("evs")
+    val dupT = exists(
+      zip_with(
+        slice(evs, lit(1), greatest(size(evs) - 1, lit(0))),
+        slice(evs, lit(2), greatest(size(evs) - 1, lit(0))),
+        (a, b) => a.getField("t") === b.getField("t")),
+      x => x)
+    val zero = struct(lit(0).as("k"),
+      lit(null).cast("long").as("ft"), lit(null).cast("long").as("lt"))
+    events
+      .where(etype.isin(stepNames: _*))
+      .select(user.as("user_id"), si.as("si"), unix_micros(time).as("t"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("evs"))
+      .select(col("user_id"),
+        when(dupT, raise_error(concat(lit("funnel: user "), col("user_id"),
+          lit(" has two funnel events at the same microsecond — " +
+            "'strictly after' is ambiguous; disambiguate upstream"))))
+          .otherwise(
+            aggregate(evs, zero, (acc, ev) =>
+              when(acc.getField("k") < n &&
+                ev.getField("si") === acc.getField("k"),
+                struct((acc.getField("k") + 1).as("k"),
+                  when(acc.getField("k") === 0, ev.getField("t"))
+                    .otherwise(acc.getField("ft")).as("ft"),
+                  ev.getField("t").as("lt")))
+                .otherwise(acc)))
+          .as("__f"))
+      .where(col("__f.k") === n)
+      .select(col("user_id"), col("__f.ft").as("start_us"),
+        col("__f.lt").as("end_us"),
+        (col("__f.lt") - col("__f.ft")).as("latency_us"))
+  }
+
   /** The same funnel CONTINUOUSLY: per-user state machine on the keyed
     * state store ([[graft.streaming.KeyedProcess]]), emitting a user's
     * progress whenever it advances (Update output). State per user is

@@ -112,4 +112,30 @@ class FunnelSpec extends AnyFunSuite {
         col("user_id"), col("event_type"), col("us"), Seq("view", "view"))
     }
   }
+
+  test("conversionLatency: first-match to final-advance, converted only") {
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision here
+    val ev = Seq(
+      // user 1 converts: view@1s (earliest), click@3s, purchase@7s
+      (1L, "view", t(1000000L)), (1L, "view", t(2000000L)),
+      (1L, "click", t(3000000L)), (1L, "purchase", t(7000000L)),
+      // user 2 stalls at click
+      (2L, "view", t(1000000L)), (2L, "click", t(2000000L)),
+      // user 3: purchase BEFORE click -> not converted
+      (3L, "view", t(1000000L)), (3L, "purchase", t(2000000L))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.conversionLatency(ev, col("user_id"), col("event_type"),
+      col("ts"), Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1000000L, 7000000L, 6000000L)))
+    // latency agrees with steps' conversion set on the corpus
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val conv = Funnel.steps(e, col("user_id"), col("event_type"), col("ts"),
+      Seq("view", "click", "purchase")).where(col("converted"))
+      .select(col("user_id")).as[Long].collect().toSet
+    val lat = Funnel.conversionLatency(e, col("user_id"), col("event_type"),
+      col("ts"), Seq("view", "click", "purchase"))
+    assert(lat.select(col("user_id")).as[Long].collect().toSet == conv)
+    assert(lat.where(col("latency_us") <= 0).count() == 0)
+  }
 }
