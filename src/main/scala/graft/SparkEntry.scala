@@ -1413,6 +1413,24 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q220_cdf_rank" -> ((s, d) => {
+      // EMPIRICAL-CDF SCORING — Quantiles.cdfRank: odd-day events
+      // scored against the even-day reference distribution per event
+      // type: the exact fraction of reference values <= each event's
+      // cents (1e4 fixed point) — row-grain anomaly scoring vs a
+      // baseline. The reference collapses to its distinct-value CDF;
+      // queries attach the floor entry via the as-of union trick over
+      // the VALUE domain — no range join. Oracle: the naive per-row
+      // count over the key-pair join.
+      val e = Tables(s, d).events.select(col("event_id"),
+        col("event_type").as("k"),
+        (expr("unix_millis(ts) div 86400000") % 2).as("par"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      Quantiles.cdfRank(
+        e.where(col("par") === 1).select(col("event_id"), col("k"), col("cents")),
+        col("k"), col("cents"),
+        e.where(col("par") === 0), col("k"), col("cents"))
+    }),
     "q219_funnel_latency" -> ((s, d) =>
       // CONVERSION-LATENCY DISTRIBUTION — Funnel.conversionLatency →
       // Quantiles.percentiles: the time from first view to the
@@ -5759,6 +5777,22 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q220_cdf_rank" ->
+      // the naive per-row reference count the as-of CDF replaces
+      """WITH e AS (SELECT event_id, event_type AS k,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT k, cents FROM e WHERE day % 2 = 0),
+        |q AS (SELECT event_id, k, cents FROM e WHERE day % 2 = 1),
+        |t AS (SELECT k, count(*) AS n FROM r GROUP BY 1),
+        |c AS (SELECT q.event_id, count(r.cents) AS cnt
+        |  FROM q LEFT JOIN r ON r.k = q.k AND r.cents <= q.cents
+        |  GROUP BY 1)
+        |SELECT q.event_id, q.k, q.cents,
+        |  CASE WHEN t.n IS NOT NULL
+        |       THEN CAST(c.cnt * 10000 // t.n AS BIGINT) END AS cdf_fp
+        |FROM q JOIN c USING (event_id) LEFT JOIN t USING (k)""".stripMargin,
     "q219_funnel_latency" ->
       // chained conditional mins -> latencies -> q121 rank convention
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events

@@ -379,6 +379,51 @@ object Quantiles {
         expr(s"((rank - 1) * ${nBins}L) div ${n}L") + 1L)
   }
 
+  /** Empirical-CDF scoring against a REFERENCE distribution: each
+    * query row gets the exact fraction (1e4 fixed point) of reference
+    * values ≤ its value, within its key — "how unusual is today's
+    * latency against last week's", anomaly scoring and drift
+    * attribution at row grain. Keys present only in the queries score
+    * NULL (no reference to stand on); a value below every reference
+    * value scores 0.
+    *
+    * NOT a range join (reference × queries would explode): the
+    * reference collapses to its distinct (key, value) frame with
+    * per-key cumulative counts — one keyed window over the DISTINCT
+    * frame — and the queries attach the floor entry by the
+    * [[Joins.asofJoin]] union trick over the VALUE domain: one keyed
+    * sort, no join node on the row-sized side. Values must be
+    * integral (the house cents convention).
+    */
+  def cdfRank(queries: DataFrame, qKey: Column, qValue: Column,
+              ref: DataFrame, rKey: Column, rValue: Column): DataFrame = {
+    Seq(("query", queries, qValue), ("reference", ref, rValue)).foreach {
+      case (side, df, v) =>
+        val t = df.select(v.as("__v")).schema.head.dataType.simpleString
+        require(Seq("bigint", "int", "smallint", "tinyint").contains(t),
+          s"cdfRank: $side value must be integral (got $t)")
+    }
+    val r = ref.select(rKey.as("__k"), rValue.cast("long").as("__v"))
+      .where(col("__k").isNotNull && col("__v").isNotNull)
+    val perVal = r.groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perVal.withColumn("__cum", sum(col("__c")).over(w))
+      .select(col("__k"), col("__v"), col("__cum"))
+    val totals = r.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    Joins.asofJoin(
+      queries, cum.select(col("__k"), col("__v"), col("__cum")),
+      qKey, col("__k"), qValue.cast("long"), col("__v"),
+      Seq("cum" -> col("__cum")))
+      .join(totals.withColumnRenamed("__k", "__tk"),
+        qKey === col("__tk"), "left")
+      .withColumn("cdf_fp",
+        when(col("__n").isNotNull,
+          expr("coalesce(asof.cum, 0L) * 10000L div __n")))
+      .drop("asof", "__tk", "__n")
+  }
+
   /** Gini concentration coefficient per group, in EXACT 1e4 fixed
     * point — "how concentrated is revenue across this supplier's
     * orders", the inequality screen for corpus/source balance audits.

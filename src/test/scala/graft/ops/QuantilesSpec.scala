@@ -240,6 +240,36 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdfRank: exact reference fraction <= value, edges and unknown keys") {
+    val ref = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("b", 5L)).toDF("k", "v")
+    val q = Seq(("a", 1L, 9L), ("a", 2L, 10L), ("a", 3L, 20L),
+      ("a", 4L, 25L), ("a", 5L, 99L), ("b", 6L, 5L), ("zzz", 7L, 1L))
+      .toDF("k", "id", "v")
+    val got = Quantiles.cdfRank(q, col("k"), col("v"),
+      ref, col("k"), col("v"))
+      .select($"id", $"cdf_fp").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(0L),            // below all 4 refs
+      2L -> Some(2500L),         // 1/4
+      3L -> Some(7500L),         // 3/4 (ties counted)
+      4L -> Some(7500L),         // floor at 20
+      5L -> Some(10000L),        // above all
+      6L -> Some(10000L),        // b: 1/1
+      7L -> None))               // unknown key
+    // randomized parity with the naive definition
+    val rnd = new scala.util.Random(61)
+    val refR = (1 to 500).map(_ => ("g", rnd.nextInt(100).toLong))
+    val qR = (1 to 200).map(i => ("g", i.toLong, rnd.nextInt(120).toLong - 10))
+    val g2 = Quantiles.cdfRank(qR.toDF("k", "id", "v"), col("k"), col("v"),
+      refR.toDF("k", "v"), col("k"), col("v"))
+      .select($"id", $"cdf_fp").as[(Long, Long)].collect().toMap
+    qR.foreach { case (_, i, x) =>
+      val exp = refR.count(_._2 <= x).toLong * 10000 / refR.size
+      assert(g2(i) == exp, s"query $i value $x")
+    }
+  }
+
   test("giniByKey: fixed-point Gini matches the sorted-rank formula") {
     val rnd = new scala.util.Random(47)
     val rows = (for (g <- Seq("a", "b"); _ <- 1 to 150)
