@@ -1413,6 +1413,23 @@ object SparkEntry {
         Tables(s, d).lineitem.select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
+    "q221_kwic" -> ((s, d) => {
+      // KEYWORD IN CONTEXT — TrigramIndex.searchWithContext: q191's
+      // substring hits with the first match's position and an
+      // edge-clipped 15-char-each-side snippet (the grep -C of the
+      // standing index; per-hit work only). Oracle replays instr +
+      // the same clipped substring arithmetic.
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
+        .toDF("qid", "pat")
+      TrigramIndex.searchWithContext(s, qs, col("qid"), col("pat"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx, context = 15)
+    }),
     "q220_cdf_rank" -> ((s, d) => {
       // EMPIRICAL-CDF SCORING — Quantiles.cdfRank: odd-day events
       // scored against the even-day reference distribution per event
@@ -5777,6 +5794,18 @@ object SparkEntry {
         |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
         |  c AS value
         |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
+    "q221_kwic" ->
+      // instr + the same edge-clipped substring arithmetic
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |q(qid, pat) AS (VALUES (0, 'ge bat'), (1, 'le sor'), (2, 'rt join')),
+        |h AS (SELECT q.qid, t.doc_id, t.s, q.pat,
+        |    instr(t.s, q.pat) AS pos
+        |  FROM q JOIN t ON instr(t.s, q.pat) > 0)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(pos AS BIGINT) AS pos,
+        |  substring(s, CAST(greatest(pos - 15, 1) AS INT),
+        |    CAST(least(pos + length(pat) + 15, length(s) + 1) -
+        |         greatest(pos - 15, 1) AS INT)) AS snippet
+        |FROM h""".stripMargin,
     "q220_cdf_rank" ->
       // the naive per-row reference count the as-of CDF replaces
       """WITH e AS (SELECT event_id, event_type AS k,

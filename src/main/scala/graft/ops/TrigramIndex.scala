@@ -204,6 +204,35 @@ object TrigramIndex {
       .where(col("__m") === col("__qn"))
       .select(col("qid"), col("doc_id"))
 
+  /** [[search]] with match context — the grep -C of the standing
+    * index: each hit also carries the FIRST match's 1-based character
+    * position and a snippet of `context` characters on each side
+    * (clipped at the document edges). Same candidate pruning; the
+    * position/snippet work is per-hit only. Output (qid, doc_id, pos,
+    * snippet).
+    */
+  def searchWithContext(spark: SparkSession, queries: DataFrame, qid: Column,
+                        qtext: Column, corpus: DataFrame, id: Column,
+                        text: Column, path: String, context: Int = 20,
+                        maxQueryGrams: Int = 10000,
+                        gramsPerQuery: Int = 4): DataFrame = {
+    require(context >= 0, "trigram searchWithContext: context must be >= 0")
+    val hits = search(spark, queries, qid, qtext, corpus, id, text, path,
+      maxQueryGrams, gramsPerQuery)
+    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
+    val docs = requireIntegralId(corpus.select(id.as("doc_id"), norm(text).as("__s")))
+    hits.join(broadcast(pats), Seq("qid"))
+      .join(docs, Seq("doc_id")) // hit-pruned: the join keys are the hits
+      .withColumn("pos", instr(col("__s"), col("pat")).cast("long"))
+      .withColumn("__from", greatest(col("pos") - context, lit(1L)))
+      .withColumn("__until", // exclusive end, clipped at doc end
+        least(col("pos") + length(col("pat")) + context,
+          length(col("__s")).cast("long") + 1L))
+      .withColumn("snippet",
+        substr(col("__s"), col("__from"), col("__until") - col("__from")))
+      .select(col("qid"), col("doc_id"), col("pos"), col("snippet"))
+  }
+
   /** Fold a batch of NEW documents in as fold `folds+1` — exactly-once
     * under streaming replay via the `last_batch` ledger in the `_model`
     * swap ([[Bm25Index.append]]'s discipline: fold files commit first by

@@ -48,6 +48,20 @@ class TrigramIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchWithContext: first-match position and edge-clipped snippets") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val got = TrigramIndex.searchWithContext(spark,
+      Seq((0L, "merge sort"), (1L, "apart")).toDF("qid", "pat"),
+      col("qid"), col("pat"), corpus, col("id"), col("text"), path,
+      context = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 1L, "merge sort joi"),      // doc 1: left edge clips, right extends
+      (0L, 2L, 9L, "big merge sort"),      // doc 2 lowercased, right edge clips
+      (1L, 4L, 14L, "bcd apart")))         // doc 4 "abc then bcd apart"
+  }
+
   test("patterns shorter than 3 chars fail fast") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
