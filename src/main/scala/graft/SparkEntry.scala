@@ -2033,6 +2033,52 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q124_join")
     }),
+    "q222_interval_join_outer_stream" -> ((s, d) => {
+      // q124's LEFT-OUTER form — the last untested streaming-join
+      // semantics class, and the missing half of the reference's own
+      // attribution example (stream_join.py:38-45): the purchases with
+      // NO click within ±6 h, which an inner join silently discards.
+      // A genuinely different state/firing contract: matched pairs
+      // emit eagerly, but an unmatched left row emits (null click
+      // side) only when the watermark proves no future click can
+      // match it — so unlike q124 the output DEPENDS on watermark
+      // progress, and the replay must end by advancing the clock past
+      // the corpus. The sentinel slice does that; it must pass the
+      // side filters (isin includes "__sentinel__") to reach the
+      // watermark nodes, and is removed AFTER registering by a
+      // predicate on the event-time column itself (ts predicates are
+      // kept above the EventTimeWatermark node; a pushed event_type
+      // filter would drop it before its event time counts — q122's
+      // documented trap). The two sentinel rows match each other
+      // (same user -1, same ts), so neither lingers as join state.
+      // Oracle = q24's batch SQL as a LEFT join at the same µs bound.
+      withShufflePartitions(s, 8) {
+        def side() = s.readStream
+          .schema(Tables(s, d).events.select(replayCols: _*).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"${sentinelReplayDir(s, d)}/in")
+        val p = side()
+          .where(col("event_type").isin("purchase", "__sentinel__"))
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = side()
+          .where(col("event_type").isin("click", "__sentinel__"))
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val joined = graft.streaming.StreamOps.intervalJoinOuter(
+          p, "p_ts", "0 seconds", c, "c_ts", "0 seconds",
+          col("p_user") === col("c_user"),
+          "p_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts + INTERVAL 6 HOURS",
+          "left_outer")
+          .where(col("p_ts") < sentinelCutoff)
+          .select(col("purchase_id"), col("click_id"),
+            (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
+        val q = joined.writeStream.format("memory").queryName("graft_q222_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_q222_join")
+    }),
     "q129_restart_exactly_once" -> ((s, d) => {
       // The reference's flagship claim — EXACTLY-ONCE across a
       // mid-stream stop/restart (checkpoint_coordinator.py:55-311,
@@ -2724,6 +2770,27 @@ object SparkEntry {
       val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
         .toDF("qid", "pat")
       TrigramIndex.search(s, qs, col("qid"), col("pat"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx)
+    }),
+    "q223_wildcard_search" -> ((s, d) => {
+      // WILDCARD (LIKE) RETRIEVAL — TrigramIndex.searchLike: full
+      // anchored SQL LIKE over the SAME standing index as q191. The
+      // code-search move: every literal run of the pattern must appear
+      // contiguously in a matching document, so the union of the runs'
+      // trigrams are REQUIRED grams — candidate pruning is the same
+      // counting AND, then the exact per-row LIKE verify on candidates
+      // only. The three patterns exercise multi-run `%` (ordered
+      // terms), a `_` single-char wildcard inside a run boundary, and
+      // a prefix anchor. Oracle: the plain corpus-scan LIKE.
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "%merge%join%"), (1L, "%sort%tab_e%"),
+        (2L, "the%stream%")).toDF("qid", "pat")
+      TrigramIndex.searchLike(s, qs, col("qid"), col("pat"),
         Tables(s, d).documents, col("doc_id"), col("text"), idx)
     }),
     "q187_boolean_search" -> ((s, d) => {
@@ -5639,6 +5706,15 @@ object SparkEntry {
         |q(qid, pat) AS (VALUES (0, 'ge bat'), (1, 'le sor'), (2, 'rt join'))
         |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
         |FROM q JOIN t ON instr(t.s, q.pat) > 0""".stripMargin,
+    "q223_wildcard_search" ->
+      // the unaccelerated form: a full corpus-scan anchored LIKE (no
+      // backslashes in any pattern, so DuckDB's no-escape default and
+      // Spark's \-escape default agree)
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |q(qid, pat) AS (VALUES (0, '%merge%join%'), (1, '%sort%tab_e%'),
+        |                       (2, 'the%stream%'))
+        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
+        |FROM q JOIN t ON t.s LIKE q.pat""".stripMargin,
     "q189_phrase_search" ->
       // boundary-padded containment over the space-joined tokens —
       // exact sequence semantics because tokens contain no whitespace
@@ -6356,6 +6432,17 @@ object SparkEntry {
         |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
         |FROM events p JOIN events c
         |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
+    "q222_interval_join_outer_stream" ->
+      // q124's replay as a LEFT join: the unmatched purchases carry
+      // NULL click_id/delta_ms — the rows the streaming side may only
+      // emit on watermark expiry. Same µs-precision bound (the Spark
+      // side's range predicate runs on the raw event-time columns).
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
         |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
     "q129_restart_exactly_once" ->
       // replay: identical to q21's — the stop/restart must be invisible

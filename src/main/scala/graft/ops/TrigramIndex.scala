@@ -151,7 +151,76 @@ object TrigramIndex {
     // build used (local-relation job: no scan, keeps the char/codepoint
     // semantics bit-identical to the index side)
     val qgAll = patsDf.select(col("qid"), explode(grams(col("pat"))).as("gram"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    searchCore(spark, patsDf, qgAll, corpus, id, text, path,
+      maxQueryGrams, gramsPerQuery, (s, p) => contains(s, p))
+  }
+
+  /** The literal runs of a LIKE pattern — maximal wildcard-free
+    * substrings. Every one of them must appear contiguously in any
+    * matching document, so their grams are REQUIRED grams ([[searchLike]]).
+    */
+  private[ops] def literalRuns(pat: String): Seq[String] =
+    pat.split("[%_]").toSeq.filter(_.nonEmpty)
+
+  /** Wildcard (SQL LIKE) search over the same index: `queries` is
+    * (qid, pattern) with `%`/`_` wildcards; output (qid, doc_id) for
+    * every document whose lowercased text matches the LOWERCASED
+    * pattern under full anchored LIKE semantics (lead/trail with `%`
+    * for substring behavior). The code-search move: a matching
+    * document must contain every literal run of the pattern as a
+    * contiguous substring, so the runs' trigrams are required grams —
+    * candidate pruning is [[search]]'s counting AND over the union of
+    * all runs' grams, then the exact per-row LIKE verify runs on
+    * candidates only.
+    *
+    * Fail-fast posture: a pattern with no literal run of >= 3 chars
+    * cannot be pruned (the `<3 chars` rule); backslashes are rejected
+    * because escape semantics are engine-specific (Spark defaults to
+    * `\`-escape, ANSI LIKE has none).
+    */
+  def searchLike(spark: SparkSession, queries: DataFrame, qid: Column,
+                 qtext: Column, corpus: DataFrame, id: Column, text: Column,
+                 path: String, maxQueryGrams: Int = 10000,
+                 gramsPerQuery: Int = 4): DataFrame = {
+    require(gramsPerQuery > 0, "trigram searchLike: gramsPerQuery must be positive")
+    import spark.implicits._
+    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val esc = pats.filter(_._2.contains("\\"))
+    require(esc.isEmpty,
+      s"trigram searchLike: ${esc.size} pattern(s) contain a backslash (e.g. " +
+        s"'${esc.headOption.map(_._2).getOrElse("")}') — escape semantics are " +
+        "engine-specific; pre-resolve escapes or drop them")
+    val weak = pats.filter { case (_, p) => !literalRuns(p).exists(_.length >= N) }
+    require(weak.isEmpty,
+      s"trigram searchLike: ${weak.size} pattern(s) with no literal run of >= $N " +
+        s"chars (e.g. '${weak.headOption.map(_._2).getOrElse("")}') — the index " +
+        "cannot prune them; a silent corpus scan is never what an index caller wants")
+    val patsDf = pats.toDF("qid", "pat")
+    // gram each run through the SAME Column expression the build used
+    // (search's bit-identical-semantics discipline); union across a
+    // pattern's runs, distinct per query
+    val runsDf = pats.flatMap { case (q, p) =>
+      literalRuns(p).filter(_.length >= N).map(q -> _)
+    }.toDF("qid", "run")
+    val qgAll = runsDf.select(col("qid"), explode(grams(col("run"))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
+    searchCore(spark, patsDf, qgAll, corpus, id, text, path,
+      maxQueryGrams, gramsPerQuery,
+      (s, p) => call_function("like", s, p))
+  }
+
+  /** Shared candidate-prune + verify tail of [[search]]/[[searchLike]]:
+    * rarest-k gram selection off the df table, counting-AND candidate
+    * cut, then `verify(docText, pattern)` on candidates only.
+    */
+  private def searchCore(spark: SparkSession, patsDf: DataFrame,
+                         qgAll: Seq[(Long, String)], corpus: DataFrame,
+                         id: Column, text: Column, path: String,
+                         maxQueryGrams: Int, gramsPerQuery: Int,
+                         verify: (Column, Column) => Column): DataFrame = {
+    import spark.implicits._
     val allGs = qgAll.map(_._2).distinct
     require(allGs.length <= maxQueryGrams,
       s"trigram search: ${allGs.length} distinct query grams exceed " +
@@ -186,7 +255,7 @@ object TrigramIndex {
       .join(bc(cands.select(col("doc_id")).distinct()), Seq("doc_id"))
     docsPruned.join(bc(cands), Seq("doc_id"))
       .join(broadcast(patsDf), Seq("qid"))
-      .where(contains(col("__s"), col("pat")))
+      .where(verify(col("__s"), col("pat")))
       .select(col("qid"), col("doc_id"))
   }
 

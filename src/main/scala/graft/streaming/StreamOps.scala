@@ -81,4 +81,33 @@ object StreamOps {
     left.withWatermark(leftTsCol, leftDelay)
       .join(right.withWatermark(rightTsCol, rightDelay),
         keyCond && expr(boundExpr), "inner")
+
+  /** Stream-stream interval OUTER join — the unmatched half of the
+    * reference's attribution example (examples/stream_join.py:38-45
+    * joins clicks to impressions; the impressions that never converted
+    * are the rows an INNER join silently discards). A genuinely
+    * different state/firing contract from [[intervalJoin]]: matched
+    * pairs emit eagerly, but an outer-side row emits (with nulls on
+    * the other side) only once the watermark proves no future input
+    * can match it — Spark derives that eviction bound from the range
+    * condition over the raw event-time columns, exactly the cutoff the
+    * reference's `_cleanup_state` (stateful.py:425-444) computes by
+    * hand but never surfaces as output. `joinType` is `left_outer`,
+    * `right_outer`, or `full_outer`.
+    *
+    * The final unmatched rows only flush when the watermark passes the
+    * last row's eviction bound — a bounded replay must advance the
+    * clock past the corpus (the sentinel-slice posture) or the tail
+    * stays in state forever.
+    */
+  def intervalJoinOuter(left: DataFrame, leftTsCol: String, leftDelay: String,
+                        right: DataFrame, rightTsCol: String, rightDelay: String,
+                        keyCond: Column, boundExpr: String,
+                        joinType: String = "left_outer"): DataFrame = {
+    require(Set("left_outer", "right_outer", "full_outer")(joinType),
+      s"intervalJoinOuter: joinType must be an outer type, got $joinType")
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay),
+        keyCond && expr(boundExpr), joinType)
+  }
 }
