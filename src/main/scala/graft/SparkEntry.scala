@@ -50,6 +50,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q200StoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q224StoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q143IndexCache =
@@ -1591,7 +1593,8 @@ object SparkEntry {
         val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
         collectScreenBatches(s) { onBatch =>
           EventTimeWindows.sessionizeStream(s, stream, Seq("user_id"),
-            col("ts"), col("event_id"), gapMs = 30L * 60 * 1000, p)(onBatch)
+            col("ts"), col("event_id"), gapMs = 30L * 60 * 1000, p,
+            ephemeralOk = true)(onBatch)
         }
       }
     }),
@@ -1697,7 +1700,8 @@ object SparkEntry {
           val stage = screenReplayDir(s"$dir#q200", ev, unix_micros(col("ts")), 6)
           val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
           val q = Timeseries.cusumStream(s, stream, Seq("user_id"),
-            col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p)
+            col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p,
+            ephemeralOk = true)
           try q.processAllAvailable() finally q.stop()
         }
         p
@@ -1705,6 +1709,41 @@ object SparkEntry {
       Timeseries.readCusumStore(s, store)
         .select(col("user_id"), col("n"), col("max_cusum"),
           col("n_breach"), col("first_breach_us"))
+    }),
+    "q224_mad_monitor_stream" -> ((s, d) => {
+      // CONTINUOUS ROBUST OUTLIER MONITOR — Quantiles.madMonitorStream:
+      // q186's median/MAD screen live. The per-type (median, MAD)
+      // bounds come from the even-day REFERENCE slice (a standing
+      // batch profile, SwapStore-persisted — q132's baseline posture;
+      // fixed between rebuilds, never dragged along by the drift being
+      // hunted); the odd-day events stream through in 3 slices and
+      // each micro-batch's |x − median| > 3·MAD flags fold into
+      // per-type counters under the ledger (exactly-once; pure sums,
+      // so no ordered-delivery contract). The profile broadcasts onto
+      // each batch scan — per-trigger work is batch-sized, zero corpus
+      // shuffle. Oracle replays the profile with q186's rank
+      // convention, then the same flags over the odd-day union.
+      val store = q224StoreCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q224_store") + "/mad"
+        val ev = Tables(s, dir).events.select(col("event_type"),
+          (expr("unix_millis(ts) div 86400000") % 2).as("par"),
+          col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
+        Quantiles.initMadMonitor(
+          Quantiles.madProfile(ev.where(col("par") === 0),
+            Seq("event_type"), col("cents")), p)
+        withShufflePartitions(s, 8) {
+          val odd = ev.where(col("par") === 1)
+          val stage = screenReplayDir(s"$dir#q224", odd, unix_micros(col("ts")), 3)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, odd.schema)
+          val q = Quantiles.madMonitorStream(s, stream, Seq("event_type"),
+            col("cents"), p, ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      Quantiles.readMadMonitor(s, store)
+        .select(col("event_type"), col("median"), col("mad"),
+          col("n_seen"), col("n_flagged"))
     }),
     "q199_winsorize" -> ((s, d) =>
       // PER-GROUP WINSORIZATION — Quantiles.winsorize: every lineitem's
@@ -1755,6 +1794,25 @@ object SparkEntry {
         Seq(Seq("nation", "seg", "bal"), Seq("nation", "seg"), Seq("seg")),
         k = 8)
         .select(col("c_custkey"), col("lvl"), col("grp_n"))),
+    "q225_l_diversity" -> ((s, d) =>
+      // L-DIVERSITY RELEASE GATE — Privacy.lDiversify: q194's ladder
+      // with the homogeneity attack closed. k-anonymity bounds group
+      // SIZE only — a k-big cell whose members all share one market
+      // segment still discloses it; distinct l-diversity additionally
+      // requires ≥ l distinct sensitive values, so each customer takes
+      // the finest level (nation+balance bucket → nation) whose group
+      // reaches BOTH k=8 and l=3 segments, homogeneous cells escalate
+      // like too-small ones, and rows failing every level suppress.
+      // Same one-shuffle cell-frame ladder as q194, cells at
+      // (quasi..., sensitive) grain. Oracle replays both floors and
+      // the finest-first CASE pick.
+      Privacy.lDiversify(Tables(s, d).customer,
+        Seq("nation" -> col("c_nationkey"),
+          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
+        col("c_mktsegment"),
+        Seq(Seq("nation", "bal"), Seq("nation")),
+        k = 8, l = 3)
+        .select(col("c_custkey"), col("lvl"), col("grp_n"), col("grp_l"))),
     "q193_fuzzy_vocab_join" -> ((s, d) => {
       // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
       // corpus+catalog vocabulary: every unordered word pair within
@@ -1791,7 +1849,7 @@ object SparkEntry {
             rows.where(col("p_partkey") % 2 === 1), col("p_partkey"), 4)
           val stream = graft.streaming.Replay.orderedStream(s, stage, rows.schema)
           val q = Frontier.skylineStream(s, stream,
-            Seq("p_brand"), "p_size", "price", p)
+            Seq("p_brand"), "p_size", "price", p, ephemeralOk = true)
           try q.processAllAvailable() finally q.stop()
         }
         p
@@ -3464,7 +3522,7 @@ object SparkEntry {
         val stage = screenReplayDir(s"$d#q160", changes, col("o_orderkey"), 4)
         val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
         val q = Diff.maintainAggStream(s, stream, path, Seq("o_custkey"),
-          "op", "cnt", Seq("total" -> "p"))
+          "op", "cnt", Seq("total" -> "p"), ephemeralOk = true)
         try q.processAllAvailable() finally q.stop()
       }
       Diff.readView(s, path)
@@ -3496,7 +3554,7 @@ object SparkEntry {
         val stream = graft.streaming.Replay.orderedStream(s, stage,
           e.select(col("event_id"), col("event_type"), col("user_id"), col("ts")).schema)
         val q = Sketches.ingestThetaStream(s, stream, Seq(col("event_type")),
-          day(col("ts")), col("user_id"), path)
+          day(col("ts")), col("user_id"), path, ephemeralOk = true)
         try q.processAllAvailable() finally q.stop()
       }
       val est = Sketches.distinctOver(Sketches.readThetaStore(s, path),
@@ -3537,7 +3595,8 @@ object SparkEntry {
         val stream = graft.streaming.Replay.orderedStream(s, stage,
           prep(e).schema)
         val q = Sketches.ingestKllStream(s, stream,
-          Seq(col("event_type"), col("dow")), col("day"), col("fv"), path, k = 65535)
+          Seq(col("event_type"), col("dow")), col("day"), col("fv"), path,
+          k = 65535, ephemeralOk = true)
         try q.processAllAvailable() finally q.stop()
       }
       val est = Sketches.quantilesOver(Sketches.readKllStore(s, path),
@@ -3573,7 +3632,7 @@ object SparkEntry {
         val stream = graft.streaming.Replay.orderedStream(s, stage,
           prep(docs).schema)
         val q = Sketches.ingestTopKStream(s, stream, Seq(col("lang")),
-          col("source"), col("w"), path)
+          col("source"), col("w"), path, ephemeralOk = true)
         try q.processAllAvailable() finally q.stop()
       }
       Sketches.topKOver(Sketches.readTopKStore(s, path), Seq("lang"),
@@ -3635,7 +3694,8 @@ object SparkEntry {
             catalogPrep(e.where(col("event_id") % 2 === 1)), col("event_id"), 4)
           val stream = graft.streaming.Replay.orderedStream(s, stage,
             catalogPrep(e).schema)
-          val q = graft.core.Catalog.ingestStream(s, stream, p, catalogFolds)
+          val q = graft.core.Catalog.ingestStream(s, stream, p, catalogFolds,
+            ephemeralOk = true)
           try q.processAllAvailable() finally q.stop()
         }
         p
@@ -3690,7 +3750,7 @@ object SparkEntry {
           val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
           val q = Admission.ingestStream(s, p, "fps", stream,
             col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-            admissionFolds)
+            admissionFolds, ephemeralOk = true)
           try q.processAllAvailable() finally q.stop()
         }
         p
@@ -4011,7 +4071,7 @@ object SparkEntry {
             val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
             val q = Admission.ingestStream(s, p, "fps", stream,
               col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-              admissionFolds)
+              admissionFolds, ephemeralOk = true)
             try q.processAllAvailable() finally q.stop()
           } finally follower.stop()
           graft.core.Catalog.replicate(s, p, r) // deterministic final sync
@@ -6196,6 +6256,31 @@ object SparkEntry {
         |  CAST(min(CASE WHEN s > 20000 THEN epoch_us(ts) END) AS BIGINT)
         |    AS first_breach_us
         |FROM s GROUP BY 1""".stripMargin,
+    "q224_mad_monitor_stream" ->
+      // the profile under q186's rank convention (even days), then the
+      // identical flags counted over the odd-day union
+      """WITH v AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |r AS (SELECT event_type, x FROM v WHERE day % 2 = 0),
+        |m AS (SELECT event_type, x AS med FROM (
+        |    SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |           count(*) OVER (PARTITION BY event_type) AS cnt FROM r)
+        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
+        |dv AS (SELECT r.event_type, abs(r.x - m.med) AS dev
+        |       FROM r JOIN m USING (event_type)),
+        |md AS (SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |           count(*) OVER (PARTITION BY event_type) AS cnt FROM dv)
+        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
+        |q AS (SELECT event_type, x FROM v WHERE day % 2 = 1)
+        |SELECT m.event_type, m.med AS median, md.mad AS mad,
+        |  CAST(count(q.x) AS BIGINT) AS n_seen,
+        |  CAST(coalesce(sum(CASE WHEN abs(q.x - m.med) > 3.0 * md.mad
+        |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged
+        |FROM m JOIN md USING (event_type) LEFT JOIN q USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q194_k_anonymize" ->
       // the three level counts and the same finest-first CASE pick
       """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
@@ -6212,6 +6297,25 @@ object SparkEntry {
         |FROM q JOIN n0 USING (nation, seg, bal)
         |  JOIN n1 USING (nation, seg) JOIN n2 USING (seg)
         |WHERE n0.c >= 8 OR n1.c >= 8 OR n2.c >= 8""".stripMargin,
+    "q225_l_diversity" ->
+      // both floors per level (count + distinct segments) and the same
+      // finest-first CASE pick
+      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal,
+        |    c_mktsegment AS s FROM customer),
+        |l0 AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(count(DISTINCT s) AS BIGINT) AS d0 FROM q GROUP BY 1, 2),
+        |l1 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(count(DISTINCT s) AS BIGINT) AS d1 FROM q GROUP BY 1)
+        |SELECT q.c_custkey,
+        |  CAST(CASE WHEN n0 >= 8 AND d0 >= 3 THEN 0
+        |            WHEN n1 >= 8 AND d1 >= 3 THEN 1 END AS BIGINT) AS lvl,
+        |  CASE WHEN n0 >= 8 AND d0 >= 3 THEN n0
+        |       WHEN n1 >= 8 AND d1 >= 3 THEN n1 END AS grp_n,
+        |  CASE WHEN n0 >= 8 AND d0 >= 3 THEN d0
+        |       WHEN n1 >= 8 AND d1 >= 3 THEN d1 END AS grp_l
+        |FROM q JOIN l0 USING (nation, bal) JOIN l1 USING (nation)
+        |WHERE (n0 >= 8 AND d0 >= 3) OR (n1 >= 8 AND d1 >= 3)""".stripMargin,
     "q193_fuzzy_vocab_join" ->
       // the |V|² cross join the deletion-neighborhood scheme replaces
       """WITH v AS (SELECT DISTINCT lower(w) AS w FROM (

@@ -112,19 +112,20 @@ object Catalog {
     * fold: call between batches, never concurrently with one.
     */
   def addStore(spark: SparkSession, base: String, name: String,
-               init: DataFrame): Unit = {
-    val cur = gens(spark, base)
-    require(!cur.contains(name),
-      s"Catalog.addStore: store '$name' already exists")
-    val led = lastBatch(spark, base)
-    init.write.mode("overwrite").parquet(genDir(base, name, led))
-    import spark.implicits._
-    // same read-current-then-swap shape as every fold: the new manifest
-    // materializes fully to the staging dir before any rename
-    SwapStore.reset(spark, manifestPath(base),
-      SwapStore.read(spark, manifestPath(base))
-        .unionByName(Seq((name, led)).toDF("store", "gen")), led)
-  }
+               init: DataFrame): Unit =
+    WriterLease.withLease(spark, base, s"Catalog.addStore($name)") {
+      val cur = gens(spark, base)
+      require(!cur.contains(name),
+        s"Catalog.addStore: store '$name' already exists")
+      val led = lastBatch(spark, base)
+      init.write.mode("overwrite").parquet(genDir(base, name, led))
+      import spark.implicits._
+      // same read-current-then-swap shape as every fold: the new manifest
+      // materializes fully to the staging dir before any rename
+      SwapStore.reset(spark, manifestPath(base),
+        SwapStore.read(spark, manifestPath(base))
+          .unionByName(Seq((name, led)).toDF("store", "gen")), led)
+    }
 
   /** Pin the catalog's CURRENT state under a name. Because generations
     * are immutable, a savepoint is a POINTER SET — every store's
@@ -224,14 +225,15 @@ object Catalog {
     * future generations (they are neither current, previous, nor
     * pinned). Single-writer: stop any ingest before restoring.
     */
-  def restore(spark: SparkSession, base: String, name: String): Unit = {
-    val sp = savepointDir(base, name)
-    require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
-      s"Catalog.restore: no savepoint '$name' under $base")
-    SwapStore.reset(spark, manifestPath(base),
-      spark.read.parquet(s"$sp/manifest"),
-      spark.read.parquet(s"$sp/ledger").head.getLong(0))
-  }
+  def restore(spark: SparkSession, base: String, name: String): Unit =
+    WriterLease.withLease(spark, base, s"Catalog.restore($name)") {
+      val sp = savepointDir(base, name)
+      require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
+        s"Catalog.restore: no savepoint '$name' under $base")
+      SwapStore.reset(spark, manifestPath(base),
+        spark.read.parquet(s"$sp/manifest"),
+        spark.read.parquet(s"$sp/ledger").head.getLong(0))
+    }
 
   /** Delete a savepoint; its generations become GC-eligible at the
     * next fold (unless still current, previous, or otherwise pinned).
@@ -266,6 +268,11 @@ object Catalog {
     require(folds.map(_._1).distinct.size == folds.size,
       "Catalog.ingest: duplicate store names in folds")
     if (batchId <= lastBatch(spark, base)) return // re-delivered batch: no-op
+    // single-writer ENFORCED (round-11 verdict): a second concurrent
+    // ingest into this base fails loudly here instead of racing the
+    // generation dirs; a crashed holder's lease goes stale and is
+    // reclaimed (WriterLease). Re-delivery no-ops stay lock-free above.
+    WriterLease.withLease(spark, base, s"Catalog.ingest(batch $batchId)") {
     val cur = gens(spark, base)
     folds.foreach { case (name, _) =>
       require(cur.contains(name),
@@ -301,6 +308,7 @@ object Catalog {
         fs.listStatus(dir).foreach { st =>
           if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
         }
+    }
     }
   }
 
@@ -388,14 +396,38 @@ object Catalog {
     val havePin = savepoints(spark, primary).contains(pin)
     // fast path: a replica whose pointers already equal the primary's
     // needs no pin, no copies, and no swap — the converged steady state
-    // is two manifest reads. (A torn primary read cannot fake a match:
-    // a fold swapping between the gens and ledger reads moves the
-    // ledger past the replica's either way.) `full` always takes the
-    // pinned path — it exists to recopy despite matching pointers.
+    // is two manifest reads, and it stays LOCK-FREE (a follower polling
+    // a quiet primary never touches the replica's writer lease). (A
+    // torn primary read cannot fake a match: a fold swapping between
+    // the gens and ledger reads moves the ledger past the replica's
+    // either way.) `full` always takes the pinned path — it exists to
+    // recopy despite matching pointers.
     if (!full && !havePin && manifestExists &&
         gens(spark, replica) == gens(spark, primary) &&
         lastBatch(spark, replica) == lastBatch(spark, primary))
       return Map.empty
+    // the replica is a store base like any other: its writer lease
+    // makes a second concurrent replicate (or any other replica-side
+    // writer) fail loudly instead of racing the generation copies
+    WriterLease.withLease(spark, replica, s"Catalog.replicate(into $replica)") {
+      replicateLocked(spark, primary, replica, full, failAfter, retryOnDeadPin)
+    }
+  }
+
+  /** [[replicateImpl]] past the fast path, with the replica's writer
+    * lease HELD — the dead-pin retry recurses here, not through the
+    * leased wrapper (re-acquiring a lease we hold would self-conflict).
+    */
+  private def replicateLocked(spark: SparkSession, primary: String,
+                              replica: String, full: Boolean,
+                              failAfter: Int,
+                              retryOnDeadPin: Boolean): Map[String, Long] = {
+    val rfs = fsOf(spark, replica)
+    def manifestExists: Boolean =
+      Seq("_store", "_store.old", "_store.next").exists(n =>
+        rfs.exists(new org.apache.hadoop.fs.Path(s"${manifestPath(replica)}/$n")))
+    val pin = f"repl-${replica.hashCode}%08x"
+    val havePin = savepoints(spark, primary).contains(pin)
     if (!havePin) savepoint(spark, primary, pin)
     val sp = savepointDir(primary, pin)
     val snapDf = spark.read.parquet(s"$sp/manifest")
@@ -444,7 +476,7 @@ object Catalog {
         // the pin and run ONCE more against a fresh one (a second
         // PATH_NOT_FOUND means a genuinely broken catalog — surface it).
         dropSavepoint(spark, primary, pin)
-        return replicateImpl(spark, primary, replica, full, failAfter,
+        return replicateLocked(spark, primary, replica, full, failAfter,
           retryOnDeadPin = false)
     }
     if (failAfter == toCopy.size)
@@ -484,7 +516,8 @@ object Catalog {
     * ([[SwapStore.retryingStaleReads]] re-resolves through the
     * manifest). Returns the deleted paths.
     */
-  def vacuum(spark: SparkSession, base: String): Seq[String] = {
+  def vacuum(spark: SparkSession, base: String): Seq[String] =
+      WriterLease.withLease(spark, base, "Catalog.vacuum") {
     val fs = fsOf(spark, base)
     val cur = gens(spark, base)
     val pinned = pinnedGens(spark, base)
@@ -586,9 +619,10 @@ object Catalog {
     */
   def ingestStream(spark: SparkSession, stream: DataFrame, base: String,
                    folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
-                   checkpoint: Option[String] = None)
+                   checkpoint: Option[String] = None,
+                   ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    graft.ops.Sketches.warnIfEphemeral(checkpoint, base)
+    graft.ops.Sketches.requireDurableCheckpoint(checkpoint, base, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         SwapStore.retryingStaleReads() {

@@ -204,7 +204,7 @@ object Admission {
     * shared ledger; a foreachBatch re-delivery returns after one
     * manifest read. The screen plan is lazy, so a replayed batch never
     * executes it. Durable-checkpoint rule as every store ingest
-    * ([[Sketches.warnIfEphemeral]]).
+    * ([[Sketches.requireDurableCheckpoint]]).
     */
   def ingestStream(spark: SparkSession, catalogBase: String, fpStore: String,
                    stream: DataFrame, id: Column, text: Column,
@@ -212,9 +212,10 @@ object Admission {
                    folds: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
                    n: Int = 3, threshold: Double = 0.3,
                    checkpoint: Option[String] = None,
-                   standingBloomFpp: Option[Double] = None)
+                   standingBloomFpp: Option[Double] = None,
+                   ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sketches.warnIfEphemeral(checkpoint, catalogBase)
+    Sketches.requireDurableCheckpoint(checkpoint, catalogBase, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

@@ -285,14 +285,15 @@ object Diff {
                         keys: Seq[String], opCol: String, cntCol: String,
                         sums: Seq[(String, String)],
                         broadcastDeltas: Boolean = true,
-                        checkpoint: Option[String] = None)
+                        checkpoint: Option[String] = None,
+                        ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // exactly-once rides on batch ids ascending across restarts — a
     // view that outlives one query needs a DURABLE checkpoint, else a
     // fresh query restarts ids at 0 and the ledger silently no-ops new
     // batches of an advanced source (warned loudly, like the sketch
     // ingests)
-    Sketches.warnIfEphemeral(checkpoint, path)
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
     val w = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {
@@ -401,9 +402,10 @@ object Diff {
   def scd2Stream(spark: org.apache.spark.sql.SparkSession,
                  changeStream: DataFrame, path: String, keys: Seq[String],
                  seqCol: String, broadcastChanges: Boolean = true,
-                 checkpoint: Option[String] = None)
+                 checkpoint: Option[String] = None,
+                 ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sketches.warnIfEphemeral(checkpoint, path)
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
     val w = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

@@ -92,9 +92,10 @@ object Frontier {
   def skylineStream(spark: org.apache.spark.sql.SparkSession,
                     stream: DataFrame, groupCols: Seq[String],
                     maxCol: String, minCol: String, path: String,
-                    checkpoint: Option[String] = None)
+                    checkpoint: Option[String] = None,
+                    ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sketches.warnIfEphemeral(checkpoint, path)
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

@@ -78,4 +78,64 @@ object Privacy {
       .where(col("lvl").isNotNull)
       .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n"): _*)
   }
+
+  /** l-diversity on top of k-anonymity — the standard next rung:
+    * [[kAnonymize]] bounds group SIZE, but a group of 50 where every
+    * member shares one sensitive value still discloses it (the
+    * homogeneity attack); distinct l-diversity additionally requires
+    * ≥ `l` DISTINCT sensitive values per group. A row takes the finest
+    * level satisfying BOTH floors — a level that is k-big but
+    * homogeneous escalates coarser, exactly like a too-small one —
+    * and rows failing every level are suppressed.
+    *
+    * Scale shape: same one-shuffle ladder as [[kAnonymize]], with the
+    * cell frame at (quasi..., sensitive) grain — its size is the
+    * DISTINCT combination count, still ≪ rows. Each level's group
+    * count is a sum and its diversity an exact count-distinct over
+    * that frame; both roll up cell-sized, fold back by cell-sized
+    * null-safe joins, and annotate the rows in one join. NULL
+    * sensitive values do not count toward diversity (you cannot
+    * disclose a value that isn't there), but their rows still count
+    * toward k.
+    *
+    * Output: `df`'s columns + (`lvl`, `grp_n`, `grp_l`) — the 0-based
+    * chosen level, its group size, and its distinct-sensitive count.
+    */
+  def lDiversify(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: Column, levels: Seq[Seq[String]],
+                 k: Long, l: Long): DataFrame = {
+    require(k >= 2, s"l-diversity needs k >= 2, got $k")
+    require(l >= 2, s"l-diversity needs l >= 2, got $l")
+    require(levels.nonEmpty && levels.forall(_.nonEmpty),
+      "l-diversity needs at least one non-empty level")
+    val qnames = quasi.map(_._1)
+    require(qnames.distinct == qnames, "quasi names must be unique")
+    levels.foreach(lv => require(lv.forall(qnames.contains),
+      s"level ${lv.mkString(",")} references undeclared quasi columns"))
+    require(!df.columns.contains("__s") && !df.columns.contains("__cn"),
+      "lDiversify: input uses reserved working names (__s, __cn)")
+    val g = (n: String) => s"__q_$n"
+    val proj = df.select(df.columns.map(col) ++
+      quasi.map { case (n, c) => c.as(g(n)) } :+ sensitive.as("__s"): _*)
+    val all = qnames.map(g)
+    val cells0 = proj.groupBy((all.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val cells = levels.zipWithIndex.foldLeft(cells0) { case (cs, (lvl, i)) =>
+      val cols = lvl.map(g)
+      val cnt = cs.groupBy(cols.map(col): _*)
+        .agg(sum(col("__cn")).as(s"__n$i"),
+          count_distinct(col("__s")).as(s"__l$i"))
+      nullSafeJoin(cs, cnt, cols, Seq(s"__n$i", s"__l$i"))
+    }
+    val annotated = nullSafeJoin(proj, cells, all :+ "__s",
+      levels.indices.flatMap(i => Seq(s"__n$i", s"__l$i")))
+    def ok(i: Int) = col(s"__n$i") >= k && col(s"__l$i") >= l
+    val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
+    val grpN = coalesce(levels.indices.map(i => when(ok(i), col(s"__n$i"))): _*)
+    val grpL = coalesce(levels.indices.map(i => when(ok(i), col(s"__l$i"))): _*)
+    annotated
+      .withColumn("lvl", lvl).withColumn("grp_n", grpN).withColumn("grp_l", grpL)
+      .where(col("lvl").isNotNull)
+      .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+ col("grp_l"): _*)
+  }
 }

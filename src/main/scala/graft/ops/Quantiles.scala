@@ -505,4 +505,100 @@ object Quantiles {
         .otherwise(least(greatest(value, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Per-group robust profile — the (median, MAD) bounds a continuous
+    * monitor flags against, computed once from a reference corpus by
+    * the same two bisection stacks as [[madOutliers]] (no per-group
+    * sort, no value buffering). Output: one row per group
+    * `(keys, median, mad)`, nulls excluded.
+    */
+  def madProfile(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val working = Seq("__x", "__dev")
+    require(df.columns.intersect(working).isEmpty,
+      s"madProfile: input uses reserved working names (${working.mkString(", ")})")
+    require(keys.intersect(Seq("median", "mad")).isEmpty,
+      "madProfile: key names collide with output columns (median, mad)")
+    val vals = df.select(keys.map(col) :+ value.as("__x"): _*)
+      .where(col("__x").isNotNull)
+    val med = exactPercentileByKey(vals, keys, col("__x"), 50)
+      .select(keys.map(col) :+ col("value").as("median"): _*)
+    val dev = vals.join(med, keys) // right side is group-sized
+      .withColumn("__dev", abs(col("__x") - col("median")))
+    val mad = exactPercentileByKey(
+        dev.select(keys.map(col) :+ col("__dev"): _*), keys, col("__dev"), 50)
+      .select(keys.map(col) :+ col("value").as("mad"): _*)
+    med.join(mad, keys)
+  }
+
+  /** Stand up the continuous MAD monitor's store from a profile
+    * ([[madProfile]] output, or any (keys..., median, mad) frame):
+    * per-group bounds plus zeroed flag counters, SwapStore-persisted —
+    * q132's standing-baseline posture for the robust outlier screen.
+    */
+  def initMadMonitor(profile: DataFrame, path: String): Unit =
+    graft.core.SwapStore.init(
+      profile.withColumn("n_seen", lit(0L)).withColumn("n_flagged", lit(0L)),
+      path)
+
+  /** One micro-batch against the standing bounds: count the batch's
+    * rows (and its |x − median| > k·MAD flags) per group into the
+    * store's counters. The store is group-count-sized and BROADCASTS
+    * onto the batch scan — per-trigger work is batch-sized, one partial
+    * aggregate, no corpus shuffle. Rows whose group has no profile are
+    * not monitored (inner join; screen the reference corpus's key
+    * coverage beforehand — a drifting KEY set is [[graft.ops.Checks]]'
+    * drift monitor's job, this one screens VALUES).
+    */
+  private[graft] def foldMadMonitor(cur: DataFrame, batch: DataFrame,
+                                    keys: Seq[String], value: Column,
+                                    k: Double): DataFrame = {
+    val delta = batch.select(keys.map(col) :+ value.as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .join(broadcast(cur.select(keys.map(col) :+ col("median") :+ col("mad"): _*)),
+        keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__dn"),
+        sum(when(abs(col("__x") - col("median")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("__df"))
+    cur.join(broadcast(delta), keys, "left")
+      .select(keys.map(col) ++ Seq(col("median"), col("mad"),
+        (col("n_seen") + coalesce(col("__dn"), lit(0L))).as("n_seen"),
+        (col("n_flagged") + coalesce(col("__df"), lit(0L))).as("n_flagged")): _*)
+  }
+
+  /** Continuous robust outlier monitor — the streaming twin of
+    * [[madOutliers]]: arriving micro-batches are flagged against the
+    * STANDING per-group (median, MAD) bounds ([[initMadMonitor]]) and
+    * the per-group counters fold under the SwapStore ledger
+    * (exactly-once; re-delivered batches no-op). The profile stays
+    * fixed between rebuilds — the point of a robust screen: bounds
+    * from vetted reference data, never dragged along by the very
+    * drift being hunted. Rebuild the profile on your cadence with
+    * [[madProfile]] + [[initMadMonitor]] between queries. Counters are
+    * order-insensitive (pure sums), so no ordered-delivery contract.
+    */
+  def madMonitorStream(spark: org.apache.spark.sql.SparkSession,
+                       stream: DataFrame, keys: Seq[String], value: Column,
+                       path: String, k: Double = 3.0,
+                       checkpoint: Option[String] = None,
+                       ephemeralOk: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 0, s"madMonitorStream: k must be non-negative, got $k")
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          graft.core.SwapStore.fold(spark, path, bid)(cur =>
+            foldMadMonitor(cur, batch, keys, value, k))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The monitor's current state: (keys..., median, mad, n_seen,
+    * n_flagged).
+    */
+  def readMadMonitor(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    graft.core.SwapStore.read(spark, path)
 }

@@ -245,10 +245,11 @@ object Timeseries {
                   tieBreak: org.apache.spark.sql.Column,
                   value: org.apache.spark.sql.Column,
                   target: Long, threshold: Long, path: String,
-                  checkpoint: Option[String] = None)
+                  checkpoint: Option[String] = None,
+                  ephemeralOk: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     requireIntegralValue(stream, value, "cusumStream")
-    Sketches.warnIfEphemeral(checkpoint, path)
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

@@ -149,10 +149,11 @@ object EventTimeWindows {
   def sessionizeStream(spark: org.apache.spark.sql.SparkSession,
                        stream: DataFrame, keys: Seq[String], ts: Column,
                        tie: Column, gapMs: Long, path: String,
-                       checkpoint: Option[String] = None)
+                       checkpoint: Option[String] = None,
+                       ephemeralOk: Boolean = false)
                       (onBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sketches.warnIfEphemeral(checkpoint, path)
+    Sketches.requireDurableCheckpoint(checkpoint, path, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {

@@ -92,7 +92,8 @@ class CatalogSpec extends AnyFunSuite {
     initStores(base)
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-    val q = Catalog.ingestStream(spark, mem.toDF().toDF("k", "v"), base, folds)
+    val q = Catalog.ingestStream(spark, mem.toDF().toDF("k", "v"), base, folds,
+      ephemeralOk = true)
     try {
       mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
       mem.addData((1L, 5L)); q.processAllAvailable()
@@ -448,5 +449,99 @@ class CatalogSpec extends AnyFunSuite {
       Catalog.ingest(spark, base, 0L, b, folds.take(1) ++ folds.take(1))
     }
     intercept[IllegalArgumentException] { Catalog.read(spark, base, "nope") }
+  }
+
+  test("single-writer ENFORCED: a second concurrent ingest fails loudly instead of racing") {
+    val base = TempDirs.create("catalog_lease_race")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    // writer A blocks INSIDE its first fold (lease held); writer B's
+    // ingest of the next batch must fail with the named lease error,
+    // not corrupt the staging dirs
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val blocking: Seq[(String, (DataFrame, DataFrame) => DataFrame)] =
+      folds.map { case (n, f) =>
+        n -> ((cur: DataFrame, b: DataFrame) => {
+          entered.countDown()
+          assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          f(cur, b)
+        })
+      }
+    var aFailure: Option[Throwable] = None
+    val a = new Thread(() =>
+      try Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), blocking)
+      catch { case t: Throwable => aFailure = Some(t) })
+    a.start()
+    try {
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val e = intercept[IllegalStateException] {
+        Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+      }
+      assert(e.getMessage.contains("another writer holds the lease"))
+    } finally {
+      release.countDown()
+      a.join(60000)
+    }
+    assert(aFailure.isEmpty, s"writer A must complete: $aFailure")
+    assert(Catalog.lastBatch(spark, base) == 1L)
+    assert(snapshot(base) == ((2L, Map(1L -> 10L, 2L -> 20L), Set(1L, 2L))))
+    // with A done (lease released), the blocked batch lands normally
+    Catalog.ingest(spark, base, 2L, Seq((3L, 30L)).toDF("k", "v"), folds)
+    assert(snapshot(base) == ((3L, Map(1L -> 10L, 2L -> 20L, 3L -> 30L), Set(1L, 2L, 3L))))
+  }
+
+  test("a crashed holder's lease is reclaimed; a fresh one is not") {
+    val base = TempDirs.create("catalog_lease_stale")
+    initStores(base)
+    val lease = new java.io.File(base, "_writer.lease")
+    // fresh foreign lease (heartbeat now): ingest must refuse
+    java.nio.file.Files.write(lease.toPath,
+      "other-host#999#dead-owner\nCatalog.ingest\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    }
+    assert(e.getMessage.contains("another writer holds the lease"))
+    assert(Catalog.lastBatch(spark, base) == -1L)
+    // the same lease gone stale (heartbeat died with its holder):
+    // reclaimed transparently, the ingest proceeds
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 2 * WriterLease.DefaultStaleMs))
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    assert(Catalog.lastBatch(spark, base) == 0L)
+    assert(!lease.exists(), "a completed ingest releases its lease")
+  }
+
+  test("replicate and vacuum honor the writer lease") {
+    val base = TempDirs.create("catalog_lease_repl_p")
+    val rep = TempDirs.create("catalog_lease_repl_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    // live foreign lease on the REPLICA: replicate refuses to write it
+    val rLease = new java.io.File(rep, "_writer.lease")
+    java.nio.file.Files.write(rLease.toPath,
+      "other-host#999#dead-owner\nCatalog.ingest\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] { Catalog.replicate(spark, base, rep) }
+    assert(e1.getMessage.contains("another writer holds the lease"))
+    // stale: reclaimed, replication proceeds and converges
+    assert(rLease.setLastModified(
+      System.currentTimeMillis() - 2 * WriterLease.DefaultStaleMs))
+    Catalog.replicate(spark, base, rep)
+    assert(Catalog.lastBatch(spark, rep) == 0L)
+    // a converged follower tick stays lock-free: a live foreign lease
+    // on the replica does NOT block the no-op fast path
+    java.nio.file.Files.write(rLease.toPath,
+      "other-host#999#dead-owner\nCatalog.ingest\n".getBytes("UTF-8"))
+    assert(Catalog.replicate(spark, base, rep) == Map.empty)
+    rLease.delete()
+    // vacuum on a leased base refuses too
+    val pLease = new java.io.File(base, "_writer.lease")
+    java.nio.file.Files.write(pLease.toPath,
+      "other-host#999#dead-owner\nCatalog.ingest\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] { Catalog.vacuum(spark, base) }
+    assert(e2.getMessage.contains("another writer holds the lease"))
+    pLease.delete()
+    assert(Catalog.vacuum(spark, base).isEmpty
+      || Catalog.lastBatch(spark, base) == 0L) // sweep runs once unblocked
   }
 }

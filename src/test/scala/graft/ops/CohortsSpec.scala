@@ -212,7 +212,7 @@ class CohortsSpec extends AnyFunSuite {
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     val q = EventTimeWindows.sessionizeStream(spark,
       in.toDF().toDF("k", "ts", "eid"), Seq("k"), col("ts"), col("eid"),
-      60000L, path) { out =>
+      60000L, path, ephemeralOk = true) { out =>
       got ++= out.select(col("k"), col("tie"), col("session_idx"), col("event_idx"))
         .as[(Long, Long, Long, Long)].collect()
     }

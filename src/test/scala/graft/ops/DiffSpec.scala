@@ -166,7 +166,7 @@ class DiffSpec extends AnyFunSuite {
       Diff.scd2(all.take(0).toDF("k", "seq", "s"), Seq("k"), "seq"), path)
     val in = MemoryStream[(Long, Long, String)]
     val q = Diff.scd2Stream(spark, in.toDF().toDF("k", "seq", "s"), path,
-      Seq("k"), "seq")
+      Seq("k"), "seq", ephemeralOk = true)
     try {
       in.addData(all.take(3): _*); q.processAllAvailable()
       in.addData(all.drop(3): _*); q.processAllAvailable()
@@ -457,7 +457,7 @@ class DiffSpec extends AnyFunSuite {
       Seq((2L, 20L, "-D")))
     val in = MemoryStream[(Long, Long, String)]
     val q = Diff.maintainAggStream(spark, in.toDF().toDF("k", "v", "op"), path,
-      Seq("k"), "op", "cnt", Seq("sum_v" -> "v"))
+      Seq("k"), "op", "cnt", Seq("sum_v" -> "v"), ephemeralOk = true)
     try {
       batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()

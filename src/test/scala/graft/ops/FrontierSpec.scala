@@ -76,7 +76,7 @@ class FrontierSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String, Int, Double)]
     val q = Frontier.skylineStream(spark,
       in.toDF().toDF("id", "grp", "size", "price"),
-      Seq("grp"), "size", "price", path)
+      Seq("grp"), "size", "price", path, ephemeralOk = true)
     try {
       rest.grouped(100).foreach { b => in.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()

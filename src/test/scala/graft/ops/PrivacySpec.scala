@@ -63,4 +63,57 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.kAnonymize(people, quasi, Seq(Seq("city")), k = 1)
     }
   }
+
+  // (id, city, age, disease) — the l-diversity fixtures
+  private def patients = Seq(
+    (1L, "ber", 30, "flu"), (2L, "ber", 31, "flu"), (3L, "ber", 32, "flu"),
+    (4L, "ber", 45, "cold"),
+    (5L, "par", 30, "flu"), (6L, "par", 31, "cold"), (7L, "par", 33, "mal"),
+    (8L, "rom", 20, "flu")
+  ).toDF("id", "city", "age", "disease")
+
+  test("l-diversity: a k-big but homogeneous cell escalates like a too-small one") {
+    val out = Privacy.lDiversify(patients, quasi, col("disease"),
+      Seq(Seq("city", "dec"), Seq("city")), k = 3, l = 2)
+      .select($"id", $"lvl", $"grp_n", $"grp_l")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      // (ber, 3x): n=3 reaches k but EVERY member has flu (d=1) —
+      // the homogeneity attack k-anonymity alone misses — escalate
+      (1L, 1L, 4L, 2L), (2L, 1L, 4L, 2L), (3L, 1L, 4L, 2L),
+      (4L, 1L, 4L, 2L),                    // alone in (ber, 4x): size escalation
+      (5L, 0L, 3L, 3L), (6L, 0L, 3L, 3L), (7L, 0L, 3L, 3L), // (par, 3x): both floors
+      // rom: 1 member everywhere — suppressed
+    ))
+    // same data under k-anonymity only: rows 1-3 stay at level 0 —
+    // the disclosure l-diversity exists to close
+    val kOnly = Privacy.kAnonymize(patients, quasi,
+      Seq(Seq("city", "dec"), Seq("city")), k = 3)
+      .select($"id", $"lvl").as[(Long, Long)].collect().toMap
+    assert(kOnly(1L) == 0L)
+  }
+
+  test("l-diversity: NULL sensitive counts toward k but never toward diversity") {
+    val rows = Seq(
+      (1L, "a", "flu"), (2L, "a", null.asInstanceOf[String]), (3L, "a", null.asInstanceOf[String]),
+      (4L, "b", "flu"), (5L, "b", "cold"), (6L, "b", null.asInstanceOf[String])
+    ).toDF("id", "cell", "disease")
+    val out = Privacy.lDiversify(rows, Seq("cell" -> col("cell")),
+      col("disease"), Seq(Seq("cell")), k = 3, l = 2)
+      .select($"id", $"grp_n", $"grp_l").as[(Long, Long, Long)].collect().toSet
+    // cell a: n=3 (nulls count toward size) but only ONE disclosed
+    // value — suppressed; cell b: n=3, two distinct diseases — kept
+    assert(out == Set((4L, 3L, 2L), (5L, 3L, 2L), (6L, 3L, 2L)))
+  }
+
+  test("l-diversity: invalid floors fail fast") {
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversify(patients, quasi, col("disease"),
+        Seq(Seq("city")), k = 2, l = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversify(patients, quasi, col("disease"),
+        Seq(Seq("nope")), k = 2, l = 2)
+    }
+  }
 }

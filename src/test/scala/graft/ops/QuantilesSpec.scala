@@ -317,4 +317,63 @@ class QuantilesSpec extends AnyFunSuite {
       .coalesce(1).select($"key", $"rank").as[(Long, Long)].collect()
     one.foreach { case (id, rk) => assert(rk == ref(id)._1) }
   }
+
+  test("madProfile == madOutliers' (median, mad) columns") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("b", 10L), ("b", 10L), ("b", 40L)).toDF("k", "v")
+    val prof = Quantiles.madProfile(df, Seq("k"), col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = Quantiles.madOutliers(df, Seq("k"), col("v"))
+      .select($"k", $"median", $"mad").as[(String, Long, Long)].collect().toSet
+    assert(prof == full)
+  }
+
+  test("madMonitorStream: micro-batched flags == the one-shot batch screen; replays no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // reference: tight cluster per key, so the bounds are meaningful
+    val ref = Seq.tabulate(40)(i => ("a", 100L + i % 5)) ++
+      Seq.tabulate(40)(i => ("b", 200L + i % 11))
+    // arrivals: mostly in-band, a few wild outliers, an unmonitored key
+    val arrivals = Seq(("a", 101L), ("a", 103L), ("a", 9999L), ("a", 102L),
+      ("b", 205L), ("b", -500L), ("b", 201L), ("b", 777L), ("c", 1L))
+    val path = graft.core.TempDirs.create("graft_mad_monitor")
+    val prof = Quantiles.madProfile(ref.toDF("k", "v"), Seq("k"), col("v"))
+    Quantiles.initMadMonitor(prof, path)
+    val in = MemoryStream[(String, Long)]
+    val q = Quantiles.madMonitorStream(spark, in.toDF().toDF("k", "v"),
+      Seq("k"), col("v"), path, ephemeralOk = true)
+    try {
+      arrivals.grouped(3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Quantiles.readMadMonitor(spark, path)
+      .select($"k", $"median", $"mad", $"n_seen", $"n_flagged")
+      .as[(String, Long, Long, Long, Long)].collect().toMap2
+    // batch twin: same profile, flags over the whole arrival union
+    val pm = prof.as[(String, Long, Long)].collect()
+      .map { case (k, m, d) => k -> ((m, d)) }.toMap
+    val want = arrivals.filter { case (k, _) => pm.contains(k) }
+      .groupBy(_._1).map { case (k, rows) =>
+        val (m, d) = pm(k)
+        k -> ((m, d, rows.size.toLong,
+          rows.count { case (_, x) => math.abs(x - m) > 3.0 * d }.toLong))
+      }
+    assert(got == want)
+    // the unmonitored key contributed nothing and minted no group
+    assert(!got.contains("c"))
+    // exactly-once: re-folding an applied batch id is a no-op
+    graft.core.SwapStore.fold(spark, path, batchId = 0L) { cur =>
+      Quantiles.foldMadMonitor(cur, Seq(("a", 9999L)).toDF("k", "v"),
+        Seq("k"), col("v"), 3.0)
+    }
+    val again = Quantiles.readMadMonitor(spark, path)
+      .select($"k", $"median", $"mad", $"n_seen", $"n_flagged")
+      .as[(String, Long, Long, Long, Long)].collect().toMap2
+    assert(again == got)
+  }
+
+  private implicit class Tup5Ops(rows: Array[(String, Long, Long, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long, Long, Long)] =
+      rows.map { case (k, a, b, c, d) => k -> ((a, b, c, d)) }.toMap
+  }
 }

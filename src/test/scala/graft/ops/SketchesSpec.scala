@@ -177,6 +177,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(o1 == o2)
   }
 
+  test("continuous ingest without a durable checkpoint is an error unless ephemeralOk is explicit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val path = graft.core.TempDirs.create("graft_theta_ephemeral")
+    val in = MemoryStream[(String, Long, Long)]
+    val e = intercept[IllegalArgumentException] {
+      Sketches.ingestThetaStream(spark, in.toDF().toDF("g", "b", "v"),
+        Seq(col("g")), col("b"), col("v"), path)
+    }
+    assert(e.getMessage.contains("WITHOUT a durable checkpoint"))
+    assert(e.getMessage.contains("ephemeralOk"))
+  }
+
   test("ingestThetaStream: micro-batches grow the standing store; equals one-shot build; replays are no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
@@ -186,7 +199,7 @@ class SketchesSpec extends AnyFunSuite {
       Seq(col("g")), col("b"), col("v"), path)
     val in = MemoryStream[(String, Long, Long)]
     val q = Sketches.ingestThetaStream(spark, in.toDF().toDF("g", "b", "v"),
-      Seq(col("g")), col("b"), col("v"), path)
+      Seq(col("g")), col("b"), col("v"), path, ephemeralOk = true)
     try {
       rest.grouped(3).foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
     } finally q.stop()
@@ -270,7 +283,8 @@ class SketchesSpec extends AnyFunSuite {
     // outlive one query need the durable checkpoint above)
     val q3 = Sketches.ingestThetaStream(spark,
       graft.streaming.Replay.orderedStream(spark, stage, df.schema),
-      Seq(col("g")), col("b"), col("v"), path, checkpoint = None)
+      Seq(col("g")), col("b"), col("v"), path, checkpoint = None,
+      ephemeralOk = true)
     try q3.processAllAvailable() finally q3.stop()
     assert(graft.core.SwapStore.lastBatch(spark, path) == 3L,
       "fresh-checkpoint replay must not advance the ledger")

@@ -147,7 +147,8 @@ class TimeseriesSpec extends AnyFunSuite {
       col("ts"), col("eid"), col("x"), target = 50L, threshold = 300L, path)
     val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
     val q = Timeseries.cusumStream(spark, in.toDF().toDF("k", "ts", "eid", "x"),
-      Seq("k"), col("ts"), col("eid"), col("x"), 50L, 300L, path)
+      Seq("k"), col("ts"), col("eid"), col("x"), 50L, 300L, path,
+      ephemeralOk = true)
     // event-time-ordered delivery: contiguous chunks in row order
     try {
       rest.grouped(150).foreach { b => in.addData(b: _*); q.processAllAvailable() }
