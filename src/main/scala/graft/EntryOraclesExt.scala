@@ -1,0 +1,337 @@
+package graft
+
+/** The streaming/alias half of [[SparkEntry.oracleSql]]: continuous
+  * standing-index forms are per-row independent given the index, so
+  * the batch oracle IS the stream oracle — shared verbatim where the
+  * workload is identical — plus the oracles written against
+  * [[EntryHelpers]]' shared fragments.
+  */
+private[graft] object EntryOraclesExt {
+  private def oracleSqlBase: Map[String, String] = EntryOraclesBase.base
+  import graft.EntryHelpers._
+
+  def sql: Map[String, String] = Map(
+    // the continuous standing-index forms (q136-q142) are per-row
+    // independent given the index, so the batch oracle IS the stream
+    // oracle — shared verbatim where the workload is identical:
+    "q137_decon_screen_stream" -> oracleSqlBase("q66_decontaminate"),
+    "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
+    "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
+    "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),
+    "q142_drift_stream" -> oracleSqlBase("q127_token_drift"),
+    "q143_kmeans_assign_stream" -> oracleSqlBase("q88_kmeans_assign"),
+    "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
+    "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
+    "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
+    "q209_substring_search_stream" -> oracleSqlBase("q191_substring_search"),
+    "q210_sessionize_stream" -> oracleSqlBase("q207_sessionize"),
+    "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
+    "q200_cusum_stream" -> oracleSqlBase("q195_cusum"),
+    "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
+    "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
+    "q148_stream_static_join" ->
+      // the enrichment join is stateless per event, so the batch join
+      // over the same two tables is the exact oracle
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // merge(CC(old pairs), new pairs) partitions identically to
+    // CC(all pairs) — assignment star edges span exactly the old
+    // components — so the full-rebuild oracle is the merge oracle
+    "q151_cluster_merge" -> oracleSqlBase("q55_dup_clusters"),
+    "q152_salted_join" ->
+      // salting is a pure execution-strategy rewrite — the plain join
+      // is the exact oracle (q148's batch SQL)
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q153_view_maintain" -> viewMaintainOracle,
+    "q154_sketch_rollup" -> sketchRollupOracle,
+    "q161_sketch_ingest_stream" -> sketchRollupOracle,
+    "q155_sketch_overlap" ->
+      // exact per-user even/odd-day flags, then set-algebra counts
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 0 THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 1 THEN 1 ELSE 0 END) AS ib
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
+        |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |  CAST(sum(ia) AS BIGINT) AS a_total,
+        |  CAST(sum(ib) AS BIGINT) AS b_total
+        |FROM f GROUP BY event_type""".stripMargin,
+    "q156_quota_stream" ->
+      // replay: per-source doc_id-ordered exclusive prefix sum, admit
+      // while it is under the budget line (the tokenBudgetSample rule
+      // with doc_id order in md5-order's place)
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+        |  FROM documents)
+        |SELECT source AS dom, doc_id AS key, n_chars AS n_tok,
+        |  CAST(pe AS BIGINT) AS prefix_excl
+        |FROM c WHERE pe < 5000""".stripMargin,
+    "q157_quantile_rollup" -> quantileRollupOracle,
+    "q162_kll_ingest_stream" -> quantileRollupOracle,
+    "q158_distinct_stream" ->
+      // the running sketch's final snapshot equals the batch distinct
+      // in the gated exact regime
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q159_topk_rollup" -> topkRollupOracle,
+    "q163_topk_ingest_stream" -> topkRollupOracle,
+    "q160_view_maintain_stream" -> viewMaintainOracle,
+    "q149_trending_stream" ->
+      // in-order 0-delay delivery: the streaming chained aggs' append
+      // output equals the batch hourly top-3 (ties on event_type asc —
+      // the CollectBottomK struct order on both sides)
+      """WITH wc AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT win_start_ms, event_type, cnt, rk FROM (
+        |  SELECT win_start_ms, event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY win_start_ms
+        |      ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rk
+        |  FROM wc) WHERE rk <= 3""".stripMargin,
+    "q150_kmeans_update_stream" ->
+      // build (q88's Lloyd unroll on the even-id half + final-assignment
+      // statistics) then the two stream folds unrolled: slice bounds are
+      // writeOrderedSlices' integer-division ranges over the odd ids,
+      // each fold assigns against the pre-fold centroids (integer L2
+      // argmin, ties to the lowest cell), merges its (cell, d) sums and
+      // re-derives centroids as the truncating division s // n (DuckDB
+      // and Spark `div` both truncate toward zero) — cells with no data
+      // keep their centroid. Output = final centroids flattened
+      // (cell, d, c) LEFT JOINed with the final statistics (s, n).
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |),
+         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
+         |dms AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS d),
+         |bs AS (SELECT cell, d, CAST(sum(x[d+1]) AS BIGINT) AS s,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM af CROSS JOIN dms GROUP BY cell, d),
+         |sx AS (SELECT vec_id AS id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
+         |       FROM embeddings WHERE vec_id % 2 = 1),
+         |bnd AS (SELECT min(id) AS lo, max(id) AS hi FROM sx),
+         |fb1 AS (SELECT id, x FROM sx, bnd WHERE id < lo + (hi - lo + 1) * 1 // 2),
+         |fb2 AS (SELECT id, x FROM sx, bnd WHERE id >= lo + (hi - lo + 1) * 1 // 2),
+         |fa1 AS (SELECT id, x, cell FROM (
+         |    SELECT b.id, b.x, c.cell,
+         |      row_number() OVER (PARTITION BY b.id ORDER BY
+         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
+         |        c.cell ASC) AS rk
+         |    FROM fb1 b CROSS JOIN c2 c
+         |  ) WHERE rk = 1),
+         |u1 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT * FROM bs
+         |    UNION ALL
+         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
+         |    FROM fa1 CROSS JOIN dms GROUP BY cell, d
+         |  ) GROUP BY cell, d),
+         |v1 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u1 WHERE n > 0 GROUP BY cell),
+         |k3 AS (SELECT c.cell, coalesce(v1.cent, c.cent) AS cent
+         |       FROM c2 c LEFT JOIN v1 ON c.cell = v1.cell),
+         |fa2 AS (SELECT id, x, cell FROM (
+         |    SELECT b.id, b.x, c.cell,
+         |      row_number() OVER (PARTITION BY b.id ORDER BY
+         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
+         |        c.cell ASC) AS rk
+         |    FROM fb2 b CROSS JOIN k3 c
+         |  ) WHERE rk = 1),
+         |u2 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT * FROM u1
+         |    UNION ALL
+         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
+         |    FROM fa2 CROSS JOIN dms GROUP BY cell, d
+         |  ) GROUP BY cell, d),
+         |v2 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u2 WHERE n > 0 GROUP BY cell),
+         |k4 AS (SELECT c.cell, coalesce(v2.cent, c.cent) AS cent
+         |       FROM k3 c LEFT JOIN v2 ON c.cell = v2.cell),
+         |cf AS (SELECT cell, d, cent[d+1] AS c FROM k4 CROSS JOIN dms)
+         |SELECT cf.cell, cf.d, CAST(cf.c AS BIGINT) AS c, u2.s, u2.n
+         |FROM cf LEFT JOIN u2 USING (cell, d)""".stripMargin,
+    "q136_lsh_screen_stream" ->
+      // q71's brute-force cross ground truth with the roles of the
+      // screen: new = odd-id stream docs, dup = even-id indexed corpus
+      // (same shingle construction as the q37 oracle incl. the <n
+      // whole-doc fallback — Dedup.shingles' exact convention)
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |a AS (SELECT * FROM sh WHERE doc_id % 2 = 0 AND len(sh) > 0),
+        |b AS (SELECT * FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0)
+        |SELECT new_id, dup_id, jaccard FROM (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS dup_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |  FROM a, b
+        |) WHERE jaccard >= 0.8""".stripMargin,
+    "q140_cosine_screen_stream" ->
+      // q72's brute-force cross ground truth, renamed for the screen:
+      // new = the planted perturbed corpus, dup = the base index side
+      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id + 10000000 AS id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
+        |      FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT new_id, dup_id FROM (
+        |  SELECT b.id AS new_id, a.id AS dup_id, list_cosine_similarity(a.v, b.v) AS c
+        |  FROM a, b
+        |) WHERE c >= 0.95""".stripMargin,
+    "q164_catalog_ingest" -> catalogOracle,
+    "q168_catalog_ingest_stream" -> catalogOracle,
+    "q169_admission_pipeline" -> admissionOracle,
+    "q171_admission_stream" -> admissionOracle,
+    "q173_catalog_savepoint" -> admissionOracle,
+    "q174_catalog_takedown" -> admissionOracleMinus("src7"),
+    "q175_admission_restart" -> admissionOracle,
+    "q178_catalog_replicate" -> admissionOracle,
+    "q179_catalog_logship" -> admissionOracle,
+    "q181_catalog_follow" -> admissionOracle,
+    "q185_admission_follow" -> admissionOracle,
+    "q180_catalog_vacuum" -> admissionOracle,
+    "q176_catalog_addstore" -> admissionOracleByLang,
+    "q177_catalog_timetravel" ->
+      // the from-scratch derivation over the FIRST batch's id span only
+      (admissionOraclePrefixOver(
+          "SELECT doc_id, source, lang, text FROM orig WHERE doc_id < 250")
+        .replace("/*EXTRA*/", "") + admissionStatsTail),
+    "q172_admission_audit" ->
+      // re-derive every verdict from scratch: batch 0's standing fps =
+      // min-id winner per fingerprint class among the originals, minus
+      // contaminated; then rank the echo block per class and classify
+      """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
+        |              WHERE doc_id % 50 <> 0),
+        |tok AS (SELECT doc_id, source,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM orig),
+        |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
+        |k0 AS (SELECT doc_id, fp, toks FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |        FROM fp) WHERE rn = 1),
+        |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
+        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |              FROM documents WHERE doc_id % 50 = 0)),
+        |ksh0 AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |           i -> array_to_string(toks[i+1:i+3], ' '))) AS s FROM k0),
+        |cont0 AS (SELECT DISTINCT t.doc_id
+        |          FROM (SELECT * FROM ksh0 WHERE len(s) > 0) t,
+        |               (SELECT * FROM bsh WHERE len(s) > 0) b
+        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
+        |std AS (SELECT fp FROM k0 WHERE doc_id NOT IN (SELECT doc_id FROM cont0)),
+        |er AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |       FROM (SELECT doc_id + 100000 AS doc_id, source, fp, toks FROM fp)),
+        |esh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        |        FROM er WHERE rn = 1 AND fp NOT IN (SELECT fp FROM std)),
+        |conte AS (SELECT DISTINCT t.doc_id
+        |          FROM (SELECT * FROM esh WHERE len(s) > 0) t,
+        |               (SELECT * FROM bsh WHERE len(s) > 0) b
+        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3)
+        |SELECT source,
+        |  CASE WHEN rn > 1 THEN 'dup_in_batch'
+        |       WHEN fp IN (SELECT fp FROM std) THEN 'dup_standing'
+        |       WHEN doc_id IN (SELECT doc_id FROM conte) THEN 'contaminated'
+        |       ELSE 'admitted' END AS verdict,
+        |  count(*) AS n
+        |FROM er GROUP BY 1, 2""".stripMargin,
+    "q170_view_minmax" ->
+      // maintained view == plain re-aggregate over all orders
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q165_scd2_history" -> scd2HistoryOracle,
+    // the incremental apply must be indistinguishable from the rebuild
+    "q182_scd2_apply" -> scd2HistoryOracle,
+    // ...and so must the continuous fold across a stop/restart
+    "q183_scd2_stream" -> scd2HistoryOracle,
+    "q184_temporal_attach_stream" ->
+      // attach-at-processing-time over a growing dimension: early
+      // facts ASOF against the half-folded history, late facts
+      // against the full one — the same midpoint cuts computed in SQL
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cut AS (SELECT (min(vms)+max(vms))//2 AS dm FROM p),
+        |h2 AS (SELECT user_id, vms, p_value,
+        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |       FROM p),
+        |h1 AS (SELECT user_id, vms, p_value,
+        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |       FROM p WHERE vms < (SELECT dm FROM cut)),
+        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
+        |      FROM events WHERE event_type = 'click'),
+        |fcut AS (SELECT (min(cms)+max(cms))//2 AS fm FROM f),
+        |f1 AS (SELECT * FROM f WHERE cms < (SELECT fm FROM fcut)),
+        |f2 AS (SELECT * FROM f WHERE cms >= (SELECT fm FROM fcut))
+        |SELECT event_id, user_id, cms, p_value FROM (
+        |  SELECT f1.event_id, f1.user_id, f1.cms,
+        |    CASE WHEN h1.vms IS NOT NULL AND (h1.valid_to IS NULL OR f1.cms < h1.valid_to)
+        |         THEN h1.p_value END AS p_value
+        |  FROM f1 ASOF LEFT JOIN h1 ON f1.user_id = h1.user_id AND f1.cms >= h1.vms
+        |  UNION ALL
+        |  SELECT f2.event_id, f2.user_id, f2.cms,
+        |    CASE WHEN h2.vms IS NOT NULL AND (h2.valid_to IS NULL OR f2.cms < h2.valid_to)
+        |         THEN h2.p_value END AS p_value
+        |  FROM f2 ASOF LEFT JOIN h2 ON f2.user_id = h2.user_id AND f2.cms >= h2.vms)""".stripMargin,
+    "q166_temporal_attach" ->
+      // DuckDB's native ASOF LEFT JOIN picks the same greatest
+      // valid_from <= fact ts; the CASE applies the identical coverage
+      // rule (a fact past its version's valid_to is a miss)
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |h AS (SELECT user_id, vms, p_value,
+        |        lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
+        |      FROM p),
+        |d AS (SELECT * FROM h WHERE vms % 2 = 0),
+        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
+        |      FROM events WHERE event_type = 'click')
+        |SELECT f.event_id, f.user_id, f.cms,
+        |  CASE WHEN d.vms IS NOT NULL AND (d.valid_to IS NULL OR f.cms < d.valid_to)
+        |       THEN d.p_value END AS p_value
+        |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.cms >= d.vms""".stripMargin,
+    "q167_session_late_stream" ->
+      // q130's watermark-lag recipe with the SESSION drop rule
+      // (SessionLateSpec): the late-filter watermark of the batch at
+      // delivery position p is the running slice max over positions
+      // ≤ p−2 minus 240 h, and a row survives iff its provisional
+      // session end (ems + 30 min) EXCEEDS it. Sessions are then the
+      // plain gaps-and-islands split (q23's oracle) over exactly the
+      // surviving rows — valid because this geometry admits no
+      // survivor that overlaps an already-emitted session (see the
+      // query comment).
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |e AS (SELECT user_id, epoch_ms(ts) AS ems,
+        |        ((epoch_ms(ts) - b.lo) * 8 + 7) // (b.hi - b.lo + 1) AS slice
+        |      FROM events, b),
+        |sm AS (SELECT slice, max(ems) AS smax FROM e GROUP BY slice),
+        |ord(slice, pos) AS (VALUES (2,0),(3,1),(0,2),(1,3),(6,4),(7,5),(4,6),(5,7)),
+        |w AS (SELECT o.slice,
+        |        max(sm.smax) OVER (ORDER BY o.pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 864000000 AS wm
+        |      FROM ord o JOIN sm ON o.slice = sm.slice),
+        |kept AS (SELECT e.user_id, e.ems FROM e JOIN w ON e.slice = w.slice
+        |         WHERE w.wm IS NULL OR e.ems + 1800000 > w.wm),
+        |d AS (SELECT user_id, ems,
+        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
+        |       THEN 1 ELSE 0 END AS new_s FROM kept),
+        |s AS (SELECT user_id, ems,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+  )
+}

@@ -27,7224 +27,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_wordcount")(spark, "/root/testdata/sf0.001")
 
-  private def dec(c: Column): Column = Aggregates.dec(c)
-
-  // q55's standing signature index, one per (process, sf dir) — see q55
-  private val q55IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q80IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q103IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // standing indexes for the continuous-screening gates (q136/q139/q140),
-  // one per (process, sf dir) — q55's memoization pattern
-  private val q136IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q139IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q191IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q197IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q198StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q200StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q224StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q140IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q143IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q144IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q145IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q146IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q150IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q160ViewCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q161StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q162StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q163StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q164's atomic multi-store catalog (built once, crash-replayed inside
-  // the build), one per (process, sf dir)
-  private val q164CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q168CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q169CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q171CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q172CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q173CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q174CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q175CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q176CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q177CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q178CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q179CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q180CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q181CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q183StoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q184OutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q185CatalogCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q135's duplicate-bearing replay (events ∪ +60 s echoes), one per
-  // (process, sf dir)
-  private val q135ReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q132's persisted vocab-count baseline, one per (process, sf dir)
-  private val q132BaselineCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q130's OUT-OF-ORDER replay (fixed slice permutation + sentinel),
-  // one per (process, sf dir)
-  private val q130ReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q130's delivery order: each quarter of the corpus arrives with its
-  // two slices swapped ACROSS the next quarter's two slices (sentinel,
-  // 8, still last). The two-position displacement matters: Spark
-  // filters late rows against the watermark LAGGED ONE BATCH behind
-  // eviction (SPARK-40925 — StreamingSpec's late-drop test pins it),
-  // so a slice delivered only ONE position after a later slice is
-  // never filtered; two positions after, it is. Under this order
-  // slices 0, 1, 4 and 5 each arrive two positions behind a slice
-  // ~270 h ahead of them, and with a 240 h delay each loses its
-  // oldest ~30 h of windows — a PARTIAL, boundary-exercising drop the
-  // oracle recomputes exactly from per-slice max event times.
-  private val q130Order = Seq(2, 3, 0, 1, 6, 7, 4, 5)
-  // the shared out-of-order stage (q130 tumbling late-drop, q167 session
-  // late-drop): events in q130Order slices plus the far-future sentinel
-  private def shuffledReplayDir(s: SparkSession, d: String): String =
-    q130ReplayCache.computeIfAbsent(d, _ => {
-      val ev = Tables(s, d).events.select(replayCols: _*)
-      val dir = graft.streaming.Replay.writeShuffledSlices(ev,
-        unix_millis(col("ts")),
-        graft.core.TempDirs.create("graft_q130"),
-        q130Order)
-      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
-    })
-  // q117's re-chunked replay input, one per (process, sf dir)
-  private val q117ReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // q118/q119's time-sliced replay input, one per (process, sf dir):
-  // events split into 8 contiguous ms ranges with strictly ascending
-  // file mtimes, so a maxFilesPerTrigger=1 file stream delivers them in
-  // EVENT-TIME order (FileStreamSource processes oldest-first) — the
-  // regime where the streaming twins' parity contracts hold exactly.
-  private val eventsReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // full operator column set — q118/q119 use (user_id, event_type, ts),
-  // q123 additionally event_id, q124 event_id + the join pair columns
-  private def replayCols: Seq[Column] =
-    Seq(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
-  private def eventsReplayDir(s: SparkSession, d: String): String =
-    eventsReplayCache.computeIfAbsent(d, _ =>
-      graft.streaming.Replay.writeOrderedSlices(
-        Tables(s, d).events.select(replayCols: _*),
-        unix_millis(col("ts")),
-        graft.core.TempDirs.create("graft_evreplay")))
-  private def eventsReplayStream(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Replay.orderedStream(s, eventsReplayDir(s, d),
-      Tables(s, d).events.select(replayCols: _*).schema)
-  // q122's replay: the same 8 ordered slices PLUS a watermark-advancing
-  // sentinel slice (one row a day past the corpus, event_type
-  // "__sentinel__"). Separate dir — the sentinel row must never reach
-  // q118/q119's user-keyed state.
-  private val sentinelReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // the sentinel sits at a FIXED far-future instant (2100-01-01 UTC) and
-  // consumers exclude it with a predicate ON THE EVENT-TIME COLUMN
-  // (ts < 2099-01-01): Catalyst pushes filters on other columns BELOW the
-  // EventTimeWatermark node (PushPredicateThroughNonJoin splits conjuncts
-  // by whether they reference the watermark attribute), and a pushed-down
-  // `event_type != sentinel` filter would drop the row before its event
-  // time registers — silently never advancing the watermark (observed:
-  // the last window stayed unflushed). A ts predicate is kept above the
-  // node, so the sentinel moves the clock, then vanishes.
-  private val sentinelTsUs = 4102444800000000L // 2100-01-01T00:00:00Z
-  private def sentinelCutoff: Column =
-    timestamp_micros(lit(4070908800000000L)) // 2099-01-01T00:00:00Z
-  private def sentinelRow(s: SparkSession, tsUs: Long): DataFrame =
-    s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-      lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
-      timestamp_micros(lit(tsUs)).as("ts"))
-  private def sentinelReplayDir(s: SparkSession, d: String): String =
-    sentinelReplayCache.computeIfAbsent(d, _ => {
-      val ev = Tables(s, d).events.select(replayCols: _*)
-      val dir = graft.streaming.Replay.writeOrderedSlices(ev,
-        unix_millis(col("ts")),
-        graft.core.TempDirs.create("graft_evreplay_s"))
-      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
-    })
-  // q149's replay: the ordered slices plus TWO trailing sentinel slices.
-  // Chained stateful aggregations cascade one micro-batch per level —
-  // the first watermark advance finalizes the windowed counts, and the
-  // SECOND batch lets the downstream per-window top-k agg see those
-  // finalized rows and fire them (StreamingSpec's trending-tokens test
-  // needed the same two flushes). Both sentinels sit past sentinelCutoff
-  // so the ts predicate removes them after their event time registers.
-  private val trendReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def trendReplayDir(s: SparkSession, d: String): String =
-    trendReplayCache.computeIfAbsent(d, _ => {
-      val ev = Tables(s, d).events.select(replayCols: _*)
-      val dir = graft.streaming.Replay.writeOrderedSlices(ev,
-        unix_millis(col("ts")),
-        graft.core.TempDirs.create("graft_evreplay_t"))
-      graft.streaming.Replay.appendSlice(dir, sentinelRow(s, sentinelTsUs), 8)
-      graft.streaming.Replay.appendSlice(dir,
-        sentinelRow(s, sentinelTsUs + 86400000000L), 9)
-    })
-
-  // q102/q103's shared retrieval workload: three fixed queries over the
-  // corpus vocabulary (lowercase single-space, so DuckDB's split replays
-  // the tokenizer exactly)
-  private def bm25Queries(s: SparkSession) = {
-    import s.implicits._
-    Seq((0L, "merge sort join table"), (1L, "stream window filter slow"),
-      (2L, "customer order supplier part")).toDF("qid", "qtext")
-  }
-  private def ms(c: Column): Column = unix_millis(c)
-
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  // q136-q142's shared staging: a batch frame replayed as contiguous
-  // order-column slices — the continuous-ingestion regime the standing-
-  // index screeners run under. Memoized per (process, sf dir, query)
-  // like every replay stage (bench runs each query 3x).
-  private val screenReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def screenReplayDir(key: String, df: => DataFrame, orderBy: Column,
-                              slices: Int): String =
-    screenReplayCache.computeIfAbsent(key, _ =>
-      graft.streaming.Replay.writeOrderedSlices(df, orderBy,
-        graft.core.TempDirs.create("graft_screen"), slices))
-
-  /** Run a foreachBatch-style screening stream to completion and return
-    * the union of every batch's result. Per-batch frames append to a
-    * FRESH parquet staging dir — result-sized (pairs / top-k / vocab
-    * counts), never corpus-sized — and the first batch pins the read
-    * schema, so batches with empty results (which write no part files)
-    * cost nothing and lose nothing. The union equals the batch operator
-    * over the whole input because every screener's result is per-row
-    * independent given the standing index (the parity contract each
-    * index spec asserts for its continuous form).
+  /** One entry per implemented operator (SURVEY §2 + the LLM-pipeline
+    * families) — declaration order preserved across the four chunk
+    * files; the driver sees one flat map, exactly as before the split.
     */
-  private def collectScreenBatches(s: SparkSession)
-      (start: (DataFrame => Unit) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
-    val out = graft.core.TempDirs.create("graft_screen_out")
-    @volatile var sch: org.apache.spark.sql.types.StructType = null
-    val q = start { b =>
-      if (sch == null) sch = b.schema
-      b.write.mode("append").parquet(out)
-    }
-    try q.processAllAvailable() finally q.stop()
-    require(sch != null, "screen stream delivered no batches")
-    s.read.schema(sch).parquet(out)
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryQueriesA.queries ++ EntryQueriesB.queries ++ EntryQueriesC.queries ++ EntryQueriesD.queries
 
-  /** q153/q160's SHARED changelog recipe over the orders table — the
-    * pair must stay in lockstep (q160's continuous fold must converge
-    * to q153's one-shot refresh, and both replay [[viewMaintainOracle]]
-    * in DuckDB). Prices ride as DECIMAL(18,2) (the q06 convention);
-    * %5 orderkeys arrive as +I inserts, %7 base rows get their price
-    * doubled via a -U/+U pair, %13∧¬%7 base rows are -D deleted. The
-    * o_orderkey column rides along for q160's replay slicing;
-    * maintainAgg ignores changelog columns it does not need.
+  /** DuckDB-equivalent SQL for every `queries` key (the driver's
+    * correctness gate): the batch bodies plus the streaming aliases.
     */
-  private def viewMaintainInput(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val o = Tables(s, d).orders
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
-    val base = o.where(col("o_orderkey") % 5 =!= 0)
-    val changes = o.where(col("o_orderkey") % 5 === 0)
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").as("p"), lit("+I").as("op"))
-      .unionByName(base.where(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").as("p"), lit("-U").as("op")))
-      .unionByName(base.where(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          (col("o_totalprice") * 2).as("p"), lit("+U").as("op")))
-      .unionByName(base.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").as("p"), lit("-D").as("op")))
-    (base, changes)
-  }
-
-  /** The one oracle both q153 and q160 declare: re-aggregate the base
-    * with the changelog applied — surviving originals, doubled %7 rows,
-    * %5 inserts; keys with no surviving rows drop out of the GROUP BY
-    * naturally (= maintainAgg's cnt > 0).
-    */
-  private val viewMaintainOracle: String =
-    """WITH o AS (SELECT o_orderkey, o_custkey,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders),
-      |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
-      |final AS (
-      |  SELECT o_custkey, o_totalprice AS p FROM base
-      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
-      |  UNION ALL
-      |  SELECT o_custkey, o_totalprice * 2 FROM base WHERE o_orderkey % 7 = 0
-      |  UNION ALL
-      |  SELECT o_custkey, o_totalprice FROM o WHERE o_orderkey % 5 = 0)
-      |SELECT o_custkey, count(*) AS cnt, CAST(sum(p) AS DOUBLE) AS total
-      |FROM final GROUP BY o_custkey""".stripMargin
-
-  /** q154/q161's shared oracle: the sketch union is exact in the gated
-    * regime, so the truth is the plain distinct count over the same day
-    * slice — q161's stream-grown store must converge to it exactly.
-    */
-  private val sketchRollupOracle: String =
-    """SELECT event_type, count(DISTINCT user_id) AS users
-      |FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1
-      |GROUP BY event_type""".stripMargin
-
-  /** q157/q162's shared oracle: the inclusive-rank percentile replay
-    * (least value whose cume_dist ≥ q — what percentile_disc and an
-    * uncompacted KLL sketch both compute) over the day slice.
-    */
-  private val quantileRollupOracle: String =
-    """WITH e AS (
-      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-      |    CAST(floor(value) AS BIGINT) AS value
-      |  FROM events WHERE (epoch_ms(ts) // 86400000) % 3 <> 1),
-      |r AS (
-      |  SELECT event_type, day % 7 AS dow, value,
-      |    cume_dist() OVER (PARTITION BY event_type, day % 7
-      |      ORDER BY value) AS cd
-      |  FROM e)
-      |SELECT event_type, dow,
-      |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
-      |  min(CASE WHEN cd >= 0.9 THEN value END) AS p90
-      |FROM r GROUP BY event_type, dow""".stripMargin
-
-  /** q159/q163's shared oracle: exact counts + deterministic rank over
-    * the even-digit source slice (the q64 capacity-over-vocab regime).
-    */
-  private val topkRollupOracle: String =
-    """WITH t AS (
-      |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
-      |    x -> x <> '')) AS item
-      |  FROM documents WHERE regexp_matches(source, '[02468]$')),
-      |c AS (SELECT lang, item, count(*) AS cnt FROM t GROUP BY lang, item)
-      |SELECT lang, item, cnt, rk FROM (
-      |  SELECT lang, item, cnt,
-      |    CAST(row_number() OVER (PARTITION BY lang
-      |      ORDER BY cnt DESC, item) AS BIGINT) AS rk
-      |  FROM c) WHERE rk <= 5""".stripMargin
-
-  /** q164/q168's shared catalog recipe: three standing sketch stores
-    * over events (theta distinct-users, KLL value quantiles,
-    * frequent-user top-k — all per event_type, bucketed by day), the
-    * per-batch fold set, and the store-answers frame with the q44
-    * in-plan exactness gates. The pair must stay in lockstep: both
-    * forms (batch crash-replay q164, continuous q168) converge to the
-    * same grown catalog and replay [[catalogOracle]] in DuckDB.
-    */
-  private def catalogPrep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(col("event_id"), col("event_type"), col("user_id"),
-      dayBucket(col("ts")).as("day"), floor(col("value")).cast("long").as("fv"))
-  private def catalogFolds
-      : Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] = Seq(
-    "theta" -> ((cur, b) => Sketches.appendThetaBuckets(cur, b,
-      Seq(col("event_type")), col("day"), col("user_id"))),
-    "kll" -> ((cur, b) => Sketches.appendKllBuckets(cur, b,
-      Seq(col("event_type")), col("day"), col("fv"), k = 65535)),
-    "topk" -> ((cur, b) => Sketches.appendTopKBuckets(cur, b,
-      Seq(col("event_type")), col("day"), col("user_id"))))
-  private def catalogInit(p: String, init: org.apache.spark.sql.DataFrame): Unit =
-    graft.core.Catalog.init(p, Map(
-      "theta" -> Sketches.thetaBuckets(init,
-        Seq(col("event_type")), col("day"), col("user_id")),
-      "kll" -> Sketches.kllBuckets(init,
-        Seq(col("event_type")), col("day"), col("fv"), k = 65535),
-      "topk" -> Sketches.topKBuckets(init,
-        Seq(col("event_type")), col("day"), col("user_id"))))
-  private def catalogAnswers(s: SparkSession, d: String, base: String,
-                             qname: String): org.apache.spark.sql.DataFrame = {
-    val e = Tables(s, d).events
-    val stores = graft.core.Catalog.readAll(s, base) // one manifest read
-    val users = Sketches.distinctOver(
-      stores("theta"), Seq("event_type"), lit(true), out = "__users")
-    val p50 = Sketches.quantilesOver(
-      stores("kll"), Seq("event_type"), lit(true), Seq(0.5), k = 65535)
-    val top = Sketches.topKOver(stores("topk"), Seq("event_type"),
-        lit(true), k = 1)
-      .select(col("event_type"), col("item").as("top_user"),
-        col("cnt").as("__top_cnt"))
-    val exact = catalogPrep(e).groupBy("event_type").agg(
-      countDistinct(col("user_id")).as("__eu"),
-      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)")
-        .as("__e50"))
-    val exactTop = e.groupBy("event_type", "user_id")
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__rk", row_number().over(Window.partitionBy("event_type")
-        .orderBy(col("__c").desc, col("user_id").asc)))
-      .where(col("__rk") === 1)
-      .select(col("event_type"), col("user_id").as("__etu"), col("__c").as("__etc"))
-    def gated = exactnessGate(qname) _
-    users.join(p50, Seq("event_type")).join(top, Seq("event_type"))
-      .join(exact, Seq("event_type")).join(exactTop, Seq("event_type"))
-      .select(col("event_type"),
-        gated("__users", "__eu", "users"),
-        gated("p50", "__e50", "p50"),
-        gated("top_user", "__etu", "top_user"),
-        gated("__top_cnt", "__etc", "top_cnt"))
-  }
-  /** Rebuilt-from-scratch truth for all three catalog stores — shared
-    * by q164 and q168: any torn or double-applied fold in any store
-    * breaks the compare.
-    */
-  private val catalogOracle: String =
-    """WITH t AS (SELECT event_type, user_id,
-      |            CAST(floor(value) AS BIGINT) AS fv FROM events),
-      |u AS (SELECT event_type, count(DISTINCT user_id) AS users FROM t GROUP BY 1),
-      |q AS (SELECT event_type,
-      |        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT) AS p50
-      |      FROM t GROUP BY 1),
-      |c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
-      |k AS (SELECT event_type, user_id AS top_user, cnt AS top_cnt,
-      |        row_number() OVER (PARTITION BY event_type
-      |          ORDER BY cnt DESC, user_id) AS rk FROM c)
-      |SELECT u.event_type, u.users, q.p50, k.top_user, k.top_cnt
-      |FROM u JOIN q USING (event_type) JOIN k USING (event_type)
-      |WHERE k.rk = 1""".stripMargin
-
-  /** q169/q171's shared admission recipe over documents: the ingested
-    * corpus is every non-benchmark doc PLUS a planted echo of each
-    * (+100000 ids, same text — the cross-batch duplicates the standing
-    * screen must catch); bench is the %50 docs. Three catalog stores:
-    * the fingerprint set the dedup screen reads, per-source stats,
-    * per-source vocabulary top-k. Both gate forms (batch q169,
-    * continuous q171) must converge to the same catalog and replay
-    * [[admissionOracle]].
-    */
-  private def admissionCorpus(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val docs = Tables(s, d).documents
-    val orig = docs.where(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    (orig.unionByName(orig.withColumn("doc_id", col("doc_id") + lit(100000L))),
-      docs.where(col("doc_id") % 50 === 0))
-  }
-  private def admissionFolds
-      : Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] = Seq(
-    "fps" -> ((cur, b) =>
-      cur.unionByName(b.select(col("__fp").as("fp"))).distinct()),
-    "stats" -> ((cur, b) => cur.unionByName(
-        b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
-      .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"))),
-    "vocab" -> ((cur, b) => Sketches.appendTopKBuckets(cur,
-      b.select(col("source"), col("lang"),
-        explode(Stateless.tokens(col("text"))).as("w")),
-      Seq(col("source")), col("lang"), col("w"))))
-  /** The doc-level lineage rows the takedown path keys on: what was
-    * admitted, from which source, with which fingerprint, at what token
-    * weight — tiny scalar rows, so the store folds at fps-store cost.
-    */
-  private def admissionLineage(b: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    b.select(col("doc_id"), col("source"), col("lang"),
-      col("__fp").as("fp"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-  private def admissionLineageFold
-      : (String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
-    "docs" -> ((cur, b) => cur.unionByName(admissionLineage(b)))
-  private def admissionInit(p: String, corpus: org.apache.spark.sql.DataFrame,
-                            withLineage: Boolean = false): Unit = {
-    val stores = Map(
-      "fps" -> corpus.where(lit(false))
-        .select(TextAnalysis.fingerprint(col("text")).as("fp")),
-      "stats" -> corpus.where(lit(false)).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
-      "vocab" -> Sketches.topKBuckets(
-        corpus.where(lit(false)).select(col("source"), col("lang"),
-          explode(Stateless.tokens(col("text"))).as("w")),
-        Seq(col("source")), col("lang"), col("w")))
-    graft.core.Catalog.init(p, if (!withLineage) stores
-      else stores + ("docs" -> admissionLineage(
-        corpus.where(lit(false))
-          .withColumn("__fp", TextAnalysis.fingerprint(col("text"))))))
-  }
-  /** The four ascending-id batches every admission gate replays:
-    * originals split in two, then the echoes split in two (echo ids
-    * start above 100000 at every sf).
-    */
-  private val admissionBounds = Seq(0L, 250L, 100000L, 100250L, 100000000L)
-  private def admissionIngestBatch(s: SparkSession, p: String,
-      corpus: org.apache.spark.sql.DataFrame, bench: org.apache.spark.sql.DataFrame,
-      i: Int,
-      folds: Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)]): Unit = {
-    val batch = corpus.where(col("doc_id") >= admissionBounds(i) &&
-      col("doc_id") < admissionBounds(i + 1))
-    Admission.ingest(s, p, i.toLong, Admission.screen(s, p, "fps", batch,
-      col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-      n = 3, threshold = 0.3), folds)
-  }
-  private def admissionAnswersFrom(
-      stores: Map[String, org.apache.spark.sql.DataFrame])
-      : org.apache.spark.sql.DataFrame = {
-    val top = Sketches.topKOver(stores("vocab"), Seq("source"), lit(true), k = 1)
-      .select(col("source"), col("item").as("top_token"),
-        col("cnt").as("top_cnt"))
-    stores("stats").join(top, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("top_token"), col("top_cnt"))
-  }
-  private def admissionAnswers(s: SparkSession, base: String)
-      : org.apache.spark.sql.DataFrame =
-    admissionAnswersFrom(graft.core.Catalog.readAll(s, base)) // one manifest read
-  /** The admitted set from scratch: min-id winner of every fingerprint
-    * class over (originals ∪ echoes), minus the docs the q66
-    * containment rule flags — then the three store answers (per-source
-    * doc/token counts, deterministic top token) over it. Any screen
-    * miss, torn fold, or double-apply in either gate form breaks the
-    * compare.
-    */
-  // the oracle family builds from two explicit parts: the WITH-prefix
-  // through the admitted set `a` (with `/*EXTRA*/` as the post-screen
-  // filter hook the takedown form fills) and a per-query answer tail —
-  // string surgery on a shared literal would silently no-op if the base
-  // were reworded
-  private def admissionOraclePrefixOver(corpusSql: String): String =
-    """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
-      |              WHERE doc_id % 50 <> 0),
-      |corpus AS (/*CORPUS*/),
-      |tok AS (SELECT doc_id, source, lang,
-      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-      |        FROM corpus),
-      |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
-      |k AS (SELECT doc_id, source, lang, toks FROM (
-      |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-      |        FROM fp) WHERE rn = 1),
-      |ksh AS (SELECT doc_id,
-      |          list_distinct(list_transform(range(len(toks)-2),
-      |            i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-      |        FROM k),
-      |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
-      |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-      |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-      |              FROM documents WHERE doc_id % 50 = 0)),
-      |cont AS (SELECT DISTINCT t.doc_id
-      |         FROM (SELECT * FROM ksh WHERE len(s) > 0) t,
-      |              (SELECT * FROM bsh WHERE len(s) > 0) b
-      |         WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
-      |a AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM cont)/*EXTRA*/)""".stripMargin
-      .replace("/*CORPUS*/", corpusSql)
-  /** The standard corpus: originals plus their planted echoes. */
-  private val admissionCorpusSql: String =
-    """SELECT doc_id, source, lang, text FROM orig
-      |           UNION ALL
-      |           SELECT doc_id + 100000, source, lang, text FROM orig""".stripMargin
-  private val admissionOraclePrefix: String =
-    admissionOraclePrefixOver(admissionCorpusSql)
-  private val admissionStatsTail: String =
-    """,
-      |st AS (SELECT source, count(*) AS n_docs,
-      |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
-      |       FROM a GROUP BY 1),
-      |w AS (SELECT source, unnest(toks) AS w FROM a),
-      |wc AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2),
-      |top AS (SELECT source, w AS top_token, cnt AS top_cnt FROM (
-      |          SELECT source, w, cnt, row_number() OVER (PARTITION BY source
-      |            ORDER BY cnt DESC, w) AS rn
-      |          FROM wc) WHERE rn = 1)
-      |SELECT st.source, st.n_docs, st.n_tokens, top.top_token, top.top_cnt
-      |FROM st JOIN top USING (source)""".stripMargin
-  private val admissionOracle: String =
-    admissionOraclePrefix.replace("/*EXTRA*/", "") + admissionStatsTail
-
-  /** [[admissionOracle]] after an atomic takedown of one source: the
-    * same from-scratch derivation with that source's admitted docs
-    * removed before the store answers.
-    */
-  private def admissionOracleMinus(source: String): String =
-    admissionOraclePrefix.replace("/*EXTRA*/", s" AND source <> '$source'") +
-      admissionStatsTail
-
-  /** [[admissionOracle]]'s admitted set, answered per (source, lang) —
-    * q176's mid-stream-added store must be indistinguishable from one
-    * that existed from batch 0.
-    */
-  private def admissionOracleByLang: String =
-    admissionOraclePrefix.replace("/*EXTRA*/", "") + "\n" +
-      """SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
-        |FROM a GROUP BY 1, 2""".stripMargin
-
-  /** The q44-convention in-plan exactness gate shared by the sketch
-    * queries: output the sketch-side value, raising a named error if it
-    * ever diverges from the exact side.
-    */
-  private def exactnessGate(qname: String)(sk: String, ex: String, out: String): Column =
-    when(col(sk) =!= col(ex), raise_error(concat(
-      lit(s"$qname exactness regime broke at $out: sketch="), col(sk).cast("string"),
-      lit(" exact="), col(ex).cast("string"))).cast("long"))
-      .otherwise(col(sk)).as(out)
-
-  /** Epoch-day bucket shared by the sketch gates (q154/q155/q157/q161)
-    * — FLOOR division to match DuckDB's `//` even for pre-epoch
-    * timestamps (a bare cast would truncate toward zero and diverge on
-    * negative epoch-ms; |epoch_ms| < 2^53 keeps the double floor
-    * exact).
-    */
-  private def dayBucket(ts: Column): Column =
-    floor(unix_millis(ts) / lit(86400000.0)).cast("long")
-
-  // q111/q117's shared rule suite — the batch gate and its streaming twin
-  // must evaluate IDENTICAL rules for the shared oracle to be valid
-  private def qualityRules: Seq[(String, Column)] = Seq(
-    "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
-    "qty_range" -> col("l_quantity").between(1, 50),
-    "qty_under_30" -> (col("l_quantity") < 30),
-    "price_positive" -> (col("l_extendedprice") > 0),
-    "discount_range" -> col("l_discount").between(0, 0.1))
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- stateless: map / filter / flatMap (SURVEY §2.3, §2.8) ----
-    "q01_map_project" -> ((s, d) => {
-      val t = Tables(s, d)
-      Stateless.mapRecords(t.lineitem,
-        "l_orderkey" -> col("l_orderkey"),
-        "l_linenumber" -> col("l_linenumber"),
-        "net_price" -> (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double"))
-    }),
-    "q02_filter" -> ((s, d) => {
-      val t = Tables(s, d)
-      Stateless.filterRecords(t.lineitem,
-        col("l_shipdate") < to_timestamp(lit("1998-01-01")) && col("l_quantity") > 30)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    }),
-    "q03_flatmap_tokens" -> ((s, d) => {
-      val t = Tables(s, d)
-      Stateless.flatMap(t.documents, Stateless.tokens(col("text")), "word")
-        .select(col("doc_id"), col("word"))
-    }),
-    "q04_wordcount" -> ((s, d) => {
-      val t = Tables(s, d)
-      Stateless.flatMap(t.documents, Stateless.tokens(col("text")), "word")
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") > 5)
-    }),
-
-    // ---- keyed aggregation (SURVEY §2.4) ----
-    "q05_keyed_stats" -> ((s, d) =>
-      Aggregates.keyedStats(Tables(s, d).events, col("value"), col("user_id"))),
-    "q06_agg_pricing" -> ((s, d) => {
-      val t = Tables(s, d)
-      t.lineitem.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        count(lit(1)).as("count_order"))
-    }),
-    "q07_distinct" -> ((s, d) =>
-      Tables(s, d).events.select(col("user_id"), col("event_type")).distinct()),
-    "q08_dedup_keyfirst" -> ((s, d) =>
-      // intended semantics of the reference's dedup example
-      // (examples/stateful_deduplication.py:18-49): first event id per key
-      Tables(s, d).events.groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))),
-    "q09_topk" -> ((s, d) =>
-      Tables(s, d).events
-        .orderBy(col("value").desc, col("event_id").asc)
-        .limit(100)
-        .select(col("event_id"), col("user_id"), col("value"))),
-    "q33_distinct_per_key" -> ((s, d) =>
-      Tables(s, d).events.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_distinct"))),
-    "q36_rollup" -> ((s, d) => {
-      val t = Tables(s, d)
-      val j = t.customer
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      Aggregates.rollupAgg(j, col("c_acctbal"), col("r_name"), col("n_name"))
-    }),
-
-    // ---- set ops (SURVEY §2.9 — absent in reference, exposed here) ----
-    "q10_except" -> ((s, d) => {
-      val e = Tables(s, d).events
-      e.where(col("event_type") === "purchase").select(col("user_id")).distinct()
-        .except(e.where(col("event_type") === "error" && col("value") > 195).select(col("user_id")).distinct())
-    }),
-    "q11_intersect" -> ((s, d) => {
-      val e = Tables(s, d).events
-      e.where(col("event_type") === "purchase").select(col("user_id")).distinct()
-        .intersect(e.where(col("event_type") === "signup").select(col("user_id")).distinct())
-    }),
-    "q12_union" -> ((s, d) => {
-      val e = Tables(s, d).events
-      e.where(col("event_type") === "purchase").select(col("event_id"), col("user_id"))
-        .union(e.where(col("event_type") === "signup").select(col("event_id"), col("user_id")))
-    }),
-
-    // ---- joins (SURVEY §2.6) ----
-    "q13_join_inner" -> ((s, d) => {
-      val t = Tables(s, d)
-      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
-    }),
-    "q14_join_broadcast" -> ((s, d) => {
-      val t = Tables(s, d)
-      val dims = Joins.broadcastJoin(t.customer, t.nation, col("c_nationkey") === col("n_nationkey"))
-      Joins.broadcastJoin(dims, t.region, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).cast("double").as("acctbal"))
-    }),
-    "q15_join_semi" -> ((s, d) => {
-      val t = Tables(s, d)
-      Joins.semiJoin(t.customer, t.orders, col("c_custkey") === col("o_custkey"))
-        .select(col("c_custkey"), col("c_name"))
-    }),
-    "q16_join_anti" -> ((s, d) => {
-      val t = Tables(s, d)
-      Joins.antiJoin(t.customer, t.orders.where(col("o_totalprice") > 400000),
-          col("c_custkey") === col("o_custkey"))
-        .select(col("c_custkey"), col("c_name"))
-    }),
-    "q17_join_outer" -> ((s, d) => {
-      val t = Tables(s, d)
-      t.nation.join(t.customer, col("n_nationkey") === col("c_nationkey"), "left")
-        .groupBy(col("n_name"))
-        .agg(count(col("c_custkey")).as("n_cust"))
-    }),
-    "q24_interval_join" -> ((s, d) => {
-      val e = Tables(s, d).events
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      val c = e.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-      Joins.intervalJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"), 21600000L)
-        .select(col("purchase_id"), col("click_id"), (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
-    }),
-
-    // ---- SQL window functions (SURVEY §2.5 "not present" — exposed) ----
-    "q18_window_rank" -> ((s, d) => {
-      val e = Tables(s, d).events
-      val byTime = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
-      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
-      e.select(col("event_id"), col("user_id"),
-        row_number().over(byTime).cast("long").as("rn"),
-        rank().over(byValue).cast("long").as("val_rank"))
-    }),
-    "q19_window_lag" -> ((s, d) => {
-      val e = Tables(s, d).events
-      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
-      e.select(col("event_id"), col("user_id"),
-        (ms(col("ts")) - lag(ms(col("ts")), 1).over(w)).as("gap_ms"))
-    }),
-    "q20_window_running" -> ((s, d) => {
-      val e = Tables(s, d).events
-      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.select(col("event_id"), col("user_id"),
-        sum(dec(col("value"))).over(w).cast("double").as("running_sum"))
-    }),
-
-    // ---- event-time windows (SURVEY §2.5) ----
-    "q21_tumbling" -> ((s, d) => {
-      val e = Tables(s, d).events
-      EventTimeWindows.tumbling(e, col("ts"), "1 hour", col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_v"))
-        .select(EventTimeWindows.winStartMs, col("event_type"), col("cnt"), col("sum_v"))
-    }),
-    "q22_sliding" -> ((s, d) => {
-      val e = Tables(s, d).events
-      EventTimeWindows.sliding(e, col("ts"), "1 hour", "20 minutes", col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_v"))
-        .select(EventTimeWindows.winStartMs, col("event_type"), col("cnt"), col("sum_v"))
-    }),
-    "q23_session" -> ((s, d) => {
-      // ts truncated to ms BEFORE gap-splitting: the oracle splits
-      // sessions on epoch_ms diffs, and with µs-grained testdata a gap
-      // within 1 ms of exactly 30 min could otherwise merge in one
-      // engine and split in the other (ms is also the engine-parity
-      // precision convention at the top of this file)
-      val e = Tables(s, d).events
-        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
-      EventTimeWindows.session(e, col("ts"), "30 minutes", col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(unix_millis(col("session_window.start")).as("session_start_ms"),
-          col("user_id"), col("n_events"))
-    }),
-
-    // ---- scalar functions (SURVEY §2.8) ----
-    "q25_scalar_json" -> ((s, d) =>
-      Tables(s, d).events
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))),
-    "q26_scalar_datetime" -> ((s, d) =>
-      Tables(s, d).orders
-        .groupBy(year(col("o_orderdate")).cast("long").as("yr"), month(col("o_orderdate")).cast("long").as("mo"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))),
-    "q27_scalar_string" -> ((s, d) =>
-      Tables(s, d).customer.select(
-        col("c_custkey"),
-        upper(col("c_name")).as("name_up"),
-        length(col("c_name")).cast("long").as("name_len"),
-        substring(col("c_name"), 1, 8).as("name_pfx"),
-        col("c_name").contains("1").cast("int").as("has_one"))),
-
-    // ---- GUI file ops (SURVEY §3.3) ----
-    "q28_fileop_filter" -> ((s, d) =>
-      FileOps.filterOp(Tables(s, d).events, "event_type", "equals", "purchase")
-        .select(col("event_id"), col("user_id"), col("value"))),
-    "q29_fileop_transform" -> ((s, d) =>
-      FileOps.transformOp(Tables(s, d).nation, lit("2024-01-01T00:00:00"))),
-    "q30_fileop_aggregate" -> ((s, d) =>
-      FileOps.aggregateOp(Tables(s, d).events, "event_type", "avg", "value")),
-    "q31_fileop_anomaly" -> ((s, d) =>
-      FileOps.anomalyOp(Tables(s, d).events, "value", 180.0)
-        .select(col("event_id"), col("is_anomaly"))),
-
-    // ---- text analysis (north-star) ----
-    "q32_text_quality" -> ((s, d) =>
-      TextAnalysis.qualityProfile(Tables(s, d).documents, col("text"))
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("mean_tok_len"),
-          col("stop_ratio"), col("quality_keep"))),
-    "q34_text_fingerprint" -> ((s, d) =>
-      Dedup.exact(Tables(s, d).documents, col("doc_id"), col("text"))),
-    "q35_token_count" -> ((s, d) =>
-      Tables(s, d).documents.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))),
-
-    // ---- dedup + similarity (north-star; oracle below where expressible) ----
-    "q37_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashLsh(Tables(s, d).documents, col("doc_id"), col("text"),
-        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.4)
-        .select(col("id_a"), col("id_b"), col("jaccard"))),
-    "q38_simhash" -> ((s, d) =>
-      Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
-    "q39_ann_topk" -> ((s, d) => {
-      val em = Tables(s, d).embeddings
-      Similarity.bruteForceTopK(
-        em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
-    }),
-    "q40_reduce" -> ((s, d) => {
-      // KeyedStream.reduce (job_graph.py:450-457) as a typed distributed
-      // fold: per user, the max-value event (ties -> lowest event_id)
-      import s.implicits._
-      val ev = Tables(s, d).events
-        .select(col("user_id"), col("event_id"), col("value"))
-        .as[(Long, Long, Double)]
-      Reduce.reduceByKey(ev.groupByKey(_._1)) { (a, b) =>
-        if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b
-      }.map { case (_, (u, e, v)) => (u, e, v) }
-        .toDF("user_id", "event_id", "value")
-    }),
-    "q41_cube" -> ((s, d) =>
-      Aggregates.cubeAgg(Tables(s, d).orders, col("o_totalprice"),
-        col("o_orderstatus"), col("o_orderpriority"))),
-    "q42_ivf_topk" -> ((s, d) => {
-      val em = Tables(s, d).embeddings
-      Similarity.ivfTopK(
-        em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, nCells = 16, nProbe = 4)
-    }),
-    "q43_multimodal" -> ((s, d) => {
-      // synthetic media corpus keyed by the sf dir's embedding ids so the
-      // query scales with sf like every other table — derived lazily, no
-      // job runs at construction time. Per-row decoded features: the
-      // content bytes are engine-portable integer arithmetic and
-      // mean_intensity is one double division of exact integers
-      // (sum_bytes / n_bytes), so DuckDB replays the decode bit-exactly —
-      // a decimal SUM of doubles here would instead hit cross-engine
-      // rounding-mode edges (HALF_UP vs half-even) on dyadic means
-      import s.implicits._
-      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
-      Multimodal.decodeAndEmbed(Multimodal.syntheticMediaFor(ids), dim = 16)
-        .select(col("media_id"), col("media_type"), col("width"), col("height"),
-          col("mean_intensity"))
-    }),
-    "q44_approx_distinct" -> ((s, d) =>
-      // HLL sketch aggregate, oracle-checkable by pinning the exactness
-      // regime (the q64 approx_top_k trick): the counted domain is the
-      // SAME ≤5 event_type strings in every group, rsd 0.01 gives 2^14
-      // registers, and those 5 hashes land in distinct registers — so
-      // linear counting returns m·ln(m/(m-k)) = k + k²/2m, which rounds
-      // to exactly k for every subset. The sketch regime (big domains,
-      // where HLL is genuinely approximate) stays quality-gated in
-      // ExtensionsSpec; at 100 TB the sketch is the same fixed 16 KiB
-      // per group regardless of cardinality.
-      // The regime precondition is ASSERTED in the plan itself: each
-      // group also carries the exact distinct count, and any divergence
-      // raises a named error instead of surfacing as an opaque oracle
-      // hash mismatch if a data-generator change ever breaks the regime.
-      // Shape: dedup to distinct (user, type) pairs FIRST (partial-agged;
-      // HLL register updates are idempotent, so the sketch over distinct
-      // values is bit-identical to the sketch over the multiset) — then
-      // exact count and sketch ride one tiny pair-sized agg, instead of
-      // countDistinct's Expand doubling the corpus scan.
-      Tables(s, d).events.where(col("value") > 150)
-        .select(col("user_id"), col("event_type")).distinct()
-        .groupBy(col("user_id"))
-        .agg(approx_count_distinct(col("event_type"), 0.01).as("__a"),
-          count(lit(1)).as("__e"))
-        .select(col("user_id"),
-          when(col("__a") =!= col("__e"), raise_error(concat(
-            lit("q44 exactness regime broke: approx_count_distinct="), col("__a").cast("string"),
-            lit(" != exact="), col("__e").cast("string"),
-            lit(" — the event_type domain grew or its hashes now collide"))))
-          .otherwise(col("__a")).as("n_approx"))),
-    "q54_approx_percentile" -> ((s, d) =>
-      // Greenwald-Khanna sketch aggregate, oracle-checkable by pinning
-      // the exactness regime: accuracy 1e6 ≥ any sf0.01 group count, so
-      // every sample is retained and query(p) returns the element at
-      // rank ceil(p·n) (double arithmetic — the oracle replays the same
-      // IEEE product). The sketch regime stays quality-gated in
-      // ExtensionsSpec; at 100 TB memory is O(accuracy·log n) per group,
-      // independent of group size.
-      // Regime precondition asserted in the plan: every group must fit
-      // inside the accuracy (all samples retained → rank selection is
-      // exact); a generator/SF change that outgrows it raises a named
-      // error instead of an opaque oracle hash mismatch.
-      Tables(s, d).events.groupBy(col("event_type")).agg(
-        approx_percentile(col("value"), lit(0.5), lit(1000000)).as("__p50"),
-        approx_percentile(col("value"), lit(0.95), lit(1000000)).as("p95"),
-        count(lit(1)).as("__n"))
-        .select(col("event_type"),
-          when(col("__n") > 1000000L, raise_error(concat(
-            lit("q54 exactness regime broke: a group has "), col("__n").cast("string"),
-            lit(" rows > accuracy 1e6 — GK sketch would drop samples; raise accuracy"))))
-          .otherwise(col("__p50")).as("p50"),
-          col("p95"))),
-    "q53_train_split" -> ((s, d) =>
-      Sampling.split(Tables(s, d).documents, col("doc_id"))
-        .groupBy(col("fold"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"))),
-    "q52_ngram_jaccard" -> ((s, d) =>
-      // LSH-accelerated, exact-verified: at threshold 0.8 with 16x2
-      // banding the per-pair miss probability is (1-j^2)^16 <= 1e-7, so
-      // the result equals the brute-force all-pairs oracle
-      Dedup.ngramJaccardPairs(Tables(s, d).documents, col("doc_id"), col("text"),
-        n = 3, threshold = 0.8)),
-    "q51_scalar_math" -> ((s, d) =>
-      // IEEE-exact math functions only (sqrt/abs/floor/ceil/%): identical
-      // bit results across engines; transcendental fns (ln/exp) are NOT
-      // cross-engine-exact and stay out of oracle queries
-      Tables(s, d).lineitem.select(
-        col("l_orderkey"), col("l_linenumber"),
-        sqrt(col("l_quantity")).as("sqrt_qty"),
-        abs(col("l_discount") - 0.05).as("abs_disc"),
-        floor(col("l_extendedprice")).as("floor_price"),
-        ceil(col("l_extendedprice")).as("ceil_price"),
-        (col("l_orderkey") % 7).as("mod7"))),
-    "q49_anomaly_rules" -> ((s, d) =>
-      FileOps.anomalyRules(Tables(s, d).events, Seq(
-        "value_high" -> (col("value") > 190),
-        "value_sentinel" -> (col("value") === -999.9),
-        "error_burst" -> (col("event_type") === "error" && col("value") > 150)))
-        .select(col("event_id"), col("is_anomaly"),
-          array_join(col("fired_rules"), ",").as("rules"))),
-    "q50_pivot" -> ((s, d) =>
-      Tables(s, d).events.groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(dec(col("value"))).cast("double"))),
-    "q48_text_langid" -> ((s, d) =>
-      Tables(s, d).documents.select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))),
-    "q46_regex_tokens" -> ((s, d) =>
-      Tables(s, d).documents.select(
-        col("doc_id"),
-        size(TextAnalysis.regexTokens(col("text"), "[a-z0-9]+")).cast("long").as("n_regex_tokens"))),
-    "q47_rolling_fingerprint" -> ((s, d) =>
-      Tables(s, d).documents
-        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text"), 5).as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
-    "q45_embedding_neardup" -> ((s, d) => {
-      // the sf embeddings are uniform-random with no real near-dups (max
-      // pairwise cosine ≈ 0.6), so the query plants them: every 20th
-      // vector gets a deterministically perturbed copy (±1% per element,
-      // cosine ≈ 0.99995 to its source — engine-portable arithmetic, so
-      // DuckDB builds the identical corpus). At threshold 0.95 the true
-      // pair set is exactly the planted pairs; banded LSH (b=8, r=16)
-      // misses a pair at that cosine with probability < 1e-10, so the
-      // LSH+verify output equals the brute-force oracle.
-      val em = Tables(s, d).embeddings
-      val base = em.select(col("vec_id").as("id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val planted = em.where(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000000L).as("id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
-      Similarity.cosineNearDupPairs(base.union(planted), col("id"), col("v"),
-        dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
-        .select(col("id_a"), col("id_b"))
-    }),
-
-    // ---- round 4: corpus-pipeline operators (north-star extension) ----
-    "q55_dup_clusters" -> ((s, d) => {
-      // duplicate GROUPS from near-dup PAIRS, driven through the standing
-      // signature index (the composition DedupIndex exists for): ONE
-      // corpus-text pass builds shingles/ + bands/ at a temp path, then
-      // candidates, exact-Jaccard verify, and min-label clustering all run
-      // from the stored signatures — the previous form re-ran the full
-      // q52 LSH (corpus scan + shingle + minhash) inside the query.
-      // Banding params match q52 (n=3, 32 hashes, 16x2), so the pair set —
-      // and therefore the clusters — are identical (DedupIndexSpec asserts
-      // index pairs == direct operator pairs). The index is memoized per
-      // (process, sf dir): it is a STANDING index by design, and an
-      // unmemoized build would leave one full shingles+bands copy in /tmp
-      // per invocation (bench runs 3x per round) until the disk fills.
-      val idx = q55IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q55_idx")
-        DedupIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p,
-          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
-        p
-      })
-      val pairs = DedupIndex.pairs(s, idx, threshold = 0.8)
-      Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
-    }),
-    "q56_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionProfile(Tables(s, d).documents, col("doc_id"), col("text"))),
-    "q57_pii_redact" -> ((s, d) => {
-      // plant deterministic PII (both engines build the identical string),
-      // scrub it, and hash-check the redacted text + email count
-      val planted = Tables(s, d).documents.select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com from 10.0.0."), (col("doc_id") % 250).cast("string"),
-          lit(" phone 555-867-5309")).as("text"))
-      planted.select(col("doc_id"),
-        TextAnalysis.redactPii(col("text")).as("redacted"),
-        TextAnalysis.piiCounts(col("text")).getField("emails").cast("long").as("n_emails"))
-    }),
-    "q58_mixture_sample" -> ((s, d) =>
-      Sampling.mixtureSample(Tables(s, d).documents, col("doc_id"), col("source"),
-        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
-        defaultWeight = 0.125)
-        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
-    "q59_seq_packing" -> ((s, d) =>
-      Packing.packSequences(Tables(s, d).documents, col("doc_id"),
-          TextAnalysis.tokenCount(col("text")), windowTokens = 512)
-        .select(col("ord_key").as("doc_id"), col("n_tok"), col("bin"))),
-    "q60_top_tokens" -> ((s, d) =>
-      TextAnalysis.topTokensPerGroup(Tables(s, d).documents, col("lang"), col("text"), k = 10)
-        .select(col("grp").as("lang"), col("word"), col("cnt"), col("rk"))),
-    "q61_corpus_pipeline" -> ((s, d) => {
-      // the operators composed as a real training-data pipeline: quality
-      // gate → exact-dedup keep-first → domain mixture → per-language
-      // token budget. One narrow scan feeds the quality+fingerprint pass;
-      // only (fp, id) pairs shuffle for the dedup; the mixture filter is
-      // a narrow predicate; the final agg is partial-aggregated.
-      val docs = Tables(s, d).documents
-      val quality = TextAnalysis.qualityProfile(docs, col("text"))
-        .where(col("quality_keep"))
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      val keepIds = Dedup.exact(quality, col("doc_id"), col("text"))
-        .select(col("keep_id").as("doc_id"))
-      val deduped = quality.join(keepIds, "doc_id")
-      Sampling.mixtureSample(deduped, col("doc_id"), col("source"),
-          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
-          defaultWeight = 0.5)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
-    }),
-    "q62_asof_join" -> ((s, d) => {
-      // last click at-or-before each purchase, per user (the attribution
-      // lookup the reference's interval join approximates with a band).
-      // Right side pre-aggregated to one row per (user, ms) so the as-of
-      // winner is unique and deterministic.
-      val e = Tables(s, d).events
-      val purchases = e.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("p_ms"))
-      val clicks = e.where(col("event_type") === "click")
-        .groupBy(col("user_id").as("c_user"), unix_millis(col("ts")).as("c_ms"))
-        .agg(max(col("event_id")).as("click_id"))
-      Joins.asofJoin(purchases, clicks,
-          col("user_id"), col("c_user"), col("p_ms"), col("c_ms"),
-          Seq("click_id" -> col("click_id"), "click_ms" -> col("c_ms")))
-        .select(col("event_id"), col("user_id"), col("p_ms"),
-          col("asof.click_id").as("click_id"), col("asof.click_ms").as("click_ms"))
-    }),
-    "q63_salient_terms" -> ((s, d) =>
-      TextAnalysis.salientTerms(Tables(s, d).documents, col("doc_id"), col("text"), k = 3)),
-    "q64_approx_top_tokens" -> ((s, d) =>
-      // sketch-based frequent items (Spark 4 approx_top_k): the bounded-
-      // memory path for heavy-hitter tokens when the vocabulary itself
-      // doesn't fit per-executor memory. The sketch contract is EXACT
-      // while maxItemsTracked exceeds the live vocabulary (ExtensionsSpec
-      // holds that bar), and the testdata vocabulary is far below the 10k
-      // tracked here — so after a DETERMINISTIC re-rank of the sketch
-      // output (count desc, word asc; the raw sketch's order at a tied
-      // k-th place is engine-internal) the query is DuckDB-oracle-checked
-      // end to end. Ask the sketch for 50 items (> vocab) so the exactness
-      // regime, not the sketch's own boundary tie-break, decides the top 10.
-      Tables(s, d).documents
-        .select(explode(Stateless.tokens(col("text"))).as("word"))
-        .agg(expr("approx_top_k(word, 50, 10000)").as("top"))
-        .select(explode(col("top")).as("t"))
-        .select(struct((-col("t.count")).as("nc"), col("t.item").as("word")).as("s"))
-        .agg(graft.functions.Kernels.collect_bottom_k(col("s"), 10).as("top10"))
-        .select(posexplode(col("top10")).as(Seq("pos", "s")))
-        .select(col("s.word").as("word"), (-col("s.nc")).as("cnt"),
-          (col("pos") + 1).cast("long").as("rk"))),
-    "q65_stratified_take" -> ((s, d) =>
-      Sampling.stratifiedTake(Tables(s, d).documents, col("doc_id"), col("source"), n = 5)
-        .select(col("dom").as("source"), col("key").as("doc_id"), col("rk"))),
-    "q66_decontaminate" -> ((s, d) => {
-      // every 50th document plays the benchmark set; training docs
-      // containing >= 30% of a benchmark doc's 3-gram shingles are flagged
-      val docs = Tables(s, d).documents
-      Decontamination.containmentPairs(
-        docs.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
-        docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
-        n = 3, threshold = 0.3)
-    }),
-    "q67_chunking" -> ((s, d) =>
-      TextAnalysis.chunk(Tables(s, d).documents, col("doc_id"), col("text"),
-        chunkTokens = 32, stride = 24)),
-
-    "q73_token_budget" -> ((s, d) =>
-      // token-budget mixture selection: per source, admit docs in md5
-      // order until the source's token budget fills (budgets sized to
-      // truncate every source at sf0.01 — ~27.5k corpus tokens total)
-      Sampling.tokenBudgetSample(Tables(s, d).documents,
-          col("doc_id"), col("source"), TextAnalysis.tokenCount(col("text")),
-          Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L),
-          defaultBudget = 500L)
-        .select(col("key").as("doc_id"), col("dom").as("source"),
-          col("n_tok"), col("prefix_excl"))),
-    "q74_dup_spans" -> ((s, d) =>
-      // substring-level dedup detection: maximal token spans shared by
-      // >= 2 distinct documents (8-gram fingerprints, merged hits)
-      SpanDedup.duplicateSpans(Tables(s, d).documents,
-        col("doc_id"), col("text"), n = 8)),
-    "q75_span_scrub" -> ((s, d) =>
-      // keep-first substring scrub: every duplicated 8-gram occurrence
-      // except the corpus-wide first is removed; text rebuilt outside the
-      // merged removal spans
-      SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
-        col("doc_id"), col("text"), n = 8)),
-    "q87_sq8_topk" -> ((s, d) => {
-      // scalar-quantized ANN: per-dimension int8 codes against corpus
-      // min/max, dequantized squared-L2 ranking — the 4x end of the
-      // quantization spectrum (PQ is the 32x end)
-      val em = Tables(s, d).embeddings
-      Similarity.sq8TopK(em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, dim = 64)
-    }),
-    "q88_kmeans_assign" -> ((s, d) => {
-      // fixed-point Lloyd's k-means (k=8, 2 iterations) over the
-      // embeddings — every quantity an integer (floor-quantized vectors,
-      // integer squared-L2, truncating-division update), so the oracle
-      // replays the identical fit unrolled in SQL
-      val em = Tables(s, d).embeddings
-      KMeans.assign(em, col("vec_id"), col("embedding"),
-        KMeans.fit(em, col("vec_id"), col("embedding"), k = 8, iters = 2))
-    }),
-    "q89_kmeans_ivf_topk" -> ((s, d) => {
-      // IVF ANN with a TRAINED coarse quantizer (FAISS IndexIVF.train):
-      // k-means cells replace the raw corpus sample of q42
-      val em = Tables(s, d).embeddings
-      KMeans.ivfTopKTrained(em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, nCells = 8, iters = 2, nProbe = 4)
-    }),
-    "q90_kmeans_semdedup" -> ((s, d) => {
-      // SemDeDup: k-means-cluster the embeddings, then drop every row
-      // with a lower-id near-duplicate (cosine >= 0.95) in its own
-      // cluster. Same planted corpus as q45 (the sf embeddings have no
-      // real near-dups), so exactly the planted copies die.
-      val em = Tables(s, d).embeddings
-      val base = em.select(col("vec_id").as("id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val planted = em.where(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000000L).as("id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1))).as("v"))
-      KMeans.semanticDedup(base.union(planted), col("id"), col("v"),
-        k = 8, iters = 2, threshold = 0.95)
-    }),
-    "q91_quality_classify" -> ((s, d) =>
-      // linear quality-classifier inference (the fastText/C4-style gate):
-      // integer fixed-point features + dot product + sign threshold, one
-      // narrow codegen'd pass, bit-identical across engines
-      Classifier.qualityClassify(Tables(s, d).documents, col("doc_id"), col("text"))),
-    "q92_zorder_value" -> ((s, d) =>
-      // the Morton (Z-order) layout key over (l_partkey, l_suppkey) —
-      // integer min/max normalization + bit interleave, the curve
-      // zorderWrite clusters files by for multi-column scan pruning
-      Layout.withZValue(Tables(s, d).lineitem,
-          Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
-        .select(col("l_orderkey"), col("l_linenumber"), col("zval"))),
-    "q97_priority_sample" -> ((s, d) =>
-      // weight-proportional sample without replacement (priority
-      // sampling): longer documents proportionally likelier, no RNG
-      // state, the k-smallest-priority rank is a TakeOrderedAndProject
-      Sampling.prioritySample(Tables(s, d).documents,
-          col("doc_id"), col("n_chars"), k = 100)
-        .select(col("doc_id"), col("n_chars"))),
-    "q98_cdc_chunks" -> ((s, d) =>
-      // content-defined chunking: boundaries where the rolling window
-      // hash has its low 4 bits clear (expected chunk ~16 tokens) —
-      // chunk identities survive edits elsewhere in the document, the
-      // property that makes chunk-level dedup incremental
-      TextAnalysis.cdcChunks(Tables(s, d).documents,
-        col("doc_id"), col("text"), window = 5, maskBits = 4)),
-    "q99_stratified_priority" -> ((s, d) =>
-      // weighted sample without replacement PER SOURCE (10 docs each,
-      // longer docs proportionally likelier) — per-stratum quotas with
-      // PPS weighting; map-side WindowGroupLimit bounds the exchange
-      Sampling.prioritySamplePerKey(Tables(s, d).documents,
-          col("source"), col("doc_id"), col("n_chars"), k = 10)
-        .select(col("source"), col("doc_id"), col("n_chars"))),
-    "q101_bpe_encode" -> ((s, d) => {
-      // the full BPE lifecycle: train 8 merges on the corpus (one
-      // corpus pass + vocab-sized rounds, one bounded single-row
-      // collect each — the trainer's documented pattern), then encode
-      // the whole vocabulary with the trained merges. Any wrong merge,
-      // tie-break, or fold behavior changes the encodings.
-      val docs = Tables(s, d).documents
-      val merges = Bpe.trainMerges(docs, col("text"), numMerges = 8)
-      Bpe.wordFreq(docs, col("text"))
-        .select(col("word"), col("freq"),
-          Bpe.encodeWord(col("word"), merges).as("syms"))
-        .select(col("word"), col("freq"),
-          size(col("syms")).cast("long").as("n_tok"),
-          array_join(col("syms"), " ").as("toks"))
-    }),
-    "q102_bm25_topk" -> ((s, d) =>
-      // lexical retrieval: BM25 top-10 per query, the classic k1/b
-      // saturation curve in exact integer fixed point (bitlen idf,
-      // cleared-denominator rationals — bit-identical across engines);
-      // the lexical complement of q39/q42's embedding ANN
-      Bm25Index.topK(Tables(s, d).documents, col("doc_id"), col("text"),
-        bm25Queries(s), col("qid"), col("qtext"), k = 10)),
-    "q112_changelog_apply" -> ((s, d) => {
-      // CDC MERGE: a latest-wins upsert/delete log applied to a keyed
-      // snapshot. %11 keys (absent from the snapshot) re-inserted at
-      // seq 1, %7 custkeys bumped at seq 2, %13 deleted at seq 3 —
-      // overlapping keys (77, 91, 143, ...) exercise latest-wins; the
-      // winner collapse is a partial max-struct aggregate, never a
-      // log-wide window (plan-asserted in DiffSpec)
-      val o = Tables(s, d).orders
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val snapshot = o.where(col("o_orderkey") % 11 =!= 0)
-      val changes = o.where(col("o_orderkey") % 11 === 0)
-        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
-        .unionByName(o.where(col("o_orderkey") % 7 === 0)
-          .withColumn("o_custkey", col("o_custkey") + 1000000L)
-          .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
-        .unionByName(o.where(col("o_orderkey") % 13 === 0)
-          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
-      Diff.applyChangelog(snapshot, changes, Seq("o_orderkey"), "seq", "op")
-    }),
-    "q113_scd2" -> ((s, d) =>
-      // SCD-2 history: each user's event log becomes versioned state
-      // rows with [valid_from, valid_to) event-id bounds and an
-      // is_current flag — ONE keyed exchange (the lead window);
-      // (user_id, event_id) uniqueness fail-fast
-      Diff.scd2(Tables(s, d).events
-          .select(col("user_id"), col("event_id"), col("event_type")),
-        Seq("user_id"), "event_id")),
-    "q114_temporal_join" -> ((s, d) => {
-      // point-in-time lookup: every non-purchase event attaches the
-      // user's purchase version in force at that event id — scd2 builds
-      // the dimension, temporalJoin resolves it in ONE keyed exchange
-      // (no join node; plan-asserted in DiffSpec)
-      val e = Tables(s, d).events
-      val dim = Diff.scd2(
-        e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("version_id"),
-            col("value").as("version_value")),
-        Seq("user_id"), "version_id")
-      Diff.temporalJoin(
-        e.where(col("event_type") =!= "purchase")
-          .select(col("user_id"), col("event_id"), col("event_type")),
-        dim, Seq("user_id"), "event_id", "version_id", "valid_to",
-        Seq("version_id", "version_value"))
-    }),
-    "q116_trend" -> ((s, d) =>
-      // per-supplier shipment-quantity trend over ship-day: closed-form
-      // OLS from the five sums in ONE partial-aggregated scan, integer
-      // fixed point (milli-units) so every engine agrees bit-for-bit;
-      // x shifted to a small base offset to keep products in Long range
-      Trend.fit(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          // l_shipdate reads as TIMESTAMP_NTZ from parquet; unix_millis
-          // needs LTZ — the cast is deterministic because the session
-          // timezone is pinned UTC in GraftSession
-          expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000) - 9000").as("x"),
-          col("l_quantity").cast("long").as("y")),
-        Seq("l_suppkey"), "x", "y", scale = 1000L)),
-    "q115_gap_fill" -> ((s, d) =>
-      // 6-hour resample of each user's purchase value with forward
-      // fill — the spine comes from a key-sized bounds aggregate, the
-      // fill is one keyed window, no join anywhere (plan-asserted in
-      // TimeseriesSpec); dup (user, ms) collapsed first for determinism
-      Timeseries.gapFill(
-        Tables(s, d).events.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), unix_millis(col("ts")).as("ms"))
-          .agg(max(col("value")).as("value")),
-        Seq("user_id"), "ms", 21600000L, Seq("value"))),
-    "q190_ks_drift" -> ((s, d) => {
-      // EXACT two-sample KS distance per group — the numeric drift
-      // monitor between loads: even- vs odd-key orders per priority,
-      // D = max |F_a - F_b| with ties resolved by the RANGE frame and
-      // the statistic kept in integers (d_num / (n_a*n_b)) so it is
-      // exact and hash-stable. One union scan + one group-partitioned
-      // ordered window — KS is an ordered-traversal statistic, and
-      // the partitioning keeps the sort group-local, never global.
-      val o = Tables(s, d).orders.select(col("o_orderpriority").as("pri"),
-        col("o_orderkey"), (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-      Quantiles.ksDistance(
-        o.where(col("o_orderkey") % 2 === 0).select(col("pri"), col("cents")),
-        o.where(col("o_orderkey") % 2 =!= 0).select(col("pri"), col("cents")),
-        Seq("pri"), col("cents"))
-    }),
-    "q188_table_profile" -> ((s, d) =>
-      // ANALYZE-style exact column profile in ONE scan — rows, nulls,
-      // exact distinct count, double-cast min/max per column: the
-      // stats broadcast and skew decisions read at 100 TB, and the
-      // baseline a pipeline monitors between loads. The multiple
-      // exact count_distincts share the scan via Expand (the honest
-      // cost of exactness; the theta stores are the continuous form).
-      Checks.profile(Tables(s, d).lineitem,
-        Seq("l_suppkey", "l_quantity", "l_extendedprice", "l_tax"))),
-    "q111_quality_checks" -> ((s, d) =>
-      // data-quality gate: five named rules over lineitem in ONE
-      // partial-aggregated scan (a rule suite never costs a scan per
-      // rule); null rule results count as violations
-      Checks.validate(Tables(s, d).lineitem, qualityRules)),
-    "q117_quality_checks_stream" -> ((s, d) => {
-      // q111's STREAMING twin made oracle-visible: replay lineitem as an
-      // 8-micro-batch file stream (re-chunked copy, maxFilesPerTrigger=1),
-      // run the running gate in complete output mode, return the final
-      // totals. By the parity contract (ChecksSpec: stream == batch over
-      // the union after the last batch) the result equals the batch gate,
-      // so the oracle IS q111's — batching never changes exact counts.
-      val li = Tables(s, d).lineitem
-      // replay input written once per (process, sf dir) — bench repeats
-      // measure the streaming replay, not parquet re-chunking
-      val tmp = q117ReplayCache.computeIfAbsent(d, _ => {
-        val t = graft.core.TempDirs.create("graft_q117")
-        li.repartition(8).write.mode("overwrite").parquet(s"$t/in")
-        t
-      })
-      // a stateful micro-batch commits one state-store instance per
-      // shuffle partition per trigger; the gate's state is R=5 rows, so
-      // core-count partitions pay ~8x per-batch overhead for empty
-      // stores (GraftSession.forStreaming rule). Pin small, restore.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      try {
-        val gate = Checks.validateStream(
-          s.readStream.schema(li.schema).option("maxFilesPerTrigger", 1)
-            .parquet(s"$tmp/in"),
-          qualityRules)
-        val q = gate.writeStream.format("memory").queryName("graft_q117_gate")
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q117_gate")
-    }),
-    "q110_triangles" -> ((s, d) => {
-      // per-vertex triangle counts over a deterministic md5-derived doc
-      // graph (3 pseudo-random neighbors per doc) — degree orientation
-      // keeps wedge fan-out O(sqrt m) even on hubs
-      val docs = Tables(s, d).documents.select(col("doc_id"))
-      val edges = docs.select(col("doc_id").as("x"),
-        explode(array((0 to 2).map(i =>
-          conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit(":"), lit(i.toString))), 1, 8), 16, 10).cast("long") % 500L): _*)).as("y"))
-      Graphs.triangles(edges, col("x"), col("y"))
-    }),
-    "q109_exact_percentiles" -> ((s, d) =>
-      // EXACT p50/p90/p99 of lineitem price (in cents — integral) by
-      // range-bisection selection: no global sort, no value collection,
-      // ~3 histogram scans with pushed range filters
-      Quantiles.percentiles(
-        Tables(s, d).lineitem.select(
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        col("cents"), Seq(50, 90, 99))),
-    "q121_groupwise_median" -> ((s, d) =>
-      // EXACT per-supplier median price (cents) — every group bisects
-      // its own range simultaneously: group-sized bounds broadcast, per-
-      // pass (group × ≤4096)-row histograms, no per-group sort, no
-      // value buffering (Spark's exact percentile agg would buffer every
-      // value of a group in one buffer — the 100 TB OOM path)
-      Quantiles.exactPercentileByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        Seq("l_suppkey"), col("cents"), 50)),
-    "q186_mad_outliers" -> ((s, d) =>
-      // EXACT robust outlier screen — per-supplier median + MAD over
-      // price cents, both by range bisection (no per-group sort, no
-      // value buffering), then |x − median| > 3·MAD counted per
-      // group. The classical z-score breaks on the very outliers it
-      // hunts (mean and stddev absorb them); median/MAD has a 50%
-      // breakdown point — the robust form a data-quality monitor
-      // actually wants. Oracle replays BOTH medians under q121's
-      // exact rank convention, then the same count.
-      Quantiles.madOutliers(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        Seq("l_suppkey"), col("cents"))),
-    "q221_kwic" -> ((s, d) => {
-      // KEYWORD IN CONTEXT — TrigramIndex.searchWithContext: q191's
-      // substring hits with the first match's position and an
-      // edge-clipped 15-char-each-side snippet (the grep -C of the
-      // standing index; per-hit work only). Oracle replays instr +
-      // the same clipped substring arithmetic.
-      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
-        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      import s.implicits._
-      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
-        .toDF("qid", "pat")
-      TrigramIndex.searchWithContext(s, qs, col("qid"), col("pat"),
-        Tables(s, d).documents, col("doc_id"), col("text"), idx, context = 15)
-    }),
-    "q220_cdf_rank" -> ((s, d) => {
-      // EMPIRICAL-CDF SCORING — Quantiles.cdfRank: odd-day events
-      // scored against the even-day reference distribution per event
-      // type: the exact fraction of reference values <= each event's
-      // cents (1e4 fixed point) — row-grain anomaly scoring vs a
-      // baseline. The reference collapses to its distinct-value CDF;
-      // queries attach the floor entry via the as-of union trick over
-      // the VALUE domain — no range join. Oracle: the naive per-row
-      // count over the key-pair join.
-      val e = Tables(s, d).events.select(col("event_id"),
-        col("event_type").as("k"),
-        (expr("unix_millis(ts) div 86400000") % 2).as("par"),
-        (dec(col("value")) * 100).cast("long").as("cents"))
-      Quantiles.cdfRank(
-        e.where(col("par") === 1).select(col("event_id"), col("k"), col("cents")),
-        col("k"), col("cents"),
-        e.where(col("par") === 0), col("k"), col("cents"))
-    }),
-    "q219_funnel_latency" -> ((s, d) =>
-      // CONVERSION-LATENCY DISTRIBUTION — Funnel.conversionLatency →
-      // Quantiles.percentiles: the time from first view to the
-      // purchase that completes the funnel, exact p50/p90/p99 over
-      // converting users by range bisection (no sort, no value
-      // collection). Oracle replays q106's chained conditional mins,
-      // then the q121 rank convention over the latencies.
-      Quantiles.percentiles(
-        Funnel.conversionLatency(Tables(s, d).events, col("user_id"),
-          col("event_type"), col("ts"), Seq("view", "click", "purchase")),
-        col("latency_us"), Seq(50, 90, 99))),
-    "q218_rolling_wau" -> ((s, d) =>
-      // ROLLING DISTINCT ACTIVES — Timeseries.rollingDistinct: the
-      // DAU/WAU curve, exact. COUNT DISTINCT can't ride a window
-      // frame; each distinct (user, day) activity EXPLODES its
-      // 7-tick contribution span, then one exact distinct aggregate
-      // per report day — |activity|×7 work, linear. Gap days inside
-      // the span still report. Oracle replays the contribution join.
-      Timeseries.rollingDistinct(Tables(s, d).events,
-        expr("unix_millis(ts) div 86400000"), col("user_id"),
-        windowTicks = 7L)),
-    "q217_peak_sessions" -> ((s, d) => {
-      // PEAK CONCURRENCY — Timeseries.maxConcurrency over q207's
-      // session intervals: the most user sessions simultaneously
-      // active, and the earliest microsecond attaining it (capacity
-      // ceilings). Tick aggregation makes the sweep order-unambiguous
-      // and collapses the data before the only ordered window. Oracle
-      // replays sessionize, the interval roll-up, and the same sweep.
-      val sess = EventTimeWindows.sessionize(Tables(s, d).events,
-        Seq("user_id"), col("ts"), col("event_id"), gapMs = 30L * 60 * 1000)
-      val iv = sess.groupBy(col("user_id"), col("session_idx"))
-        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
-      Timeseries.maxConcurrency(iv, col("s"), col("e"))
-    }),
-    "q216_nearest_join" -> ((s, d) => {
-      // NEAREST-IN-TIME JOIN — Joins.asofNearest: each error event
-      // attaches its user's CLOSEST purchase (either direction, ties
-      // to the earlier) — where q62's backward-only as-of would skip a
-      // purchase seconds later. One keyed union exchange, one sort
-      // serving both directions, no join node. Oracle: per-left min
-      // |dt| with the (distance, earlier) pick over the key-pair join.
-      val ev = Tables(s, d).events
-      val l = ev.where(col("event_type") === "error")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      val r = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("rus"),
-          (dec(col("value")) * 100).cast("long").as("cents"))
-      Joins.asofNearest(l, r, col("user_id"), col("user_id"),
-        col("us"), col("rus"), Seq("cents" -> col("cents")))
-        .select(col("user_id"), col("event_id"), col("us"),
-          col("nearest.cents").as("nearest_cents"), col("nearest_dt"))
-    }),
-    "q215_vocab_canonicalize" -> ((s, d) => {
-      // VOCAB CANONICALIZATION — the typo-clustering composition:
-      // Fuzzy.editSelfJoin (d ≤ 1 pairs) → lexicographic ids via
-      // Sampling.rankBy → Clusters.connectedComponents → every word
-      // maps to its cluster's lexicographically-smallest member
-      // (singletons map to themselves). The entity-resolution shape:
-      // candidate pairs, transitive closure, canonical representative.
-      // Oracle: recursive min-STRING-label reachability (q55's CC
-      // convention seeded from every word).
-      val p = Tables(s, d).part
-      val words = p.select(explode(split(col("p_name"), " ")).as("w"))
-        .unionByName(p.select(explode(split(col("p_type"), " ")).as("w")))
-        .unionByName(p.select(explode(split(col("p_brand"), " ")).as("w")))
-        .unionByName(Tables(s, d).documents
-          .select(explode(split(lower(col("text")), " ")).as("w")))
-        .where(length(col("w")) > 0).select(lower(col("w")).as("w"))
-        .distinct().localCheckpoint()
-      val ids = Sampling.rankBy(words, col("w"), col("w"))
-        .select(col("key").as("w"), col("rank").as("id")).localCheckpoint()
-      val pairs = Fuzzy.editSelfJoin(words, col("w"), maxDistance = 1)
-      val edges = pairs
-        .join(ids.select(col("w").as("a"), col("id").as("ida")), Seq("a"))
-        .join(ids.select(col("w").as("b"), col("id").as("idb")), Seq("b"))
-      val cc = Clusters.connectedComponents(edges, col("ida"), col("idb"))
-      ids.join(cc.select(col("id"), col("cluster")), Seq("id"), "left")
-        .withColumn("__comp", coalesce(col("cluster"), col("id")))
-        .join(ids.select(col("id").as("__comp"), col("w").as("canon")),
-          Seq("__comp"))
-        .select(col("w"), col("canon"))
-    }),
-    "q214_join_skew" -> ((s, d) =>
-      // JOIN-SKEW REPORT — Checks.joinSkewReport: the exact per-key
-      // join-output contributions, total cardinality, and hot-key
-      // shares BEFORE the join runs (the salting/broadcast decision
-      // input). Events self-joined on event_type: two count
-      // aggregates, a key-sized join, a key-sized top-k — the
-      // row-sized data never joins. Oracle replays counts, HUGEINT
-      // products, and the (contrib desc, key) pick.
-      Checks.joinSkewReport(Tables(s, d).events, col("event_type"),
-        Tables(s, d).events, col("event_type"), k = 3)),
-    "q213_gini" -> ((s, d) =>
-      // GINI CONCENTRATION — Quantiles.giniByKey: how concentrated is
-      // each supplier's revenue across its line items, in exact 1e4
-      // fixed point (G = (2·Σi·x_(i) − (n+1)·Σx)/(n·Σx), moment in
-      // DECIMAL(38,0), truncating div — the numerator is ≥ 0 so
-      // DuckDB's floor // replays it). The corpus/source balance
-      // audit's inequality screen. One group-local sort, one
-      // partitioning-sharing aggregate.
-      Quantiles.giniByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        Seq("l_suppkey"), col("cents"))),
-    "q212_rolling_sum" -> ((s, d) =>
-      // TRAILING ROLLING AGGREGATE — Timeseries.rolling: per user per
-      // day, the day's revenue cents plus the trailing-7-day sum and
-      // active-day count via a RANGE frame on the day grain (gaps
-      // contribute nothing by construction — no dense spine). The
-      // row-sized data exchanges once, partially aggregated; the
-      // window moves only the day-sized frame. Oracle replays the
-      // identical RANGE window.
-      Timeseries.rolling(Tables(s, d).events, Seq("user_id"),
-        expr("unix_millis(ts) div 86400000"),
-        (dec(col("value")) * 100).cast("long"), windowTicks = 7L)),
-    "q211_basket_lift" -> ((s, d) =>
-      // MARKET-BASKET LIFT — Cohorts.basketLift: co-occurrence lift of
-      // event-type pairs within (user, day) baskets, in EXACT 1e4
-      // fixed point ((N·n_ab·10000) div (n_a·n_b) — no float). One
-      // distinct pass, a basket-keyed self-join bounded by per-basket
-      // item counts, broadcast item totals. Oracle replays the same
-      // integer arithmetic.
-      Cohorts.basketLift(Tables(s, d).events,
-        Seq(col("user_id"), expr("unix_millis(ts) div 86400000")),
-        col("event_type"))),
-    "q210_sessionize_stream" -> ((s, d) => {
-      // CONTINUOUS SESSIONIZATION — EventTimeWindows.sessionizeStream:
-      // q207's labeling live, sessions CONTINUING across micro-batch
-      // cuts through per-key state (last event time, session count,
-      // current-session length) folded exactly-once under the
-      // SwapStore ledger. Cold start + 6 event-time-ordered slices, so
-      // the concatenated batch outputs must equal q207's one-shot
-      // labeling — its window oracle gates the lifecycle.
-      val ev = Tables(s, d).events.select(col("user_id"), col("ts"),
-        col("event_id"))
-      withShufflePartitions(s, 8) {
-        val p = graft.core.TempDirs.create("graft_q210_store") + "/sess"
-        EventTimeWindows.initSessionStore(ev.where(lit(false)),
-          Seq("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000, p)
-        val stage = screenReplayDir(s"$d#q210", ev, unix_micros(col("ts")), 6)
-        val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
-        collectScreenBatches(s) { onBatch =>
-          EventTimeWindows.sessionizeStream(s, stream, Seq("user_id"),
-            col("ts"), col("event_id"), gapMs = 30L * 60 * 1000, p,
-            ephemeralOk = true)(onBatch)
-        }
-      }
-    }),
-    "q207_sessionize" -> ((s, d) =>
-      // PER-EVENT SESSIONIZATION — EventTimeWindows.sessionize: every
-      // event labeled with its user's session ordinal (30-min gap
-      // rule) and position within the session — the labeling step
-      // session_window's aggregates skip. One keyed exchange: lag,
-      // both running sums, and the row number share a single per-key
-      // sort (plan-pinned in the spec).
-      EventTimeWindows.sessionize(Tables(s, d).events, Seq("user_id"),
-        col("ts"), col("event_id"), gapMs = 30L * 60 * 1000)),
-    "q208_zscore" -> ((s, d) =>
-      // PER-GROUP Z-SCORE — Aggregates.zscoreByKey: each event's price
-      // cents standardized against its user's exact decimal moments —
-      // the plain scaling next to q199's robust winsorize. One
-      // aggregate, one group-keyed join, one deterministic double
-      // expression.
-      Aggregates.zscoreByKey(
-        Tables(s, d).events.select(col("user_id"), col("event_id"),
-          (dec(col("value")) * 100).cast("long").as("cents")),
-        col("cents"), Seq("user_id"))),
-    "q206_weighted_median" -> ((s, d) =>
-      // WEIGHTED EXACT MEDIAN — Quantiles.exactWeightedPercentileByKey:
-      // per supplier, the smallest price whose cumulative QUANTITY
-      // reaches half the total units moved — the volume-weighted
-      // median, the fair "typical price" a unit was sold at. Same
-      // ≤6 bisection passes, bucket mass = Σweight; exact integer
-      // mass arithmetic end to end. Oracle replays the cumulative-
-      // weight window.
-      Quantiles.exactWeightedPercentileByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
-          col("l_quantity").cast("long").as("units")),
-        Seq("l_suppkey"), col("cents"), col("units"), 50)),
-    "q205_changepoint" -> ((s, d) =>
-      // CHANGEPOINT LOCALIZATION — Timeseries.changepoint: per user,
-      // the split maximizing the two-segment SSE reduction over price
-      // cents in event order (q195's CUSUM says THAT it drifted; this
-      // says WHERE). The identity gain = S_i²/i + (S_n−S_i)²/(n−i) −
-      // S_n²/n needs only exact prefix sums; the argmax is an
-      // engine-stable struct-max over identical doubles. Oracle
-      // replays windows, formula, and the (gain desc, i asc) pick.
-      Timeseries.changepoint(Tables(s, d).events, Seq("user_id"),
-        col("ts"), col("event_id"), (dec(col("value")) * 100).cast("long"))),
-    "q203_mode" -> ((s, d) =>
-      // EXACT PER-KEY MODE — Aggregates.modeByKey: each user's most
-      // frequent event type, largest-value tie-break (deterministic,
-      // engine-portable struct-max — no arbitrary first()). Two
-      // map-side-partial hash aggregates, nothing buffers a group.
-      Aggregates.modeByKey(Tables(s, d).events, col("event_type"),
-        col("user_id"))),
-    "q204_transitions" -> ((s, d) =>
-      // TRANSITION MATRIX — Cohorts.transitions: consecutive
-      // (from → to) event-type pairs per user in (ts, event_id) order,
-      // globally counted — the Markov / next-event statistics a
-      // curriculum or session-flow analysis starts from. One keyed lag
-      // window + one pair-cardinality aggregate.
-      Cohorts.transitions(Tables(s, d).events, col("user_id"),
-        col("ts"), col("event_id"), col("event_type"))),
-    "q202_correlations" -> ((s, d) =>
-      // PAIRWISE CORRELATION PROFILER — Checks.correlations: Pearson r
-      // over four lineitem measures in ONE scan; moments accumulate in
-      // DECIMAL(38,0) (exact, no FP summation-order drift), r is one
-      // deterministic double expression over the double-cast moments.
-      // Oracle replays the identical moments and formula.
-      Checks.correlations(
-        Tables(s, d).lineitem.select(
-          (dec(col("l_quantity")) * 100).cast("long").as("qty"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("price"),
-          (dec(col("l_discount")) * 100).cast("long").as("disc"),
-          (dec(col("l_tax")) * 100).cast("long").as("tax")),
-        Seq("qty" -> col("qty"), "price" -> col("price"),
-          "disc" -> col("disc"), "tax" -> col("tax")))),
-    "q201_quantile_bins" -> ((s, d) =>
-      // EQUI-DEPTH BINNING — Quantiles.quantileBins: every lineitem
-      // assigned its bin of 16 equal-count buckets over global price
-      // order (feature discretization), via the two-phase distributed
-      // rank — one range shuffle, structural partition ids, never the
-      // oracle's single-partition global window.
-      Quantiles.quantileBins(
-        Tables(s, d).lineitem.select(
-          (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        col("lid"), col("cents"), nBins = 16)),
-    "q200_cusum_stream" -> ((s, d) => {
-      // CONTINUOUS CUSUM — Timeseries.cusumStream: q195's drift alarm
-      // live. Per-key state (s, max, breaches, first breach) persists
-      // in a SwapStore; each event-time-ordered micro-batch folds in
-      // via the same clamped recurrence (batch events sorted, fold
-      // seeded from the stored accumulator), exactly-once under the
-      // ledger. The store starts COLD (empty state) and all events
-      // arrive in 6 contiguous event-time slices, so the grown state
-      // must equal q195's one-shot scan — its oracle gates the
-      // lifecycle.
-      val store = q200StoreCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q200_store") + "/cusum"
-        val ev = Tables(s, dir).events.select(col("user_id"), col("ts"),
-          col("event_id"), (dec(col("value")) * 100).cast("long").as("cents"))
-        Timeseries.initCusumStore(ev.where(lit(false)), Seq("user_id"),
-          col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p)
-        withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q200", ev, unix_micros(col("ts")), 6)
-          val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
-          val q = Timeseries.cusumStream(s, stream, Seq("user_id"),
-            col("ts"), col("event_id"), col("cents"), 5000L, 20000L, p,
-            ephemeralOk = true)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      Timeseries.readCusumStore(s, store)
-        .select(col("user_id"), col("n"), col("max_cusum"),
-          col("n_breach"), col("first_breach_us"))
-    }),
-    "q224_mad_monitor_stream" -> ((s, d) => {
-      // CONTINUOUS ROBUST OUTLIER MONITOR — Quantiles.madMonitorStream:
-      // q186's median/MAD screen live. The per-type (median, MAD)
-      // bounds come from the even-day REFERENCE slice (a standing
-      // batch profile, SwapStore-persisted — q132's baseline posture;
-      // fixed between rebuilds, never dragged along by the drift being
-      // hunted); the odd-day events stream through in 3 slices and
-      // each micro-batch's |x − median| > 3·MAD flags fold into
-      // per-type counters under the ledger (exactly-once; pure sums,
-      // so no ordered-delivery contract). The profile broadcasts onto
-      // each batch scan — per-trigger work is batch-sized, zero corpus
-      // shuffle. Oracle replays the profile with q186's rank
-      // convention, then the same flags over the odd-day union.
-      val store = q224StoreCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q224_store") + "/mad"
-        val ev = Tables(s, dir).events.select(col("event_type"),
-          (expr("unix_millis(ts) div 86400000") % 2).as("par"),
-          col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
-        Quantiles.initMadMonitor(
-          Quantiles.madProfile(ev.where(col("par") === 0),
-            Seq("event_type"), col("cents")), p)
-        withShufflePartitions(s, 8) {
-          val odd = ev.where(col("par") === 1)
-          val stage = screenReplayDir(s"$dir#q224", odd, unix_micros(col("ts")), 3)
-          val stream = graft.streaming.Replay.orderedStream(s, stage, odd.schema)
-          val q = Quantiles.madMonitorStream(s, stream, Seq("event_type"),
-            col("cents"), p, ephemeralOk = true)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      Quantiles.readMadMonitor(s, store)
-        .select(col("event_type"), col("median"), col("mad"),
-          col("n_seen"), col("n_flagged"))
-    }),
-    "q199_winsorize" -> ((s, d) =>
-      // PER-GROUP WINSORIZATION — Quantiles.winsorize: every lineitem's
-      // price cents clamped into its supplier's exact [p5, p95] band —
-      // robust feature normalization before training, tails capped not
-      // dropped. Both bounds from the shared ≤6-scan bisection passes,
-      // one group-keyed join against the group-sized bounds table.
-      // Oracle replays q121's inclusive-rank percentiles + the clamp.
-      Quantiles.winsorize(
-        Tables(s, d).lineitem.select(col("l_orderkey"),
-          col("l_linenumber").cast("long").as("l_linenumber"), col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        Seq("l_suppkey"), col("cents"), 5, 95, out = "cents_w")),
-    "q196_ewma_fold" -> ((s, d) =>
-      // ORDERED SEQUENTIAL FOLD — Timeseries.ewmaHalf: integer EWMA
-      // s_i = (s_{i-1} + x_i) div 2 per user in (ts, event_id) order.
-      // Unlike q195's CUSUM there is NO closed scan form (each step
-      // truncates), so this gates the foldOrdered primitive: one keyed
-      // exchange into a sorted collect, the fold runs in a codegen'd
-      // higher-order aggregate. Oracle: DuckDB list_reduce over the
-      // same ordered list — both sides fold left-to-right in exact
-      // integer cents.
-      Timeseries.ewmaHalf(Tables(s, d).events, Seq("user_id"),
-        col("ts"), col("event_id"), (dec(col("value")) * 100).cast("long"))),
-    "q195_cusum" -> ((s, d) =>
-      // CUSUM DRIFT ALARM — Timeseries.cusum: the clamped sequential
-      // recurrence s_i = max(0, s_{i-1} + (x_i - target)) per user,
-      // computed as a SCAN (running sum minus clamped running min of
-      // it) — two windows over one per-key sort, exact integer cents,
-      // no iteration. Reports max excursion, breach count, first
-      // breach time. Oracle replays the same closed form.
-      Timeseries.cusum(Tables(s, d).events, Seq("user_id"),
-        col("ts"), col("event_id"),
-        (dec(col("value")) * 100).cast("long"),
-        target = 5000L, threshold = 20000L)),
-    "q194_k_anonymize" -> ((s, d) =>
-      // K-ANONYMITY RELEASE GATE — Privacy.kAnonymize: each customer
-      // takes the finest generalization level (nation+segment+balance
-      // bucket → nation+segment → segment) whose quasi group reaches
-      // k=8; outliers failing every level suppress. ONE corpus shuffle
-      // to distinct quasi cells, level counts roll up from the cell
-      // frame, one join back — not a shuffle per ladder rung. Oracle
-      // replays the three counts and the same CASE pick.
-      Privacy.kAnonymize(Tables(s, d).customer,
-        Seq("nation" -> col("c_nationkey"),
-          "seg" -> col("c_mktsegment"),
-          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
-        Seq(Seq("nation", "seg", "bal"), Seq("nation", "seg"), Seq("seg")),
-        k = 8)
-        .select(col("c_custkey"), col("lvl"), col("grp_n"))),
-    "q225_l_diversity" -> ((s, d) =>
-      // L-DIVERSITY RELEASE GATE — Privacy.lDiversify: q194's ladder
-      // with the homogeneity attack closed. k-anonymity bounds group
-      // SIZE only — a k-big cell whose members all share one market
-      // segment still discloses it; distinct l-diversity additionally
-      // requires ≥ l distinct sensitive values, so each customer takes
-      // the finest level (nation+balance bucket → nation) whose group
-      // reaches BOTH k=8 and l=3 segments, homogeneous cells escalate
-      // like too-small ones, and rows failing every level suppress.
-      // Same one-shuffle cell-frame ladder as q194, cells at
-      // (quasi..., sensitive) grain. Oracle replays both floors and
-      // the finest-first CASE pick.
-      Privacy.lDiversify(Tables(s, d).customer,
-        Seq("nation" -> col("c_nationkey"),
-          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
-        col("c_mktsegment"),
-        Seq(Seq("nation", "bal"), Seq("nation")),
-        k = 8, l = 3)
-        .select(col("c_custkey"), col("lvl"), col("grp_n"), col("grp_l"))),
-    "q193_fuzzy_vocab_join" -> ((s, d) => {
-      // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
-      // corpus+catalog vocabulary: every unordered word pair within
-      // levenshtein 2, via FastSS deletion-neighborhood candidates +
-      // exact verify, NEVER the |V|² cross join the oracle runs. The
-      // typo-tolerant linkage primitive (vocab canonicalization,
-      // entity-name near-miss screens).
-      val p = Tables(s, d).part
-      val words = p.select(explode(split(col("p_name"), " ")).as("w"))
-        .unionByName(p.select(explode(split(col("p_type"), " ")).as("w")))
-        .unionByName(p.select(explode(split(col("p_brand"), " ")).as("w")))
-        .unionByName(Tables(s, d).documents
-          .select(explode(split(lower(col("text")), " ")).as("w")))
-        .where(length(col("w")) > 0).select(lower(col("w")).as("w"))
-      Fuzzy.editSelfJoin(words, col("w"), maxDistance = 2)
-    }),
-    "q198_skyline_stream" -> ((s, d) => {
-      // CONTINUOUS FRONTIER MAINTENANCE — Frontier.skylineStream:
-      // skyline distributes over union (SKY(A∪B) = SKY(SKY(A)∪B)) and
-      // dominated rows can never rejoin, so the standing state IS the
-      // frontier — per-trigger work is frontier+batch-sized no matter
-      // how many rows streamed through. Store seeds from the even
-      // partkeys, the odd half arrives in 4 ledgered micro-batches;
-      // the grown frontier must equal q192's one-shot skyline, so its
-      // NOT EXISTS oracle gates the whole lifecycle.
-      val store = q198StoreCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q198_store") + "/sky"
-        val rows = Tables(s, dir).part.select(col("p_brand"), col("p_partkey"),
-          col("p_size"), dec(col("p_retailprice")).as("price"))
-        Frontier.initSkylineStore(rows.where(col("p_partkey") % 2 === 0),
-          Seq("p_brand"), "p_size", "price", p)
-        withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q198",
-            rows.where(col("p_partkey") % 2 === 1), col("p_partkey"), 4)
-          val stream = graft.streaming.Replay.orderedStream(s, stage, rows.schema)
-          val q = Frontier.skylineStream(s, stream,
-            Seq("p_brand"), "p_size", "price", p, ephemeralOk = true)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      Frontier.readSkylineStore(s, store)
-        .select(col("p_brand"), col("p_partkey"), col("p_size"),
-          col("price").cast("double").as("price"))
-    }),
-    "q192_skyline" -> ((s, d) =>
-      // PARETO FRONTIER per brand — Frontier.skyline2d: the parts not
-      // dominated on (size max, price min) within their brand. NOT the
-      // O(n²) dominance self-join: one hash aggregate to (brand, size)
-      // minima, a per-brand running min over that aggregate-sized
-      // staircase, one broadcast join back. Price compares in
-      // DECIMAL(18,2) on both sides (exact, per the oracle-parity
-      // conventions). Oracle is the naive NOT EXISTS dominance filter.
-      Frontier.skyline2d(
-        Tables(s, d).part.select(col("p_brand"), col("p_partkey"),
-          col("p_size"), dec(col("p_retailprice")).as("price")),
-        Seq("p_brand"), "p_size", "price")
-        .withColumn("price", col("price").cast("double"))),
-    "q107_retention" -> ((s, d) =>
-      // weekly cohort retention: users cohorted by first-signup week,
-      // counted active in each later week — the retention triangle.
-      // Both per-user passes aggregate on user_id, so the lineup join
-      // reuses their partitioning (no third corpus exchange)
-      Cohorts.retention(Tables(s, d).events, col("user_id"),
-        col("event_type"), col("ts"), anchorType = "signup")),
-    "q118_retention_stream" -> ((s, d) => {
-      // q107's STREAMING twin made oracle-visible: replay events as an
-      // EVENT-TIME-ORDERED micro-batched file stream (8 contiguous ms
-      // slices, strictly ascending file mtimes — FileStreamSource
-      // processes oldest-first, so each user's earliest signup arrives
-      // in the earliest batch containing any of their signups and the
-      // pinned cohort equals the batch operator's global first-signup
-      // week). By retentionStream's parity contract (CohortsSpec) the
-      // final complete-mode triangle equals Cohorts.retention, so the
-      // oracle IS q107's.
-      // user-count-sized state (~1.5k keys at sf0.1): pin the streaming
-      // shuffle small (forStreaming rule), restore after
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val out = Cohorts.retentionStream(eventsReplayStream(s, d),
-          col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
-        val q = out.writeStream.format("memory").queryName("graft_q118_gate")
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q118_gate")
-    }),
-    "q119_funnel_stream" -> ((s, d) => {
-      // q106's STREAMING twin made oracle-visible: the per-user state
-      // machine over the same event-time-ordered replay as q118
-      // (FunnelSpec's in-order parity regime). The machine only ever
-      // ADVANCES, so the final snapshot needs no trigger ordering:
-      // max(steps_completed) per user over the update log, plus the
-      // users whose machine never left step 0 (they never emit) filled
-      // in from one static read of the replay input. Oracle = q106's.
-      val steps = Seq("view", "click", "purchase")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val out = Funnel.stepsStream(eventsReplayStream(s, d),
-          col("user_id"), col("event_type"), col("ts"), steps)
-        val q = out.writeStream.format("memory").queryName("graft_q119_updates")
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val advanced = s.table("graft_q119_updates")
-        .groupBy(col("user_id"))
-        .agg(max(col("steps_completed")).as("steps_completed"))
-      val entered = s.read.parquet(s"${eventsReplayDir(s, d)}/in")
-        .where(col("event_type").isin(steps: _*))
-        .select(col("user_id")).distinct()
-      entered.join(advanced, Seq("user_id"), "left")
-        .select(col("user_id"),
-          coalesce(col("steps_completed"), lit(0L)).as("steps_completed"),
-          (coalesce(col("steps_completed"), lit(0L)) === steps.size).as("converted"))
-    }),
-    "q122_window_stream" -> ((s, d) => {
-      // q21's STREAMING twin made oracle-visible: watermarked tumbling
-      // windows in APPEND output mode — each (hour, event_type) window
-      // emits exactly once, when the watermark passes its end (the
-      // fire-on-watermark path, reference stateful.py:198-247; q21 itself
-      // covers the window MATH, this covers the FIRING). The replay
-      // carries a far-future sentinel event that advances the final
-      // watermark so the last real windows flush (processAllAvailable
-      // is not end-of-stream). The sentinel guard is a predicate ON ts
-      // (see sentinelCutoff) — a filter on any other column would be
-      // pushed below the EventTimeWatermark node and drop the sentinel
-      // before its event time registers. Delivery is event-time-ordered
-      // and the delay is 0 s, so no real row is ever late-dropped — the
-      // append output set equals the batch tumbling aggregate and the
-      // oracle is q21's. State is ~720 hourly windows × 5 types: pin
-      // the streaming shuffle small (forStreaming rule), restore after.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stream = graft.streaming.Replay.orderedStream(s,
-          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
-        val out = stream.withWatermark("ts", "0 seconds")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("value"))).cast("double").as("sum_v"))
-          .select(unix_millis(col("window.start")).as("win_start_ms"),
-            col("event_type"), col("cnt"), col("sum_v"))
-        val q = out.writeStream.format("memory").queryName("graft_q122_windows")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q122_windows")
-    }),
-    "q128_sliding_stream" -> ((s, d) => {
-      // q22's STREAMING twin made oracle-visible — completes the window
-      // family's streaming oracles (q122 tumbling, q126 session, this
-      // sliding): every event lands in 3 overlapping hourly windows
-      // (20-minute slide), each firing once when the watermark passes
-      // its end; same sentinel flush and ts-predicate guard as q122.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stream = graft.streaming.Replay.orderedStream(s,
-          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
-        val out = stream.withWatermark("ts", "0 seconds")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(window(col("ts"), "1 hour", "20 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("value"))).cast("double").as("sum_v"))
-          .select(unix_millis(col("window.start")).as("win_start_ms"),
-            col("event_type"), col("cnt"), col("sum_v"))
-        val q = out.writeStream.format("memory").queryName("graft_q128_sliding")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q128_sliding")
-    }),
-    "q126_session_stream" -> ((s, d) => {
-      // q23's STREAMING twin made oracle-visible: per-user session
-      // windows in append mode — the one windowed path whose state
-      // MERGES (adjacent sessions coalesce when a bridging event
-      // arrives), unlike q122's fixed tumbling buckets. Sessions close
-      // when the watermark passes session end + gap; the same
-      // far-future sentinel flushes the final open sessions, guarded by
-      // the same ts predicate (pushdown note at sentinelCutoff). With
-      // event-time-ordered delivery and delay 0 no event is late, so
-      // the append output equals the batch session aggregate — oracle
-      // = q23's.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stream = graft.streaming.Replay.orderedStream(s,
-          sentinelReplayDir(s, d), Tables(s, d).events.select(replayCols: _*).schema)
-          // ms truncation before the watermark — q23's precision note;
-          // slices are contiguous ms ranges, so truncation preserves the
-          // event-time-ordered delivery regime
-          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
-        val out = stream.withWatermark("ts", "0 seconds")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(unix_millis(col("session_window.start")).as("session_start_ms"),
-            col("user_id"), col("n_events"))
-        val q = out.writeStream.format("memory").queryName("graft_q126_sessions")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q126_sessions")
-    }),
-    "q123_running_agg_stream" -> ((s, d) => {
-      // q08's STREAMING twin made oracle-visible: the reference's
-      // AggregateOperator emits a refreshed per-key value after every
-      // input (stateful.py:265-342) — on Spark that is an UPDATE-mode
-      // streaming aggregation whose (min, count) state the aggregate
-      // itself maintains incrementally; no custom state op. The memory
-      // sink keeps the full update LOG; the final snapshot is recovered
-      // ordering-free: n only grows, so max(n) is each key's last
-      // update, and the running min's final value is the min over the
-      // log. Stream == batch on ANY delivery order — unlike
-      // q118/q119 this twin needs no in-order regime, which is the
-      // point: a commutative running aggregate is the easy case, and
-      // the gate shows it. Oracle = q08's.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val out = graft.streaming.StreamOps.runningAgg(eventsReplayStream(s, d),
-          Seq(col("user_id"), col("event_type")),
-          Seq(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
-        val q = out.writeStream.format("memory").queryName("graft_q123_updates")
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q123_updates").groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("first_event_id")).as("first_event_id"), max(col("n")).as("n"))
-    }),
-    "q124_interval_join_stream" -> ((s, d) => {
-      // q24's STREAMING twin made oracle-visible: a real stream-stream
-      // interval inner join — the reference's flagship stateful operator
-      // (JoinOperator, stateful.py:345-465: per-key buffers matched
-      // within ±bound, evicted behind the watermark). Both sides are
-      // watermarked and the range condition is on the raw event-time
-      // columns, so Spark derives the state-eviction bounds the
-      // reference computes by hand. An INNER join's output set is
-      // delivery-order independent: eviction is provably conservative
-      // (only rows no future input can match are dropped), so the
-      // streamed result equals the batch interval join and the oracle
-      // is q24's. The two sides are independent readStreams over the
-      // same ordered slices — each trigger feeds one file per side.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        // 2 files per trigger, not 1: the in-order-delivery regime is
-        // irrelevant to an inner join's output set, so fewer triggers
-        // buy back per-batch state-commit overhead (each trigger pays
-        // two state stores × 8 partitions) while 4 micro-batches still
-        // exercise cross-batch join state
-        def side() = s.readStream
-          .schema(Tables(s, d).events.select(replayCols: _*).schema)
-          .option("maxFilesPerTrigger", 2)
-          .parquet(s"${eventsReplayDir(s, d)}/in")
-        val p = side()
-          .where(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user"), col("ts").as("p_ts"))
-        val c = side()
-          .where(col("event_type") === "click")
-          .select(col("event_id").as("click_id"),
-            col("user_id").as("c_user"), col("ts").as("c_ts"))
-        val joined = graft.streaming.StreamOps.intervalJoin(
-          p, "p_ts", "0 seconds", c, "c_ts", "0 seconds",
-          col("p_user") === col("c_user"),
-          "p_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts + INTERVAL 6 HOURS")
-          .select(col("purchase_id"), col("click_id"),
-            (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
-        val q = joined.writeStream.format("memory").queryName("graft_q124_join")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q124_join")
-    }),
-    "q222_interval_join_outer_stream" -> ((s, d) => {
-      // q124's LEFT-OUTER form — the last untested streaming-join
-      // semantics class, and the missing half of the reference's own
-      // attribution example (stream_join.py:38-45): the purchases with
-      // NO click within ±6 h, which an inner join silently discards.
-      // A genuinely different state/firing contract: matched pairs
-      // emit eagerly, but an unmatched left row emits (null click
-      // side) only when the watermark proves no future click can
-      // match it — so unlike q124 the output DEPENDS on watermark
-      // progress, and the replay must end by advancing the clock past
-      // the corpus. The sentinel slice does that; it must pass the
-      // side filters (isin includes "__sentinel__") to reach the
-      // watermark nodes, and is removed AFTER registering by a
-      // predicate on the event-time column itself (ts predicates are
-      // kept above the EventTimeWatermark node; a pushed event_type
-      // filter would drop it before its event time counts — q122's
-      // documented trap). The two sentinel rows match each other
-      // (same user -1, same ts), so neither lingers as join state.
-      // Oracle = q24's batch SQL as a LEFT join at the same µs bound.
-      withShufflePartitions(s, 8) {
-        def side() = s.readStream
-          .schema(Tables(s, d).events.select(replayCols: _*).schema)
-          .option("maxFilesPerTrigger", 2)
-          .parquet(s"${sentinelReplayDir(s, d)}/in")
-        val p = side()
-          .where(col("event_type").isin("purchase", "__sentinel__"))
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user"), col("ts").as("p_ts"))
-        val c = side()
-          .where(col("event_type").isin("click", "__sentinel__"))
-          .select(col("event_id").as("click_id"),
-            col("user_id").as("c_user"), col("ts").as("c_ts"))
-        val joined = graft.streaming.StreamOps.intervalJoinOuter(
-          p, "p_ts", "0 seconds", c, "c_ts", "0 seconds",
-          col("p_user") === col("c_user"),
-          "p_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts + INTERVAL 6 HOURS",
-          "left_outer")
-          .where(col("p_ts") < sentinelCutoff)
-          .select(col("purchase_id"), col("click_id"),
-            (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
-        val q = joined.writeStream.format("memory").queryName("graft_q222_join")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table("graft_q222_join")
-    }),
-    "q129_restart_exactly_once" -> ((s, d) => {
-      // The reference's flagship claim — EXACTLY-ONCE across a
-      // mid-stream stop/restart (checkpoint_coordinator.py:55-311,
-      // offset seek sources.py:137-166) — made oracle-visible. Phase A
-      // stages only slices 0-4 of the event-time-ordered replay and
-      // runs q122's tumbling aggregate into a FAULT-TOLERANT FILE sink
-      // (append mode, parquet + _spark_metadata manifest) with an
-      // explicit checkpointLocation, then STOPS after those 5 triggers
-      // — mid-replay, with committed offsets AND partially-accumulated
-      // window state (windows straddling the slice-4 boundary) in the
-      // checkpoint. Phase B stages the remaining slices + sentinel and
-      // starts an IDENTICAL query on the SAME checkpoint: the source
-      // seeks past the 5 committed files, live window state is
-      // restored, and the sink manifest admits each emitted window
-      // exactly once. Reading the sink path back goes through the
-      // manifest (MetadataLogFileIndex), so partial files from a torn
-      // batch would be invisible. Oracle = q21's batch tumbling
-      // aggregate — bit-equality across the restart IS the
-      // exactly-once proof (a lost batch drops windows, a replayed one
-      // double-counts, stale state corrupts the straddling windows).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stage = sentinelReplayDir(s, d)
-        // fresh work dir PER INVOCATION: a restart cycle is only a
-        // restart cycle the first time through a given checkpoint —
-        // bench repeats must re-run both phases, not read a done sink
-        val work = graft.core.TempDirs.create("graft_q129")
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-        def copySlices(r: Range): Unit = r.foreach { i =>
-          // COPY_ATTRIBUTES keeps the staged mtimes, so delivery order
-          // inside each phase stays event-time-ordered
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
-            java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
-            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-        }
-        val schema = Tables(s, d).events.select(replayCols: _*).schema
-        def runPhase(): Unit = {
-          val stream = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
-          val out = stream.withWatermark("ts", "0 seconds")
-            .where(col("ts") < sentinelCutoff)
-            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-            .agg(count(lit(1)).as("cnt"),
-              sum(dec(col("value"))).cast("double").as("sum_v"))
-            .select(unix_millis(col("window.start")).as("win_start_ms"),
-              col("event_type"), col("cnt"), col("sum_v"))
-          val q = out.writeStream.format("parquet")
-            .option("path", s"$work/out")
-            .option("checkpointLocation", s"$work/ckpt")
-            .outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        copySlices(0 to 4); runPhase() // 5 triggers, then stop mid-replay
-        copySlices(5 to 8); runPhase() // restart from the same checkpoint
-        s.read.parquet(s"$work/out")
-          .select(col("win_start_ms"), col("event_type"), col("cnt"), col("sum_v"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }),
-    "q130_late_drop_stream" -> ((s, d) => {
-      // Deterministic LATE-DATA DROP made oracle-visible: the same 8
-      // contiguous event-time slices, delivered OUT OF ORDER
-      // (q130Order — quarters swapped pairwise, sentinel still last)
-      // under a 240-hour-bounded out-of-orderness watermark. Slices
-      // 0/1/4/5 each arrive two delivery positions behind a slice
-      // ~270 h ahead, so each loses its oldest ~30 h of hourly windows
-      // on arrival — the documented divergence from the reference's
-      // late-data double-fire (stateful.py:186-242: it re-emits a
-      // corrected window; Spark's append mode drops) pinned by an
-      // oracle instead of prose. The dropped set is DETERMINISTIC
-      // given the slice assignment: the late filter of the batch at
-      // delivery position p uses watermark = (max event-time ms over
-      // positions ≤ p−2) − 240 h (LAGGED one batch behind eviction —
-      // SPARK-40925, pinned in StreamingSpec), a row is dropped iff
-      // its hourly window's end ≤ that watermark, and both quantities
-      // are computable in SQL from the slice ranges alone — the
-      // oracle recomputes the kept set and its window counts exactly.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stream = graft.streaming.Replay.orderedStream(s,
-          shuffledReplayDir(s, d),
-          Tables(s, d).events.select(replayCols: _*).schema)
-        val out = stream.withWatermark("ts", "240 hours")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(unix_millis(col("window.start")).as("win_start_ms"),
-            col("event_type"), col("cnt"))
-        val q = out.writeStream.format("memory").queryName("graft_q130_windows")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q130_windows")
-    }),
-    "q135_dedup_stream" -> ((s, d) => {
-      // StreamOps.dedup — the reference's deduplication example with
-      // its state bug fixed (examples/stateful_deduplication.py:18-49
-      // never persists state; SURVEY §2.7) — made oracle-visible under
-      // the AT-LEAST-ONCE RE-DELIVERY regime it exists for: the replay
-      // is events UNIONED with a +60 s echo of every click row (same
-      // event_id, the redelivered copy), and dedup on event_id within
-      // a 2 h watermark must drop every echo. Each echo arrives ≤60 s
-      // of event time after its original under in-order delivery, and
-      // the late-filter watermark lags ~90 h behind the slice head, so
-      // the original's state is always alive when the echo lands —
-      // every drop is deterministic and the output is exactly the
-      // original events. Only id-stable columns are emitted (original
-      // and echo differ in ts, and which of two same-batch copies
-      // survives is an implementation choice). The 100 TB posture is
-      // the WithinWatermark variant itself: state holds ~2 h of ids,
-      // not the corpus's all-time id set (plain dropDuplicates' OOM
-      // path); the standing exact-dedup screen for unbounded horizons
-      // is DedupIndex.screenStream.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stage = q135ReplayCache.computeIfAbsent(d, _ => {
-          val ev = Tables(s, d).events.select(replayCols: _*)
-          val echoes = ev.where(col("event_type") === "click")
-            .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 60000000L))
-          graft.streaming.Replay.writeOrderedSlices(ev.unionByName(echoes),
-            unix_millis(col("ts")),
-            graft.core.TempDirs.create("graft_q135"))
-        })
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          Tables(s, d).events.select(replayCols: _*).schema)
-        val out = graft.streaming.StreamOps.dedup(stream, "ts", "2 hours",
-            Seq("event_id"))
-          .select(col("event_id"), col("user_id"), col("event_type"))
-        val q = out.writeStream.format("memory").queryName("graft_q135_dedup")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q135_dedup")
-    }),
-    "q134_retention_restart" -> ((s, d) => {
-      // q129's restart proof for CUSTOM KEYED STATE: q129 restarts a
-      // BUILT-IN windowed aggregation (state Spark manages for the
-      // window operator); this restarts the retention gate's
-      // flatMapGroupsWithState machine (per-user anchor + seen-period
-      // state, Cohorts.scala) mid-replay. Phase A delivers slices 0-4
-      // in event-time order with an explicit checkpoint and STOPS —
-      // thousands of users' custom state objects live only in the
-      // checkpoint; phase B stages slices 5-7 and restarts. A
-      // complete-mode memory sink is restart-legal (each trigger
-      // rewrites the whole table, so the post-restart table is the
-      // full result). Oracle = q107's: lost or reset per-user state
-      // would mis-cohort every user whose activity straddles the stop.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val stage = eventsReplayDir(s, d)
-        val work = graft.core.TempDirs.create("graft_q134")
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-        def copySlices(r: Range): Unit = r.foreach { i =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$stage/in/slice$i.parquet"),
-            java.nio.file.Paths.get(s"$work/in/slice$i.parquet"),
-            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-        }
-        val schema = Tables(s, d).events.select(replayCols: _*).schema
-        def runPhase(): Unit = {
-          val stream = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
-          val out = Cohorts.retentionStream(stream,
-            col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
-          val q = out.writeStream.format("memory").queryName("graft_q134_gate")
-            .option("checkpointLocation", s"$work/ckpt")
-            .outputMode("complete").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        copySlices(0 to 4); runPhase() // stop with custom state checkpointed
-        copySlices(5 to 7); runPhase() // restart: state must resume, not reset
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("graft_q134_gate")
-    }),
-    "q133_retention_rocksdb" -> ((s, d) => {
-      // q118's retention gate on the AT-SCALE state backend: RocksDB
-      // (the reference's Config.STATE_BACKEND=rocksdb,
-      // rocksdb_backend.py:20-165) instead of the in-memory default —
-      // state lives off-heap/on-disk, so per-key state volume is
-      // bounded by local disk, not executor heap: the backend a 100 TB
-      // deployment's multi-billion-key state actually runs on. Same
-      // replay, same operator, same oracle (q107's) — a green row here
-      // puts the RocksDB path itself inside the official correctness
-      // record rather than only in RecoverySpec.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.get(provKey,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      graft.core.GraftSession.useRocksDBStateStore(s)
-      try {
-        val out = Cohorts.retentionStream(eventsReplayStream(s, d),
-          col("user_id"), col("event_type"), col("ts"), anchorType = "signup")
-        val q = out.writeStream.format("memory").queryName("graft_q133_gate")
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally {
-        s.conf.set(provKey, prevProv)
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table("graft_q133_gate")
-    }),
-    "q120_line_scrub" -> ((s, d) => {
-      // within-document repeated-line scrub (the RefinedWeb/Dolma
-      // boilerplate filter), oracle-checked on a DETERMINISTIC
-      // multi-line reconstruction: the single-line corpus text is
-      // chunked into 2-word lines (the tiny vocabulary then repeats
-      // lines verbatim, like scraped nav bars); the scrub keeps each
-      // line's first occurrence. All narrow codegen'd expressions —
-      // zero exchange end to end (dedupLines' contract, spec-asserted).
-      val lined = Tables(s, d).documents
-        .select(col("doc_id"),
-          filter(split(col("text"), "\\s+"), t => t =!= "").as("__t"))
-        .select(col("doc_id"),
-          when(size(col("__t")) === 0, lit(""))
-            .otherwise(array_join(transform(
-              sequence(lit(0), (ceil(size(col("__t")) / lit(2.0)).cast("int") - 1)),
-              j => array_join(slice(col("__t"), j * 2 + 1, lit(2)), " ")), "\n"))
-            .as("text2"))
-      TextAnalysis.dedupLines(lined, col("doc_id"), col("text2"))
-    }),
-    "q127_token_drift" -> ((s, d) => {
-      // distribution drift between two corpus versions (here: md5-split
-      // halves, q53's engine-portable split rule) — the top-50 tokens by
-      // exact integer total-variation movement |n_a·TB − n_b·TA|. The
-      // pre-training QA check for "did this scrape/dedup/tokenizer
-      // change shift the data": vocab-sized join, corpus never shuffled,
-      // DECIMAL(38,0) products so every engine agrees exactly
-      val docs = Tables(s, d).documents
-      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
-      TextAnalysis.tokenDrift(
-        docs.where(half < "8"), docs.where(half >= "8"),
-        col("text"), col("text"))
-        .orderBy(col("move").desc, col("token").asc)
-        .limit(50)
-        // the operator's DECIMAL(38,0) movement is for 1e13-token
-        // corpora; at the driver's SFs it fits BIGINT with 8 digits to
-        // spare, and BOTH engines' casts fail loudly (ANSI / DuckDB
-        // overflow) if a regime change ever breaks that — the q44/q54
-        // pinned-exactness posture
-        .withColumn("move", col("move").cast("long"))
-    }),
-    "q132_drift_baseline" -> ((s, d) => {
-      // q127's STANDING form made oracle-visible: the reference-corpus
-      // vocabulary counts are computed ONCE, PERSISTED to parquet, and
-      // the drift check runs against the STORED baseline — the
-      // build-once/check-many posture (DedupIndex/SpanIndex/Bm25Index's
-      // family trait) that makes the monitor a standing QA gate: each
-      // corpus version pays one narrow scan of ITSELF plus a read of
-      // the vocab-sized baseline, never a re-scan of the reference
-      // corpus. Same md5-split halves and output as q127, so any
-      // roundtrip loss through the persisted counts (type widening,
-      // token normalization, count drift) breaks the hash compare.
-      val docs = Tables(s, d).documents
-      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val base = q132BaselineCache.computeIfAbsent(d, _ => {
-        val t = graft.core.TempDirs.create("graft_q132")
-        TextAnalysis.vocabCounts(docs.where(half < "8"), col("text"))
-          .write.mode("overwrite").parquet(s"$t/baseline")
-        s"$t/baseline"
-      })
-      TextAnalysis.tokenDriftCounts(
-        s.read.parquet(base).select(col("token"), col("n")),
-        TextAnalysis.vocabCounts(docs.where(half >= "8"), col("text")))
-        .orderBy(col("move").desc, col("token").asc)
-        .limit(50)
-        .withColumn("move", col("move").cast("long"))
-    }),
-    "q131_groupwise_percentiles" -> ((s, d) =>
-      // q121's MULTI-percentile form: p50+p90+p99 per supplier in the
-      // SAME ≤6 bisection passes — each (group, pct) pair is a virtual
-      // group, so adding percentiles adds histogram rows (groups × 3 ×
-      // ≤4096), never corpus scans. The shared-pass machinery
-      // (Quantiles.scala's explode + virtual-group rank arithmetic) is
-      // the intricate path q121's single-pct query never exercises.
-      Quantiles.exactPercentilesByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
-        Seq("l_suppkey"), col("cents"), Seq(50, 90, 99))),
-    "q125_table_fingerprint" -> ((s, d) =>
-      // anti-entropy fingerprint per return-flag group: count + XOR +
-      // modular sum of a 60-bit md5 row hash — two 100 TB replicas
-      // compare with one scan each and a group-sized join, and only a
-      // disagreeing group ever pays a row-level diff. Hash inputs are
-      // engine-portable canonical forms (ints, cents, epoch ms, strings
-      // — never raw doubles, whose formatting is engine-specific)
-      Diff.fingerprint(
-        Tables(s, d).lineitem.select(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
-          unix_millis(col("l_shipdate").cast("timestamp")).as("ms_ship"),
-          col("l_linestatus")),
-        Seq("l_returnflag"),
-        Seq("l_orderkey", "l_linenumber", "cents", "ms_ship", "l_linestatus"))),
-    "q108_snapshot_diff" -> ((s, d) => {
-      // lakehouse CDC: diff two deterministic versions of orders —
-      // %11-keyed rows exist only in v2 (added), %13 only in v1
-      // (removed), %7 get a changed o_custkey
-      val o = Tables(s, d).orders
-      val before = o.where(col("o_orderkey") % 11 =!= 0)
-      val after = o.where(col("o_orderkey") % 13 =!= 0)
-        .withColumn("o_custkey", col("o_custkey") +
-          when(col("o_orderkey") % 7 === 0, 1000000L).otherwise(0L))
-      Diff.snapshots(before, after, Seq("o_orderkey"))
-    }),
-    "q106_funnel" -> ((s, d) =>
-      // ordered-funnel completion per user (view -> click -> purchase,
-      // each strictly after the last): greedy earliest-match fold over
-      // ONE user-keyed exchange of (t, step) pairs
-      Funnel.steps(Tables(s, d).events, col("user_id"), col("event_type"),
-        col("ts"), Seq("view", "click", "purchase"))),
-    "q105_entropy" -> ((s, d) =>
-      // token-entropy quality signal in integer bits — run-length
-      // encoded from the sorted token array with builtin expressions:
-      // ZERO exchange, one narrow codegen'd scan (q91's shape)
-      TextAnalysis.entropyProfile(Tables(s, d).documents,
-        col("doc_id"), col("text"))),
-    "q104_hybrid_rrf" -> ((s, d) => {
-      // hybrid retrieval: the BM25 lexical ranking (q102) and the
-      // embedding cosine ranking (q39's shape, query vectors 0-2) fused
-      // by reciprocal rank — consensus docs rise, single-list docs keep
-      // their RRF tail weight; all integer, query-sized work only
-      val t = Tables(s, d)
-      val bm = Bm25Index.topK(t.documents, col("doc_id"), col("text"),
-        bm25Queries(s), col("qid"), col("qtext"), k = 10)
-        .select(col("qid"), col("doc_id"), col("rk"))
-      val ann = Similarity.bruteForceTopK(
-          t.embeddings.where(col("vec_id") < 3), t.embeddings,
-          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
-        .select(col("query_id").as("qid"), col("cand_id").as("doc_id"), col("rk"))
-      Fusion.rrf(Seq(bm, ann), k = 10)
-    }),
-    "q103_bm25_search" -> ((s, d) => {
-      // the same retrieval THROUGH the standing inverted index (built
-      // once per sf dir — q55's memoization pattern): the postings scan
-      // is pruned to the query's terms by a pushed parquet In filter,
-      // so the corpus-sized table is never fully read
-      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
-        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
-    }),
-    "q100_dsir_weights" -> ((s, d) => {
-      // DSIR-style domain-targeted selection: score every document by
-      // how much its hashed-ngram distribution resembles the src0
-      // sub-corpus (the "target domain"); integer bitlen surrogate for
-      // the log ratio, two bounded broadcast maps, one narrow scan
-      val docs = Tables(s, d).documents
-      Sampling.importanceWeights(docs, docs.where(col("source") === "src0"),
-          col("doc_id"), col("text"), buckets = 1024)
-        .withColumnRenamed("id", "doc_id")
-    }),
-    "q96_overlap_join" -> ((s, d) => {
-      // keyless interval-overlap join (two window sets from the event
-      // stream) — Spark's native plan for this is a nested loop; the
-      // binned form runs it as a hash join with exactly-once admission
-      // in the first shared bin
-      val ev = Tables(s, d).events
-      val wa = ev.where(col("event_id") % 500 === 0)
-        .select(col("event_id").as("a_id"), col("ts").as("a_start"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("a_end"))
-      val wb = ev.where(col("event_id") % 700 === 0)
-        .select(col("event_id").as("b_id"), col("ts").as("b_start"),
-          (col("ts") + expr("INTERVAL 7 MINUTES")).as("b_end"))
-      Joins.binnedOverlapJoin(wa, col("a_start"), col("a_end"),
-          wb, col("b_start"), col("b_end"), binMs = 60000L)
-        .select(col("a_id"), col("b_id"))
-    }),
-    "q95_corpus_report" -> ((s, d) => {
-      // the per-source "data card" every training pipeline publishes:
-      // doc/token volume, language spread, quality-gate pass count,
-      // exact-dup volume, total quality score — one composition of the
-      // proven components (tokenizer, fingerprint, classifier), one
-      // corpus pass into a partial-aggregated groupBy
-      val docs = Tables(s, d).documents
-      val scored = Classifier.qualityClassify(docs, col("doc_id"), col("text"))
-        .select(col("id"), col("score"), col("keep"))
-      docs.select(col("doc_id"), col("source"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(scored, col("doc_id") === col("id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"),
-          countDistinct(col("fp")).as("n_unique_texts"),
-          sum(col("score")).as("score_sum"))
-    }),
-    "q94_nfc_fingerprint" -> ((s, d) => {
-      // Unicode-normalized fingerprinting: plant decomposed sequences
-      // (e + combining acute, i + combining diaeresis) on every doc and
-      // fingerprint the NFC form — without normalization, canonically
-      // equal text dedups as different. The oracle is DuckDB's own
-      // nfc_normalize: two independent implementations of the normative
-      // algorithm agreeing byte for byte on every document.
-      val planted = concat(col("text"), lit(" café naïve"))
-      val nfc = graft.functions.Kernels.nfc_normalize(planted)
-      Tables(s, d).documents.select(col("doc_id"),
-        length(planted).cast("long").as("n_raw"),
-        length(nfc).cast("long").as("n_nfc"),
-        md5(nfc.cast("binary")).as("fp"))
-    }),
-    "q93_range_join" -> ((s, d) => {
-      // keyless point-in-interval join via bin-bucketing: every 500th
-      // event opens a 10-minute window; which events fall inside each?
-      // Spark would plan the raw predicate as a broadcast nested loop —
-      // the bins turn it into an ordinary hash join (plan-asserted)
-      val ev = Tables(s, d).events
-      val windows = ev.where(col("event_id") % 500 === 0)
-        .select(col("event_id").as("w_id"), col("ts").as("w_start"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
-      Joins.binnedRangeJoin(ev.select(col("event_id"), col("ts")), col("ts"),
-          windows, col("w_start"), col("w_end"), binMs = 60000L)
-        .select(col("w_id"), col("event_id"), ms(col("ts")).as("ts_ms"))
-    }),
-    "q86_ivfpq_residual" -> ((s, d) => {
-      // full FAISS-style residual IVF-PQ: candidates PQ-encoded on their
-      // residual from the coarse centroid, queries probe with their own
-      // per-cell residuals; codebook = salted deterministic sample
-      val em = Tables(s, d).embeddings
-      Similarity.ivfPqResidualTopK(em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, dim = 64, nCells = 16, nProbe = 4, m = 8, ksub = 16)
-    }),
-    "q85_lm_score_ref" -> ((s, d) => {
-      // the CCNet-style flow: bigram LM TRAINED on the even-id reference
-      // half, odd-id docs scored against it in one pass — including
-      // deterministic out-of-vocabulary accounting
-      val docs = Tables(s, d).documents
-      TextAnalysis.lmSurprisalAgainst(
-        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
-        TextAnalysis.lmCounts(docs.where(col("doc_id") % 2 === 0), col("text")))
-    }),
-    "q84_event_pagerank" -> ((s, d) => {
-      // PageRank over the per-user event-type transition graph, in
-      // fixed-point integer arithmetic (3 iterations — the oracle unrolls
-      // the same three exactly; every div is a floor div in both engines)
-      val ev = Tables(s, d).events
-      Graphs.pagerank(
-          Graphs.transitionEdges(ev, col("user_id"), col("event_type"),
-            col("ts"), col("event_id")),
-          col("src"), col("dst"), iters = 3)
-        .select(col("v").as("event_type"), col("rank_fp"))
-    }),
-    "q83_bpe_pairs" -> ((s, d) =>
-      // first BPE training round: adjacent symbol-pair frequencies over
-      // the char+marker decomposition, deterministically ranked (the
-      // pair space is tiny — chars², so the global rank window is cheap)
-      Bpe.pairCounts(Tables(s, d).documents, col("text"))
-        .withColumn("rk", row_number()
-          .over(Window.orderBy(col("cnt").desc, col("l"), col("r"))).cast("long"))
-        .where(col("rk") <= 30)),
-    "q82_span_screen_scrub" -> ((s, d) => {
-      // admission-time scrub against the standing gram index (q80's
-      // memoized even-id index): odd-id docs rebuilt with every span
-      // already present in the indexed corpus removed
-      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q80_idx")
-        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p, n = 8)
-        p
-      })
-      SpanIndex.scrub(s, Tables(s, d).documents.where(col("doc_id") % 2 === 1),
-        col("doc_id"), col("text"), idx, n = 8)
-    }),
-    "q81_lm_surprisal" -> ((s, d) =>
-      // perplexity-style quality scoring: bigram LM trained on the corpus
-      // in the same pass; surprisal in integer bits (bitlen ratios — no
-      // transcendentals, so the oracle replays it exactly)
-      TextAnalysis.lmSurprisal(Tables(s, d).documents, col("doc_id"), col("text"))),
-    "q80_span_screen" -> ((s, d) => {
-      // standing-substring-index screening: the gram index is built ONCE
-      // over the even-id half of the corpus (memoized per sf dir — it is
-      // a STANDING index, q55's pattern), then the odd-id half screens
-      // against it: which spans of incoming docs already exist verbatim
-      // in the indexed corpus
-      val docs = Tables(s, d).documents
-      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q80_idx")
-        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p, n = 8)
-        p
-      })
-      SpanIndex.check(s, docs.where(col("doc_id") % 2 === 1),
-        col("doc_id"), col("text"), idx, n = 8)
-    }),
-    "q79_semantic_dedup" -> ((s, d) => {
-      // SemDeDup-style semantic dedup, composed end to end: banded
-      // hyperplane LSH finds embedding near-dup PAIRS (q45's planted
-      // corpus — every 20th vector gets a ±1% perturbed copy), pairs
-      // cluster into semantic groups, and only each group's lowest id
-      // survives; singletons pass through. Scale shape is the sum of its
-      // proven parts: triples-only banding exchange, pair-graph-sized
-      // clustering iteration, and a left_anti drop of non-canonical ids
-      val em = Tables(s, d).embeddings
-      val base = em.select(col("vec_id").as("id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val planted = em.where(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000000L).as("id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
-      val corpus = base.union(planted)
-      val pairs = Similarity.cosineNearDupPairs(corpus, col("id"), col("v"),
-        dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
-      val cc = Clusters.connectedComponents(pairs, col("id_a"), col("id_b"))
-      corpus.join(cc.where(col("id") =!= col("cluster")).select(col("id")),
-          Seq("id"), "left_anti")
-        .select(col("id"))
-    }),
-    "q78_shuffle_rank" -> ((s, d) =>
-      // deterministic training-order permutation: rank = position in
-      // (md5(doc_id), doc_id) order via the distributed two-phase prefix
-      // count — the oracle's naive global window must match exactly
-      Sampling.shuffleRank(Tables(s, d).documents, col("doc_id"))
-        .select(col("key").as("doc_id"), col("shuffle_rank"))),
-    "q76_pq_topk" -> ((s, d) => {
-      // product-quantization ANN: corpus encoded to 8 sub-codes against a
-      // 16-codeword deterministic codebook, queries (vec_id < 10) rank by
-      // ADC squared-L2; the oracle replays codebook, encode, and ADC
-      val em = Tables(s, d).embeddings
-      Similarity.pqTopK(em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, dim = 64, m = 8, ksub = 16)
-    }),
-    "q77_ivfpq_topk" -> ((s, d) => {
-      // FAISS-style IVF-PQ composition: coarse cosine cells restrict each
-      // query to 4 probed cells; candidates rank by PQ ADC within them
-      val em = Tables(s, d).embeddings
-      Similarity.ivfPqTopK(em.where(col("vec_id") < 10), em,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 5, dim = 64, nCells = 16, nProbe = 4, m = 8, ksub = 16)
-    }),
-    "q72_crosscorpus_embedding" -> ((s, d) => {
-      // vector analogue of q71: near-dup JOIN between the base embedding
-      // corpus and a second corpus of perturbed copies (cosine ≈ 0.99997
-      // to their sources — same planted construction as q45, but as two
-      // DISJOINT corpora through the A×B banding). Seeded hyperplane
-      // kernels band both sides identically; miss < 1e-10 at this cosine
-      val em = Tables(s, d).embeddings
-      val base = em.select(col("vec_id").as("id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val planted = em.where(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000000L).as("id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v"))
-      Similarity.cosineNearDupJoin(base, col("id"), col("v"),
-          planted, col("id"), col("v"),
-          dim = 64, bands = 8, rowsPerBand = 16, threshold = 0.95)
-        .select(col("id_a"), col("id_b"))
-    }),
-    "q71_crosscorpus_neardup" -> ((s, d) => {
-      // dataset-overlap analysis: near-dup JOIN between two disjoint
-      // corpora (even-id vs odd-id docs) — the A×B banding form, not the
-      // q52 self-join; at 16 bands × 2 rows a true pair at jaccard 0.8
-      // misses with probability < 1e-7, so LSH+verify equals the
-      // brute-force cross-join oracle
-      val docs = Tables(s, d).documents
-      Dedup.minhashLshJoin(
-        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
-        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
-        shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2,
-        threshold = 0.8)
-    }),
-    "q70_bloom_screen" -> ((s, d) => {
-      // ingestion gate: screen the full corpus against the already-
-      // ingested two-thirds. The Bloom prefilter routes definite-new rows
-      // around the exact anti join and cannot change the result (no false
-      // negatives), so the oracle is the plain anti join
-      val docs = Tables(s, d).documents
-      Dedup.bloomScreen(
-        docs.where(col("doc_id") % 3 =!= 0), col("doc_id"),
-        docs.select(col("doc_id"), col("source")), col("doc_id"))
-    }),
-
-    // ---- round 5: REAL codecs (JDK-bundled ImageIO / javax.sound) ----
-    "q68_image_decode" -> ((s, d) => {
-      // real PNG pipeline: deterministic pixels → JDK PNG ENCODE →
-      // distributed DECODE via ImageIO → per-image statistics. PNG is
-      // lossless, so DuckDB replays the pixel formula without a codec and
-      // the hash compare verifies the whole encode→decode roundtrip
-      // (width/height come from the DECODED container, not metadata)
-      import s.implicits._
-      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
-      Multimodal.decodeImages(Multimodal.syntheticPngMediaFor(ids), dim = 16)
-        .select(col("media_id"), col("width"), col("height"), col("mean_intensity"))
-    }),
-    "q69_audio_decode" -> ((s, d) => {
-      // real WAV pipeline: deterministic PCM16 samples → RIFF encode →
-      // distributed decode via javax.sound.sampled → exact-integer-ratio
-      // statistics (no sqrt — cross-engine bit-exact)
-      import s.implicits._
-      val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
-      Multimodal.decodeAudio(Multimodal.syntheticWavFor(ids), dim = 16)
-        .select(col("media_id"), col("n_samples"), col("mean_abs"), col("mean_square"))
-    }),
-
-    // ---- round 10: the CONTINUOUS standing-index forms, oracle-visible.
-    // Every screener/searcher below is per-row independent given the
-    // standing index, so the union over an N-micro-batch replay equals
-    // the batch operator over the whole input (the parity contract each
-    // index spec asserts); the oracle is therefore the batch oracle. ----
-    "q136_lsh_screen_stream" -> ((s, d) => {
-      // DedupIndex.screenStream: continuous MinHash-LSH admission control
-      // — odd-id docs arrive in 4 micro-batches and screen against the
-      // standing index of the even-id corpus (q71's cross-corpus shape,
-      // through the persisted index per batch). At 16 bands × 2 rows a
-      // true pair at jaccard 0.8 misses with probability < 1e-7, so the
-      // brute-force cross oracle is exact.
-      val docs = Tables(s, d).documents
-      val idx = q136IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q136_idx")
-        DedupIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p,
-          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q136",
-          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
-          col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("text")).schema)
-        collectScreenBatches(s) { onBatch =>
-          DedupIndex.screenStream(s, stream, col("doc_id"), col("text"), idx,
-            threshold = 0.8, shingleN = 3, numHashes = 32,
-            bands = 16, rowsPerBand = 2)(onBatch)
-        }
-      }
-    }),
-    "q137_decon_screen_stream" -> ((s, d) => {
-      // Decontamination.screenStream: each arriving training batch is
-      // containment-checked against the standing benchmark set BEFORE
-      // admission (q66's split and threshold — the oracle is q66's).
-      val docs = Tables(s, d).documents
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q137",
-          docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")),
-          col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("text")).schema)
-        collectScreenBatches(s) { onBatch =>
-          Decontamination.screenStream(stream, col("doc_id"), col("text"),
-            docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
-            n = 3, threshold = 0.3)(onBatch)
-        }
-      }
-    }),
-    "q189_phrase_search" -> ((s, d) => {
-      // PHRASE RETRIEVAL — Bm25Index.searchPhrase: docs containing
-      // the query tokens as a CONSECUTIVE sequence. Candidates cut by
-      // the boolean AND over the scan-pruned postings, then only the
-      // candidates' token arrays fetch from the corpus (semi join)
-      // for a positional slice-equality verify — per-candidate work,
-      // never corpus-wide. Oracle: space-joined token string contains
-      // the space-joined phrase with boundary pads (tokens cannot
-      // contain whitespace, so string containment == sequence match).
-      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
-        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      import s.implicits._
-      val qs = Seq((0L, "table hash"), (1L, "customer join"),
-        (2L, "merge batch part")).toDF("qid", "qtext")
-      Bm25Index.searchPhrase(s, qs, col("qid"), col("qtext"),
-        Tables(s, d).documents, col("doc_id"), col("text"), idx)
-    }),
-    "q191_substring_search" -> ((s, d) => {
-      // SUBSTRING RETRIEVAL — TrigramIndex.search: accelerated
-      // `LIKE '%pat%'` over a standing character-trigram index;
-      // patterns cross token boundaries ("ge bat" spans "merge batch")
-      // and match inside words, which no token index can answer.
-      // Candidates are cut by the counting AND over the gram-pruned
-      // postings scan, then only candidates' text fetches for the
-      // exact contains verify. Oracle: the plain corpus-scan LIKE.
-      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
-        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      import s.implicits._
-      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
-        .toDF("qid", "pat")
-      TrigramIndex.search(s, qs, col("qid"), col("pat"),
-        Tables(s, d).documents, col("doc_id"), col("text"), idx)
-    }),
-    "q223_wildcard_search" -> ((s, d) => {
-      // WILDCARD (LIKE) RETRIEVAL — TrigramIndex.searchLike: full
-      // anchored SQL LIKE over the SAME standing index as q191. The
-      // code-search move: every literal run of the pattern must appear
-      // contiguously in a matching document, so the union of the runs'
-      // trigrams are REQUIRED grams — candidate pruning is the same
-      // counting AND, then the exact per-row LIKE verify on candidates
-      // only. The three patterns exercise multi-run `%` (ordered
-      // terms), a `_` single-char wildcard inside a run boundary, and
-      // a prefix anchor. Oracle: the plain corpus-scan LIKE.
-      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
-        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      import s.implicits._
-      val qs = Seq((0L, "%merge%join%"), (1L, "%sort%tab_e%"),
-        (2L, "the%stream%")).toDF("qid", "pat")
-      TrigramIndex.searchLike(s, qs, col("qid"), col("pat"),
-        Tables(s, d).documents, col("doc_id"), col("text"), idx)
-    }),
-    "q187_boolean_search" -> ((s, d) => {
-      // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
-      // containing EVERY query term, over the SAME standing inverted
-      // index as q103 (alerting rules, mandatory-term filters,
-      // candidate cuts before ranking). Postings scan pruned to the
-      // query vocabulary at the source; the AND is a counting
-      // aggregate against broadcast per-query term counts. Oracle
-      // re-derives postings and the same count-equality in SQL.
-      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
-        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      Bm25Index.searchAll(s, bm25Queries(s), col("qid"), col("qtext"), idx)
-    }),
-    "q138_bm25_search_stream" -> ((s, d) => {
-      // Bm25Index.searchStream: standing-query retrieval — q103's three
-      // queries arrive one per micro-batch and search the SAME standing
-      // inverted index; per-query independence makes q103's oracle the
-      // stream's oracle verbatim.
-      val idx = q103IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q103_idx") + "/bm25"
-        Bm25Index.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q138", bm25Queries(s), col("qid"), 3)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          bm25Queries(s).schema)
-        collectScreenBatches(s) { onBatch =>
-          Bm25Index.searchStream(s, stream, col("qid"), col("qtext"), idx,
-            k = 10)(onBatch)
-        }
-      }
-    }),
-    "q139_ivf_search_stream" -> ((s, d) => {
-      // IvfIndex.build + searchStream: q42's ANN workload through the
-      // PERSISTED cell-partitioned index (same md5 centroid sample and
-      // shared assignment code, so q42's unrolled oracle holds — this one
-      // query gates both the standing IVF index's search path and its
-      // continuous form), queries arriving in 4 micro-batches.
-      val em = Tables(s, d).embeddings
-      val idx = q139IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q139_idx") + "/ivf"
-        IvfIndex.build(Tables(s, dir).embeddings,
-          col("vec_id"), col("embedding"), nCells = 16, p)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q139",
-          em.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
-          col("vec_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          em.select(col("vec_id"), col("embedding")).schema)
-        collectScreenBatches(s) { onBatch =>
-          IvfIndex.searchStream(s, stream, col("vec_id"), col("embedding"), idx,
-            k = 5, nProbe = 4)(onBatch)
-        }
-      }
-    }),
-    "q140_cosine_screen_stream" -> ((s, d) => {
-      // CosineIndex.screenStream: continuous embedding near-dup admission
-      // — q72's planted perturbed corpus arrives in 4 micro-batches and
-      // screens against the standing index of the base corpus. Planted
-      // cosines sit at ~0.99997 vs threshold 0.95, so banding cannot miss
-      // and the brute-force cross oracle is exact; cos is dropped from
-      // the output like q72 (pair SET is the cross-engine-stable result).
-      val em = Tables(s, d).embeddings
-      val idx = q140IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q140_idx")
-        CosineIndex.build(
-          Tables(s, dir).embeddings.select(col("vec_id").as("id"),
-            transform(col("embedding"), x => x.cast("double")).as("v")),
-          col("id"), col("v"), p, bands = 8, rowsPerBand = 16)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q140",
-          em.where(col("vec_id") % 20 === 0)
-            .select((col("vec_id") + 10000000L).as("id"),
-              transform(col("embedding"), (x, i) =>
-                x.cast("double") * (lit(1.0) + lit(0.01) * (i % 3 - 1).cast("double"))).as("v")),
-          col("id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("v",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType)))))
-        collectScreenBatches(s) { onBatch =>
-          CosineIndex.screenStream(s, stream, col("id"), col("v"), idx,
-            threshold = 0.95, bands = 8, rowsPerBand = 16)(b =>
-            onBatch(b.select(col("new_id"), col("dup_id"))))
-        }
-      }
-    }),
-    "q141_span_screen_stream" -> ((s, d) => {
-      // SpanIndex.screenStream: continuous verbatim-substring screening —
-      // odd-id docs arrive in 4 micro-batches against q80's standing gram
-      // index. Span merging is PER document and doc_id slicing keeps each
-      // doc whole in one batch, so q80's oracle holds unchanged.
-      val docs = Tables(s, d).documents
-      val idx = q80IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q80_idx")
-        SpanIndex.build(Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p, n = 8)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q141",
-          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
-          col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("text")).schema)
-        collectScreenBatches(s) { onBatch =>
-          SpanIndex.screenStream(s, stream, col("doc_id"), col("text"), idx,
-            n = 8)(onBatch)
-        }
-      }
-    }),
-    "q142_drift_stream" -> ((s, d) => {
-      // the drift monitor's CONTINUOUS posture: the check corpus arrives
-      // in 4 micro-batches, each folds its vocabCounts increment into the
-      // staging store (counts are additive, so the fold is delivery-order
-      // independent), and the final drift check runs the summed counts
-      // against q132's PERSISTED baseline — build the baseline once,
-      // drift-check every arriving batch forever. Oracle = q127's (the
-      // whole roundtrip — slicing, per-batch counting, fold, stored
-      // baseline — must be invisible).
-      val docs = Tables(s, d).documents
-      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val base = q132BaselineCache.computeIfAbsent(d, _ => {
-        val t = graft.core.TempDirs.create("graft_q132")
-        TextAnalysis.vocabCounts(docs.where(half < "8"), col("text"))
-          .write.mode("overwrite").parquet(s"$t/baseline")
-        s"$t/baseline"
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q142",
-          docs.where(half >= "8").select(col("doc_id"), col("text")),
-          col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("text")).schema)
-        val perBatch = collectScreenBatches(s) { onBatch =>
-          stream.writeStream
-            .foreachBatch { (b: DataFrame, _: Long) =>
-              onBatch(TextAnalysis.vocabCounts(b, col("text")))
-            }
-            .start()
-        }
-        TextAnalysis.tokenDriftCounts(
-          s.read.parquet(base).select(col("token"), col("n")),
-          perBatch.groupBy(col("token")).agg(sum(col("n")).cast("long").as("n")))
-          .orderBy(col("move").desc, col("token").asc)
-          .limit(50)
-          .withColumn("move", col("move").cast("long"))
-      }
-    }),
-    "q143_kmeans_assign_stream" -> ((s, d) => {
-      // KMeansIndex.build + assignStream: continuous classification
-      // against the standing model — the corpus arrives in 4 micro-
-      // batches and each assigns against the STORED centroids (broadcast
-      // argmin, nothing corpus-sized moves). The stored fit is
-      // KMeans.fit's own (shared code, integer-exact), so q88's unrolled
-      // Lloyd oracle holds for the batch-by-batch assignment union.
-      val em = Tables(s, d).embeddings
-      val idx = q143IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q143_idx") + "/km"
-        KMeansIndex.build(Tables(s, dir).embeddings,
-          col("vec_id"), col("embedding"), k = 8, iters = 2, p)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q143",
-          em.select(col("vec_id"), col("embedding")), col("vec_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          em.select(col("vec_id"), col("embedding")).schema)
-        collectScreenBatches(s) { onBatch =>
-          KMeansIndex.assignStream(s, stream, col("vec_id"), col("embedding"),
-            idx)(onBatch)
-        }
-      }
-    }),
-    "q144_bm25_ingest_stream" -> ((s, d) => {
-      // Bm25Index.appendStream: continuous EXACTLY-ONCE index ingestion.
-      // The standing index starts from the even-id half and the odd-id
-      // half arrives in 4 ledgered micro-batch folds (Bm25IndexSpec:
-      // streaming folds == one-shot build; a re-delivered batch id is
-      // skipped); q103's retrieval then runs THROUGH the grown index, so
-      // its full-corpus oracle gates the whole ingest-then-search
-      // lifecycle. Ingestion is memoized per (process, sf dir) like
-      // every standing index — and a re-run of the same fold stream is
-      // a no-op by the batch-id ledger anyway.
-      val idx = q144IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q144_idx") + "/bm25"
-        val docs = Tables(s, dir).documents
-        Bm25Index.build(docs.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p)
-        withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q144",
-            docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
-            col("doc_id"), 4)
-          val stream = graft.streaming.Replay.orderedStream(s, stage,
-            docs.select(col("doc_id"), col("text")).schema)
-          val q = Bm25Index.appendStream(s, stream, col("doc_id"), col("text"), p)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      Bm25Index.search(s, bm25Queries(s), col("qid"), col("qtext"), idx, k = 10)
-    }),
-    "q209_substring_search_stream" -> ((s, d) => {
-      // TrigramIndex.searchStream: standing-grep retrieval — q191's
-      // three patterns arrive one per micro-batch and search the SAME
-      // standing trigram index; per-pattern independence makes q191's
-      // LIKE oracle the stream's oracle verbatim (the q138 pattern for
-      // the substring axis).
-      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
-        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
-        p
-      })
-      import s.implicits._
-      val pats = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
-        .toDF("qid", "pat")
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q209", pats, col("qid"), 3)
-        val stream = graft.streaming.Replay.orderedStream(s, stage, pats.schema)
-        collectScreenBatches(s) { onBatch =>
-          TrigramIndex.searchStream(s, stream, col("qid"), col("pat"),
-            Tables(s, d).documents, col("doc_id"), col("text"), idx)(onBatch)
-        }
-      }
-    }),
-    "q197_substring_ingest_stream" -> ((s, d) => {
-      // TrigramIndex.appendStream: continuous exactly-once ingestion
-      // into the substring index — q144's lifecycle for the trigram
-      // family. Standing index starts from the even-id half, the odd
-      // half arrives in 4 ledgered micro-batch folds, then q191's
-      // patterns search THROUGH the grown index — so q191's
-      // full-corpus LIKE oracle gates ingest-then-search end to end.
-      val idx = q197IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q197_idx") + "/tri"
-        val docs = Tables(s, dir).documents
-        TrigramIndex.build(docs.where(col("doc_id") % 2 === 0),
-          col("doc_id"), col("text"), p)
-        withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q197",
-            docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
-            col("doc_id"), 4)
-          val stream = graft.streaming.Replay.orderedStream(s, stage,
-            docs.select(col("doc_id"), col("text")).schema)
-          val q = TrigramIndex.appendStream(s, stream, col("doc_id"), col("text"), p)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      import s.implicits._
-      val qs = Seq((0L, "ge bat"), (1L, "le sor"), (2L, "rt join"))
-        .toDF("qid", "pat")
-      TrigramIndex.search(s, qs, col("qid"), col("pat"),
-        Tables(s, d).documents, col("doc_id"), col("text"), idx)
-    }),
-    "q145_ivfpq_search_stream" -> ((s, d) => {
-      // IvfPqIndex.build + searchStream: q86's residual IVF-PQ workload
-      // through the PERSISTED compressed index (codes partitioned by
-      // cell, codebook + coarse centroids as broadcast sidecars; shared
-      // sampling/encode code, so q86's oracle holds — IvfPqIndexSpec:
-      // build+query == one-shot residual IVF-PQ exactly), queries
-      // arriving in 4 micro-batches. Completes the continuous form of
-      // the last standing ANN index.
-      val em = Tables(s, d).embeddings
-      val idx = q145IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q145_idx") + "/ivfpq"
-        IvfPqIndex.build(Tables(s, dir).embeddings,
-          col("vec_id"), col("embedding"), nCells = 16, p, m = 8, ksub = 16)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q145",
-          em.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
-          col("vec_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          em.select(col("vec_id"), col("embedding")).schema)
-        collectScreenBatches(s) { onBatch =>
-          IvfPqIndex.searchStream(s, stream, col("vec_id"), col("embedding"),
-            idx, k = 5, nProbe = 4)(onBatch)
-        }
-      }
-    }),
-    "q146_dsir_score_stream" -> ((s, d) => {
-      // DsirModel.build + scoreStream: continuous domain-targeted
-      // admission scoring — documents arrive in 4 micro-batches and each
-      // scores against the STORED count tables (broadcast, integer-exact
-      // bitlen arithmetic; DsirModelSpec: stored model == one-shot
-      // importanceWeights), so q100's full replay oracle holds.
-      val docs = Tables(s, d).documents
-      val idx = q146IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q146_idx") + "/dsir"
-        val dd = Tables(s, dir).documents
-        DsirModel.build(dd, dd.where(col("source") === "src0"),
-          col("doc_id"), col("text"), p, buckets = 1024)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val stage = screenReplayDir(s"$d#q146",
-          docs.select(col("doc_id"), col("text")), col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("text")).schema)
-        collectScreenBatches(s) { onBatch =>
-          DsirModel.scoreStream(s, stream, col("doc_id"), col("text"), idx)(b =>
-            onBatch(b.withColumnRenamed("id", "doc_id")))
-        }
-      }
-    }),
-    "q147_media_decode_stream" -> ((s, d) => {
-      // continuous multimodal ingest: the PNG corpus arrives in 4 micro-
-      // batches of opaque binary rows and each batch runs the REAL
-      // ImageIO decode + feature pass (q68's operator, per-row
-      // independent — its pixel-formula oracle verifies the whole
-      // encode→stream→decode roundtrip batch by batch). The 100 TB shape
-      // is the batch lane's: content bytes stay inside a narrow
-      // mapPartitions per micro-batch, nothing media-sized exchanges.
-      import s.implicits._
-      withShufflePartitions(s, 8) {
-        val ids = Tables(s, d).embeddings.select(col("vec_id")).as[Long]
-        val stage = screenReplayDir(s"$d#q147",
-          Multimodal.syntheticPngMediaFor(ids).toDF(), col("media_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord].schema)
-        collectScreenBatches(s) { onBatch =>
-          stream.writeStream
-            .foreachBatch { (b: DataFrame, _: Long) =>
-              onBatch(Multimodal.decodeImages(b.as[Multimodal.MediaRecord], dim = 16)
-                .toDF().select(col("media_id"), col("width"), col("height"),
-                  col("mean_intensity")))
-            }
-            .start()
-        }
-      }
-    }),
-    "q148_stream_static_join" -> ((s, d) => {
-      // stream-static enrichment join INSIDE the streaming plan — the
-      // one streaming join class q124's stream-stream gate doesn't
-      // cover: each arriving event joins the static customer dim, which
-      // Spark re-plans (and at this size broadcasts) per micro-batch.
-      // Stateless per row, so the append output set equals the batch
-      // join and the plain SQL join is the oracle.
-      withShufflePartitions(s, 8) {
-        val stream = eventsReplayStream(s, d)
-        val cust = Tables(s, d).customer
-          .select(col("c_custkey"), col("c_nationkey"))
-        val out = stream.join(cust, col("user_id") === col("c_custkey"))
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("c_nationkey"))
-        val q = out.writeStream.format("memory").queryName("graft_q148_enrich")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("graft_q148_enrich")
-      }
-    }),
-    "q149_trending_stream" -> ((s, d) => {
-      // CHAINED stateful aggregations in one streaming query — windowed
-      // counts then per-window top-3 (the streaming form of q60's
-      // trending ranking, spec-proven in StreamingSpec and here made
-      // oracle-visible): the first agg finalizes (window, event_type)
-      // counts when the watermark passes the window end, the second
-      // ranks the finalized rows with the bounded-heap CollectBottomK
-      // kernel and fires one batch later. The replay carries TWO
-      // sentinel slices (see trendReplayDir) so both levels flush; rank
-      // ties break on event_type ascending in both engines. In-order
-      // 0-delay delivery means no real row is late-dropped, so the
-      // append output set equals the batch hourly top-3. State is ~720
-      // windows × 5 types upstream + ~720 3-element heaps downstream.
-      withShufflePartitions(s, 8) {
-        val stream = graft.streaming.Replay.orderedStream(s, trendReplayDir(s, d),
-          Tables(s, d).events.select(replayCols: _*).schema)
-        val counts = stream.withWatermark("ts", "0 seconds")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-        val topk = counts
-          .groupBy(col("window"))
-          .agg(graft.functions.Kernels.collect_bottom_k(
-            struct((-col("cnt")).as("nc"), col("event_type").as("event_type")), 3).as("top"))
-          .select(unix_millis(col("window.start")).as("win_start_ms"),
-            posexplode(col("top")).as(Seq("pos", "e")))
-          .select(col("win_start_ms"), col("e.event_type").as("event_type"),
-            (-col("e.nc")).as("cnt"), (col("pos") + 1).cast("long").as("rk"))
-        val q = topk.writeStream.format("memory").queryName("graft_q149_trending")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("graft_q149_trending")
-      }
-    }),
-    "q150_kmeans_update_stream" -> ((s, d) => {
-      // KMeansIndex.updateStream: continuous mini-batch k-means
-      // (Sculley '10) made oracle-visible — the last standing-index
-      // continuous form that was spec-gated only. The model builds on
-      // the even-id half; the odd-id half arrives in 2 ordered
-      // micro-batch folds, each assigning against the CURRENT centroids
-      // and merging its (cell, d) sums into the stored statistics
-      // (centroids re-derived as s div n). Every step is integer-exact,
-      // so the oracle replays build + both folds unrolled in SQL. The
-      // batch-id ledger makes re-runs no-ops (a re-delivered fold is
-      // skipped), so the bench's repeats read the SAME final model —
-      // exactly-once ingestion proven by stability across replays. The
-      // result is the full model dump: centroids flattened to
-      // (cell, d, c) joined with the folded statistics (s, n).
-      val em = Tables(s, d).embeddings
-      val idx = q150IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q150_idx") + "/km"
-        KMeansIndex.build(Tables(s, dir).embeddings.where(col("vec_id") % 2 === 0),
-          col("vec_id"), col("embedding"), k = 8, iters = 2, p)
-        p
-      })
-      withShufflePartitions(s, 8) {
-        val inc = em.where(col("vec_id") % 2 === 1)
-          .select(col("vec_id"), col("embedding"))
-        val stage = screenReplayDir(s"$d#q150", inc, col("vec_id"), 2)
-        val stream = graft.streaming.Replay.orderedStream(s, stage, inc.schema)
-        val q = KMeansIndex.updateStream(s, stream, col("vec_id"),
-          col("embedding"), idx)(_ => ())
-        try q.processAllAvailable() finally q.stop()
-      }
-      val cents = KMeansIndex.centroids(s, idx)
-        .select(explode(col("cents")).as("cc"))
-        .select(col("cc.cell").as("cell"),
-          posexplode(col("cc.centroid")).as(Seq("d", "c")))
-      val stats = s.read.parquet(s"$idx/_model/_stats")
-      cents.join(stats, Seq("cell", "d"), "left_outer")
-        .select(col("cell"), col("d"), col("c"), col("s"), col("n"))
-    }),
-    "q151_cluster_merge" -> ((s, d) => {
-      // Clusters.merge made oracle-visible — the incremental-ingestion
-      // step after DedupIndex.append + check: near-dup pairs among the
-      // even-id docs form the EXISTING clustering, then the remaining
-      // pairs (every pair touching an odd id — the "new batch") fold in
-      // via merge. Each old assignment is a member→representative edge,
-      // so merge runs connected components over cluster-graph-sized
-      // edges (one per clustered doc + the new pairs), never the corpus;
-      // the result must equal the full rebuild over ALL pairs — q55's
-      // oracle verbatim (PipelineOpsSpec asserts the same equivalence
-      // structurally; this puts it in the correctness record). Pairs
-      // come off q55's memoized standing index: zero extra corpus scans.
-      val idx = q55IndexCache.computeIfAbsent(d, { dir =>
-        val p = graft.core.TempDirs.create("graft_q55_idx")
-        DedupIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p,
-          shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2)
-        p
-      })
-      val pairs = DedupIndex.pairs(s, idx, threshold = 0.8)
-      val bothEven = col("id_a") % 2 === 0 && col("id_b") % 2 === 0
-      val assignments = Clusters.connectedComponents(
-        pairs.where(bothEven), col("id_a"), col("id_b"))
-      Clusters.merge(assignments, pairs.where(!bothEven),
-        col("id_a"), col("id_b"))
-    }),
-    "q152_salted_join" -> ((s, d) => {
-      // Joins.saltedJoin in the correctness record: the hot-key
-      // straggler-flattening join (skewed side salted on a stable row
-      // identity, small side exploded across the salt buckets) must be
-      // RESULT-IDENTICAL to the plain join — scenario 6 measures the
-      // 2x straggler win at a 50%-hot-key fact; this gates that the
-      // rewrite never changes the output (ScaleJoinSpec asserts it
-      // structurally; the oracle is the plain SQL join). The salt
-      // column is dropped before returning, so schema matches too.
-      val t = Tables(s, d)
-      Joins.saltedJoin(t.events, t.customer.select(col("c_custkey"), col("c_nationkey")),
-          col("user_id"), col("c_custkey"), Seq(col("event_id")), buckets = 8)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("c_nationkey"))
-    }),
-    "q153_view_maintain" -> ((s, d) => {
-      // incremental materialized-view refresh: a per-customer (order
-      // count, total spend) view maintained from a row-level
-      // +I/-U/+U/-D changelog — Diff.maintainAgg touches ONLY changed
-      // keys (delta collapse is changelog-sized; the merge broadcasts
-      // the deltas, so the view itself never shuffles — DiffSpec
-      // plan-asserts zero shuffled joins). Changelog recipe + oracle
-      // are shared with q160 (viewMaintainInput/viewMaintainOracle).
-      val (base, changes) = viewMaintainInput(s, d)
-      val view = base.groupBy("o_custkey")
-        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
-      Diff.maintainAgg(view, changes, Seq("o_custkey"), "op", "cnt",
-          Seq("total" -> "p"))
-        .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
-    }),
-    "q154_sketch_rollup" -> ((s, d) => {
-      // sketch-partitioned distinct: ONE corpus pass builds per-
-      // (event_type, day) theta sketches; "distinct users over an
-      // arbitrary day slice" is then a union of bucket sketches with
-      // zero corpus re-reads (SketchesSpec plan-asserts no FileScan on
-      // the query side). Exactness regime: every sketch holds far fewer
-      // than 2^20 nominal entries, so theta stays 1 and union is a
-      // literal hash-set union — asserted IN the plan (q44 convention):
-      // each group carries the exact distinct count and any divergence
-      // raises a named error rather than an opaque hash mismatch.
-      val e = Tables(s, d).events
-      def day(ts: Column) = dayBucket(ts)
-      val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
-        day(col("ts")), col("user_id"))
-      val est = Sketches.distinctOver(bk, Seq("event_type"),
-        col("bucket") % 3 =!= 1, out = "__a")
-      val exact = e.where(day(col("ts")) % 3 =!= 1)
-        .select(col("event_type"), col("user_id")).distinct()
-        .groupBy("event_type").agg(count(lit(1)).as("__e"))
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          when(col("__a") =!= col("__e"), raise_error(concat(
-            lit("q154 exactness regime broke: sketch="), col("__a").cast("string"),
-            lit(" exact="), col("__e").cast("string"))).cast("long"))
-            .otherwise(col("__a")).as("users"))
-    }),
-    "q155_sketch_overlap" -> ((s, d) => {
-      // sketch SET ALGEBRA the plain distinct count cannot answer
-      // without a re-scan: from the same standing bucket table, how
-      // many users are active on BOTH even and odd days (in_both), and
-      // how many churn either way (only_a / only_b) — theta
-      // intersection/difference per event_type over bucket-sketch
-      // unions. Exact in the same regime, and the gate carries the
-      // exact per-user replay alongside and raises on any divergence.
-      val e = Tables(s, d).events
-      def day(ts: Column) = dayBucket(ts)
-      val bk = Sketches.thetaBuckets(e, Seq(col("event_type")),
-        day(col("ts")), col("user_id"))
-      val est = Sketches.overlapOver(bk, Seq("event_type"),
-        col("bucket") % 2 === 0, col("bucket") % 2 === 1)
-      val exact = e
-        .select(col("event_type"), col("user_id"),
-          (day(col("ts")) % 2 === 0).as("__ea"), (day(col("ts")) % 2 === 1).as("__eb"))
-        .groupBy("event_type", "user_id")
-        .agg(max(col("__ea")).as("__ia"), max(col("__eb")).as("__ib"))
-        .groupBy("event_type")
-        .agg(sum(when(col("__ia") && col("__ib"), 1L).otherwise(0L)).as("__both"),
-          sum(when(col("__ia") && !col("__ib"), 1L).otherwise(0L)).as("__oa"),
-          sum(when(col("__ib") && !col("__ia"), 1L).otherwise(0L)).as("__ob"),
-          sum(when(col("__ia"), 1L).otherwise(0L)).as("__at"),
-          sum(when(col("__ib"), 1L).otherwise(0L)).as("__bt"))
-      def gated = exactnessGate("q155") _
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          gated("in_both", "__both", "in_both"),
-          gated("only_a", "__oa", "only_a"),
-          gated("only_b", "__ob", "only_b"),
-          gated("a_total", "__at", "a_total"),
-          gated("b_total", "__bt", "b_total"))
-    }),
-    "q156_quota_stream" -> ((s, d) => {
-      // continuous per-source token-budget admission: documents arrive
-      // in 4 doc_id-ordered micro-batches and each source's stream is
-      // truncated at the 5000-char budget line
-      // (Sampling.quotaFillStream — per-domain state is ONE long). In
-      // the in-key-order replay regime the admitted set equals the
-      // batch window prefix-sum truncation, which is the DuckDB oracle.
-      val docs = Tables(s, d).documents
-      withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q156",
-          docs.select(col("doc_id"), col("source"), col("n_chars")),
-          col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          docs.select(col("doc_id"), col("source"), col("n_chars")).schema)
-        val out = Sampling.quotaFillStream(stream, col("source"),
-          col("doc_id"), col("n_chars"), budget = 5000L)
-        val q = out.writeStream.format("memory").queryName("graft_q156_quota")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("graft_q156_quota")
-      }
-    }),
-    "q157_quantile_rollup" -> ((s, d) => {
-      // mergeable quantile roll-up — the KLL twin of q154: per-
-      // (event_type, weekday, day) KLL sketches built in ONE corpus
-      // pass answer "the value distribution per type and weekday over
-      // an arbitrary day slice" by merging bucket sketches, never
-      // re-reading events. Exactness regime: merged item counts stay
-      // ≤ k = 65535 (≈11k per group at sf0.1), so every sketch is
-      // uncompacted and the INCLUSIVE-rank quantile equals SQL
-      // percentile_disc — asserted in-plan against the exact percentile
-      // (which doubles as the regime guard at any future SF).
-      val e = Tables(s, d).events
-      def day(ts: Column) = dayBucket(ts)
-      val qb = Sketches.kllBuckets(e,
-        Seq(col("event_type"), (day(col("ts")) % 7).as("dow")),
-        day(col("ts")), floor(col("value")), k = 65535)
-      val est = Sketches.quantilesOver(qb, Seq("event_type", "dow"),
-        col("bucket") % 3 =!= 1, Seq(0.5, 0.9), k = 65535)
-      val exact = e.where(day(col("ts")) % 3 =!= 1)
-        .select(col("event_type"), (day(col("ts")) % 7).as("dow"),
-          floor(col("value")).cast("long").as("fv"))
-        .groupBy("event_type", "dow")
-        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
-          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
-      def gated = exactnessGate("q157") _
-      est.join(exact, Seq("event_type", "dow"))
-        .select(col("event_type"), col("dow"),
-          gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
-    }),
-    "q158_distinct_stream" -> ((s, d) => {
-      // q154's STREAMING form: a continuously-maintained distinct-users
-      // count per event_type — update-mode running theta sketch over
-      // the 8-slice ordered event replay. Per-group state is the
-      // sketch (≤8·distinct bytes), NEVER the user set as rows; the
-      // estimate is monotone per group so the final snapshot is the
-      // MAX over the update log (ordering-free), and in the exact
-      // regime it equals the batch distinct count — enforced in-plan
-      // against the exact side (q44 convention), oracle = plain
-      // COUNT(DISTINCT).
-      val updates = withShufflePartitions(s, 4) {
-        val out = Sketches.runningDistinct(eventsReplayStream(s, d),
-          Seq(col("event_type")), col("user_id"))
-        val q = out.writeStream.format("memory").queryName("graft_q158_distinct")
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("graft_q158_distinct")
-      }
-      val fin = updates.groupBy("event_type")
-        .agg(max(col("distinct_count")).as("__a"))
-      val exact = Tables(s, d).events
-        .select(col("event_type"), col("user_id")).distinct()
-        .groupBy("event_type").agg(count(lit(1)).as("__e"))
-      fin.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          when(col("__a") =!= col("__e"), raise_error(concat(
-            lit("q158 exactness regime broke: sketch="), col("__a").cast("string"),
-            lit(" exact="), col("__e").cast("string"))).cast("long"))
-            .otherwise(col("__a")).as("users"))
-    }),
-    "q159_topk_rollup" -> ((s, d) => {
-      // heavy-hitters roll-up — the frequent-items member of the
-      // standing-sketch family (theta q154, KLL q157): per-(lang,
-      // source) approx_top_k accumulate sketches built in ONE corpus
-      // pass answer "top tokens per lang over any source slice" by
-      // COMBINING sketches, zero corpus re-reads. q64's exactness
-      // regime (capacity 10k ≫ the 31-word vocab — combine preserves
-      // it since the item union still fits) plus the deterministic
-      // (count desc, item asc) re-rank make the plain GROUP BY truth
-      // the oracle.
-      val docs = Tables(s, d).documents
-      val tb = Sketches.topKBuckets(
-        docs.select(col("lang"), col("source"),
-          explode(Stateless.tokens(col("text"))).as("w")),
-        Seq(col("lang")), col("source"), col("w"))
-      Sketches.topKOver(tb, Seq("lang"), col("bucket").rlike("[02468]$"), k = 5)
-        .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
-    }),
-    "q160_view_maintain_stream" -> ((s, d) => {
-      // q153's CONTINUOUS form: the SAME changelog (viewMaintainInput)
-      // arrives as 4 orderkey-ordered micro-batches and folds into the
-      // PERSISTED view via Diff.maintainAggStream — per trigger the
-      // batch collapses to key deltas, broadcasts, and merges through
-      // two narrow scans of the current view, landing with the
-      // advanced batch ledger in one crash-safe swap. Deltas are
-      // additive and commutative per key, so the final view is
-      // slicing-independent and equals q153's one-shot refresh (oracle
-      // = viewMaintainOracle, shared); bench re-runs replay batch ids
-      // the ledger already holds, so they are no-ops and the standing
-      // view stays correct (exactly-once under redelivery, the q144
-      // posture).
-      val (base, changes) = viewMaintainInput(s, d)
-      val path = q160ViewCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q160_view")
-        Diff.initView(base.groupBy("o_custkey")
-          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total")), p)
-        p
-      })
-      withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q160", changes, col("o_orderkey"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
-        val q = Diff.maintainAggStream(s, stream, path, Seq("o_custkey"),
-          "op", "cnt", Seq("total" -> "p"), ephemeralOk = true)
-        try q.processAllAvailable() finally q.stop()
-      }
-      Diff.readView(s, path)
-        .select(col("o_custkey"), col("cnt"), col("total").cast("double").as("total"))
-    }),
-    "q161_sketch_ingest_stream" -> ((s, d) => {
-      // q154's standing table made CONTINUOUS (the q144 ingest-then-
-      // query lifecycle for distinct analytics): the store starts from
-      // the even-event_id half, the odd half arrives in 4 ordered
-      // micro-batches, each folding batch-sized sketches into the
-      // persisted bucket table through the SwapStore ledger (re-runs
-      // replay applied batch ids — no-ops). Sketch union is
-      // associative and idempotent-per-value, so the grown store
-      // answers q154's slice EXACTLY as a one-shot build over all
-      // events would — same oracle, same in-plan exactness assert.
-      val e = Tables(s, d).events
-      def day(ts: Column) = dayBucket(ts)
-      val path = q161StoreCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q161_store")
-        Sketches.initThetaStore(e.where(col("event_id") % 2 === 0),
-          Seq(col("event_type")), day(col("ts")), col("user_id"), p)
-        p
-      })
-      withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q161",
-          e.where(col("event_id") % 2 === 1)
-            .select(col("event_id"), col("event_type"), col("user_id"), col("ts")),
-          col("event_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          e.select(col("event_id"), col("event_type"), col("user_id"), col("ts")).schema)
-        val q = Sketches.ingestThetaStream(s, stream, Seq(col("event_type")),
-          day(col("ts")), col("user_id"), path, ephemeralOk = true)
-        try q.processAllAvailable() finally q.stop()
-      }
-      val est = Sketches.distinctOver(Sketches.readThetaStore(s, path),
-        Seq("event_type"), col("bucket") % 3 =!= 1, out = "__a")
-      val exact = e.where(day(col("ts")) % 3 =!= 1)
-        .select(col("event_type"), col("user_id")).distinct()
-        .groupBy("event_type").agg(count(lit(1)).as("__e"))
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          when(col("__a") =!= col("__e"), raise_error(concat(
-            lit("q161 exactness regime broke: sketch="), col("__a").cast("string"),
-            lit(" exact="), col("__e").cast("string"))).cast("long"))
-            .otherwise(col("__a")).as("users"))
-    }),
-    "q162_kll_ingest_stream" -> ((s, d) => {
-      // q157's standing table made CONTINUOUS — the quantile member of
-      // the sketch-store family (theta q161, heavy-hitters q163): the
-      // per-(event_type, weekday, day) KLL store starts from the
-      // even-event_id half, the odd half folds in over 4 ordered
-      // micro-batches through the SwapStore ledger. Merging uncompacted
-      // sketches is lossless, so the grown store answers q157's slice
-      // quantiles EXACTLY like a one-shot build — same oracle, same
-      // in-plan percentile_disc assert.
-      val e = Tables(s, d).events
-      def day(ts: Column) = dayBucket(ts)
-      def prep(df: DataFrame) = df.select(col("event_id"), col("event_type"),
-        (day(col("ts")) % 7).as("dow"), day(col("ts")).as("day"),
-        floor(col("value")).cast("long").as("fv"))
-      val path = q162StoreCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q162_store")
-        Sketches.initKllStore(prep(e.where(col("event_id") % 2 === 0)),
-          Seq(col("event_type"), col("dow")), col("day"), col("fv"), p, k = 65535)
-        p
-      })
-      withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q162",
-          prep(e.where(col("event_id") % 2 === 1)), col("event_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          prep(e).schema)
-        val q = Sketches.ingestKllStream(s, stream,
-          Seq(col("event_type"), col("dow")), col("day"), col("fv"), path,
-          k = 65535, ephemeralOk = true)
-        try q.processAllAvailable() finally q.stop()
-      }
-      val est = Sketches.quantilesOver(Sketches.readKllStore(s, path),
-        Seq("event_type", "dow"), col("bucket") % 3 =!= 1, Seq(0.5, 0.9), k = 65535)
-      val exact = prep(e).where(col("day") % 3 =!= 1)
-        .groupBy("event_type", "dow")
-        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e50"),
-          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fv) AS BIGINT)").as("__e90"))
-      def gated = exactnessGate("q162") _
-      est.join(exact, Seq("event_type", "dow"))
-        .select(col("event_type"), col("dow"),
-          gated("p50", "__e50", "p50"), gated("p90", "__e90", "p90"))
-    }),
-    "q163_topk_ingest_stream" -> ((s, d) => {
-      // q159's standing table made CONTINUOUS: the per-(lang, source)
-      // frequent-items store starts from the even-doc_id half; odd
-      // docs arrive (pre-exploded to words, sliced by doc_id) in 4
-      // micro-batches and COMBINE into the store. In the capacity
-      // regime the grown store's deterministic top-5 equals the plain
-      // GROUP BY truth over all documents — q159's oracle.
-      val docs = Tables(s, d).documents
-      def prep(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-        col("source"), explode(Stateless.tokens(col("text"))).as("w"))
-      val path = q163StoreCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q163_store")
-        Sketches.initTopKStore(prep(docs.where(col("doc_id") % 2 === 0)),
-          Seq(col("lang")), col("source"), col("w"), p)
-        p
-      })
-      withShufflePartitions(s, 4) {
-        val stage = screenReplayDir(s"$d#q163",
-          prep(docs.where(col("doc_id") % 2 === 1)), col("doc_id"), 4)
-        val stream = graft.streaming.Replay.orderedStream(s, stage,
-          prep(docs).schema)
-        val q = Sketches.ingestTopKStream(s, stream, Seq(col("lang")),
-          col("source"), col("w"), path, ephemeralOk = true)
-        try q.processAllAvailable() finally q.stop()
-      }
-      Sketches.topKOver(Sketches.readTopKStore(s, path), Seq("lang"),
-          col("bucket").rlike("[02468]$"), k = 5)
-        .select(col("lang"), col("item"), col("cnt"), col("rk").cast("long").as("rk"))
-    }),
-    "q164_catalog_ingest" -> ((s, d) => {
-      // ATOMIC MULTI-STORE INGESTION under one shared batch ledger —
-      // the honest version of the reference's claimed-but-sequential
-      // transactional checkpoint commit (jobmanager/
-      // checkpoint_coordinator.py:485-527): each admitted batch folds
-      // into THREE standing sketch stores (theta distinct-users, KLL
-      // value quantiles, frequent-user top-k, all per event_type) via
-      // Catalog.ingest, whose single manifest swap makes the fold
-      // all-or-nothing. The build INJECTS A CRASH mid-batch-1 (two of
-      // three store generations written, manifest untouched), asserts
-      // the catalog still answers pre-batch, then replays batch 1 —
-      // the foreachBatch restart path — before batch 2. The gate then
-      // answers all three questions FROM THE STORES, exactness-gated
-      // in-plan, while the oracle re-derives every answer from the raw
-      // events: any torn or double-applied fold in any store breaks
-      // the compare.
-      val e = Tables(s, d).events
-      val base = q164CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q164_catalog")
-        catalogInit(p, catalogPrep(e.where(col("event_id") % 2 === 0)))
-        // the odd half arrives as three admitted batches (odd event_ids
-        // have event_id % 6 in {1, 3, 5})
-        def slice(i: Int) = catalogPrep(e.where(col("event_id") % 6 === 2 * i + 1))
-        withShufflePartitions(s, 4) {
-          graft.core.Catalog.ingest(s, p, 0L, slice(0), catalogFolds)
-          try graft.core.Catalog.ingestImpl(s, p, 1L, slice(1), catalogFolds,
-            failAfter = 2)
-          catch { case _: IllegalStateException => () }
-          require(graft.core.Catalog.lastBatch(s, p) == 0L,
-            "q164: a torn batch must never become visible")
-          graft.core.Catalog.ingest(s, p, 1L, slice(1), catalogFolds)
-          graft.core.Catalog.ingest(s, p, 2L, slice(2), catalogFolds)
-        }
-        p
-      })
-      catalogAnswers(s, d, base, "q164")
-    }),
-    "q168_catalog_ingest_stream" -> ((s, d) => {
-      // q164's CONTINUOUS form: the same three-store catalog, with the
-      // odd half arriving as 4 ordered micro-batches through
-      // Catalog.ingestStream — every trigger folds into ALL three
-      // stores and lands behind the ONE manifest swap (all-or-nothing
-      // per trigger; bench re-runs re-deliver applied batch ids, which
-      // the shared ledger no-ops). Work per trigger is batch-sized plus
-      // the three tiny bucket tables; the events already summarized are
-      // never revisited. Oracle = q164's rebuild-from-scratch answers.
-      val e = Tables(s, d).events
-      val base = q168CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q168_catalog")
-        catalogInit(p, catalogPrep(e.where(col("event_id") % 2 === 0)))
-        withShufflePartitions(s, 4) {
-          val stage = screenReplayDir(s"$d#q168",
-            catalogPrep(e.where(col("event_id") % 2 === 1)), col("event_id"), 4)
-          val stream = graft.streaming.Replay.orderedStream(s, stage,
-            catalogPrep(e).schema)
-          val q = graft.core.Catalog.ingestStream(s, stream, p, catalogFolds,
-            ephemeralOk = true)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      catalogAnswers(s, d, base, "q168")
-    }),
-    "q169_admission_pipeline" -> ((s, d) => {
-      // END-TO-END CORPUS ADMISSION — the composition the standing
-      // pieces exist for: every arriving batch passes ALL screens
-      // (first-occurrence-wins exact dedup against the standing
-      // fingerprint store; 3-gram containment decontamination against
-      // the broadcast benchmark set) or is turned away, and the
-      // admitted rows fold ATOMICALLY into three catalog stores
-      // (fingerprint set, per-source stats, per-source vocabulary
-      // top-k) under the shared ledger. The corpus is the non-benchmark
-      // documents PLUS a planted echo of every one (+100000 ids, same
-      // text), delivered as four ascending-id batches — every echo
-      // arrives batches after its original and must be rejected by the
-      // CROSS-BATCH screen; the q66 contamination pair is rejected by
-      // the decon screen. The oracle re-derives the admitted set (min
-      // id per fingerprint class, minus contaminated) and the store
-      // answers from scratch: any screen miss, torn fold, or
-      // double-apply breaks the compare.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q169CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q169_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          (0 until 4).foreach(
-            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
-        }
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q171_admission_stream" -> ((s, d) => {
-      // q169's CONTINUOUS form — the admission front door as ONE
-      // streaming query (Admission.ingestStream): each micro-batch
-      // screens against the fingerprint store AS GROWN by the previous
-      // trigger, then folds the admitted rows into all three stores
-      // behind the one manifest swap. The replay slices the corpus by
-      // doc_id span, so the originals arrive before the echo block and
-      // the cross-batch dedup screen carries the rejections; re-runs
-      // re-deliver applied batch ids, which return after one manifest
-      // read. Oracle = q169's from-scratch derivation.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q171CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q171_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          val stage = screenReplayDir(s"$d#q171", corpus, col("doc_id"), 4)
-          val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
-          val q = Admission.ingestStream(s, p, "fps", stream,
-            col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-            admissionFolds, ephemeralOk = true)
-          try q.processAllAvailable() finally q.stop()
-        }
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q172_admission_audit" -> ((s, d) => {
-      // REJECTION LINEAGE — the audit form of the admission front
-      // door: batch 0 (the originals) is ingested through the standing
-      // catalog, then the echo block is AUDITED against the store
-      // batch 0 grew — every row comes back with a verdict instead of
-      // silently vanishing at an anti join. Echoes whose original (or
-      // its lower-id text twin) was admitted → dup_standing; echo-
-      // block fingerprint ties → dup_in_batch; echoes of CONTAMINATED
-      // originals were never admitted, so their fingerprints are not
-      // standing and they re-trip the containment screen →
-      // contaminated. Output = per-source verdict counts, the
-      // admission-rate dashboard a real pipeline watches; the oracle
-      // re-derives every verdict from scratch.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q172CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q172_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          val originals = corpus.where(col("doc_id") < 100000)
-          Admission.ingest(s, p, 0L, Admission.screen(s, p, "fps",
-            originals, col("doc_id"), col("text"),
-            bench, col("doc_id"), col("text"),
-            n = 3, threshold = 0.3), admissionFolds)
-        }
-        p
-      })
-      val echoes = corpus.where(col("doc_id") >= 100000)
-      Admission.audit(s, base, "fps", echoes, col("doc_id"), col("text"),
-          bench, col("doc_id"), col("text"), n = 3, threshold = 0.3)
-        .groupBy(col("source"),
-          coalesce(col("reason"), lit("admitted")).as("verdict"))
-        .agg(count(lit(1)).as("n"))
-    }),
-    "q173_catalog_savepoint" -> ((s, d) => {
-      // CATALOG TIME TRAVEL — a savepoint is a POINTER SET over the
-      // immutable generations (store gens + the shared ledger), not a
-      // copy: pinning a 100 TB catalog costs one manifest read, and
-      // restore is two renames. The gate drives the full fork cycle
-      // through q169's pipeline: ingest the FIRST original batch, PIN,
-      // ingest the remaining three, RESTORE to the pin (ledger
-      // rewinds, pinned generations must have survived three folds of
-      // GC), then replay the tail from the fork. The pin sits BEFORE
-      // batch 1 — the second half of the originals, which admits
-      // hundreds of rows — so the post-restore replay re-folds real
-      // data: a restore that rewound the ledger but failed to roll the
-      // store generations back would double-fold batch 1 and break the
-      // from-scratch oracle compare (as would a stale pin or a GC'd
-      // generation).
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q173CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q173_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          def ingestBatch(i: Int): Unit =
-            admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
-          ingestBatch(0)
-          graft.core.Catalog.savepoint(s, p, "after-first-batch")
-          (1 until 4).foreach(ingestBatch)
-          graft.core.Catalog.restore(s, p, "after-first-batch")
-          require(graft.core.Catalog.lastBatch(s, p) == 0L,
-            "q173: restore must rewind the ledger to the fork point")
-          (1 until 4).foreach(ingestBatch)
-        }
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q175_admission_restart" -> ((s, d) => {
-      // q171 ACROSS A STOP/RESTART — the reference's flagship recovery
-      // claim applied to the whole admission catalog: the continuous
-      // front door runs over the original batches, STOPS, more data
-      // (the echo block) arrives while it is down, and a new query
-      // restarts from the same durable checkpoint. Batch ids must
-      // continue where the ledger left off (a fresh checkpoint would
-      // silently no-op the new batches — the documented hazard), and
-      // the standing fingerprint store must carry the pre-restart
-      // screen decisions so the echoes are rejected cross-RESTART.
-      // Oracle = q169's from-scratch derivation: any resume drift,
-      // double-fold, or lost screen state breaks the compare.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q175CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q175_catalog")
-        admissionInit(p, corpus)
-        val stage = graft.core.TempDirs.create("graft_q175_replay")
-        val ckpt = graft.core.TempDirs.create("graft_q175_ckpt")
-        def run(): Unit = withShufflePartitions(s, 4) {
-          val q = Admission.ingestStream(s, p, "fps",
-            graft.streaming.Replay.orderedStream(s, stage, corpus.schema),
-            col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-            admissionFolds, checkpoint = Some(ckpt))
-          try q.processAllAvailable() finally q.stop()
-        }
-        // phase A: the originals, two slices; then the query STOPS
-        graft.streaming.Replay.writeOrderedSlices(
-          corpus.where(col("doc_id") < 100000), col("doc_id"), stage, 2)
-        run()
-        require(graft.core.Catalog.lastBatch(s, p) == 1L,
-          "q175: phase A must land batches 0 and 1")
-        // phase B: the echo block arrives while the query is DOWN;
-        // the restart resumes at batch id 2 from the durable checkpoint
-        graft.streaming.Replay.appendSlice(stage,
-          corpus.where(col("doc_id") >= 100000 && col("doc_id") < 100250), 2)
-        graft.streaming.Replay.appendSlice(stage,
-          corpus.where(col("doc_id") >= 100250), 3)
-        run()
-        require(graft.core.Catalog.lastBatch(s, p) == 3L,
-          "q175: the restart must resume batch ids at 2, not restart at 0")
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q176_catalog_addstore" -> ((s, d) => {
-      // ADD AN INDEX TO A LIVE CORPUS — Catalog.addStore: the
-      // per-(source, lang) stats store does not exist for the first
-      // batch; it is added mid-stream with a BACKFILL derived from the
-      // doc-level lineage store, then folds like a founding member.
-      // The add sits BEFORE batch 1 — the second half of the
-      // originals, which admits hundreds of rows — so the post-add
-      // fold path carries real data: a broken fold (or a backfill
-      // inconsistent with the ledger) breaks the compare against the
-      // from-scratch oracle, which demands the store be
-      // indistinguishable from one that existed from batch 0. 100 TB
-      // shape: the backfill reads the lineage store's scalar rows,
-      // never the corpus, and the manifest swap makes the store appear
-      // atomically with a table already consistent with the ledger.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q176CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q176_catalog")
-        admissionInit(p, corpus, withLineage = true)
-        val langStatsFold: (String, (DataFrame, DataFrame) => DataFrame) =
-          "lang_stats" -> ((cur, b) => cur.unionByName(
-              b.groupBy(col("source"), col("lang")).agg(
-                count(lit(1)).as("n_docs"),
-                sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")))
-            .groupBy(col("source"), col("lang")).agg(
-              sum(col("n_docs")).as("n_docs"),
-              sum(col("n_tokens")).as("n_tokens")))
-        withShufflePartitions(s, 4) {
-          admissionIngestBatch(s, p, corpus, bench, 0,
-            admissionFolds :+ admissionLineageFold)
-          graft.core.Catalog.addStore(s, p, "lang_stats",
-            graft.core.Catalog.read(s, p, "docs")
-              .groupBy(col("source"), col("lang")).agg(
-                count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")))
-          (1 until 4).foreach(admissionIngestBatch(s, p, corpus, bench, _,
-            admissionFolds :+ admissionLineageFold :+ langStatsFold))
-        }
-        p
-      })
-      graft.core.Catalog.read(s, base, "lang_stats")
-        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"))
-    }),
-    "q177_catalog_timetravel" -> ((s, d) => {
-      // TIME-TRAVEL READS — Catalog.readAt: answer from the pinned
-      // generations of a savepoint WITHOUT restoring, while the live
-      // catalog has long since advanced. The gate pins after the first
-      // batch, folds the remaining three (whose GC must leave the
-      // pinned generations alone), and answers AS OF the pin — the
-      // oracle is the from-scratch derivation over the first batch's
-      // id span only. A GC'd pinned generation, a pin that drifted
-      // with the live stores, or a manifest resolved live instead of
-      // at the pin all break the compare. Cost model on a 100 TB
-      // catalog: the snapshot view is pointer chasing — no data copied
-      // at pin time, none at read time.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q177CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q177_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          admissionIngestBatch(s, p, corpus, bench, 0, admissionFolds)
-          graft.core.Catalog.savepoint(s, p, "asof-batch0")
-          (1 until 4).foreach(
-            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
-        }
-        p
-      })
-      admissionAnswersFrom(graft.core.Catalog.readAt(s, base, "asof-batch0"))
-    }),
-    "q178_catalog_replicate" -> ((s, d) => {
-      // DISASTER RECOVERY — Catalog.replicate: the full admission
-      // catalog ships to a second base path as pointers plus
-      // generation copies under a pinned snapshot, with a crash
-      // injected after two of the three store copies and the re-run
-      // converging on the SAME snapshot (already-complete copies skip
-      // by their _SUCCESS markers; the cutover is one manifest swap).
-      // The gate answers from the REPLICA: a torn copy, a stale
-      // generation, or ledger drift breaks the from-scratch oracle.
-      // 100 TB shape: replication cost is the changed stores' bytes
-      // (generation diff against the replica's manifest, never catalog
-      // size), the pin keeps the long copy phase stable against
-      // concurrent primary folds and their GC, and the final call
-      // proves convergence is a copy-free pointer compare.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val rep = q178CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q178_primary")
-        val r = graft.core.TempDirs.create("graft_q178_replica")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          (0 until 4).foreach(
-            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
-          try graft.core.Catalog.replicateImpl(s, p, r, full = false, failAfter = 2)
-          catch { case _: IllegalStateException => () }
-          graft.core.Catalog.replicate(s, p, r)
-          require(graft.core.Catalog.lastBatch(s, r) == 3L,
-            "q178: the cutover must carry the pinned ledger")
-          require(graft.core.Catalog.replicate(s, p, r).isEmpty,
-            "q178: a converged replica must copy nothing")
-        }
-        r
-      })
-      admissionAnswers(s, rep)
-    }),
-    "q179_catalog_logship" -> ((s, d) => {
-      // LOG-SHIPPING REPLICATION — the steady-state complement to
-      // q178's physical copy: bootstrap the replica physically at
-      // batch 1, then catch up by replaying the RAW batches through
-      // the SAME screen + folds. Determinism makes this state-machine
-      // replication: the replica's standing fingerprint store equals
-      // the primary's at the fork point, so every screen decision
-      // replays identically, and the shared ledger makes re-delivery
-      // exactly-once. Cost model at 100 TB: batch-sized work per
-      // shipped batch, never store-sized — the mode a cross-region
-      // follower runs between (rarer) physical syncs. Oracle = the
-      // full from-scratch derivation over all four batches, answered
-      // from the REPLICA: any bootstrap drift cascades into wrong
-      // screen decisions downstream and breaks the compare.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val rep = q179CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q179_primary")
-        val r = graft.core.TempDirs.create("graft_q179_replica")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          (0 until 2).foreach(
-            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
-          graft.core.Catalog.replicate(s, p, r) // physical bootstrap at batch 1
-          (2 until 4).foreach { i =>            // primary advances...
-            admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
-            admissionIngestBatch(s, r, corpus, bench, i, admissionFolds)
-          }                                     // ...and the replica replays the log
-          require(graft.core.Catalog.lastBatch(s, r) == 3L,
-            "q179: the replayed log must advance the replica's ledger")
-        }
-        r
-      })
-      admissionAnswers(s, rep)
-    }),
-    "q181_catalog_follow" -> ((s, d) => {
-      // CONTINUOUS FOLLOWER — Catalog.replicateStream: q178's DR sync
-      // as a standing query beside the ingest, one incremental sync
-      // per tick. The follower carries NO checkpoint by design:
-      // replicate is idempotent and convergent, so a restarted
-      // follower re-syncs from wherever both sides stand — gated by
-      // stopping it mid-build and finishing under a fresh one. Each
-      // sync ships only the generations the replica lacks (changed
-      // bytes, never catalog size); convergence is verified with
-      // CONTENT fingerprints (verifyReplica — a pointer compare
-      // cannot see fork divergence), and the gate answers from the
-      // REPLICA against the full from-scratch oracle.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val rep = q181CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q181_primary")
-        val r = graft.core.TempDirs.create("graft_q181_replica")
-        admissionInit(p, corpus)
-        implicit val sqlCtx = s.sqlContext
-        import s.implicits._
-        withShufflePartitions(s, 4) {
-          def syncedBatches(range: Range): Unit = {
-            val ticks =
-              org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-            val q = graft.core.Catalog.replicateStream(s, p, r,
-              ticks = Some(ticks.toDF()))
-            try range.foreach { i =>
-              admissionIngestBatch(s, p, corpus, bench, i, admissionFolds)
-              ticks.addData(i); q.processAllAvailable()
-            } finally q.stop()
-          }
-          syncedBatches(0 until 2)
-          syncedBatches(2 until 4) // a FRESH follower: nothing to recover
-          require(graft.core.Catalog.lastBatch(s, r) == 3L,
-            "q181: the follower must have synced the final batch")
-          require(graft.core.Catalog.verifyReplica(s, p, r)
-            .where(!col("consistent")).isEmpty,
-            "q181: content fingerprints must verify every store")
-        }
-        r
-      })
-      admissionAnswers(s, rep)
-    }),
-    "q185_admission_follow" -> ((s, d) => {
-      // THE DR CAPSTONE — a LIVE follower racing a continuous
-      // admission stream: q171's front door folds the corpus while
-      // Catalog.replicateStream syncs every 200 ms against the moving
-      // primary. The mid-run syncs exercise the whole concurrency
-      // surface for real — savepoint's consistent (gens, ledger)
-      // capture beside live folds, pin-vs-GC survival, the dead-pin
-      // self-heal, the pointer-compare fast path — and any torn pin
-      // or stale copy would cut a corrupted snapshot over the replica.
-      // After the ingest finishes, one deterministic final sync
-      // converges the replica, content fingerprints verify every
-      // store, and the gate answers FROM THE REPLICA against the
-      // from-scratch oracle.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val rep = q185CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q185_primary")
-        val r = graft.core.TempDirs.create("graft_q185_replica")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          val follower = graft.core.Catalog.replicateStream(s, p, r,
-            intervalMs = 200)
-          try {
-            val stage = screenReplayDir(s"$d#q185", corpus, col("doc_id"), 4)
-            val stream = graft.streaming.Replay.orderedStream(s, stage, corpus.schema)
-            val q = Admission.ingestStream(s, p, "fps", stream,
-              col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
-              admissionFolds, ephemeralOk = true)
-            try q.processAllAvailable() finally q.stop()
-          } finally follower.stop()
-          graft.core.Catalog.replicate(s, p, r) // deterministic final sync
-          require(graft.core.Catalog.lastBatch(s, r) == 3L,
-            "q185: the converged replica must carry the final ledger")
-          require(graft.core.Catalog.verifyReplica(s, p, r)
-            .where(!col("consistent")).isEmpty,
-            "q185: content fingerprints must verify every store after the race")
-        }
-        r
-      })
-      admissionAnswers(s, rep)
-    }),
-    "q180_catalog_vacuum" -> ((s, d) => {
-      // STORAGE HYGIENE — Catalog.vacuum: crashed ingests strand
-      // partial g<batch> dirs (batch 4 below dies after one store
-      // write and never commits) and the per-fold GC keeps each
-      // previous generation alive for racing readers; vacuum sweeps
-      // everything that is neither current nor savepoint-pinned. The
-      // gate pins after batch 0, builds out, strands an orphan,
-      // vacuums, then answers BOTH live (oracle compare) and as-of
-      // the pin (require) — a sweep that touched a referenced or a
-      // pinned generation breaks one of the two. At 100 TB this is
-      // the reclamation path that bounds catalog storage at
-      // ~current + pins instead of one generation per batch ever run.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q180CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q180_catalog")
-        admissionInit(p, corpus)
-        withShufflePartitions(s, 4) {
-          admissionIngestBatch(s, p, corpus, bench, 0, admissionFolds)
-          graft.core.Catalog.savepoint(s, p, "pin0")
-          (1 until 4).foreach(
-            admissionIngestBatch(s, p, corpus, bench, _, admissionFolds))
-          try graft.core.Catalog.ingestImpl(s, p, 4L,
-            corpus.where(col("doc_id") < 0)
-              .withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
-            admissionFolds, failAfter = 1)
-          catch { case _: IllegalStateException => () }
-          val swept = graft.core.Catalog.vacuum(s, p)
-          require(swept.exists(_.endsWith("/g4")),
-            "q180: the crashed batch's orphan generation must be swept")
-          require(graft.core.Catalog.readAt(s, p, "pin0")("fps").count() > 0,
-            "q180: the pinned snapshot must survive the sweep")
-        }
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q174_catalog_takedown" -> ((s, d) => {
-      // ATOMIC TAKEDOWN — a retraction is an ingest whose folds
-      // SUBTRACT. The catalog carries a doc-level lineage store
-      // (doc_id, source, lang, fp, n_tokens) alongside fps/stats/
-      // vocab; retracting a source derives the ticket FROM the lineage
-      // store and folds the removal into every store under one ledger
-      // batch — same all-or-nothing visibility as admission, so no
-      // reader ever sees the source half-removed. Per-store cost:
-      // lineage + fps are ticket-sized anti joins (admitted docs own
-      // their fingerprint exclusively, so fp removal is exact and the
-      // content becomes re-admittable); stats subtracts the ticket's
-      // per-source aggregates and drops rows reaching zero; vocab's
-      // top-k sketches are NOT invertible, but the store is bucketed
-      // BY the takedown key, so retracting a source deletes its
-      // bucket rows exactly — no corpus re-read (a finer-than-bucket
-      // predicate would rebuild only the affected buckets). Oracle =
-      // the from-scratch derivation minus the retracted source.
-      val (corpus, bench) = admissionCorpus(s, d)
-      val base = q174CatalogCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q174_catalog")
-        admissionInit(p, corpus, withLineage = true)
-        withShufflePartitions(s, 4) {
-          (0 until 4).foreach(admissionIngestBatch(s, p, corpus, bench, _,
-            admissionFolds :+ admissionLineageFold))
-          val ticket = graft.core.Catalog.read(s, p, "docs")
-            .where(col("source") === "src7")
-          graft.core.Catalog.ingest(s, p, 4L, ticket, Admission.retractFolds())
-        }
-        p
-      })
-      admissionAnswers(s, base)
-    }),
-    "q170_view_minmax" -> ((s, d) => {
-      // Insert-only materialized-view maintenance WITH min/max: under
-      // an append-only changelog (the dominant lakehouse ingest shape)
-      // the extremes ARE self-maintainable — the view's min/max fold
-      // monotonically against each batch's extremes, while the in-plan
-      // guard raises on any retraction op (q153's count/sum protocol
-      // stays the full-retraction path). View = per-customer stats over
-      // the %5-excluded orders; the held-out %5 rows arrive as +I
-      // inserts; the maintained view must equal the re-aggregate over
-      // ALL orders.
-      val o = Tables(s, d).orders.select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      val view = o.where(col("o_orderkey") % 5 =!= 0)
-        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"),
-          sum(col("p")).as("total"), min(col("p")).as("min_p"),
-          max(col("p")).as("max_p"))
-      val changes = o.where(col("o_orderkey") % 5 === 0)
-        .withColumn("op", lit("+I"))
-      Diff.maintainAgg(view, changes, Seq("o_custkey"), "op", "cnt",
-          Seq("total" -> "p"), mins = Seq("min_p" -> "p"),
-          maxs = Seq("max_p" -> "p"))
-        .select(col("o_custkey"), col("cnt"),
-          col("total").cast("double").as("total"),
-          col("min_p").cast("double").as("min_p"),
-          col("max_p").cast("double").as("max_p"))
-    }),
-    "q165_scd2_history" -> ((s, d) => {
-      // Diff.scd2 oracle-gated (was spec-only, VERDICT-r10 #5): SCD-2
-      // dimension history from the events changelog — each user's
-      // purchase events, collapsed to one version per (user, ms) so
-      // (key, seq) is total, become half-open validity intervals via
-      // ONE keyed window pass (no self-join). Oracle = the same lead()
-      // replay in DuckDB.
-      val versions = Tables(s, d).events
-        .where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
-        .agg(max(col("value")).as("p_value"))
-      Diff.scd2(versions, Seq("user_id"), "vms")
-        .select(col("user_id"), col("vms"), col("p_value"),
-          col("valid_to"), col("is_current").cast("int").as("is_current"))
-    }),
-    "q182_scd2_apply" -> ((s, d) => {
-      // INCREMENTAL SCD-2 — Diff.scd2Apply: q165's dimension history
-      // maintained by FOLDING a later changelog slice into a standing
-      // history instead of rebuilding. The versions split at the
-      // midpoint of their time range (per-key order holds because the
-      // split is on the seq itself); the history builds over the
-      // prefix, the suffix applies as a fold: close each affected
-      // key's current row at its first new version, chain the batch,
-      // union. The oracle IS q165's full-replay derivation — any
-      // interval the fold closes at the wrong seq, double-applies, or
-      // leaves open breaks the compare. Scale shape: the standing
-      // history is touched only by a broadcast batch-key join (never
-      // shuffled, never re-windowed); the suffix alone pays the keyed
-      // window exchange — per-fold cost is batch-sized, not
-      // history-sized.
-      val versions = Tables(s, d).events
-        .where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
-        .agg(max(col("value")).as("p_value"))
-      val bounds = versions.agg(min(col("vms")), max(col("vms"))).head
-      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-      val history =
-        Diff.scd2(versions.where(col("vms") < mid), Seq("user_id"), "vms")
-      Diff.scd2Apply(history, versions.where(col("vms") >= mid),
-          Seq("user_id"), "vms")
-        .select(col("user_id"), col("vms"), col("p_value"),
-          col("valid_to"), col("is_current").cast("int").as("is_current"))
-    }),
-    "q183_scd2_stream" -> ((s, d) => {
-      // CONTINUOUS SCD-2 — Diff.scd2Stream: q182's fold as a standing
-      // streaming query over a PERSISTED history, ACROSS a stop/
-      // restart. Three vms-ordered slices; the query stops after two,
-      // the tail arrives while it is down, and the restart resumes
-      // from the durable checkpoint — batch ids continue, the ledger
-      // no-ops only true re-deliveries, and the final history must
-      // equal q165's full rebuild (oracle). A fresh-checkpoint restart
-      // would silently no-op the new batch (the documented hazard);
-      // per-key version order holds across slices because the slicing
-      // is by the seq itself.
-      val store = q183StoreCache.computeIfAbsent(d, { _ =>
-        val p = graft.core.TempDirs.create("graft_q183_store")
-        val stage = graft.core.TempDirs.create("graft_q183_replay")
-        val ckpt = graft.core.TempDirs.create("graft_q183_ckpt")
-        val versions = Tables(s, d).events
-          .where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), ms(col("ts")).as("vms"))
-          .agg(max(col("value")).as("p_value"))
-        graft.core.SwapStore.init(
-          Diff.scd2(versions.where(lit(false)), Seq("user_id"), "vms"), p)
-        val bounds = versions.agg(min(col("vms")), max(col("vms"))).head
-        val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        def run(): Unit = withShufflePartitions(s, 4) {
-          val q = Diff.scd2Stream(s,
-            graft.streaming.Replay.orderedStream(s, stage, versions.schema),
-            p, Seq("user_id"), "vms", checkpoint = Some(ckpt))
-          try q.processAllAvailable() finally q.stop()
-        }
-        graft.streaming.Replay.writeOrderedSlices(
-          versions.where(col("vms") < mid), col("vms"), stage, 2)
-        run()
-        graft.streaming.Replay.appendSlice(stage,
-          versions.where(col("vms") >= mid), 2)
-        run()
-        require(graft.core.SwapStore.lastBatch(s, p) == 2L,
-          "q183: the restart must resume batch ids from the durable checkpoint")
-        p
-      })
-      graft.core.SwapStore.read(s, store)
-        .select(col("user_id"), col("vms"), col("p_value"),
-          col("valid_to"), col("is_current").cast("int").as("is_current"))
-    }),
-    "q184_temporal_attach_stream" -> ((s, d) => {
-      // CONTINUOUS POINT-IN-TIME ATTACH — Diff.temporalJoinStream over
-      // a GROWING dimension: fact batch 1 attaches while only the
-      // first half of the version history is folded (a click whose
-      // as-of version arrives later comes back NULL), the second
-      // scd2Apply fold lands BETWEEN triggers, and fact batch 2
-      // attaches against the full history — attach-at-processing-time,
-      // each fact stamped with the catalog as it stood on arrival.
-      // Oracle: two ASOF branches (half dim for early facts, full dim
-      // for late) with the same midpoint cuts computed in SQL — a
-      // batch that saw the wrong store generation lands in the wrong
-      // branch and breaks the compare.
-      val outDir = q184OutCache.computeIfAbsent(d, { _ =>
-        val e = Tables(s, d).events
-        val versions = e.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), ms(col("ts")).as("vms"))
-          .agg(max(col("value")).as("p_value"))
-        val facts = e.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), ms(col("ts")).as("cms"))
-        val vb = versions.agg(min(col("vms")), max(col("vms"))).head
-        val dimMid = (vb.getLong(0) + vb.getLong(1)) / 2
-        val fb = facts.agg(min(col("cms")), max(col("cms"))).head
-        val factMid = (fb.getLong(0) + fb.getLong(1)) / 2
-        val out = graft.core.TempDirs.create("graft_q184_out")
-        withShufflePartitions(s, 8) {
-          val dim = graft.core.TempDirs.create("graft_q184_dim")
-          graft.core.SwapStore.init(
-            Diff.scd2(versions.where(lit(false)), Seq("user_id"), "vms"), dim)
-          graft.core.SwapStore.fold(s, dim, 0L)(h => Diff.scd2Apply(h,
-            versions.where(col("vms") < dimMid), Seq("user_id"), "vms"))
-          val stage = graft.core.TempDirs.create("graft_q184_replay")
-          graft.streaming.Replay.writeOrderedSlices(
-            facts.where(col("cms") < factMid), col("cms"), stage, 1)
-          val stream = graft.streaming.Replay.orderedStream(s, stage, facts.schema)
-          val q = Diff.temporalJoinStream(s, stream, dim, Seq("user_id"),
-            "cms", "vms", "valid_to", Seq("p_value")) { b =>
-            b.write.mode("append").parquet(out)
-          }
-          try {
-            q.processAllAvailable()
-            graft.core.SwapStore.fold(s, dim, 1L)(h => Diff.scd2Apply(h,
-              versions.where(col("vms") >= dimMid), Seq("user_id"), "vms"))
-            graft.streaming.Replay.appendSlice(stage,
-              facts.where(col("cms") >= factMid), 1)
-            q.processAllAvailable()
-          } finally q.stop()
-        }
-        out
-      })
-      s.read.parquet(outDir)
-    }),
-    "q166_temporal_attach" -> ((s, d) => {
-      // Diff.temporalJoin oracle-gated (was spec-only, VERDICT-r10 #5):
-      // the point-in-time attach a training pipeline uses — every
-      // click gets the purchase-version attributes valid AT ITS
-      // event time. The dimension is q165's SCD-2 history with the
-      // odd-ms versions REMOVED, leaving real gaps: a click landing in
-      // a dropped version's interval must come back NULL (the retained
-      // predecessor's valid_to excludes it) — the expired-version miss
-      // branch. One union-plus-window keyed exchange, no join node;
-      // oracle = DuckDB ASOF LEFT JOIN plus the same coverage CASE.
-      val e = Tables(s, d).events
-      val versions = e.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), ms(col("ts")).as("vms"))
-        .agg(max(col("value")).as("p_value"))
-      val dim = Diff.scd2(versions, Seq("user_id"), "vms")
-        .where(col("vms") % 2 === 0)
-        .select(col("user_id"), col("vms"), col("valid_to"), col("p_value"))
-      val facts = e.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), ms(col("ts")).as("cms"))
-      Diff.temporalJoin(facts, dim, Seq("user_id"), "cms", "vms", "valid_to",
-        Seq("p_value"))
-    }),
-    "q167_session_late_stream" -> ((s, d) => {
-      // SESSION windows under OUT-OF-ORDER delivery — q130's
-      // deterministic late-drop regime applied to the one windowed path
-      // whose state MERGES. Same stage (q130Order slices, 240 h delay,
-      // sentinel), but the drop rule is the session form pinned in
-      // SessionLateSpec: a row is dropped iff its PROVISIONAL
-      // single-event session end (ts + 30 min) ≤ the one-batch-lagged
-      // watermark. Late survivors then merge into live per-user session
-      // state. The batch-recompute oracle (sessions over exactly the
-      // surviving rows) is valid because this geometry never lets a
-      // survivor overlap an ALREADY-EMITTED session: when late slice i
-      // arrives, sessions emitted so far ended ≤ the eviction watermark
-      // of the previous batch == this batch's FILTER watermark (the
-      // SPARK-40925 lag), and they came from slices ≥ two event-time
-      // ranges below it — the newest emitted end sits a full slice span
-      // (~3.75 d at sf0.01) below the oldest surviving ts, dwarfing the
-      // 30 min bridge reach (SessionLateSpec pins what would happen if
-      // this margin were violated: a second, overlapping session).
-      // ts is ms-truncated BEFORE the watermark (q23/q126's precision
-      // rule) so gap splits and watermark stats are engine-exact.
-      withShufflePartitions(s, 8) {
-        val stream = graft.streaming.Replay.orderedStream(s,
-            shuffledReplayDir(s, d),
-            Tables(s, d).events.select(replayCols: _*).schema)
-          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
-        val out = stream.withWatermark("ts", "240 hours")
-          .where(col("ts") < sentinelCutoff)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(unix_millis(col("session_window.start")).as("session_start_ms"),
-            col("user_id"), col("n_events"))
-        val q = out.writeStream.format("memory").queryName("graft_q167_sessions")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table("graft_q167_sessions")
-    }),
-  )
-
-  /** Unrolled DuckDB replay of [[graft.ops.KMeans]]'s fixed-point Lloyd
-    * fit: expects a `corpus(id, v DOUBLE[])` CTE in scope, emits CTEs
-    * `xq` (floor-quantized BIGINT vectors), `c0` (md5-order init) and
-    * `c1..c<iters>` (one assignment + truncating-division update per
-    * iteration, empty cells keeping their centroid), plus `af` — the
-    * final (id, cell) assignment against `c<iters>`. Every operation is
-    * integer, so the replay is bit-identical to the Spark fit.
-    */
-  /** DuckDB building blocks for replaying the portable hash family
-    * h_k(s) = splitmix64(polyBase(s) ^ k·GOLDEN) (KernelOps): the
-    * polynomial base fold is the q47 machinery; the finalizer's
-    * xor-shifts run on unsigned HUGEINT (`xor`, `// 2^n`) and its
-    * wrapping multiplies split into 32-bit halves. All constants are
-    * emitted as unsigned decimal literals.
-    */
-  private def mulMod64(x: String, cUnsigned: String): String =
-    s"(($x % 4294967296) * ($cUnsigned % 4294967296)" +
-      s" + ((($x // 4294967296) * ($cUnsigned % 4294967296)" +
-      s" + ($x % 4294967296) * ($cUnsigned // 4294967296)) % 4294967296) * 4294967296)" +
-      " % 18446744073709551616"
-  private val mix1Lit = java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L)
-  private val mix2Lit = java.lang.Long.toUnsignedString(0x94D049BB133111EBL)
-  private def goldenLits(n: Int): String =
-    (0 until n).map(k => java.lang.Long.toUnsignedString(k * 0x9E3779B97F4A7C15L))
-      .mkString(", ")
-
-  /** The shared per-token/per-shingle polynomial base fold (q47's token
-    * hash) as a DuckDB lambda body over a string element `s`.
-    */
-  private def polyBaseSql(s: String): String =
-    s"""list_reduce(
-       |      list_prepend(CAST(7 AS HUGEINT),
-       |        list_transform(range(length($s)), i -> CAST(unicode(substr($s, CAST(i+1 AS INT), 1)) AS HUGEINT))),
-       |      (h, c) -> (((h % 4294967296) * 1000003
-       |                  + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
-       |                 + c) % 18446744073709551616
-       |    )""".stripMargin
-
-  /** Unrolled-round replay of Bpe.trainMerges + encodeWord (the q88
-    * pattern): `wf`/`v0` build the character+marker vocab, then each
-    * round r picks the (cnt DESC, l, r) argmax pair (a sentinel chr(1)
-    * pair — matching nothing — when the max count is under minFreq=2,
-    * mimicking the trainer's early stop) and applies it greedy
-    * left-to-right non-overlapping. Overlapping runs (merge (a,a) on
-    * "aaa") use the parity closed form: a match position starts a merge
-    * iff its distance from the start of its consecutive-match run is
-    * even — exactly the fold's (emitted, pending) behavior.
-    */
-  private def bpeCtes(rounds: Int): String = {
-    def round(r: Int) =
-      s"""pc$r AS (
-         |  SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
-         |  FROM (SELECT unnest(list_transform(range(len(syms)-1),
-         |          i -> {'l': syms[i+1], 'r': syms[i+2]})) AS p, freq
-         |        FROM v${r - 1} WHERE len(syms) >= 2)
-         |  GROUP BY p.l, p.r),
-         |m$r AS (
-         |  SELECT CASE WHEN mc >= 2 THEN wl ELSE chr(1) END AS a,
-         |         CASE WHEN mc >= 2 THEN wr ELSE chr(1) END AS b
-         |  FROM (SELECT l AS wl, r AS wr, cnt AS mc FROM pc$r
-         |        ORDER BY cnt DESC, l, r LIMIT 1)),
-         |v$r AS (
-         |  SELECT word, freq,
-         |    list_filter(list_transform(range(len(syms)), p ->
-         |      CASE WHEN p < len(ms) AND ms[p+1] THEN a || b
-         |           WHEN p >= 1 AND ms[CAST(p AS INT)] THEN NULL
-         |           ELSE syms[p+1] END), x -> x IS NOT NULL) AS syms
-         |  FROM (
-         |    SELECT word, freq, syms, a, b,
-         |      list_transform(range(len(syms)-1), i ->
-         |        mt[i+1] AND ((i - 1 - coalesce(list_max(list_filter(range(i),
-         |          j -> NOT mt[j+1])), -1)) % 2 = 0)) AS ms
-         |    FROM (
-         |      SELECT word, freq, syms, a, b,
-         |        list_transform(range(len(syms)-1),
-         |          i -> syms[i+1] = a AND syms[i+2] = b) AS mt
-         |      FROM v${r - 1}, m$r)))""".stripMargin
-    val head =
-      s"""WITH wf AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
-         |        FROM documents)
-         |  GROUP BY word),
-         |v0 AS (
-         |  SELECT word, freq,
-         |    list_transform(range(length(word)), i -> substr(word, CAST(i+1 AS INT), 1)) || ['</w>'] AS syms
-         |  FROM wf)""".stripMargin
-    (head +: (1 to rounds).map(round)).mkString(",\n")
-  }
-
-  private def kmeansCtes(k: Int, iters: Int, dim: Int, q: Long): String = {
-    def assignSql(name: String, cents: String) =
-      s"""$name AS (
-         |  SELECT id, x, cell FROM (
-         |    SELECT xq.id, xq.x, c.cell,
-         |      row_number() OVER (PARTITION BY xq.id ORDER BY
-         |        list_sum(list_transform(range($dim), j -> (xq.x[j+1]-c.cent[j+1])*(xq.x[j+1]-c.cent[j+1]))) ASC,
-         |        c.cell ASC) AS rk
-         |    FROM xq CROSS JOIN $cents c
-         |  ) WHERE rk = 1
-         |)""".stripMargin
-    val head =
-      s"""xq AS (
-         |  SELECT id, list_transform(v, e -> CAST(floor(e * $q) AS BIGINT)) AS x FROM corpus
-         |),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY mk, id) - 1 AS INTEGER) AS cell, x AS cent
-         |  FROM (SELECT id, x, md5(CAST(id AS VARCHAR)) AS mk FROM xq ORDER BY mk, id LIMIT $k)
-         |)""".stripMargin
-    val iterCtes = (1 to iters).map { i =>
-      s"""${assignSql(s"a$i", s"c${i - 1}")},
-         |s$i AS (
-         |  SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
-         |  FROM a$i CROSS JOIN (SELECT unnest(range($dim)) AS d) dims
-         |  GROUP BY cell, d
-         |),
-         |n$i AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM s$i GROUP BY cell),
-         |c$i AS (SELECT c.cell, coalesce(n$i.cent, c.cent) AS cent
-         |        FROM c${i - 1} c LEFT JOIN n$i ON c.cell = n$i.cell)""".stripMargin
-    }
-    (head +: iterCtes :+ assignSql("af", s"c$iters")).mkString(",\n")
-  }
-
-  // q102/q103 replay (IDENTICAL result by construction — q103 is the
-  // same arithmetic through the standing index): integer BM25 with
-  // bitlen idf (q81's binary-format-length trick) and the k1=6/5,
-  // b=3/4 saturation curve cleared to integer rationals — constants
-  // 44·S·W=46137344, 20·S=20480, 6·S=6144 with S=W=1024; every
-  // division is `//` (both engines truncate; all operands positive)
-  private val bm25Ctes: String =
-    """WITH t AS (SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
-      |  FROM documents),
-      |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
-      |  FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM t)
-      |  GROUP BY term, doc_id),
-      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS tot FROM t),
-      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-      |q(qid, qtext) AS (VALUES (0, 'merge sort join table'),
-      |                         (1, 'stream window filter slow'),
-      |                         (2, 'customer order supplier part')),
-      |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
-      |sc AS (SELECT qt.qid, post.doc_id,
-      |    CAST(sum(length(format('{:b}', m.n // dft.df)) *
-      |      ((post.tf * 46137344) // (post.tf * 20480 + 6144 +
-      |        18 * ((post.dl * 1024) // greatest(1, m.tot // m.n))))) AS BIGINT)
-      |      AS score_fp
-      |  FROM qt JOIN dft USING (term) JOIN post USING (term), m
-      |  GROUP BY qt.qid, post.doc_id),
-      |bmr AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_fp,
-      |    CAST(row_number() OVER (PARTITION BY qid
-      |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
-      |  FROM sc)""".stripMargin
-
-  private val bm25OracleSql: String =
-    s"""$bm25Ctes
-       |SELECT qid, doc_id, score_fp, rk FROM bmr WHERE rk <= 10""".stripMargin
-
-  // q187 replay: postings re-derived, then AND = count-equality against
-  // the per-query distinct term counts
-  // q202: the identical DECIMAL(38,0) moments + double formula — one
-  // wide moment row, then one SELECT per pair. The measures carry no
-  // nulls, so unconditional sums equal the operator's
-  // pairwise-complete ones.
-  private val corrOracle: String = {
-    val cs = Seq("qty", "price", "disc", "tax")
-    val pairs = for (i <- cs.indices; j <- cs.indices if i < j)
-      yield (cs(i), cs(j))
-    val momentCols =
-      (Seq("CAST(count(*) AS BIGINT) AS n") ++
-        cs.map(c => s"sum($c) AS s_$c") ++
-        cs.map(c => s"sum($c * $c) AS ss_$c") ++
-        pairs.map { case (a, b) => s"sum($a * $b) AS c_${a}_$b" })
-        .mkString(",\n    ")
-    val selects = pairs.map { case (a, b) =>
-      val nD = "CAST(n AS DOUBLE)"
-      val sa = s"CAST(s_$a AS DOUBLE)"
-      val sb = s"CAST(s_$b AS DOUBLE)"
-      val cab = s"CAST(c_${a}_$b AS DOUBLE)"
-      val ssa = s"CAST(ss_$a AS DOUBLE)"
-      val ssb = s"CAST(ss_$b AS DOUBLE)"
-      val denom = s"(sqrt(($nD * $ssa) - ($sa * $sa)) * " +
-        s"sqrt(($nD * $ssb) - ($sb * $sb)))"
-      s"""SELECT '$a' AS col_a, '$b' AS col_b, n, $sa AS sum_a, $sb AS sum_b,
-         |  $cab AS sum_ab, $ssa AS sum_aa, $ssb AS sum_bb,
-         |  CASE WHEN $denom > 0
-         |       THEN ((($nD * $cab) - ($sa * $sb)) / $denom) END AS r
-         |FROM m""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH v AS (SELECT
-       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS qty,
-       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS price,
-       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS disc,
-       |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS tax
-       |  FROM lineitem),
-       |m AS (SELECT $momentCols FROM v)
-       |$selects""".stripMargin
-  }
-
-  private val booleanSearchOracle: String =
-    s"""$bm25Ctes,
-       |mm AS (SELECT qt.qid, post.doc_id, CAST(count(*) AS BIGINT) AS hit
-       |       FROM qt JOIN post USING (term) GROUP BY 1, 2),
-       |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1)
-       |SELECT CAST(mm.qid AS BIGINT) AS qid, mm.doc_id
-       |FROM mm JOIN qn ON mm.qid = qn.qid AND mm.hit = qn.qn""".stripMargin
-
-  // q104 replay: the proven bm25 chain (top 10) fused with q39's cosine
-  // ranking (top 5, query vectors 0-2) by reciprocal rank — integer
-  // contributions 2^20 // (60 + rk), absent-list docs contribute 0
-  private val rrfOracleSql: String =
-    s"""$bm25Ctes,
-       |ann AS (SELECT query_id AS qid, cand_id AS doc_id, rk FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-       |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-       |               c.vec_id ASC) AS rk
-       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 3) WHERE rk <= 5),
-       |u AS (SELECT qid, doc_id, 1048576 // (60 + rk) AS c FROM bmr WHERE rk <= 10
-       |      UNION ALL SELECT qid, doc_id, 1048576 // (60 + rk) FROM ann),
-       |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
-       |      FROM u GROUP BY qid, doc_id)
-       |SELECT qid, doc_id, rrf_fp, rk FROM (
-       |  SELECT qid, doc_id, rrf_fp,
-       |    CAST(row_number() OVER (PARTITION BY qid
-       |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk
-       |  FROM f) WHERE rk <= 10""".stripMargin
-
-  /** The lead() window replay of the SCD-2 interval derivation —
-    * shared by q165 (full build) and q182 (incremental apply): the
-    * fold must be indistinguishable from the rebuild.
-    */
-  private val scd2HistoryOracle: String =
-    """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
-      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-      |SELECT user_id, vms, p_value,
-      |  lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to,
-      |  CAST(lead(vms) OVER (PARTITION BY user_id ORDER BY vms) IS NULL
-      |       AS INTEGER) AS is_current
-      |FROM p""".stripMargin
-
-  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
-    // the continuous standing-index forms (q136-q142) are per-row
-    // independent given the index, so the batch oracle IS the stream
-    // oracle — shared verbatim where the workload is identical:
-    "q137_decon_screen_stream" -> oracleSqlBase("q66_decontaminate"),
-    "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
-    "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
-    "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),
-    "q142_drift_stream" -> oracleSqlBase("q127_token_drift"),
-    "q143_kmeans_assign_stream" -> oracleSqlBase("q88_kmeans_assign"),
-    "q144_bm25_ingest_stream" -> oracleSqlBase("q103_bm25_search"),
-    "q145_ivfpq_search_stream" -> oracleSqlBase("q86_ivfpq_residual"),
-    "q197_substring_ingest_stream" -> oracleSqlBase("q191_substring_search"),
-    "q209_substring_search_stream" -> oracleSqlBase("q191_substring_search"),
-    "q210_sessionize_stream" -> oracleSqlBase("q207_sessionize"),
-    "q198_skyline_stream" -> oracleSqlBase("q192_skyline"),
-    "q200_cusum_stream" -> oracleSqlBase("q195_cusum"),
-    "q146_dsir_score_stream" -> oracleSqlBase("q100_dsir_weights"),
-    "q147_media_decode_stream" -> oracleSqlBase("q68_image_decode"),
-    "q148_stream_static_join" ->
-      // the enrichment join is stateless per event, so the batch join
-      // over the same two tables is the exact oracle
-      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
-    // merge(CC(old pairs), new pairs) partitions identically to
-    // CC(all pairs) — assignment star edges span exactly the old
-    // components — so the full-rebuild oracle is the merge oracle
-    "q151_cluster_merge" -> oracleSqlBase("q55_dup_clusters"),
-    "q152_salted_join" ->
-      // salting is a pure execution-strategy rewrite — the plain join
-      // is the exact oracle (q148's batch SQL)
-      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
-    "q153_view_maintain" -> viewMaintainOracle,
-    "q154_sketch_rollup" -> sketchRollupOracle,
-    "q161_sketch_ingest_stream" -> sketchRollupOracle,
-    "q155_sketch_overlap" ->
-      // exact per-user even/odd-day flags, then set-algebra counts
-      """WITH f AS (
-        |  SELECT event_type, user_id,
-        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 0 THEN 1 ELSE 0 END) AS ia,
-        |    max(CASE WHEN (epoch_ms(ts) // 86400000) % 2 = 1 THEN 1 ELSE 0 END) AS ib
-        |  FROM events GROUP BY event_type, user_id)
-        |SELECT event_type,
-        |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
-        |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
-        |  CAST(sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
-        |  CAST(sum(ia) AS BIGINT) AS a_total,
-        |  CAST(sum(ib) AS BIGINT) AS b_total
-        |FROM f GROUP BY event_type""".stripMargin,
-    "q156_quota_stream" ->
-      // replay: per-source doc_id-ordered exclusive prefix sum, admit
-      // while it is under the budget line (the tokenBudgetSample rule
-      // with doc_id order in md5-order's place)
-      """WITH c AS (
-        |  SELECT source, doc_id, n_chars,
-        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
-        |  FROM documents)
-        |SELECT source AS dom, doc_id AS key, n_chars AS n_tok,
-        |  CAST(pe AS BIGINT) AS prefix_excl
-        |FROM c WHERE pe < 5000""".stripMargin,
-    "q157_quantile_rollup" -> quantileRollupOracle,
-    "q162_kll_ingest_stream" -> quantileRollupOracle,
-    "q158_distinct_stream" ->
-      // the running sketch's final snapshot equals the batch distinct
-      // in the gated exact regime
-      """SELECT event_type, count(DISTINCT user_id) AS users
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q159_topk_rollup" -> topkRollupOracle,
-    "q163_topk_ingest_stream" -> topkRollupOracle,
-    "q160_view_maintain_stream" -> viewMaintainOracle,
-    "q149_trending_stream" ->
-      // in-order 0-delay delivery: the streaming chained aggs' append
-      // output equals the batch hourly top-3 (ties on event_type asc —
-      // the CollectBottomK struct order on both sides)
-      """WITH wc AS (
-        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
-        |         event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |)
-        |SELECT win_start_ms, event_type, cnt, rk FROM (
-        |  SELECT win_start_ms, event_type, cnt,
-        |    CAST(row_number() OVER (PARTITION BY win_start_ms
-        |      ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rk
-        |  FROM wc) WHERE rk <= 3""".stripMargin,
-    "q150_kmeans_update_stream" ->
-      // build (q88's Lloyd unroll on the even-id half + final-assignment
-      // statistics) then the two stream folds unrolled: slice bounds are
-      // writeOrderedSlices' integer-division ranges over the odd ids,
-      // each fold assigns against the pre-fold centroids (integer L2
-      // argmin, ties to the lowest cell), merges its (cell, d) sums and
-      // re-derives centroids as the truncating division s // n (DuckDB
-      // and Spark `div` both truncate toward zero) — cells with no data
-      // keep their centroid. Output = final centroids flattened
-      // (cell, d, c) LEFT JOINed with the final statistics (s, n).
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id % 2 = 0
-         |),
-         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
-         |dms AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS d),
-         |bs AS (SELECT cell, d, CAST(sum(x[d+1]) AS BIGINT) AS s,
-         |              CAST(count(*) AS BIGINT) AS n
-         |       FROM af CROSS JOIN dms GROUP BY cell, d),
-         |sx AS (SELECT vec_id AS id,
-         |         list_transform(CAST(embedding AS DOUBLE[]),
-         |                        e -> CAST(floor(e * 1000000) AS BIGINT)) AS x
-         |       FROM embeddings WHERE vec_id % 2 = 1),
-         |bnd AS (SELECT min(id) AS lo, max(id) AS hi FROM sx),
-         |fb1 AS (SELECT id, x FROM sx, bnd WHERE id < lo + (hi - lo + 1) * 1 // 2),
-         |fb2 AS (SELECT id, x FROM sx, bnd WHERE id >= lo + (hi - lo + 1) * 1 // 2),
-         |fa1 AS (SELECT id, x, cell FROM (
-         |    SELECT b.id, b.x, c.cell,
-         |      row_number() OVER (PARTITION BY b.id ORDER BY
-         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
-         |        c.cell ASC) AS rk
-         |    FROM fb1 b CROSS JOIN c2 c
-         |  ) WHERE rk = 1),
-         |u1 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
-         |    SELECT * FROM bs
-         |    UNION ALL
-         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
-         |    FROM fa1 CROSS JOIN dms GROUP BY cell, d
-         |  ) GROUP BY cell, d),
-         |v1 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u1 WHERE n > 0 GROUP BY cell),
-         |k3 AS (SELECT c.cell, coalesce(v1.cent, c.cent) AS cent
-         |       FROM c2 c LEFT JOIN v1 ON c.cell = v1.cell),
-         |fa2 AS (SELECT id, x, cell FROM (
-         |    SELECT b.id, b.x, c.cell,
-         |      row_number() OVER (PARTITION BY b.id ORDER BY
-         |        list_sum(list_transform(range(64), j -> (b.x[j+1]-c.cent[j+1])*(b.x[j+1]-c.cent[j+1]))) ASC,
-         |        c.cell ASC) AS rk
-         |    FROM fb2 b CROSS JOIN k3 c
-         |  ) WHERE rk = 1),
-         |u2 AS (SELECT cell, d, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM (
-         |    SELECT * FROM u1
-         |    UNION ALL
-         |    SELECT cell, d, sum(x[d+1]) AS s, count(*) AS n
-         |    FROM fa2 CROSS JOIN dms GROUP BY cell, d
-         |  ) GROUP BY cell, d),
-         |v2 AS (SELECT cell, list(s // n ORDER BY d) AS cent FROM u2 WHERE n > 0 GROUP BY cell),
-         |k4 AS (SELECT c.cell, coalesce(v2.cent, c.cent) AS cent
-         |       FROM k3 c LEFT JOIN v2 ON c.cell = v2.cell),
-         |cf AS (SELECT cell, d, cent[d+1] AS c FROM k4 CROSS JOIN dms)
-         |SELECT cf.cell, cf.d, CAST(cf.c AS BIGINT) AS c, u2.s, u2.n
-         |FROM cf LEFT JOIN u2 USING (cell, d)""".stripMargin,
-    "q136_lsh_screen_stream" ->
-      // q71's brute-force cross ground truth with the roles of the
-      // screen: new = odd-id stream docs, dup = even-id indexed corpus
-      // (same shingle construction as the q37 oracle incl. the <n
-      // whole-doc fallback — Dedup.shingles' exact convention)
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |                i -> array_to_string(toks[i+1:i+3], ' ')))
-        |    END AS sh
-        |  FROM t),
-        |a AS (SELECT * FROM sh WHERE doc_id % 2 = 0 AND len(sh) > 0),
-        |b AS (SELECT * FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0)
-        |SELECT new_id, dup_id, jaccard FROM (
-        |  SELECT b.doc_id AS new_id, a.doc_id AS dup_id,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-        |  FROM a, b
-        |) WHERE jaccard >= 0.8""".stripMargin,
-    "q140_cosine_screen_stream" ->
-      // q72's brute-force cross ground truth, renamed for the screen:
-      // new = the planted perturbed corpus, dup = the base index side
-      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT vec_id + 10000000 AS id,
-        |        list_transform(CAST(embedding AS DOUBLE[]),
-        |                       (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
-        |      FROM embeddings WHERE vec_id % 20 = 0)
-        |SELECT new_id, dup_id FROM (
-        |  SELECT b.id AS new_id, a.id AS dup_id, list_cosine_similarity(a.v, b.v) AS c
-        |  FROM a, b
-        |) WHERE c >= 0.95""".stripMargin,
-    "q164_catalog_ingest" -> catalogOracle,
-    "q168_catalog_ingest_stream" -> catalogOracle,
-    "q169_admission_pipeline" -> admissionOracle,
-    "q171_admission_stream" -> admissionOracle,
-    "q173_catalog_savepoint" -> admissionOracle,
-    "q174_catalog_takedown" -> admissionOracleMinus("src7"),
-    "q175_admission_restart" -> admissionOracle,
-    "q178_catalog_replicate" -> admissionOracle,
-    "q179_catalog_logship" -> admissionOracle,
-    "q181_catalog_follow" -> admissionOracle,
-    "q185_admission_follow" -> admissionOracle,
-    "q180_catalog_vacuum" -> admissionOracle,
-    "q176_catalog_addstore" -> admissionOracleByLang,
-    "q177_catalog_timetravel" ->
-      // the from-scratch derivation over the FIRST batch's id span only
-      (admissionOraclePrefixOver(
-          "SELECT doc_id, source, lang, text FROM orig WHERE doc_id < 250")
-        .replace("/*EXTRA*/", "") + admissionStatsTail),
-    "q172_admission_audit" ->
-      // re-derive every verdict from scratch: batch 0's standing fps =
-      // min-id winner per fingerprint class among the originals, minus
-      // contaminated; then rank the echo block per class and classify
-      """WITH orig AS (SELECT doc_id, source, lang, text FROM documents
-        |              WHERE doc_id % 50 <> 0),
-        |tok AS (SELECT doc_id, source,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM orig),
-        |fp AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM tok),
-        |k0 AS (SELECT doc_id, fp, toks FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |        FROM fp) WHERE rn = 1),
-        |bsh AS (SELECT list_distinct(list_transform(range(len(toks)-2),
-        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-        |        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |              FROM documents WHERE doc_id % 50 = 0)),
-        |ksh0 AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
-        |           i -> array_to_string(toks[i+1:i+3], ' '))) AS s FROM k0),
-        |cont0 AS (SELECT DISTINCT t.doc_id
-        |          FROM (SELECT * FROM ksh0 WHERE len(s) > 0) t,
-        |               (SELECT * FROM bsh WHERE len(s) > 0) b
-        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3),
-        |std AS (SELECT fp FROM k0 WHERE doc_id NOT IN (SELECT doc_id FROM cont0)),
-        |er AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |       FROM (SELECT doc_id + 100000 AS doc_id, source, fp, toks FROM fp)),
-        |esh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
-        |          i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-        |        FROM er WHERE rn = 1 AND fp NOT IN (SELECT fp FROM std)),
-        |conte AS (SELECT DISTINCT t.doc_id
-        |          FROM (SELECT * FROM esh WHERE len(s) > 0) t,
-        |               (SELECT * FROM bsh WHERE len(s) > 0) b
-        |          WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE) / len(b.s) >= 0.3)
-        |SELECT source,
-        |  CASE WHEN rn > 1 THEN 'dup_in_batch'
-        |       WHEN fp IN (SELECT fp FROM std) THEN 'dup_standing'
-        |       WHEN doc_id IN (SELECT doc_id FROM conte) THEN 'contaminated'
-        |       ELSE 'admitted' END AS verdict,
-        |  count(*) AS n
-        |FROM er GROUP BY 1, 2""".stripMargin,
-    "q170_view_minmax" ->
-      // maintained view == plain re-aggregate over all orders
-      """SELECT o_custkey, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p
-        |FROM orders GROUP BY 1""".stripMargin,
-    "q165_scd2_history" -> scd2HistoryOracle,
-    // the incremental apply must be indistinguishable from the rebuild
-    "q182_scd2_apply" -> scd2HistoryOracle,
-    // ...and so must the continuous fold across a stop/restart
-    "q183_scd2_stream" -> scd2HistoryOracle,
-    "q184_temporal_attach_stream" ->
-      // attach-at-processing-time over a growing dimension: early
-      // facts ASOF against the half-folded history, late facts
-      // against the full one — the same midpoint cuts computed in SQL
-      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |cut AS (SELECT (min(vms)+max(vms))//2 AS dm FROM p),
-        |h2 AS (SELECT user_id, vms, p_value,
-        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
-        |       FROM p),
-        |h1 AS (SELECT user_id, vms, p_value,
-        |         lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
-        |       FROM p WHERE vms < (SELECT dm FROM cut)),
-        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
-        |      FROM events WHERE event_type = 'click'),
-        |fcut AS (SELECT (min(cms)+max(cms))//2 AS fm FROM f),
-        |f1 AS (SELECT * FROM f WHERE cms < (SELECT fm FROM fcut)),
-        |f2 AS (SELECT * FROM f WHERE cms >= (SELECT fm FROM fcut))
-        |SELECT event_id, user_id, cms, p_value FROM (
-        |  SELECT f1.event_id, f1.user_id, f1.cms,
-        |    CASE WHEN h1.vms IS NOT NULL AND (h1.valid_to IS NULL OR f1.cms < h1.valid_to)
-        |         THEN h1.p_value END AS p_value
-        |  FROM f1 ASOF LEFT JOIN h1 ON f1.user_id = h1.user_id AND f1.cms >= h1.vms
-        |  UNION ALL
-        |  SELECT f2.event_id, f2.user_id, f2.cms,
-        |    CASE WHEN h2.vms IS NOT NULL AND (h2.valid_to IS NULL OR f2.cms < h2.valid_to)
-        |         THEN h2.p_value END AS p_value
-        |  FROM f2 ASOF LEFT JOIN h2 ON f2.user_id = h2.user_id AND f2.cms >= h2.vms)""".stripMargin,
-    "q166_temporal_attach" ->
-      // DuckDB's native ASOF LEFT JOIN picks the same greatest
-      // valid_from <= fact ts; the CASE applies the identical coverage
-      // rule (a fact past its version's valid_to is a miss)
-      """WITH p AS (SELECT user_id, epoch_ms(ts) AS vms, max(value) AS p_value
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |h AS (SELECT user_id, vms, p_value,
-        |        lead(vms) OVER (PARTITION BY user_id ORDER BY vms) AS valid_to
-        |      FROM p),
-        |d AS (SELECT * FROM h WHERE vms % 2 = 0),
-        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS cms
-        |      FROM events WHERE event_type = 'click')
-        |SELECT f.event_id, f.user_id, f.cms,
-        |  CASE WHEN d.vms IS NOT NULL AND (d.valid_to IS NULL OR f.cms < d.valid_to)
-        |       THEN d.p_value END AS p_value
-        |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.cms >= d.vms""".stripMargin,
-    "q167_session_late_stream" ->
-      // q130's watermark-lag recipe with the SESSION drop rule
-      // (SessionLateSpec): the late-filter watermark of the batch at
-      // delivery position p is the running slice max over positions
-      // ≤ p−2 minus 240 h, and a row survives iff its provisional
-      // session end (ems + 30 min) EXCEEDS it. Sessions are then the
-      // plain gaps-and-islands split (q23's oracle) over exactly the
-      // surviving rows — valid because this geometry admits no
-      // survivor that overlaps an already-emitted session (see the
-      // query comment).
-      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
-        |e AS (SELECT user_id, epoch_ms(ts) AS ems,
-        |        ((epoch_ms(ts) - b.lo) * 8 + 7) // (b.hi - b.lo + 1) AS slice
-        |      FROM events, b),
-        |sm AS (SELECT slice, max(ems) AS smax FROM e GROUP BY slice),
-        |ord(slice, pos) AS (VALUES (2,0),(3,1),(0,2),(1,3),(6,4),(7,5),(4,6),(5,7)),
-        |w AS (SELECT o.slice,
-        |        max(sm.smax) OVER (ORDER BY o.pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 864000000 AS wm
-        |      FROM ord o JOIN sm ON o.slice = sm.slice),
-        |kept AS (SELECT e.user_id, e.ems FROM e JOIN w ON e.slice = w.slice
-        |         WHERE w.wm IS NULL OR e.ems + 1800000 > w.wm),
-        |d AS (SELECT user_id, ems,
-        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
-        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
-        |       THEN 1 ELSE 0 END AS new_s FROM kept),
-        |s AS (SELECT user_id, ems,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
-        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-  )
-
-  private val oracleSqlBase: Map[String, String] = Map(
-    "q01_map_project" ->
-      """SELECT l_orderkey, l_linenumber,
-        |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
-        |FROM lineitem""".stripMargin,
-    "q02_filter" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 30""".stripMargin,
-    "q03_flatmap_tokens" ->
-      """SELECT doc_id, word FROM (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
-        |) WHERE word <> ''""".stripMargin,
-    "q04_wordcount" ->
-      """SELECT word, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
-        |) WHERE word <> '' GROUP BY word HAVING count(*) > 5""".stripMargin,
-    "q05_keyed_stats" ->
-      """SELECT user_id, count(*) AS cnt,
-        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-        |CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
-        |CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
-        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
-        |FROM events GROUP BY user_id""".stripMargin,
-    "q06_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q07_distinct" ->
-      "SELECT DISTINCT user_id, event_type FROM events",
-    "q08_dedup_keyfirst" ->
-      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
-        |FROM events GROUP BY user_id, event_type""".stripMargin,
-    "q09_topk" ->
-      """SELECT event_id, user_id, value FROM events
-        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
-    "q10_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 195""".stripMargin,
-    "q11_intersect" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
-    "q12_union" ->
-      """SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
-        |UNION ALL SELECT event_id, user_id FROM events WHERE event_type = 'signup'""".stripMargin,
-    "q13_join_inner" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin,
-    "q14_join_broadcast" ->
-      """SELECT r_name, count(*) AS n_cust,
-        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin,
-    "q15_join_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-    "q16_join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
-    "q17_join_outer" ->
-      """SELECT n_name, count(c_custkey) AS n_cust
-        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
-        |GROUP BY n_name""".stripMargin,
-    "q18_window_rank" ->
-      """SELECT event_id, user_id,
-        |row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn,
-        |rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS val_rank
-        |FROM events""".stripMargin,
-    "q19_window_lag" ->
-      """SELECT event_id, user_id,
-        |epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
-        |FROM events""".stripMargin,
-    "q20_window_running" ->
-      """SELECT event_id, user_id,
-        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
-        |FROM events""".stripMargin,
-    "q21_tumbling" ->
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
-        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q22_sliding" ->
-      """SELECT (epoch_ms(ts) // 1200000 - k.k) * 1200000 AS win_start_ms, event_type,
-        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events, (VALUES (0),(1),(2)) k(k)
-        |GROUP BY 1, 2""".stripMargin,
-    "q23_session" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
-        |d AS (SELECT user_id, ems,
-        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
-        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
-        |       THEN 1 ELSE 0 END AS new_s FROM e),
-        |s AS (SELECT user_id, ems,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
-        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-    "q24_interval_join" ->
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
-        |FROM events p JOIN events c
-        |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |AND abs(epoch_ms(p.ts) - epoch_ms(c.ts)) <= 21600000""".stripMargin,
-    "q25_scalar_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS cnt
-        |FROM events GROUP BY 1""".stripMargin,
-    "q26_scalar_datetime" ->
-      """SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
-        |count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1, 2""".stripMargin,
-    "q27_scalar_string" ->
-      """SELECT c_custkey, upper(c_name) AS name_up, length(c_name) AS name_len,
-        |substring(c_name, 1, 8) AS name_pfx,
-        |CAST(contains(c_name, '1') AS INTEGER) AS has_one
-        |FROM customer""".stripMargin,
-    "q28_fileop_filter" ->
-      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
-    "q29_fileop_transform" ->
-      """SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
-        |'2024-01-01T00:00:00' AS _processed_at FROM nation""".stripMargin,
-    "q30_fileop_aggregate" ->
-      """SELECT event_type,
-        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS agg_value
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q31_fileop_anomaly" ->
-      "SELECT event_id, value > 180.0 AS is_anomaly FROM events",
-    "q32_text_quality" ->
-      """WITH t AS (SELECT doc_id, n_chars,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)
-        |SELECT doc_id, len(toks) AS n_tokens,
-        |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len,
-        |CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], x))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
-        |len(toks) >= 5 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1)) > 2
-        |  AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1)) < 12 AS quality_keep
-        |FROM t""".stripMargin,
-    "q34_text_fingerprint" ->
-      """SELECT md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS fp,
-        |min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1""".stripMargin,
-    "q33_distinct_per_key" ->
-      "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
-    "q35_token_count" ->
-      """SELECT source, count(*) AS n_docs,
-        |CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY source""".stripMargin,
-    "q36_rollup" ->
-      """SELECT r_name, n_name, count(*) AS cnt,
-        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
-    "q40_reduce" ->
-      """SELECT user_id, event_id, value FROM (
-        |  SELECT user_id, event_id, value,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
-        |  FROM events) WHERE rk = 1""".stripMargin,
-    "q41_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-    "q46_regex_tokens" ->
-      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
-        |FROM documents""".stripMargin,
-    "q47_rolling_fingerprint" ->
-      // full replay of the winnowing kernel (KernelOps.rollingFingerprint,
-      // engine-portable by construction): token hash = seed-7 polynomial
-      // fold of Unicode code points, window hash = same base-B polynomial
-      // over token hashes, fingerprint = SIGNED min across windows. All
-      // in HUGEINT mod-2^64 arithmetic; the 64-bit wrap-around multiply
-      // splits into 32-bit halves (x·y mod 2^64 = lo·lo + ((hi·lo +
-      // lo·hi) mod 2^32)·2^32), and the literal list holds B^0..B^4
-      // mod 2^64 so each window is one list_sum — no modpow loop.
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, len(toks) AS n,
-        |    list_transform(toks, tk ->
-        |      list_reduce(
-        |        list_prepend(CAST(7 AS HUGEINT),
-        |          list_transform(range(length(tk)), i -> CAST(unicode(substr(tk, CAST(i+1 AS INT), 1)) AS HUGEINT))),
-        |        (h, c) -> (((h % 4294967296) * 1000003
-        |                    + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
-        |                   + c) % 18446744073709551616
-        |      )) AS th
-        |  FROM t),
-        |wh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
-        |      list_min(list_transform(range(n - least(5, n) + 1), s ->
-        |        list_transform(
-        |          [list_sum(list_transform(range(least(5, n)), j ->
-        |             ((th[s+j+1] % 4294967296)
-        |                * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] % 4294967296)
-        |              + (((th[s+j+1] // 4294967296)
-        |                    * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] % 4294967296)
-        |                  + (th[s+j+1] % 4294967296)
-        |                    * ([CAST(1 AS HUGEINT), 1000003, 1000006000009, 1000009000027000027, 14003818205314896721][CAST(least(5,n)-j AS INT)] // 4294967296))
-        |                 % 4294967296) * 4294967296)
-        |             % 18446744073709551616
-        |           )) % 18446744073709551616],
-        |          u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT))[1]
-        |      ))
-        |    END AS fp
-        |  FROM th)
-        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs FROM wh GROUP BY fp""".stripMargin,
-    "q48_text_langid" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)
-        |SELECT doc_id, list_aggregate([
-        |  {'score': len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','it'], x))), 'lang': 'en'},
-        |  {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','von','zu'], x))), 'lang': 'de'},
-        |  {'score': len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que','un','una'], x))), 'lang': 'es'},
-        |  {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','un','une','du'], x))), 'lang': 'fr'},
-        |  {'score': len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))), 'lang': 'zh'}
-        |], 'max').lang AS lang_pred
-        |FROM t""".stripMargin,
-    "q44_approx_distinct" ->
-      // exact replay is valid because the Spark side pins the exactness
-      // regime: ≤5 distinct strings per group, 2^14 HLL registers, no
-      // register collision among the 5 hashes → linear counting rounds
-      // to exactly k (see the query's doc comment)
-      """SELECT user_id, count(DISTINCT event_type) AS n_approx
-        |FROM events WHERE value > 150 GROUP BY 1""".stripMargin,
-    "q54_approx_percentile" ->
-      // exact replay: accuracy 1e6 retains every sample, so the sketch
-      // returns the element at rank ceil(p·n) computed in DOUBLE (the
-      // CAST matters: DuckDB's 0.95 literal is DECIMAL, whose exact
-      // product can ceil differently than IEEE doubles)
-      """WITH r AS (SELECT event_type, value,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
-        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
-        |SELECT event_type,
-        |  max(CASE WHEN rk = CAST(ceil(CAST(0.5 AS DOUBLE)*n) AS BIGINT) THEN value END) AS p50,
-        |  max(CASE WHEN rk = CAST(ceil(CAST(0.95 AS DOUBLE)*n) AS BIGINT) THEN value END) AS p95
-        |FROM r GROUP BY 1""".stripMargin,
-    "q53_train_split" ->
-      // md5-prefix buckets: 0.8*256=205=0xcd, +0.1*256=26 -> 231=0xe7;
-      // lexicographic hex compare == numeric bucket compare
-      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
-        |            ELSE 'test' END AS fold, lang, count(*) AS n_docs
-        |FROM documents GROUP BY 1, 2""".stripMargin,
-    "q52_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents))
-        |SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-        |  FROM t a, t b WHERE a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.8""".stripMargin,
-    "q51_scalar_math" ->
-      """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty,
-        |abs(l_discount - 0.05) AS abs_disc,
-        |CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
-        |CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
-        |l_orderkey % 7 AS mod7 FROM lineitem""".stripMargin,
-    "q49_anomaly_rules" ->
-      """SELECT event_id, (value > 190 OR value = -999.9 OR (event_type = 'error' AND value > 150)) AS is_anomaly,
-        |concat_ws(',',
-        |  CASE WHEN value > 190 THEN 'value_high' END,
-        |  CASE WHEN value = -999.9 THEN 'value_sentinel' END,
-        |  CASE WHEN event_type = 'error' AND value > 150 THEN 'error_burst' END) AS rules
-        |FROM events""".stripMargin,
-    "q50_pivot" ->
-      """SELECT user_id,
-        |CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
-        |CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
-        |CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
-        |CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
-        |CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
-        |FROM events GROUP BY user_id""".stripMargin,
-    // The ANN trio IS oracle-checked: ranks (not raw cosines) cross engines
-    // safely — per-query cosine gaps are ~1e-2 vs engine float noise
-    // ~1e-15, so orderings agree even though bit-level cosine values may
-    // not. q42's whole IVF structure (md5-sampled centroids, argmax cell
-    // assignment, probe selection) is deterministic and engine-portable,
-    // so the oracle replays the algorithm, approximation and all.
-    "q39_ann_topk" ->
-      """SELECT query_id, cand_id, rk FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-        |               c.vec_id ASC) AS rk
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 10
-        |) WHERE rk <= 5""".stripMargin,
-    "q42_ivf_topk" ->
-      """WITH sampled AS (
-        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
-        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
-        |), cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
-        |         CAST(embedding AS DOUBLE[]) AS centroid
-        |  FROM sampled
-        |), assigned AS (
-        |  SELECT cell, cand_id, cv FROM (
-        |    SELECT c.cell, e.vec_id AS cand_id, CAST(e.embedding AS DOUBLE[]) AS cv,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c
-        |  ) WHERE rk = 1
-        |), probes AS (
-        |  SELECT cell, query_id, qv FROM (
-        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-        |  ) WHERE rk <= 4
-        |)
-        |SELECT query_id, cand_id, rk FROM (
-        |  SELECT p.query_id, a.cand_id,
-        |    row_number() OVER (PARTITION BY p.query_id
-        |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cand_id ASC) AS rk
-        |  FROM probes p JOIN assigned a USING (cell)
-        |  WHERE p.query_id <> a.cand_id
-        |) WHERE rk <= 5""".stripMargin,
-    "q45_embedding_neardup" ->
-      // brute-force all-pairs ground truth over the same planted corpus;
-      // DuckDB list_transform's lambda index is 1-based, Spark's 0-based
-      """WITH corpus AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000000 AS id,
-        |         list_transform(CAST(embedding AS DOUBLE[]),
-        |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
-        |  FROM embeddings WHERE vec_id % 20 = 0
-        |)
-        |SELECT id_a, id_b FROM (
-        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS c
-        |  FROM corpus a JOIN corpus b ON a.id < b.id
-        |) WHERE c >= 0.95""".stripMargin,
-    "q55_dup_clusters" ->
-      // recursive min-label reachability == connected components: (id,
-      // label) is derived iff label reaches id through the pair graph,
-      // so min(label) per id is the component minimum — the same fixpoint
-      // the Spark operator converges to
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)),
-        |pr AS (SELECT id_a, id_b FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-        |  FROM t a, t b WHERE a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.8),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
-        |cc AS (
-        |  SELECT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id)
-        |SELECT id, min(label) AS cluster FROM cc GROUP BY id""".stripMargin,
-    "q56_repetition" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
-        |b AS (SELECT doc_id, len(toks) AS n,
-        |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dup_token_frac FROM t),
-        |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
-        |       FROM t WHERE len(toks) >= 2),
-        |tc AS (SELECT doc_id, max(c) AS top_c FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
-        |SELECT b.doc_id, b.dup_token_frac,
-        |  coalesce(CAST(tc.top_c AS DOUBLE) / (b.n - 1), 0.0) AS top_bigram_frac
-        |FROM b LEFT JOIN tc USING (doc_id)""".stripMargin,
-    "q57_pii_redact" ->
-      """WITH p AS (SELECT doc_id,
-        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' ||
-        |  CAST(doc_id % 250 AS VARCHAR) || ' phone 555-867-5309' AS text FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
-        |FROM p""".stripMargin,
-    "q58_mixture_sample" ->
-      // hex-prefix thresholds: 1.0→keep all, 0.75→0xc0, 0.5→0x80,
-      // 0.25→0x40, default 0.125→0x20 (same /256 bucket contract as q53)
-      """SELECT source, count(*) AS n_docs FROM documents
-        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-        |  CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0'
-        |              WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
-        |GROUP BY source""".stripMargin,
-    "q59_seq_packing" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
-        |  FROM documents)
-        |SELECT doc_id, n_tok,
-        |  CAST(floor(CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin
-        |FROM t""".stripMargin,
-    "q60_top_tokens" ->
-      """SELECT lang, word, cnt, rk FROM (
-        |  SELECT lang, word, cnt,
-        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rk
-        |  FROM (
-        |    SELECT lang, word, count(*) AS cnt FROM (
-        |      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
-        |      FROM documents) GROUP BY lang, word)
-        |) WHERE rk <= 10""".stripMargin,
-    "q61_corpus_pipeline" ->
-      // composed C4-style pipeline: quality gate (q32's rule), exact-dedup
-      // keep-first (q34's fingerprint), domain mixture (q58's thresholds
-      // at default 0.5 → 0x80), per-language doc/token budget
-      """WITH t AS (SELECT doc_id, source, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |q AS (SELECT doc_id, source, lang, toks FROM t
-        |  WHERE len(toks) >= 5
-        |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) > 2
-        |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) < 12),
-        |f AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM q),
-        |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
-        |dd AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep_id),
-        |m AS (SELECT * FROM dd
-        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-        |    CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0'
-        |                WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '80' END)
-        |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
-        |FROM m GROUP BY lang""".stripMargin,
-    "q62_asof_join" ->
-      // DuckDB's native ASOF JOIN is the ground truth for the operator
-      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms
-        |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id AS c_user, epoch_ms(ts) AS c_ms, max(event_id) AS click_id
-        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, p.p_ms, c.click_id, c.c_ms AS click_ms
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.p_ms >= c.c_ms""".stripMargin,
-    "q63_salient_terms" ->
-      // same integer-ratio score — ln() would not be cross-engine-exact
-      """WITH terms AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT doc_id, term, score, rk FROM (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC, tf.term ASC) AS rk
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
-        |) WHERE rk <= 3""".stripMargin,
-    "q65_stratified_take" ->
-      // exactly-n-per-domain by md5-of-key order (distinct ids — no ties)
-      """SELECT source, doc_id, rk FROM (
-        |  SELECT source, doc_id,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents) WHERE rk <= 5""".stripMargin,
-    "q66_decontaminate" ->
-      // asymmetric containment |train∩bench| / |bench| — all-pairs is fine
-      // as an oracle at sf0.01 (the operator itself broadcasts the bench)
-      """WITH sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS s
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)),
-        |t AS (SELECT doc_id AS train_id, s AS tsh FROM sh WHERE doc_id % 50 <> 0 AND len(s) > 0),
-        |b AS (SELECT doc_id AS bench_id, s AS bsh FROM sh WHERE doc_id % 50 = 0 AND len(s) > 0)
-        |SELECT train_id, bench_id, containment FROM (
-        |  SELECT train_id, bench_id,
-        |    CAST(len(list_intersect(tsh, bsh)) AS DOUBLE) / len(bsh) AS containment
-        |  FROM t, b
-        |) WHERE containment >= 0.3""".stripMargin,
-    "q67_chunking" ->
-      // DuckDB list slices are 1-based and end-inclusive: [a, a+c-1] is a
-      // c-token window
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents)
-        |SELECT doc_id, i AS chunk_idx,
-        |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
-        |  len(toks[i*24+1 : i*24+32]) AS n_chunk_tokens
-        |FROM (SELECT doc_id, toks, unnest(range((len(toks)-1)//24 + 1)) AS i
-        |      FROM t WHERE len(toks) > 0)""".stripMargin,
-    "q43_multimodal" ->
-      // replay the synthetic corpus + stub decode: content byte j of media
-      // i is (i*7349 + j*131 + (i%97)*(j%89)) % 256 (plain integer
-      // arithmetic, see Multimodal.syntheticMediaFor), and the decoded
-      // mean is ONE double division of exact integers — bit-identical
-      // across engines (q51's determinism rule)
-      """WITH m AS (SELECT vec_id AS media_id,
-        |  CASE WHEN vec_id % 5 = 4 THEN 'video' ELSE 'image' END AS media_type,
-        |  CAST(32 + (vec_id % 4) * 16 AS INTEGER) AS width,
-        |  CAST(32 + (vec_id % 3) * 16 AS INTEGER) AS height
-        |  FROM embeddings)
-        |SELECT media_id, media_type, width, height,
-        |  CAST(list_sum(list_transform(range(CAST(width AS BIGINT) * height),
-        |    j -> (media_id * 7349 + j * 131 + (media_id % 97) * (j % 89)) % 256)) AS DOUBLE)
-        |    / (width * height) AS mean_intensity
-        |FROM m""".stripMargin,
-    "q68_image_decode" ->
-      // same pixel formula as q43, but the Spark side round-trips the
-      // pixels through a REAL PNG encode+decode (JDK ImageIO) — PNG is
-      // lossless, so the decoded means must equal the formula exactly;
-      // any codec distortion fails this hash compare
-      """WITH m AS (SELECT vec_id AS media_id,
-        |  CAST(32 + (vec_id % 4) * 16 AS INTEGER) AS width,
-        |  CAST(32 + (vec_id % 3) * 16 AS INTEGER) AS height
-        |  FROM embeddings)
-        |SELECT media_id, width, height,
-        |  CAST(list_sum(list_transform(range(CAST(width AS BIGINT) * height),
-        |    j -> (media_id * 7349 + j * 131 + (media_id % 97) * (j % 89)) % 256)) AS DOUBLE)
-        |    / (width * height) AS mean_intensity
-        |FROM m""".stripMargin,
-    "q69_audio_decode" ->
-      // sample t of clip i is ((i*7349 + t*131) % 2048) - 1024; the Spark
-      // side round-trips these through a real RIFF/PCM16 WAV encode and a
-      // javax.sound.sampled decode — lossless, so exact-integer stats match
-      """WITH s AS (SELECT vec_id AS media_id,
-        |  list_transform(range(4096),
-        |    t -> (media_id * 7349 + t * 131) % 2048 - 1024) AS smp
-        |  FROM embeddings)
-        |SELECT media_id, CAST(4096 AS BIGINT) AS n_samples,
-        |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS DOUBLE) / 4096 AS mean_abs,
-        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / 4096 AS mean_square
-        |FROM s""".stripMargin,
-    "q64_approx_top_tokens" ->
-      // the sketch is exact while capacity > |vocab| (31 here, 10k
-      // tracked), so the deterministically re-ranked top 10 equals the
-      // plain GROUP BY truth
-      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
-        |           FROM documents),
-        |c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word)
-        |SELECT word, cnt, rk FROM (
-        |  SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk
-        |  FROM c) WHERE rk <= 10""".stripMargin,
-    "q70_bloom_screen" ->
-      """SELECT a.doc_id, a.source FROM documents a
-        |WHERE NOT EXISTS (SELECT 1 FROM documents b
-        |                  WHERE b.doc_id = a.doc_id AND b.doc_id % 3 <> 0)""".stripMargin,
-    "q73_token_budget" ->
-      // same deterministic order (md5 of the key string) and exclusive
-      // running sum per domain; DuckDB's window computes the naive form
-      // the distributed two-phase prefix sum must equal exactly
-      """WITH t AS (SELECT doc_id, source,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
-        |    md5(CAST(doc_id AS VARCHAR)) AS h
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tok,
-        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS prefix_excl
-        |  FROM t)
-        |SELECT doc_id, source, n_tok, prefix_excl FROM c
-        |WHERE prefix_excl < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
-        |                                WHEN 'src2' THEN 1000 ELSE 500 END""".stripMargin,
-    "q74_dup_spans" ->
-      // full replay of the substring-dedup detection: 8-gram md5
-      // fingerprints, duplicated = in >= 2 distinct docs, overlapping hits
-      // merged by the same lag/running-sum chain (DuckDB list slices are
-      // 1-based end-inclusive; positions stay 0-based like Spark's)
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
-        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-        |b AS (SELECT doc_id, pos,
-        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
-        |      FROM h),
-        |m AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM b)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
-        |       max(pos) + 8 - min(pos) AS n_span_tokens
-        |FROM m GROUP BY doc_id, grp""".stripMargin,
-    "q75_span_scrub" ->
-      // keep-first scrub replay: canonical occurrence = lexicographic min
-      // (doc_id, pos) per duplicated gram (two-step min here — min doc,
-      // then min pos within it — equals Spark's one-pass struct min);
-      // removal spans merge as in q74 and the text is rebuilt from the
-      // token positions outside them
-      """WITH t AS (SELECT doc_id,
-        |             coalesce(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), []) AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
-        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
-        |dup AS (SELECT gram, min(doc_id) AS kid FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |k AS (SELECT g.gram, dup.kid, min(g.pos) AS kpos
-        |      FROM g JOIN dup ON g.gram = dup.gram AND g.doc_id = dup.kid
-        |      GROUP BY g.gram, dup.kid),
-        |rem AS (SELECT g.doc_id, g.pos FROM g JOIN k ON g.gram = k.gram
-        |        WHERE NOT (g.doc_id = k.kid AND g.pos = k.kpos)),
-        |b AS (SELECT doc_id, pos,
-        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
-        |      FROM rem),
-        |m AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM b),
-        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM m GROUP BY doc_id, grp),
-        |rm AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id),
-        |p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
-        |kept AS (SELECT p.doc_id, p.i, p.toks[p.i + 1] AS tok FROM p
-        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |                           WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS scrubbed FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        |       coalesce(rm.n_removed, 0) AS n_removed,
-        |       coalesce(agg.scrubbed, '') AS scrubbed_text
-        |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
-    "q87_sq8_topk" ->
-      // per-dim min/max, linear int8 encode (floor + clamp), dequantized
-      // L2 — identical double arithmetic and fold order in both engines
-      """WITH dims AS (SELECT unnest(range(64)) AS d),
-        |st AS (SELECT d, min(CAST(embedding[d+1] AS DOUBLE)) AS mn,
-        |              max(CAST(embedding[d+1] AS DOUBLE)) AS mx
-        |       FROM embeddings CROSS JOIN dims GROUP BY d),
-        |stl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
-        |enc AS (
-        |  SELECT vec_id AS cand_id,
-        |    list_transform(range(64), d ->
-        |      CASE WHEN mxs[d+1] = mns[d+1] THEN 0
-        |           ELSE CAST(least(greatest(floor(
-        |             (CAST(embedding[d+1] AS DOUBLE) - mns[d+1]) * 255 / (mxs[d+1] - mns[d+1])), 0), 255) AS INTEGER)
-        |      END) AS codes
-        |  FROM embeddings CROSS JOIN stl
-        |), scored AS (
-        |  SELECT q.vec_id AS query_id, e.cand_id,
-        |    list_sum(list_transform(range(64), d ->
-        |      (CAST(q.embedding[d+1] AS DOUBLE) - (mns[d+1] + e.codes[d+1] * (mxs[d+1] - mns[d+1]) / 255))
-        |      * (CAST(q.embedding[d+1] AS DOUBLE) - (mns[d+1] + e.codes[d+1] * (mxs[d+1] - mns[d+1]) / 255))))
-        |      AS adist
-        |  FROM enc e CROSS JOIN stl
-        |  CROSS JOIN embeddings q WHERE q.vec_id < 10 AND q.vec_id <> e.cand_id
-        |)
-        |SELECT query_id, cand_id, rk FROM (
-        |  SELECT query_id, cand_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
-    "q88_kmeans_assign" ->
-      // the fixed-point Lloyd fit unrolled (2 iterations, k=8) + final
-      // assignment — all-integer arithmetic, so bit-identical to Spark
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |),
-         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)}
-         |SELECT id, cell FROM af""".stripMargin,
-    "q89_kmeans_ivf_topk" ->
-      // trained-quantizer IVF: the k-means unroll supplies the coarse
-      // cells, then the q42-style probe/assign/rank replay runs against
-      // the DEQUANTIZED (cent/q — exact-integer-valued doubles) centroids
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |),
-         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
-         |cd AS (SELECT cell, list_transform(cent, c -> CAST(c AS DOUBLE) / 1000000) AS centroid FROM c2),
-         |assigned AS (
-         |  SELECT cell, cand_id, cv FROM (
-         |    SELECT c.cell, e.id AS cand_id, e.v AS cv,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rk
-         |    FROM corpus e CROSS JOIN cd c
-         |  ) WHERE rk = 1
-         |),
-         |probes AS (
-         |  SELECT cell, query_id, qv FROM (
-         |    SELECT c.cell, e.id AS query_id, e.v AS qv,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rk
-         |    FROM corpus e CROSS JOIN cd c WHERE e.id < 10
-         |  ) WHERE rk <= 4
-         |)
-         |SELECT query_id, cand_id, rk FROM (
-         |  SELECT p.query_id, a.cand_id,
-         |    row_number() OVER (PARTITION BY p.query_id
-         |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cand_id ASC) AS rk
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell
-         |  WHERE p.query_id <> a.cand_id
-         |) WHERE rk <= 5""".stripMargin,
-    "q90_kmeans_semdedup" ->
-      // SemDeDup over the q45 planted corpus: k-means unroll, final
-      // assignment, then drop every id with a lower-id same-cluster
-      // neighbor at cosine >= 0.95 over the ORIGINAL double vectors
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 10000000 AS id,
-         |         list_transform(CAST(embedding AS DOUBLE[]),
-         |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
-         |  FROM embeddings WHERE vec_id % 20 = 0
-         |),
-         |${kmeansCtes(k = 8, iters = 2, dim = 64, q = 1000000L)},
-         |dom AS (
-         |  SELECT DISTINCT a.id
-         |  FROM af a JOIN af b ON a.cell = b.cell AND b.id < a.id
-         |  JOIN corpus ca ON ca.id = a.id
-         |  JOIN corpus cb ON cb.id = b.id
-         |  WHERE list_cosine_similarity(ca.v, cb.v) >= 0.95
-         |)
-         |SELECT id, cell FROM af
-         |WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.id = af.id)""".stripMargin,
-    "q91_quality_classify" ->
-      // same integer feature extraction and linear score; // is the same
-      // truncating division as Spark's div (nonnegative operands here)
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents
-        |),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(coalesce(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS BIGINT) AS tot,
-        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], tk))) AS BIGINT) AS n_stop,
-        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
-        |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM t
-        |),
-        |g AS (
-        |  SELECT doc_id,
-        |    (n_stop * 1000) // greatest(n_tokens, 1) AS stop_fp,
-        |    (n_uniq * 1000) // greatest(n_tokens, 1) AS uniq_fp,
-        |    (n_digit * 1000) // greatest(n_chars, 1) AS digit_fp,
-        |    (n_punct * 1000) // greatest(n_chars, 1) AS punct_fp
-        |  FROM f
-        |)
-        |SELECT doc_id AS id, score, score >= 0 AS keep FROM (
-        |  SELECT doc_id,
-        |    stop_fp * 4 + uniq_fp * 2 + digit_fp * (-3) + punct_fp * (-2) - 900 AS score
-        |  FROM g
-        |)""".stripMargin,
-    "q92_zorder_value" ->
-      // same integer normalize (// is Spark's exact division here — the
-      // numerator is pre-reduced mod span) and the 16-bit interleave
-      // unrolled; bit i of column j lands at position 2i+j
-      s"""WITH st AS (
-         |  SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
-         |         min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
-         |  FROM lineitem
-         |),
-         |n AS (
-         |  SELECT l_orderkey, l_linenumber,
-         |    ((l_partkey - mn0) * 65535) // greatest(mx0 - mn0, 1) AS nz0,
-         |    ((l_suppkey - mn1) * 65535) // greatest(mx1 - mn1, 1) AS nz1
-         |  FROM lineitem CROSS JOIN st
-         |)
-         |SELECT l_orderkey, l_linenumber,
-         |  ${(0 until 16).flatMap(i => Seq(
-              s"(((nz0 >> $i) & 1) << ${2 * i})",
-              s"(((nz1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS zval
-         |FROM n""".stripMargin,
-    "q98_cdc_chunks" ->
-      // full replay of the CDC chain: the q47 token-hash fold, every
-      // window hash via a per-window list_reduce (multiplier B < 2^32,
-      // so the wrap-around multiply needs only the small-constant
-      // split), boundaries where the UNSIGNED hash mod 16 is 0, chunk
-      // ends closed by the final token, md5 chunk fingerprints
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, toks, len(toks) AS n, least(5, len(toks)) AS w,
-        |    list_transform(toks, tk ->
-        |      list_reduce(
-        |        list_prepend(CAST(7 AS HUGEINT),
-        |          list_transform(range(length(tk)), i -> CAST(unicode(substr(tk, CAST(i+1 AS INT), 1)) AS HUGEINT))),
-        |        (h, c) -> (((h % 4294967296) * 1000003
-        |                    + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
-        |                   + c) % 18446744073709551616
-        |      )) AS th
-        |  FROM t WHERE len(toks) > 0),
-        |ws AS (
-        |  SELECT doc_id, toks, n, w,
-        |    list_transform(range(n - w + 1), s ->
-        |      list_reduce(list_prepend(CAST(0 AS HUGEINT), th[s+1:s+w]),
-        |        (h, tt) -> (((h % 4294967296) * 1000003
-        |                     + (((h // 4294967296) * 1000003) % 4294967296) * 4294967296)
-        |                    + tt) % 18446744073709551616)) AS ws
-        |  FROM th),
-        |e AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN len(b) > 0 AND b[-1] = n - 1 THEN b ELSE list_append(b, n - 1) END AS ends
-        |  FROM (SELECT doc_id, toks, n,
-        |          list_filter(list_transform(range(n - w + 1), s ->
-        |            CASE WHEN ws[s+1] % 16 = 0 THEN s + w - 1 ELSE -1 END), x -> x >= 0) AS b
-        |        FROM ws)),
-        |u AS (SELECT doc_id, toks, ends, unnest(range(len(ends))) AS k FROM e)
-        |SELECT doc_id, k AS chunk_idx,
-        |  CAST(CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END AS BIGINT) AS start_pos,
-        |  CAST(ends[CAST(k+1 AS INT)] - CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] + 1 END + 1 AS BIGINT) AS n_chunk_tokens,
-        |  md5(array_to_string(toks[CAST(CASE WHEN k = 0 THEN 1 ELSE ends[CAST(k AS INT)] + 2 END AS INT):CAST(ends[CAST(k+1 AS INT)] + 1 AS INT)], ' ')) AS chunk_fp
-        |FROM u""".stripMargin,
-    "q101_bpe_encode" ->
-      // unrolled train-and-encode replay (see bpeCtes)
-      s"""${bpeCtes(8)}
-         |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_tok,
-         |  array_to_string(syms, ' ') AS toks
-         |FROM v8""".stripMargin,
-    "q102_bm25_topk" -> bm25OracleSql,
-    "q103_bm25_search" -> bm25OracleSql,
-    "q187_boolean_search" -> booleanSearchOracle,
-    "q190_ks_drift" ->
-      // the same RANGE-frame CDF replay, integer cross-multiplied
-      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
-        |u AS (SELECT pri, v,
-        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS b FROM o),
-        |c AS (SELECT pri, v,
-        |    sum(a) OVER (PARTITION BY pri ORDER BY v
-        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-        |    sum(b) OVER (PARTITION BY pri ORDER BY v
-        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-        |    sum(a) OVER (PARTITION BY pri) AS na,
-        |    sum(b) OVER (PARTITION BY pri) AS nb
-        |  FROM u)
-        |SELECT pri, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
-        |  CAST(max(abs(ca*nb - cb*na)) AS BIGINT) AS d_num,
-        |  CAST(max(abs(ca*nb - cb*na)) AS DOUBLE) /
-        |    (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)) AS d
-        |FROM c GROUP BY 1""".stripMargin,
-    "q191_substring_search" ->
-      // the unaccelerated form: a full corpus LIKE scan
-      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
-        |q(qid, pat) AS (VALUES (0, 'ge bat'), (1, 'le sor'), (2, 'rt join'))
-        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
-        |FROM q JOIN t ON instr(t.s, q.pat) > 0""".stripMargin,
-    "q223_wildcard_search" ->
-      // the unaccelerated form: a full corpus-scan anchored LIKE (no
-      // backslashes in any pattern, so DuckDB's no-escape default and
-      // Spark's \-escape default agree)
-      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
-        |q(qid, pat) AS (VALUES (0, '%merge%join%'), (1, '%sort%tab_e%'),
-        |                       (2, 'the%stream%'))
-        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
-        |FROM q JOIN t ON t.s LIKE q.pat""".stripMargin,
-    "q189_phrase_search" ->
-      // boundary-padded containment over the space-joined tokens —
-      // exact sequence semantics because tokens contain no whitespace
-      """WITH t AS (SELECT doc_id,
-        |    ' ' || array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
-        |                                       x -> x <> ''), ' ') || ' ' AS s
-        |  FROM documents),
-        |q(qid, ph) AS (VALUES (0, 'table hash'), (1, 'customer join'),
-        |                      (2, 'merge batch part'))
-        |SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id
-        |FROM q JOIN t ON instr(t.s, ' ' || q.ph || ' ') > 0""".stripMargin,
-    "q188_table_profile" ->
-      // per-column aggregates replayed verbatim, one UNION branch per
-      // profiled column
-      Seq("l_suppkey", "l_quantity", "l_extendedprice", "l_tax").map { c =>
-        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  min(CAST($c AS DOUBLE)) AS min_d, max(CAST($c AS DOUBLE)) AS max_d
-           |FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n"),
-    "q104_hybrid_rrf" -> rrfOracleSql,
-    "q112_changelog_apply" ->
-      // replay: same three-part log, latest-wins by row_number over
-      // seq DESC ((key, seq) unique by construction), full outer
-      // merge, winning 'D' filtered out
-      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
-        |snap AS (SELECT * FROM o WHERE o_orderkey % 11 <> 0),
-        |ch AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS seq, 'U' AS op
-        |  FROM o WHERE o_orderkey % 11 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey + 1000000, o_totalprice, 2, 'U'
-        |  FROM o WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_totalprice, 3, 'D'
-        |  FROM o WHERE o_orderkey % 13 = 0),
-        |w AS (SELECT * FROM (
-        |  SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-        |  FROM ch) WHERE rn = 1)
-        |SELECT COALESCE(w.o_orderkey, snap.o_orderkey) AS o_orderkey,
-        |  CAST(CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_custkey
-        |            ELSE snap.o_custkey END AS BIGINT) AS o_custkey,
-        |  CASE WHEN w.o_orderkey IS NOT NULL THEN w.o_totalprice
-        |       ELSE snap.o_totalprice END AS o_totalprice
-        |FROM snap FULL JOIN w ON snap.o_orderkey = w.o_orderkey
-        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
-    "q113_scd2" ->
-      // replay: the lead window is the whole operator; BIGINT event
-      // ids, boolean currency flag
-      """SELECT user_id, event_id, event_type,
-        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
-        |  (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL AS is_current
-        |FROM events""".stripMargin,
-    "q116_trend" ->
-      // replay: the same five sums and the same truncating integer
-      // division; DuckDB's HUGEINT sums are cast back to BIGINT on
-      // output (the driver's hasher is type-sensitive)
-      """WITH t AS (SELECT l_suppkey,
-        |             (epoch_ms(l_shipdate) // 86400000) - 9000 AS x,
-        |             CAST(l_quantity AS BIGINT) AS y FROM lineitem),
-        |a AS (SELECT l_suppkey, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM t GROUP BY 1),
-        |b AS (SELECT l_suppkey, n, sx, sy,
-        |             CASE WHEN n*sxx - sx*sx = 0 THEN NULL
-        |                  ELSE (1000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) END AS slope_fp
-        |      FROM a)
-        |SELECT l_suppkey, CAST(n AS BIGINT) AS n,
-        |       CAST(slope_fp AS BIGINT) AS slope_fp,
-        |       CAST((1000 * sy - slope_fp * sx) // n AS BIGINT) AS intercept_fp
-        |FROM b""".stripMargin,
-    "q114_temporal_join" ->
-      // replay: DuckDB's native ASOF JOIN is the ground truth (scd2
-      // intervals are contiguous per key, so as-of == validity lookup)
-      """WITH p AS (SELECT user_id, event_id AS version_id, value AS version_value
-        |           FROM events WHERE event_type = 'purchase'),
-        |f AS (SELECT user_id, event_id, event_type FROM events
-        |      WHERE event_type <> 'purchase')
-        |SELECT f.user_id, f.event_id, f.event_type, p.version_id, p.version_value
-        |FROM f ASOF LEFT JOIN p
-        |  ON f.user_id = p.user_id AND f.event_id >= p.version_id""".stripMargin,
-    "q115_gap_fill" ->
-      // replay: per-key bucket spine via generate_series, fill via ASOF
-      // join to the bucket END (ts < t + step ⇔ bucket-end tick >= ts)
-      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS value
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |b AS (SELECT user_id, min(ms) AS mn, max(ms) AS mx FROM o GROUP BY 1),
-        |s AS (SELECT user_id,
-        |             unnest(generate_series(mn // 21600000, mx // 21600000)) * 21600000 AS ms
-        |      FROM b),
-        |se AS (SELECT user_id, ms, ms + 21599999 AS bucket_end FROM s)
-        |SELECT se.user_id, se.ms, o.value
-        |FROM se ASOF LEFT JOIN o
-        |  ON se.user_id = o.user_id AND se.bucket_end >= o.ms""".stripMargin,
-    "q111_quality_checks" ->
-      // replay: the same five conditional counts; coalesce models the
-      // null-counts-as-violation rule
-      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL AND l_partkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-        |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-        |  CAST(sum(CASE WHEN coalesce(l_quantity < 30, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
-        |  CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v5
-        |  FROM lineitem)
-        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
-        |  SELECT 'keys_not_null' AS rule, n, v1 AS v FROM m
-        |  UNION ALL SELECT 'qty_range', n, v2 FROM m
-        |  UNION ALL SELECT 'qty_under_30', n, v3 FROM m
-        |  UNION ALL SELECT 'price_positive', n, v4 FROM m
-        |  UNION ALL SELECT 'discount_range', n, v5 FROM m)""".stripMargin,
-    "q117_quality_checks_stream" ->
-      // replay: identical to q111's — the streaming gate's final totals
-      // equal the batch gate by the parity contract, and DuckDB replays
-      // the batch side
-      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL AND l_partkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-        |  CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-        |  CAST(sum(CASE WHEN coalesce(l_quantity < 30, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
-        |  CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v5
-        |  FROM lineitem)
-        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
-        |  SELECT 'keys_not_null' AS rule, n, v1 AS v FROM m
-        |  UNION ALL SELECT 'qty_range', n, v2 FROM m
-        |  UNION ALL SELECT 'qty_under_30', n, v3 FROM m
-        |  UNION ALL SELECT 'price_positive', n, v4 FROM m
-        |  UNION ALL SELECT 'discount_range', n, v5 FROM m)""".stripMargin,
-    "q110_triangles" ->
-      // replay: same md5 edge derivation ('0x' hex cast, q100's trick),
-      // canonical a<b edges, the u<v<w triple join, three rotations
-      """WITH r AS (SELECT doc_id AS x,
-        |    CAST('0x' || substr(md5(doc_id || ':' || i), 1, 8) AS BIGINT) % 500 AS y
-        |  FROM documents, (VALUES (0), (1), (2)) AS t(i)),
-        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-        |      FROM r WHERE x <> y),
-        |tr AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-        |       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
-        |SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
-        |  SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
-        |  UNION ALL SELECT w FROM tr
-        |) GROUP BY id""".stripMargin,
-    "q121_groupwise_median" ->
-      // replay: per-group rank arithmetic, value by partitioned
-      // row_number — the per-group sort the engine side avoids
-      """WITH v AS (SELECT l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM lineitem),
-        |r AS (SELECT l_suppkey, c,
-        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY c) AS rn,
-        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v)
-        |SELECT l_suppkey, CAST(cnt AS BIGINT) AS n,
-        |  CAST(greatest(1, (50 * cnt + 99) // 100) AS BIGINT) AS rk,
-        |  c AS value
-        |FROM r WHERE rn = greatest(1, (50 * cnt + 99) // 100)""".stripMargin,
-    "q221_kwic" ->
-      // instr + the same edge-clipped substring arithmetic
-      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
-        |q(qid, pat) AS (VALUES (0, 'ge bat'), (1, 'le sor'), (2, 'rt join')),
-        |h AS (SELECT q.qid, t.doc_id, t.s, q.pat,
-        |    instr(t.s, q.pat) AS pos
-        |  FROM q JOIN t ON instr(t.s, q.pat) > 0)
-        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(pos AS BIGINT) AS pos,
-        |  substring(s, CAST(greatest(pos - 15, 1) AS INT),
-        |    CAST(least(pos + length(pat) + 15, length(s) + 1) -
-        |         greatest(pos - 15, 1) AS INT)) AS snippet
-        |FROM h""".stripMargin,
-    "q220_cdf_rank" ->
-      // the naive per-row reference count the as-of CDF replaces
-      """WITH e AS (SELECT event_id, event_type AS k,
-        |    epoch_ms(ts) // 86400000 AS day,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (SELECT k, cents FROM e WHERE day % 2 = 0),
-        |q AS (SELECT event_id, k, cents FROM e WHERE day % 2 = 1),
-        |t AS (SELECT k, count(*) AS n FROM r GROUP BY 1),
-        |c AS (SELECT q.event_id, count(r.cents) AS cnt
-        |  FROM q LEFT JOIN r ON r.k = q.k AND r.cents <= q.cents
-        |  GROUP BY 1)
-        |SELECT q.event_id, q.k, q.cents,
-        |  CASE WHEN t.n IS NOT NULL
-        |       THEN CAST(c.cnt * 10000 // t.n AS BIGINT) END AS cdf_fp
-        |FROM q JOIN c USING (event_id) LEFT JOIN t USING (k)""".stripMargin,
-    "q219_funnel_latency" ->
-      // chained conditional mins -> latencies -> q121 rank convention
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-        |           WHERE event_type IN ('view', 'click', 'purchase')),
-        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
-        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
-        |l AS (SELECT t3.t - t1.t AS lat FROM t3 JOIN t1 USING (user_id)),
-        |r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn,
-        |    count(*) OVER () AS n FROM l),
-        |ks(q_pct) AS (VALUES (50), (90), (99))
-        |SELECT CAST(ks.q_pct AS BIGINT) AS q_pct,
-        |  CAST(greatest(1, (ks.q_pct * r.n + 99) // 100) AS BIGINT) AS rk,
-        |  r.lat AS value
-        |FROM r, ks WHERE r.rn = greatest(1, (ks.q_pct * r.n + 99) // 100)""".stripMargin,
-    "q218_rolling_wau" ->
-      // the same contribution span, clipped at the observed max
-      """WITH p AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
-        |    user_id AS u FROM events),
-        |m AS (SELECT max(day) AS mx FROM p),
-        |w AS (SELECT p.day + s.g AS tick, p.u FROM p
-        |      CROSS JOIN generate_series(0, 6) AS s(g), m
-        |      WHERE p.day + s.g <= m.mx),
-        |ww AS (SELECT tick, count(DISTINCT u) AS n_window FROM w GROUP BY 1),
-        |dd AS (SELECT day AS tick, count(DISTINCT u) AS n_active
-        |       FROM p GROUP BY 1)
-        |SELECT ww.tick, CAST(coalesce(dd.n_active, 0) AS BIGINT) AS n_active,
-        |  CAST(ww.n_window AS BIGINT) AS n_window
-        |FROM ww LEFT JOIN dd ON ww.tick = dd.tick""".stripMargin,
-    "q217_peak_sessions" ->
-      // sessionize replay -> intervals -> tick-aggregated sweep
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-        |r AS (SELECT user_id, us, event_id,
-        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
-        |           ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e),
-        |s AS (SELECT user_id, us,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                   ROWS UNBOUNDED PRECEDING) + 1 AS sidx
-        |  FROM r),
-        |iv AS (SELECT user_id, sidx, min(us) AS st, max(us) AS en
-        |  FROM s GROUP BY 1, 2),
-        |d AS (SELECT st AS tick, 1 AS dd FROM iv
-        |      UNION ALL SELECT en + 1, -1 FROM iv),
-        |dt AS (SELECT tick, sum(dd) AS dd FROM d GROUP BY 1),
-        |rr AS (SELECT tick,
-        |    sum(dd) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM dt)
-        |SELECT CAST(run AS BIGINT) AS max_concurrent,
-        |  CAST(tick AS BIGINT) AS at_tick
-        |FROM rr ORDER BY run DESC, tick ASC LIMIT 1""".stripMargin,
-    "q216_nearest_join" ->
-      // per-left min |dt|, ties to the earlier right row
-      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
-        |  FROM events WHERE event_type = 'error'),
-        |r AS (SELECT user_id, epoch_us(ts) AS rus,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |j AS (SELECT l.user_id, l.event_id, l.us, r.rus, r.cents,
-        |    abs(r.rus - l.us) AS ad FROM l JOIN r USING (user_id)),
-        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_id
-        |                ORDER BY ad, rus) AS rn FROM j)
-        |SELECT l.user_id, l.event_id, CAST(l.us AS BIGINT) AS us,
-        |  p.cents AS nearest_cents, CAST(p.rus - l.us AS BIGINT) AS nearest_dt
-        |FROM l LEFT JOIN (SELECT * FROM p WHERE rn = 1) p
-        |  ON l.user_id = p.user_id AND l.event_id = p.event_id""".stripMargin,
-    "q215_vocab_canonicalize" ->
-      // recursive min-string-label reachability, seeded from every word
-      """WITH RECURSIVE v AS (SELECT DISTINCT lower(w) AS w FROM (
-        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
-        |    UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
-        |    UNION ALL SELECT unnest(string_split(p_brand, ' ')) FROM part
-        |    UNION ALL SELECT unnest(string_split(lower(text), ' ')) FROM documents)
-        |  WHERE length(w) > 0),
-        |pr AS (SELECT a.w AS a, b.w AS b FROM v a JOIN v b
-        |       ON a.w < b.w AND levenshtein(a.w, b.w) <= 1),
-        |edges AS (SELECT a AS src, b AS dst FROM pr
-        |          UNION SELECT b, a FROM pr),
-        |cc AS (
-        |  SELECT w AS id, w AS label FROM v
-        |  UNION
-        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id)
-        |SELECT id AS w, min(label) AS canon FROM cc GROUP BY 1""".stripMargin,
-    "q214_join_skew" ->
-      // the same counts, exact products, and deterministic pick
-      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events
-        |           WHERE event_type IS NOT NULL GROUP BY 1),
-        |per AS (SELECT a.key, a.n AS n_left, b.n AS n_right,
-        |    CAST(a.n AS HUGEINT) * b.n AS contrib
-        |  FROM c a JOIN c b USING (key)),
-        |tot AS (SELECT sum(contrib) AS t FROM per)
-        |SELECT key, CAST(n_left AS BIGINT) AS n_left,
-        |  CAST(n_right AS BIGINT) AS n_right,
-        |  CAST(contrib AS BIGINT) AS contrib,
-        |  CAST(t AS BIGINT) AS total_rows,
-        |  CAST(contrib * 1000000 // t AS BIGINT) AS share_fp
-        |FROM per CROSS JOIN tot
-        |ORDER BY contrib DESC, key LIMIT 3""".stripMargin,
-    "q213_gini" ->
-      // the same sorted-rank moment in HUGEINT, floor-divided
-      """WITH v AS (SELECT l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-        |  FROM lineitem),
-        |r AS (SELECT l_suppkey, x,
-        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS i FROM v),
-        |g AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS total,
-        |    sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
-        |  FROM r GROUP BY 1)
-        |SELECT l_suppkey, n, total,
-        |  CAST(CASE WHEN n >= 2 AND total > 0 THEN
-        |    (2 * six - (CAST(n AS HUGEINT) + 1) * CAST(total AS HUGEINT)) * 10000
-        |      // (CAST(n AS HUGEINT) * CAST(total AS HUGEINT)) END AS BIGINT)
-        |    AS gini_fp
-        |FROM g""".stripMargin,
-    "q212_rolling_sum" ->
-      // the identical RANGE frame over the per-day pre-aggregate
-      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS tick,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events),
-        |p AS (SELECT user_id, tick, CAST(sum(c) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2)
-        |SELECT user_id, tick, v,
-        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY tick
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum,
-        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY tick
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_ticks
-        |FROM p""".stripMargin,
-    "q211_basket_lift" ->
-      // the same distinct baskets, pair join, and fixed-point lift
-      """WITH b AS (SELECT DISTINCT user_id,
-        |    epoch_ms(ts) // 86400000 AS day, event_type FROM events
-        |  WHERE event_type IS NOT NULL),
-        |n AS (SELECT count(*) AS nb FROM
-        |      (SELECT DISTINCT user_id, day FROM b)),
-        |i AS (SELECT event_type, count(*) AS ni FROM b GROUP BY 1),
-        |p AS (SELECT x.event_type AS a, y.event_type AS b2,
-        |    count(*) AS n_ab
-        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
-        |    AND x.event_type < y.event_type GROUP BY 1, 2)
-        |SELECT p.a, p.b2 AS b, CAST(p.n_ab AS BIGINT) AS n_ab,
-        |  CAST(ia.ni AS BIGINT) AS n_a, CAST(ib.ni AS BIGINT) AS n_b,
-        |  CAST(n.nb AS BIGINT) AS n_baskets,
-        |  CAST((n.nb * p.n_ab * 10000) // (ia.ni * ib.ni) AS BIGINT) AS lift_fp
-        |FROM p CROSS JOIN n
-        |  JOIN i ia ON ia.event_type = p.a
-        |  JOIN i ib ON ib.event_type = p.b2""".stripMargin,
-    "q207_sessionize" ->
-      // the same lag/run-sum/last-break windows
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-        |r AS (SELECT user_id, us, event_id,
-        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
-        |           ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
-        |  FROM e),
-        |s AS (SELECT user_id, us, event_id, rn,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY rn
-        |                   ROWS UNBOUNDED PRECEDING) + 1 AS sidx,
-        |    max(CASE WHEN brk = 1 THEN rn END)
-        |      OVER (PARTITION BY user_id ORDER BY rn
-        |            ROWS UNBOUNDED PRECEDING) AS lastb
-        |  FROM r)
-        |SELECT user_id, CAST(us AS BIGINT) AS us, event_id AS tie,
-        |  CAST(sidx AS BIGINT) AS session_idx,
-        |  CAST(rn - coalesce(lastb, 1) + 1 AS BIGINT) AS event_idx
-        |FROM s""".stripMargin,
-    "q208_zscore" ->
-      // the identical decimal moments + double formula per user
-      """WITH v AS (SELECT user_id, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(cents AS DECIMAL(38,0))) AS sx,
-        |    sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS sxx
-        |  FROM v GROUP BY 1)
-        |SELECT v.user_id, v.event_id, v.cents,
-        |  CASE WHEN m.n >= 2 AND
-        |    ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) -
-        |     ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) > 0
-        |  THEN (CAST(v.cents AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) /
-        |    sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) -
-        |         ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |          (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
-        |  END AS z
-        |FROM v JOIN m USING (user_id)""".stripMargin,
-    "q206_weighted_median" ->
-      // smallest value whose cumulative weight reaches the rank
-      """WITH v AS (SELECT l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
-        |t AS (SELECT l_suppkey, sum(w) AS wt FROM v GROUP BY 1),
-        |r AS (SELECT l_suppkey, c,
-        |    sum(w) OVER (PARTITION BY l_suppkey ORDER BY c
-        |                 ROWS UNBOUNDED PRECEDING) AS cum FROM v),
-        |j AS (SELECT r.l_suppkey, t.wt,
-        |    greatest(1, (50 * t.wt + 99) // 100) AS rk, r.c, r.cum
-        |  FROM r JOIN t USING (l_suppkey))
-        |SELECT l_suppkey, CAST(wt AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk,
-        |  CAST(min(c) AS BIGINT) AS value
-        |FROM j WHERE cum >= rk GROUP BY 1, 2, 3""".stripMargin,
-    "q205_changepoint" ->
-      // the same prefix-sum windows, double formula, and argmax pick
-      """WITH e AS (SELECT user_id, ts, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
-        |r AS (SELECT user_id, epoch_us(ts) AS us,
-        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS s,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
-        |    sum(c) OVER (PARTITION BY user_id) AS st,
-        |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM e),
-        |g AS (SELECT user_id, n, i, us,
-        |    (((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(i AS DOUBLE)) +
-        |     (((CAST(st AS DOUBLE) - CAST(s AS DOUBLE)) *
-        |       (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))) /
-        |      (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)))) -
-        |    ((CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE))
-        |      AS gain
-        |  FROM r WHERE i < n),
-        |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                ORDER BY gain DESC, i ASC) AS rn FROM g)
-        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_idx,
-        |  CAST(us AS BIGINT) AS cp_us, gain
-        |FROM p WHERE rn = 1""".stripMargin,
-    "q203_mode" ->
-      // counts, per-key max count, then the same largest-value pick
-      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
-        |           WHERE event_type IS NOT NULL GROUP BY 1, 2),
-        |m AS (SELECT user_id, max(n) AS mn FROM c GROUP BY 1)
-        |SELECT c.user_id, max(c.event_type) AS mode,
-        |  CAST(min(c.n) AS BIGINT) AS mode_n
-        |FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mn
-        |GROUP BY 1""".stripMargin,
-    "q204_transitions" ->
-      // the same lag replay
-      """WITH e AS (SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS prev
-        |  FROM events)
-        |SELECT prev AS from_state, event_type AS to_state,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM e WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
-    "q202_correlations" -> corrOracle,
-    "q201_quantile_bins" ->
-      // the naive global window the two-phase rank replaces
-      """WITH v AS (SELECT l_orderkey * 8 + l_linenumber AS lid,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem),
-        |r AS (SELECT lid, row_number() OVER (ORDER BY cents, lid) AS rk,
-        |    count(*) OVER () AS n FROM v)
-        |SELECT lid AS key, CAST(rk AS BIGINT) AS rank,
-        |  CAST((rk - 1) * 16 // n + 1 AS BIGINT) AS bin FROM r""".stripMargin,
-    "q199_winsorize" ->
-      // q121's inclusive-rank percentiles per group, then the clamp
-      """WITH v AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |    l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem),
-        |r AS (SELECT l_suppkey, cents AS c,
-        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY cents) AS rn,
-        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v),
-        |b AS (SELECT l_suppkey,
-        |    max(CASE WHEN rn = greatest(1, (5 * cnt + 99) // 100) THEN c END) AS lo,
-        |    max(CASE WHEN rn = greatest(1, (95 * cnt + 99) // 100) THEN c END) AS hi
-        |  FROM r GROUP BY 1)
-        |SELECT v.l_orderkey, v.l_linenumber, v.l_suppkey, v.cents,
-        |  CAST(least(greatest(v.cents, b.lo), b.hi) AS BIGINT) AS cents_w
-        |FROM v JOIN b USING (l_suppkey)""".stripMargin,
-    "q196_ewma_fold" ->
-      // the same left-to-right fold over the same ordered list
-      """WITH e AS (SELECT user_id, ts, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events)
-        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
-        |  CAST(list_reduce(vs, (x, y) -> (x + y) // 2) AS BIGINT) AS ewma
-        |FROM (SELECT user_id, list(v ORDER BY ts, event_id) AS vs
-        |      FROM e GROUP BY 1)""".stripMargin,
-    "q195_cusum" ->
-      // the same scan identity: s = P - least(0, running min P)
-      """WITH e AS (SELECT user_id, ts, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000 AS d
-        |  FROM events),
-        |c1 AS (SELECT user_id, ts, event_id, d,
-        |    sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS p FROM e),
-        |c2 AS (SELECT user_id, ts, p,
-        |    least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS UNBOUNDED PRECEDING)) AS m FROM c1),
-        |s AS (SELECT user_id, ts, p - m AS s FROM c2)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(max(s) AS BIGINT) AS max_cusum,
-        |  CAST(sum(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
-        |  CAST(min(CASE WHEN s > 20000 THEN epoch_us(ts) END) AS BIGINT)
-        |    AS first_breach_us
-        |FROM s GROUP BY 1""".stripMargin,
-    "q224_mad_monitor_stream" ->
-      // the profile under q186's rank convention (even days), then the
-      // identical flags counted over the odd-day union
-      """WITH v AS (SELECT event_type,
-        |    epoch_ms(ts) // 86400000 AS day,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-        |  FROM events),
-        |r AS (SELECT event_type, x FROM v WHERE day % 2 = 0),
-        |m AS (SELECT event_type, x AS med FROM (
-        |    SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
-        |           count(*) OVER (PARTITION BY event_type) AS cnt FROM r)
-        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
-        |dv AS (SELECT r.event_type, abs(r.x - m.med) AS dev
-        |       FROM r JOIN m USING (event_type)),
-        |md AS (SELECT event_type, dev AS mad FROM (
-        |    SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
-        |           count(*) OVER (PARTITION BY event_type) AS cnt FROM dv)
-        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
-        |q AS (SELECT event_type, x FROM v WHERE day % 2 = 1)
-        |SELECT m.event_type, m.med AS median, md.mad AS mad,
-        |  CAST(count(q.x) AS BIGINT) AS n_seen,
-        |  CAST(coalesce(sum(CASE WHEN abs(q.x - m.med) > 3.0 * md.mad
-        |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged
-        |FROM m JOIN md USING (event_type) LEFT JOIN q USING (event_type)
-        |GROUP BY 1, 2, 3""".stripMargin,
-    "q194_k_anonymize" ->
-      // the three level counts and the same finest-first CASE pick
-      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
-        |    c_mktsegment AS seg,
-        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal FROM customer),
-        |n0 AS (SELECT nation, seg, bal, count(*) AS c FROM q GROUP BY 1, 2, 3),
-        |n1 AS (SELECT nation, seg, count(*) AS c FROM q GROUP BY 1, 2),
-        |n2 AS (SELECT seg, count(*) AS c FROM q GROUP BY 1)
-        |SELECT q.c_custkey,
-        |  CAST(CASE WHEN n0.c >= 8 THEN 0 WHEN n1.c >= 8 THEN 1
-        |            WHEN n2.c >= 8 THEN 2 END AS BIGINT) AS lvl,
-        |  CAST(CASE WHEN n0.c >= 8 THEN n0.c WHEN n1.c >= 8 THEN n1.c
-        |            WHEN n2.c >= 8 THEN n2.c END AS BIGINT) AS grp_n
-        |FROM q JOIN n0 USING (nation, seg, bal)
-        |  JOIN n1 USING (nation, seg) JOIN n2 USING (seg)
-        |WHERE n0.c >= 8 OR n1.c >= 8 OR n2.c >= 8""".stripMargin,
-    "q225_l_diversity" ->
-      // both floors per level (count + distinct segments) and the same
-      // finest-first CASE pick
-      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
-        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal,
-        |    c_mktsegment AS s FROM customer),
-        |l0 AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n0,
-        |    CAST(count(DISTINCT s) AS BIGINT) AS d0 FROM q GROUP BY 1, 2),
-        |l1 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n1,
-        |    CAST(count(DISTINCT s) AS BIGINT) AS d1 FROM q GROUP BY 1)
-        |SELECT q.c_custkey,
-        |  CAST(CASE WHEN n0 >= 8 AND d0 >= 3 THEN 0
-        |            WHEN n1 >= 8 AND d1 >= 3 THEN 1 END AS BIGINT) AS lvl,
-        |  CASE WHEN n0 >= 8 AND d0 >= 3 THEN n0
-        |       WHEN n1 >= 8 AND d1 >= 3 THEN n1 END AS grp_n,
-        |  CASE WHEN n0 >= 8 AND d0 >= 3 THEN d0
-        |       WHEN n1 >= 8 AND d1 >= 3 THEN d1 END AS grp_l
-        |FROM q JOIN l0 USING (nation, bal) JOIN l1 USING (nation)
-        |WHERE (n0 >= 8 AND d0 >= 3) OR (n1 >= 8 AND d1 >= 3)""".stripMargin,
-    "q193_fuzzy_vocab_join" ->
-      // the |V|² cross join the deletion-neighborhood scheme replaces
-      """WITH v AS (SELECT DISTINCT lower(w) AS w FROM (
-        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
-        |    UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
-        |    UNION ALL SELECT unnest(string_split(p_brand, ' ')) FROM part
-        |    UNION ALL SELECT unnest(string_split(lower(text), ' ')) FROM documents)
-        |  WHERE length(w) > 0)
-        |SELECT a.w AS a, b.w AS b,
-        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
-        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2""".stripMargin,
-    "q192_skyline" ->
-      // the naive quadratic dominance filter the operator avoids
-      """WITH p AS (SELECT p_brand, p_partkey, p_size,
-        |    CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part)
-        |SELECT r.p_brand, r.p_partkey, r.p_size,
-        |  CAST(r.price AS DOUBLE) AS price
-        |FROM p r WHERE NOT EXISTS (
-        |  SELECT 1 FROM p q WHERE q.p_brand = r.p_brand
-        |    AND q.p_size >= r.p_size AND q.price <= r.price
-        |    AND (q.p_size > r.p_size OR q.price < r.price))""".stripMargin,
-    "q186_mad_outliers" ->
-      // both medians replayed with q121's rank convention, then the
-      // identical |x - med| > 3*MAD count per group
-      """WITH v AS (SELECT l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-        |  FROM lineitem),
-        |m AS (SELECT l_suppkey, x AS med FROM (
-        |    SELECT l_suppkey, x, row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS rn,
-        |           count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v)
-        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100)),
-        |d AS (SELECT v.l_suppkey, v.x, m.med, abs(v.x - m.med) AS dev
-        |      FROM v JOIN m ON v.l_suppkey = m.l_suppkey),
-        |md AS (SELECT l_suppkey, dev AS mad FROM (
-        |    SELECT l_suppkey, dev, row_number() OVER (PARTITION BY l_suppkey ORDER BY dev) AS rn,
-        |           count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM d)
-        |  WHERE rn = greatest(1, (50 * cnt + 99) // 100))
-        |SELECT d.l_suppkey, CAST(count(*) AS BIGINT) AS n,
-        |  min(d.med) AS median, min(md.mad) AS mad,
-        |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM d JOIN md ON d.l_suppkey = md.l_suppkey
-        |GROUP BY 1""".stripMargin,
-    "q109_exact_percentiles" ->
-      // replay: same rank arithmetic (integer ceil division), value
-      // fetched by row_number — the sort the engine side avoids
-      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |           FROM lineitem),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-        |ks(q_pct) AS (VALUES (50), (90), (99)),
-        |r AS (SELECT CAST(q_pct AS BIGINT) AS q_pct,
-        |             greatest(1, (q_pct * n.n + 99) // 100) AS rk FROM ks, n),
-        |w AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
-        |SELECT r.q_pct, CAST(r.rk AS BIGINT) AS rk, w.c AS value
-        |FROM r JOIN w ON w.rn = r.rk""".stripMargin,
-    "q107_retention" ->
-      // replay: first signup week per user, distinct active weeks,
-      // offset counts; epoch-ms integer division on both engines
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
-        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
-        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
-        |       CAST(p - p0 AS BIGINT) AS period_offset,
-        |       CAST(count(*) AS BIGINT) AS n_active
-        |FROM j GROUP BY p0, p""".stripMargin,
-    "q118_retention_stream" ->
-      // replay: identical to q107's — the streaming triangle's final
-      // totals equal the batch operator by the parity contract (the
-      // replay is event-time-ordered), and DuckDB replays the batch side
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
-        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
-        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
-        |       CAST(p - p0 AS BIGINT) AS period_offset,
-        |       CAST(count(*) AS BIGINT) AS n_active
-        |FROM j GROUP BY p0, p""".stripMargin,
-    "q108_snapshot_diff" ->
-      // replay: the same two versions, full outer join, null-safe
-      // column compare (IS DISTINCT FROM == Spark's <=> negated)
-      """WITH b AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
-        |a AS (SELECT o_orderkey,
-        |        o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 1000000 ELSE 0 END AS o_custkey,
-        |        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |      FROM orders WHERE o_orderkey % 13 <> 0)
-        |SELECT o_orderkey, change_type FROM (
-        |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
-        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
-        |         WHEN a.o_orderkey IS NULL THEN 'removed'
-        |         WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
-        |           OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
-        |           OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
-        |           OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
-        |           OR (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
-        |         THEN 'changed' ELSE 'unchanged' END AS change_type
-        |  FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
-        |) WHERE change_type <> 'unchanged'""".stripMargin,
-    "q120_line_scrub" ->
-      // replay: same 2-word-line reconstruction (1-based inclusive list
-      // slices == Spark's slice), then first-occurrence filter — DuckDB
-      // list_position over the preceding-lines slice returns 0 when
-      // absent, mirroring the engine's !exists(slice) predicate
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |c AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE array_to_string(
-        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INT)),
-        |      j -> array_to_string(toks[j*2+1 : j*2+2], ' ')), chr(10)) END AS text2
-        |  FROM t),
-        |l AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM c),
-        |k AS (SELECT doc_id, ls,
-        |    list_filter(ls, (x, i) -> list_position(ls[1:i-1], x) = 0) AS kept FROM l)
-        |SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned,
-        |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept
-        |FROM k""".stripMargin,
-    "q119_funnel_stream" ->
-      // replay: identical to q106's — the per-user machine's final
-      // snapshot over an event-time-ordered replay equals the batch
-      // funnel (FunnelSpec's parity), and DuckDB replays the batch side
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-        |           WHERE event_type IN ('view', 'click', 'purchase')),
-        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
-        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM e)
-        |SELECT u.user_id,
-        |  CAST(CASE WHEN t3.t IS NOT NULL THEN 3 WHEN t2.t IS NOT NULL THEN 2
-        |            WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
-        |  t3.t IS NOT NULL AS converted
-        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
-        |       LEFT JOIN t3 USING (user_id)""".stripMargin,
-    "q127_token_drift" ->
-      // replay: same md5-hex split, q04's tokenizer replay, FULL JOIN of
-      // the two vocab counts, HUGEINT products cast to DECIMAL(38,0)
-      // (Spark's decimal type — the driver's hasher is type-sensitive)
-      """WITH da AS (SELECT text FROM documents
-        |            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
-        |db AS (SELECT text FROM documents
-        |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
-        |ca AS (SELECT word AS token, count(*) AS n_a FROM (
-        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM da)
-        |       WHERE word <> '' GROUP BY 1),
-        |cb AS (SELECT word AS token, count(*) AS n_b FROM (
-        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM db)
-        |       WHERE word <> '' GROUP BY 1),
-        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
-        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-        |      FROM ca FULL JOIN cb ON ca.token = cb.token),
-        |t AS (SELECT (SELECT COALESCE(sum(n_a), 0) FROM j) AS ta,
-        |             (SELECT COALESCE(sum(n_b), 0) FROM j) AS tb)
-        |SELECT token, n_a, n_b,
-        |  CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS move
-        |FROM j, t
-        |ORDER BY move DESC, token ASC LIMIT 50""".stripMargin,
-    "q125_table_fingerprint" ->
-      // replay: same canonical strings (chr(1) separators, chr(2) null
-      // sentinel), same 15-hex-digit md5 prefix via the '0x' cast
-      // (q110's trick), bit_xor + HUGEINT sum mod 2^62 cast back to
-      // BIGINT (the driver's hasher is type-sensitive)
-      """WITH t AS (SELECT l_returnflag,
-        |    CAST('0x' || substr(md5(concat_ws(chr(1),
-        |      COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
-        |      COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
-        |      COALESCE(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(2)),
-        |      COALESCE(CAST(epoch_ms(l_shipdate) AS VARCHAR), chr(2)),
-        |      COALESCE(l_linestatus, chr(2)))), 1, 15) AS BIGINT) AS h
-        |  FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n, bit_xor(h) AS xor_fp,
-        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS sum_fp
-        |FROM t GROUP BY 1""".stripMargin,
-    "q122_window_stream" ->
-      // replay: identical to q21's — event-time-ordered delivery with a
-      // sentinel-advanced final watermark makes the append-mode output
-      // set equal the batch tumbling aggregate
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
-        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q123_running_agg_stream" ->
-      // replay: identical to q08's — a commutative running aggregate's
-      // final update equals the batch aggregate on any delivery order
-      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
-        |FROM events GROUP BY user_id, event_type""".stripMargin,
-    "q128_sliding_stream" ->
-      // replay: identical to q22's — the same sentinel-flush argument
-      // as q122, per overlapping window
-      """SELECT (epoch_ms(ts) // 1200000 - k.k) * 1200000 AS win_start_ms, event_type,
-        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events, (VALUES (0),(1),(2)) k(k)
-        |GROUP BY 1, 2""".stripMargin,
-    "q126_session_stream" ->
-      // replay: identical to q23's — in-order delivery with a
-      // sentinel-advanced final watermark closes every session exactly
-      // as the batch gap-split does
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ems FROM events),
-        |d AS (SELECT user_id, ems,
-        |  CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
-        |         OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) >= 1800000
-        |       THEN 1 ELSE 0 END AS new_s FROM e),
-        |s AS (SELECT user_id, ems,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) AS sid FROM d)
-        |SELECT min(ems) AS session_start_ms, user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
-    "q124_interval_join_stream" ->
-      // replay: identical to q24's — a stream-stream INNER join's output
-      // set is delivery-order independent under conservative state
-      // eviction. The bound compares at MICROSECOND precision (epoch_us),
-      // unlike q24's ms convention: the Spark side must keep the raw µs
-      // event-time columns in its range predicate (watermark state-
-      // eviction bounds are derived from them), so the oracle follows
-      // the Spark predicate rather than the other way around — an
-      // ms-truncated oracle would diverge on any pair whose true gap
-      // falls within 1 ms of the ±6 h boundary.
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
-        |FROM events p JOIN events c
-        |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
-    "q222_interval_join_outer_stream" ->
-      // q124's replay as a LEFT join: the unmatched purchases carry
-      // NULL click_id/delta_ms — the rows the streaming side may only
-      // emit on watermark expiry. Same µs-precision bound (the Spark
-      // side's range predicate runs on the raw event-time columns).
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |ON p.user_id = c.user_id
-        |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
-    "q129_restart_exactly_once" ->
-      // replay: identical to q21's — the stop/restart must be invisible
-      // in the final table; any offset replay, lost batch or stale
-      // window state across the checkpoint boundary breaks the compare
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, event_type,
-        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q130_late_drop_stream" ->
-      // replay: the drop rule itself. Slice of a row = its position
-      // among 8 equal ms-ranges (the inverse of Replay's boundary
-      // formula: idx = ((v-lo)*8+7)//N for ranges [lo+N*i/8,
-      // lo+N*(i+1)/8), N=hi-lo+1 — ReplaySpec pins the equivalence);
-      // LATE-filter watermark of the batch at delivery position p =
-      // running max of the slices' max epoch-ms over positions ≤ p−2,
-      // minus 240 h — the 2-PRECEDING frame is Spark's one-batch lag
-      // between late filtering and eviction (SPARK-40925; StreamingSpec
-      // pins it: a 1-PRECEDING rule would drop slices displaced by one
-      // position, which Spark keeps). Spark tracks event-time stats in
-      // TRUNCATED ms and updates watermarks only between micro-batches;
-      // the first two delivered slices see no watermark. A row survives
-      // iff its hourly window's end EXCEEDS the watermark (Spark drops
-      // window.end <= wm). The VALUES list is q130Order as
-      // (slice, position) pairs.
-      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
-        |e AS (SELECT event_type, epoch_ms(ts) AS ems,
-        |        ((epoch_ms(ts) - b.lo) * 8 + 7) // (b.hi - b.lo + 1) AS slice
-        |      FROM events, b),
-        |sm AS (SELECT slice, max(ems) AS smax FROM e GROUP BY slice),
-        |ord(slice, pos) AS (VALUES (2,0),(3,1),(0,2),(1,3),(6,4),(7,5),(4,6),(5,7)),
-        |w AS (SELECT o.slice,
-        |        max(sm.smax) OVER (ORDER BY o.pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 864000000 AS wm
-        |      FROM ord o JOIN sm ON o.slice = sm.slice),
-        |kept AS (SELECT e.event_type, e.ems FROM e JOIN w ON e.slice = w.slice
-        |         WHERE w.wm IS NULL OR ((e.ems // 3600000) + 1) * 3600000 > w.wm)
-        |SELECT (ems // 3600000) * 3600000 AS win_start_ms, event_type,
-        |count(*) AS cnt FROM kept GROUP BY 1, 2""".stripMargin,
-    "q135_dedup_stream" ->
-      // replay: the echoes must be COMPLETELY invisible — the streamed
-      // dedup of (events ∪ redelivered clicks) is exactly events
-      "SELECT event_id, user_id, event_type FROM events",
-    "q134_retention_restart" ->
-      // replay: identical to q107's — the mid-replay stop/restart of
-      // the custom keyed state must be invisible in the result
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
-        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
-        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
-        |       CAST(p - p0 AS BIGINT) AS period_offset,
-        |       CAST(count(*) AS BIGINT) AS n_active
-        |FROM j GROUP BY p0, p""".stripMargin,
-    "q133_retention_rocksdb" ->
-      // replay: identical to q107's — the state backend must be
-      // invisible in the result
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |f AS (SELECT user_id, min(ms) // 604800000 AS p0 FROM e
-        |      WHERE event_type = 'signup' GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, ms // 604800000 AS p FROM e),
-        |j AS (SELECT f.p0, a.p FROM a JOIN f USING (user_id) WHERE a.p >= f.p0)
-        |SELECT CAST(p0 * 604800000 AS BIGINT) AS cohort_ms,
-        |       CAST(p - p0 AS BIGINT) AS period_offset,
-        |       CAST(count(*) AS BIGINT) AS n_active
-        |FROM j GROUP BY p0, p""".stripMargin,
-    "q131_groupwise_percentiles" ->
-      // replay: q121's rank arithmetic per (group, pct) virtual group —
-      // value by partitioned row_number, the per-group sort the engine
-      // side avoids
-      """WITH v AS (SELECT l_suppkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM lineitem),
-        |r AS (SELECT l_suppkey, c,
-        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY c) AS rn,
-        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt FROM v),
-        |ks(q_pct) AS (VALUES (50), (90), (99))
-        |SELECT r.l_suppkey, CAST(ks.q_pct AS BIGINT) AS q_pct,
-        |  CAST(r.cnt AS BIGINT) AS n,
-        |  CAST(greatest(1, (ks.q_pct * r.cnt + 99) // 100) AS BIGINT) AS rk,
-        |  r.c AS value
-        |FROM r, ks WHERE r.rn = greatest(1, (ks.q_pct * r.cnt + 99) // 100)""".stripMargin,
-    "q132_drift_baseline" ->
-      // replay: identical to q127's — the persisted-baseline roundtrip
-      // must be invisible in the drift result
-      """WITH da AS (SELECT text FROM documents
-        |            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
-        |db AS (SELECT text FROM documents
-        |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
-        |ca AS (SELECT word AS token, count(*) AS n_a FROM (
-        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM da)
-        |       WHERE word <> '' GROUP BY 1),
-        |cb AS (SELECT word AS token, count(*) AS n_b FROM (
-        |         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM db)
-        |       WHERE word <> '' GROUP BY 1),
-        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
-        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-        |      FROM ca FULL JOIN cb ON ca.token = cb.token),
-        |t AS (SELECT (SELECT COALESCE(sum(n_a), 0) FROM j) AS ta,
-        |             (SELECT COALESCE(sum(n_b), 0) FROM j) AS tb)
-        |SELECT token, n_a, n_b,
-        |  CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS move
-        |FROM j, t
-        |ORDER BY move DESC, token ASC LIMIT 50""".stripMargin,
-    "q106_funnel" ->
-      // replay: greedy earliest-match == chained conditional mins
-      // (earliest step-i match never forecloses step i+1); epoch_us is
-      // exact against Spark's µs timestamps (q93's convention)
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-        |           WHERE event_type IN ('view', 'click', 'purchase')),
-        |t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY e.user_id),
-        |t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM e)
-        |SELECT u.user_id,
-        |  CAST(CASE WHEN t3.t IS NOT NULL THEN 3 WHEN t2.t IS NOT NULL THEN 2
-        |            WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
-        |  t3.t IS NOT NULL AS converted
-        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
-        |       LEFT JOIN t3 USING (user_id)""".stripMargin,
-    "q105_entropy" ->
-      // replay: per-doc unigram histogram, bitlen via binary format
-      // length (q81's trick); zero-token docs join back as zeros
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY doc_id, tok),
-        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd
-        |      FROM c GROUP BY doc_id),
-        |e AS (SELECT c.doc_id,
-        |    CAST(sum(c.c * (length(format('{:b}', n.n)) - length(format('{:b}', c.c)))) AS BIGINT) AS ent
-        |  FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
-        |SELECT t.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
-        |       CAST(coalesce(n.nd, 0) AS BIGINT) AS n_distinct,
-        |       CAST(coalesce(e.ent, 0) AS BIGINT) AS ent_bits
-        |FROM t LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)""".stripMargin,
-    "q100_dsir_weights" ->
-      // replay: same md5 feature buckets ('0x' hex cast % 1024), add-one
-      // smoothed bucket counts per corpus, bitlen via binary format
-      // length (q81's trick) — the whole weight is integer arithmetic
-      """WITH t AS (SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |f AS (SELECT doc_id, source,
-        |    toks || CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
-        |      ELSE [] END AS fs
-        |  FROM t),
-        |x AS (SELECT doc_id, source,
-        |    CAST(('0x' || substring(md5(unnest(fs)), 1, 8)) AS BIGINT) % 1024 AS b
-        |  FROM f),
-        |tc AS (SELECT b, count(*) AS c FROM x WHERE source = 'src0' GROUP BY b),
-        |rc AS (SELECT b, count(*) AS c FROM x GROUP BY b),
-        |nt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nt FROM tc),
-        |nr AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nr FROM rc),
-        |sc AS (SELECT x.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(sum(length(format('{:b}', coalesce(tc.c, 0) + 1))
-        |           - length(format('{:b}', coalesce(rc.c, 0) + 1))) AS BIGINT) AS s_bits
-        |  FROM x LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
-        |  GROUP BY x.doc_id)
-        |SELECT sc.doc_id, sc.n_feats,
-        |  CAST(sc.s_bits + sc.n_feats *
-        |    (length(format('{:b}', nr.nr)) - length(format('{:b}', nt.nt))) AS BIGINT) AS weight_bits
-        |FROM sc, nt, nr
-        |UNION ALL
-        |SELECT doc_id, 0, 0 FROM f WHERE len(fs) = 0""".stripMargin,
-    "q99_stratified_priority" ->
-      // q97's md5 uniform + IEEE division, ranked per source
-      """SELECT source, doc_id, n_chars FROM (
-        |  SELECT source, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY
-        |      CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
-        |        / CAST(n_chars AS DOUBLE), doc_id) AS rk
-        |  FROM documents
-        |) WHERE rk <= 10""".stripMargin,
-    "q97_priority_sample" ->
-      // same 52-bit md5 uniform ('0x'-prefixed hex cast == Spark's conv)
-      // and the same single IEEE division; ties break by doc_id
-      """SELECT doc_id, n_chars FROM (
-        |  SELECT doc_id, n_chars,
-        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
-        |      / CAST(n_chars AS DOUBLE) AS pri
-        |  FROM documents
-        |)
-        |ORDER BY pri, doc_id
-        |LIMIT 100""".stripMargin,
-    "q96_overlap_join" ->
-      // the plain overlap join at epoch_us (Spark's µs precision)
-      """WITH wa AS (
-        |  SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 10 MINUTE AS a_end
-        |  FROM events WHERE event_id % 500 = 0
-        |), wb AS (
-        |  SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 7 MINUTE AS b_end
-        |  FROM events WHERE event_id % 700 = 0
-        |)
-        |SELECT a_id, b_id FROM wa JOIN wb
-        |  ON epoch_us(a_start) <= epoch_us(b_end)
-        | AND epoch_us(b_start) <= epoch_us(a_end)""".stripMargin,
-    "q95_corpus_report" ->
-      // q91's integer score replayed, plus tokenizer/fingerprint CTEs —
-      // the data card composed from already-proven oracle pieces
-      """WITH t AS (
-        |  SELECT doc_id, source, lang, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents
-        |),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], tk))) AS BIGINT) AS n_stop,
-        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
-        |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM t
-        |),
-        |sc AS (
-        |  SELECT doc_id,
-        |    (n_stop * 1000) // greatest(n_tokens, 1) * 4
-        |      + (n_uniq * 1000) // greatest(n_tokens, 1) * 2
-        |      + (n_digit * 1000) // greatest(n_chars, 1) * (-3)
-        |      + (n_punct * 1000) // greatest(n_chars, 1) * (-2) - 900 AS score
-        |  FROM f
-        |)
-        |SELECT t.source, count(*) AS n_docs,
-        |  CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
-        |  count(DISTINCT t.lang) AS n_langs,
-        |  CAST(sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
-        |  count(DISTINCT md5(array_to_string(t.toks, ' '))) AS n_unique_texts,
-        |  CAST(sum(sc.score) AS BIGINT) AS score_sum
-        |FROM t JOIN sc USING (doc_id)
-        |GROUP BY t.source""".stripMargin,
-    "q94_nfc_fingerprint" ->
-      // chr(769) = U+0301 combining acute, chr(776) = U+0308 combining
-      // diaeresis — the same planted decomposed tail; length counts
-      // codepoints in both engines
-      """WITH p AS (
-        |  SELECT doc_id,
-        |         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS t
-        |  FROM documents
-        |)
-        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
-        |       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
-        |       md5(nfc_normalize(t)) AS fp
-        |FROM p""".stripMargin,
-    "q93_range_join" ->
-      // the plain range join; epoch_us matches Spark's µs timestamp
-      // precision exactly (the parquet ns values are µs-aligned)
-      """WITH w AS (
-        |  SELECT event_id AS w_id, ts AS w_start,
-        |         ts + INTERVAL 10 MINUTE AS w_end
-        |  FROM events WHERE event_id % 500 = 0
-        |)
-        |SELECT w.w_id, e.event_id, epoch_ms(e.ts) AS ts_ms
-        |FROM events e JOIN w
-        |  ON epoch_us(e.ts) >= epoch_us(w.w_start)
-        | AND epoch_us(e.ts) <= epoch_us(w.w_end)""".stripMargin,
-    "q86_ivfpq_residual" ->
-      // q77's coarse replay + residual computation + salted-sample PQ
-      // codebook + residual ADC; every float fold index-ordered (DuckDB
-      // lambda index i is 1-based — used directly against 1-based list
-      // indexing, so components align with Spark's 0-based zip_with)
-      """WITH sampled AS (
-        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
-        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
-        |), cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
-        |         CAST(embedding AS DOUBLE[]) AS centroid
-        |  FROM sampled
-        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
-        |assigned AS (
-        |  SELECT cell, cand_id, cv FROM (
-        |    SELECT c.cell, e.vec_id AS cand_id, CAST(e.embedding AS DOUBLE[]) AS cv,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c
-        |  ) WHERE rk = 1
-        |), resid AS (
-        |  SELECT a.cell, a.cand_id,
-        |         list_transform(a.cv, (x, i) -> x - cb.cents[a.cell+1][i]) AS rv
-        |  FROM assigned a CROSS JOIN cb
-        |), psampled AS (
-        |  SELECT cand_id, rv, md5(CAST(cand_id AS VARCHAR) || ':pq') AS mk
-        |  FROM resid ORDER BY mk, cand_id LIMIT 16
-        |), pcent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY mk, cand_id) - 1 AS INTEGER) AS cell,
-        |         rv AS centroid
-        |  FROM psampled
-        |), pcb AS (SELECT list(centroid ORDER BY cell) AS cents FROM pcent),
-        |enc AS (
-        |  SELECT cand_id, cell2, list(code ORDER BY m) AS codes FROM (
-        |    SELECT cand_id, cell2, m, cell AS code FROM (
-        |      SELECT r.cand_id, r.cell AS cell2, mm.m, p.cell,
-        |        row_number() OVER (PARTITION BY r.cand_id, mm.m
-        |          ORDER BY list_sum(list_transform(range(8), j ->
-        |            (r.rv[mm.m*8+j+1] - p.centroid[mm.m*8+j+1])
-        |            * (r.rv[mm.m*8+j+1] - p.centroid[mm.m*8+j+1]))) ASC,
-        |          p.cell ASC) AS rk
-        |      FROM resid r
-        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
-        |      CROSS JOIN pcent p)
-        |    WHERE rk = 1)
-        |  GROUP BY cand_id, cell2
-        |), probes AS (
-        |  SELECT cell, query_id, qv FROM (
-        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-        |  ) WHERE rk <= 4
-        |), qres AS (
-        |  SELECT p.cell, p.query_id,
-        |         list_transform(p.qv, (x, i) -> x - cb.cents[p.cell+1][i]) AS qv
-        |  FROM probes p CROSS JOIN cb
-        |), scored AS (
-        |  SELECT p.query_id, e.cand_id,
-        |    list_sum(list_transform(range(8), m ->
-        |      list_sum(list_transform(range(8), j ->
-        |        (p.qv[m*8+j+1] - pcb.cents[e.codes[m+1]+1][m*8+j+1])
-        |        * (p.qv[m*8+j+1] - pcb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
-        |  FROM qres p JOIN enc e ON e.cell2 = p.cell
-        |  CROSS JOIN pcb
-        |  WHERE p.query_id <> e.cand_id
-        |)
-        |SELECT query_id, cand_id, rk FROM (
-        |  SELECT query_id, cand_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
-    "q85_lm_score_ref" ->
-      // counts from the even half, scored odd half, OOV counts default to
-      // bitlen(1) — all integer, replayed exactly
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents),
-        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
-        |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
-        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
-        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg
-        |       WHERE doc_id % 2 = 1 GROUP BY doc_id, w1, w2)
-        |SELECT db.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(CASE WHEN c2.c2 IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
-        |       CAST(sum(cnt * (length(format('{:b}', coalesce(c1.c1, 1)))
-        |                       - length(format('{:b}', coalesce(c2.c2, 1))))) AS BIGINT) AS surprisal_bits
-        |FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
-        |        LEFT JOIN c1 ON db.w1 = c1.w1
-        |GROUP BY db.doc_id""".stripMargin,
-    "q84_event_pagerank" ->
-      // three unrolled fixed-point iterations — every quantity BIGINT,
-      // every division floor (DuckDB // == Spark div for non-negatives),
-      // so ranks are bit-identical with no float summation order issues
-      """WITH tr AS (
-        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-        |         event_type AS dst
-        |  FROM events),
-        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
-        |      WHERE src IS NOT NULL GROUP BY src, dst),
-        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
-        |it0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, nn),
-        |it1 AS (SELECT nodes.v,
-        |          CAST((1000000000000 * 15) // (100 * nn.n)
-        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
-        |        FROM nodes CROSS JOIN nn
-        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
-        |                   FROM e JOIN outw o ON e.src = o.src JOIN it0 p ON p.v = e.src
-        |                   GROUP BY e.dst) s ON s.v = nodes.v),
-        |it2 AS (SELECT nodes.v,
-        |          CAST((1000000000000 * 15) // (100 * nn.n)
-        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
-        |        FROM nodes CROSS JOIN nn
-        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
-        |                   FROM e JOIN outw o ON e.src = o.src JOIN it1 p ON p.v = e.src
-        |                   GROUP BY e.dst) s ON s.v = nodes.v),
-        |it3 AS (SELECT nodes.v,
-        |          CAST((1000000000000 * 15) // (100 * nn.n)
-        |               + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
-        |        FROM nodes CROSS JOIN nn
-        |        LEFT JOIN (SELECT e.dst AS v, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
-        |                   FROM e JOIN outw o ON e.src = o.src JOIN it2 p ON p.v = e.src
-        |                   GROUP BY e.dst) s ON s.v = nodes.v)
-        |SELECT v AS event_type, r AS rank_fp FROM it3""".stripMargin,
-    "q83_bpe_pairs" ->
-      // char decomposition via 1-based single-char slices (character-
-      // aware in both engines); same weighting and total rank order
-      """WITH w AS (SELECT word, count(*) AS freq FROM
-        |  (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
-        |   FROM documents) GROUP BY word),
-        |s AS (SELECT freq, list_transform(range(length(word)), j -> word[j+1:j+1]) || ['</w>'] AS syms
-        |      FROM w),
-        |p AS (SELECT syms[i+1] AS l, syms[i+2] AS r, freq
-        |      FROM (SELECT syms, freq, unnest(range(len(syms) - 1)) AS i FROM s)),
-        |c AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY l, r)
-        |SELECT l, r, cnt, rk FROM (
-        |  SELECT l, r, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rk
-        |  FROM c)
-        |WHERE rk <= 30""".stripMargin,
-    "q82_span_screen_scrub" ->
-      // q80's indexed-gram span replay + q75's outside-the-spans text
-      // reconstruction, over the odd-id (incoming) half only
-      """WITH t AS (SELECT doc_id,
-        |             coalesce(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), []) AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
-        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
-        |idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
-        |h AS (SELECT g.doc_id, g.pos FROM g JOIN idx USING (gram) WHERE g.doc_id % 2 = 1),
-        |b AS (SELECT doc_id, pos,
-        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
-        |      FROM h),
-        |m AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM b),
-        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM m GROUP BY doc_id, grp),
-        |rm AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id),
-        |odd AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1),
-        |p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM odd),
-        |kept AS (SELECT p.doc_id, p.i, p.toks[p.i + 1] AS tok FROM p
-        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |                           WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS scrubbed FROM kept GROUP BY doc_id)
-        |SELECT odd.doc_id, CAST(len(odd.toks) AS BIGINT) AS n_tokens,
-        |       coalesce(rm.n_removed, 0) AS n_removed,
-        |       coalesce(agg.scrubbed, '') AS scrubbed_text
-        |FROM odd LEFT JOIN rm USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
-    "q81_lm_surprisal" ->
-      // bitlen(x) = length of the binary string = floor(log2 x)+1 in both
-      // engines (Spark bin() / DuckDB format('{:b}')), so the whole score
-      // is integer arithmetic
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents),
-        |b AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
-        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
-        |db AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b GROUP BY doc_id, w1, w2),
-        |c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM db GROUP BY w1, w2),
-        |c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM db GROUP BY w1)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(cnt * (length(format('{:b}', c1.c1)) - length(format('{:b}', c2.c2)))) AS BIGINT) AS surprisal_bits
-        |FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        |GROUP BY doc_id""".stripMargin,
-    "q80_span_screen" ->
-      // replay: indexed side = distinct 8-gram fingerprints of even-id
-      // docs; hits = odd-id gram occurrences present in that set; spans
-      // merge by q74's lag/running-sum chain
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS gram
-        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8)),
-        |idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
-        |h AS (SELECT g.doc_id, g.pos FROM g JOIN idx USING (gram) WHERE g.doc_id % 2 = 1),
-        |b AS (SELECT doc_id, pos,
-        |        CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS brk
-        |      FROM h),
-        |m AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM b)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
-        |       max(pos) + 8 - min(pos) AS n_span_tokens
-        |FROM m GROUP BY doc_id, grp""".stripMargin,
-    "q79_semantic_dedup" ->
-      // brute-force pair ground truth (q45's construction) + recursive
-      // min-label components (q55's shape) + canonical-only selection
-      """WITH RECURSIVE em AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000000,
-        |         list_transform(CAST(embedding AS DOUBLE[]),
-        |                        (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1)))
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |pr AS (SELECT a.id AS id_a, b.id AS id_b FROM em a, em b
-        |       WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.95),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
-        |cc AS (
-        |  SELECT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id),
-        |drop_ids AS (SELECT id FROM (SELECT id, min(label) AS cluster FROM cc GROUP BY id)
-        |             WHERE id <> cluster)
-        |SELECT em.id FROM em WHERE em.id NOT IN (SELECT id FROM drop_ids)""".stripMargin,
-    "q78_shuffle_rank" ->
-      """SELECT doc_id,
-        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
-        |FROM documents""".stripMargin,
-    "q76_pq_topk" ->
-      // full PQ replay: deterministic 16-row codebook (same md5-order
-      // sample as q42), per-subspace argmin encode (squared L2, ties to
-      // the lowest codeword), ADC = sum over subspaces of ||subq -
-      // codeword||^2 — every float fold is left-to-right in both engines
-      // so ranks compare exactly; only (query_id, cand_id, rk) is output
-      """WITH sampled AS (
-        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
-        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
-        |), cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
-        |         CAST(embedding AS DOUBLE[]) AS centroid
-        |  FROM sampled
-        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
-        |enc AS (
-        |  SELECT cand_id, list(code ORDER BY m) AS codes FROM (
-        |    SELECT cand_id, m, cell AS code FROM (
-        |      SELECT e.vec_id AS cand_id, mm.m, c.cell,
-        |        row_number() OVER (PARTITION BY e.vec_id, mm.m
-        |          ORDER BY list_sum(list_transform(range(8), j ->
-        |            (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1])
-        |            * (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1]))) ASC,
-        |          c.cell ASC) AS rk
-        |      FROM embeddings e
-        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
-        |      CROSS JOIN cent c)
-        |    WHERE rk = 1)
-        |  GROUP BY cand_id
-        |), scored AS (
-        |  SELECT q.vec_id AS query_id, e.cand_id,
-        |    list_sum(list_transform(range(8), m ->
-        |      list_sum(list_transform(range(8), j ->
-        |        (CAST(q.embedding[m*8+j+1] AS DOUBLE) - cb.cents[e.codes[m+1]+1][m*8+j+1])
-        |        * (CAST(q.embedding[m*8+j+1] AS DOUBLE) - cb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
-        |  FROM enc e CROSS JOIN cb
-        |  CROSS JOIN embeddings q
-        |  WHERE q.vec_id < 10 AND q.vec_id <> e.cand_id
-        |)
-        |SELECT query_id, cand_id, rk FROM (
-        |  SELECT query_id, cand_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
-    "q77_ivfpq_topk" ->
-      // q42's coarse IVF replay (cosine cells + probes) composed with
-      // q76's PQ replay (encode + ADC); nCells = ksub = 16 so the one
-      // deterministic sample serves both roles, exactly as the Spark side
-      """WITH sampled AS (
-        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS mk
-        |  FROM embeddings ORDER BY mk, vec_id LIMIT 16
-        |), cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER) AS cell,
-        |         CAST(embedding AS DOUBLE[]) AS centroid
-        |  FROM sampled
-        |), cb AS (SELECT list(centroid ORDER BY cell) AS cents FROM cent),
-        |assigned AS (
-        |  SELECT cell, cand_id FROM (
-        |    SELECT c.cell, e.vec_id AS cand_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c
-        |  ) WHERE rk = 1
-        |), enc AS (
-        |  SELECT cand_id, list(code ORDER BY m) AS codes FROM (
-        |    SELECT cand_id, m, cell AS code FROM (
-        |      SELECT e.vec_id AS cand_id, mm.m, c.cell,
-        |        row_number() OVER (PARTITION BY e.vec_id, mm.m
-        |          ORDER BY list_sum(list_transform(range(8), j ->
-        |            (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1])
-        |            * (CAST(e.embedding[mm.m*8+j+1] AS DOUBLE) - c.centroid[mm.m*8+j+1]))) ASC,
-        |          c.cell ASC) AS rk
-        |      FROM embeddings e
-        |      CROSS JOIN (SELECT unnest(range(8)) AS m) mm
-        |      CROSS JOIN cent c)
-        |    WHERE rk = 1)
-        |  GROUP BY cand_id
-        |), probes AS (
-        |  SELECT cell, query_id, qv FROM (
-        |    SELECT c.cell, q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, c.cell ASC) AS rk
-        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-        |  ) WHERE rk <= 4
-        |), scored AS (
-        |  SELECT p.query_id, a.cand_id,
-        |    list_sum(list_transform(range(8), m ->
-        |      list_sum(list_transform(range(8), j ->
-        |        (p.qv[m*8+j+1] - cb.cents[e.codes[m+1]+1][m*8+j+1])
-        |        * (p.qv[m*8+j+1] - cb.cents[e.codes[m+1]+1][m*8+j+1]))))) AS adist
-        |  FROM probes p JOIN assigned a USING (cell)
-        |  JOIN enc e ON e.cand_id = a.cand_id
-        |  CROSS JOIN cb
-        |  WHERE p.query_id <> a.cand_id
-        |)
-        |SELECT query_id, cand_id, rk FROM (
-        |  SELECT query_id, cand_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
-    "q72_crosscorpus_embedding" ->
-      // brute-force cross ground truth over the same two planted corpora
-      // (q45's construction, split into disjoint sides; DuckDB lambda
-      // index is 1-based vs Spark's 0-based)
-      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT vec_id + 10000000 AS id,
-        |        list_transform(CAST(embedding AS DOUBLE[]),
-        |                       (x, i) -> x * (1.0 + 0.01 * ((i - 1) % 3 - 1))) AS v
-        |      FROM embeddings WHERE vec_id % 20 = 0)
-        |SELECT id_a, id_b FROM (
-        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS c
-        |  FROM a, b
-        |) WHERE c >= 0.95""".stripMargin,
-    "q71_crosscorpus_neardup" ->
-      // brute-force cross-corpus ground truth (same shingle construction
-      // as the q52/q55 oracles)
-      """WITH t AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)),
-        |a AS (SELECT * FROM t WHERE doc_id % 2 = 0 AND len(sh) > 0),
-        |b AS (SELECT * FROM t WHERE doc_id % 2 = 1 AND len(sh) > 0)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-        |  FROM a, b
-        |) WHERE jaccard >= 0.8""".stripMargin,
-    "q37_minhash_pairs" ->
-      // full replay of the MinHash-LSH chain: shingles (with the <n
-      // whole-doc fallback), ONE polynomial base per shingle, the 32
-      // splitmix-finalized hash-family members vectorized as rows over
-      // DISTINCT bases (not nested lambdas — 10x cheaper), signed minima
-      // per (doc, k), 16x2 banding joined on the band SLICE (the bucket
-      // hash is only an equality key, so slices replay it exactly), and
-      // the exact-Jaccard verify at 0.4
-      s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_distinct(list_transform(range(len(toks) - 2),
-         |                i -> array_to_string(toks[i+1:i+3], ' ')))
-         |    END AS sh
-         |  FROM t),
-         |db AS (
-         |  SELECT doc_id, sh, unnest(list_transform(sh, s ->
-         |    ${polyBaseSql("s")})) AS b
-         |  FROM sh),
-         |bx AS (SELECT DISTINCT b FROM db),
-         |z0t AS (SELECT b, k, xor(b, g) AS z0 FROM bx
-         |        CROSS JOIN (SELECT unnest(range(32)) AS k, unnest([${goldenLits(32)}]) AS g) kg),
-         |z1t AS (SELECT b, k, xor(z0, z0 // 1073741824) AS z1 FROM z0t),
-         |z2t AS (SELECT b, k, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
-         |z3t AS (SELECT b, k, xor(z2, z2 // 134217728) AS z3 FROM z2t),
-         |z4t AS (SELECT b, k, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
-         |mk AS (SELECT b, k,
-         |  CAST(CASE WHEN z5 >= 9223372036854775808 THEN z5 - 18446744073709551616 ELSE z5 END AS BIGINT) AS h
-         |  FROM (SELECT b, k, xor(z4, z4 // 2147483648) AS z5 FROM z4t)),
-         |sigr AS (SELECT db.doc_id, mk.k, min(mk.h) AS m
-         |         FROM db JOIN mk USING (b) GROUP BY db.doc_id, mk.k),
-         |sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sigr GROUP BY doc_id),
-         |keyed AS (
-         |  SELECT s.doc_id, sh.sh, u.band,
-         |    array_to_string(s.sig[CAST(2*u.band+1 AS INT):CAST(2*u.band+2 AS INT)], ',') AS bkey
-         |  FROM sig s JOIN sh USING (doc_id)
-         |  CROSS JOIN (SELECT unnest(range(16)) AS band) u),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
-         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(list_distinct(sha || shb)) AS jaccard
-         |FROM cand
-         |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(list_distinct(sha || shb)) >= 0.4""".stripMargin,
-    "q38_simhash" ->
-      // Charikar bit votes replayed: one base fold per token, splitmix
-      // finalizer vectorized over distinct bases, per-bit majority via
-      // (h // 2^b) % 2, empty docs vote to 0
-      s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |db AS (
-         |  SELECT doc_id, unnest(list_transform(toks, s ->
-         |    ${polyBaseSql("s")})) AS b
-         |  FROM t),
-         |bx AS (SELECT DISTINCT b FROM db),
-         |z1t AS (SELECT b, xor(b, b // 1073741824) AS z1 FROM bx),
-         |z2t AS (SELECT b, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
-         |z3t AS (SELECT b, xor(z2, z2 // 134217728) AS z3 FROM z2t),
-         |z4t AS (SELECT b, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
-         |mx AS (SELECT b, xor(z4, z4 // 2147483648) AS h FROM z4t),
-         |votes AS (
-         |  SELECT db.doc_id, bits.bit,
-         |    sum(CASE WHEN (mx.h // bits.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM db JOIN mx USING (b)
-         |  CROSS JOIN (SELECT unnest(range(64)) AS bit,
-         |              unnest([${(0 until 64).map(b => java.lang.Long.toUnsignedString(1L << b)).mkString(", ")}]) AS p) bits
-         |  GROUP BY db.doc_id, bits.bit),
-         |shh AS (
-         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(p AS HUGEINT) ELSE 0 END) AS u
-         |  FROM (SELECT doc_id, v, [${(0 until 64).map(b => java.lang.Long.toUnsignedString(1L << b)).mkString(", ")}][CAST(bit+1 AS INT)] AS p FROM votes)
-         |  GROUP BY doc_id)
-         |SELECT doc_id,
-         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
-         |FROM shh
-         |UNION ALL
-         |SELECT doc_id, 0 FROM t WHERE len(toks) = 0""".stripMargin,
-    // q44_approx_distinct / q54_approx_percentile: genuinely approximate
-    // engine-internal sketches (HLL++ / KLL) — no other engine can replay
-    // them; driver records rows-only checks, accuracy is asserted in
-    // ScalaTest error-bound tests instead.
-    // q47 left the no-oracle list in round 7 (portable winnowing kernel),
-    // q37/q38 followed: the minhash/simhash element hash became the
-    // portable splitmix(polyBase ^ k·GOLDEN) family, so the full LSH
-    // banding and bit-vote chains replay above.
-  )
+  def oracleSql: Map[String, String] =
+    EntryOraclesBase.base ++ EntryOraclesExt.sql
 }

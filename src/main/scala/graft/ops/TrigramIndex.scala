@@ -211,6 +211,82 @@ object TrigramIndex {
       (s, p) => call_function("like", s, p))
   }
 
+  /** Regex metacharacters [[searchRegex]] refuses: alternation,
+    * groups, classes, bounded repeats, and escapes defeat simple
+    * required-literal extraction (a literal inside `(a|b)` is not
+    * required), and `^`/`$` anchor differently across engines (Java's
+    * `$` accepts a final line terminator, RE2's does not). The
+    * supported subset — literals plus `.` `*` `+` `?` — keeps the
+    * extraction sound and the verify engine-portable.
+    */
+  private[ops] val regexMeta: Set[Char] =
+    Set('|', '(', ')', '[', ']', '{', '}', '\\', '^', '$')
+
+  /** REQUIRED literal runs of a restricted regex: maximal literal
+    * stretches every match must contain contiguously. `.` breaks a
+    * run; `X?`/`X*` make X optional, so X leaves its run and the run
+    * breaks; `X+` keeps X (required at least once) but breaks the run
+    * after it (repeats may separate it from what follows).
+    */
+  private[ops] def regexLiteralRuns(pat: String): Seq[String] = {
+    val runs = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) runs += cur.toString; cur.clear() }
+    pat.foreach {
+      case '.' => flush()
+      case '*' | '?' =>
+        if (cur.nonEmpty) cur.setLength(cur.length - 1)
+        flush()
+      case '+' => flush()
+      case c => cur.append(c)
+    }
+    flush()
+    runs.toSeq
+  }
+
+  /** Regex search over the same index — the full code-search trick
+    * (the module's citation): REQUIRED literal runs extracted from a
+    * restricted regex (literals + `.` `*` `+` `?`; see [[regexMeta]]
+    * for what is refused and why) become the counting-AND grams, then
+    * an exact per-row `regexp_like` verify (unanchored find semantics,
+    * identical across Spark and DuckDB's RE2 for this subset) runs on
+    * candidates only. Patterns are matched against the LOWERCASED
+    * text, like every search on this index; patterns with no
+    * extractable 3+-char literal run fail fast — the index cannot
+    * prune them and a silent corpus scan is never what an index
+    * caller wants.
+    */
+  def searchRegex(spark: SparkSession, queries: DataFrame, qid: Column,
+                  qtext: Column, corpus: DataFrame, id: Column, text: Column,
+                  path: String, maxQueryGrams: Int = 10000,
+                  gramsPerQuery: Int = 4): DataFrame = {
+    require(gramsPerQuery > 0, "trigram searchRegex: gramsPerQuery must be positive")
+    import spark.implicits._
+    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bad = pats.filter { case (_, p) => p.exists(regexMeta) }
+    require(bad.isEmpty,
+      s"trigram searchRegex: ${bad.size} pattern(s) use unsupported regex " +
+        s"metacharacters (e.g. '${bad.headOption.map(_._2).getOrElse("")}') — " +
+        "alternation/groups/classes/escapes/anchors defeat required-literal " +
+        "extraction; supported: literals plus . * + ?")
+    val weak = pats.filter { case (_, p) =>
+      !regexLiteralRuns(p).exists(_.length >= N) }
+    require(weak.isEmpty,
+      s"trigram searchRegex: ${weak.size} pattern(s) with no literal run of >= $N " +
+        s"chars (e.g. '${weak.headOption.map(_._2).getOrElse("")}') — the index " +
+        "cannot prune them; a silent corpus scan is never what an index caller wants")
+    val patsDf = pats.toDF("qid", "pat")
+    val runsDf = pats.flatMap { case (q, p) =>
+      regexLiteralRuns(p).filter(_.length >= N).map(q -> _)
+    }.toDF("qid", "run")
+    val qgAll = runsDf.select(col("qid"), explode(grams(col("run"))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
+    searchCore(spark, patsDf, qgAll, corpus, id, text, path,
+      maxQueryGrams, gramsPerQuery,
+      (s, p) => call_function("regexp_like", s, p))
+  }
+
   /** Shared candidate-prune + verify tail of [[search]]/[[searchLike]]:
     * rarest-k gram selection off the df table, counting-AND candidate
     * cut, then `verify(docText, pattern)` on candidates only.

@@ -99,6 +99,51 @@ class TrigramIndexSpec extends AnyFunSuite {
     assert(search(Seq((1L, "sort")), path) == before)
   }
 
+  test("searchLike: anchored LIKE semantics with required-run pruning") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    def like(qs: Seq[(Long, String)]) =
+      TrigramIndex.searchLike(spark, qs.toDF("qid", "pat"), col("qid"), col("pat"),
+        corpus, col("id"), col("text"), path)
+        .as[(Long, Long)].collect().toSet
+    // multi-run %: ordered terms; doc 3 "sorted merges" fails the order
+    assert(like(Seq((0L, "%merge%sort%"))) == Set((0L, 1L), (0L, 2L)))
+    // _ inside a run; anchored prefix
+    assert(like(Seq((1L, "the_big%"))) == Set((1L, 2L)))
+    // no 3+-char literal run -> loud failure, never a silent scan
+    intercept[IllegalArgumentException] { like(Seq((2L, "%ab%cd%"))) }
+    intercept[IllegalArgumentException] { like(Seq((3L, "%mer\\%ge%"))) }
+  }
+
+  test("regexLiteralRuns: required runs under . * + ?") {
+    import TrigramIndex.regexLiteralRuns
+    assert(regexLiteralRuns("merge.*batch") == Seq("merge", "batch"))
+    assert(regexLiteralRuns("sorts? merge") == Seq("sort", " merge"))
+    assert(regexLiteralRuns("table .able") == Seq("table ", "able"))
+    assert(regexLiteralRuns("ab+cd") == Seq("ab", "cd"))
+    assert(regexLiteralRuns("colou?r") == Seq("colo", "r"))
+    assert(regexLiteralRuns(".*") == Seq.empty)
+  }
+
+  test("searchRegex: unanchored find semantics on candidates only; guards fire") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    def re(qs: Seq[(Long, String)]) =
+      TrigramIndex.searchRegex(spark, qs.toDF("qid", "pat"), col("qid"), col("pat"),
+        corpus, col("id"), col("text"), path)
+        .as[(Long, Long)].collect().toSet
+    // .* ordering; sorts? optional char; matches the naive rlike scan
+    for (pat <- Seq("merge.*sort", "sorts? ", "the .ig")) {
+      val naive = corpus.where(lower(col("text")).rlike(pat))
+        .select(lit(0L), col("id")).as[(Long, Long)].collect().toSet
+      assert(re(Seq((0L, pat))) == naive, s"pattern $pat")
+    }
+    // unsupported metacharacters and unprunable patterns fail fast
+    intercept[IllegalArgumentException] { re(Seq((0L, "me(rge|ta)"))) }
+    intercept[IllegalArgumentException] { re(Seq((0L, "^merge"))) }
+    intercept[IllegalArgumentException] { re(Seq((0L, "a.b.c"))) }
+  }
+
   test("append folds new docs in exactly-once under batch-id replay") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
