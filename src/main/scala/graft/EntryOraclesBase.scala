@@ -1378,6 +1378,39 @@ private[graft] object EntryOraclesBase {
         |       WHEN n1 >= 8 AND d1 >= 3 THEN d1 END AS grp_l
         |FROM q JOIN l0 USING (nation, bal) JOIN l1 USING (nation)
         |WHERE (n0 >= 8 AND d0 >= 3) OR (n1 >= 8 AND d1 >= 3)""".stripMargin,
+    "q229_rl_diversity" ->
+      // both levels' descending count vectors, s1 and the rank->=l
+      // tail, and the same finest-first CASE pick
+      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal,
+        |    c_mktsegment AS s FROM customer),
+        |n0 AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+        |p0 AS (SELECT nation, bal, s, count(*) AS sc FROM q GROUP BY 1, 2, 3),
+        |r0 AS (SELECT nation, bal, sc, row_number() OVER (
+        |    PARTITION BY nation, bal ORDER BY sc DESC, s ASC) AS rk FROM p0),
+        |s0 AS (SELECT nation, bal, CAST(max(CASE WHEN rk = 1 THEN sc END) AS BIGINT) AS s1,
+        |    CAST(coalesce(sum(CASE WHEN rk >= 4 THEN sc END), 0) AS BIGINT) AS t
+        |  FROM r0 GROUP BY 1, 2),
+        |n1 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |p1 AS (SELECT nation, s, count(*) AS sc FROM q GROUP BY 1, 2),
+        |r1 AS (SELECT nation, sc, row_number() OVER (
+        |    PARTITION BY nation ORDER BY sc DESC, s ASC) AS rk FROM p1),
+        |s1t AS (SELECT nation, CAST(max(CASE WHEN rk = 1 THEN sc END) AS BIGINT) AS s1,
+        |    CAST(coalesce(sum(CASE WHEN rk >= 4 THEN sc END), 0) AS BIGINT) AS t
+        |  FROM r1 GROUP BY 1)
+        |SELECT q.c_custkey,
+        |  CAST(CASE WHEN n0.n >= 10 AND s0.s1 < 2 * s0.t THEN 0
+        |            WHEN n1.n >= 10 AND s1t.s1 < 2 * s1t.t THEN 1 END AS BIGINT) AS lvl,
+        |  CASE WHEN n0.n >= 10 AND s0.s1 < 2 * s0.t THEN n0.n
+        |       WHEN n1.n >= 10 AND s1t.s1 < 2 * s1t.t THEN n1.n END AS grp_n,
+        |  CASE WHEN n0.n >= 10 AND s0.s1 < 2 * s0.t THEN s0.s1
+        |       WHEN n1.n >= 10 AND s1t.s1 < 2 * s1t.t THEN s1t.s1 END AS grp_s1,
+        |  CASE WHEN n0.n >= 10 AND s0.s1 < 2 * s0.t THEN s0.t
+        |       WHEN n1.n >= 10 AND s1t.s1 < 2 * s1t.t THEN s1t.t END AS grp_tail
+        |FROM q JOIN n0 USING (nation, bal) JOIN s0 USING (nation, bal)
+        |  JOIN n1 USING (nation) JOIN s1t USING (nation)
+        |WHERE (n0.n >= 10 AND s0.s1 < 2 * s0.t)
+        |   OR (n1.n >= 10 AND s1t.s1 < 2 * s1t.t)""".stripMargin,
     "q193_fuzzy_vocab_join" ->
       // the |V|² cross join the deletion-neighborhood scheme replaces
       """WITH v AS (SELECT DISTINCT lower(w) AS w FROM (
@@ -1627,6 +1660,47 @@ private[graft] object EntryOraclesBase {
         |SELECT pats.qid, d.doc_id
         |FROM pats, documents d
         |WHERE regexp_matches(lower(d.text), pats.pat)""".stripMargin,
+    "q228_join_view_stream" ->
+      // the one-shot join the incremental view must converge to
+      """SELECT o.o_orderkey, CAST(o.o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q230_feature_hash" ->
+      // the splitmix finalizer on HUGEINT over distinct token bases,
+      // buckets unsigned (2^64 mod 256 = 0 makes it pmod-identical)
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(toks, s ->
+        |    ${polyBaseSql("s")})) AS b
+        |  FROM t),
+        |bx AS (SELECT DISTINCT b FROM db),
+        |z1t AS (SELECT b, xor(b, b // 1073741824) AS z1 FROM bx),
+        |z2t AS (SELECT b, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
+        |z3t AS (SELECT b, xor(z2, z2 // 134217728) AS z3 FROM z2t),
+        |z4t AS (SELECT b, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
+        |mx AS (SELECT b, CAST(xor(z4, z4 // 2147483648) % 256 AS BIGINT) AS bucket FROM z4t)
+        |SELECT db.doc_id, mx.bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM db JOIN mx USING (b)
+        |GROUP BY 1, 2""".stripMargin,
+    "q231_delta_attribution" ->
+      // exact cents totals per nation, net movement, identical division
+      """WITH j AS (SELECT c.c_nationkey AS nation,
+        |    CAST(year(o.o_orderdate) >= 1998 AS BOOLEAN) AS is_cur,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |per AS (SELECT nation,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_cur THEN cents END), 0) AS BIGINT) AS prev,
+        |    CAST(coalesce(sum(CASE WHEN is_cur THEN cents END), 0) AS BIGINT) AS cur
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT nation, prev, cur, cur - prev AS delta FROM per),
+        |t AS (SELECT CAST(sum(delta) AS BIGINT) AS total FROM d)
+        |SELECT d.nation, d.prev, d.cur, d.delta,
+        |  CASE WHEN t.total <> 0
+        |       THEN CAST(d.delta AS DOUBLE) / CAST(t.total AS DOUBLE) END AS share
+        |FROM d, t""".stripMargin,
     "q129_restart_exactly_once" ->
       // replay: identical to q21's — the stop/restart must be invisible
       // in the final table; any offset replay, lost batch or stale

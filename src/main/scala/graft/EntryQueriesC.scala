@@ -147,6 +147,24 @@ private[graft] object EntryQueriesC {
         Seq(Seq("nation", "bal"), Seq("nation")),
         k = 8, l = 3)
         .select(col("c_custkey"), col("lvl"), col("grp_n"), col("grp_l"))),
+    "q229_rl_diversity" -> ((s, d) =>
+      // RECURSIVE (c,l)-DIVERSITY — Privacy.rlDiversify: q225's floor
+      // strengthened against SKEW (Machanavajjhala et al.): l distinct
+      // segments in a cell can still be 99% one segment; r(2,4)
+      // additionally requires the top count to stay under c=2 times
+      // the rank->=4 tail of the cell's descending count vector —
+      // exact integer arithmetic, so the oracle replays it verbatim
+      // with window functions. Same one-shuffle cell-frame ladder;
+      // each level adds one cell-sized window. Fewer than l distinct
+      // values empties the tail, so r(c,l) subsumes q225's floor.
+      Privacy.rlDiversify(Tables(s, d).customer,
+        Seq("nation" -> col("c_nationkey"),
+          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
+        col("c_mktsegment"),
+        Seq(Seq("nation", "bal"), Seq("nation")),
+        k = 10, l = 4, c = 2)
+        .select(col("c_custkey"), col("lvl"), col("grp_n"),
+          col("grp_s1"), col("grp_tail"))),
     "q193_fuzzy_vocab_join" -> ((s, d) => {
       // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
       // corpus+catalog vocabulary: every unordered word pair within

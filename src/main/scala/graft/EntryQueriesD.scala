@@ -97,6 +97,80 @@ private[graft] object EntryQueriesD {
       TrigramIndex.searchRegex(s, qs, col("qid"), col("pat"),
         Tables(s, d).documents, col("doc_id"), col("text"), idx)
     }),
+    "q228_join_view_stream" -> ((s, d) => {
+      // INCREMENTAL JOIN-VIEW MAINTENANCE — JoinView.folds under
+      // Catalog.ingestStream: the materialized orders⋈lineitem view
+      // kept current under insert-only CDC arriving on BOTH sides,
+      // interleaved and batch-cut arbitrarily (an order's lines can
+      // land triggers before or after the order row itself — the
+      // delta algebra ΔL⋈(R∪ΔR) ∪ L⋈ΔR makes every pairing emit
+      // exactly once whichever side arrives first). Deltas broadcast
+      // onto scans of the standing sides (never shuffled); left,
+      // right, and view advance under ONE manifest swap, so no crash
+      // can tear the view from the sides it derives from. Oracle:
+      // the plain batch join.
+      val base = q228CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q228_cat") + "/jv"
+        val o = Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_custkey"))
+        val l = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val changes = o.select(lit(true).as("is_left"), col("k"),
+            col("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+          .unionByName(l.select(lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"),
+            col("l_linenumber"), col("cents")))
+        JoinView.init(s, p, o.limit(0), l.limit(0), Seq("k"))
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q228", changes,
+            col("k") * 8 + coalesce(col("l_linenumber"), lit(0L)), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
+          val q = graft.core.Catalog.ingestStream(s, stream, p,
+            JoinView.folds(s, p, Seq("k"), col("is_left"),
+              b => b.select(col("k"), col("o_custkey")),
+              b => b.select(col("k"), col("l_linenumber"), col("cents"))),
+            ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      JoinView.read(s, base).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
+    "q230_feature_hash" -> ((s, d) =>
+      // HASHING-TRICK BAG-OF-WORDS — TextAnalysis.hashedBow: the
+      // vocabulary-free CountVectorizer. bucket = splitmix64(
+      // polyBase(token)) pmod 256 via the registered portable-hash
+      // kernel (single-element minhash signature — the q37/q38/q47
+      // family), counts at (doc, bucket) grain with multiplicity.
+      // One explode + one map-side-partial aggregate; power-of-two
+      // buckets keep signed pmod == unsigned mod (2^64 ≡ 0 mod 2^k),
+      // so the oracle replays the finalizer on HUGEINT and buckets
+      // unsigned. 256 buckets (not 2^18) to make collisions REAL in
+      // the gate, not just possible.
+      TextAnalysis.hashedBow(Tables(s, d).documents, col("doc_id"),
+        lower(col("text")), buckets = 256)
+        .select(col("id").as("doc_id"), col("bucket"), col("cnt"))),
+    "q231_delta_attribution" -> ((s, d) => {
+      // PERIOD-OVER-PERIOD DELTA ATTRIBUTION — Checks.deltaAttribution:
+      // which nations drove the revenue move from the 1995-97 period
+      // to 1998+? Exact cents totals per key in one partial-aggregated
+      // scan, net movement broadcast back, share as one deterministic
+      // double expression over the exact longs (NULL if the net delta
+      // were zero). The mix-shift diagnostic every metrics review
+      // starts with. Oracle replays totals and the identical division.
+      val t = Tables(s, d)
+      val j = t.orders.join(broadcast(t.customer
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+          (year(col("o_orderdate")) >= 1998).as("is_cur"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      Checks.deltaAttribution(j, Seq("nation"), col("is_cur"), col("cents"))
+    }),
     "q187_boolean_search" -> ((s, d) => {
       // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
       // containing EVERY query term, over the SAME standing inverted

@@ -205,4 +205,42 @@ object Checks {
     }: _*)).as("p"))
       .select(col("p.*"))
   }
+  /** Period-over-period delta attribution — the "why did the metric
+    * move" decomposition: per key, the metric's previous-period and
+    * current-period totals, the delta, and each key's share of the
+    * TOTAL movement. The first question every metrics regression
+    * review asks, answered in one pass: keys ranked by |delta| ARE
+    * the movers; shares > 1 (or negative) are keys moving against
+    * the net direction — exactly the mix-shift signal a plain
+    * per-key trend hides.
+    *
+    * Exactness: totals are integral sums (the house cents
+    * convention, fail-fast checked); the share is ONE deterministic
+    * double expression over those exact longs (the q202/q208
+    * posture), NULL when the net delta is zero (no direction to
+    * attribute against — the ANSI divide-by-zero shield doubling as
+    * the honest answer).
+    *
+    * Scale shape: one partial-aggregated scan to key grain, a
+    * single-row total joined back by broadcast — nothing row-sized
+    * exchanges twice. Output: (keys..., prev, cur, delta, share).
+    */
+  def deltaAttribution(df: DataFrame, keys: Seq[String], isCurrent: Column,
+                       value: Column): DataFrame = {
+    require(keys.nonEmpty, "deltaAttribution: at least one key column")
+    val vType = df.select(value.as("__v")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(vType),
+      s"deltaAttribution: value must be integral exact (got $vType) — " +
+        "cast money to cents first (the house convention)")
+    val per = df.groupBy(keys.map(col): _*)
+      .agg(coalesce(sum(when(!isCurrent, value)), lit(0L)).as("prev"),
+        coalesce(sum(when(isCurrent, value)), lit(0L)).as("cur"))
+      .withColumn("delta", col("cur") - col("prev"))
+    val total = per.agg(sum(col("delta")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("share",
+        when(col("__total") =!= 0,
+          col("delta").cast("double") / col("__total").cast("double")))
+      .drop("__total")
+  }
 }

@@ -33,11 +33,12 @@ import org.apache.spark.sql.functions._
 object Privacy {
 
   private def nullSafeJoin(left: DataFrame, right: DataFrame,
-                           names: Seq[String], keep: Seq[String]): DataFrame = {
+                           names: Seq[String], keep: Seq[String],
+                           joinType: String = "inner"): DataFrame = {
     val l = left.alias("__l")
     val r = right.alias("__r")
     val cond = names.map(n => col(s"__l.$n") <=> col(s"__r.$n")).reduce(_ && _)
-    l.join(r, cond)
+    l.join(r, cond, joinType)
       .select(left.columns.map(n => col(s"__l.$n")) ++
         keep.map(n => col(s"__r.$n")): _*)
   }
@@ -137,5 +138,86 @@ object Privacy {
       .withColumn("lvl", lvl).withColumn("grp_n", grpN).withColumn("grp_l", grpL)
       .where(col("lvl").isNotNull)
       .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+ col("grp_l"): _*)
+  }
+
+  /** Recursive (c,l)-diversity — distinct l-diversity's standard
+    * strengthening (Machanavajjhala et al.): a cell with l distinct
+    * sensitive values can still be 99% one value; r(c,l) bounds the
+    * SKEW, requiring s₁ < c·(s_l + s_{l+1} + … + s_m) over the cell's
+    * descending sensitive-value counts s₁ ≥ … ≥ s_m — the most common
+    * value must not dominate the tail from the l-th value on. Fewer
+    * than l distinct values makes the tail empty, so r(c,l) subsumes
+    * the distinct floor. Counts are integers, so the test is exact
+    * and engine-portable. A row takes the finest level satisfying
+    * both k and r(c,l); failures escalate, then suppress — exactly
+    * [[lDiversify]]'s ladder with the stronger per-level predicate.
+    *
+    * Scale shape: the same one-shuffle (quasi..., sensitive)-grain
+    * cell frame; each level adds a per-sensitive roll-up and ONE
+    * window over that level's (group × sensitive-value) frame — both
+    * cell-sized, never row-sized. NULL sensitive values count toward
+    * k but never enter the count vector.
+    *
+    * Output: `df`'s columns + (`lvl`, `grp_n`, `grp_s1`, `grp_tail`)
+    * — chosen level, group size, top sensitive count, and the
+    * rank-≥-l tail sum the test compared against.
+    */
+  def rlDiversify(df: DataFrame, quasi: Seq[(String, Column)],
+                  sensitive: Column, levels: Seq[Seq[String]],
+                  k: Long, l: Long, c: Long): DataFrame = {
+    require(k >= 2, s"(c,l)-diversity needs k >= 2, got $k")
+    require(l >= 2, s"(c,l)-diversity needs l >= 2, got $l")
+    require(c >= 1, s"(c,l)-diversity needs c >= 1, got $c")
+    require(levels.nonEmpty && levels.forall(_.nonEmpty),
+      "(c,l)-diversity needs at least one non-empty level")
+    val qnames = quasi.map(_._1)
+    require(qnames.distinct == qnames, "quasi names must be unique")
+    levels.foreach(lv => require(lv.forall(qnames.contains),
+      s"level ${lv.mkString(",")} references undeclared quasi columns"))
+    require(!df.columns.contains("__s") && !df.columns.contains("__cn"),
+      "rlDiversify: input uses reserved working names (__s, __cn)")
+    val g = (n: String) => s"__q_$n"
+    val proj = df.select(df.columns.map(col) ++
+      quasi.map { case (n, cc) => cc.as(g(n)) } :+ sensitive.as("__s"): _*)
+    val all = qnames.map(g)
+    val cells0 = proj.groupBy((all.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val cells = levels.zipWithIndex.foldLeft(cells0) { case (cs, (lvl, i)) =>
+      val cols = lvl.map(g)
+      val n = cs.groupBy(cols.map(col): _*).agg(sum(col("__cn")).as(s"__n$i"))
+      val perSens = cs.where(col("__s").isNotNull)
+        .groupBy((cols.map(col) :+ col("__s")): _*)
+        .agg(sum(col("__cn")).as("__sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(cols.map(col): _*)
+        .orderBy(col("__sc").desc, col("__s").asc)
+      val st = perSens.withColumn("__rk", row_number().over(w))
+        .groupBy(cols.map(col): _*)
+        .agg(max(when(col("__rk") === 1, col("__sc"))).as(s"__s1$i"),
+          coalesce(sum(when(col("__rk") >= l, col("__sc"))), lit(0L))
+            .as(s"__t$i"))
+      // st is LEFT-joined: a group whose rows are all null-sensitive
+      // has no count vector at all — it must stay in the cell frame
+      // (a coarser level may still admit it), just with null stats
+      // this level's strict < rejects
+      nullSafeJoin(nullSafeJoin(cs, n, cols, Seq(s"__n$i")),
+        st, cols, Seq(s"__s1$i", s"__t$i"), joinType = "left")
+    }
+    val annotated = nullSafeJoin(proj, cells, all :+ "__s",
+      levels.indices.flatMap(i => Seq(s"__n$i", s"__s1$i", s"__t$i")))
+    // a group whose rows are ALL null-sensitive has no count vector at
+    // all (st is empty for it): coalesce its s1 to "infinitely skewed"
+    // via tail 0, which the strict < already rejects
+    def ok(i: Int) = col(s"__n$i") >= k &&
+      coalesce(col(s"__s1$i"), lit(0L)) < lit(c) * coalesce(col(s"__t$i"), lit(0L))
+    val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
+    def pick(suffix: String) = coalesce(levels.indices.map(i =>
+      when(ok(i), coalesce(col(s"__$suffix$i"), lit(0L)))): _*)
+    annotated
+      .withColumn("lvl", lvl).withColumn("grp_n", pick("n"))
+      .withColumn("grp_s1", pick("s1")).withColumn("grp_tail", pick("t"))
+      .where(col("lvl").isNotNull)
+      .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
+        col("grp_s1") :+ col("grp_tail"): _*)
   }
 }

@@ -527,4 +527,37 @@ object TextAnalysis {
         abs(col("n_a").cast(dec) * col("__tb") -
           col("n_b").cast(dec) * col("__ta")).cast(dec).as("move"))
   }
+  /** Hashing-trick bag-of-words — the fixed-width featurizer every
+    * streaming-scale text model front-ends with (a vocabulary-free
+    * CountVectorizer): each token maps to bucket
+    * `splitmix64(polyBase(token)) mod buckets` via the engine's
+    * portable hash family (the q37/q38/q47 kernels — engine-exact,
+    * DuckDB-replayable), and the doc's feature vector is the sparse
+    * (bucket, count) multiset. No fitted vocabulary means no
+    * build/broadcast/OOV problem at 100 TB — the trade is hash
+    * collisions folding rare features together, bounded by `buckets`.
+    *
+    * Scale shape: one explode + one map-side-partial hash aggregate;
+    * nothing corpus-sized exchanges beyond the (doc, bucket) grain.
+    * Output: (id, bucket, cnt), token multiplicity preserved, empty
+    * docs absent.
+    */
+  def hashedBow(df: DataFrame, id: Column, text: Column,
+                buckets: Int = 1 << 18): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"hashedBow: buckets must be a power of two (2^64 mod buckets = 0 " +
+        s"keeps the signed/unsigned bucket arithmetic engine-exact), got $buckets")
+    df.select(id.as("id"), explode(tokens(text)).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      // single-element minhash signature == splitmix64(polyBase(tok)):
+      // the Column-level kernel, reused rather than re-derived (the
+      // SQL-name route needs the extension-registered session; the
+      // Column form works everywhere)
+      .withColumn("bucket",
+        pmod(element_at(
+          graft.functions.Kernels.minhash_signature(array(col("__tok")), 1), 1),
+          lit(buckets.toLong)))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

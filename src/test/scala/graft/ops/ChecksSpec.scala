@@ -178,4 +178,30 @@ class ChecksSpec extends AnyFunSuite {
         Seq("x" -> col("x"), "d" -> col("d")))
     }
   }
+  test("deltaAttribution: exact per-key movement, shares sum to 1, zero-net is NULL") {
+    val df = Seq(
+      ("a", false, 100L), ("a", true, 250L),   // delta +150
+      ("b", false, 300L), ("b", true, 200L),   // delta -100
+      ("c", false, 40L)                         // delta  -40 (no current rows)
+    ).toDF("k", "cur", "cents")                 // net movement: +10
+    val out = Checks.deltaAttribution(df, Seq("k"), col("cur"), col("cents"))
+      .select($"k", $"prev", $"cur", $"delta", $"share")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // shares against the NET: movers against the direction go negative,
+    // and a dominant mover exceeds 1 — the mix-shift signal
+    assert(out("a") == (("a", 100L, 250L, 150L, Some(15.0))))
+    assert(out("b") == (("b", 300L, 200L, -100L, Some(-10.0))))
+    assert(out("c") == (("c", 40L, 0L, -40L, Some(-4.0))))
+    // net = 0: share must be NULL, not a divide-by-zero error
+    val flat = Checks.deltaAttribution(
+      Seq(("a", false, 10L), ("a", true, 10L)).toDF("k", "cur", "cents"),
+      Seq("k"), col("cur"), col("cents"))
+      .select($"share").as[Option[Double]].head()
+    assert(flat.isEmpty)
+    intercept[IllegalArgumentException] {
+      Checks.deltaAttribution(df.withColumn("d", col("cents").cast("double")),
+        Seq("k"), col("cur"), col("d"))
+    }
+  }
 }

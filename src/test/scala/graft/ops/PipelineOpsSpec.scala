@@ -840,4 +840,25 @@ class PipelineOpsSpec extends AnyFunSuite {
         col("dom"), col("key"), col("n"), -1L)
     }
   }
+  test("hashedBow: multiplicity preserved, same token same bucket, power-of-two guard") {
+    val docs = Seq(
+      (1L, "spark spark scan"),
+      (2L, "spark"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedBow(docs, col("doc_id"), col("text"), buckets = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    // empty doc emits nothing; counts carry multiplicity
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 16 })
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 1L))
+    // "spark" hashes identically wherever it appears
+    val sparkBucketDoc2 = out.filter(_._1 == 2L).map(_._2).head
+    assert(out.filter(_._1 == 1L).map(_._2).contains(sparkBucketDoc2))
+    val doc1SparkCnt = out.filter(r => r._1 == 1L && r._2 == sparkBucketDoc2)
+      .map(_._3).sum
+    assert(doc1SparkCnt >= 2L) // the two sparks share their bucket
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.hashedBow(docs, col("doc_id"), col("text"), buckets = 100)
+    }
+  }
 }

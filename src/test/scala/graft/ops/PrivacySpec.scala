@@ -106,6 +106,46 @@ class PrivacySpec extends AnyFunSuite {
     assert(out == Set((4L, 3L, 2L), (5L, 3L, 2L), (6L, 3L, 2L)))
   }
 
+  test("recursive (c,l)-diversity: a diverse-but-skewed cell escalates; the test is s1 < c*tail") {
+    // cell (ber, dec 3x): 6 rows, diseases flu x4, cold, mal -> 3
+    // distinct (distinct l=3 passes) but s1=4 >= 3*(tail at l=3: s3=1)
+    // -> r(3,3) FAILS; city ber adds 2 colds + mal: counts flu 4,
+    // cold 3, mal 2 -> s1=4 < 3*2 -> passes at level 1
+    val skewed = Seq(
+      (1L, "ber", 30, "flu"), (2L, "ber", 31, "flu"), (3L, "ber", 32, "flu"),
+      (4L, "ber", 33, "flu"), (5L, "ber", 34, "cold"), (6L, "ber", 35, "mal"),
+      (7L, "ber", 45, "cold"), (8L, "ber", 46, "cold"), (9L, "ber", 47, "mal")
+    ).toDF("id", "city", "age", "disease")
+    val out = Privacy.rlDiversify(skewed, quasi, col("disease"),
+      Seq(Seq("city", "dec"), Seq("city")), k = 3, l = 3, c = 3)
+      .select($"id", $"lvl", $"grp_n", $"grp_s1", $"grp_tail")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // distinct l-diversity would keep rows 1-6 at level 0; r(2,3) must not
+    val dOut = Privacy.lDiversify(skewed, quasi, col("disease"),
+      Seq(Seq("city", "dec"), Seq("city")), k = 3, l = 3)
+      .select($"id", $"lvl").as[(Long, Long)].collect().toMap
+    assert(dOut(1L) == 0L)
+    // r(3,3): every row escalates to city (counts 4/3/2: 4 < 3*2)
+    assert(out.map(_._1) == (1L to 9L).toSet)
+    assert(out.forall { case (_, lvl, n, s1, tail) =>
+      lvl == 1L && n == 9L && s1 == 4L && tail == 2L })
+  }
+
+  test("recursive (c,l)-diversity: fewer than l distinct values means an empty tail and suppression") {
+    val rows = Seq(
+      (1L, "a", "flu"), (2L, "a", "flu"), (3L, "a", "cold"),
+      (4L, "b", null.asInstanceOf[String]), (5L, "b", null.asInstanceOf[String]),
+      (6L, "b", null.asInstanceOf[String])
+    ).toDF("id", "cell", "disease")
+    val out = Privacy.rlDiversify(rows, Seq("cell" -> col("cell")),
+      col("disease"), Seq(Seq("cell")), k = 3, l = 3, c = 10)
+      .select($"id").as[Long].collect().toSet
+    // cell a: 2 distinct < l=3 -> tail empty -> fails even at c=10;
+    // cell b: all-null sensitive, no count vector at all -> fails
+    // (but must fail by PREDICATE, not by vanishing from the frame)
+    assert(out == Set.empty[Long])
+  }
+
   test("l-diversity: invalid floors fail fast") {
     intercept[IllegalArgumentException] {
       Privacy.lDiversify(patients, quasi, col("disease"),
