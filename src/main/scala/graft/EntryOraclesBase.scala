@@ -1701,6 +1701,25 @@ private[graft] object EntryOraclesBase {
         |  CASE WHEN t.total <> 0
         |       THEN CAST(d.delta AS DOUBLE) / CAST(t.total AS DOUBLE) END AS share
         |FROM d, t""".stripMargin,
+    "q232_coordinated_sample" ->
+      // the kept-key set replayed via the splitmix bucket on the
+      // key's decimal string, then the same join+aggregate
+      s"""WITH ks AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |bs AS (SELECT k, ${polyBaseSql("CAST(k AS VARCHAR)")} AS b FROM ks),
+        |z1t AS (SELECT k, xor(b, b // 1073741824) AS z1 FROM bs),
+        |z2t AS (SELECT k, ${mulMod64("z1", mix1Lit)} AS z2 FROM z1t),
+        |z3t AS (SELECT k, xor(z2, z2 // 134217728) AS z3 FROM z2t),
+        |z4t AS (SELECT k, ${mulMod64("z3", mix2Lit)} AS z4 FROM z3t),
+        |sel AS (SELECT k FROM (
+        |    SELECT k, xor(z4, z4 // 2147483648) % 256 AS bucket FROM z4t)
+        |  WHERE bucket < 16)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o
+        |JOIN sel ON o.o_orderkey = sel.k
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q129_restart_exactly_once" ->
       // replay: identical to q21's — the stop/restart must be invisible
       // in the final table; any offset replay, lost batch or stale

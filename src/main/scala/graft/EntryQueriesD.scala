@@ -171,6 +171,26 @@ private[graft] object EntryQueriesD {
           (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
       Checks.deltaAttribution(j, Seq("nation"), col("is_cur"), col("cents"))
     }),
+    "q232_coordinated_sample" -> ((s, d) => {
+      // COORDINATED (CONSISTENT-HASH) SAMPLING — Sampling.
+      // coordinatedSample: both tables keep exactly the orderkeys
+      // hashing into the first 16 of 256 buckets, so the ~6% slice is
+      // JOINABLE — sample(orders) ⋈ sample(lineitem) == sample of the
+      // join, where uniform per-row sampling destroys the join by
+      // construction. Scan-level filter, zero shuffle, deterministic
+      // across runs (the portable hash family), and monotone in
+      // `keep` (a ramp-up only adds keys). Oracle replays the
+      // splitmix bucket on the key's decimal string and the same
+      // join+aggregate over the kept keys.
+      val t = Tables(s, d)
+      val o = Sampling.coordinatedSample(t.orders, col("o_orderkey"), 256, 16)
+      val l = Sampling.coordinatedSample(t.lineitem, col("l_orderkey"), 256, 16)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+    }),
     "q187_boolean_search" -> ((s, d) => {
       // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
       // containing EVERY query term, over the SAME standing inverted

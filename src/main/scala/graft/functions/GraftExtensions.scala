@@ -21,6 +21,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule, not just functions: redundant idempotent
+    // normalizations (lower∘lower, nfc∘nfc, …) collapse in-plan —
+    // see graft.plans.CollapseIdempotentStringOps for the algebra
+    ext.injectOptimizerRule(_ => graft.plans.CollapseIdempotentStringOps)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -432,4 +432,38 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__pri", "__rk")
   }
+  /** Coordinated (consistent-hash) sampling — the cross-table sampling
+    * rule that makes SAMPLES JOINABLE: every table keeps exactly the
+    * rows whose KEY hashes into the kept bucket range, so
+    * sample(A) ⋈ sample(B) == sample(A ⋈ B) on that key, and a
+    * `keep/buckets` fraction of the key space survives with ALL its
+    * rows everywhere (dev-slice extraction, join-preserving
+    * downsampling for pipeline dry-runs — a uniform per-row sample
+    * destroys the join; this preserves it by construction). The
+    * bucket is `splitmix64(polyBase(str(key))) mod buckets` — the
+    * engine's portable hash family, so the slice is deterministic
+    * across runs AND DuckDB-replayable; power-of-two buckets keep the
+    * signed/unsigned arithmetic engine-exact. Growing the slice only
+    * ADDS keys (bucket < keep is monotone in keep) — a coordinated
+    * ramp-up never resamples what it already kept.
+    *
+    * Scale shape: a scan-level filter, no shuffle, no state.
+    */
+  def coordinatedBucket(key: Column, buckets: Int): Column = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"coordinatedBucket: buckets must be a power of two, got $buckets")
+    pmod(element_at(
+      graft.functions.Kernels.minhash_signature(array(key.cast("string")), 1), 1),
+      lit(buckets.toLong))
+  }
+
+  /** Keep the rows whose key falls in the first `keep` of `buckets`
+    * hash buckets — see [[coordinatedBucket]].
+    */
+  def coordinatedSample(df: DataFrame, key: Column, buckets: Int,
+                        keep: Int): DataFrame = {
+    require(keep >= 1 && keep <= buckets,
+      s"coordinatedSample: keep must be in [1, $buckets], got $keep")
+    df.where(coordinatedBucket(key, buckets) < keep)
+  }
 }

@@ -1546,6 +1546,51 @@ object ThroughputBench {
         f"(${n / sr / 1e6}%.1f M rows/s, $nr cells)")
     }
 
+    // scenario 45: incremental join-view maintenance + hashing-trick
+    // featurizer at n change rows — the q228/q230 shapes. The view
+    // folds B CDC batches (deltas broadcast onto standing-side scans);
+    // throughput is total change rows over total fold time, the
+    // number a pipeline sizing its trigger interval needs.
+    if (enabled(45)) {
+      val base = graft.core.TempDirs.create("bench_joinview") + "/jv"
+      val batches = 8
+      val keys = math.max(n / 4, 1L)
+      val changes = spark.range(n).select(
+        (col("id") % 2 === 0).as("is_left"),
+        // hash the key so sides share the key space (id%2 and id%keys
+        // correlate when keys is even — disjoint sides, empty view)
+        pmod(xxhash64(col("id") / 2), lit(keys)).as("k"),
+        col("id").as("lv"), col("id").as("rv"),
+        (col("id") % batches).as("b")).localCheckpoint()
+      import spark.implicits._
+      graft.ops.JoinView.init(spark, base,
+        Seq.empty[(Long, Long)].toDF("k", "lv"),
+        Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"))
+      val folds = graft.ops.JoinView.folds(spark, base, Seq("k"),
+        col("is_left"),
+        b => b.select(col("k"), col("lv")),
+        b => b.select(col("k"), col("rv")))
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        graft.core.Catalog.ingest(spark, base, i.toLong,
+          changes.where(col("b") === i).drop("b"), folds)
+      }
+      val sv = (System.nanoTime() - t0) / 1e9
+      val viewRows = graft.ops.JoinView.read(spark, base).count()
+      val docs = spark.range(n / 100).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("tok"), pmod(xxhash64(col("id") + i), lit(5000)))): _*)
+          .as("text")).localCheckpoint()
+      val t1 = System.nanoTime()
+      val nb = graft.ops.TextAnalysis.hashedBow(docs, col("doc_id"),
+        col("text"), buckets = 1 << 18).count()
+      val sh = (System.nanoTime() - t1) / 1e9
+      val toks = (n / 100) * 40
+      println(f"scenario45 joinview+bow: $n change rows / $batches folds " +
+        f"$sv%.1f s (${n / sv / 1e6}%.2f M rows/s, view $viewRows), " +
+        f"hashedBow $toks tokens $sh%.1f s (${toks / sh / 1e6}%.1f M tok/s, $nb cells)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records

@@ -213,4 +213,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(large <= math.max(4.0 * small, 1.0),
       s"candidates/row grew superlinearly: $small -> $large")
   }
+  test("CollapseIdempotentStringOps: redundant normalizations vanish from the optimized plan") {
+    // a non-foldable source: literals would constant-fold into a
+    // LocalRelation and there would be no expression left to collapse
+    val strs = array(lit("Ærø SS ß"), lit("caf\u00e9"), lit("cafe\u0301"))
+    val df = spark.range(3)
+      .select(element_at(strs, (col("id") + 1).cast("int")).as("s"))
+    def countIn(d: org.apache.spark.sql.DataFrame, needle: String) =
+      needle.r.findAllIn(d.queryExecution.optimizedPlan.toString).size
+    def nfc(c: org.apache.spark.sql.Column) =
+      graft.functions.Kernels.nfc_normalize(c)
+    def nfkc(c: org.apache.spark.sql.Column) =
+      graft.functions.Kernels.nfkc_normalize(c)
+    // nfc∘nfc collapses to ONE pass; values unchanged (the combining-
+    // acute café in the fixture is the row that actually normalizes)
+    val nfc2 = df.select(nfc(nfc(col("s"))).as("x"))
+    assert(countIn(nfc2, "(?i)nfc_?normalize") == 1,
+      nfc2.queryExecution.optimizedPlan.toString)
+    assert(nfc2.as[String].collect().toSeq ==
+      df.select(nfc(col("s")).as("x")).as[String].collect().toSeq)
+    // canonical inner under a compatibility outer collapses too
+    val kc = df.select(nfkc(nfc(col("s"))).as("x"))
+    assert(countIn(kc, "(?i)nf[a-z]*_?normalize") == 1,
+      kc.queryExecution.optimizedPlan.toString)
+    assert(kc.as[String].collect().toSeq ==
+      df.select(nfkc(col("s")).as("x")).as[String].collect().toSeq)
+    // a COMPATIBILITY inner under a different outer must NOT collapse:
+    // nfc(nfkc(x)) is not nfc(x) (NFKC loses information)
+    val cK = df.select(nfc(nfkc(col("s"))).as("x"))
+    assert(countIn(cK, "(?i)nf[a-z]*_?normalize") == 2,
+      cK.queryExecution.optimizedPlan.toString)
+    // a triple tower collapses fully under the optimizer fixed point
+    val triple = df.select(nfc(nfc(nfc(col("s")))).as("x"))
+    assert(countIn(triple, "(?i)nfc_?normalize") == 1)
+  }
 }

@@ -861,4 +861,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextAnalysis.hashedBow(docs, col("doc_id"), col("text"), buckets = 100)
     }
   }
+  test("coordinatedSample: join of samples == sample of join; monotone ramp-up") {
+    val a = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("av"))
+    val b = spark.range(0, 4000).select((col("id") % 2000).as("k"), col("id").as("bv"))
+    val sA = Sampling.coordinatedSample(a, col("k"), 64, 8)
+    val sB = Sampling.coordinatedSample(b, col("k"), 64, 8)
+    val joinOfSamples = sA.join(sB, "k")
+      .select($"k", $"av", $"bv").as[(Long, Long, Long)].collect().toSet
+    val sampleOfJoin = Sampling.coordinatedSample(
+        a.join(b, "k"), col("k"), 64, 8)
+      .select($"k", $"av", $"bv").as[(Long, Long, Long)].collect().toSet
+    assert(joinOfSamples == sampleOfJoin)
+    assert(joinOfSamples.nonEmpty)
+    // a key either survives with ALL its rows or vanishes entirely
+    val keptKeys = sB.select($"k").distinct().as[Long].collect().toSet
+    val perKey = b.as[(Long, Long)].collect().groupBy(_._1)
+    assert(sB.count() == keptKeys.toSeq.map(k => perKey(k).length.toLong).sum)
+    // growing keep only ADDS keys
+    val wider = Sampling.coordinatedSample(a, col("k"), 64, 16)
+      .select($"k").as[Long].collect().toSet
+    assert(sA.select($"k").as[Long].collect().toSet.subsetOf(wider))
+    assertThrows[IllegalArgumentException] {
+      Sampling.coordinatedSample(a, col("k"), 100, 8)
+    }
+  }
 }
