@@ -1720,6 +1720,33 @@ private[graft] object EntryOraclesBase {
         |JOIN sel ON o.o_orderkey = sel.k
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q233_jaccard_join" ->
+      // the |D|^2 brute force the prefix filter replaces — q37's
+      // shingle CTE (the proven Dedup.shingles replica), then the
+      // same integer threshold arithmetic
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' ')))
+        |    END AS sh
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, n_a, n_b FROM p
+        |WHERE inter * 10000 >= 4000 * (n_a + n_b - inter)""".stripMargin,
+    "q234_join_agg_view_stream" ->
+      // the one-shot join + group-by the incremental composition
+      // must converge to
+      """SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q129_restart_exactly_once" ->
       // replay: identical to q21's — the stop/restart must be invisible
       // in the final table; any offset replay, lost batch or stale

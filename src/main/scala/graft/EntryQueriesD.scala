@@ -191,6 +191,67 @@ private[graft] object EntryQueriesD {
           countDistinct(col("o_orderkey")).as("n_orders"),
           sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"))
     }),
+    "q233_jaccard_join" -> ((s, d) =>
+      // EXACT SET-SIMILARITY SELF-JOIN — Dedup.jaccardJoin: every doc
+      // pair with token-set Jaccard >= 0.5 by PREFIX FILTERING (the
+      // ssjoin/PPJoin family): rare-first global token order, prefix
+      // length n − ⌈t·n⌉ + 1, candidates from the prefix equi-join
+      // (two qualifying sets MUST share a prefix token — the counting
+      // argument), then an exact integer verify c·10⁴ ≥ t₁ₑ₄·(n_a +
+      // n_b − c). Zero false negatives — the exact complement to
+      // q37's probabilistic MinHash banding — and never the |D|²
+      // cross join the oracle runs.
+      Dedup.jaccardJoin(Tables(s, d).documents, col("doc_id"),
+        Dedup.shingles(lower(col("text")), 3), threshold = 0.4)),
+    "q234_join_agg_view_stream" -> ((s, d) => {
+      // JOIN + AGGREGATE VIEW, incrementally — the q228 composition:
+      // a 4th store folds the SAME per-batch join delta
+      // (JoinView.delta) into per-customer (n_items, revenue cents)
+      // under the SAME manifest swap, so the aggregate can never tear
+      // from the join it summarizes and never re-reads it either —
+      // per trigger the aggregate pays delta-sized work plus its own
+      // key-grain table. Oracle: the one-shot join + group-by.
+      val base = q234CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q234_cat") + "/jv"
+        val o = Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_custkey"))
+        val l = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val changes = o.select(lit(true).as("is_left"), col("k"),
+            col("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+          .unionByName(l.select(lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"),
+            col("l_linenumber"), col("cents")))
+        JoinView.init(s, p, o.limit(0), l.limit(0), Seq("k"))
+        import s.implicits._
+        graft.core.Catalog.addStore(s, p, "agg",
+          Seq.empty[(Long, Long, Long)].toDF("o_custkey", "n", "cents"))
+        val projL = (b: DataFrame) => b.select(col("k"), col("o_custkey"))
+        val projR = (b: DataFrame) =>
+          b.select(col("k"), col("l_linenumber"), col("cents"))
+        val dlt = JoinView.delta(s, p, Seq("k"), col("is_left"), projL, projR) _
+        val folds = JoinView.folds(s, p, Seq("k"), col("is_left"), projL, projR) :+
+          ("agg" -> ((cur: DataFrame, b: DataFrame) =>
+            cur.unionByName(dlt(b).groupBy(col("o_custkey"))
+                .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")))
+              .groupBy(col("o_custkey"))
+              .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))))
+        withShufflePartitions(s, 8) {
+          // the SAME staged slices as q228 (memoized by key)
+          val stage = screenReplayDir(s"$dir#q228", changes,
+            col("k") * 8 + coalesce(col("l_linenumber"), lit(0L)), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
+          val q = graft.core.Catalog.ingestStream(s, stream, p, folds,
+            ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      graft.core.Catalog.read(s, base, "agg")
+    }),
     "q187_boolean_search" -> ((s, d) => {
       // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
       // containing EVERY query term, over the SAME standing inverted

@@ -276,4 +276,60 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the ssjoin /
+    * PPJoin family) — every unordered pair of docs whose distinct
+    * token sets have Jaccard >= `threshold`, with NO false negatives:
+    * the exact complement to [[minhashLsh]]'s probabilistic banding.
+    *
+    * The prefix principle: order every doc's tokens by GLOBAL
+    * rarity (document frequency, ties by token — `tokenSet` is any
+    * array column: words, shingles, n-grams; the element space's
+    * rarity profile is what makes the prefix cut bite), and keep only each
+    * doc's first n − ⌈t·n⌉ + 1 tokens as its PREFIX. Two sets with
+    * Jaccard >= t must share at least one prefix token — if all
+    * shared tokens hid past both prefixes, the overlap would be too
+    * small by counting. So candidates = prefix-token equi-join, and
+    * rare-first ordering makes those collision lists the SHORTEST
+    * ones. The verify is exact integer arithmetic:
+    * c·10⁴ >= t₁e₄·(n_a + n_b − c), no floats anywhere.
+    *
+    * Scale shape: one distinct pass, one token-df aggregate, one
+    * per-doc sort window (doc-local), a prefix equi-join whose lists
+    * are rare tokens only, and one pair-keyed count — never the |D|²
+    * cross join the oracle runs. Output: (id_a, id_b, inter, n_a,
+    * n_b) with id_a < id_b.
+    */
+  def jaccardJoin(df: DataFrame, id: Column, tokenSet: Column,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccardJoin: threshold must be in (0, 1], got $threshold")
+    val t1e4 = math.round(threshold * 10000)
+    val toks = df
+      .select(id.as("id"), explode(tokenSet).as("tok"))
+      .where(length(col("tok")) > 0).distinct().localCheckpoint()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__df"), col("tok"))))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    // prefix length n - ceil(t*n) + 1, integer ceil = (t1e4*n + 9999) div 10000
+    val prefix = ranked.join(sizes, "id")
+      .where(col("__rk") <=
+        col("__n") - expr(s"(($t1e4 * __n + 9999) div 10000)") + 1)
+      .select(col("id"), col("tok"))
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("tok"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cands
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .where(col("inter") * 10000 >= lit(t1e4) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+  }
 }

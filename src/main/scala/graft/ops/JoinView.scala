@@ -79,16 +79,29 @@ object JoinView {
       cur.unionByName(projectLeft(b.where(isLeft)))),
     "right" -> ((cur: DataFrame, b: DataFrame) =>
       cur.unionByName(projectRight(b.where(!isLeft)))),
-    "view" -> ((cur: DataFrame, b: DataFrame) => {
-      val dl = projectLeft(b.where(isLeft))
-      val dr = projectRight(b.where(!isLeft))
-      val lOld = graft.core.Catalog.read(spark, base, "left")
-      val rOld = graft.core.Catalog.read(spark, base, "right")
-      // ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR — deltas broadcast, stores scan-only
-      val delta = broadcast(dl).join(rOld.unionByName(dr), keys)
-        .unionByName(lOld.join(broadcast(dr), keys))
-      cur.unionByName(delta.select(cur.columns.map(col): _*))
-    }))
+    "view" -> ((cur: DataFrame, b: DataFrame) =>
+      cur.unionByName(
+        delta(spark, base, keys, isLeft, projectLeft, projectRight)(b)
+          .select(cur.columns.map(col): _*))))
+
+  /** The batch's contribution to the join view — ΔL ⋈ (R ∪ ΔR) ∪
+    * L ⋈ ΔR, deltas broadcast, standing sides scan-only. Public so
+    * DERIVED stores can fold the same delta under the same manifest
+    * swap: appending `("agg", (cur, b) => cur ∪ aggregate(delta(...)(b)))`
+    * to [[folds]] maintains a join-plus-aggregate view that can never
+    * tear from the join it summarizes (q234's composition).
+    */
+  def delta(spark: SparkSession, base: String, keys: Seq[String],
+            isLeft: Column,
+            projectLeft: DataFrame => DataFrame,
+            projectRight: DataFrame => DataFrame)(b: DataFrame): DataFrame = {
+    val dl = projectLeft(b.where(isLeft))
+    val dr = projectRight(b.where(!isLeft))
+    val lOld = graft.core.Catalog.read(spark, base, "left")
+    val rOld = graft.core.Catalog.read(spark, base, "right")
+    broadcast(dl).join(rOld.unionByName(dr), keys)
+      .unionByName(lOld.join(broadcast(dr), keys))
+  }
 
   /** The current join view (keys ++ left columns ++ right columns). */
   def read(spark: SparkSession, base: String): DataFrame =

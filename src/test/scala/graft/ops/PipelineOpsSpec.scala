@@ -885,4 +885,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       Sampling.coordinatedSample(a, col("k"), 100, 8)
     }
   }
+  test("jaccardJoin: exact pairs == brute force at several thresholds; prefix filter never drops") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq.tabulate(40)(i => s"w$i")
+    val docs = Seq.tabulate(60) { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardJoin(df, col("id"), split(col("text"), " "), t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val t1e4 = math.round(t * 10000)
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        c = (sets(a) & sets(b)).size
+        if c.toLong * 10000 >= t1e4 * (sets(a).size + sets(b).size - c)
+      } yield (a, b)).toSet
+      assert(got == want, s"threshold $t")
+    }
+    // inter/n_a/n_b are the exact set cardinalities
+    val row = Dedup.jaccardJoin(df, col("id"), split(col("text"), " "), 0.3)
+      .as[(Long, Long, Long, Long, Long)].collect().headOption
+    row.foreach { case (a, b, c, na, nb) =>
+      assert(c == (sets(a) & sets(b)).size && na == sets(a).size && nb == sets(b).size)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, col("id"), split(col("text"), " "), 0.0)
+    }
+  }
 }
