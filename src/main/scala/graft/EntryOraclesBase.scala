@@ -1651,6 +1651,14 @@ private[graft] object EntryOraclesBase {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id
         |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
+    "q235_interval_join_right_stream" ->
+      // the unmatched clicks carry NULLs; same µs-precision bound
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000""".stripMargin,
     "q226_regex_search" ->
       // the unaccelerated regexp scan the index prunes
       """WITH pats(qid, pat) AS (VALUES

@@ -530,6 +530,44 @@ private[graft] object EntryQueriesC {
       }
       s.table("graft_q227_join")
     }),
+    "q235_interval_join_right_stream" -> ((s, d) => {
+      // q222's RIGHT-OUTER form — the never-converting clicks surface
+      // with a NULL purchase side on watermark expiry, matched pairs
+      // eagerly. With q124 (inner), q222 (left), and q227 (full) this
+      // closes the streaming interval-join semantics family
+      // literally, not by "swap the sides yourself": the right-outer
+      // state contract holds the RIGHT side rows until the watermark
+      // clears them, the mirror of q222's. The cutoff accepts a NULL
+      // p_ts (the unmatched clicks carry none). Oracle = the batch
+      // RIGHT join at the same µs bound.
+      withShufflePartitions(s, 8) {
+        def side() = s.readStream
+          .schema(Tables(s, d).events.select(replayCols: _*).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"${sentinelReplayDir(s, d)}/in")
+        val p = side()
+          .where(col("event_type").isin("purchase", "__sentinel__"))
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = side()
+          .where(col("event_type").isin("click", "__sentinel__"))
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val joined = graft.streaming.StreamOps.intervalJoinOuter(
+          p, "p_ts", "0 seconds", c, "c_ts", "0 seconds",
+          col("p_user") === col("c_user"),
+          "p_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts + INTERVAL 6 HOURS",
+          "right_outer")
+          .where((col("p_ts").isNull || col("p_ts") < sentinelCutoff) &&
+            col("c_ts") < sentinelCutoff)
+          .select(col("purchase_id"), col("click_id"),
+            (ms(col("p_ts")) - ms(col("c_ts"))).as("delta_ms"))
+        val q = joined.writeStream.format("memory").queryName("graft_q235_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_q235_join")
+    }),
     "q129_restart_exactly_once" -> ((s, d) => {
       // The reference's flagship claim — EXACTLY-ONCE across a
       // mid-stream stop/restart (checkpoint_coordinator.py:55-311,
