@@ -97,4 +97,40 @@ class JoinViewSpec extends AnyFunSuite {
         Seq((1L, 1L)).toDF("k", "v"), Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
     }
   }
+  test("a derived aggregate store folds the same delta and never tears from the view") {
+    val base = TempDirs.create("graft_joinview_agg")
+    JoinView.init(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"))
+    Catalog.addStore(spark, base, "agg",
+      Seq.empty[(Long, Long, Long)].toDF("k", "n", "sum_rv"))
+    val dlt = JoinView.delta(spark, base, Seq("k"), col("is_left"), pl, pr) _
+    val folds = JoinView.folds(spark, base, Seq("k"), col("is_left"), pl, pr) :+
+      ("agg" -> ((cur: DataFrame, b: DataFrame) =>
+        cur.unionByName(dlt(b).groupBy(col("k"))
+            .agg(count(lit(1)).as("n"), sum(col("rv")).as("sum_rv")))
+          .groupBy(col("k"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_rv")).as("sum_rv"))))
+    val rows = mkChanges(seed = 31, n = 80)
+    rows.grouped(17).zipWithIndex.foreach { case (b, i) =>
+      Catalog.ingest(spark, base, i.toLong,
+        b.toDF("is_left", "k", "lv", "rv"), folds)
+    }
+    // the aggregate equals a one-shot group-by over the converged view
+    val fromView = JoinView.read(spark, base).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("rv")).as("sum_rv"))
+      .as[(Long, Long, Long)].collect().toSet
+    val agg = Catalog.read(spark, base, "agg")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(agg == fromView && agg.nonEmpty)
+    // a crash between folds tears NEITHER store (one manifest swap)
+    val before = agg
+    intercept[IllegalStateException] {
+      Catalog.ingestImpl(spark, base, 99L,
+        Seq((true, 1L, 1L, -1L)).toDF("is_left", "k", "lv", "rv"), folds,
+        failAfter = 3)
+    }
+    assert(Catalog.read(spark, base, "agg")
+      .as[(Long, Long, Long)].collect().toSet == before)
+  }
 }
