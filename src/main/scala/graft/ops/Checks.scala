@@ -236,6 +236,9 @@ object Checks {
       .agg(coalesce(sum(when(!isCurrent, value)), lit(0L)).as("prev"),
         coalesce(sum(when(isCurrent, value)), lit(0L)).as("cur"))
       .withColumn("delta", col("cur") - col("prev"))
+      // key-grain (tiny) — pin it so the total below reuses THIS scan
+      // instead of re-running the corpus aggregate a second time
+      .localCheckpoint()
     val total = per.agg(sum(col("delta")).as("__total"))
     per.crossJoin(broadcast(total))
       .withColumn("share",
