@@ -43,6 +43,8 @@ private[graft] object EntryHelpers {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q234CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q236CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q143IndexCache =

@@ -15,6 +15,9 @@ private[graft] object EntryOraclesExt {
     // independent given the index, so the batch oracle IS the stream
     // oracle — shared verbatim where the workload is identical:
     "q137_decon_screen_stream" -> oracleSqlBase("q66_decontaminate"),
+    // the join view across stop/restart converges to the same one-shot
+    // join as its straight-through form — shared verbatim
+    "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
     "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
     "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
     "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),

@@ -252,6 +252,60 @@ private[graft] object EntryQueriesD {
       })
       graft.core.Catalog.read(s, base, "agg")
     }),
+    "q236_join_view_restart" -> ((s, d) => {
+      // q228 ACROSS A STOP/RESTART — the join view's exactly-once
+      // claim made oracle-visible: phase A folds the even-key half of
+      // the CDC (2 batches) and STOPS; the odd-key half arrives while
+      // the query is DOWN; a new query on the SAME durable checkpoint
+      // must resume batch ids at 2 (a fresh checkpoint would renumber
+      // from 0 and the ledger would silently no-op the new data — the
+      // requireDurableCheckpoint hazard, here exercised end-to-end).
+      // Any resume drift, double-fold, or torn store breaks the
+      // compare with the one-shot batch join.
+      val base = q236CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q236_cat") + "/jv"
+        val o = Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_custkey"))
+        val l = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val changes = o.select(lit(true).as("is_left"), col("k"),
+            col("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+          .unionByName(l.select(lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"),
+            col("l_linenumber"), col("cents")))
+        JoinView.init(s, p, o.limit(0), l.limit(0), Seq("k"))
+        val folds = JoinView.folds(s, p, Seq("k"), col("is_left"),
+          b => b.select(col("k"), col("o_custkey")),
+          b => b.select(col("k"), col("l_linenumber"), col("cents")))
+        val stage = graft.core.TempDirs.create("graft_q236_replay")
+        val ckpt = graft.core.TempDirs.create("graft_q236_ckpt")
+        def run(): Unit = withShufflePartitions(s, 8) {
+          val q = graft.core.Catalog.ingestStream(s,
+            graft.streaming.Replay.orderedStream(s, stage, changes.schema),
+            p, folds, checkpoint = Some(ckpt))
+          try q.processAllAvailable() finally q.stop()
+        }
+        val ord = col("k") * 8 + coalesce(col("l_linenumber"), lit(0L))
+        graft.streaming.Replay.writeOrderedSlices(
+          changes.where(col("k") % 2 === 0), ord, stage, 2)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 1L,
+          "q236: phase A must land batches 0 and 1")
+        graft.streaming.Replay.appendSlice(stage,
+          changes.where(col("k") % 4 === 1), 2)
+        graft.streaming.Replay.appendSlice(stage,
+          changes.where(col("k") % 4 === 3), 3)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 3L,
+          "q236: the restart must resume batch ids at 2, not renumber from 0")
+        p
+      })
+      JoinView.read(s, base).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
     "q187_boolean_search" -> ((s, d) => {
       // BOOLEAN AND RETRIEVAL — Bm25Index.searchAll: the docs
       // containing EVERY query term, over the SAME standing inverted
