@@ -135,8 +135,18 @@ object WriterLease {
       r
     } finally {
       stop.countDown()
-      beat.join(1000)
-      if (!lost.get() && readOwner(fs, f).contains(owner)) fs.delete(f, false)
+      // release must survive an INTERRUPTED holder: a streaming query's
+      // stop() interrupts its foreachBatch thread mid-mutation, and an
+      // interrupted join() would throw here, skip the delete, and leave
+      // a fresh lease blocking the next writer for a full staleMs (bit
+      // q185's follower: stop() raced the final deterministic sync).
+      // Clear the flag for the cleanup, then restore it for the caller.
+      val wasInterrupted = Thread.interrupted()
+      try {
+        beat.join(1000)
+        if (!lost.get() && readOwner(fs, f).contains(owner)) fs.delete(f, false)
+      } catch { case _: InterruptedException => () }
+      finally if (wasInterrupted) Thread.currentThread().interrupt()
     }
   }
 }
