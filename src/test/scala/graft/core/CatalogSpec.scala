@@ -544,4 +544,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.vacuum(spark, base).isEmpty
       || Catalog.lastBatch(spark, base) == 0L) // sweep runs once unblocked
   }
+  test("an interrupted lease holder still releases (both interrupt delivery modes)") {
+    // mode 1: the body THROWS InterruptedException (sleep/wait)
+    val base1 = TempDirs.create("catalog_lease_intr1")
+    val entered1 = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() =>
+      try WriterLease.withLease(spark, base1, "test-intr1") {
+        entered1.countDown(); Thread.sleep(60000)
+      } catch { case _: Throwable => () })
+    t1.start(); assert(entered1.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(100) // let the holder settle inside the body
+    t1.interrupt(); t1.join(15000)
+    assert(!new java.io.File(base1, "_writer.lease").exists(),
+      "a sleep-interrupted holder must delete its lease")
+    // mode 2: the interrupt FLAG is set without a throw (fs/Spark ops
+    // often just set it) — release must clear, clean up, and restore
+    val base2 = TempDirs.create("catalog_lease_intr2")
+    @volatile var restored = false
+    val t2 = new Thread(() => {
+      WriterLease.withLease(spark, base2, "test-intr2") {
+        Thread.currentThread().interrupt()
+      }
+      restored = Thread.currentThread().isInterrupted
+    })
+    t2.start(); t2.join(15000)
+    assert(!new java.io.File(base2, "_writer.lease").exists(),
+      "a flag-interrupted holder must delete its lease")
+    assert(restored, "the interrupt flag must be restored for the caller")
+  }
 }
