@@ -18,6 +18,7 @@ private[graft] object EntryOraclesExt {
     // the join view across stop/restart converges to the same one-shot
     // join as its straight-through form — shared verbatim
     "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
+    "q237_regex_search_stream" -> oracleSqlBase("q226_regex_search"),
     "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
     "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
     "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),

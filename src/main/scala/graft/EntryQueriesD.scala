@@ -541,6 +541,29 @@ private[graft] object EntryQueriesD {
         }
       }
     }),
+    "q237_regex_search_stream" -> ((s, d) => {
+      // TrigramIndex.searchRegexStream: standing regex alerting —
+      // q226's three patterns arrive one per micro-batch against the
+      // SAME standing index; per-pattern independence makes q226's
+      // regexp_matches oracle the stream's oracle verbatim (the q209
+      // posture for the regex axis).
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val pats = Seq((0L, "merge.*batch"), (1L, "sorts? merge"),
+        (2L, "table .able")).toDF("qid", "pat")
+      withShufflePartitions(s, 8) {
+        val stage = screenReplayDir(s"$d#q237", pats, col("qid"), 3)
+        val stream = graft.streaming.Replay.orderedStream(s, stage, pats.schema)
+        collectScreenBatches(s) { onBatch =>
+          TrigramIndex.searchRegexStream(s, stream, col("qid"), col("pat"),
+            Tables(s, d).documents, col("doc_id"), col("text"), idx)(onBatch)
+        }
+      }
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram

@@ -472,4 +472,20 @@ object TrigramIndex {
         }
       }
       .start()
+
+  /** [[searchRegex]] per arriving micro-batch of patterns against the
+    * standing index — the alerting/standing-grep form of the regex
+    * search, same per-pattern independence as [[searchStream]].
+    */
+  def searchRegexStream(spark: SparkSession, queryStream: DataFrame, qid: Column,
+                        qtext: Column, corpus: DataFrame, id: Column, text: Column,
+                        path: String)
+                       (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.retryingStaleReads() {
+          onBatch(searchRegex(spark, batch, qid, qtext, corpus, id, text, path))
+        }
+      }
+      .start()
 }
