@@ -20,14 +20,22 @@ import org.apache.spark.sql.functions._
   * any rename starts), and the first rename parks the previous content
   * at `_store.old`, so one of the two is always restorable.
   *
-  * SINGLE-WRITER CONTRACT: folds serialize through the shared
-  * `_store.next` staging dir, which is exactly foreachBatch's
-  * serial-per-query execution model — two DIFFERENT queries folding
-  * the same path concurrently would race the staging dir and must not
-  * be run. A pipeline that needs one batch applied to MANY stores (the
-  * multi-writer-shaped case) goes through [[Catalog]], which keeps one
-  * writer per store generation and serializes visibility at its
-  * manifest swap.
+  * SINGLE-WRITER CONTRACT — ENFORCED: folds serialize through the
+  * shared `_store.next` staging dir, which is exactly foreachBatch's
+  * serial-per-query execution model. Two DIFFERENT queries folding the
+  * same path concurrently would race the staging dir and corrupt
+  * silently, so every mutation here ([[init]]/[[fold]]/[[reset]]/
+  * [[compact]]) acquires the path-scoped [[WriterLease]] for its
+  * duration: the second concurrent writer fails with the named
+  * another-writer-holds-the-lease error instead. The lease is
+  * store-scoped (`path/_writer.lease`), so [[Catalog]] — which holds
+  * its own base-scoped lease across a multi-store mutation and then
+  * folds its manifest through here — nests without deadlock (base and
+  * manifest are different paths). Re-delivery no-ops (batchId ≤
+  * ledger) stay lock-free; readers never touch the lease. A pipeline
+  * that needs one batch applied to MANY stores (the multi-writer-
+  * shaped case) goes through [[Catalog]], which keeps one writer per
+  * store generation and serializes visibility at its manifest swap.
   */
 object SwapStore {
 
@@ -141,17 +149,20 @@ object SwapStore {
   /** Create (or replace) the store with `df` and an empty ledger. */
   def init(df: DataFrame, path: String): Unit = {
     val sp = df.sparkSession
-    val tmp = s"$path/_store.next"
-    df.write.mode("overwrite").parquet(s"$tmp/data")
-    sp.range(1).select(lit(-1L).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(store(path))))
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(store(path))),
-        s"SwapStore.init: rename $tmp failed")
-    else swapDirs(sp, store(path), tmp)
+    WriterLease.withLeaseHandle(sp, path, s"SwapStore.init($path)") { lease =>
+      val tmp = s"$path/_store.next"
+      df.write.mode("overwrite").parquet(s"$tmp/data")
+      sp.range(1).select(lit(-1L).as("last_batch"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      lease.assertHeld()
+      if (!fs.exists(new org.apache.hadoop.fs.Path(store(path))))
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(store(path))),
+          s"SwapStore.init: rename $tmp failed")
+      else swapDirs(sp, store(path), tmp)
+    }
   }
 
   /** The current table. */
@@ -173,13 +184,22 @@ object SwapStore {
     */
   def fold(spark: SparkSession, path: String, batchId: Long)
           (transform: DataFrame => DataFrame): Unit = {
-    if (batchId <= lastBatch(spark, path)) return
-    val out = transform(read(spark, path))
-    val tmp = s"$path/_store.next"
-    out.write.mode("overwrite").parquet(s"$tmp/data")
-    spark.range(1).select(lit(batchId).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    swapDirs(spark, store(path), tmp)
+    if (batchId <= lastBatch(spark, path)) return // re-delivery: lock-free no-op
+    WriterLease.withLeaseHandle(spark, path,
+        s"SwapStore.fold($path, batch $batchId)") { lease =>
+      // re-check under the lease: the lock-free fast path above can
+      // race a concurrent writer that applied this very batch between
+      // our read and our acquire
+      if (batchId > lastBatch(spark, path)) {
+        val out = transform(read(spark, path))
+        val tmp = s"$path/_store.next"
+        out.write.mode("overwrite").parquet(s"$tmp/data")
+        spark.range(1).select(lit(batchId).as("last_batch"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+        lease.assertHeld()
+        swapDirs(spark, store(path), tmp)
+      }
+    }
   }
 
   /** Replace the store's table AND ledger unconditionally — the
@@ -190,13 +210,16 @@ object SwapStore {
     * plan materializes fully into the staging dir before any rename.
     * Same crash-safe swap as [[fold]], same single-writer contract.
     */
-  def reset(spark: SparkSession, path: String, df: DataFrame, batchId: Long): Unit = {
-    val tmp = s"$path/_store.next"
-    df.write.mode("overwrite").parquet(s"$tmp/data")
-    spark.range(1).select(lit(batchId).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    swapDirs(spark, store(path), tmp)
-  }
+  def reset(spark: SparkSession, path: String, df: DataFrame, batchId: Long): Unit =
+    WriterLease.withLeaseHandle(spark, path,
+        s"SwapStore.reset($path)") { lease =>
+      val tmp = s"$path/_store.next"
+      df.write.mode("overwrite").parquet(s"$tmp/data")
+      spark.range(1).select(lit(batchId).as("last_batch"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      lease.assertHeld()
+      swapDirs(spark, store(path), tmp)
+    }
 
   /** Rewrite the store's data into `files` parquet files WITHOUT
     * advancing the ledger — the small-file bound for stores that fold
@@ -207,12 +230,16 @@ object SwapStore {
     */
   def compact(spark: SparkSession, path: String, files: Int = 1): Unit = {
     require(files > 0, "SwapStore.compact: files must be positive")
-    val last = lastBatch(spark, path)
-    val tmp = s"$path/_store.next"
-    read(spark, path).coalesce(files)
-      .write.mode("overwrite").parquet(s"$tmp/data")
-    spark.range(1).select(lit(last).as("last_batch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
-    swapDirs(spark, store(path), tmp)
+    WriterLease.withLeaseHandle(spark, path,
+        s"SwapStore.compact($path)") { lease =>
+      val last = lastBatch(spark, path)
+      val tmp = s"$path/_store.next"
+      read(spark, path).coalesce(files)
+        .write.mode("overwrite").parquet(s"$tmp/data")
+      spark.range(1).select(lit(last).as("last_batch"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      lease.assertHeld()
+      swapDirs(spark, store(path), tmp)
+    }
   }
 }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *   base/_writer.lease      one line: "<owner-token>\n<what>"
   * ```
   *
-  * Protocol (atomic on HDFS and on local FS via create-exclusive):
+  * Protocol (atomic on HDFS and on local FS via create-exclusive and
+  * rename):
   *  - acquire  = create the file with `overwrite = false`; EEXIST means
   *    another writer holds it — read its age and fail loudly while the
   *    lease is live.
@@ -23,13 +24,20 @@ import org.apache.spark.sql.SparkSession
   *    fresh. The rewrite re-verifies ownership first: if the lease was
   *    reclaimed from under us (we were judged dead), the flag trips and
   *    release raises instead of letting the next mutation proceed on a
-  *    store someone else now owns.
+  *    store someone else now owns. The verify→rewrite pair is fenced
+  *    against stop-the-world pauses: if more than `staleMs` elapsed
+  *    since the verify, the holder treats ITSELF as reclaimed (it may
+  *    have just overwritten a legitimate new holder's file, or be
+  *    about to) instead of silently resurrecting a dead lease.
   *  - release  = delete iff still owned.
   *  - stale takeover = a lease whose mtime is older than `staleMs` is a
   *    crashed holder (its heartbeat died with it); the new writer
-  *    deletes it and retries create-exclusive. Two racing reclaimers
-  *    both delete, but only ONE create-exclusive wins — the loser sees
-  *    a fresh file and fails loudly like any second writer.
+  *    retires it by ATOMIC RENAME to a tombstone and retries
+  *    create-exclusive. Rename-of-missing-source fails, so of N racing
+  *    reclaimers exactly one retires the stale file — the losers retry
+  *    and land in the live-holder branch against whoever re-acquired.
+  *    (A delete-based reclaim would let a slow racer delete the
+  *    WINNER's fresh lease: stat-then-delete is not atomic.)
   *
   * Scale shape: two filesystem metadata ops per guarded mutation plus
   * one per heartbeat interval — nothing row-count-shaped. The lease
@@ -40,6 +48,23 @@ object WriterLease {
 
   /** Age (ms) past which an un-heartbeated lease is a crashed holder. */
   val DefaultStaleMs = 60000L
+
+  /** Handed to [[withLeaseHandle]] bodies: [[assertHeld]] raises the
+    * named reclaimed-mid-mutation error the moment the heartbeat trips
+    * the lost flag — call it immediately before the irreversible step
+    * (the store swap), not only after the body completes.
+    */
+  final class Handle private[WriterLease] (
+      base: String, what: String,
+      lost: java.util.concurrent.atomic.AtomicBoolean) {
+    private[WriterLease] def isLost: Boolean = lost.get()
+    def assertHeld(): Unit =
+      if (lost.get())
+        throw new IllegalStateException(
+          s"$what: writer lease on $base was reclaimed mid-mutation " +
+            "(heartbeat judged this holder dead); the store may need the " +
+            "replay of this batch — investigate before writing again")
+  }
 
   private def leaseFile(base: String) =
     new org.apache.hadoop.fs.Path(s"$base/_writer.lease")
@@ -78,7 +103,25 @@ object WriterLease {
     * a stale (crashed-holder) lease transparently.
     */
   def withLease[T](spark: SparkSession, base: String, what: String,
-                   staleMs: Long = DefaultStaleMs)(body: => T): T = {
+                   staleMs: Long = DefaultStaleMs)(body: => T): T =
+    withLeaseHandle(spark, base, what, staleMs)(_ => body)
+
+  /** [[withLease]] with the lost-flag [[Handle]] exposed to the body
+    * so it can `assertHeld()` before its point of no return.
+    */
+  def withLeaseHandle[T](spark: SparkSession, base: String, what: String,
+                         staleMs: Long = DefaultStaleMs)
+                        (body: Handle => T): T =
+    run(spark, base, what, staleMs,
+        () => System.currentTimeMillis())(body)
+
+  /** Implementation with an injectable clock — `nowMs` exists ONLY so
+    * the pause fence (verify→rewrite straddling `staleMs`) is unit
+    * testable without a real 60 s stop-the-world pause.
+    */
+  private[graft] def run[T](spark: SparkSession, base: String, what: String,
+                            staleMs: Long, nowMs: () => Long)
+                           (body: Handle => T): T = {
     require(staleMs > 0, "WriterLease: staleMs must be positive")
     val fs = fsOf(spark, base)
     val f = leaseFile(base)
@@ -94,17 +137,23 @@ object WriterLease {
           else throw new IllegalStateException(
             s"WriterLease: could not acquire $f after repeated races")
         case Some(s) =>
-          val age = System.currentTimeMillis() - s.getModificationTime
+          val age = nowMs() - s.getModificationTime
           if (age < staleMs)
             throw new IllegalStateException(
               s"$what: another writer holds the lease on $base " +
                 s"(owner ${readOwner(fs, f).getOrElse("?")}, heartbeat ${age} ms ago): " +
                 "concurrent writers would corrupt the store — stop the other " +
                 s"writer, or wait for its lease to expire (stale after $staleMs ms)")
-          // crashed holder: reclaim. Only one racing reclaimer's
-          // create-exclusive wins; the losers land in the live-holder
-          // branch above on retry.
-          fs.delete(f, false)
+          // crashed holder: retire by ATOMIC RENAME to a tombstone —
+          // of N racing reclaimers only one rename succeeds (rename of
+          // a missing source fails), so no racer can ever remove a
+          // lease it did not itself observe stale. The losers retry
+          // create-exclusive and lose to whoever re-acquired first.
+          val tomb = new org.apache.hadoop.fs.Path(
+            s"$base/_writer.lease.reclaimed.${java.util.UUID.randomUUID()}")
+          val won = try fs.rename(f, tomb)
+                    catch { case _: java.io.IOException => false }
+          if (won) fs.delete(tomb, false)
           if (attempts > 1) acquire(attempts - 1)
           else throw new IllegalStateException(
             s"WriterLease: could not reclaim stale lease $f")
@@ -114,24 +163,44 @@ object WriterLease {
     acquire(attempts = 3)
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val stop = new java.util.concurrent.CountDownLatch(1)
+    val handle = new Handle(base, what, lost)
     val beat = new Thread(() => {
-      while (!stop.await(math.max(staleMs / 3, 1L),
+      var going = true
+      while (going && !stop.await(math.max(staleMs / 3, 1L),
                          java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        // verify-then-rewrite: never resurrect a reclaimed lease
-        if (readOwner(fs, f).contains(owner))
+        // verify-then-rewrite, FENCED: never resurrect a reclaimed
+        // lease. If the verify says we own it but more than staleMs
+        // then passes before (or during) the rewrite — a GC pause, a
+        // frozen NFS call — a reclaimer may legally have taken the
+        // lease in between; writing now would overwrite the new
+        // holder. Treat ourselves as reclaimed instead.
+        val t0 = nowMs()
+        if (!readOwner(fs, f).contains(owner)) {
+          lost.set(true); going = false
+        } else if (nowMs() - t0 >= staleMs) {
+          // paused after verify: don't write — a reclaimer may own the
+          // file now. Surrender; drop the file only if it still carries
+          // our token (unblocks the path now instead of in staleMs).
+          lost.set(true); going = false
+          if (readOwner(fs, f).contains(owner)) fs.delete(f, false)
+        } else {
           writeOwner(fs, f, owner, what, exclusive = false)
-        else { lost.set(true); stop.countDown() }
+          if (nowMs() - t0 >= staleMs) {
+            // paused DURING the rewrite: we may have just clobbered a
+            // legitimate new holder. Surrender: drop the file iff it
+            // carries our token (unblocks the path now, not in staleMs)
+            // and trip the flag so release raises.
+            lost.set(true); going = false
+            if (readOwner(fs, f).contains(owner)) fs.delete(f, false)
+          }
+        }
       }
     }, s"graft-writer-lease-${base.hashCode}")
     beat.setDaemon(true)
     beat.start()
     try {
-      val r = body
-      if (lost.get())
-        throw new IllegalStateException(
-          s"$what: writer lease on $base was reclaimed mid-mutation " +
-            "(heartbeat judged this holder dead); the store may need the " +
-            "replay of this batch — investigate before writing again")
+      val r = body(handle)
+      handle.assertHeld()
       r
     } finally {
       stop.countDown()
@@ -141,9 +210,14 @@ object WriterLease {
       // a fresh lease blocking the next writer for a full staleMs (bit
       // q185's follower: stop() raced the final deterministic sync).
       // Clear the flag for the cleanup, then restore it for the caller.
+      // The join is UNCAPPED: the stop latch is already down, so the
+      // beat thread exits after at most one loop body — a capped join
+      // could return while the beat is still inside writeOwner, and the
+      // beat would then rewrite the file AFTER our delete, resurrecting
+      // an orphaned lease that blocks the next writer for staleMs.
       val wasInterrupted = Thread.interrupted()
       try {
-        beat.join(1000)
+        beat.join()
         if (!lost.get() && readOwner(fs, f).contains(owner)) fs.delete(f, false)
       } catch { case _: InterruptedException => () }
       finally if (wasInterrupted) Thread.currentThread().interrupt()

@@ -122,4 +122,55 @@ class SwapStoreSpec extends AnyFunSuite {
     assert(SwapStore.read(spark, path).as[(Long, String)].collect().toSet ==
       Set((2L, "new")))
   }
+
+  test("a second concurrent writer into one bare store path fails with the lease error") {
+    val path = TempDirs.create("swapstore_lease_race")
+    SwapStore.init(Seq((1L, 0L)).toDF("k", "n"), path)
+    // writer A blocks INSIDE its fold's transform (lease held); writer
+    // B's fold — a different query into the SAME path, the silent-
+    // corruption case the round-12 verdict named — must fail loudly
+    val inFold = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    var aFailed: Option[Throwable] = None
+    val a = new Thread(() => {
+      try SwapStore.fold(spark, path, 0L) { cur =>
+        inFold.countDown()
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        cur.withColumn("n", col("n") + 1)
+      } catch { case t: Throwable => aFailed = Some(t) }
+    })
+    a.start()
+    assert(inFold.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val e = intercept[IllegalStateException] {
+        SwapStore.fold(spark, path, 1L)(_.withColumn("n", col("n") + 100))
+      }
+      assert(e.getMessage.contains("another writer holds the lease"))
+      val e2 = intercept[IllegalStateException] {
+        SwapStore.compact(spark, path)
+      }
+      assert(e2.getMessage.contains("another writer holds the lease"))
+    } finally {
+      release.countDown()
+      a.join(60000)
+    }
+    assert(aFailed.isEmpty, s"writer A must complete normally: $aFailed")
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 1L)))
+    // with A done the lease is released and the next fold lands
+    SwapStore.fold(spark, path, 1L)(_.withColumn("n", col("n") + 100))
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 101L)))
+    assert(!new java.io.File(path, "_writer.lease").exists())
+  }
+
+  test("a crashed holder's stale lease on a bare store path is reclaimed transparently") {
+    val path = TempDirs.create("swapstore_lease_stale")
+    SwapStore.init(Seq((1L, 0L)).toDF("k", "n"), path)
+    val lease = new java.io.File(path, "_writer.lease")
+    java.nio.file.Files.write(lease.toPath, "dead-host#1#x\ncrashed\n".getBytes("UTF-8"))
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 2 * WriterLease.DefaultStaleMs))
+    SwapStore.fold(spark, path, 0L)(_.withColumn("n", col("n") + 1))
+    assert(SwapStore.read(spark, path).as[(Long, Long)].collect().head == ((1L, 1L)))
+    assert(!lease.exists())
+  }
 }
