@@ -45,6 +45,8 @@ private[graft] object EntryHelpers {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q236CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q238CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q143IndexCache =

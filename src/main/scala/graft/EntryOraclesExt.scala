@@ -19,6 +19,27 @@ private[graft] object EntryOraclesExt {
     // join as its straight-through form — shared verbatim
     "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
     "q237_regex_search_stream" -> oracleSqlBase("q226_regex_search"),
+    "q238_join_view_cdc" ->
+      // the one-shot join the retraction view must converge to: orders
+      // net of the %7==3 deletes with %10==0 custkeys updated, lineitem
+      // net of the linenumber>=5 deletes plus the duplicate slice
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |      THEN CAST(o_custkey AS BIGINT) + 1000000
+        |      ELSE CAST(o_custkey AS BIGINT) END AS o_custkey
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 3 AND o_orderkey % 10 <> 0)),
+        |l AS (
+        |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_linenumber < 5
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 13 = 0)
+        |SELECT o.k AS o_orderkey, o.o_custkey, l.l_linenumber, l.cents
+        |FROM o JOIN l ON o.k = l.k""".stripMargin,
     "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
     "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
     "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),

@@ -564,6 +564,64 @@ private[graft] object EntryQueriesD {
         }
       }
     }),
+    "q238_join_view_cdc" -> ((s, d) => {
+      // JOIN VIEW UNDER FULL CDC — JoinView.ingestCdcStream: q228's
+      // orders⋈lineitem view kept current under a changelog with real
+      // RETRACTIONS, banded so folds are batch-sized. The stream
+      // replays: every row inserted (+I), then every order with key %
+      // 10 == 0 updated (-U/+U custkey+1e6), orders with key % 7 == 3
+      // (and not updated) deleted, lineitems with linenumber >= 5
+      // deleted, and linenumber-1 rows of key % 13 == 0 orders
+      // inserted TWICE (real multiplicity 2 in the net bag). Sides
+      // and view are Z-multisets in 8 hash-band stores under one
+      // manifest: each micro-batch folds only its keys' bands, counts
+      // multiply through the delta joins ΔL⋈(R⊎ΔR) ⊎ L⋈ΔR, and rows
+      // retire at count zero. Oracle: the one-shot join of the NET
+      // tables with the duplicate slice unioned back in.
+      val base = q238CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q238_cat") + "/jv"
+        val t = Tables(s, dir)
+        val o = t.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        val l = t.lineitem.select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        def oRow(op: String, ck: Column, seq: Long)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(true).as("is_left"), col("k"),
+            ck.as("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"), lit(seq).as("seq"))
+        def lRow(op: String, seq: Long)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"), col("l_linenumber"),
+            col("cents"), lit(seq).as("seq"))
+        val changes = oRow("+I", col("o_custkey"), 0)(o)
+          .unionByName(oRow("-U", col("o_custkey"), 1)(o.where(col("k") % 10 === 0)))
+          .unionByName(oRow("+U", col("o_custkey") + 1000000L, 2)(
+            o.where(col("k") % 10 === 0)))
+          .unionByName(oRow("-D", col("o_custkey"), 1)(
+            o.where(col("k") % 7 === 3 && col("k") % 10 =!= 0)))
+          .unionByName(lRow("+I", 0)(l))
+          .unionByName(lRow("+I", 1)(
+            l.where(col("l_linenumber") === 1 && col("k") % 13 === 0)))
+          .unionByName(lRow("-D", 2)(l.where(col("l_linenumber") >= 5)))
+        JoinView.initCdc(s, p,
+          o.limit(0), l.limit(0), Seq("k"), bands = 8)
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$d#q238", changes,
+            col("seq") * 100000000L + col("k") * 8 +
+              coalesce(col("l_linenumber"), lit(0L)), 3)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
+          val q = JoinView.ingestCdcStream(s, stream, p, col("is_left"), "op",
+            Seq(col("k"), col("o_custkey")),
+            Seq(col("k"), col("l_linenumber"), col("cents")),
+            ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram

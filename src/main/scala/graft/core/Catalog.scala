@@ -631,4 +631,28 @@ object Catalog {
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** [[ingestStream]] with a BATCH-DEPENDENT fold list: `folds(batch)`
+    * decides per trigger which stores this batch touches (and how) —
+    * the banded-store pattern ([[graft.ops.JoinView]]'s CDC variant),
+    * where a batch folds only the hash bands its keys land in and the
+    * untouched bands' generations ride the manifest swap unchanged.
+    * The function must be DETERMINISTIC in the batch content: a crash
+    * replay recomputes it and must converge on the same store set.
+    */
+  def ingestStreamDynamic(spark: SparkSession, stream: DataFrame, base: String,
+                          folds: DataFrame => Seq[(String, (DataFrame, DataFrame) => DataFrame)],
+                          checkpoint: Option[String] = None,
+                          ephemeralOk: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.ops.Sketches.requireDurableCheckpoint(checkpoint, base, ephemeralOk)
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        SwapStore.retryingStaleReads() {
+          if (bid > lastBatch(spark, base)) // skip fold planning on re-delivery
+            ingest(spark, base, bid, batch, folds(batch))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

@@ -106,4 +106,212 @@ object JoinView {
   /** The current join view (keys ++ left columns ++ right columns). */
   def read(spark: SparkSession, base: String): DataFrame =
     graft.core.Catalog.read(spark, base, "view")
+
+  // ======== banded, retraction-capable variant (full CDC) ========
+  //
+  // Two limits of the insert-only form above fall together here:
+  //
+  //  RETRACTIONS. Sides and view are kept as Z-MULTISETS — every
+  //  distinct row carries a signed count `__mult` — so the delta
+  //  algebra closes over deletes and updates: a changelog row signs
+  //  ±1 (the `+I/+U/-U/-D` convention of [[Diff.maintainAgg]]),
+  //  joins MULTIPLY counts, merges ADD them, and a row retires when
+  //  its count reaches zero. Out-of-order CDC (a delete replayed
+  //  before its insert) nets correctly because negative counts are
+  //  retained in the stores and only filtered at read time.
+  //
+  //  BATCH-SIZED FOLDS. A Catalog generation is a full replacement,
+  //  so the insert-only form's per-fold cost grows with accumulated
+  //  view size (the scenario-45 finding). Here each logical table is
+  //  HASH-BANDED into `bands` sibling Catalog stores (`left__b000`…,
+  //  `right__…`, `view__…`) sharing one manifest: a batch folds ONLY
+  //  the bands its keys land in, each a band-sized merge, and the
+  //  untouched bands' generations ride the manifest swap unchanged.
+  //  Per-fold cost is (touched bands) × (band size) — size `bands`
+  //  so a band holds a bounded row target and the cost is flat in
+  //  total view size. The standing-side scans of the delta joins
+  //  prune the same way: ΔL only matches right rows in ΔL's own key
+  //  bands, so only those band stores are read. Atomicity, savepoints,
+  //  time travel, replication, and the writer lease are inherited
+  //  from the Catalog untouched — bands are ordinary stores.
+
+  /** Signed-count column carried by every banded store. */
+  val MultCol = "__mult"
+
+  private def bandStore(side: String, b: Int): String = f"${side}__b$b%03d"
+
+  private def bandOf(keys: Seq[String], bands: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(bands))
+
+  /** Collapse a plain table to its Z-multiset (distinct rows + count). */
+  private def counted(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as(MultCol))
+
+  /** cur ⊎ delta over Z-multisets: counts add, zero-count rows retire. */
+  private def mergeCounted(cur: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = cur.columns.filterNot(_ == MultCol)
+    cur.unionByName(delta.select(cur.columns.map(col): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(MultCol)).as(MultCol))
+      .where(col(MultCol) =!= 0)
+  }
+
+  /** Equi-join of Z-multisets: counts multiply. */
+  private def joinCounted(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.withColumnRenamed(MultCol, "__ml")
+      .join(r.withColumnRenamed(MultCol, "__mr"), keys)
+      .withColumn(MultCol, col("__ml") * col("__mr"))
+      .drop("__ml", "__mr")
+
+  private def cdcMeta(spark: SparkSession, base: String): (Int, Seq[String]) = {
+    val r = graft.core.Catalog.read(spark, base, "meta").head()
+    (r.getInt(0), r.getString(1).split(' ').toSeq)
+  }
+
+  /** Union of one side's band stores for the given band ids, resolved
+    * through ONE manifest read; an empty id set yields an empty frame
+    * of the right schema.
+    */
+  private def readBands(spark: SparkSession, base: String, side: String,
+                        ids: Seq[Int]): DataFrame = {
+    val all = graft.core.Catalog.readAll(spark, base)
+    if (ids.isEmpty) all(bandStore(side, 0)).limit(0)
+    else ids.map(b => all(bandStore(side, b))).reduce(_ unionByName _)
+  }
+
+  /** Stand up the banded catalog: `left0`/`right0` (plain tables; bag
+    * semantics — duplicates become counts) become `bands` band stores
+    * per side plus the banded initial join and a tiny `meta` store,
+    * all behind one manifest. Size `bands` for the TARGET view scale:
+    * per-fold cost is touched-bands × band-size, so aim for a band
+    * row target (e.g. view_rows / 10⁶ rounded up to a power of two).
+    */
+  def initCdc(spark: SparkSession, base: String, left0: DataFrame,
+              right0: DataFrame, keys: Seq[String], bands: Int): Unit = {
+    requireDisjoint(left0, right0, keys)
+    require(bands >= 1 && bands <= 4096, "JoinView.initCdc: 1 <= bands <= 4096")
+    keys.foreach(k => require(!k.contains(' '),
+      s"JoinView.initCdc: key '$k' must not contain spaces (meta encoding)"))
+    (left0.columns ++ right0.columns).distinct.foreach { c =>
+      require(c != MultCol && !c.startsWith("__m"),
+        s"JoinView.initCdc: column '$c' collides with the reserved __mult/__ml/__mr namespace")
+    }
+    val l = counted(left0).persist()
+    val r = counted(right0).persist()
+    val v = joinCounted(l, r, keys).persist()
+    try {
+      import spark.implicits._
+      val meta = Seq((bands, keys.mkString(" "))).toDF("bands", "keys")
+      val stores = Map("meta" -> meta) ++ (0 until bands).flatMap { b =>
+        Seq(bandStore("left", b) -> l.where(bandOf(keys, bands) === b),
+            bandStore("right", b) -> r.where(bandOf(keys, bands) === b),
+            bandStore("view", b) -> v.where(bandOf(keys, bands) === b))
+      }
+      graft.core.Catalog.init(base, stores)
+    } finally { l.unpersist(); r.unpersist(); v.unpersist() }
+  }
+
+  /** Apply one CDC batch: rows sign ±1 via `opCol` (`+I`/`+U` insert,
+    * `-U`/`-D` retract — any other value raises in-plan), project to
+    * their side via `leftProj`/`rightProj` (aliased column lists over
+    * the batch), and fold into ONLY the touched band stores under one
+    * manifest swap. Deltas are batch-sized and broadcast; the standing
+    * sides are read band-pruned and never shuffled. Deterministic in
+    * the batch, so a crash replay converges on the same store set.
+    */
+  def ingestCdc(spark: SparkSession, base: String, batchId: Long,
+                batch: DataFrame, isLeft: Column, opCol: String,
+                leftProj: Seq[Column], rightProj: Seq[Column]): Unit =
+    ingestCdcImpl(spark, base, batchId, batch, isLeft, opCol,
+      leftProj, rightProj, failAfter = Int.MaxValue)
+
+  /** [[ingestCdc]] with [[graft.core.Catalog.ingestImpl]]'s crash
+    * injection point, for the atomicity specs.
+    */
+  private[graft] def ingestCdcImpl(spark: SparkSession, base: String, batchId: Long,
+                batch: DataFrame, isLeft: Column, opCol: String,
+                leftProj: Seq[Column], rightProj: Seq[Column],
+                failAfter: Int): Unit = {
+    if (batchId <= graft.core.Catalog.lastBatch(spark, base)) return
+    val (bands, keys) = cdcMeta(spark, base)
+    val sign = when(col(opCol).isin("+I", "+U"), lit(1L))
+      .when(col(opCol).isin("-U", "-D"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit(s"JoinView.ingestCdc: $opCol must be one of +I, +U, -U, -D, got "),
+        coalesce(col(opCol), lit("null")))))
+    def delta(rows: DataFrame, proj: Seq[Column]): DataFrame = {
+      val d = rows.select(proj :+ sign.as(MultCol): _*)
+      val cols = d.columns.filterNot(_ == MultCol)
+      d.groupBy(cols.map(col): _*).agg(sum(col(MultCol)).as(MultCol))
+        .where(col(MultCol) =!= 0)
+    }
+    val dl = delta(batch.where(isLeft), leftProj).persist()
+    val dr = delta(batch.where(!isLeft), rightProj).persist()
+    val band = bandOf(keys, bands)
+    def idsOf(d: DataFrame): Seq[Int] =
+      d.select(band.as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val lIds = idsOf(dl)
+    val rIds = idsOf(dr)
+    // Δview = ΔL ⋈ (R ⊎ ΔR) ⊎ L ⋈ ΔR, every standing read pruned to
+    // the delta's own bands (equal keys hash to equal bands)
+    val rNew = mergeCounted(readBands(spark, base, "right", lIds),
+      if (lIds.isEmpty) dr.limit(0) else dr.where(band.isin(lIds: _*)))
+    val lOld = readBands(spark, base, "left", rIds)
+    val dv = joinCounted(broadcast(dl), rNew, keys)
+      .unionByName(joinCounted(lOld, broadcast(dr), keys))
+      .persist()
+    val vIds = idsOf(dv)
+    def bandFold(d: DataFrame, b: Int): (DataFrame, DataFrame) => DataFrame =
+      (cur, _) => mergeCounted(cur, d.where(band === b))
+    val folds =
+      lIds.map(b => bandStore("left", b) -> bandFold(dl, b)) ++
+      rIds.map(b => bandStore("right", b) -> bandFold(dr, b)) ++
+      vIds.map(b => bandStore("view", b) -> bandFold(dv, b))
+    try {
+      // a fully self-cancelling batch still advances the shared ledger
+      // (an identity fold of the tiny meta store) so its re-delivery
+      // stays a no-op
+      val effective = if (folds.isEmpty)
+        Seq("meta" -> ((cur: DataFrame, _: DataFrame) => cur)) else folds
+      graft.core.Catalog.ingestImpl(spark, base, batchId, batch, effective, failAfter)
+    } finally { dl.unpersist(); dr.unpersist(); dv.unpersist() }
+  }
+
+  /** [[ingestCdc]] as a continuous stream (foreachBatch; the shared
+    * ledger makes replays exactly-once, as everywhere).
+    */
+  def ingestCdcStream(spark: SparkSession, stream: DataFrame, base: String,
+                      isLeft: Column, opCol: String,
+                      leftProj: Seq[Column], rightProj: Seq[Column],
+                      checkpoint: Option[String] = None,
+                      ephemeralOk: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.ops.Sketches.requireDurableCheckpoint(checkpoint, base, ephemeralOk)
+    val w = stream.writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        graft.core.SwapStore.retryingStaleReads() {
+          ingestCdc(spark, base, bid, b, isLeft, opCol, leftProj, rightProj)
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The current view with counts — one row per DISTINCT joined row
+    * plus its multiplicity (reads prune nothing: the view is all
+    * bands; filter before calling when a slice is wanted).
+    */
+  def readCdcCounted(spark: SparkSession, base: String): DataFrame = {
+    val (bands, _) = cdcMeta(spark, base)
+    val all = graft.core.Catalog.readAll(spark, base)
+    (0 until bands).map(b => all(bandStore("view", b)))
+      .reduce(_ unionByName _)
+      .where(col(MultCol) > 0)
+  }
+
+  /** The current view as a plain bag (counts expanded back to rows). */
+  def readCdc(spark: SparkSession, base: String): DataFrame = {
+    val v = readCdcCounted(spark, base)
+    v.withColumn("__i", explode(sequence(lit(1L), col(MultCol))))
+      .drop("__i", MultCol)
+  }
 }

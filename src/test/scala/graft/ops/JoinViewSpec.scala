@@ -133,4 +133,151 @@ class JoinViewSpec extends AnyFunSuite {
     assert(Catalog.read(spark, base, "agg")
       .as[(Long, Long, Long)].collect().toSet == before)
   }
+
+  // ---- banded, retraction-capable (CDC) variant ----
+
+  // CDC rows: (op, is_left, k, lv, rv)
+  private val lproj = Seq(col("k"), col("lv"))
+  private val rproj = Seq(col("k"), col("rv"))
+
+  test("retraction CDC converges to the join of the net tables under random batch cuts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val base = TempDirs.create("graft_joinview_cdc")
+    JoinView.initCdc(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"), bands = 4)
+    // generate inserts, duplicate inserts (real multiplicity), deletes
+    // of live rows, and -U/+U update pairs; track the net Z-multisets
+    val rnd = new scala.util.Random(19)
+    val live = Seq(scala.collection.mutable.Map.empty[(Long, Long), Long],
+                   scala.collection.mutable.Map.empty[(Long, Long), Long])
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long, Long, Long)]
+    def insert(side: Int, k: Long, v: Long, op: String = "+I"): Unit = {
+      live(side)((k, v)) = live(side).getOrElse((k, v), 0L) + 1
+      events += ((op, side == 0, k, if (side == 0) v else -1L, if (side == 1) v else -1L))
+    }
+    def delete(side: Int, op: String = "-D"): Unit = {
+      val liveRows = live(side).filter(_._2 > 0).keys.toSeq.sorted
+      if (liveRows.nonEmpty) {
+        val (k, v) = liveRows(rnd.nextInt(liveRows.size))
+        live(side)((k, v)) -= 1
+        events += ((op, side == 0, k, if (side == 0) v else -1L, if (side == 1) v else -1L))
+      }
+    }
+    for (_ <- 1 to 240) {
+      val side = rnd.nextInt(2)
+      rnd.nextInt(10) match {
+        case d if d < 5 => insert(side, rnd.nextInt(10).toLong, rnd.nextInt(8).toLong)
+        case d if d < 8 => delete(side)
+        case _ => // update = -U old + +U new in the SAME stream
+          delete(side, op = "-U")
+          insert(side, rnd.nextInt(10).toLong, rnd.nextInt(8).toLong, op = "+U")
+      }
+    }
+    val in = MemoryStream[(String, Boolean, Long, Long, Long)]
+    val q = JoinView.ingestCdcStream(spark,
+      in.toDF().toDF("op", "is_left", "k", "lv", "rv"), base,
+      col("is_left"), "op", lproj, rproj, ephemeralOk = true)
+    try {
+      var rest = events.toSeq
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(40)
+        in.addData(rest.take(take): _*); q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+    } finally q.stop()
+    // expected bag: per key, every (lv count) x (rv count) product
+    val want = (for {
+      ((k, lv), cl) <- live(0).toSeq.filter(_._2 > 0)
+      ((k2, rv), cr) <- live(1).toSeq.filter(_._2 > 0)
+      if k == k2
+    } yield ((k, lv, rv), cl * cr)).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+    assert(want.values.exists(_ > 1), "generator must exercise real multiplicity > 1")
+    // counted form agrees
+    val counted = JoinView.readCdcCounted(spark, base)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, lv, rv, m) => ((k, lv, rv), m) }.toMap
+    assert(counted == want)
+    // a re-delivered batch id is a no-op
+    JoinView.ingestCdc(spark, base, 0L,
+      Seq(("+I", true, 1L, 1L, -1L)).toDF("op", "is_left", "k", "lv", "rv"),
+      col("is_left"), "op", lproj, rproj)
+    assert(JoinView.readCdc(spark, base).count() == want.values.sum)
+  }
+
+  test("CDC folds rewrite ONLY the touched bands; untouched generations ride the swap") {
+    val base = TempDirs.create("graft_joinview_bands")
+    JoinView.initCdc(spark, base,
+      (0L until 64L).map(k => (k, k * 10)).toDF("k", "lv"),
+      (0L until 64L).map(k => (k, k * 100)).toDF("k", "rv"),
+      Seq("k"), bands = 8)
+    val before = Catalog.gens(spark, base)
+    JoinView.ingestCdc(spark, base, 0L,
+      Seq(("+I", false, 3L, -1L, 999L)).toDF("op", "is_left", "k", "lv", "rv"),
+      col("is_left"), "op", lproj, rproj)
+    val after = Catalog.gens(spark, base)
+    val changed = after.filter { case (n, g) => before(n) != g }.keys.toSet
+    // one right row: exactly its key's right band and view band move
+    assert(changed.size == 2, s"expected 2 banded stores touched, got $changed")
+    assert(changed.count(_.startsWith("right__b")) == 1)
+    assert(changed.count(_.startsWith("view__b")) == 1)
+    // and the view really grew by the one new pairing
+    assert(JoinView.readCdc(spark, base).where(col("rv") === 999L).count() == 1)
+  }
+
+  test("out-of-order CDC (delete replayed before its insert) nets correctly") {
+    val base = TempDirs.create("graft_joinview_ooo")
+    JoinView.initCdc(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq((5L, 50L)).toDF("k", "rv"), Seq("k"), bands = 2)
+    def batch(bid: Long, op: String): Unit =
+      JoinView.ingestCdc(spark, base, bid,
+        Seq((op, true, 5L, 7L, -1L)).toDF("op", "is_left", "k", "lv", "rv"),
+        col("is_left"), "op", lproj, rproj)
+    batch(0L, "-D") // delete arrives first: negative count retained, invisible
+    assert(JoinView.readCdc(spark, base).count() == 0)
+    batch(1L, "+I") // its insert lands: net zero, still absent
+    assert(JoinView.readCdc(spark, base).count() == 0)
+    batch(2L, "+I") // a second insert: net +1, present exactly once
+    assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSeq
+      == Seq((5L, 7L, 50L)))
+  }
+
+  test("a crash between CDC band folds is all-or-nothing; the replay converges") {
+    val base = TempDirs.create("graft_joinview_cdc_crash")
+    JoinView.initCdc(spark, base,
+      Seq((1L, 10L)).toDF("k", "lv"), Seq((1L, 20L)).toDF("k", "rv"),
+      Seq("k"), bands = 4)
+    val batch = Seq(("+I", true, 1L, 11L, -1L), ("-D", false, 1L, -1L, 20L),
+      ("+I", false, 1L, -1L, 21L)).toDF("op", "is_left", "k", "lv", "rv")
+    for (failAfter <- 0 to 2) {
+      intercept[IllegalStateException] {
+        JoinView.ingestCdcImpl(spark, base, 0L, batch, col("is_left"), "op",
+          lproj, rproj, failAfter)
+      }
+      assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSet
+        == Set((1L, 10L, 20L)), s"failAfter=$failAfter must not tear the view")
+    }
+    JoinView.ingestCdc(spark, base, 0L, batch, col("is_left"), "op", lproj, rproj)
+    // rv=20 retracted: view = {10,11} x {21}
+    assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSet
+      == Set((1L, 10L, 21L), (1L, 11L, 21L)))
+  }
+
+  test("CDC rejects an unknown op in-plan") {
+    val base = TempDirs.create("graft_joinview_badop")
+    JoinView.initCdc(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"), bands = 2)
+    val e = intercept[Exception] {
+      JoinView.ingestCdc(spark, base, 0L,
+        Seq(("??", true, 1L, 1L, -1L)).toDF("op", "is_left", "k", "lv", "rv"),
+        col("is_left"), "op", lproj, rproj)
+    }
+    assert(e.getMessage != null)
+  }
 }
