@@ -19,6 +19,58 @@ private[graft] object EntryOraclesExt {
     // join as its straight-through form — shared verbatim
     "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
     "q237_regex_search_stream" -> oracleSqlBase("q226_regex_search"),
+    "q239_t_closeness" ->
+      // the exact ordered-domain EMD ladder replayed with window
+      // prefix sums; floor-division on HUGEINT for the ppm
+      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS s FROM customer),
+        |dom AS (SELECT s, CAST(count(*) AS BIGINT) AS g FROM q
+        |  WHERE s IS NOT NULL GROUP BY 1),
+        |gl AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m FROM dom),
+        |n0 AS (SELECT nation, seg, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1, 2),
+        |sc0 AS (SELECT nation, seg, s, CAST(count(*) AS BIGINT) AS sc
+        |  FROM q WHERE s IS NOT NULL GROUP BY 1, 2, 3),
+        |ns0 AS (SELECT nation, seg, CAST(sum(sc) AS BIGINT) AS ns
+        |  FROM sc0 GROUP BY 1, 2),
+        |f0 AS (SELECT ns0.nation, ns0.seg, dom.s, ns0.ns, dom.g,
+        |    coalesce(sc0.sc, 0) AS sc
+        |  FROM ns0 CROSS JOIN dom LEFT JOIN sc0
+        |    ON sc0.nation = ns0.nation AND sc0.seg = ns0.seg AND sc0.s = dom.s),
+        |p0 AS (SELECT nation, seg, ns, sum(sc * (SELECT nn FROM gl) - g * ns)
+        |    OVER (PARTITION BY nation, seg ORDER BY s) AS pfx FROM f0),
+        |e0 AS (SELECT nation, seg, CAST(max(ns) AS BIGINT) AS ns,
+        |    CAST(sum(abs(pfx)) AS BIGINT) AS e FROM p0 GROUP BY 1, 2),
+        |n1 AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |sc1 AS (SELECT seg, s, CAST(count(*) AS BIGINT) AS sc
+        |  FROM q WHERE s IS NOT NULL GROUP BY 1, 2),
+        |ns1 AS (SELECT seg, CAST(sum(sc) AS BIGINT) AS ns FROM sc1 GROUP BY 1),
+        |f1 AS (SELECT ns1.seg, dom.s, ns1.ns, dom.g, coalesce(sc1.sc, 0) AS sc
+        |  FROM ns1 CROSS JOIN dom LEFT JOIN sc1
+        |    ON sc1.seg = ns1.seg AND sc1.s = dom.s),
+        |p1 AS (SELECT seg, ns, sum(sc * (SELECT nn FROM gl) - g * ns)
+        |    OVER (PARTITION BY seg ORDER BY s) AS pfx FROM f1),
+        |e1 AS (SELECT seg, CAST(max(ns) AS BIGINT) AS ns,
+        |    CAST(sum(abs(pfx)) AS BIGINT) AS e FROM p1 GROUP BY 1),
+        |j AS (SELECT q.c_custkey,
+        |    n0.n >= 10 AND e0.ns > 0
+        |      AND e0.e * 20 <= 3 * ((SELECT m FROM gl) - 1) * e0.ns * (SELECT nn FROM gl) AS ok0,
+        |    n1.n >= 10 AND e1.ns > 0
+        |      AND e1.e * 20 <= 3 * ((SELECT m FROM gl) - 1) * e1.ns * (SELECT nn FROM gl) AS ok1,
+        |    n0.n AS gn0, n1.n AS gn1,
+        |    CAST((CAST(e0.e AS HUGEINT) * 1000000) //
+        |      (((SELECT m FROM gl) - 1) * e0.ns * (SELECT nn FROM gl)) AS BIGINT) AS ppm0,
+        |    CAST((CAST(e1.e AS HUGEINT) * 1000000) //
+        |      (((SELECT m FROM gl) - 1) * e1.ns * (SELECT nn FROM gl)) AS BIGINT) AS ppm1
+        |  FROM q JOIN n0 USING (nation, seg) LEFT JOIN e0 USING (nation, seg)
+        |    JOIN n1 USING (seg) LEFT JOIN e1 USING (seg))
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN ok0 THEN 0 WHEN ok1 THEN 1 END AS BIGINT) AS lvl,
+        |  CASE WHEN ok0 THEN gn0 WHEN ok1 THEN gn1 END AS grp_n,
+        |  CASE WHEN ok0 THEN ppm0 WHEN ok1 THEN ppm1 END AS emd_ppm
+        |FROM j WHERE ok0 OR ok1""".stripMargin,
     "q238_join_view_cdc" ->
       // the one-shot join the retraction view must converge to: orders
       // net of the %7==3 deletes with %10==0 custkeys updated, lineitem

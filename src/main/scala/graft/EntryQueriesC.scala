@@ -165,6 +165,24 @@ private[graft] object EntryQueriesC {
         k = 10, l = 4, c = 2)
         .select(col("c_custkey"), col("lvl"), col("grp_n"),
           col("grp_s1"), col("grp_tail"))),
+    "q239_t_closeness" -> ((s, d) =>
+      // T-CLOSENESS — Privacy.tCloseness: the ladder's last standard
+      // rung. Diversity (q225/q229) bounds how many sensitive values a
+      // cell holds and how skewed they are; t-closeness bounds how far
+      // the cell's DISTRIBUTION drifts from the global one — here each
+      // customer's balance-thousand bucket (an ordered domain), where
+      // the Earth Mover's Distance is the exact prefix-sum closed form
+      // Σ|prefix(cnt·N − g·ns)| / ((m−1)·ns·N). Integer counts + the
+      // rational t = 3/20 clear every denominator, so the test and the
+      // reported ⌊10⁶·EMD⌋ are exact and the oracle replays them
+      // verbatim with window prefix sums. One cell-frame shuffle plus
+      // a (groups × domain) window per level, never row-sized.
+      Privacy.tCloseness(Tables(s, d).customer,
+        Seq("nation" -> col("c_nationkey"), "seg" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000.0).cast("long"),
+        Seq(Seq("nation", "seg"), Seq("seg")),
+        k = 10, tNum = 3, tDen = 20)
+        .select(col("c_custkey"), col("lvl"), col("grp_n"), col("emd_ppm"))),
     "q193_fuzzy_vocab_join" -> ((s, d) => {
       // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
       // corpus+catalog vocabulary: every unordered word pair within

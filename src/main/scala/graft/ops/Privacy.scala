@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** The ladder functions project working columns (`__q_<quasi>`, the
+    * per-level `__n0`/`__l0`/`__s10`/`__t0`, the flat `__s`/`__cn`/…)
+    * and emit fixed output names — an input column shadowing ANY of
+    * them would yield ambiguous-column errors or silent shadowing, so
+    * the whole namespace is checked up front, not just `__s`/`__cn`.
+    */
+  private def requireFreeNames(fn: String, df: DataFrame, qnames: Seq[String],
+                               nLevels: Int, perLevel: Seq[String],
+                               flat: Seq[String], outputs: Seq[String]): Unit = {
+    val reserved = (qnames.map(n => s"__q_$n") ++ flat ++
+      (0 until nLevels).flatMap(i => perLevel.map(p => s"__$p$i")) ++
+      outputs).toSet
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$fn: input columns collide with the working/output namespace " +
+        s"(${clash.mkString(", ")}) — rename them before the ladder")
+  }
+
   private def nullSafeJoin(left: DataFrame, right: DataFrame,
                            names: Seq[String], keep: Seq[String],
                            joinType: String = "inner"): DataFrame = {
@@ -56,6 +74,8 @@ object Privacy {
     require(qnames.distinct == qnames, "quasi names must be unique")
     levels.foreach(l => require(l.forall(qnames.contains),
       s"level ${l.mkString(",")} references undeclared quasi columns"))
+    requireFreeNames("kAnonymize", df, qnames, levels.size,
+      perLevel = Seq("n"), flat = Seq("__cn"), outputs = Seq("lvl", "grp_n"))
     val g = (n: String) => s"__q_$n"
     val proj = df.select(df.columns.map(col) ++
       quasi.map { case (n, c) => c.as(g(n)) }: _*)
@@ -113,8 +133,9 @@ object Privacy {
     require(qnames.distinct == qnames, "quasi names must be unique")
     levels.foreach(lv => require(lv.forall(qnames.contains),
       s"level ${lv.mkString(",")} references undeclared quasi columns"))
-    require(!df.columns.contains("__s") && !df.columns.contains("__cn"),
-      "lDiversify: input uses reserved working names (__s, __cn)")
+    requireFreeNames("lDiversify", df, qnames, levels.size,
+      perLevel = Seq("n", "l"), flat = Seq("__s", "__cn"),
+      outputs = Seq("lvl", "grp_n", "grp_l"))
     val g = (n: String) => s"__q_$n"
     val proj = df.select(df.columns.map(col) ++
       quasi.map { case (n, c) => c.as(g(n)) } :+ sensitive.as("__s"): _*)
@@ -174,8 +195,9 @@ object Privacy {
     require(qnames.distinct == qnames, "quasi names must be unique")
     levels.foreach(lv => require(lv.forall(qnames.contains),
       s"level ${lv.mkString(",")} references undeclared quasi columns"))
-    require(!df.columns.contains("__s") && !df.columns.contains("__cn"),
-      "rlDiversify: input uses reserved working names (__s, __cn)")
+    requireFreeNames("rlDiversify", df, qnames, levels.size,
+      perLevel = Seq("n", "s1", "t"), flat = Seq("__s", "__cn", "__sc", "__rk"),
+      outputs = Seq("lvl", "grp_n", "grp_s1", "grp_tail"))
     val g = (n: String) => s"__q_$n"
     val proj = df.select(df.columns.map(col) ++
       quasi.map { case (n, cc) => cc.as(g(n)) } :+ sensitive.as("__s"): _*)
@@ -219,5 +241,132 @@ object Privacy {
       .where(col("lvl").isNotNull)
       .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
         col("grp_s1") :+ col("grp_tail"): _*)
+  }
+
+  /** t-closeness — the ladder's last standard rung (Li, Li,
+    * Venkatasubramanian): diversity bounds how many sensitive values a
+    * cell holds and how skewed they are, but a cell whose DISTRIBUTION
+    * still differs sharply from the global one leaks (all-low-income
+    * cells in a mixed population). For an ORDERED sensitive domain
+    * v₁ < … < v_m the Earth Mover's Distance has the exact closed form
+    *
+    *   EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)|
+    *
+    * (prefix sums of the cell-vs-global CDF difference). With integer
+    * counts and a rational threshold t = tNum/tDen the test clears
+    * denominators — Σ|prefix(cnt_j·N − g_j·n_s)| · tDen ≤
+    * tNum·(m−1)·n_s·N — and is EXACT and engine-portable: no floating
+    * point anywhere. A row takes the finest level satisfying both
+    * k-anonymity and the EMD bound; all-NULL-sensitive groups cannot
+    * certify a distribution and escalate. NULL sensitive values count
+    * toward k but not toward either distribution.
+    *
+    * Scale shape: the one-shuffle cell ladder as everywhere, plus per
+    * level ONE (groups × domain) frame — cells × m, never rows — with
+    * one window over it for the prefix sums. The global domain (m
+    * values + total N) collects to the driver: t-closeness is defined
+    * against a SMALL ordered domain (buckets, grades, codes); a guard
+    * fails fast past `maxDomain`. Long arithmetic is exact while
+    * cnt·N < 2⁶³ (N the global non-null row count) — beyond ~3·10⁹
+    * rows move the diff column to decimal(38,0); the ppm output
+    * already computes in decimal.
+    *
+    * Output: `df`'s columns + (`lvl`, `grp_n`, `emd_ppm`) — chosen
+    * level, its group size, and ⌊10⁶·EMD⌋ at that level.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: Column, levels: Seq[Seq[String]],
+                 k: Long, tNum: Long, tDen: Long,
+                 maxDomain: Int = 4096): DataFrame = {
+    require(k >= 2, s"t-closeness needs k >= 2, got $k")
+    require(tNum >= 0 && tDen > 0, s"t must be a rational >= 0, got $tNum/$tDen")
+    require(levels.nonEmpty && levels.forall(_.nonEmpty),
+      "t-closeness needs at least one non-empty level")
+    val qnames = quasi.map(_._1)
+    require(qnames.distinct == qnames, "quasi names must be unique")
+    levels.foreach(lv => require(lv.forall(qnames.contains),
+      s"level ${lv.mkString(",")} references undeclared quasi columns"))
+    requireFreeNames("tCloseness", df, qnames, levels.size,
+      perLevel = Seq("n", "ns", "e"),
+      flat = Seq("__s", "__cn", "__sc", "__g", "__d", "__pfx"),
+      outputs = Seq("lvl", "grp_n", "emd_ppm"))
+    val g = (n: String) => s"__q_$n"
+    val proj = df.select(df.columns.map(col) ++
+      quasi.map { case (n, cc) => cc.as(g(n)) } :+ sensitive.as("__s"): _*)
+    val all = qnames.map(g)
+    val cells0 = proj.groupBy((all.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    // the global ordered domain and its counts — small by contract
+    val domRows = cells0.where(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(sum(col("__cn")).as("__g"))
+      .orderBy(col("__s")).limit(maxDomain + 1).collect()
+    require(domRows.length <= maxDomain,
+      s"tCloseness: sensitive domain exceeds maxDomain=$maxDomain distinct " +
+        "values — t-closeness is defined against a small ordered domain; " +
+        "bucket the sensitive column first")
+    val m = domRows.length
+    require(m >= 2,
+      s"tCloseness: the sensitive domain has $m distinct non-null value(s); " +
+        "EMD over an ordered domain needs at least 2")
+    val bigN = domRows.map(_.getLong(1)).sum
+    val dom = proj.sparkSession.createDataFrame(
+      java.util.Arrays.asList(domRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__s",
+          cells0.schema("__s").dataType),
+        org.apache.spark.sql.types.StructField("__g",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val cells = levels.zipWithIndex.foldLeft(cells0) { case (cs, (lvl, i)) =>
+      val cols = lvl.map(g)
+      val n = cs.groupBy(cols.map(col): _*).agg(sum(col("__cn")).as(s"__n$i"))
+      val sc = cs.where(col("__s").isNotNull)
+        .groupBy((cols.map(col) :+ col("__s")): _*)
+        .agg(sum(col("__cn")).as("__sc"))
+      val ns = sc.groupBy(cols.map(col): _*).agg(sum(col("__sc")).as(s"__ns$i"))
+      // (groups × domain) frame: a value the cell lacks is a genuine
+      // ZERO in its distribution and must appear in the prefix walk
+      val full = nullSafeJoin(ns.crossJoin(broadcast(dom)), sc,
+          cols :+ "__s", Seq("__sc"), joinType = "left")
+        .withColumn("__d",
+          coalesce(col("__sc"), lit(0L)) * lit(bigN) -
+            col("__g") * col(s"__ns$i"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(cols.map(col): _*)
+        .orderBy(col("__s").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val emd = full.withColumn("__pfx", sum(col("__d")).over(w))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(abs(col("__pfx"))).as(s"__e$i"),
+          first(col(s"__ns$i")).as(s"__ns$i"))
+      // emd is LEFT-joined: an all-NULL-sensitive group has no
+      // distribution at all — it stays in the cell frame for coarser
+      // levels, with null stats this level's predicate rejects
+      nullSafeJoin(nullSafeJoin(cs, n, cols, Seq(s"__n$i")),
+        emd, cols, Seq(s"__ns$i", s"__e$i"), joinType = "left")
+    }
+    val annotated = nullSafeJoin(proj, cells, all :+ "__s",
+      levels.indices.flatMap(i => Seq(s"__n$i", s"__ns$i", s"__e$i")))
+    def ok(i: Int) = col(s"__n$i") >= k &&
+      coalesce(col(s"__ns$i"), lit(0L)) > 0 &&
+      coalesce(col(s"__e$i"), lit(Long.MaxValue)) * tDen <=
+        lit(tNum) * lit((m - 1).toLong) * col(s"__ns$i") * lit(bigN)
+    val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
+    val grpN = coalesce(levels.indices.map(i => when(ok(i), col(s"__n$i"))): _*)
+    // ⌊10⁶·EMD⌋ in decimal — exact past the long range of e·10⁶; the
+    // remainder is subtracted BEFORE the division so the quotient is
+    // integral and decimal rounding cannot perturb the floor
+    def ppmOf(i: Int) = {
+      val num = col(s"__e$i").cast("decimal(38,0)") * lit(1000000L)
+      val den = (lit((m - 1).toLong).cast("decimal(38,0)") *
+        col(s"__ns$i") * lit(bigN))
+      ((num - pmod(num, den)) / den).cast("long")
+    }
+    val ppm = coalesce(levels.indices.map(i => when(ok(i), ppmOf(i))): _*)
+    annotated
+      .withColumn("lvl", lvl).withColumn("grp_n", grpN)
+      .withColumn("emd_ppm", ppm)
+      .where(col("lvl").isNotNull)
+      .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
+        col("emd_ppm"): _*)
   }
 }

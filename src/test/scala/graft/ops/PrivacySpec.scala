@@ -156,4 +156,84 @@ class PrivacySpec extends AnyFunSuite {
         Seq(Seq("nope")), k = 2, l = 2)
     }
   }
+
+  // ---- t-closeness ----
+
+  // ordered sensitive s in {1,2,3}; global: 1->3, 2->2, 3->3, N=8, m=3.
+  // city a: (2,1,1) — prefix diffs 4,4,0 -> EMD = 8/(2*4*8) = 0.125
+  // city b: (1,1,2) — symmetric, EMD = 0.125
+  private def salaries = Seq(
+    (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), (4L, "a", 3L),
+    (5L, "b", 3L), (6L, "b", 3L), (7L, "b", 2L), (8L, "b", 1L)
+  ).toDF("id", "city", "sal")
+
+  private def tQuasi = Seq("city" -> col("city"), "all" -> lit(0L))
+
+  test("t-closeness: the ordered-domain EMD is exact and the ladder escalates on it") {
+    // t = 1/8 == both cells' EMD exactly: the finest level passes
+    val pass = Privacy.tCloseness(salaries, tQuasi, col("sal"),
+      Seq(Seq("city"), Seq("all")), k = 2, tNum = 1, tDen = 8)
+      .select($"id", $"lvl", $"grp_n", $"emd_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pass == (1L to 8L).map(i => (i, 0L, 4L, 125000L)).toSet)
+    // t = 1/10 < EMD: every cell escalates to the global level, whose
+    // distribution IS the global one (EMD exactly 0)
+    val esc = Privacy.tCloseness(salaries, tQuasi, col("sal"),
+      Seq(Seq("city"), Seq("all")), k = 2, tNum = 1, tDen = 10)
+      .select($"id", $"lvl", $"grp_n", $"emd_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(esc == (1L to 8L).map(i => (i, 1L, 8L, 0L)).toSet)
+  }
+
+  test("t-closeness: NULL sensitive counts toward k but not the distribution") {
+    val rows = salaries.unionByName(Seq(
+      (9L, "c", null.asInstanceOf[java.lang.Long]),
+      (10L, "c", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "city", "sal"))
+    val out = Privacy.tCloseness(rows, tQuasi, col("sal"),
+      Seq(Seq("city"), Seq("all")), k = 2, tNum = 1, tDen = 8)
+      .select($"id", $"lvl").as[(Long, Long)].collect().toMap
+    // city c is k-big (n=2) but has NO distribution to certify: it must
+    // escalate to the global level, not pass the finest by default
+    assert(out(9L) == 1L && out(10L) == 1L)
+    assert((1L to 8L).forall(out(_) == 0L))
+    // at the global level the null rows still ride the group whose
+    // non-null distribution equals the global one
+  }
+
+  test("t-closeness: degenerate or oversized sensitive domains fail fast") {
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(salaries.withColumn("sal", lit(1L)), tQuasi,
+        col("sal"), Seq(Seq("city")), k = 2, tNum = 1, tDen = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(salaries, tQuasi, col("sal"),
+        Seq(Seq("city")), k = 2, tNum = 1, tDen = 2, maxDomain = 2)
+    }
+  }
+
+  test("the full working/output namespace is guarded, not just __s/__cn") {
+    val bad1 = people.withColumn("grp_n", lit(1L))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(bad1, quasi, Seq(Seq("city")), k = 2)
+    }
+    val bad2 = people.withColumn("__q_city", lit(1L))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(bad2, quasi, Seq(Seq("city")), k = 2)
+    }
+    val bad3 = patients.withColumn("__l0", lit(1L))
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversify(bad3, quasi, col("disease"), Seq(Seq("city")), k = 2, l = 2)
+    }
+    val bad4 = patients.withColumn("grp_tail", lit(1L))
+    intercept[IllegalArgumentException] {
+      Privacy.rlDiversify(bad4, quasi, col("disease"), Seq(Seq("city")),
+        k = 2, l = 2, c = 2)
+    }
+    val bad5 = salaries.withColumn("emd_ppm", lit(1L))
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(bad5, tQuasi, col("sal"), Seq(Seq("city")),
+        k = 2, tNum = 1, tDen = 2)
+    }
+  }
 }
