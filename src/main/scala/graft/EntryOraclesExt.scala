@@ -19,6 +19,16 @@ private[graft] object EntryOraclesExt {
     // join as its straight-through form — shared verbatim
     "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
     "q237_regex_search_stream" -> oracleSqlBase("q226_regex_search"),
+    "q240_regex_alternation" ->
+      // RE2 alternation over the lowercased corpus — the naive scan
+      // the branch-OR counting-AND replaces
+      """WITH pats(qid, pat) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'merge.*batch|hash join'),
+        |  (CAST(1 AS BIGINT), 'sorts? merge|columnar scan'),
+        |  (CAST(2 AS BIGINT), 'table .able|index build'))
+        |SELECT pats.qid, d.doc_id
+        |FROM pats, documents d
+        |WHERE regexp_matches(lower(d.text), pats.pat)""".stripMargin,
     "q239_t_closeness" ->
       // the exact ordered-domain EMD ladder replayed with window
       // prefix sums; floor-division on HUGEINT for the ppm

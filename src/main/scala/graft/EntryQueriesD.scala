@@ -622,6 +622,29 @@ private[graft] object EntryQueriesD {
       JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
         col("o_custkey"), col("l_linenumber"), col("cents"))
     }),
+    "q240_regex_alternation" -> ((s, d) => {
+      // REGEX ALTERNATION RETRIEVAL — searchRegex over the SAME
+      // standing index as q226, with top-level `|` handled as the OR
+      // of its branches' counting-ANDs: every branch contributes its
+      // own required-literal grams and candidate set, candidates
+      // union, and the exact regexp_like verify runs against the FULL
+      // pattern so exactness never rests on the branch split. Groups
+      // still fail fast (a literal inside `(a|b)` is not required and
+      // nested extraction would be unsound); every branch must carry a
+      // 3+-char literal run or the index cannot prune it. Oracle:
+      // DuckDB regexp_matches (RE2) over the lowercased corpus.
+      val idx = q191IndexCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q191_idx") + "/tri"
+        TrigramIndex.build(Tables(s, dir).documents, col("doc_id"), col("text"), p)
+        p
+      })
+      import s.implicits._
+      val qs = Seq((0L, "merge.*batch|hash join"),
+        (1L, "sorts? merge|columnar scan"),
+        (2L, "table .able|index build")).toDF("qid", "pat")
+      TrigramIndex.searchRegex(s, qs, col("qid"), col("pat"),
+        Tables(s, d).documents, col("doc_id"), col("text"), idx)
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram

@@ -131,17 +131,36 @@ object TrigramIndex {
     * instead of the corpus. The contains verify makes the result exact
     * either way.
     */
+  /** Query tables are tiny BY CONTRACT — they drive driver-side gram
+    * selection, so an accidentally corpus-sized pattern table must
+    * fail fast instead of OOMing the driver: the collect is bounded
+    * at `maxPatterns + 1` rows and over-budget sets raise, the
+    * [[search]] `maxQueryGrams` posture applied one step earlier.
+    */
+  private def collectPatterns(queries: DataFrame, qid: Column, qtext: Column,
+                              what: String, maxPatterns: Int): Seq[(Long, String)] = {
+    require(maxPatterns > 0, s"trigram $what: maxPatterns must be positive")
+    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
+      .limit(maxPatterns + 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(pats.length <= maxPatterns,
+      s"trigram $what: the query table exceeds maxPatterns=$maxPatterns " +
+        "patterns — pattern sets are alerting-scale by contract (they drive " +
+        "driver-side gram selection); batch the queries or raise maxPatterns")
+    pats
+  }
+
   def search(spark: SparkSession, queries: DataFrame, qid: Column, qtext: Column,
              corpus: DataFrame, id: Column, text: Column, path: String,
-             maxQueryGrams: Int = 10000, gramsPerQuery: Int = 4): DataFrame = {
+             maxQueryGrams: Int = 10000, gramsPerQuery: Int = 4,
+             maxPatterns: Int = 1000): DataFrame = {
     require(gramsPerQuery > 0, "trigram search: gramsPerQuery must be positive")
     import spark.implicits._
-    // query tables are tiny by contract (maxQueryGrams-bounded):
+    // query tables are tiny by contract (maxPatterns-bounded):
     // collect ONCE and drive selection locally — index search latency
     // is job-count-bound, not data-bound, so the whole path is three
     // jobs (queries, pruned df read, the search itself)
-    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pats = collectPatterns(queries, qid, qtext, "search", maxPatterns)
     val short = pats.filter(_._2.length < N)
     require(short.isEmpty,
       s"trigram search: ${short.size} pattern(s) shorter than $N chars (e.g. " +
@@ -182,11 +201,10 @@ object TrigramIndex {
   def searchLike(spark: SparkSession, queries: DataFrame, qid: Column,
                  qtext: Column, corpus: DataFrame, id: Column, text: Column,
                  path: String, maxQueryGrams: Int = 10000,
-                 gramsPerQuery: Int = 4): DataFrame = {
+                 gramsPerQuery: Int = 4, maxPatterns: Int = 1000): DataFrame = {
     require(gramsPerQuery > 0, "trigram searchLike: gramsPerQuery must be positive")
     import spark.implicits._
-    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pats = collectPatterns(queries, qid, qtext, "searchLike", maxPatterns)
     val esc = pats.filter(_._2.contains("\\"))
     require(esc.isEmpty,
       s"trigram searchLike: ${esc.size} pattern(s) contain a backslash (e.g. " +
@@ -211,16 +229,18 @@ object TrigramIndex {
       (s, p) => call_function("like", s, p))
   }
 
-  /** Regex metacharacters [[searchRegex]] refuses: alternation,
-    * groups, classes, bounded repeats, and escapes defeat simple
-    * required-literal extraction (a literal inside `(a|b)` is not
-    * required), and `^`/`$` anchor differently across engines (Java's
-    * `$` accepts a final line terminator, RE2's does not). The
-    * supported subset — literals plus `.` `*` `+` `?` — keeps the
+  /** Regex metacharacters [[searchRegex]] refuses: groups, classes,
+    * bounded repeats, and escapes defeat simple required-literal
+    * extraction (a literal inside `(a|b)` is not required — and with
+    * groups rejected, every `|` is TOP-LEVEL, which [[searchRegex]]
+    * handles as the OR of its branches' counting-ANDs), and `^`/`$`
+    * anchor differently across engines (Java's `$` accepts a final
+    * line terminator, RE2's does not). The supported subset —
+    * literals plus `.` `*` `+` `?` and top-level `|` — keeps the
     * extraction sound and the verify engine-portable.
     */
   private[ops] val regexMeta: Set[Char] =
-    Set('|', '(', ')', '[', ']', '{', '}', '\\', '^', '$')
+    Set('(', ')', '[', ']', '{', '}', '\\', '^', '$')
 
   /** REQUIRED literal runs of a restricted regex: maximal literal
     * stretches every match must contain contiguously. `.` breaks a
@@ -259,32 +279,66 @@ object TrigramIndex {
   def searchRegex(spark: SparkSession, queries: DataFrame, qid: Column,
                   qtext: Column, corpus: DataFrame, id: Column, text: Column,
                   path: String, maxQueryGrams: Int = 10000,
-                  gramsPerQuery: Int = 4): DataFrame = {
+                  gramsPerQuery: Int = 4, maxPatterns: Int = 1000): DataFrame = {
     require(gramsPerQuery > 0, "trigram searchRegex: gramsPerQuery must be positive")
     import spark.implicits._
-    val pats = queries.select(qid.cast("long").as("qid"), norm(qtext).as("pat"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pats = collectPatterns(queries, qid, qtext, "searchRegex", maxPatterns)
     val bad = pats.filter { case (_, p) => p.exists(regexMeta) }
     require(bad.isEmpty,
       s"trigram searchRegex: ${bad.size} pattern(s) use unsupported regex " +
         s"metacharacters (e.g. '${bad.headOption.map(_._2).getOrElse("")}') — " +
-        "alternation/groups/classes/escapes/anchors defeat required-literal " +
-        "extraction; supported: literals plus . * + ?")
+        "groups/classes/escapes/anchors defeat required-literal " +
+        "extraction; supported: literals plus . * + ? and top-level |")
+    // with groups rejected every `|` is top-level, so a pattern is the
+    // OR of its branches: a match contains SOME branch's required
+    // runs, and completeness needs EVERY branch to carry a 3+-char one
+    // (an empty branch — 'a||b', '|a' — matches everywhere and can
+    // never be pruned)
+    // -1 limit: a TRAILING empty branch ('merge|') must surface like
+    // any other — Java's default split silently drops it
+    def branchesOf(p: String): Seq[String] = p.split("\\|", -1).toSeq
     val weak = pats.filter { case (_, p) =>
-      !regexLiteralRuns(p).exists(_.length >= N) }
+      branchesOf(p).exists(b => !regexLiteralRuns(b).exists(_.length >= N)) }
     require(weak.isEmpty,
-      s"trigram searchRegex: ${weak.size} pattern(s) with no literal run of >= $N " +
-        s"chars (e.g. '${weak.headOption.map(_._2).getOrElse("")}') — the index " +
-        "cannot prune them; a silent corpus scan is never what an index caller wants")
-    val patsDf = pats.toDF("qid", "pat")
-    val runsDf = pats.flatMap { case (q, p) =>
-      regexLiteralRuns(p).filter(_.length >= N).map(q -> _)
-    }.toDF("qid", "run")
-    val qgAll = runsDf.select(col("qid"), explode(grams(col("run"))).as("gram"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
-    searchCore(spark, patsDf, qgAll, corpus, id, text, path,
-      maxQueryGrams, gramsPerQuery,
-      (s, p) => call_function("regexp_like", s, p))
+      s"trigram searchRegex: ${weak.size} pattern(s) with an alternation branch " +
+        s"lacking a literal run of >= $N chars (e.g. " +
+        s"'${weak.headOption.map(_._2).getOrElse("")}') — the index cannot prune " +
+        "that branch; a silent corpus scan is never what an index caller wants")
+    if (!pats.exists(_._2.contains('|'))) {
+      // no alternation: the single-branch fast path, one counting-AND
+      // per pattern
+      val patsDf = pats.toDF("qid", "pat")
+      val runsDf = pats.flatMap { case (q, p) =>
+        regexLiteralRuns(p).filter(_.length >= N).map(q -> _)
+      }.toDF("qid", "run")
+      val qgAll = runsDf.select(col("qid"), explode(grams(col("run"))).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
+      searchCore(spark, patsDf, qgAll, corpus, id, text, path,
+        maxQueryGrams, gramsPerQuery,
+        (s, p) => call_function("regexp_like", s, p))
+    } else {
+      // alternation: every branch becomes its own counting-AND under a
+      // synthetic branch id, candidates OR together (distinct after
+      // the verify), and each candidate verifies against the FULL
+      // pattern — exactness never rests on the branch split
+      val branches = pats.flatMap { case (q, p) =>
+        branchesOf(p).map(b => (q, p, b))
+      }.zipWithIndex.map { case ((q, p, b), i) => (i.toLong, q, p, b) }
+      val bPats = branches.map { case (cid, _, p, _) => (cid, p) }.toDF("qid", "pat")
+      val qgAll = branches.flatMap { case (cid, _, _, b) =>
+        regexLiteralRuns(b).filter(_.length >= N).map(cid -> _)
+      }.toDF("qid", "run")
+        .select(col("qid"), explode(grams(col("run"))).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
+      val cidMap = branches.map { case (cid, q, _, _) => (cid, q) }
+        .toDF("qid", "__real_qid")
+      searchCore(spark, bPats, qgAll, corpus, id, text, path,
+        maxQueryGrams, gramsPerQuery,
+        (s, p) => call_function("regexp_like", s, p))
+        .join(broadcast(cidMap), Seq("qid"))
+        .select(col("__real_qid").as("qid"), col("doc_id"))
+        .distinct()
+    }
   }
 
   /** Shared candidate-prune + verify tail of [[search]]/[[searchLike]]:

@@ -144,6 +144,55 @@ class TrigramIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { re(Seq((0L, "a.b.c"))) }
   }
 
+  test("searchRegex: top-level alternation is the OR of its branches' counting-ANDs") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    def re(qs: Seq[(Long, String)]) =
+      TrigramIndex.searchRegex(spark, qs.toDF("qid", "pat"), col("qid"), col("pat"),
+        corpus, col("id"), col("text"), path)
+        .as[(Long, Long)].collect().toSet
+    def naive(q: Long, pat: String) = corpus.where(lower(col("text")).rlike(pat))
+      .select(lit(q), col("id")).as[(Long, Long)].collect().toSet
+    // branches hitting different docs; overlapping branches dedup;
+    // per-branch . * + ? still work; a mixed batch keeps per-query ids
+    for (pat <- Seq("sorted|abc then", "merge.*sort|big", "merges|merge sort",
+                    "sorts?.*join|then bcd")) {
+      assert(re(Seq((0L, pat))) == naive(0L, pat), s"pattern $pat")
+    }
+    val mixed = Seq((0L, "sorted|abc then"), (1L, "merge.*sort"))
+    assert(re(mixed) == naive(0L, "sorted|abc then") ++ naive(1L, "merge.*sort"))
+    // EVERY branch must be prunable: an empty or runless branch raises
+    intercept[IllegalArgumentException] { re(Seq((0L, "merge|ab"))) }
+    intercept[IllegalArgumentException] { re(Seq((0L, "merge|"))) }
+    intercept[IllegalArgumentException] { re(Seq((0L, "|merge"))) }
+  }
+
+  test("the pattern collect is bounded: past maxPatterns the search fails fast") {
+    val path = tmp()
+    TrigramIndex.build(corpus, col("id"), col("text"), path)
+    val many = Seq((0L, "merge"), (1L, "sort"), (2L, "join")).toDF("qid", "pat")
+    val e = intercept[IllegalArgumentException] {
+      TrigramIndex.search(spark, many, col("qid"), col("pat"),
+        corpus, col("id"), col("text"), path, maxPatterns = 2)
+    }
+    assert(e.getMessage.contains("maxPatterns"))
+    val e2 = intercept[IllegalArgumentException] {
+      TrigramIndex.searchRegex(spark, many, col("qid"), col("pat"),
+        corpus, col("id"), col("text"), path, maxPatterns = 2)
+    }
+    assert(e2.getMessage.contains("maxPatterns"))
+    val e3 = intercept[IllegalArgumentException] {
+      TrigramIndex.searchLike(spark,
+        Seq((0L, "%merge%"), (1L, "%sort%"), (2L, "%join%")).toDF("qid", "pat"),
+        col("qid"), col("pat"), corpus, col("id"), col("text"), path,
+        maxPatterns = 2)
+    }
+    assert(e3.getMessage.contains("maxPatterns"))
+    // at the bound, all three still answer
+    assert(TrigramIndex.search(spark, many, col("qid"), col("pat"),
+      corpus, col("id"), col("text"), path, maxPatterns = 3).count() > 0)
+  }
+
   test("append folds new docs in exactly-once under batch-id replay") {
     val path = tmp()
     TrigramIndex.build(corpus, col("id"), col("text"), path)
