@@ -95,6 +95,22 @@ object Catalog {
       n -> spark.read.parquet(genDir(base, n, g))
     }
 
+  /** The named stores' current tables, resolved through ONE manifest
+    * read and constructing ONLY the named readers — [[readAll]] builds
+    * a parquet reader (footer/listing work) per store, which a
+    * many-store catalog (the banded [[graft.ops.JoinView]] layout)
+    * pays per call even when a fold touches three bands.
+    */
+  def readSome(spark: SparkSession, base: String,
+               names: Seq[String]): Map[String, DataFrame] = {
+    val g = gens(spark, base)
+    names.map { n =>
+      require(g.contains(n),
+        s"Catalog: no store '$n' under $base")
+      n -> spark.read.parquet(genDir(base, n, g(n)))
+    }.toMap
+  }
+
   /** The shared ledger: last batch id applied to the catalog (-1 after
     * [[init]]).
     */

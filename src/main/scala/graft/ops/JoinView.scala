@@ -174,9 +174,10 @@ object JoinView {
     */
   private def readBands(spark: SparkSession, base: String, side: String,
                         ids: Seq[Int]): DataFrame = {
-    val all = graft.core.Catalog.readAll(spark, base)
-    if (ids.isEmpty) all(bandStore(side, 0)).limit(0)
-    else ids.map(b => all(bandStore(side, b))).reduce(_ unionByName _)
+    val names = (if (ids.isEmpty) Seq(0) else ids).map(bandStore(side, _))
+    val some = graft.core.Catalog.readSome(spark, base, names)
+    if (ids.isEmpty) some(names.head).limit(0)
+    else names.map(some).reduce(_ unionByName _)
   }
 
   /** Stand up the banded catalog: `left0`/`right0` (plain tables; bag
@@ -302,9 +303,9 @@ object JoinView {
     */
   def readCdcCounted(spark: SparkSession, base: String): DataFrame = {
     val (bands, _) = cdcMeta(spark, base)
-    val all = graft.core.Catalog.readAll(spark, base)
-    (0 until bands).map(b => all(bandStore("view", b)))
-      .reduce(_ unionByName _)
+    val names = (0 until bands).map(bandStore("view", _))
+    val some = graft.core.Catalog.readSome(spark, base, names)
+    names.map(some).reduce(_ unionByName _)
       .where(col(MultCol) > 0)
   }
 

@@ -1591,6 +1591,59 @@ object ThroughputBench {
         f"hashedBow $toks tokens $sh%.1f s (${toks / sh / 1e6}%.1f M tok/s, $nb cells)")
     }
 
+    // scenario 46: BANDED CDC join view — the scenario-45 finding
+    // closed. 45 showed the insert-only view's per-fold cost growing
+    // with accumulated view size (a Catalog generation is a full
+    // replacement). The banded CDC variant folds only the bands a
+    // batch touches; with bands sized to a constant row target (the
+    // initCdc guidance), per-fold cost is touched-bands × band-target
+    // — measured here as the SAME clustered delta stream applied to a
+    // 10×-bigger view with 10× the bands: per-fold time must stay
+    // ~flat where the unbanded design grew ~10×.
+    if (enabled(46)) {
+      import graft.ops.JoinView
+      val batches = 8
+      val batchRows = 2000
+      val results = Seq((200000L, 8), (2000000L, 80)).map { case (viewRows, bands) =>
+        val base = graft.core.TempDirs.create(s"bench_jvcdc_$bands") + "/jv"
+        JoinView.initCdc(spark,
+          base,
+          spark.range(viewRows).select(col("id").as("k"), col("id").as("lv")),
+          spark.range(viewRows).select(col("id").as("k"), col("id").as("rv")),
+          Seq("k"), bands)
+        // clustered delta keys: confined to 4 bands in EACH config —
+        // the locality regime banding exists for (recent/hot keys)
+        val pool = spark.range(viewRows)
+          .where(pmod(hash(col("id")), lit(bands)) < 4)
+          .limit(batches * batchRows).select(col("id"))
+          .collect().map(_.getLong(0))
+        require(pool.length == batches * batchRows,
+          s"scenario46: key pool too small (${pool.length})")
+        import spark.implicits._
+        def slice(i: Int) = pool.slice(i * batchRows, (i + 1) * batchRows)
+        val foldS = (0 until batches).map { i =>
+          // insert a new right row per key; retract 20% of the previous
+          // batch's inserts — real CDC churn, not append-only
+          val ins = slice(i).map(k => ("+I", false, k, -1L, k + 1000000L + i))
+          val del = if (i == 0) Array.empty[(String, Boolean, Long, Long, Long)]
+            else slice(i - 1).take(batchRows / 5)
+              .map(k => ("-D", false, k, -1L, k + 1000000L + (i - 1)))
+          val b = (ins ++ del).toSeq.toDF("op", "is_left", "k", "lv", "rv")
+          val t0 = System.nanoTime()
+          JoinView.ingestCdc(spark, base, i.toLong, b, col("is_left"), "op",
+            Seq(col("k"), col("lv")), Seq(col("k"), col("rv")))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = foldS.sorted.apply(foldS.size / 2)
+        println(f"scenario46 banded-cdc view=$viewRows bands=$bands: " +
+          f"median fold ${med * 1000}%.0f ms (folds: ${
+            foldS.map(s => f"${s * 1000}%.0f").mkString(", ")} ms)")
+        med
+      }
+      println(f"scenario46 flatness: 10x view -> ${results(1) / results(0)}%.2f x " +
+        "median fold time (unbanded design: ~10x)")
+    }
+
     // scenario 3: chained pipeline (flatMap-ish expansion + agg)
     if (enabled(3)) time("scenario3 chained") {
       records
