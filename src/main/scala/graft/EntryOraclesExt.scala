@@ -19,6 +19,28 @@ private[graft] object EntryOraclesExt {
     // join as its straight-through form — shared verbatim
     "q236_join_view_restart" -> oracleSqlBase("q228_join_view_stream"),
     "q237_regex_search_stream" -> oracleSqlBase("q226_regex_search"),
+    "q241_join_agg_view_cdc" ->
+      // the one-shot group-by over the net join q238's view converges
+      // to — any missed retraction in the derived aggregate breaks it
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |      THEN CAST(o_custkey AS BIGINT) + 1000000
+        |      ELSE CAST(o_custkey AS BIGINT) END AS o_custkey
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 3 AND o_orderkey % 10 <> 0)),
+        |l AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_linenumber < 5
+        |  UNION ALL
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 13 = 0)
+        |SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l.cents) AS BIGINT) AS cents
+        |FROM o JOIN l ON o.k = l.k
+        |GROUP BY 1""".stripMargin,
     "q240_regex_alternation" ->
       // RE2 alternation over the lowercased corpus — the naive scan
       // the branch-OR counting-AND replaces

@@ -645,6 +645,71 @@ private[graft] object EntryQueriesD {
       TrigramIndex.searchRegex(s, qs, col("qid"), col("pat"),
         Tables(s, d).documents, col("doc_id"), col("text"), idx)
     }),
+    "q241_join_agg_view_cdc" -> ((s, d) => {
+      // JOIN + AGGREGATE VIEW UNDER FULL CDC — q234's composition made
+      // retraction-capable: a per-customer (n, cents) aggregate store
+      // folds the SAME SIGNED view delta as q238's banded join view,
+      // under the SAME manifest swap — counts and sums both add AND
+      // subtract (Σmult / Σcents·mult), groups retire when their net
+      // multiplicity reaches zero, and the aggregate can never tear
+      // from the join it summarizes. Per-trigger aggregate work is
+      // delta-sized plus the key-grain table. Oracle: the one-shot
+      // join of the net tables grouped by customer.
+      val base = q241CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q241_cat") + "/jv"
+        val t = Tables(s, dir)
+        val o = t.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        val l = t.lineitem.select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        def oRow(op: String, ck: Column, seq: Long)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(true).as("is_left"), col("k"),
+            ck.as("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"), lit(seq).as("seq"))
+        def lRow(op: String, seq: Long)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"), col("l_linenumber"),
+            col("cents"), lit(seq).as("seq"))
+        val changes = oRow("+I", col("o_custkey"), 0)(o)
+          .unionByName(oRow("-U", col("o_custkey"), 1)(o.where(col("k") % 10 === 0)))
+          .unionByName(oRow("+U", col("o_custkey") + 1000000L, 2)(
+            o.where(col("k") % 10 === 0)))
+          .unionByName(oRow("-D", col("o_custkey"), 1)(
+            o.where(col("k") % 7 === 3 && col("k") % 10 =!= 0)))
+          .unionByName(lRow("+I", 0)(l))
+          .unionByName(lRow("+I", 1)(
+            l.where(col("l_linenumber") === 1 && col("k") % 13 === 0)))
+          .unionByName(lRow("-D", 2)(l.where(col("l_linenumber") >= 5)))
+        JoinView.initCdc(s, p, o.limit(0), l.limit(0), Seq("k"), bands = 8)
+        graft.core.Catalog.addStore(s, p, "agg",
+          o.limit(0).join(l.limit(0), "k")
+            .groupBy(col("o_custkey"))
+            .agg(sum(lit(1L)).as("n"), sum(col("cents")).as("cents")))
+        val aggFold = Seq("agg" -> ((cur: org.apache.spark.sql.DataFrame,
+                                     dv: org.apache.spark.sql.DataFrame) =>
+          cur.unionByName(dv.groupBy(col("o_custkey"))
+              .agg(sum(col(JoinView.MultCol)).as("n"),
+                sum(col("cents") * col(JoinView.MultCol)).as("cents")))
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+            .where(col("n") =!= 0)))
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$d#q238", changes,
+            col("seq") * 100000000L + col("k") * 8 +
+              coalesce(col("l_linenumber"), lit(0L)), 3)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, changes.schema)
+          val q = JoinView.ingestCdcStream(s, stream, p, col("is_left"), "op",
+            Seq(col("k"), col("o_custkey")),
+            Seq(col("k"), col("l_linenumber"), col("cents")),
+            ephemeralOk = true, derived = aggFold)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      graft.core.Catalog.read(s, base, "agg")
+        .select(col("o_custkey"), col("n"), col("cents"))
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram

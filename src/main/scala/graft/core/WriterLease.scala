@@ -154,6 +154,14 @@ object WriterLease {
           val won = try fs.rename(f, tomb)
                     catch { case _: java.io.IOException => false }
           if (won) fs.delete(tomb, false)
+          // opportunistic sweep: a reclaimer that crashed between its
+          // rename and its delete leaves an orphaned tombstone — clear
+          // any stale ones while we're already on the rare reclaim path
+          try fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { st =>
+            if (st.getPath.getName.startsWith("_writer.lease.reclaimed.") &&
+                nowMs() - st.getModificationTime >= staleMs)
+              fs.delete(st.getPath, false)
+          } catch { case _: java.io.IOException => () }
           if (attempts > 1) acquire(attempts - 1)
           else throw new IllegalStateException(
             s"WriterLease: could not reclaim stale lease $f")

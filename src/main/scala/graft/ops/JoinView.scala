@@ -219,12 +219,21 @@ object JoinView {
     * manifest swap. Deltas are batch-sized and broadcast; the standing
     * sides are read band-pruned and never shuffled. Deterministic in
     * the batch, so a crash replay converges on the same store set.
+    *
+    * `derived` composes DERIVED stores under the SAME manifest swap
+    * (the q234 pattern, retraction-capable): each `(name, fold)` folds
+    * its store from the batch's SIGNED view delta — the persisted
+    * Δview with the `__mult` column, counts ±, exactly what an
+    * aggregate needs to add AND retract — and is applied only when the
+    * delta is non-empty. The store must already exist
+    * ([[graft.core.Catalog.addStore]]).
     */
   def ingestCdc(spark: SparkSession, base: String, batchId: Long,
                 batch: DataFrame, isLeft: Column, opCol: String,
-                leftProj: Seq[Column], rightProj: Seq[Column]): Unit =
+                leftProj: Seq[Column], rightProj: Seq[Column],
+                derived: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Nil): Unit =
     ingestCdcImpl(spark, base, batchId, batch, isLeft, opCol,
-      leftProj, rightProj, failAfter = Int.MaxValue)
+      leftProj, rightProj, derived, failAfter = Int.MaxValue)
 
   /** [[ingestCdc]] with [[graft.core.Catalog.ingestImpl]]'s crash
     * injection point, for the atomicity specs.
@@ -232,6 +241,7 @@ object JoinView {
   private[graft] def ingestCdcImpl(spark: SparkSession, base: String, batchId: Long,
                 batch: DataFrame, isLeft: Column, opCol: String,
                 leftProj: Seq[Column], rightProj: Seq[Column],
+                derived: Seq[(String, (DataFrame, DataFrame) => DataFrame)],
                 failAfter: Int): Unit = {
     if (batchId <= graft.core.Catalog.lastBatch(spark, base)) return
     val (bands, keys) = cdcMeta(spark, base)
@@ -267,7 +277,11 @@ object JoinView {
     val folds =
       lIds.map(b => bandStore("left", b) -> bandFold(dl, b)) ++
       rIds.map(b => bandStore("right", b) -> bandFold(dr, b)) ++
-      vIds.map(b => bandStore("view", b) -> bandFold(dv, b))
+      vIds.map(b => bandStore("view", b) -> bandFold(dv, b)) ++
+      (if (vIds.isEmpty) Nil // empty view delta: derived stores unchanged
+       else derived.map { case (name, fold) =>
+         name -> ((cur: DataFrame, _: DataFrame) => fold(cur, dv))
+       })
     try {
       // a fully self-cancelling batch still advances the shared ledger
       // (an identity fold of the tiny meta store) so its re-delivery
@@ -285,13 +299,14 @@ object JoinView {
                       isLeft: Column, opCol: String,
                       leftProj: Seq[Column], rightProj: Seq[Column],
                       checkpoint: Option[String] = None,
-                      ephemeralOk: Boolean = false)
+                      ephemeralOk: Boolean = false,
+                      derived: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.ops.Sketches.requireDurableCheckpoint(checkpoint, base, ephemeralOk)
     val w = stream.writeStream
       .foreachBatch { (b: DataFrame, bid: Long) =>
         graft.core.SwapStore.retryingStaleReads() {
-          ingestCdc(spark, base, bid, b, isLeft, opCol, leftProj, rightProj)
+          ingestCdc(spark, base, bid, b, isLeft, opCol, leftProj, rightProj, derived)
         }
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

@@ -257,7 +257,7 @@ class JoinViewSpec extends AnyFunSuite {
     for (failAfter <- 0 to 2) {
       intercept[IllegalStateException] {
         JoinView.ingestCdcImpl(spark, base, 0L, batch, col("is_left"), "op",
-          lproj, rproj, failAfter)
+          lproj, rproj, derived = Nil, failAfter = failAfter)
       }
       assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSet
         == Set((1L, 10L, 20L)), s"failAfter=$failAfter must not tear the view")
@@ -266,6 +266,38 @@ class JoinViewSpec extends AnyFunSuite {
     // rv=20 retracted: view = {10,11} x {21}
     assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSet
       == Set((1L, 10L, 21L), (1L, 11L, 21L)))
+  }
+
+  test("a derived aggregate folds the SIGNED view delta and retracts exactly") {
+    val base = TempDirs.create("graft_joinview_cdc_agg")
+    JoinView.initCdc(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"), bands = 2)
+    Catalog.addStore(spark, base, "agg",
+      Seq.empty[(Long, Long, Long)].toDF("k", "n", "sum_rv"))
+    val aggFold = Seq("agg" -> ((cur: DataFrame, dv: DataFrame) =>
+      cur.unionByName(dv.groupBy(col("k")).agg(
+          sum(col(JoinView.MultCol)).as("n"),
+          sum(col("rv") * col(JoinView.MultCol)).as("sum_rv")))
+        .groupBy(col("k")).agg(sum(col("n")).as("n"), sum(col("sum_rv")).as("sum_rv"))
+        .where(col("n") =!= 0)))
+    def ing(bid: Long, rows: Seq[(String, Boolean, Long, Long, Long)]): Unit =
+      JoinView.ingestCdc(spark, base, bid,
+        rows.toDF("op", "is_left", "k", "lv", "rv"),
+        col("is_left"), "op", lproj, rproj, derived = aggFold)
+    def aggNow = Catalog.read(spark, base, "agg")
+      .as[(Long, Long, Long)].collect().toSet
+    def fromView = JoinView.readCdc(spark, base).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("rv")).as("sum_rv"))
+      .as[(Long, Long, Long)].collect().toSet
+    ing(0, Seq(("+I", true, 1L, 10L, -1L), ("+I", true, 1L, 11L, -1L),
+      ("+I", false, 1L, -1L, 20L)))
+    assert(aggNow == Set((1L, 2L, 40L)) && aggNow == fromView)
+    ing(1, Seq(("-D", true, 1L, 10L, -1L), ("+I", false, 1L, -1L, 21L)))
+    assert(aggNow == Set((1L, 2L, 41L)) && aggNow == fromView)
+    // retract the whole right side: the group must RETIRE, not linger at 0
+    ing(2, Seq(("-D", false, 1L, -1L, 20L), ("-D", false, 1L, -1L, 21L)))
+    assert(aggNow.isEmpty && JoinView.readCdc(spark, base).count() == 0)
   }
 
   test("CDC rejects an unknown op in-plan") {
