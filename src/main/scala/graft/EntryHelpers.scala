@@ -49,6 +49,8 @@ private[graft] object EntryHelpers {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q241CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q242CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q143IndexCache =

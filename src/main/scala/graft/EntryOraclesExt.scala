@@ -103,10 +103,16 @@ private[graft] object EntryOraclesExt {
         |  CASE WHEN ok0 THEN gn0 WHEN ok1 THEN gn1 END AS grp_n,
         |  CASE WHEN ok0 THEN ppm0 WHEN ok1 THEN ppm1 END AS emd_ppm
         |FROM j WHERE ok0 OR ok1""".stripMargin,
-    "q238_join_view_cdc" ->
-      // the one-shot join the retraction view must converge to: orders
-      // net of the %7==3 deletes with %10==0 custkeys updated, lineitem
-      // net of the linenumber>=5 deletes plus the duplicate slice
+    // the restart form replays the SAME changelog split across a stop
+    // — any resume drift, silent no-op of the retraction phase, or
+    // double-fold breaks the identical net-join compare
+    "q242_join_view_cdc_restart" -> q238NetJoinSql,
+    "q238_join_view_cdc" -> q238NetJoinSql) ++ sqlTail
+
+  // the one-shot join the retraction view must converge to: orders
+  // net of the %7==3 deletes with %10==0 custkeys updated, lineitem
+  // net of the linenumber>=5 deletes plus the duplicate slice
+  private val q238NetJoinSql =
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |    CASE WHEN o_orderkey % 10 = 0
@@ -123,7 +129,9 @@ private[graft] object EntryOraclesExt {
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 13 = 0)
         |SELECT o.k AS o_orderkey, o.o_custkey, l.l_linenumber, l.cents
-        |FROM o JOIN l ON o.k = l.k""".stripMargin,
+        |FROM o JOIN l ON o.k = l.k""".stripMargin
+
+  private def sqlTail: Map[String, String] = Map(
     "q138_bm25_search_stream" -> oracleSqlBase("q103_bm25_search"),
     "q139_ivf_search_stream" -> oracleSqlBase("q42_ivf_topk"),
     "q141_span_screen_stream" -> oracleSqlBase("q80_span_screen"),

@@ -710,6 +710,72 @@ private[graft] object EntryQueriesD {
       graft.core.Catalog.read(s, base, "agg")
         .select(col("o_custkey"), col("n"), col("cents"))
     }),
+    "q242_join_view_cdc_restart" -> ((s, d) => {
+      // q238 ACROSS A STOP/RESTART — the banded CDC view's exactly-once
+      // claim made oracle-visible (q236's lifecycle for the retraction
+      // path): phase A folds the INSERT half of the changelog (2
+      // batches) and STOPS; every retraction/update arrives while the
+      // query is DOWN; a new query on the SAME durable checkpoint must
+      // resume batch ids at 2 — a fresh checkpoint would renumber from
+      // 0 and the shared ledger would silently no-op the retractions,
+      // leaving the view un-retracted (hash-visible against the net
+      // oracle). Any double-fold doubles multiplicities and breaks the
+      // compare the same way.
+      val base = q242CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q242_cat") + "/jv"
+        val t = Tables(s, dir)
+        val o = t.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        val l = t.lineitem.select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        def oRow(op: String, ck: Column)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(true).as("is_left"), col("k"),
+            ck.as("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+        def lRow(op: String)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"), col("l_linenumber"),
+            col("cents"))
+        JoinView.initCdc(s, p, o.limit(0), l.limit(0), Seq("k"), bands = 8)
+        val stage = graft.core.TempDirs.create("graft_q242_replay")
+        val ckpt = graft.core.TempDirs.create("graft_q242_ckpt")
+        val schema = oRow("+I", col("o_custkey"))(o).schema
+        def run(): Unit = withShufflePartitions(s, 8) {
+          val q = JoinView.ingestCdcStream(s,
+            graft.streaming.Replay.orderedStream(s, stage, schema),
+            p, col("is_left"), "op",
+            Seq(col("k"), col("o_custkey")),
+            Seq(col("k"), col("l_linenumber"), col("cents")),
+            checkpoint = Some(ckpt))
+          try q.processAllAvailable() finally q.stop()
+        }
+        // phase A: the insert half, two batches
+        graft.streaming.Replay.writeOrderedSlices(
+          oRow("+I", col("o_custkey"))(o),
+          col("k"), stage, 1)
+        graft.streaming.Replay.appendSlice(stage, lRow("+I")(l), 1)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 1L,
+          "q242: phase A must land batches 0 and 1")
+        // the ENTIRE retraction/update phase arrives while down
+        graft.streaming.Replay.appendSlice(stage,
+          oRow("-U", col("o_custkey"))(o.where(col("k") % 10 === 0))
+            .unionByName(oRow("+U", col("o_custkey") + 1000000L)(
+              o.where(col("k") % 10 === 0)))
+            .unionByName(oRow("-D", col("o_custkey"))(
+              o.where(col("k") % 7 === 3 && col("k") % 10 =!= 0))), 2)
+        graft.streaming.Replay.appendSlice(stage,
+          lRow("+I")(l.where(col("l_linenumber") === 1 && col("k") % 13 === 0))
+            .unionByName(lRow("-D")(l.where(col("l_linenumber") >= 5))), 3)
+        run()
+        require(graft.core.Catalog.lastBatch(s, p) == 3L,
+          "q242: the restart must resume batch ids at 2, not renumber from 0")
+        p
+      })
+      JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram
