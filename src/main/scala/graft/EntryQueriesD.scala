@@ -693,7 +693,11 @@ private[graft] object EntryQueriesD {
                 sum(col("cents") * col(JoinView.MultCol)).as("cents")))
             .groupBy(col("o_custkey"))
             .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
-            .where(col("n") =!= 0)))
+            // retire only when EVERY measure is zero: under out-of-order
+            // CDC a group can net n=0 with a nonzero sum in flight
+            // (delete-before-insert of a different-valued row) —
+            // dropping it then would corrupt the aggregate forever
+            .where(col("n") =!= 0 || col("cents") =!= 0)))
         withShufflePartitions(s, 8) {
           val stage = screenReplayDir(s"$d#q238", changes,
             col("seq") * 100000000L + col("k") * 8 +

@@ -289,6 +289,12 @@ object Catalog {
     // generation dirs; a crashed holder's lease goes stale and is
     // reclaimed (WriterLease). Re-delivery no-ops stay lock-free above.
     WriterLease.withLease(spark, base, s"Catalog.ingest(batch $batchId)") {
+    // re-check under the lease: the lock-free fast path above can race
+    // a writer that applied this very batch between our read and our
+    // acquire — re-applying would overwrite a LIVE generation dir with
+    // double-folded data (the manifest fold alone would no-op, hiding
+    // it). Same guard as SwapStore.fold's.
+    if (batchId > lastBatch(spark, base)) {
     val cur = gens(spark, base)
     folds.foreach { case (name, _) =>
       require(cur.contains(name),
@@ -325,6 +331,7 @@ object Catalog {
           if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
         }
     }
+    } // re-check under the lease
     }
   }
 

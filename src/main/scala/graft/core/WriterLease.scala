@@ -57,7 +57,6 @@ object WriterLease {
   final class Handle private[WriterLease] (
       base: String, what: String,
       lost: java.util.concurrent.atomic.AtomicBoolean) {
-    private[WriterLease] def isLost: Boolean = lost.get()
     def assertHeld(): Unit =
       if (lost.get())
         throw new IllegalStateException(
@@ -168,39 +167,41 @@ object WriterLease {
       }
     }
 
+    val acquiredAt = nowMs()
     acquire(attempts = 3)
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val stop = new java.util.concurrent.CountDownLatch(1)
     val handle = new Handle(base, what, lost)
     val beat = new Thread(() => {
       var going = true
+      // conservative lower bound of the lease file's mtime: the moment
+      // BEFORE each successful write (the file's real mtime is later)
+      var lastWrite = acquiredAt
       while (going && !stop.await(math.max(staleMs / 3, 1L),
                          java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        // verify-then-rewrite, FENCED: never resurrect a reclaimed
-        // lease. If the verify says we own it but more than staleMs
-        // then passes before (or during) the rewrite — a GC pause, a
-        // frozen NFS call — a reclaimer may legally have taken the
-        // lease in between; writing now would overwrite the new
-        // holder. Treat ourselves as reclaimed instead.
+        // verify-then-rewrite, FENCED against stalls: a reclaim is
+        // legal the moment the file's mtime is staleMs old, so the
+        // fence must measure from our LAST WRITE (≤ mtime), not from
+        // this iteration's verify — a pause straddling the verify
+        // would otherwise leave a window where we clobber a legitimate
+        // new holder. If staleMs elapsed since the last refresh, a
+        // reclaimer may own the file: treat ourselves as reclaimed and
+        // DO NOT touch the file (a read-then-delete here could remove
+        // the new holder's fresh lease — the stat-then-delete race the
+        // reclaim path avoids by renaming; our stale token, if still
+        // there, expires on its own).
         val t0 = nowMs()
         if (!readOwner(fs, f).contains(owner)) {
           lost.set(true); going = false
-        } else if (nowMs() - t0 >= staleMs) {
-          // paused after verify: don't write — a reclaimer may own the
-          // file now. Surrender; drop the file only if it still carries
-          // our token (unblocks the path now instead of in staleMs).
-          lost.set(true); going = false
-          if (readOwner(fs, f).contains(owner)) fs.delete(f, false)
+        } else if (nowMs() - lastWrite >= staleMs) {
+          lost.set(true); going = false // paused past expiry: don't write
         } else {
           writeOwner(fs, f, owner, what, exclusive = false)
-          if (nowMs() - t0 >= staleMs) {
-            // paused DURING the rewrite: we may have just clobbered a
-            // legitimate new holder. Surrender: drop the file iff it
-            // carries our token (unblocks the path now, not in staleMs)
-            // and trip the flag so release raises.
+          if (nowMs() - lastWrite >= staleMs) {
+            // the pause hit DURING the rewrite: we may have clobbered a
+            // new holder — surrender; release will not delete (lost)
             lost.set(true); going = false
-            if (readOwner(fs, f).contains(owner)) fs.delete(f, false)
-          }
+          } else lastWrite = t0
         }
       }
     }, s"graft-writer-lease-${base.hashCode}")

@@ -163,22 +163,30 @@ object JoinView {
       .withColumn(MultCol, col("__ml") * col("__mr"))
       .drop("__ml", "__mr")
 
-  private def cdcMeta(spark: SparkSession, base: String): (Int, Seq[String]) = {
-    val r = graft.core.Catalog.read(spark, base, "meta").head()
-    (r.getInt(0), r.getString(1).split(' ').toSeq)
-  }
+  // (bands, keys) is immutable after initCdc — cached per base so the
+  // per-trigger hot path never re-reads the meta store (the module's
+  // latency is job-count-bound, like index search)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[String])]()
+
+  private def cdcMeta(spark: SparkSession, base: String): (Int, Seq[String]) =
+    metaCache.computeIfAbsent(base, { _ =>
+      val r = graft.core.Catalog.read(spark, base, "meta").head()
+      (r.getInt(0), r.getString(1).split(' ').toSeq)
+    })
 
   /** Union of one side's band stores for the given band ids, resolved
     * through ONE manifest read; an empty id set yields an empty frame
     * of the right schema.
     */
-  private def readBands(spark: SparkSession, base: String, side: String,
-                        ids: Seq[Int]): DataFrame = {
-    val names = (if (ids.isEmpty) Seq(0) else ids).map(bandStore(side, _))
-    val some = graft.core.Catalog.readSome(spark, base, names)
-    if (ids.isEmpty) some(names.head).limit(0)
-    else names.map(some).reduce(_ unionByName _)
-  }
+  /** Union of one side's band stores out of a pre-resolved store map;
+    * an empty id set yields an empty frame of the right schema (band 0
+    * always exists and is always in the map).
+    */
+  private def unionBands(stores: Map[String, DataFrame], side: String,
+                         ids: Seq[Int]): DataFrame =
+    if (ids.isEmpty) stores(bandStore(side, 0)).limit(0)
+    else ids.map(b => stores(bandStore(side, b))).reduce(_ unionByName _)
 
   /** Stand up the banded catalog: `left0`/`right0` (plain tables; bag
     * semantics — duplicates become counts) become `bands` band stores
@@ -202,7 +210,7 @@ object JoinView {
     val v = joinCounted(l, r, keys).persist()
     try {
       import spark.implicits._
-      val meta = Seq((bands, keys.mkString(" "))).toDF("bands", "keys")
+      val meta = Seq((bands, keys.mkString(" "))).toDF("bands", "keys")
       val stores = Map("meta" -> meta) ++ (0 until bands).flatMap { b =>
         Seq(bandStore("left", b) -> l.where(bandOf(keys, bands) === b),
             bandStore("right", b) -> r.where(bandOf(keys, bands) === b),
@@ -226,7 +234,12 @@ object JoinView {
     * Δview with the `__mult` column, counts ±, exactly what an
     * aggregate needs to add AND retract — and is applied only when the
     * delta is non-empty. The store must already exist
-    * ([[graft.core.Catalog.addStore]]).
+    * ([[graft.core.Catalog.addStore]]). RETIRE CONTRACT for derived
+    * aggregates: drop a group only when EVERY aggregated measure is
+    * zero — under out-of-order CDC a group legitimately transits
+    * net-count 0 with a nonzero sum (delete-before-insert of a
+    * different-valued row), and an n-only retire drops live in-flight
+    * state (JoinViewSpec pins the regression).
     */
   def ingestCdc(spark: SparkSession, base: String, batchId: Long,
                 batch: DataFrame, isLeft: Column, opCol: String,
@@ -265,9 +278,13 @@ object JoinView {
     val rIds = idsOf(dr)
     // Δview = ΔL ⋈ (R ⊎ ΔR) ⊎ L ⋈ ΔR, every standing read pruned to
     // the delta's own bands (equal keys hash to equal bands)
-    val rNew = mergeCounted(readBands(spark, base, "right", lIds),
+    // ONE manifest resolve covers both standing-side reads
+    val standing = graft.core.Catalog.readSome(spark, base,
+      ((if (lIds.isEmpty) Seq(0) else lIds).map(bandStore("right", _)) ++
+       (if (rIds.isEmpty) Seq(0) else rIds).map(bandStore("left", _))).distinct)
+    val rNew = mergeCounted(unionBands(standing, "right", lIds),
       if (lIds.isEmpty) dr.limit(0) else dr.where(band.isin(lIds: _*)))
-    val lOld = readBands(spark, base, "left", rIds)
+    val lOld = unionBands(standing, "left", rIds)
     val dv = joinCounted(broadcast(dl), rNew, keys)
       .unionByName(joinCounted(lOld, broadcast(dr), keys))
       .persist()

@@ -32,11 +32,14 @@ class WriterLeaseSpec extends AnyFunSuite {
     "never-lost"
   }
 
-  test("pause fence: a > staleMs pause between verify and rewrite surrenders the lease") {
+  test("pause fence: staleMs elapsed since the LAST WRITE surrenders before the rewrite") {
     val base = TempDirs.create("lease_fence_prewrite")
-    // clock: heartbeat's verify stamps t0, the pre-write fence check
-    // then sees staleMs+1 ms elapsed — simulating a stop-the-world
-    // pause between the ownership verify and the non-exclusive rewrite
+    // clock: acquire stamps lastWrite=t; the heartbeat's verify passes
+    // but the pre-write fence sees staleMs+1 elapsed since the last
+    // refresh — a reclaim was legal in that window, so the holder must
+    // surrender WITHOUT writing (and without deleting: the file may be
+    // a new holder's by now — read-then-delete is the race the rename
+    // reclaim exists to avoid)
     val calls = new java.util.concurrent.atomic.AtomicLong(0)
     val t = 1000000L
     val staleMs = 300L
@@ -45,10 +48,11 @@ class WriterLeaseSpec extends AnyFunSuite {
       WriterLease.run(spark, base, "fence-test", staleMs, clock)(waitForLoss)
     }
     assert(e.getMessage.contains("reclaimed mid-mutation"))
-    // surrendered cleanly: no rewrite happened, and the still-ours file
-    // was dropped so the path unblocks immediately, not after staleMs
-    assert(!leaseFile(base).exists())
-    // a new writer acquires right away
+    // the stale file is LEFT to expire (never touched after the fence):
+    // a new writer reclaims it through the normal stale path
+    assert(leaseFile(base).exists())
+    assert(leaseFile(base).setLastModified(
+      System.currentTimeMillis() - 2 * WriterLease.DefaultStaleMs))
     WriterLease.withLease(spark, base, "after-fence") { () }
     assert(!leaseFile(base).exists())
   }
@@ -58,18 +62,46 @@ class WriterLeaseSpec extends AnyFunSuite {
     val calls = new java.util.concurrent.atomic.AtomicLong(0)
     val t = 1000000L
     val staleMs = 300L
-    // verify at t, pre-write check at t+1 (passes), post-write check at
-    // t+staleMs+1 — the pause hit inside the rewrite itself
+    // acquire at t; verify at t+1, pre-write fence at t+2 (passes),
+    // post-write fence at t+staleMs+1 — the pause hit inside the
+    // rewrite itself, after the file was already touched
     val clock = () => calls.incrementAndGet() match {
       case 1 => t
       case 2 => t + 1
+      case 3 => t + 2
       case _ => t + staleMs + 1
     }
     val e = intercept[IllegalStateException] {
       WriterLease.run(spark, base, "fence-test-2", staleMs, clock)(waitForLoss)
     }
     assert(e.getMessage.contains("reclaimed mid-mutation"))
-    assert(!leaseFile(base).exists())
+    // release must NOT delete after a surrender (lost is set)
+    assert(leaseFile(base).exists())
+  }
+
+  test("pause fence: measured from the last WRITE, not this iteration's verify") {
+    val base = TempDirs.create("lease_fence_mtime")
+    // the regression the fence originally missed: heartbeat refreshes
+    // at t (lastWrite=t), next verify at t+2·staleMs/3, then a pause
+    // shorter than staleMs-since-verify but LONGER than
+    // staleMs-since-last-write — a reclaimer was already legal, so the
+    // holder must surrender even though nowMs - verifyTime < staleMs
+    val calls = new java.util.concurrent.atomic.AtomicLong(0)
+    val t = 1000000L
+    val staleMs = 300L
+    val clock = () => calls.incrementAndGet() match {
+      case 1 => t          // acquire: lastWrite = t
+      case 2 => t + 10     // beat 1 verify
+      case 3 => t + 11     // beat 1 pre-write: fresh, writes; lastWrite = t+10
+      case 4 => t + 12     // beat 1 post-write: fresh
+      case 5 => t + 210    // beat 2 verify (t0)
+      case _ => t + 360    // beat 2 pre-write: 360-10=350 >= 300 since
+                           // lastWrite, though only 150 since the verify
+    }
+    val e = intercept[IllegalStateException] {
+      WriterLease.run(spark, base, "fence-test-3", staleMs, clock)(waitForLoss)
+    }
+    assert(e.getMessage.contains("reclaimed mid-mutation"))
   }
 
   test("stale reclaim is rename-based and leaves no tombstone behind") {

@@ -280,7 +280,9 @@ class JoinViewSpec extends AnyFunSuite {
           sum(col(JoinView.MultCol)).as("n"),
           sum(col("rv") * col(JoinView.MultCol)).as("sum_rv")))
         .groupBy(col("k")).agg(sum(col("n")).as("n"), sum(col("sum_rv")).as("sum_rv"))
-        .where(col("n") =!= 0)))
+        // retire only when EVERY measure is zero (transient n=0 with a
+        // nonzero sum is live out-of-order state, not a retired group)
+        .where(col("n") =!= 0 || col("sum_rv") =!= 0)))
     def ing(bid: Long, rows: Seq[(String, Boolean, Long, Long, Long)]): Unit =
       JoinView.ingestCdc(spark, base, bid,
         rows.toDF("op", "is_left", "k", "lv", "rv"),
@@ -298,6 +300,16 @@ class JoinViewSpec extends AnyFunSuite {
     // retract the whole right side: the group must RETIRE, not linger at 0
     ing(2, Seq(("-D", false, 1L, -1L, 20L), ("-D", false, 1L, -1L, 21L)))
     assert(aggNow.isEmpty && JoinView.readCdc(spark, base).count() == 0)
+    // OUT-OF-ORDER regression: a delete of rv=20 lands BEFORE its
+    // insert, alongside an insert of rv=21 — the group transits
+    // (n=0, sum_rv=1), which an n-only retire predicate would DROP,
+    // permanently corrupting the aggregate when the late insert lands
+    ing(3, Seq(("+I", true, 2L, 30L, -1L)))
+    ing(4, Seq(("-D", false, 2L, -1L, 20L), ("+I", false, 2L, -1L, 21L)))
+    assert(aggNow == Set((2L, 0L, 1L)),
+      "the transient zero-count group must survive as in-flight signed state")
+    ing(5, Seq(("+I", false, 2L, -1L, 20L))) // the late insert arrives
+    assert(aggNow == Set((2L, 1L, 21L)) && aggNow == fromView)
   }
 
   test("CDC rejects an unknown op in-plan") {
