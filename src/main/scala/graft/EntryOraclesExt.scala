@@ -107,6 +107,9 @@ private[graft] object EntryOraclesExt {
     // — any resume drift, silent no-op of the retraction phase, or
     // double-fold breaks the identical net-join compare
     "q242_join_view_cdc_restart" -> q238NetJoinSql,
+    // restore("preretract") rewinds the CDC view to the insert-only
+    // state, so the plain full join is the exact oracle again
+    "q243_join_view_cdc_timetravel" -> oracleSqlBase("q228_join_view_stream"),
     "q238_join_view_cdc" -> q238NetJoinSql) ++ sqlTail
 
   // the one-shot join the retraction view must converge to: orders

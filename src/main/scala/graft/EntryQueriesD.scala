@@ -780,6 +780,58 @@ private[graft] object EntryQueriesD {
       JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
         col("o_custkey"), col("l_linenumber"), col("cents"))
     }),
+    "q243_join_view_cdc_timetravel" -> ((s, d) => {
+      // TIME TRAVEL OF THE CDC VIEW — the banded catalog is 25 stores
+      // behind one manifest, and savepoint/restore are POINTER
+      // operations on it: pin the catalog after the insert phase (one
+      // tiny write — generations are immutable), let the whole
+      // retraction phase fold through (the view visibly shrinks),
+      // then RESTORE the pin — every band store and the ledger rewind
+      // in one manifest swap, and the view must equal the plain
+      // insert-only join again, byte for byte (q228's oracle, shared).
+      // Any band store missed by the rewind, or a GC that swept a
+      // pinned generation, breaks the compare.
+      val base = q243CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q243_cat") + "/jv"
+        val t = Tables(s, dir)
+        val o = t.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        val l = t.lineitem.select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        def oRow(op: String, ck: Column)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(true).as("is_left"), col("k"),
+            ck.as("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+        def lRow(op: String)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"), col("l_linenumber"),
+            col("cents"))
+        JoinView.initCdc(s, p, o.limit(0), l.limit(0), Seq("k"), bands = 8)
+        def ingest(bid: Long, b: org.apache.spark.sql.DataFrame): Unit =
+          JoinView.ingestCdc(s, p, bid, b, col("is_left"), "op",
+            Seq(col("k"), col("o_custkey")),
+            Seq(col("k"), col("l_linenumber"), col("cents")))
+        withShufflePartitions(s, 8) {
+          ingest(0L, oRow("+I", col("o_custkey"))(o))
+          ingest(1L, lRow("+I")(l))
+          val full = JoinView.readCdc(s, p).count()
+          graft.core.Catalog.savepoint(s, p, "preretract")
+          // the whole retraction phase folds through the pin
+          ingest(2L, oRow("-D", col("o_custkey"))(o.where(col("k") % 7 === 3)))
+          ingest(3L, lRow("-D")(l.where(col("l_linenumber") >= 5)))
+          require(graft.core.Catalog.lastBatch(s, p) == 3L)
+          require(JoinView.readCdc(s, p).count() < full,
+            "q243: the retraction phase must visibly shrink the view")
+          graft.core.Catalog.restore(s, p, "preretract")
+          require(graft.core.Catalog.lastBatch(s, p) == 1L,
+            "q243: restore must rewind the shared ledger to the pin")
+        }
+        p
+      })
+      JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram
