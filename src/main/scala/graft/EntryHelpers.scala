@@ -53,6 +53,8 @@ private[graft] object EntryHelpers {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q243CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q244CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q143IndexCache =

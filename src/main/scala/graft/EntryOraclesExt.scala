@@ -110,6 +110,18 @@ private[graft] object EntryOraclesExt {
     // restore("preretract") rewinds the CDC view to the insert-only
     // state, so the plain full join is the exact oracle again
     "q243_join_view_cdc_timetravel" -> oracleSqlBase("q228_join_view_stream"),
+    "q244_join_view_cdc_replicate" ->
+      // the net join (orders minus %7==3, lineitem under linenumber 5),
+      // read from the REPLICA — a missed or stale band breaks the hash
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS o_custkey
+        |  FROM orders WHERE o_orderkey % 7 <> 3),
+        |l AS (
+        |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_linenumber < 5)
+        |SELECT o.k AS o_orderkey, o.o_custkey, l.l_linenumber, l.cents
+        |FROM o JOIN l ON o.k = l.k""".stripMargin,
     "q238_join_view_cdc" -> q238NetJoinSql) ++ sqlTail
 
   // the one-shot join the retraction view must converge to: orders

@@ -832,6 +832,61 @@ private[graft] object EntryQueriesD {
       JoinView.readCdc(s, base).select(col("k").as("o_orderkey"),
         col("o_custkey"), col("l_linenumber"), col("cents"))
     }),
+    "q244_join_view_cdc_replicate" -> ((s, d) => {
+      // INCREMENTAL REPLICATION OF THE BANDED CDC VIEW — the banding
+      // claim extended to disaster recovery: a replica syncs by
+      // copying only generations it lacks, and banded stores change
+      // generation ONLY when a fold touches them, so each sync ships
+      // exactly the bands the CDC touched since the last one. The
+      // first sync copies all 25 stores; the orders-only retraction
+      // then ships NO right-side band, the lineitem-only retraction
+      // ships NO left-side band (both asserted on replicate's copied
+      // map). Oracle: the net join, read FROM THE REPLICA.
+      val rep = q244CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q244_cat") + "/jv"
+        val r = graft.core.TempDirs.create("graft_q244_rep") + "/jv"
+        val t = Tables(s, dir)
+        val o = t.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("o_custkey"))
+        val l = t.lineitem.select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        def oRow(op: String)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(true).as("is_left"), col("k"),
+            col("o_custkey"), lit(null).cast("long").as("l_linenumber"),
+            lit(null).cast("long").as("cents"))
+        def lRow(op: String)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(op).as("op"), lit(false).as("is_left"), col("k"),
+            lit(null).cast("long").as("o_custkey"), col("l_linenumber"),
+            col("cents"))
+        JoinView.initCdc(s, p, o.limit(0), l.limit(0), Seq("k"), bands = 8)
+        def ingest(bid: Long, b: org.apache.spark.sql.DataFrame): Unit =
+          JoinView.ingestCdc(s, p, bid, b, col("is_left"), "op",
+            Seq(col("k"), col("o_custkey")),
+            Seq(col("k"), col("l_linenumber"), col("cents")))
+        withShufflePartitions(s, 8) {
+          ingest(0L, oRow("+I")(o))
+          ingest(1L, lRow("+I")(l))
+          val first = graft.core.Catalog.replicate(s, p, r)
+          require(first.size == 25,
+            s"q244: the first sync ships every store (24 bands + meta), got ${first.size}")
+          ingest(2L, oRow("-D")(o.where(col("k") % 7 === 3)))
+          val second = graft.core.Catalog.replicate(s, p, r)
+          require(second.nonEmpty && second.size < first.size &&
+              second.keys.forall(n => !n.startsWith("right__")),
+            s"q244: an orders-only retraction must ship no right-side band, " +
+              s"got ${second.keys.toSeq.sorted.mkString(", ")}")
+          ingest(3L, lRow("-D")(l.where(col("l_linenumber") >= 5)))
+          val third = graft.core.Catalog.replicate(s, p, r)
+          require(third.nonEmpty && third.keys.forall(n => !n.startsWith("left__")),
+            s"q244: a lineitem-only retraction must ship no left-side band, " +
+              s"got ${third.keys.toSeq.sorted.mkString(", ")}")
+        }
+        r
+      })
+      JoinView.readCdc(s, rep).select(col("k").as("o_orderkey"),
+        col("o_custkey"), col("l_linenumber"), col("cents"))
+    }),
     "q197_substring_ingest_stream" -> ((s, d) => {
       // TrigramIndex.appendStream: continuous exactly-once ingestion
       // into the substring index — q144's lifecycle for the trigram
