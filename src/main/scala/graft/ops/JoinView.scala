@@ -188,6 +188,29 @@ object JoinView {
     if (ids.isEmpty) stores(bandStore(side, 0)).limit(0)
     else ids.map(b => stores(bandStore(side, b))).reduce(_ unionByName _)
 
+  /** The batch's SIGNED view delta, Δview = ΔL⋈R ⊎ ΔL⋈ΔR ⊎ L⋈ΔR —
+    * the counted join is BILINEAR (mult(R⊎ΔR) = mult(R) + mult(ΔR)
+    * and join counts multiply), so merging ΔR into R before the join
+    * would only add a shuffle; all summation is left to the per-band
+    * view merge. The plan is SHUFFLE-FREE: three broadcast joins of
+    * the batch-sized deltas onto band-pruned standing scans and a
+    * union (PlanQualitySpec pins it) — the only exchange in the whole
+    * fold pipeline is the band-sized view merge itself.
+    */
+  private[graft] def cdcDelta(spark: SparkSession, base: String,
+                              keys: Seq[String], bands: Int,
+                              dl: DataFrame, lIds: Seq[Int],
+                              dr: DataFrame, rIds: Seq[Int]): DataFrame = {
+    val standing = graft.core.Catalog.readSome(spark, base,
+      ((if (lIds.isEmpty) Seq(0) else lIds).map(bandStore("right", _)) ++
+       (if (rIds.isEmpty) Seq(0) else rIds).map(bandStore("left", _))).distinct)
+    val rOld = unionBands(standing, "right", lIds)
+    val lOld = unionBands(standing, "left", rIds)
+    joinCounted(broadcast(dl), rOld, keys)
+      .unionByName(joinCounted(broadcast(dl), dr, keys))
+      .unionByName(joinCounted(lOld, broadcast(dr), keys))
+  }
+
   /** Stand up the banded catalog: `left0`/`right0` (plain tables; bag
     * semantics — duplicates become counts) become `bands` band stores
     * per side plus the banded initial join and a tiny `meta` store,
@@ -279,15 +302,7 @@ object JoinView {
     // Δview = ΔL ⋈ (R ⊎ ΔR) ⊎ L ⋈ ΔR, every standing read pruned to
     // the delta's own bands (equal keys hash to equal bands)
     // ONE manifest resolve covers both standing-side reads
-    val standing = graft.core.Catalog.readSome(spark, base,
-      ((if (lIds.isEmpty) Seq(0) else lIds).map(bandStore("right", _)) ++
-       (if (rIds.isEmpty) Seq(0) else rIds).map(bandStore("left", _))).distinct)
-    val rNew = mergeCounted(unionBands(standing, "right", lIds),
-      if (lIds.isEmpty) dr.limit(0) else dr.where(band.isin(lIds: _*)))
-    val lOld = unionBands(standing, "left", rIds)
-    val dv = joinCounted(broadcast(dl), rNew, keys)
-      .unionByName(joinCounted(lOld, broadcast(dr), keys))
-      .persist()
+    val dv = cdcDelta(spark, base, keys, bands, dl, lIds, dr, rIds).persist()
     val vIds = idsOf(dv)
     def bandFold(d: DataFrame, b: Int): (DataFrame, DataFrame) => DataFrame =
       (cur, _) => mergeCounted(cur, d.where(band === b))

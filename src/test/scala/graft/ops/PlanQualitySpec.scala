@@ -393,4 +393,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans.forall(!_.contains("documents")),
       s"the answer plan re-reads the corpus:\n${scans.mkString("\n")}")
   }
+
+  test("CDC view delta is SHUFFLE-FREE: three delta-broadcast joins on band-pruned scans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = graft.core.TempDirs.create("graft_plan_cdcdelta")
+    JoinView.initCdc(spark,
+      base,
+      (0L until 64L).map(k => (k, k * 10)).toDF("k", "lv"),
+      (0L until 64L).map(k => (k, k * 100)).toDF("k", "rv"),
+      Seq("k"), bands = 8)
+    // signed batch deltas (the shape ingestCdc computes): one left
+    // insert, one right retraction, keys in two different bands
+    val dl = Seq((3L, 999L, 1L)).toDF("k", "lv", JoinView.MultCol)
+    val dr = Seq((5L, 500L, -1L)).toDF("k", "rv", JoinView.MultCol)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(pmod(hash(col("k")), lit(8)).as("b"))
+        .distinct().as[Int].collect().toSeq.sorted
+    val dv = JoinView.cdcDelta(spark, base, Seq("k"), 8,
+      dl, bandsOf(dl), dr, bandsOf(dr))
+    // correctness first: ΔL⋈R ⊎ ΔL⋈ΔR ⊎ L⋈ΔR (keys differ, so no
+    // in-batch pairing; the retraction carries its negative count)
+    assert(dv.select(col("k"), col("lv"), col("rv"), col(JoinView.MultCol))
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      Set((3L, 999L, 300L, 1L), (5L, 50L, 500L, -1L)))
+    // the counted join is bilinear, so NOTHING shuffles: the deltas
+    // broadcast onto band-pruned standing scans and union — the only
+    // exchange in the fold pipeline is the band-sized view merge
+    val p = dv.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 delta-broadcast joins:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      s"the delta plan must not shuffle (standing sides are scan-only):\n$p")
+    // and the standing scans are band stores, never the full side
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).size
+    assert(scans <= 3, s"expected at most one band scan per standing side:\n$p")
+  }
 }
