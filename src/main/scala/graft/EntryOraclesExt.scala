@@ -51,6 +51,53 @@ private[graft] object EntryOraclesExt {
         |SELECT pats.qid, d.doc_id
         |FROM pats, documents d
         |WHERE regexp_matches(lower(d.text), pats.pat)""".stripMargin,
+    "q245_t_closeness_categorical" ->
+      // the scaled variational distance: per group Σ|sc·N − g·ns| over
+      // PRESENT segments plus (N − Σ_present g)·ns for absent ones,
+      // tested against 2·t·ns·N and reported as a ppm floor division
+      """WITH q AS (SELECT c_custkey, c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal,
+        |    c_mktsegment AS s FROM customer),
+        |dom AS (SELECT s, CAST(count(*) AS BIGINT) AS g FROM q
+        |  WHERE s IS NOT NULL GROUP BY 1),
+        |gl AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM dom),
+        |n0 AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1, 2),
+        |sc0 AS (SELECT nation, bal, s, CAST(count(*) AS BIGINT) AS sc
+        |  FROM q WHERE s IS NOT NULL GROUP BY 1, 2, 3),
+        |ns0 AS (SELECT nation, bal, CAST(sum(sc) AS BIGINT) AS ns
+        |  FROM sc0 GROUP BY 1, 2),
+        |e0 AS (SELECT sc0.nation, sc0.bal, CAST(max(ns0.ns) AS BIGINT) AS ns,
+        |    CAST(sum(abs(sc0.sc * (SELECT nn FROM gl) - dom.g * ns0.ns)) +
+        |      ((SELECT nn FROM gl) - sum(dom.g)) * max(ns0.ns) AS BIGINT) AS e
+        |  FROM sc0 JOIN dom USING (s) JOIN ns0 USING (nation, bal)
+        |  GROUP BY 1, 2),
+        |n1 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |sc1 AS (SELECT nation, s, CAST(count(*) AS BIGINT) AS sc
+        |  FROM q WHERE s IS NOT NULL GROUP BY 1, 2),
+        |ns1 AS (SELECT nation, CAST(sum(sc) AS BIGINT) AS ns FROM sc1 GROUP BY 1),
+        |e1 AS (SELECT sc1.nation, CAST(max(ns1.ns) AS BIGINT) AS ns,
+        |    CAST(sum(abs(sc1.sc * (SELECT nn FROM gl) - dom.g * ns1.ns)) +
+        |      ((SELECT nn FROM gl) - sum(dom.g)) * max(ns1.ns) AS BIGINT) AS e
+        |  FROM sc1 JOIN dom USING (s) JOIN ns1 USING (nation)
+        |  GROUP BY 1),
+        |j AS (SELECT q.c_custkey,
+        |    n0.n >= 8 AND e0.ns > 0
+        |      AND e0.e * 5 <= 2 * 1 * e0.ns * (SELECT nn FROM gl) AS ok0,
+        |    n1.n >= 8 AND e1.ns > 0
+        |      AND e1.e * 5 <= 2 * 1 * e1.ns * (SELECT nn FROM gl) AS ok1,
+        |    n0.n AS gn0, n1.n AS gn1,
+        |    CAST((CAST(e0.e AS HUGEINT) * 1000000) //
+        |      (2 * e0.ns * (SELECT nn FROM gl)) AS BIGINT) AS ppm0,
+        |    CAST((CAST(e1.e AS HUGEINT) * 1000000) //
+        |      (2 * e1.ns * (SELECT nn FROM gl)) AS BIGINT) AS ppm1
+        |  FROM q JOIN n0 USING (nation, bal) LEFT JOIN e0 USING (nation, bal)
+        |    JOIN n1 USING (nation) LEFT JOIN e1 USING (nation))
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN ok0 THEN 0 WHEN ok1 THEN 1 END AS BIGINT) AS lvl,
+        |  CASE WHEN ok0 THEN gn0 WHEN ok1 THEN gn1 END AS grp_n,
+        |  CASE WHEN ok0 THEN ppm0 WHEN ok1 THEN ppm1 END AS tvd_ppm
+        |FROM j WHERE ok0 OR ok1""".stripMargin,
     "q239_t_closeness" ->
       // the exact ordered-domain EMD ladder replayed with window
       // prefix sums; floor-division on HUGEINT for the ppm

@@ -183,6 +183,22 @@ private[graft] object EntryQueriesC {
         Seq(Seq("nation", "seg"), Seq("seg")),
         k = 10, tNum = 3, tDen = 20)
         .select(col("c_custkey"), col("lvl"), col("grp_n"), col("emd_ppm"))),
+    "q245_t_closeness_categorical" -> ((s, d) =>
+      // CATEGORICAL T-CLOSENESS — Privacy.tClosenessCategorical: the
+      // paper's other distance. With no order on the sensitive domain
+      // (market segment), EMD degenerates to the variational distance
+      // ½·Σ|p−q|; integer counts + rational t clear denominators as in
+      // q239, and a group's ABSENT domain values contribute their full
+      // global mass WITHOUT a (groups × domain) cross join — one
+      // partial aggregate cheaper per level than the ordered form.
+      // Oracle replays the scaled TVD and the ppm floor division.
+      Privacy.tClosenessCategorical(Tables(s, d).customer,
+        Seq("nation" -> col("c_nationkey"),
+          "bal" -> floor(col("c_acctbal") / 2000.0).cast("long")),
+        col("c_mktsegment"),
+        Seq(Seq("nation", "bal"), Seq("nation")),
+        k = 8, tNum = 1, tDen = 5)
+        .select(col("c_custkey"), col("lvl"), col("grp_n"), col("tvd_ppm"))),
     "q193_fuzzy_vocab_join" -> ((s, d) => {
       // EDIT-DISTANCE SELF-JOIN — Fuzzy.editSelfJoin at k=2 over the
       // corpus+catalog vocabulary: every unordered word pair within

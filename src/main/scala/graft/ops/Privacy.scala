@@ -369,4 +369,88 @@ object Privacy {
       .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
         col("emd_ppm"): _*)
   }
+
+  /** t-closeness for a CATEGORICAL sensitive attribute — the paper's
+    * other distance: with no order on the domain, EMD degenerates to
+    * the variational distance ½·Σ|p_i − q_i|. Same exact-integer
+    * clearing as [[tCloseness]]: the test is Σ|cnt_i·N − g_i·n_s| ·
+    * tDen ≤ 2·tNum·n_s·N, and the reported ⌊10⁶·TVD⌋ divides by
+    * 2·n_s·N — no floats, no window (per-(group, value) absolute
+    * differences sum directly), so it is one partial aggregate
+    * cheaper per level than the ordered form. Missing domain values
+    * contribute |0 − q_i| = g_i·n_s, accumulated without a domain
+    * cross join: Σ over PRESENT values of |cnt·N − g·ns| plus
+    * (N − Σ_present g)·n_s for the absent mass. NULL handling, the
+    * ladder, and the maxDomain/driver posture match [[tCloseness]]
+    * (the domain itself never ships to the driver here — only N).
+    *
+    * Output: `df`'s columns + (`lvl`, `grp_n`, `tvd_ppm`).
+    */
+  def tClosenessCategorical(df: DataFrame, quasi: Seq[(String, Column)],
+                            sensitive: Column, levels: Seq[Seq[String]],
+                            k: Long, tNum: Long, tDen: Long): DataFrame = {
+    require(k >= 2, s"t-closeness needs k >= 2, got $k")
+    require(tNum >= 0 && tDen > 0, s"t must be a rational >= 0, got $tNum/$tDen")
+    require(levels.nonEmpty && levels.forall(_.nonEmpty),
+      "t-closeness needs at least one non-empty level")
+    val qnames = quasi.map(_._1)
+    require(qnames.distinct == qnames, "quasi names must be unique")
+    levels.foreach(lv => require(lv.forall(qnames.contains),
+      s"level ${lv.mkString(",")} references undeclared quasi columns"))
+    requireFreeNames("tClosenessCategorical", df, qnames, levels.size,
+      perLevel = Seq("n", "ns", "e"),
+      flat = Seq("__s", "__cn", "__sc", "__g", "__gp"),
+      outputs = Seq("lvl", "grp_n", "tvd_ppm"))
+    val g = (n: String) => s"__q_$n"
+    val proj = df.select(df.columns.map(col) ++
+      quasi.map { case (n, cc) => cc.as(g(n)) } :+ sensitive.as("__s"): _*)
+    val all = qnames.map(g)
+    val cells0 = proj.groupBy((all.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val dom = cells0.where(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(sum(col("__cn")).as("__g"))
+    val bigN = dom.agg(sum(col("__g"))).head().getLong(0)
+    require(bigN > 0,
+      "tClosenessCategorical: no non-null sensitive values — nothing to certify")
+    val cells = levels.zipWithIndex.foldLeft(cells0) { case (cs, (lvl, i)) =>
+      val cols = lvl.map(g)
+      val n = cs.groupBy(cols.map(col): _*).agg(sum(col("__cn")).as(s"__n$i"))
+      val sc = cs.where(col("__s").isNotNull)
+        .groupBy((cols.map(col) :+ col("__s")): _*)
+        .agg(sum(col("__cn")).as("__sc"))
+      val ns = sc.groupBy(cols.map(col): _*).agg(sum(col("__sc")).as(s"__ns$i"))
+      // present values carry |cnt·N − g·ns|; the group's ABSENT domain
+      // mass contributes Σ_absent g·ns = (N − Σ_present g)·ns, added
+      // without ever materializing a (groups × domain) frame
+      val e = nullSafeJoin(sc.join(broadcast(dom), Seq("__s")), ns,
+          cols, Seq(s"__ns$i"))
+        .groupBy(cols.map(col): _*)
+        .agg(first(col(s"__ns$i")).as(s"__ns$i"),
+          (sum(abs(col("__sc") * bigN - col("__g") * col(s"__ns$i"))) +
+            (lit(bigN) - sum(col("__g"))) * first(col(s"__ns$i")))
+            .as(s"__e$i"))
+      nullSafeJoin(nullSafeJoin(cs, n, cols, Seq(s"__n$i")),
+        e, cols, Seq(s"__ns$i", s"__e$i"), joinType = "left")
+    }
+    val annotated = nullSafeJoin(proj, cells, all :+ "__s",
+      levels.indices.flatMap(i => Seq(s"__n$i", s"__ns$i", s"__e$i")))
+    def ok(i: Int) = col(s"__n$i") >= k &&
+      coalesce(col(s"__ns$i"), lit(0L)) > 0 &&
+      coalesce(col(s"__e$i"), lit(Long.MaxValue)) * tDen <=
+        lit(2L) * tNum * col(s"__ns$i") * lit(bigN)
+    val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
+    val grpN = coalesce(levels.indices.map(i => when(ok(i), col(s"__n$i"))): _*)
+    def ppmOf(i: Int) = {
+      val num = col(s"__e$i").cast("decimal(38,0)") * lit(1000000L)
+      val den = (lit(2L).cast("decimal(38,0)") * col(s"__ns$i") * lit(bigN))
+      ((num - pmod(num, den)) / den).cast("long")
+    }
+    val ppm = coalesce(levels.indices.map(i => when(ok(i), ppmOf(i))): _*)
+    annotated
+      .withColumn("lvl", lvl).withColumn("grp_n", grpN)
+      .withColumn("tvd_ppm", ppm)
+      .where(col("lvl").isNotNull)
+      .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
+        col("tvd_ppm"): _*)
+  }
 }

@@ -212,6 +212,36 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("categorical t-closeness: variational distance is exact; absent domain mass counts") {
+    // salaries ∪ city c (two sal=1 rows): global 1→5, 2→2, 3→3, N=10.
+    // a: (2,1,1)/4 → e = |20−20|+|10−8|+|10−12| = 4  → TVD 4/80  = 0.05
+    // b: (1,1,2)/4 → e = |10−20|+|10−8|+|20−12| = 20 → TVD 20/80 = 0.25
+    // c: (2,0,0)/2 → present |20−10| = 10, ABSENT (10−5)·2 = 10 →
+    //                e = 20 → TVD 20/40 = 0.5 (the missing values are
+    //                genuine zeros in c's distribution)
+    val rows = salaries.unionByName(Seq(
+      (9L, "c", 1L), (10L, "c", 1L)).toDF("id", "city", "sal"))
+    val out = Privacy.tClosenessCategorical(rows, tQuasi, col("sal"),
+      Seq(Seq("city"), Seq("all")), k = 2, tNum = 1, tDen = 2)
+      .select($"id", $"lvl", $"grp_n", $"tvd_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = (1L to 4L).map(i => (i, 0L, 4L, 50000L)) ++
+      (5L to 8L).map(i => (i, 0L, 4L, 250000L)) ++
+      (9L to 10L).map(i => (i, 0L, 2L, 500000L))
+    assert(out == want.toSet)
+    // a tighter t: b and c escalate to the global level (TVD exactly 0)
+    val esc = Privacy.tClosenessCategorical(rows, tQuasi, col("sal"),
+      Seq(Seq("city"), Seq("all")), k = 2, tNum = 1, tDen = 10)
+      .select($"id", $"lvl", $"tvd_ppm").as[(Long, Long, Long)].collect().toSet
+    assert(esc == ((1L to 4L).map(i => (i, 0L, 50000L)) ++
+      (5L to 10L).map(i => (i, 1L, 0L))).toSet)
+    // namespace guard covers the new output too
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessCategorical(rows.withColumn("tvd_ppm", lit(1L)),
+        tQuasi, col("sal"), Seq(Seq("city")), k = 2, tNum = 1, tDen = 2)
+    }
+  }
+
   test("the full working/output namespace is guarded, not just __s/__cn") {
     val bad1 = people.withColumn("grp_n", lit(1L))
     intercept[IllegalArgumentException] {
