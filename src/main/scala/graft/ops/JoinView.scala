@@ -240,6 +240,10 @@ object JoinView {
             bandStore("view", b) -> v.where(bandOf(keys, bands) === b))
       }
       graft.core.Catalog.init(base, stores)
+      // overwrite, don't just seed: re-initializing the same path with
+      // different bands/keys in one JVM must not serve the stale tuple
+      metaCache.put(base, (bands, keys))
+      ()
     } finally { l.unpersist(); r.unpersist(); v.unpersist() }
   }
 
@@ -356,10 +360,13 @@ object JoinView {
       .where(col(MultCol) > 0)
   }
 
-  /** The current view as a plain bag (counts expanded back to rows). */
+  /** The current view as a plain bag (counts expanded back to rows).
+    * The working index lives in the `__m` namespace [[initCdc]] guards,
+    * so it can never clobber a user column.
+    */
   def readCdc(spark: SparkSession, base: String): DataFrame = {
     val v = readCdcCounted(spark, base)
-    v.withColumn("__i", explode(sequence(lit(1L), col(MultCol))))
-      .drop("__i", MultCol)
+    v.withColumn("__midx", explode(sequence(lit(1L), col(MultCol))))
+      .drop("__midx", MultCol)
   }
 }

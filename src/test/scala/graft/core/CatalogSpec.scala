@@ -102,6 +102,69 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.lastBatch(spark, base) == 1L)
   }
 
+  test("ingestStreamDynamic: batch-dependent folds touch only the planned stores, re-delivered ids skip planning, a torn dynamic fold replays exactly once") {
+    val base = TempDirs.create("catalog_stream_dynamic")
+    Catalog.init(base, Map(
+      "odd" -> Seq.empty[(Long, Long)].toDF("k", "s"),
+      "even" -> Seq.empty[(Long, Long)].toDF("k", "s")))
+    // the banded-store shape: the planner inspects the BATCH to decide
+    // which stores it touches (here: the key parities present)
+    val planned = new java.util.concurrent.atomic.AtomicInteger(0)
+    def plan(batch: DataFrame): Seq[(String, (DataFrame, DataFrame) => DataFrame)] = {
+      planned.incrementAndGet()
+      val pars = batch.select(pmod(col("k"), lit(2L)).as("p"))
+        .distinct().as[Long].collect().toSet
+      def fold(p: Long): (DataFrame, DataFrame) => DataFrame = (cur, b) =>
+        cur.unionByName(b.where(pmod(col("k"), lit(2L)) === p)
+            .groupBy("k").agg(sum(col("v")).as("s")))
+          .groupBy("k").agg(sum(col("s")).as("s"))
+      Seq("even" -> 0L, "odd" -> 1L)
+        .collect { case (n, p) if pars(p) => n -> fold(p) }
+    }
+    def store(n: String) =
+      Catalog.read(spark, base, n).as[(Long, Long)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = Catalog.ingestStreamDynamic(spark, mem.toDF().toDF("k", "v"), base,
+      plan, ephemeralOk = true)
+    try {
+      mem.addData((1L, 10L), (3L, 30L)); q.processAllAvailable() // bid 0: odd only
+      assert(Catalog.gens(spark, base)("even") == -1L,
+        "a store outside the batch's plan must never fold")
+      assert(store("odd") == Map(1L -> 10L, 3L -> 30L))
+      mem.addData((2L, 20L), (1L, 5L)); q.processAllAvailable() // bid 1: both
+    } finally q.stop()
+    assert(planned.get == 2)
+    assert(store("odd") == Map(1L -> 15L, 3L -> 30L))
+    assert(store("even") == Map(2L -> 20L))
+    assert(Catalog.lastBatch(spark, base) == 1L)
+    // a restarted query's batch ids begin again at 0 — the shared ledger
+    // marks them re-deliveries and the wrapper must skip fold PLANNING
+    // entirely (the planner may collect from the batch; a no-op replay
+    // must not pay that, and a nondeterministic-looking plan over a
+    // different restart batch must not fold)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q2 = Catalog.ingestStreamDynamic(spark, mem2.toDF().toDF("k", "v"), base,
+      plan, ephemeralOk = true)
+    try { mem2.addData((9L, 999L)); q2.processAllAvailable() } finally q2.stop()
+    assert(planned.get == 2, "re-delivered batch id must not even plan folds")
+    assert(store("odd") == Map(1L -> 15L, 3L -> 30L))
+    assert(store("even") == Map(2L -> 20L))
+    // crash replay with batch-dependent folds: a torn fold leaves the
+    // catalog untouched; the restart path REPLANS from the same batch
+    // content, converges on the same store set, and lands exactly once
+    val batch = Seq((5L, 50L), (4L, 40L)).toDF("k", "v")
+    intercept[IllegalStateException] {
+      Catalog.ingestImpl(spark, base, 2L, batch, plan(batch), failAfter = 1)
+    }
+    assert(Catalog.lastBatch(spark, base) == 1L, "torn batch must not ledger")
+    assert(store("odd") == Map(1L -> 15L, 3L -> 30L))
+    assert(store("even") == Map(2L -> 20L))
+    Catalog.ingest(spark, base, 2L, batch, plan(batch))
+    assert(store("odd") == Map(1L -> 15L, 3L -> 30L, 5L -> 50L))
+    assert(store("even") == Map(2L -> 20L, 4L -> 40L))
+  }
+
   test("savepoint pins generations against GC; restore rewinds to the fork point and the tail replays") {
     val base = TempDirs.create("catalog_savepoint")
     initStores(base)

@@ -312,6 +312,23 @@ class JoinViewSpec extends AnyFunSuite {
     assert(aggNow == Set((2L, 1L, 21L)) && aggNow == fromView)
   }
 
+  test("re-initCdc at the same path refreshes the cached (bands, keys) meta") {
+    val base = TempDirs.create("graft_joinview_reinit")
+    JoinView.initCdc(spark, base,
+      Seq.empty[(Long, Long)].toDF("k", "lv"),
+      Seq.empty[(Long, Long)].toDF("k", "rv"), Seq("k"), bands = 2)
+    JoinView.readCdcCounted(spark, base) // warm the per-path meta cache
+    // stand the SAME path up again with different geometry — a stale
+    // cached bands=2 would make every later read/fold band against the
+    // wrong store set (here: miss the initial rows hashed to bands 2–3)
+    val ks = (0L until 8L).toSeq
+    JoinView.initCdc(spark, base,
+      ks.map(k => (k, k * 10)).toDF("k", "lv"),
+      ks.map(k => (k, k * 100)).toDF("k", "rv"), Seq("k"), bands = 4)
+    assert(JoinView.readCdc(spark, base).as[(Long, Long, Long)].collect().toSet
+      == ks.map(k => (k, k * 10, k * 100)).toSet)
+  }
+
   test("CDC rejects an unknown op in-plan") {
     val base = TempDirs.create("graft_joinview_badop")
     JoinView.initCdc(spark, base,

@@ -86,21 +86,32 @@ class LayoutSpec extends AnyFunSuite {
     // linear layout leaves b unconstrained (~full range); zorder bounds it
     assert(linWorstB > 0.9, s"test premise broken: linear b-span $linWorstB")
     assert(zWorstB <= 0.6, s"zorder failed to localize b: worst span $zWorstB")
-    // and a predicate box on (a, b) overlaps far fewer zorder files —
-    // the box sits strictly INSIDE one curve quadrant so boundary files
-    // don't inflate either count
+    // A predicate STRIP — wide on a, narrow on b — overlaps far fewer
+    // zorder files. The contrast is structural, not marginal: every
+    // linear file spans ~the full b range and the strip's a range
+    // covers all 16 a segments (all 16 files hit, deterministically),
+    // while the strip b∈[100,900] sits inside the bottom level-2 curve
+    // row (b < 1024) whose cells own 4 of the 16 equal-count z
+    // segments — so zorder hits ~4 files, ≤8 even when the sampled
+    // range boundaries of repartitionByRange bleed a neighbor file
+    // into each hit cell. (The previous quarter-box variant compared
+    // 4-vs-4±1 and flaked on exactly that sampling noise.)
     def hits(dir: String): Long = {
       val files = spark.read.parquet(dir)
         .groupBy(input_file_name().as("f"))
         .agg(min(col("a")).as("mna"), max(col("a")).as("mxa"),
           min(col("b")).as("mnb"), max(col("b")).as("mxb"))
-      files.where(col("mna") <= 900 && col("mxa") >= 100 &&
+      files.where(col("mna") <= 3995 && col("mxa") >= 100 &&
         col("mnb") <= 900 && col("mxb") >= 100).count()
     }
     val zHits = hits(zDir)
     val linHits = hits(linDir)
-    assert(zHits < linHits,
-      s"a quarter-box predicate should touch fewer zorder files: z=$zHits lin=$linHits")
+    assert(linHits >= 15,
+      s"test premise broken: a-wide strip should touch every linear file, got $linHits")
+    assert(zHits <= 8,
+      s"zorder should confine a b-strip to ~the 4 bottom-row curve cells: z=$zHits")
+    assert(zHits * 2 < linHits,
+      s"a b-strip predicate should touch far fewer zorder files: z=$zHits lin=$linHits")
   }
 
   test("zorderWrite plan: one range exchange, narrow curve computation") {
