@@ -10,7 +10,109 @@ private[graft] object EntryOraclesExt {
   private def oracleSqlBase: Map[String, String] = EntryOraclesBase.base
   import graft.EntryHelpers._
 
+  // the SAME ±1 literals the Spark plan inlines (q248) — one source of
+  // truth, rendered as a DuckDB list-of-lists
+  private def jlSignsSql: String =
+    graft.ops.Similarity.projectionSigns(64, 8, 7L)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   def sql: Map[String, String] = Map(
+    "q246_autocorrelation" ->
+      // the exact rational ACF replayed with window leads; HUGEINT
+      // products, floor division via the positive-mod subtract (num
+      // can be negative, so bare // would truncate toward zero)
+      """WITH dly AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM dly),
+        |qd AS (SELECT event_type, day, n, CAST(n*x - s AS HUGEINT) AS q FROM st),
+        |ld AS (SELECT event_type, n, q,
+        |    lead(q, 1) OVER w AS p1, lead(q, 2) OVER w AS p2,
+        |    lead(q, 3) OVER w AS p3, lead(q, 4) OVER w AS p4,
+        |    lead(q, 5) OVER w AS p5, lead(q, 6) OVER w AS p6,
+        |    lead(q, 7) OVER w AS p7
+        |  FROM qd WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |ag AS (SELECT event_type, max(n) AS n, sum(q*q) AS den,
+        |    sum(q*p1) AS m1, sum(q*p2) AS m2, sum(q*p3) AS m3,
+        |    sum(q*p4) AS m4, sum(q*p5) AS m5, sum(q*p6) AS m6,
+        |    sum(q*p7) AS m7
+        |  FROM ld GROUP BY 1),
+        |lg AS (SELECT event_type, n, den, unnest(range(1, 8)) AS lag,
+        |    unnest([m1, m2, m3, m4, m5, m6, m7]) AS num FROM ag)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+        |  CAST((num*1000000 - ((num*1000000 % den + den) % den)) // den
+        |    AS BIGINT) AS acf_ppm
+        |FROM lg WHERE den > 0 AND num IS NOT NULL""".stripMargin,
+    "q247_chi2_tokens" ->
+      // 2x2 presence-contingency chi-square per (token, language),
+      // positive associations only, exact HUGEINT ppm (numerator
+      // non-negative, so // is the floor), deterministic tie-break
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS token
+        |  FROM documents),
+        |c1 AS (SELECT token, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM toks GROUP BY 1, 2),
+        |r AS (SELECT token, CAST(sum(n_docs) AS BIGINT) AS r1 FROM c1 GROUP BY 1),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |cells AS (
+        |  SELECT c1.lang, c1.token, c1.n_docs,
+        |    CAST(c1.n_docs AS HUGEINT) AS o11,
+        |    CAST(r.r1 - c1.n_docs AS HUGEINT) AS o10,
+        |    CAST(nl.c - c1.n_docs AS HUGEINT) AS o01,
+        |    CAST(tot.nn - r.r1 - nl.c + c1.n_docs AS HUGEINT) AS o00,
+        |    CAST(r.r1 AS HUGEINT) AS r1, CAST(nl.c AS HUGEINT) AS c,
+        |    CAST(tot.nn AS HUGEINT) AS nn
+        |  FROM c1 JOIN r USING (token) JOIN nl USING (lang) CROSS JOIN tot
+        |  WHERE r.r1 >= 3 AND r.r1 < tot.nn AND nl.c < tot.nn),
+        |scored AS (
+        |  SELECT lang, token, n_docs,
+        |    (nn * (o11*o00 - o10*o01) * (o11*o00 - o10*o01) * 1000000)
+        |      // (r1 * (nn - r1) * c * (nn - c)) AS chi2_ppm
+        |  FROM cells WHERE o11*o00 > o10*o01),
+        |rk AS (SELECT lang AS label, token, n_docs,
+        |    CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY chi2_ppm DESC, token ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT label, token, n_docs, chi2_ppm, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q248_random_projection" ->
+      // the SAME quantization (float→double widening + a power-of-two
+      // multiply are exact) and the SAME sign literals as the plan
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s AS (SELECT $jlSignsSql AS sm)
+         |SELECT q.vec_id AS id, CAST(u.j AS BIGINT) AS j,
+         |  CAST(list_sum(list_transform(range(64),
+         |    i -> qv[i+1] * sm[j+1][i+1])) AS BIGINT) AS v
+         |FROM q CROSS JOIN s CROSS JOIN (SELECT unnest(range(8)) AS j) u""".stripMargin,
+    "q249_bag_setops" ->
+      // multiset semantics: INTERSECT ALL keeps min(multiplicity),
+      // EXCEPT ALL subtracts it — the distinct set ops (q33) can't
+      // express either
+      """WITH e AS (SELECT user_id, event_type,
+        |    (epoch_ms(ts) // 86400000) % 2 AS par FROM events),
+        |a AS (SELECT user_id, event_type FROM e WHERE par = 0),
+        |b AS (SELECT user_id, event_type FROM e WHERE par = 1)
+        |SELECT 'intersect' AS op, user_id, event_type
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, user_id, event_type
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin,
+    "q250_pseudonymize" ->
+      // md5 is md5 in every engine — the keyed, column-scoped token
+      """SELECT c_custkey,
+        |  md5('graft-r14' || ':' || 'c_name' || ':' || c_name) AS name_token,
+        |  c_nationkey
+        |FROM customer""".stripMargin,
     // the continuous standing-index forms (q136-q142) are per-row
     // independent given the index, so the batch oracle IS the stream
     // oracle — shared verbatim where the workload is identical:

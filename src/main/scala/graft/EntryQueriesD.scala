@@ -14,6 +14,60 @@ import graft.EntryHelpers._
   */
 private[graft] object EntryQueriesD {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_autocorrelation" -> ((s, d) => {
+      // EXACT ACF — Timeseries.autocorr over the per-type daily event
+      // counts: r_k = Σq_t·q_{t+k}/Σq_t² with q_t = n·x_t − Σx, all
+      // integers, ⌊10⁶·r_k⌋ in decimal(38,0) — no floating point, the
+      // oracle replays it with window leads. One keyed exchange+sort;
+      // the lag explode runs on the key-sized aggregate frame.
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      Timeseries.autocorr(daily, Seq("event_type"), col("day"), col("x"),
+        maxLag = 7)
+    }),
+    "q247_chi2_tokens" -> ((s, d) =>
+      // χ² FEATURE SELECTION — TextAnalysis.chiSquareTokens: the top
+      // positively-discriminative tokens per language over the corpus
+      // (2×2 presence contingency, exact integer χ² ppm, deterministic
+      // tie-break). One (doc,token) explode → one (token,label) hash
+      // agg; label totals broadcast; the top-k window runs over the
+      // vocabulary frame.
+      TextAnalysis.chiSquareTokens(Tables(s, d).documents,
+        col("doc_id"), col("text"), col("lang"), topK = 10, minDocs = 3L)),
+    "q248_random_projection" -> ((s, d) =>
+      // JL RANDOM PROJECTION — Similarity.randomProjection: 64-d float
+      // embeddings → 8-d exact integer vectors via a ±1 Achlioptas
+      // sign matrix (splitmix-derived literals, inlined identically in
+      // the oracle) over 2^20-quantized components. Map-only: no
+      // exchange, the projection is one codegen'd expression per row.
+      Similarity.randomProjection(Tables(s, d).embeddings,
+        col("vec_id"), col("embedding"), inDim = 64, outDim = 8)),
+    "q249_bag_setops" -> ((s, d) => {
+      // BAG SET OPS — Dataset.intersectAll/exceptAll (multiset
+      // INTERSECT ALL / EXCEPT ALL, which q33's distinct set ops don't
+      // cover): the (user, event_type) activity bags of even vs odd
+      // days. Both are ONE hash aggregate per side + a count-merge —
+      // no sort, no window; at scale they shuffle the grouped bag
+      // (distinct rows + counts), never raw rows.
+      val ev = Tables(s, d).events.select(col("user_id"), col("event_type"),
+        (expr("unix_millis(ts) div 86400000") % 2).as("par"))
+      val a = ev.where(col("par") === 0L).drop("par")
+      val b = ev.where(col("par") === 1L).drop("par")
+      a.intersectAll(b).select(lit("intersect").as("op"), col("user_id"), col("event_type"))
+        .unionAll(
+          a.exceptAll(b).select(lit("except").as("op"), col("user_id"), col("event_type")))
+    }),
+    "q250_pseudonymize" -> ((s, d) =>
+      // PSEUDONYMIZATION — Privacy.pseudonymize: stable keyed tokens
+      // (md5(salt:col:value), the engine-portable keyed-hash pattern)
+      // replace customer names; joinability survives, raw PII doesn't.
+      // Map-only codegen'd scan; the re-identification vault (tested in
+      // PrivacySpec) stays under separate access control.
+      Privacy.pseudonymize(Tables(s, d).customer, Seq("c_name"), "graft-r14")
+        .select(col("c_custkey"), col("c_name").as("name_token"),
+          col("c_nationkey"))),
     "q189_phrase_search" -> ((s, d) => {
       // PHRASE RETRIEVAL — Bm25Index.searchPhrase: docs containing
       // the query tokens as a CONSECUTIVE sequence. Candidates cut by

@@ -346,10 +346,14 @@ object Privacy {
     }
     val annotated = nullSafeJoin(proj, cells, all :+ "__s",
       levels.indices.flatMap(i => Seq(s"__n$i", s"__ns$i", s"__e$i")))
+    // the admission product gains tDen / tNum·(m−1) factors over the
+    // documented cnt·N < 2⁶³ ceiling — compute it in decimal(38,0) so
+    // it can never wrap a long and silently certify a level
     def ok(i: Int) = col(s"__n$i") >= k &&
       coalesce(col(s"__ns$i"), lit(0L)) > 0 &&
-      coalesce(col(s"__e$i"), lit(Long.MaxValue)) * tDen <=
-        lit(tNum) * lit((m - 1).toLong) * col(s"__ns$i") * lit(bigN)
+      coalesce(col(s"__e$i"), lit(Long.MaxValue)).cast("decimal(38,0)") * tDen <=
+        lit(tNum).cast("decimal(38,0)") * lit((m - 1).toLong) *
+          col(s"__ns$i") * lit(bigN)
     val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
     val grpN = coalesce(levels.indices.map(i => when(ok(i), col(s"__n$i"))): _*)
     // ⌊10⁶·EMD⌋ in decimal — exact past the long range of e·10⁶; the
@@ -434,10 +438,12 @@ object Privacy {
     }
     val annotated = nullSafeJoin(proj, cells, all :+ "__s",
       levels.indices.flatMap(i => Seq(s"__n$i", s"__ns$i", s"__e$i")))
+    // decimal(38,0) for the same reason as the ordered form: the extra
+    // tDen / 2·tNum factors must not wrap a long near the cnt·N ceiling
     def ok(i: Int) = col(s"__n$i") >= k &&
       coalesce(col(s"__ns$i"), lit(0L)) > 0 &&
-      coalesce(col(s"__e$i"), lit(Long.MaxValue)) * tDen <=
-        lit(2L) * tNum * col(s"__ns$i") * lit(bigN)
+      coalesce(col(s"__e$i"), lit(Long.MaxValue)).cast("decimal(38,0)") * tDen <=
+        lit(2L).cast("decimal(38,0)") * tNum * col(s"__ns$i") * lit(bigN)
     val lvl = coalesce(levels.indices.map(i => when(ok(i), lit(i.toLong))): _*)
     val grpN = coalesce(levels.indices.map(i => when(ok(i), col(s"__n$i"))): _*)
     def ppmOf(i: Int) = {
@@ -452,5 +458,59 @@ object Privacy {
       .where(col("lvl").isNotNull)
       .select(df.columns.map(col) :+ col("lvl") :+ col("grp_n") :+
         col("tvd_ppm"): _*)
+  }
+
+  /** The pseudonym for one column value: md5 of
+    * `salt:columnName:value` — keyed (no salt, no re-identification),
+    * column-scoped (the same value in two columns maps to two tokens,
+    * so tokens never create cross-column linkage the raw data didn't
+    * have), deterministic (equal values map to equal tokens, so joins
+    * and group-bys still work on the pseudonymized frame), and
+    * engine-portable (md5 is md5 everywhere — the [[graft.ops
+    * .TextAnalysis.fingerprint]] / `Sampling` portability pattern).
+    * NULL stays NULL.
+    */
+  private def pseudonym(colName: String, salt: String): Column =
+    when(col(colName).isNull, lit(null))
+      .otherwise(md5(concat(lit(salt), lit(":"), lit(colName), lit(":"),
+        col(colName).cast("string"))))
+
+  /** GDPR-style pseudonymization: replace each listed column's values
+    * with stable keyed tokens (see [[pseudonym]]) — the reversible
+    * cousin of `TextAnalysis.redactPii` (redaction destroys; tokens
+    * preserve joinability, and the [[pseudonymVault]] restores under
+    * access control). Map-only: a per-row expression chain, no
+    * exchange, codegen'd md5 — a 100 TB frame pseudonymizes in the
+    * scan.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: at least one column")
+    require(salt.nonEmpty, "pseudonymize: empty salt defeats the keying")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"pseudonymize: no such column '$c'"))
+    df.select(df.columns.map(c =>
+      if (cols.contains(c)) pseudonym(c, salt).as(c) else col(c)): _*)
+  }
+
+  /** The re-identification vault for ONE pseudonymized column: the
+    * distinct (value, token) mapping — stored under separate access
+    * control, it is the only way back from tokens to values. Fails
+    * loudly if two distinct values collide on a token (2⁻¹²⁸-unlikely,
+    * but a silent collision would merge two identities): the check is
+    * one aggregate over the value-sized vault, never over rows.
+    */
+  def pseudonymVault(df: DataFrame, colName: String, salt: String): DataFrame = {
+    require(df.columns.contains(colName),
+      s"pseudonymVault: no such column '$colName'")
+    val vault = df.where(col(colName).isNotNull)
+      .select(col(colName).cast("string").as("value"),
+        pseudonym(colName, salt).as("token"))
+      .distinct()
+    val collisions = vault.groupBy(col("token"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).count()
+    require(collisions == 0L,
+      s"pseudonymVault: $collisions token collision(s) on '$colName' — " +
+        "change the salt; a silent collision would merge identities")
+    vault
   }
 }

@@ -454,4 +454,68 @@ object Similarity {
     */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column =
     graft.functions.Kernels.hyperplane_signature(vec, planes)
+
+  /** Deterministic ±1 sign matrix for [[randomProjection]] —
+    * `signs(j)(i)` is the j-th output component's weight on input
+    * dimension i, derived from the splitmix64 finalizer (the portable
+    * hash family's mixer) of `seed·GOLDEN + (i·outDim + j + 1)`.
+    * Exposed so callers (and the oracle) can inline the SAME literals.
+    */
+  def projectionSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Long]] = {
+    def splitmix(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val GOLDEN = 0x9E3779B97F4A7C15L
+    Array.tabulate(outDim, inDim)((j, i) =>
+      if ((splitmix(seed * GOLDEN + (i.toLong * outDim + j + 1)) & 1L) == 1L) 1L
+      else -1L)
+  }
+
+  /** Johnson–Lindenstrauss random projection with ±1 (Achlioptas '01)
+    * signs — the dimensionality-reduction front of an embedding
+    * pipeline (project 1024-d vectors to 64-d before IVF/k-means; JL
+    * guarantees pairwise distances survive within 1±ε for
+    * outDim = O(log n / ε²), and the ±1 matrix needs no Gaussian
+    * sampling). Components are quantized FIRST — qᵢ = ⌊xᵢ·2^quantBits⌋
+    * as doubles (float→double widening and a power-of-two multiply are
+    * both exact) — so every output v_j = Σᵢ signs(j)(i)·qᵢ is EXACT
+    * integer arithmetic: deterministic across runs, partitionings, and
+    * engines (the oracle inlines the same sign literals).
+    *
+    * Scale shape: map-only — the sign matrix is a plan literal (tiny:
+    * inDim·outDim longs), the projection is a per-row expression, no
+    * exchange anywhere; at corpus scale this is one codegen'd scan.
+    * A vector of the wrong length raises in-plan rather than silently
+    * mis-projecting.
+    *
+    * Output: (id, j, v) long form — one row per vector per output
+    * dimension (0-based j), robust to downstream schema tooling that
+    * can't hash arrays.
+    */
+  def randomProjection(df: DataFrame, id: Column, vec: Column,
+                       inDim: Int, outDim: Int, quantBits: Int = 20,
+                       seed: Long = 7L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"randomProjection: need 1 <= outDim <= inDim, got $outDim/$inDim")
+    require(quantBits >= 1 && quantBits <= 30,
+      s"randomProjection: 1 <= quantBits <= 30, got $quantBits")
+    val signs = projectionSigns(inDim, outDim, seed)
+    val scale = (1L << quantBits).toDouble
+    val checked = when(size(vec) === inDim, vec)
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: expected $inDim-dim vector, got "),
+        size(vec).cast("string"))))
+    val q = transform(checked, x => floor(x.cast("double") * lit(scale)))
+    val comps = (0 until outDim).map { j =>
+      struct(lit(j.toLong).as("j"),
+        aggregate(
+          zip_with(q, typedLit(signs(j).toSeq), (a, s) => a * s),
+          lit(0L), (acc, v) => acc + v).as("v"))
+    }
+    df.select(id.as("id"), explode(array(comps: _*)).as("__c"))
+      .select(col("id"), col("__c.j").as("j"), col("__c.v").as("v"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -559,5 +560,68 @@ object TextAnalysis {
           lit(buckets.toLong)))
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** χ²-discriminative tokens per class — the classic feature-selection
+    * pass behind fastText-style quality/domain classifiers (Yang &
+    * Pedersen '97): for each (token, label) the 2×2 presence
+    * contingency table
+    *
+    *   O11 = docs with token & label     O10 = docs with token, other label
+    *   O01 = label docs without token    O00 = neither
+    *
+    * scores χ² = N·(O11·O00 − O10·O01)² / (r·(N−r)·c·(N−c)) with
+    * r = O11+O10 (token docs) and c = O11+O01 (label docs). All-integer
+    * rational → the ⌊10⁶·χ²⌋ floor computes EXACTLY in decimal(38,0)
+    * (the numerator is non-negative, so subtract-pmod-then-divide and
+    * truncating division agree). Only POSITIVE associations rank
+    * (O11·O00 > O10·O01): "tokens characteristic OF the class", the
+    * feature-selection direction — which also means absent (token,
+    * label) cells (O11 = 0, never positive) drop before scoring, so
+    * the frame never materializes the token×label cross product.
+    *
+    * Scale shape: one (doc, token) explode → ONE (token, label) hash
+    * aggregate (map-side partial) → a token-sized re-aggregate for row
+    * totals; label totals and N ride a broadcast. The final top-k
+    * window runs over the token-vocabulary frame, never over docs.
+    * Exact while N² · N · 10⁶ < 10³⁸ → N < ~4·10⁹ docs per gate.
+    *
+    * Output: (label, token, n_docs = O11, chi2_ppm, rnk) for the
+    * `topK` highest-χ² positively-associated tokens per label seen in
+    * ≥ `minDocs` docs (ties broken by token — fully deterministic).
+    */
+  def chiSquareTokens(df: DataFrame, id: Column, text: Column, label: Column,
+                      topK: Int, minDocs: Long = 2L): DataFrame = {
+    require(topK >= 1, s"chiSquareTokens: topK must be >= 1, got $topK")
+    require(minDocs >= 1, s"chiSquareTokens: minDocs must be >= 1, got $minDocs")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val pres = df.select(id.as("__id"), label.as("label"),
+        explode(array_distinct(tokens(text))).as("token"))
+    val c1 = pres.groupBy(col("token"), col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val r = c1.groupBy(col("token")).agg(sum(col("n_docs")).as("__r"))
+    val nl = df.groupBy(label.as("label")).agg(count(lit(1)).as("__c"))
+    val tot = df.agg(count(lit(1)).as("__N"))
+    val cells = c1.join(r, Seq("token"))
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .where(col("__r") >= minDocs && col("__r") < col("__N") &&
+        col("__c") < col("__N"))
+    val o11 = d(col("n_docs"))
+    val o10 = d(col("__r")) - o11
+    val o01 = d(col("__c")) - o11
+    val o00 = d(col("__N")) - d(col("__r")) - d(col("__c")) + o11
+    val diff = o11 * o00 - o10 * o01
+    val num = d(col("__N")) * diff * diff * lit(1000000L)
+    val den = d(col("__r")) * (d(col("__N")) - d(col("__r"))) *
+      d(col("__c")) * (d(col("__N")) - d(col("__c")))
+    val scored = cells.where(diff > 0)
+      .withColumn("chi2_ppm", ((num - pmod(num, den)) / den).cast("long"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2_ppm").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("label"), col("token"), col("n_docs"),
+        col("chi2_ppm"), col("rnk"))
   }
 }

@@ -506,4 +506,77 @@ object Timeseries {
       (acc, x) => shiftright(acc + x, 1))
       .withColumnRenamed("folded", "ewma")
   }
+
+  /** EXACT sample autocorrelation per key, lags 1..`maxLag` — the
+    * seasonality/persistence probe behind every "is this metric
+    * periodic" question (Box-Jenkins identification; the reference's
+    * windowed aggregates produce exactly the per-bucket series this
+    * consumes). The standard estimator
+    *
+    *   r_k = Σ_{t≤n−k} (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)²
+    *
+    * is a ratio of rationals; with q_t = n·x_t − Σx (integers) the n²
+    * factors cancel, r_k = Σ q_t·q_{t+k} / Σ q_t², and the ppm floor
+    * computes EXACTLY in decimal(38,0) — no floating point, so the
+    * oracle replays it bit-for-bit (negative numerators floor via the
+    * subtract-pmod-then-divide identity, the t-closeness ppm pattern).
+    *
+    * Scale shape: ONE keyed exchange + sort (the lead window); the
+    * per-key stats ride a partition-only window over the same
+    * exchange, and the lag explode happens on the key-sized aggregate
+    * frame, never on rows. Exact while n·|x| < 2³¹ per key and
+    * n·q² < 10³² (decimal(38,0) headroom past the ×10⁶ ppm scale) —
+    * series are per-key aggregates (buckets), not raw events, so both
+    * bounds hold by construction at any corpus scale. Guards fail
+    * fast: `ord` must be unique per key (a duplicate tick would make
+    * lead() nondeterministic — caught in-plan on the sorted frame, no
+    * extra exchange) and x must be integral.
+    *
+    * Output: keys, `lag`, `n` (series length), `acf_ppm` = ⌊10⁶·r_k⌋;
+    * keys with zero variance (den = 0: constant series, ACF undefined)
+    * and lags with no overlapping pairs are omitted.
+    */
+  def autocorr(df: DataFrame, keys: Seq[String],
+               ord: org.apache.spark.sql.Column,
+               x: org.apache.spark.sql.Column, maxLag: Int): DataFrame = {
+    require(keys.nonEmpty, "autocorr: at least one key column")
+    require(maxLag >= 1 && maxLag <= 512, s"autocorr: 1 <= maxLag <= 512, got $maxLag")
+    val xType = df.select(x.as("__x")).schema.head.dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(xType),
+      s"autocorr: x must be integral (got $xType) — bucket or scale to cents first")
+    val reserved = Seq("__t", "__x", "__q", "__den", "__l", "lag", "n", "acf_ppm") ++
+      (1 to maxLag).flatMap(k => Seq(s"__p$k", s"__n$k"))
+    require(df.columns.intersect(reserved).isEmpty,
+      s"autocorr: input columns ${df.columns.intersect(reserved).mkString(", ")} " +
+        "collide with working/output names — rename them first")
+    val base = df.select(keys.map(col) :+ ord.as("__t") :+ x.cast("long").as("__x"): _*)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wOrd = wKey.orderBy(col("__t"))
+    // q_t = n·x_t − S; the next-tick probe shares wOrd's sort, so the
+    // uniqueness guard costs no extra exchange
+    val q0 = (count(lit(1)).over(wKey) * col("__x") - sum(col("__x")).over(wKey))
+      .cast("decimal(38,0)")
+    val nextT = lead(col("__t"), 1).over(wOrd)
+    val q = when(nextT.isNull || nextT =!= col("__t"), q0)
+      .otherwise(raise_error(concat(
+        lit("autocorr: duplicate ordering value per key (lead() would be "),
+        lit("nondeterministic): "), col("__t").cast("string"))))
+    val withLeads = base.select(keys.map(col) ++ Seq(q.as("__q")) ++
+      (1 to maxLag).map(k => lead(q0, k).over(wOrd).as(s"__p$k")): _*)
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(col("__q") * col("__q")).as("__den")) ++
+      (1 to maxLag).map(k => sum(col("__q") * col(s"__p$k")).as(s"__n$k"))
+    val agg = withLeads.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val lagStructs = array((1 to maxLag).map(k =>
+      struct(lit(k.toLong).as("lag"), col(s"__n$k").as("num"))): _*)
+    val num = col("__l.num") * lit(1000000L)
+    agg.where(col("__den") > 0)
+      .select(keys.map(col) ++ Seq(col("n"), col("__den"),
+        explode(lagStructs).as("__l")): _*)
+      .where(col("__l.num").isNotNull)
+      .select(keys.map(col) ++ Seq(col("__l.lag").as("lag"), col("n"),
+        ((num - pmod(num, col("__den"))) / col("__den"))
+          .cast("long").as("acf_ppm")): _*)
+  }
 }

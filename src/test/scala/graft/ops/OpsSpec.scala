@@ -253,4 +253,39 @@ class OpsSpec extends AnyFunSuite {
     // decimal path: sum exactly 0.6; avg is that double divided by 3
     assert(r._1 == 3 && r._2 == 0.6 && r._3 == 0.6 / 3)
   }
+
+  test("randomProjection: exact signed-sum replica, linearity, wrong-dim guard") {
+    val signs = Similarity.projectionSigns(4, 3, seed = 7L)
+    // the sign matrix is deterministic and genuinely mixed
+    assert(signs.flatten.toSet == Set(1L, -1L))
+    assert(Similarity.projectionSigns(4, 3, 7L).map(_.toSeq).toSeq ==
+      signs.map(_.toSeq).toSeq, "same seed, same matrix")
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 1.0f, -1.0f, 1.0f)))
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.randomProjection(df, col("id"), col("v"),
+        inDim = 4, outDim = 3, quantBits = 20, seed = 7L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, x) => (i, j) -> x }.toMap
+    val want = vecs.flatMap { case (i, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (0 until 3).map(j => (i, j.toLong) ->
+        q.zip(signs(j)).map { case (a, s) => a * s }.sum)
+    }.toMap
+    assert(got == want)
+    // quantized exactly representable inputs: the zero vector projects to 0
+    assert((0 until 3).forall(j => got((2L, j.toLong)) == 0L))
+    val e = intercept[Exception] {
+      Similarity.randomProjection(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"),
+        col("id"), col("v"), inDim = 4, outDim = 2).collect()
+    }
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(_.getMessage)).mkString(" ")
+    assert(msg(e).contains("expected 4-dim"))
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(df, col("id"), col("v"), inDim = 4, outDim = 5)
+    }
+  }
 }

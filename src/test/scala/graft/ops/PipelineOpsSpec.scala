@@ -915,4 +915,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.jaccardJoin(df, col("id"), split(col("text"), " "), 0.0)
     }
   }
+
+  test("chiSquareTokens: exact 2x2 chi-square ppm, positive associations only") {
+    // 6 docs, 2 labels; 'alpha' is a perfect discriminator of label a,
+    // 'common' appears everywhere (r = N, filtered), 'beta' appears in
+    // one doc per label (no association, diff = 0, excluded), 'neg'
+    // appears ONLY in label b docs (negative association for a)
+    val docs = Seq(
+      (1L, "a", "alpha common beta"), (2L, "a", "alpha common"),
+      (3L, "a", "alpha common"),
+      (4L, "b", "common beta neg"), (5L, "b", "common neg"),
+      (6L, "b", "common neg")).toDF("id", "lab", "text")
+    val got = TextAnalysis.chiSquareTokens(docs, col("id"), col("text"),
+        col("lab"), topK = 5, minDocs = 1L)
+      .select(col("label"), col("token"), col("n_docs"), col("chi2_ppm"), col("rnk"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // alpha vs a: O11=3 O10=0 O01=0 O00=3, chi2 = 6*(9-0)^2/(3*3*3*3) = 6
+    // exactly; same table for neg vs b
+    assert(got == Set(
+      ("a", "alpha", 3L, 6000000L, 1L),
+      ("b", "neg", 3L, 6000000L, 1L)))
+  }
+
+  test("chiSquareTokens: minDocs floor, deterministic tie-break, topK cut") {
+    // two tokens with IDENTICAL tables tie on chi2 — rank must break by
+    // token ascending, deterministically
+    val docs = Seq(
+      (1L, "a", "x1 x2"), (2L, "a", "x1 x2"), (3L, "a", "rare"),
+      (4L, "b", "z"), (5L, "b", "z"), (6L, "b", "z")).toDF("id", "lab", "text")
+    val all = TextAnalysis.chiSquareTokens(docs, col("id"), col("text"),
+        col("lab"), topK = 1, minDocs = 2L)
+      .select(col("label"), col("token"), col("rnk"))
+      .as[(String, String, Long)].collect().toSet
+    // 'rare' (1 doc) is under minDocs; x1/x2 tie for label a -> x1 wins
+    // rank 1 and topK=1 cuts x2; z wins label b
+    assert(all == Set(("a", "x1", 1L), ("b", "z", 1L)))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.chiSquareTokens(docs, col("id"), col("text"), col("lab"),
+        topK = 0)
+    }
+  }
 }

@@ -429,4 +429,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val scans = p.linesIterator.filter(_.contains("FileScan parquet")).size
     assert(scans <= 3, s"expected at most one band scan per standing side:\n$p")
   }
+
+  test("q248/q250: projection and pseudonymization are map-only — zero exchanges") {
+    for (q <- Seq("q248_random_projection", "q250_pseudonymize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q246: ACF pays two keyed exchanges — the daily pre-agg and the lag window; the final agg reuses the window's partitioning") {
+    val p = plan("q246_autocorrelation")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"expected <= 2 hash exchanges, got $n:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("SortMergeJoin"),
+      s"no global sort / join belongs in the ACF plan:\n$p")
+  }
+
+  test("q247: chi-square exchanges carry token stats, never document text") {
+    val p = plan("q247_chi2_tokens")
+    assert(!p.contains("SortMergeJoin"),
+      s"label/total joins must broadcast, not sort-merge:\n$p")
+    val badEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text#")).toSeq
+    assert(badEx.isEmpty, s"an exchange carries document text:\n${badEx.mkString("\n")}")
+  }
 }

@@ -266,4 +266,36 @@ class PrivacySpec extends AnyFunSuite {
         k = 2, tNum = 1, tDen = 2)
     }
   }
+
+  test("pseudonymize: stable, keyed, column-scoped tokens; NULL stays NULL; joinability survives") {
+    val df = Seq((1L, Some("ann"), "ann"), (2L, Some("bob"), "ann"),
+      (3L, None, "bob")).toDF("id", "name", "referrer")
+    val p = Privacy.pseudonymize(df, Seq("name", "referrer"), "s1")
+    val byId = p.as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // deterministic: equal values -> equal tokens (rows 1 and 2 share
+    // the referrer token; row 1's name token equals it only if the
+    // column scoping were broken)
+    assert(byId(1L)._2 == byId(2L)._2, "equal values must map to equal tokens")
+    assert(byId(1L)._1.get != byId(1L)._2,
+      "the same value in two columns must get DIFFERENT tokens (column scoping)")
+    assert(byId(3L)._1.isEmpty, "NULL stays NULL")
+    // keyed: a different salt changes every token
+    val p2 = Privacy.pseudonymize(df, Seq("name"), "s2")
+      .as[(Long, Option[String], String)].collect().map(r => r._1 -> r._2).toMap
+    assert(p2(1L) != byId(1L)._1)
+    // untouched columns pass through; schema/order preserved
+    assert(p.columns.toSeq == df.columns.toSeq)
+    // vault: one row per distinct value, token matches the frame
+    val vault = Privacy.pseudonymVault(df, "name", "s1")
+      .as[(String, String)].collect().toMap
+    assert(vault.keySet == Set("ann", "bob"))
+    assert(vault("ann") == byId(1L)._1.get)
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(df, Seq("nope"), "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(df, Seq("name"), "")
+    }
+  }
 }

@@ -303,6 +303,54 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorr matches the exact BigInt replica lag for lag") {
+    // deterministic pseudo-random series per key (no RNG state)
+    def mk(seed: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 40) % 97)
+    val series = Map(1L -> mk(3, 24), 2L -> mk(11, 24), 3L -> mk(7, 5))
+    def refAcf(xs: Seq[Long], maxLag: Int): Map[Long, Long] = {
+      val n = BigInt(xs.size); val s = BigInt(xs.sum)
+      val q = xs.map(x => n * x - s)
+      val den = q.map(v => v * v).sum
+      (1 to maxLag).flatMap { k =>
+        if (k >= xs.size || den == 0) None
+        else {
+          val t = (0 until xs.size - k).map(i => q(i) * q(i + k)).sum * 1000000
+          Some(k.toLong -> ((t - t.mod(den)) / den).toLong)
+        }
+      }.toMap
+    }
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, t) => (k, t.toLong, x) }
+    }.toDF("k", "t", "x")
+    val got = Timeseries.autocorr(df, Seq("k"), col("t"), col("x"), maxLag = 7)
+      .select(col("k"), col("lag"), col("acf_ppm"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => r._2 -> r._3).toMap }
+    series.foreach { case (k, xs) =>
+      assert(got.getOrElse(k, Map.empty) == refAcf(xs, 7), s"key $k")
+    }
+    // key 3 has 5 points: lags 5..7 have no overlapping pairs
+    assert(got(3L).keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("autocorr: constant series omitted; duplicate ticks fail loudly; non-integral x rejected") {
+    val const = Seq((1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 5L)).toDF("k", "t", "x")
+    assert(Timeseries.autocorr(const, Seq("k"), col("t"), col("x"), 2).count() == 0,
+      "zero-variance ACF is undefined and must be omitted, not divided by zero")
+    val dup = Seq((1L, 0L, 1L), (1L, 0L, 2L), (1L, 1L, 3L)).toDF("k", "t", "x")
+    val e = intercept[Exception] {
+      Timeseries.autocorr(dup, Seq("k"), col("t"), col("x"), 2).collect()
+    }
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(_.getMessage)).mkString(" ")
+    assert(msg(e).contains("duplicate ordering"))
+    intercept[IllegalArgumentException] {
+      Timeseries.autocorr(Seq((1L, 0L, 1.5)).toDF("k", "t", "x"),
+        Seq("k"), col("t"), col("x"), 2)
+    }
+  }
+
   test("ewmaHalf: single-element series returns the element; negatives fail") {
     val one = Timeseries.ewmaHalf(Seq((1L, 5L, 0L, 42L)).toDF("k", "ts", "tie", "x"),
       Seq("k"), col("ts"), col("tie"), col("x"))
