@@ -99,7 +99,7 @@ private[graft] object EntryOraclesExt {
       // EXCEPT ALL subtracts it — the distinct set ops (q33) can't
       // express either
       """WITH e AS (SELECT user_id, event_type,
-        |    (epoch_ms(ts) // 86400000) % 2 AS par FROM events),
+        |    (((epoch_ms(ts) // 86400000) % 2) + 2) % 2 AS par FROM events),
         |a AS (SELECT user_id, event_type FROM e WHERE par = 0),
         |b AS (SELECT user_id, event_type FROM e WHERE par = 1)
         |SELECT 'intersect' AS op, user_id, event_type

@@ -21,8 +21,7 @@ private[graft] object EntryQueriesD {
       // oracle replays it with window leads. One keyed exchange+sort;
       // the lag explode runs on the key-sized aggregate frame.
       val daily = Tables(s, d).events
-        .groupBy(col("event_type"),
-          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
       Timeseries.autocorr(daily, Seq("event_type"), col("day"), col("x"),
         maxLag = 7)
@@ -52,7 +51,7 @@ private[graft] object EntryQueriesD {
       // no sort, no window; at scale they shuffle the grouped bag
       // (distinct rows + counts), never raw rows.
       val ev = Tables(s, d).events.select(col("user_id"), col("event_type"),
-        (expr("unix_millis(ts) div 86400000") % 2).as("par"))
+        pmod(dayBucket(col("ts")), lit(2L)).as("par"))
       val a = ev.where(col("par") === 0L).drop("par")
       val b = ev.where(col("par") === 1L).drop("par")
       a.intersectAll(b).select(lit("intersect").as("op"), col("user_id"), col("event_type"))

@@ -15,7 +15,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object KernelOps {
 
-  private val GOLDEN = 0x9E3779B97F4A7C15L
+  // one portable mixer for the whole library (minhash/simhash kernels,
+  // Similarity.projectionSigns) — forking a copy would silently fork
+  // the hash family
+  private[graft] val GOLDEN = 0x9E3779B97F4A7C15L
   private val MIX1 = 0xBF58476D1CE4E5B9L
   private val MIX2 = 0x94D049BB133111EBL
 
@@ -23,7 +26,7 @@ object KernelOps {
     * multiply, so every step is reproducible with HUGEINT mod-2^64
     * arithmetic in any ANSI engine (the q37/q38 oracles replay it).
     */
-  @inline private def splitmix(z0: Long): Long = {
+  @inline private[graft] def splitmix(z0: Long): Long = {
     var z = z0
     z ^= z >>> 30; z *= MIX1
     z ^= z >>> 27; z *= MIX2

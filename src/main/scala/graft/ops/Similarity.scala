@@ -462,13 +462,7 @@ object Similarity {
     * Exposed so callers (and the oracle) can inline the SAME literals.
     */
   def projectionSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Long]] = {
-    def splitmix(z0: Long): Long = {
-      var z = z0
-      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-      z ^= z >>> 27; z *= 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val GOLDEN = 0x9E3779B97F4A7C15L
+    import graft.functions.KernelOps.{splitmix, GOLDEN}
     Array.tabulate(outDim, inDim)((j, i) =>
       if ((splitmix(seed * GOLDEN + (i.toLong * outDim + j + 1)) & 1L) == 1L) 1L
       else -1L)

@@ -582,9 +582,17 @@ object TextAnalysis {
     *
     * Scale shape: one (doc, token) explode → ONE (token, label) hash
     * aggregate (map-side partial) → a token-sized re-aggregate for row
-    * totals; label totals and N ride a broadcast. The final top-k
-    * window runs over the token-vocabulary frame, never over docs.
-    * Exact while N² · N · 10⁶ < 10³⁸ → N < ~4·10⁹ docs per gate.
+    * totals; label totals ride a broadcast and N is their sum (AQE
+    * reuses the label exchange — no extra corpus scan). The final
+    * top-k window runs over the token-vocabulary frame, never docs.
+    * Exactness envelope: the ppm numerator is N·diff²·10⁶ with
+    * diff = O11·O00 − O10·O01, and |diff| can reach N²/4, so
+    * decimal(38,0) holds it only while N·diff² ≤ 10³² — guaranteed
+    * for any data at N ≤ ~4.3·10⁶ docs, and far beyond that for the
+    * realistic regime (|diff| ≈ N·O11 for rare tokens). A cell past
+    * the envelope raises in-plan (conservative 10× double-prefilter
+    * margin) instead of silently NULLing the STRONGEST discriminators
+    * out of the ranking — shard by label or sample before scoring.
     *
     * Output: (label, token, n_docs = O11, chi2_ppm, rnk) for the
     * `topK` highest-χ² positively-associated tokens per label seen in
@@ -601,7 +609,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
     val r = c1.groupBy(col("token")).agg(sum(col("n_docs")).as("__r"))
     val nl = df.groupBy(label.as("label")).agg(count(lit(1)).as("__c"))
-    val tot = df.agg(count(lit(1)).as("__N"))
+    // N = Σ label counts (NULL labels form their own group, so the sum
+    // is exact) — rides nl's exchange instead of a third corpus scan
+    val tot = nl.agg(sum(col("__c")).as("__N"))
     val cells = c1.join(r, Seq("token"))
       .join(broadcast(nl), Seq("label"))
       .crossJoin(broadcast(tot))
@@ -615,8 +625,18 @@ object TextAnalysis {
     val num = d(col("__N")) * diff * diff * lit(1000000L)
     val den = d(col("__r")) * (d(col("__N")) - d(col("__r"))) *
       d(col("__c")) * (d(col("__N")) - d(col("__c")))
+    // overflow fence: num stays inside decimal(38,0) iff N·diff² ≤ 10³²;
+    // the double prefilter keeps a 10× margin so fp error can't admit an
+    // overflowing cell — past it, raise rather than rank a NULL
+    val safe = abs(diff.cast("double")) <=
+      sqrt(lit(1.0e31) / col("__N").cast("double"))
     val scored = cells.where(diff > 0)
-      .withColumn("chi2_ppm", ((num - pmod(num, den)) / den).cast("long"))
+      .withColumn("chi2_ppm",
+        when(safe, ((num - pmod(num, den)) / den).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("chiSquareTokens: contingency past the decimal(38,0) "),
+            lit("exactness envelope (N·diff² > ~10³¹) — shard by label "),
+            lit("or sample before scoring; N="), col("__N").cast("string")))))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("chi2_ppm").desc, col("token").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))

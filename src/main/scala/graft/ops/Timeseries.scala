@@ -557,7 +557,14 @@ object Timeseries {
     val q0 = (count(lit(1)).over(wKey) * col("__x") - sum(col("__x")).over(wKey))
       .cast("decimal(38,0)")
     val nextT = lead(col("__t"), 1).over(wOrd)
-    val q = when(nextT.isNull || nextT =!= col("__t"), q0)
+    // NULL ticks first: NULLs sort together, so the duplicate check
+    // below would either miss them (all-NULL key: nextT.isNull short-
+    // circuits and lead() pairs rows in arbitrary tie order) or blame
+    // a "duplicate" that isn't (mixed key: nextT =!= null is NULL)
+    val q = when(col("__t").isNull, raise_error(
+        lit("autocorr: NULL ordering value (rows without a tick have no " +
+          "position in the series) — filter them first")))
+      .when(nextT.isNull || nextT =!= col("__t"), q0)
       .otherwise(raise_error(concat(
         lit("autocorr: duplicate ordering value per key (lead() would be "),
         lit("nondeterministic): "), col("__t").cast("string"))))

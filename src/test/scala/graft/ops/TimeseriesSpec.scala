@@ -345,6 +345,20 @@ class TimeseriesSpec extends AnyFunSuite {
     def msg(t: Throwable): String =
       (Option(t.getMessage) ++ Option(t.getCause).map(_.getMessage)).mkString(" ")
     assert(msg(e).contains("duplicate ordering"))
+    // NULL ticks: an all-NULL key would slip the duplicate check (lead
+    // pairs equal keys in arbitrary order) — both shapes must raise
+    val withNull = Seq((1L, Some(0L), 1L), (1L, None, 2L), (1L, Some(1L), 3L))
+      .toDF("k", "t", "x")
+    val eN = intercept[Exception] {
+      Timeseries.autocorr(withNull, Seq("k"), col("t"), col("x"), 2).collect()
+    }
+    assert(msg(eN).contains("NULL ordering"))
+    val allNull = Seq((1L, Option.empty[Long], 1L), (1L, Option.empty[Long], 2L))
+      .toDF("k", "t", "x")
+    val eA = intercept[Exception] {
+      Timeseries.autocorr(allNull, Seq("k"), col("t"), col("x"), 2).collect()
+    }
+    assert(msg(eA).contains("NULL ordering"))
     intercept[IllegalArgumentException] {
       Timeseries.autocorr(Seq((1L, 0L, 1.5)).toDF("k", "t", "x"),
         Seq("k"), col("t"), col("x"), 2)
