@@ -107,6 +107,27 @@ private[graft] object EntryOraclesExt {
         |UNION ALL
         |SELECT 'except' AS op, user_id, event_type
         |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin,
+    "q251_attribution" ->
+      // the same three models in one windowed pass; 1000000 // n on a
+      // positive count == Spark's div
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_ms(ts) AS tts, event_id AS ttie,
+        |    event_type AS channel
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT c.cid, t.channel, t.tts, t.ttie
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |    AND t.tts < c.cts AND t.tts >= c.cts - 604800000),
+        |f AS (SELECT channel,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tts, ttie) AS rf,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, ttie DESC) AS rl,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM j)
+        |SELECT channel,
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm
+        |FROM f GROUP BY channel""".stripMargin,
     "q250_pseudonymize" ->
       // md5 is md5 in every engine — the keyed, column-scoped token
       """SELECT c_custkey,

@@ -58,6 +58,17 @@ private[graft] object EntryQueriesD {
         .unionAll(
           a.exceptAll(b).select(lit("except").as("op"), col("user_id"), col("event_type")))
     }),
+    "q251_attribution" -> ((s, d) =>
+      // MULTI-TOUCH ATTRIBUTION — Cohorts.attribution: first/last/
+      // linear credit per channel for every purchase's 7-day touch
+      // window. One user-keyed equi-join (the time range rides it) +
+      // one conversion-keyed window exchange + a channel rollup;
+      // linear credit is the exact per-touch ⌊10⁶/n⌋ so the oracle
+      // replays it integer-for-integer.
+      Cohorts.attribution(Tables(s, d).events,
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("event_type") === "purchase",
+        lookbackMs = 7L * 86400000L)),
     "q250_pseudonymize" -> ((s, d) =>
       // PSEUDONYMIZATION — Privacy.pseudonymize: stable keyed tokens
       // (md5(salt:col:value), the engine-portable keyed-hash pattern)

@@ -170,6 +170,56 @@ object Cohorts {
         expr(s"(${nBaskets}L * n_ab * 10000L) div (n_a * n_b)").as("lift_fp"))
   }
 
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * standard three models in one pass over (conversion, touchpoint)
+    * pairs:
+    *
+    *  - FIRST-touch: the earliest touchpoint channel gets the whole
+    *    conversion;
+    *  - LAST-touch: the latest one does;
+    *  - LINEAR: every touchpoint gets ⌊10⁶/n⌋ ppm of it (per-touch
+    *    floor — exact integer arithmetic, engine-portable; truncating
+    *    and floor division agree on the positive count).
+    *
+    * A touchpoint is a non-conversion event of the same user with
+    * `ts` in [conversion − lookbackMs, conversion) — strictly before,
+    * so a channel can never be credited for a simultaneous event.
+    * First/last ties break on (`ts`, `tie`), fully deterministic.
+    * Conversions with ZERO touchpoints in the window ("direct") are
+    * absent — count them separately if the direct share matters.
+    *
+    * Scale shape: one user-keyed equi-join (the range predicate rides
+    * it — never a cross join), then ONE conversion-keyed exchange
+    * shared by all three window passes (asc/desc ranks + the touch
+    * count sort-share it), then a channel-sized rollup. Per-partition
+    * state is one conversion's touch window, bounded by lookback.
+    *
+    * Output: (channel, n_first, n_last, linear_ppm), one row per
+    * channel with any credit.
+    */
+  def attribution(events: DataFrame, user: Column, ts: Column, tie: Column,
+                  channel: Column, isConversion: Column,
+                  lookbackMs: Long): DataFrame = {
+    require(lookbackMs > 0, s"attribution: lookbackMs must be positive, got $lookbackMs")
+    val conv = events.where(isConversion)
+      .select(user.as("__u"), unix_millis(ts).as("__cts"), tie.as("__cid"))
+    val touch = events.where(!isConversion)
+      .select(user.as("__u"), unix_millis(ts).as("__tts"), tie.as("__ttie"),
+        channel.as("channel"))
+    val j = conv.join(touch, Seq("__u"))
+      .where(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lit(lookbackMs))
+    val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
+    val f = j.select(col("channel"),
+      row_number().over(wConv.orderBy(col("__tts").asc, col("__ttie").asc)).as("__rf"),
+      row_number().over(wConv.orderBy(col("__tts").desc, col("__ttie").desc)).as("__rl"),
+      count(lit(1)).over(wConv).as("__n"))
+    f.groupBy(col("channel")).agg(
+      sum(when(col("__rf") === 1, 1L).otherwise(0L)).as("n_first"),
+      sum(when(col("__rl") === 1, 1L).otherwise(0L)).as("n_last"),
+      sum(expr("1000000 div __n")).as("linear_ppm"))
+  }
+
   def transitions(events: DataFrame, key: Column, ts: Column, tie: Column,
                   state: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -262,4 +262,34 @@ class CohortsSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size <= 1,
       s"sessionize should shuffle once:\n$plan")
   }
+
+  test("attribution: first/last/linear credit with deterministic ties, lookback, and direct-conversion exclusion") {
+    // (user, ms, id, type) — lookback 100 ms
+    val rows = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"),
+      (1L, 50L, 3L, "purchase"), (1L, 60L, 4L, "purchase"),
+      (2L, 10L, 5L, "click"), (2L, 11L, 6L, "purchase"),
+      (3L, 100L, 7L, "purchase"),                    // direct: no touches
+      (4L, 0L, 8L, "view"), (4L, 150L, 9L, "purchase"), // touch too old
+      (5L, 5L, 10L, "view"), (5L, 5L, 11L, "click"),    // tie on ts
+      (5L, 6L, 12L, "purchase"))
+    val ev = rows.toDF("u", "ms", "eid", "etype")
+      .select(col("u"), timestamp_millis(col("ms")).as("ts"),
+        col("eid"), col("etype"))
+    val got = Cohorts.attribution(ev, col("u"), col("ts"), col("eid"),
+        col("etype"), col("etype") === "purchase", lookbackMs = 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // conv e3/e4: touches {view@1, click@2} -> first view, last click,
+    // 500000 ppm each; conv e6: {click@10} alone; conv e12: tie breaks
+    // on event_id -> first = view(e10), last = click(e11); e7 direct
+    // and e9 (touch outside lookback) contribute nothing
+    assert(got == Map(
+      "view" -> ((3L, 0L, 1500000L)),
+      "click" -> ((1L, 4L, 2500000L))))
+    intercept[IllegalArgumentException] {
+      Cohorts.attribution(ev, col("u"), col("ts"), col("eid"),
+        col("etype"), col("etype") === "purchase", lookbackMs = 0L)
+    }
+  }
 }
