@@ -55,6 +55,10 @@ private[graft] object EntryHelpers {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q244CatalogCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q252CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val q253CatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q140IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q143IndexCache =

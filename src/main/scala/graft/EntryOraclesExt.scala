@@ -16,11 +16,12 @@ private[graft] object EntryOraclesExt {
     graft.ops.Similarity.projectionSigns(64, 8, 7L)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  def sql: Map[String, String] = Map(
-    "q246_autocorrelation" ->
-      // the exact rational ACF replayed with window leads; HUGEINT
-      // products, floor division via the positive-mod subtract (num
-      // can be negative, so bare // would truncate toward zero)
+  // the exact rational ACF replayed with window leads; HUGEINT
+  // products, floor division via the positive-mod subtract (num can be
+  // negative, so bare // would truncate toward zero). Shared verbatim
+  // by q246 (one-shot) and q253 (continuously-folded daily store) —
+  // the fold roundtrip must be invisible.
+  private val acfSql =
       """WITH dly AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
         |    CAST(count(*) AS BIGINT) AS x
@@ -47,11 +48,13 @@ private[graft] object EntryOraclesExt {
         |SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
         |  CAST((num*1000000 - ((num*1000000 % den + den) % den)) // den
         |    AS BIGINT) AS acf_ppm
-        |FROM lg WHERE den > 0 AND num IS NOT NULL""".stripMargin,
-    "q247_chi2_tokens" ->
-      // 2x2 presence-contingency chi-square per (token, language),
-      // positive associations only, exact HUGEINT ppm (numerator
-      // non-negative, so // is the floor), deterministic tie-break
+        |FROM lg WHERE den > 0 AND num IS NOT NULL""".stripMargin
+
+  // 2x2 presence-contingency chi-square per (token, language),
+  // positive associations only, exact HUGEINT ppm (numerator
+  // non-negative, so // is the floor), deterministic tie-break.
+  // Shared verbatim by q247 (one-shot) and q252 (standing store pair).
+  private val chi2Sql =
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
         |    string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS token
@@ -81,7 +84,13 @@ private[graft] object EntryOraclesExt {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY chi2_ppm DESC, token ASC) AS BIGINT) AS rnk
         |  FROM scored)
-        |SELECT label, token, n_docs, chi2_ppm, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+        |SELECT label, token, n_docs, chi2_ppm, rnk FROM rk WHERE rnk <= 10""".stripMargin
+
+  def sql: Map[String, String] = Map(
+    "q246_autocorrelation" -> acfSql,
+    "q253_autocorr_stream" -> acfSql,
+    "q247_chi2_tokens" -> chi2Sql,
+    "q252_chi2_tokens_stream" -> chi2Sql,
     "q248_random_projection" ->
       // the SAME quantization (float→double widening + a power-of-two
       // multiply are exact) and the SAME sign literals as the plan

@@ -58,6 +58,81 @@ private[graft] object EntryQueriesD {
         .unionAll(
           a.exceptAll(b).select(lit("except").as("op"), col("user_id"), col("event_type")))
     }),
+    "q252_chi2_tokens_stream" -> ((s, d) => {
+      // CONTINUOUS χ² VOCABULARY — the feature-selection stats as a
+      // STANDING STORE PAIR under Catalog.ingestStream: each arriving
+      // corpus slice folds its (token, label) presence increments AND
+      // its label doc totals under ONE manifest swap (the two stores
+      // can never tear apart — a χ² scored between them would lie),
+      // and scoring is a read-side chiSquareFromCounts over the
+      // vocabulary-sized stores. Counts are additive, so the fold is
+      // delivery-order independent and q247's batch oracle holds
+      // verbatim for the final store state.
+      val base = q252CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q252_cat") + "/chi2"
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("text"))
+        graft.core.Catalog.init(p, Map(
+          "tl" -> docs.limit(0).select(lit("").as("token"),
+            col("lang").as("label"), lit(0L).as("n_docs")),
+          "lbl" -> docs.limit(0).select(col("lang").as("label"),
+            lit(0L).as("n"))))
+        val tlFold = (cur: DataFrame, b: DataFrame) =>
+          cur.unionByName(b
+              .select(col("lang").as("label"),
+                explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+              .groupBy(col("token"), col("label"))
+              .agg(count(lit(1)).as("n_docs")))
+            .groupBy(col("token"), col("label"))
+            .agg(sum(col("n_docs")).as("n_docs"))
+        val lblFold = (cur: DataFrame, b: DataFrame) =>
+          cur.unionByName(b.groupBy(col("lang").as("label"))
+              .agg(count(lit(1)).as("n")))
+            .groupBy(col("label")).agg(sum(col("n")).as("n"))
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q252", docs, col("doc_id"), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, docs.schema)
+          val q = graft.core.Catalog.ingestStream(s, stream, p,
+            Seq("tl" -> tlFold, "lbl" -> lblFold), ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      TextAnalysis.chiSquareFromCounts(
+        graft.core.Catalog.read(s, base, "tl"),
+        graft.core.Catalog.read(s, base, "lbl"), topK = 10, minDocs = 3L)
+    }),
+    "q253_autocorr_stream" -> ((s, d) => {
+      // CONTINUOUS ACF — the per-(type, day) count series as a standing
+      // store: each arriving event slice folds additive daily counts
+      // (delivery-order independent), and the seasonality probe is a
+      // READ-side Timeseries.autocorr over the key-sized series — the
+      // monitor re-scores at any moment without touching raw events.
+      // Oracle: q246's SQL verbatim (the fold roundtrip is invisible).
+      val base = q253CatalogCache.computeIfAbsent(d, { dir =>
+        val p = graft.core.TempDirs.create("graft_q253_cat") + "/acf"
+        val ev = Tables(s, dir).events
+          .select(col("event_type"), col("ts"), col("event_id"))
+        graft.core.Catalog.init(p, Map(
+          "daily" -> ev.limit(0).select(col("event_type"),
+            lit(0L).as("day"), lit(0L).as("x"))))
+        val fold = (cur: DataFrame, b: DataFrame) =>
+          cur.unionByName(b.groupBy(col("event_type"),
+              dayBucket(col("ts")).as("day"))
+              .agg(count(lit(1)).as("x")))
+            .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
+        withShufflePartitions(s, 8) {
+          val stage = screenReplayDir(s"$dir#q253", ev, unix_micros(col("ts")), 4)
+          val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
+          val q = graft.core.Catalog.ingestStream(s, stream, p,
+            Seq("daily" -> fold), ephemeralOk = true)
+          try q.processAllAvailable() finally q.stop()
+        }
+        p
+      })
+      Timeseries.autocorr(graft.core.Catalog.read(s, base, "daily"),
+        Seq("event_type"), col("day"), col("x"), maxLag = 7)
+    }),
     "q251_attribution" -> ((s, d) =>
       // MULTI-TOUCH ATTRIBUTION — Cohorts.attribution: first/last/
       // linear credit per channel for every purchase's 7-day touch

@@ -600,15 +600,29 @@ object TextAnalysis {
     */
   def chiSquareTokens(df: DataFrame, id: Column, text: Column, label: Column,
                       topK: Int, minDocs: Long = 2L): DataFrame = {
+    val pres = df.select(id.as("__id"), label.as("label"),
+        explode(array_distinct(tokens(text))).as("token"))
+    chiSquareFromCounts(
+      pres.groupBy(col("token"), col("label")).agg(count(lit(1)).as("n_docs")),
+      df.groupBy(label.as("label")).agg(count(lit(1)).as("n")),
+      topK, minDocs)
+  }
+
+  /** [[chiSquareTokens]] scored from PRE-AGGREGATED counts — the
+    * standing-store form: `counts` is the (token, label, n_docs)
+    * presence frame and `labelTotals` the (label, n) doc totals, both
+    * additive under union-sum, so a continuously-folded store pair
+    * (one atomic Catalog ingest — the two stores can never tear apart)
+    * scores at any moment exactly as the one-shot scan would.
+    */
+  def chiSquareFromCounts(counts: DataFrame, labelTotals: DataFrame,
+                          topK: Int, minDocs: Long = 2L): DataFrame = {
     require(topK >= 1, s"chiSquareTokens: topK must be >= 1, got $topK")
     require(minDocs >= 1, s"chiSquareTokens: minDocs must be >= 1, got $minDocs")
     def d(c: Column) = c.cast("decimal(38,0)")
-    val pres = df.select(id.as("__id"), label.as("label"),
-        explode(array_distinct(tokens(text))).as("token"))
-    val c1 = pres.groupBy(col("token"), col("label"))
-      .agg(count(lit(1)).as("n_docs"))
+    val c1 = counts.select(col("token"), col("label"), col("n_docs"))
     val r = c1.groupBy(col("token")).agg(sum(col("n_docs")).as("__r"))
-    val nl = df.groupBy(label.as("label")).agg(count(lit(1)).as("__c"))
+    val nl = labelTotals.select(col("label"), col("n").as("__c"))
     // N = Σ label counts (NULL labels form their own group, so the sum
     // is exact) — rides nl's exchange instead of a third corpus scan
     val tot = nl.agg(sum(col("__c")).as("__N"))
