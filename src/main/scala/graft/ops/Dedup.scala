@@ -322,13 +322,21 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = cands
-      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+    // verify on PAIR-sized frames: each candidate pair picks up the two
+    // (sorted, distinct) token arrays and counts the exact intersection
+    // per row — two id-keyed joins total, instead of exploding every
+    // pair back to (pair × tokens) rows and re-joining token strings
+    // (the exploded frame dominated the runtime: P·n̄ rows ≫ corpus)
+    val arrs = toks.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tok"))).as("__ts"),
+        count(lit(1)).as("__n"))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("__ts").as("__ta"),
+        col("__n").as("n_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("__ts").as("__tb"),
+        col("__n").as("n_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("inter") * 10000 >= lit(t1e4) * (col("n_a") + col("n_b") - col("inter")))
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }
