@@ -124,18 +124,25 @@ private[graft] object EntryOraclesExt {
         |t AS (SELECT user_id, epoch_ms(ts) AS tts, event_id AS ttie,
         |    event_type AS channel
         |  FROM events WHERE event_type <> 'purchase'),
-        |j AS (SELECT c.cid, t.channel, t.tts, t.ttie
+        |j AS (SELECT c.cid, c.cts, t.channel, t.tts, t.ttie
         |  FROM c JOIN t ON c.user_id = t.user_id
         |    AND t.tts < c.cts AND t.tts >= c.cts - 604800000),
         |f AS (SELECT channel,
         |    row_number() OVER (PARTITION BY cid ORDER BY tts, ttie) AS rf,
         |    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, ttie DESC) AS rl,
-        |    count(*) OVER (PARTITION BY cid) AS n
+        |    count(*) OVER (PARTITION BY cid) AS n,
+        |    (1::BIGINT << (30 - least((cts - tts) // 86400000, 30))) AS w,
+        |    sum(1::BIGINT << (30 - least((cts - tts) // 86400000, 30)))
+        |      OVER (PARTITION BY cid) AS sw
         |  FROM j)
         |SELECT channel,
         |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
         |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
-        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm
+        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |    WHEN rf = 1 OR rl = 1 THEN 400000
+        |    ELSE 200000 // (n - 2) END) AS BIGINT) AS u_ppm,
+        |  CAST(sum((1000000 * w) // sw) AS BIGINT) AS decay_ppm
         |FROM f GROUP BY channel""".stripMargin,
     "q250_pseudonymize" ->
       // md5 is md5 in every engine — the keyed, column-scoped token

@@ -134,12 +134,15 @@ private[graft] object EntryQueriesD {
         Seq("event_type"), col("day"), col("x"), maxLag = 7)
     }),
     "q251_attribution" -> ((s, d) =>
-      // MULTI-TOUCH ATTRIBUTION — Cohorts.attribution: first/last/
-      // linear credit per channel for every purchase's 7-day touch
-      // window. One user-keyed equi-join (the time range rides it) +
-      // one conversion-keyed window exchange + a channel rollup;
-      // linear credit is the exact per-touch ⌊10⁶/n⌋ so the oracle
-      // replays it integer-for-integer.
+      // MULTI-TOUCH ATTRIBUTION — Cohorts.attribution: the five
+      // standard models (first/last/linear/U-shaped/time-decay) per
+      // channel for every purchase's 7-day touch window; 1-day decay
+      // half-life (ages span 0–7 days, so the gate exercises real
+      // weight variation). One user-keyed equi-join (the time range
+      // rides it) + one conversion-keyed window exchange + a channel
+      // rollup; every credit is exact integer ppm (per-touch floors,
+      // power-of-two decay weights) so the oracle replays them
+      // integer-for-integer.
       Cohorts.attribution(Tables(s, d).events,
         col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("event_type") === "purchase",

@@ -171,7 +171,7 @@ object Cohorts {
   }
 
   /** Multi-touch conversion attribution — the marketing-analytics
-    * standard three models in one pass over (conversion, touchpoint)
+    * standard five models in one pass over (conversion, touchpoint)
     * pairs:
     *
     *  - FIRST-touch: the earliest touchpoint channel gets the whole
@@ -179,7 +179,14 @@ object Cohorts {
     *  - LAST-touch: the latest one does;
     *  - LINEAR: every touchpoint gets ⌊10⁶/n⌋ ppm of it (per-touch
     *    floor — exact integer arithmetic, engine-portable; truncating
-    *    and floor division agree on the positive count).
+    *    and floor division agree on the positive count);
+    *  - U-SHAPED (position-based 40/20/40): first and last get
+    *    400 000 ppm each, the n−2 middles split the remaining
+    *    ⌊200000/(n−2)⌋ apiece; a single touch gets the whole 10⁶, a
+    *    pair splits 50/50 — the industry convention;
+    *  - TIME-DECAY: touch i weighs w_i = 2^(30 − min(⌊age_i /
+    *    halfLifeMs⌋, 30)) (halving per elapsed half-life, exact powers
+    *    of two — no floats) and gets ⌊10⁶·w_i/Σw⌋ ppm.
     *
     * A touchpoint is a non-conversion event of the same user with
     * `ts` in [conversion − lookbackMs, conversion) — strictly before,
@@ -190,17 +197,20 @@ object Cohorts {
     *
     * Scale shape: one user-keyed equi-join (the range predicate rides
     * it — never a cross join), then ONE conversion-keyed exchange
-    * shared by all three window passes (asc/desc ranks + the touch
-    * count sort-share it), then a channel-sized rollup. Per-partition
-    * state is one conversion's touch window, bounded by lookback.
+    * shared by all window passes (asc/desc ranks, the touch count,
+    * and the decay-weight sum sort-share it), then a channel-sized
+    * rollup. Per-partition state is one conversion's touch window,
+    * bounded by lookback. Σw ≤ n·2³⁰ and 10⁶·w ≤ 2⁵⁰ keep every
+    * product in a long.
     *
-    * Output: (channel, n_first, n_last, linear_ppm), one row per
-    * channel with any credit.
+    * Output: (channel, n_first, n_last, linear_ppm, u_ppm, decay_ppm),
+    * one row per channel with any credit.
     */
   def attribution(events: DataFrame, user: Column, ts: Column, tie: Column,
                   channel: Column, isConversion: Column,
-                  lookbackMs: Long): DataFrame = {
+                  lookbackMs: Long, halfLifeMs: Long = 86400000L): DataFrame = {
     require(lookbackMs > 0, s"attribution: lookbackMs must be positive, got $lookbackMs")
+    require(halfLifeMs > 0, s"attribution: halfLifeMs must be positive, got $halfLifeMs")
     val conv = events.where(isConversion)
       .select(user.as("__u"), unix_millis(ts).as("__cts"), tie.as("__cid"))
     val touch = events.where(!isConversion)
@@ -210,14 +220,24 @@ object Cohorts {
       .where(col("__tts") < col("__cts") &&
         col("__tts") >= col("__cts") - lit(lookbackMs))
     val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
+    // ages are non-negative (tts < cts), so truncating div == floor
+    val decayW = expr(
+      s"shiftleft(1L, 30 - least(cast(((__cts - __tts) div $halfLifeMs) as int), 30))")
     val f = j.select(col("channel"),
       row_number().over(wConv.orderBy(col("__tts").asc, col("__ttie").asc)).as("__rf"),
       row_number().over(wConv.orderBy(col("__tts").desc, col("__ttie").desc)).as("__rl"),
-      count(lit(1)).over(wConv).as("__n"))
+      count(lit(1)).over(wConv).as("__n"),
+      decayW.as("__w"), sum(decayW).over(wConv).as("__sw"))
+    val uPpm = when(col("__n") === 1, lit(1000000L))
+      .when(col("__n") === 2, lit(500000L))
+      .when(col("__rf") === 1 || col("__rl") === 1, lit(400000L))
+      .otherwise(expr("200000 div (__n - 2)"))
     f.groupBy(col("channel")).agg(
       sum(when(col("__rf") === 1, 1L).otherwise(0L)).as("n_first"),
       sum(when(col("__rl") === 1, 1L).otherwise(0L)).as("n_last"),
-      sum(expr("1000000 div __n")).as("linear_ppm"))
+      sum(expr("1000000 div __n")).as("linear_ppm"),
+      sum(uPpm).as("u_ppm"),
+      sum(expr("(1000000 * __w) div __sw")).as("decay_ppm"))
   }
 
   def transitions(events: DataFrame, key: Column, ts: Column, tie: Column,

@@ -263,8 +263,9 @@ class CohortsSpec extends AnyFunSuite {
       s"sessionize should shuffle once:\n$plan")
   }
 
-  test("attribution: first/last/linear credit with deterministic ties, lookback, and direct-conversion exclusion") {
-    // (user, ms, id, type) — lookback 100 ms
+  test("attribution: five models, deterministic ties, lookback, and direct-conversion exclusion") {
+    // (user, ms, id, type) — lookback 100 ms; ages ≪ the default 1-day
+    // half-life, so every decay weight is 2^30 and decay == linear here
     val rows = Seq(
       (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"),
       (1L, 50L, 3L, "purchase"), (1L, 60L, 4L, "purchase"),
@@ -272,24 +273,47 @@ class CohortsSpec extends AnyFunSuite {
       (3L, 100L, 7L, "purchase"),                    // direct: no touches
       (4L, 0L, 8L, "view"), (4L, 150L, 9L, "purchase"), // touch too old
       (5L, 5L, 10L, "view"), (5L, 5L, 11L, "click"),    // tie on ts
-      (5L, 6L, 12L, "purchase"))
+      (5L, 6L, 12L, "purchase"),
+      // n=4 U-shape: first view 400k, last click 400k, middles 100k each
+      (7L, 1L, 16L, "view"), (7L, 2L, 17L, "click"),
+      (7L, 3L, 18L, "click"), (7L, 4L, 19L, "click"),
+      (7L, 5L, 20L, "purchase"))
     val ev = rows.toDF("u", "ms", "eid", "etype")
       .select(col("u"), timestamp_millis(col("ms")).as("ts"),
         col("eid"), col("etype"))
     val got = Cohorts.attribution(ev, col("u"), col("ts"), col("eid"),
         col("etype"), col("etype") === "purchase", lookbackMs = 100L)
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    // conv e3/e4: touches {view@1, click@2} -> first view, last click,
-    // 500000 ppm each; conv e6: {click@10} alone; conv e12: tie breaks
-    // on event_id -> first = view(e10), last = click(e11); e7 direct
-    // and e9 (touch outside lookback) contribute nothing
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // conv e3/e4: {view@1, click@2}: 500k each under linear AND u (n=2);
+    // conv e6: {click} alone (1e6); conv e12: tie breaks on event_id ->
+    // first view(e10), last click(e11); conv e20: linear 250k/touch,
+    // u = 400k(first view) + 100k + 100k + 400k(last click);
+    // e7 direct and e9 (outside lookback) contribute nothing
     assert(got == Map(
-      "view" -> ((3L, 0L, 1500000L)),
-      "click" -> ((1L, 4L, 2500000L))))
+      "view" -> ((4L, 0L, 1750000L, 1900000L, 1750000L)),
+      "click" -> ((1L, 5L, 3250000L, 3100000L, 3250000L))))
+    // time decay with halfLife 30 ms: view age 100 -> w = 2^27, click
+    // age 10 -> w = 2^30; sw = 9*2^27 -> view 1e6/9, click 8e6/9
+    val decayRows = Seq((6L, 0L, 13L, "view"), (6L, 90L, 14L, "click"),
+      (6L, 100L, 15L, "purchase"))
+    val dev = decayRows.toDF("u", "ms", "eid", "etype")
+      .select(col("u"), timestamp_millis(col("ms")).as("ts"),
+        col("eid"), col("etype"))
+    val dgot = Cohorts.attribution(dev, col("u"), col("ts"), col("eid"),
+        col("etype"), col("etype") === "purchase",
+        lookbackMs = 200L, halfLifeMs = 30L)
+      .select(col("channel"), col("decay_ppm"))
+      .as[(String, Long)].collect().toMap
+    assert(dgot == Map("view" -> 111111L, "click" -> 888888L))
     intercept[IllegalArgumentException] {
       Cohorts.attribution(ev, col("u"), col("ts"), col("eid"),
         col("etype"), col("etype") === "purchase", lookbackMs = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Cohorts.attribution(ev, col("u"), col("ts"), col("eid"),
+        col("etype"), col("etype") === "purchase", lookbackMs = 100L,
+        halfLifeMs = 0L)
     }
   }
 }
