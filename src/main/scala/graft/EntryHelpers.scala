@@ -625,6 +625,14 @@ private[graft] object EntryHelpers {
   def dayBucket(ts: Column): Column =
     floor(unix_millis(ts) / lit(86400000.0)).cast("long")
 
+  /** The per-(type, day) count series q246 scores and q253's standing
+    * store folds — ONE definition so the twins sharing the acf oracle
+    * can never drift.
+    */
+  def dailyEventCounts(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+
   // q111/q117's shared rule suite — the batch gate and its streaming twin
   // must evaluate IDENTICAL rules for the shared oracle to be valid
   def qualityRules: Seq[(String, Column)] = Seq(

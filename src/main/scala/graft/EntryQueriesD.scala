@@ -20,11 +20,8 @@ private[graft] object EntryQueriesD {
       // integers, ⌊10⁶·r_k⌋ in decimal(38,0) — no floating point, the
       // oracle replays it with window leads. One keyed exchange+sort;
       // the lag explode runs on the key-sized aggregate frame.
-      val daily = Tables(s, d).events
-        .groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-      Timeseries.autocorr(daily, Seq("event_type"), col("day"), col("x"),
-        maxLag = 7)
+      Timeseries.autocorr(dailyEventCounts(Tables(s, d).events),
+        Seq("event_type"), col("day"), col("x"), maxLag = 7)
     }),
     "q247_chi2_tokens" -> ((s, d) =>
       // χ² FEATURE SELECTION — TextAnalysis.chiSquareTokens: the top
@@ -77,20 +74,23 @@ private[graft] object EntryQueriesD {
             col("lang").as("label"), lit(0L).as("n_docs")),
           "lbl" -> docs.limit(0).select(col("lang").as("label"),
             lit(0L).as("n"))))
+        // the increments are THE batch twin's own aggregates
+        // (TextAnalysis.presenceCounts/labelCounts — one definition, no
+        // drift between the one-shot q247 and this standing store)
         val tlFold = (cur: DataFrame, b: DataFrame) =>
-          cur.unionByName(b
-              .select(col("lang").as("label"),
-                explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
-              .groupBy(col("token"), col("label"))
-              .agg(count(lit(1)).as("n_docs")))
+          cur.unionByName(TextAnalysis.presenceCounts(b, col("text"), col("lang")))
             .groupBy(col("token"), col("label"))
             .agg(sum(col("n_docs")).as("n_docs"))
         val lblFold = (cur: DataFrame, b: DataFrame) =>
-          cur.unionByName(b.groupBy(col("lang").as("label"))
-              .agg(count(lit(1)).as("n")))
+          cur.unionByName(TextAnalysis.labelCounts(b, col("lang")))
             .groupBy(col("label")).agg(sum(col("n")).as("n"))
         withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q252", docs, col("doc_id"), 4)
+          // NULL-safe replay order: writeOrderedSlices drops NULL order
+          // values, and a dropped row would break the shared-verbatim
+          // oracle contract (doc_id is non-null here, but the contract
+          // shouldn't depend on it)
+          val stage = screenReplayDir(s"$dir#q252", docs,
+            coalesce(col("doc_id"), lit(Long.MinValue)), 4)
           val stream = graft.streaming.Replay.orderedStream(s, stage, docs.schema)
           val q = graft.core.Catalog.ingestStream(s, stream, p,
             Seq("tl" -> tlFold, "lbl" -> lblFold), ephemeralOk = true)
@@ -117,12 +117,14 @@ private[graft] object EntryQueriesD {
           "daily" -> ev.limit(0).select(col("event_type"),
             lit(0L).as("day"), lit(0L).as("x"))))
         val fold = (cur: DataFrame, b: DataFrame) =>
-          cur.unionByName(b.groupBy(col("event_type"),
-              dayBucket(col("ts")).as("day"))
-              .agg(count(lit(1)).as("x")))
+          cur.unionByName(dailyEventCounts(b))
             .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
         withShufflePartitions(s, 8) {
-          val stage = screenReplayDir(s"$dir#q253", ev, unix_micros(col("ts")), 4)
+          // NULL-safe replay order (see q252): a NULL ts must reach the
+          // store — where the shared autocorr NULL-tick guard raises,
+          // exactly as the batch twin would — not silently vanish
+          val stage = screenReplayDir(s"$dir#q253", ev,
+            coalesce(unix_micros(col("ts")), lit(Long.MinValue)), 4)
           val stream = graft.streaming.Replay.orderedStream(s, stage, ev.schema)
           val q = graft.core.Catalog.ingestStream(s, stream, p,
             Seq("daily" -> fold), ephemeralOk = true)

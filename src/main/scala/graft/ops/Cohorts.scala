@@ -220,9 +220,12 @@ object Cohorts {
       .where(col("__tts") < col("__cts") &&
         col("__tts") >= col("__cts") - lit(lookbackMs))
     val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
-    // ages are non-negative (tts < cts), so truncating div == floor
+    // ages are non-negative (tts < cts), so truncating div == floor;
+    // clamp in LONG before the int cast — a >2^31 half-life ratio would
+    // wrap the cast and shiftleft's mod-64 shift would fabricate huge
+    // (even negative) weights instead of the documented 2^0 floor
     val decayW = expr(
-      s"shiftleft(1L, 30 - least(cast(((__cts - __tts) div $halfLifeMs) as int), 30))")
+      s"shiftleft(1L, 30 - cast(least(((__cts - __tts) div $halfLifeMs), 30L) as int))")
     val f = j.select(col("channel"),
       row_number().over(wConv.orderBy(col("__tts").asc, col("__ttie").asc)).as("__rf"),
       row_number().over(wConv.orderBy(col("__tts").desc, col("__ttie").desc)).as("__rl"),

@@ -312,7 +312,13 @@ object Dedup {
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("__df"), col("tok"))))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    // one per-id aggregate definition serves both consumers: the prefix
+    // cut reads only (id, __n) — ColumnPruning drops the collect_list
+    // from that branch — and the verify reads the sorted arrays too
+    val arrs = toks.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tok"))).as("__ts"),
+        count(lit(1)).as("__n"))
+    val sizes = arrs.select(col("id"), col("__n"))
     // prefix length n - ceil(t*n) + 1, integer ceil = (t1e4*n + 9999) div 10000
     val prefix = ranked.join(sizes, "id")
       .where(col("__rk") <=
@@ -327,9 +333,6 @@ object Dedup {
     // per row — two id-keyed joins total, instead of exploding every
     // pair back to (pair × tokens) rows and re-joining token strings
     // (the exploded frame dominated the runtime: P·n̄ rows ≫ corpus)
-    val arrs = toks.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("tok"))).as("__ts"),
-        count(lit(1)).as("__n"))
     cands
       .join(arrs.select(col("id").as("id_a"), col("__ts").as("__ta"),
         col("__n").as("n_a")), Seq("id_a"))

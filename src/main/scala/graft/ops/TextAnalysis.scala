@@ -599,30 +599,46 @@ object TextAnalysis {
     * ≥ `minDocs` docs (ties broken by token — fully deterministic).
     */
   def chiSquareTokens(df: DataFrame, id: Column, text: Column, label: Column,
-                      topK: Int, minDocs: Long = 2L): DataFrame = {
-    val pres = df.select(id.as("__id"), label.as("label"),
+                      topK: Int, minDocs: Long = 2L): DataFrame =
+    chiSquareFromCounts(presenceCounts(df, text, label),
+      labelCounts(df, label), topK, minDocs)
+
+  /** The (token, label, n_docs) presence increment of one frame — the
+    * shared per-batch aggregate behind [[chiSquareTokens]] and its
+    * standing-store fold (ONE definition, so the one-shot and the
+    * continuously-folded twin can never drift).
+    */
+  def presenceCounts(df: DataFrame, text: Column, label: Column): DataFrame =
+    df.select(label.as("label"),
         explode(array_distinct(tokens(text))).as("token"))
-    chiSquareFromCounts(
-      pres.groupBy(col("token"), col("label")).agg(count(lit(1)).as("n_docs")),
-      df.groupBy(label.as("label")).agg(count(lit(1)).as("n")),
-      topK, minDocs)
-  }
+      .groupBy(col("token"), col("label")).agg(count(lit(1)).as("n_docs"))
+
+  /** The (label, n) doc-total increment of one frame — [[presenceCounts]]'
+    * companion (NULL labels form their own group, so Σn = N exactly).
+    */
+  def labelCounts(df: DataFrame, label: Column): DataFrame =
+    df.groupBy(label.as("label")).agg(count(lit(1)).as("n"))
 
   /** [[chiSquareTokens]] scored from PRE-AGGREGATED counts — the
     * standing-store form: `counts` is the (token, label, n_docs)
     * presence frame and `labelTotals` the (label, n) doc totals, both
     * additive under union-sum, so a continuously-folded store pair
     * (one atomic Catalog ingest — the two stores can never tear apart)
-    * scores at any moment exactly as the one-shot scan would.
+    * scores at any moment exactly as the one-shot scan would. Inputs
+    * are re-aggregated defensively (vocabulary-sized, one small
+    * exchange), so a frame of unioned PARTIAL increments scores
+    * correctly too — duplicate keys can never split a contingency
+    * cell or duplicate a ranked row.
     */
   def chiSquareFromCounts(counts: DataFrame, labelTotals: DataFrame,
                           topK: Int, minDocs: Long = 2L): DataFrame = {
-    require(topK >= 1, s"chiSquareTokens: topK must be >= 1, got $topK")
-    require(minDocs >= 1, s"chiSquareTokens: minDocs must be >= 1, got $minDocs")
+    require(topK >= 1, s"chiSquareFromCounts: topK must be >= 1, got $topK")
+    require(minDocs >= 1, s"chiSquareFromCounts: minDocs must be >= 1, got $minDocs")
     def d(c: Column) = c.cast("decimal(38,0)")
-    val c1 = counts.select(col("token"), col("label"), col("n_docs"))
+    val c1 = counts.groupBy(col("token"), col("label"))
+      .agg(sum(col("n_docs")).as("n_docs"))
     val r = c1.groupBy(col("token")).agg(sum(col("n_docs")).as("__r"))
-    val nl = labelTotals.select(col("label"), col("n").as("__c"))
+    val nl = labelTotals.groupBy(col("label")).agg(sum(col("n")).as("__c"))
     // N = Σ label counts (NULL labels form their own group, so the sum
     // is exact) — rides nl's exchange instead of a third corpus scan
     val tot = nl.agg(sum(col("__c")).as("__N"))
@@ -648,7 +664,7 @@ object TextAnalysis {
       .withColumn("chi2_ppm",
         when(safe, ((num - pmod(num, den)) / den).cast("long"))
           .otherwise(raise_error(concat(
-            lit("chiSquareTokens: contingency past the decimal(38,0) "),
+            lit("chiSquareFromCounts: contingency past the decimal(38,0) "),
             lit("exactness envelope (N·diff² > ~10³¹) — shard by label "),
             lit("or sample before scoring; N="), col("__N").cast("string")))))
     val w = Window.partitionBy(col("label"))
