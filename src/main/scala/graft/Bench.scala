@@ -83,6 +83,19 @@ object Bench {
           }
         }
       }
+      // Harness fidelity (r14 verdict #2: the official capture inflated
+      // the two most memory-heavy queries 2-3x over their isolated
+      // medians, with the order seed deciding who ate the accumulated
+      // pressure): drop whatever the finished query left in the block
+      // manager — localCheckpoint RDDs pin partitions until the driver
+      // GCs the RDD object, and 253 queries' worth of them compound —
+      // and clear any cached relations, so every query starts from the
+      // isolated-memory state its cross-round comparison assumes. The
+      // run order stays randomized; the diag line's "repeats" dict is
+      // emitted IN RUN ORDER, which is what makes any residual pressure
+      // artifact attributable from the artifact alone.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       if (failed) None else Some(name -> times.toSeq)
     }
     // The driver retains EXACTLY the last 2000 chars of combined output

@@ -226,7 +226,11 @@ private[graft] object EntryQueriesA {
 
     // ---- dedup + similarity (north-star; oracle below where expressible) ----
     "q37_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashLsh(Tables(s, d).documents, col("doc_id"), col("text"),
+      // fanOut: the shingle+MinHash kernels otherwise serialize on the
+      // single-file local scan (guide §2.5; no-op at scale)
+      Dedup.minhashLsh(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
+        col("doc_id"), col("text"),
         shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
     "q38_simhash" -> ((s, d) =>
@@ -334,8 +338,9 @@ private[graft] object EntryQueriesA {
       // LSH-accelerated, exact-verified: at threshold 0.8 with 16x2
       // banding the per-pair miss probability is (1-j^2)^16 <= 1e-7, so
       // the result equals the brute-force all-pairs oracle
-      Dedup.ngramJaccardPairs(Tables(s, d).documents, col("doc_id"), col("text"),
-        n = 3, threshold = 0.8)),
+      Dedup.ngramJaccardPairs(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
+        col("doc_id"), col("text"), n = 3, threshold = 0.8)),
     "q51_scalar_math" -> ((s, d) =>
       // IEEE-exact math functions only (sqrt/abs/floor/ceil/%): identical
       // bit results across engines; transcendental fns (ln/exp) are NOT

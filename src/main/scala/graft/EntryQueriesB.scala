@@ -114,13 +114,15 @@ private[graft] object EntryQueriesB {
     "q74_dup_spans" -> ((s, d) =>
       // substring-level dedup detection: maximal token spans shared by
       // >= 2 distinct documents (8-gram fingerprints, merged hits)
-      SpanDedup.duplicateSpans(Tables(s, d).documents,
+      SpanDedup.duplicateSpans(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
         col("doc_id"), col("text"), n = 8)),
     "q75_span_scrub" -> ((s, d) =>
       // keep-first substring scrub: every duplicated 8-gram occurrence
       // except the corpus-wide first is removed; text rebuilt outside the
       // merged removal spans
-      SpanDedup.scrubDuplicateSpans(Tables(s, d).documents,
+      SpanDedup.scrubDuplicateSpans(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
         col("doc_id"), col("text"), n = 8)),
     "q87_sq8_topk" -> ((s, d) => {
       // scalar-quantized ANN: per-dimension int8 codes against corpus
@@ -361,8 +363,12 @@ private[graft] object EntryQueriesB {
       // EXACT p50/p90/p99 of lineitem price (in cents — integral) by
       // range-bisection selection: no global sort, no value collection,
       // ~3 histogram scans with pushed range filters
+      // fanOut: the single-file local scan would serialize the decimal
+      // projection feeding every bisection pass on one core (no-op at
+      // scale — guide §2.5 unsplittable-input rule)
       Quantiles.percentiles(
-        Tables(s, d).lineitem.select(
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_extendedprice"))).select(
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         col("cents"), Seq(50, 90, 99))),
     "q121_groupwise_median" -> ((s, d) =>
@@ -372,7 +378,8 @@ private[graft] object EntryQueriesB {
       // value buffering (Spark's exact percentile agg would buffer every
       // value of a group in one buffer — the 100 TB OOM path)
       Quantiles.exactPercentileByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_suppkey"), col("l_extendedprice"))).select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"), 50)),
     "q186_mad_outliers" -> ((s, d) =>
@@ -385,7 +392,8 @@ private[graft] object EntryQueriesB {
       // actually wants. Oracle replays BOTH medians under q121's
       // exact rank convention, then the same count.
       Quantiles.madOutliers(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_suppkey"), col("l_extendedprice"))).select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"))),
     "q221_kwic" -> ((s, d) => {
@@ -599,7 +607,9 @@ private[graft] object EntryQueriesB {
       // mass arithmetic end to end. Oracle replays the cumulative-
       // weight window.
       Quantiles.exactWeightedPercentileByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_quantity")))
+          .select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
           col("l_quantity").cast("long").as("units")),
         Seq("l_suppkey"), col("cents"), col("units"), 50)),

@@ -87,7 +87,9 @@ private[graft] object EntryQueriesC {
       // one group-keyed join against the group-sized bounds table.
       // Oracle replays q121's inclusive-rank percentiles + the clamp.
       Quantiles.winsorize(
-        Tables(s, d).lineitem.select(col("l_orderkey"),
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_extendedprice"))).select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"), 5, 95, out = "cents_w")),
@@ -882,7 +884,8 @@ private[graft] object EntryQueriesC {
       // (Quantiles.scala's explode + virtual-group rank arithmetic) is
       // the intricate path q121's single-pct query never exercises.
       Quantiles.exactPercentilesByKey(
-        Tables(s, d).lineitem.select(col("l_suppkey"),
+        ScanLayout.fanOut(Tables(s, d).lineitem
+          .select(col("l_suppkey"), col("l_extendedprice"))).select(col("l_suppkey"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
         Seq("l_suppkey"), col("cents"), Seq(50, 90, 99))),
     "q125_table_fingerprint" -> ((s, d) =>
@@ -1167,8 +1170,10 @@ private[graft] object EntryQueriesC {
       // brute-force cross-join oracle
       val docs = Tables(s, d).documents
       Dedup.minhashLshJoin(
-        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
-        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        ScanLayout.fanOut(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))), col("doc_id"), col("text"),
+        ScanLayout.fanOut(docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))), col("doc_id"), col("text"),
         shingleN = 3, numHashes = 32, bands = 16, rowsPerBand = 2,
         threshold = 0.8)
     }),

@@ -345,8 +345,9 @@ private[graft] object EntryQueriesD {
       // n_b − c). Zero false negatives — the exact complement to
       // q37's probabilistic MinHash banding — and never the |D|²
       // cross join the oracle runs.
-      Dedup.jaccardJoin(Tables(s, d).documents, col("doc_id"),
-        Dedup.shingles(lower(col("text")), 3), threshold = 0.4)),
+      Dedup.jaccardJoin(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
+        col("doc_id"), Dedup.shingles(lower(col("text")), 3), threshold = 0.4)),
     "q234_join_agg_view_stream" -> ((s, d) => {
       // JOIN + AGGREGATE VIEW, incrementally — the q228 composition:
       // a 4th store folds the SAME per-batch join delta

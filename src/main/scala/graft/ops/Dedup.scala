@@ -323,23 +323,35 @@ object Dedup {
     val prefix = ranked.join(sizes, "id")
       .where(col("__rk") <=
         col("__n") - expr(s"(($t1e4 * __n + 9999) div 10000)") + 1)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("tok"), col("__n"))
+    // LENGTH FILTER (ssjoin standard, zero false negatives): Jaccard ≥ t
+    // forces t·max(n_a,n_b) ≤ min(n_a,n_b) (the overlap is at most the
+    // smaller set, the union at least the larger), so size-incompatible
+    // prefix collisions are dropped BEFORE the pair ever reaches distinct
+    // + verify — at threshold 0.4 this is the difference between
+    // verifying every pair of docs sharing one common-ish prefix token
+    // and verifying only plausibly-similar ones
     val cands = prefix.as("a").join(prefix.as("b"), Seq("tok"))
-      .where(col("a.id") < col("b.id"))
+      .where(col("a.id") < col("b.id") &&
+        least(col("a.__n"), col("b.__n")) * 10000 >=
+          lit(t1e4) * greatest(col("a.__n"), col("b.__n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify on PAIR-sized frames: each candidate pair picks up the two
     // (sorted, distinct) token arrays and counts the exact intersection
     // per row — two id-keyed joins total, instead of exploding every
     // pair back to (pair × tokens) rows and re-joining token strings
-    // (the exploded frame dominated the runtime: P·n̄ rows ≫ corpus)
+    // (the exploded frame dominated the runtime: P·n̄ rows ≫ corpus).
+    // The count is the allocation-free sorted-merge kernel, not
+    // array_intersect's per-row hash set (~350 µs/pair measured —
+    // the query's dominant cost at weak thresholds)
     cands
       .join(arrs.select(col("id").as("id_a"), col("__ts").as("__ta"),
         col("__n").as("n_a")), Seq("id_a"))
       .join(arrs.select(col("id").as("id_b"), col("__ts").as("__tb"),
         col("__n").as("n_b")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        graft.functions.Kernels.sorted_intersect_count(col("__ta"), col("__tb")))
       .where(col("inter") * 10000 >= lit(t1e4) * (col("n_a") + col("n_b") - col("inter")))
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
   }

@@ -41,30 +41,25 @@ object Quantiles {
 
   /** Discrete percentiles as a DataFrame (q_pct, rk, value): for each
     * integer percent p, the value at 1-based rank max(1, ⌈p·n/100⌉).
-    * The first histogram pass is shared across all requested ranks.
+    * Every requested rank bisects SIMULTANEOUSLY through the shared
+    * keyed passes (each percent is a virtual group), so p50+p90+p99
+    * cost the same ≤6 scans as one percentile — one histogram job per
+    * pass total, not per percent.
     */
   def percentiles(df: DataFrame, value: Column, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles: percents must be in [1,100], got ${pcts.mkString(",")}")
-    val spark = df.sparkSession
-    // NOT pinned: each pass re-reads the source with a pushed range
-    // filter — at 100 TB, re-scanning a shrinking slice beats
-    // materializing the whole column
-    val vals = toLongCol(df, value)
-    val m = vals.agg(count(lit(1)).as("n"),
-      min(col("v")).as("lo"), max(col("v")).as("hi")).head
-    val n = m.getLong(0)
-    require(n > 0, "percentiles: no non-null values")
-    val (lo, hi) = (m.getLong(1), m.getLong(2))
-    // shared first pass: one histogram over the full range serves every rank
-    val hist = histogram(vals, lo, hi)
-    val rows = pcts.map { p =>
-      val rk = math.max(1L, (p.toLong * n + 99L) / 100L)
-      val (blo, bhi, kIn) = locate(hist, rk, lo, hi)
-      (p.toLong, rk, descend(vals.where(col("v").between(blo, bhi)), kIn, blo, bhi))
-    }
-    import spark.implicits._
-    rows.toDF("q_pct", "rk", "value")
+    val one = df.select(value.as("v"))
+    val dt = one.schema("v").dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+      s"quantiles: value must be integral (cast DECIMAL money to cents first), got $dt")
+    val withP = one.withColumn("q_pct",
+      explode(array(pcts.distinct.map(p => lit(p.toLong)): _*)))
+    val out = selectByKey(withP, Seq("q_pct"), col("v"),
+      "greatest(1L, (q_pct * __n + 99L) div 100L)")
+      .select(col("q_pct"), col("rk"), col("value"))
+    require(!out.isEmpty, "percentiles: no non-null values")
+    out
   }
 
   private def toLongCol(df: DataFrame, value: Column): DataFrame = {
@@ -199,7 +194,7 @@ object Quantiles {
                           rkExpr: String,
                           weight: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "exactPercentileByKey: at least one key column")
-    val reserved = Seq("__v", "__m", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum")
+    val reserved = Seq("__v", "__m", "__n", "__rk", "__krem", "__lo", "__hi", "__w", "__b", "__c", "__cum", "__gid")
     require(df.columns.intersect(reserved).isEmpty,
       s"exactPercentileByKey: input uses reserved column names: ${reserved.mkString(", ")}")
     val wCol = weight.getOrElse(lit(1L))
@@ -212,57 +207,97 @@ object Quantiles {
       require(Seq("bigint", "int", "smallint", "tinyint").contains(wt),
         s"quantiles: weight must be integral (exact mass arithmetic), got $wt")
     }
-    val vals = one.where(col("__v").isNotNull)
-      .select(keys.map(col) ++ Seq(col("__v").cast("long").as("__v"),
-        when(col("__m").isNull || col("__m") < 0,
-          raise_error(lit("quantiles: weights must be non-negative and " +
-            "non-null"))).otherwise(col("__m").cast("long")).as("__m")): _*)
+    val spark = df.sparkSession
+    // pinForPasses: a single-file local source would otherwise serialize
+    // EVERY pass's scan on one core and re-plan the full lineage per
+    // pass; at scale the guard keeps the documented re-scan-per-pass
+    // shape (narrow-column scans parallelize naturally there)
+    val (vals, releaseVals, _) = ScanLayout.pinForPasses(
+      one.where(col("__v").isNotNull)
+        .select(keys.map(col) ++ Seq(col("__v").cast("long").as("__v"),
+          when(col("__m").isNull || col("__m") < 0,
+            raise_error(lit("quantiles: weights must be non-negative and " +
+              "non-null"))).otherwise(col("__m").cast("long")).as("__m")): _*))
 
-    // per-group mass / lo / hi / target rank; fail fast (Trend's
-    // posture) if any group's range spans more than a Long
-    var bounds = vals.groupBy(keys.map(col): _*)
+    // Per-group mass / lo / hi / target rank, COLLECTED: the bounds frame
+    // is group-sized by contract (it must broadcast each pass anyway —
+    // "fine up to millions of groups"), so the bisection bookkeeping
+    // lives on the driver and each pass costs exactly ONE job: the
+    // histogram scan whose per-group winning bucket comes back with the
+    // collect. The previous form kept bounds distributed and paid 3-4
+    // jobs per pass (localCheckpoint materialization, open-set isEmpty
+    // probe, broadcast build) — pure driver-loop overhead at any scale,
+    // and the dominant cost of the whole operator on the bench.
+    val keyFields = vals.schema.fields.take(keys.length)
+    try {
+    val init = vals.groupBy(keys.map(col): _*)
       .agg(sum(col("__m")).as("__n"), min(col("__v")).as("__lo"),
         max(col("__v")).as("__hi"))
       .withColumn("__rk", expr(rkExpr))
-      .withColumn("__krem", col("__rk"))
-      .withColumn("__hi", when(
-        col("__hi").cast("double") - col("__lo").cast("double") > 8.9e18,
-        raise_error(lit("quantiles: a group's value range spans more than a Long — " +
-          "rescale the column first"))).otherwise(col("__hi")))
-      .localCheckpoint()
-
-    while (!bounds.where(col("__lo") < col("__hi")).isEmpty) {
-      val open = bounds.where(col("__lo") < col("__hi"))
-        .withColumn("__w", expr(s"(__hi - __lo) div ${B}L + 1L"))
-      val hist = vals.join(broadcast(open), keys)
-        // the remaining rank is relative to the group's SURVIVING range —
-        // rows outside it must not contribute histogram mass
-        .where(col("__v").between(col("__lo"), col("__hi")))
-        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
-          col("__lo"), col("__hi"), col("__w"), col("__m"),
-          expr("(__v - __lo) div __w").as("__b")): _*)
-        .groupBy(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
-          col("__lo"), col("__hi"), col("__w"), col("__b")): _*)
-        .agg(sum(col("__m")).as("__c"))
-      // per-group running mass in bucket order — the window partitions on
-      // the keys over a (group × ≤4096)-row frame, never the corpus
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col("__b"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val stepped = hist.withColumn("__cum", sum(col("__c")).over(win))
-        .where(col("__krem") > col("__cum") - col("__c") && col("__krem") <= col("__cum"))
-        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"),
-          (col("__krem") - (col("__cum") - col("__c"))).as("__krem"),
-          (col("__lo") + col("__b") * col("__w")).as("__lo"),
-          least(col("__lo") + (col("__b") + 1) * col("__w") - 1, col("__hi")).as("__hi")): _*)
-      bounds = bounds.where(col("__lo") === col("__hi"))
-        .select(keys.map(col) ++ Seq(col("__n"), col("__rk"), col("__krem"),
-          col("__lo"), col("__hi")): _*)
-        .unionByName(stepped)
-        .localCheckpoint() // group-sized; truncates the per-pass lineage
+      .collect()
+    // group id → (key values, n, rk, remaining rank, surviving range):
+    // the id (row position) is the join-back handle, so key equality
+    // never needs driver-side hashing of arbitrary key types
+    final case class GB(key: Seq[Any], n: Long, rk: Long, var krem: Long,
+                        var lo: Long, var hi: Long)
+    val groups = init.map { r =>
+      val lo = r.getLong(keys.length + 1)
+      val hi = r.getLong(keys.length + 2)
+      // fail fast (Trend's posture) if any group's range spans more than a Long
+      if (hi.toDouble - lo.toDouble > 8.9e18)
+        throw new IllegalArgumentException(
+          "quantiles: a group's value range spans more than a Long — " +
+            "rescale the column first")
+      val rk = r.getLong(keys.length + 3)
+      GB(Seq.tabulate(keys.length)(r.get), r.getLong(keys.length), rk, rk, lo, hi)
     }
-    bounds.select(keys.map(col) ++ Seq(col("__n").as("n"), col("__rk").as("rk"),
-      col("__lo").as("value")): _*)
+    val openSchema = org.apache.spark.sql.types.StructType(
+      keyFields ++ Seq("__gid", "__krem", "__lo", "__hi", "__w").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
+    var open = groups.zipWithIndex.filter { case (g, _) => g.lo < g.hi }
+    while (open.nonEmpty) {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(open.map { case (g, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            g.key ++ Seq(i.toLong, g.krem, g.lo, g.hi, (g.hi - g.lo) / B + 1))
+        }: _*)
+      val openDf = spark.createDataFrame(rows, openSchema)
+      // the remaining rank is relative to the group's SURVIVING range —
+      // rows outside it must not contribute histogram mass; the window
+      // partitions per group over a ≤4096-row frame, never the corpus.
+      // Only (gid, bucket, mass) enters the window exchange — the
+      // per-group constants (krem, lo, hi, w) rejoin from the broadcast
+      // AFTER the running sum, so the histogram shuffle stays three
+      // longs per row (measured 45 MB → 15 MB on the multi-pct pass)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__gid")).orderBy(col("__b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val stepped = vals.join(broadcast(openDf), keys)
+        .where(col("__v").between(col("__lo"), col("__hi")))
+        .groupBy(col("__gid"), expr("(__v - __lo) div __w").as("__b"))
+        .agg(sum(col("__m")).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(win))
+        .join(broadcast(openDf.select(col("__gid"), col("__krem"),
+          col("__lo"), col("__hi"), col("__w"))), "__gid")
+        .where(col("__krem") > col("__cum") - col("__c") && col("__krem") <= col("__cum"))
+        .select(col("__gid"), (col("__krem") - (col("__cum") - col("__c"))).as("__krem"),
+          (col("__lo") + col("__b") * col("__w")).as("__lo"),
+          least(col("__lo") + (col("__b") + 1) * col("__w") - 1, col("__hi")).as("__hi"))
+        .collect()
+      stepped.foreach { r =>
+        val g = groups(r.getLong(0).toInt)
+        g.krem = r.getLong(1); g.lo = r.getLong(2); g.hi = r.getLong(3)
+      }
+      open = open.filter { case (g, _) => g.lo < g.hi }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keyFields ++ Seq("n", "rk", "value").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(groups.map(g =>
+        org.apache.spark.sql.Row.fromSeq(g.key ++ Seq(g.n, g.rk, g.lo))): _*)
+    spark.createDataFrame(outRows, outSchema)
+    } finally releaseVals()
   }
 
   /** EXACT two-sample Kolmogorov–Smirnov distance per group — the
@@ -337,22 +372,40 @@ object Quantiles {
     val outNames = Seq("n", "median", "mad", "n_outliers")
     require(keys.intersect(outNames).isEmpty,
       s"madOutliers: key names collide with output columns (${outNames.mkString(", ")})")
-    val vals = df.select(keys.map(col) :+ value.as("__x"): _*)
-      .where(col("__x").isNotNull)
-    val med = exactPercentileByKey(vals, keys, col("__x"), 50)
-      .select(keys.map(col) :+ col("value").as("__med"): _*)
-    val dev = vals.join(med, keys) // right side is group-sized
-      .withColumn("__dev", abs(col("__x") - col("__med")))
-    val mad = exactPercentileByKey(
-        dev.select(keys.map(col) :+ col("__dev"): _*), keys, col("__dev"), 50)
-      .select(keys.map(col) :+ col("value").as("__mad"): _*)
-    dev.join(mad, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        first(col("__med")).as("median"),
-        first(col("__mad")).as("mad"),
-        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+    // one shared pin serves the median stack, the MAD stack AND the
+    // final outlier count — in the local single-file regime the narrow
+    // (keys, x) frame is otherwise re-derived single-threaded by every
+    // pass of both stacks (ScanLayout's guard keeps the at-scale
+    // re-scan shape untouched)
+    val (vals, release, pinned) = ScanLayout.pinForPasses(
+      df.select(keys.map(col) :+ value.as("__x"): _*)
+        .where(col("__x").isNotNull))
+    try {
+      val med = exactPercentileByKey(vals, keys, col("__x"), 50)
+        .select(keys.map(col) :+ col("value").as("__med"): _*)
+      val dev = vals.join(med, keys) // right side is group-sized
+        .withColumn("__dev", abs(col("__x") - col("__med")))
+      val mad = exactPercentileByKey(
+          dev.select(keys.map(col) :+ col("__dev"): _*), keys, col("__dev"), 50)
+        .select(keys.map(col) :+ col("value").as("__mad"): _*)
+      val out = dev.join(mad, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          first(col("__med")).as("median"),
+          first(col("__mad")).as("mad"),
+          sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+      // the pinned pass input must outlive the RETURNED lazy frame only
+      // in the local regime, where the final aggregate is cheap to
+      // recompute from cache-or-source either way; materializing the
+      // group-sized result here keeps release() safe and the output a
+      // local relation like the stacks'
+      if (pinned) {
+        val spark = df.sparkSession
+        spark.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } else out
+    } finally release()
   }
 
   /** Equi-depth (quantile) binning: every row gets its 1-based bin of
@@ -518,16 +571,22 @@ object Quantiles {
       s"madProfile: input uses reserved working names (${working.mkString(", ")})")
     require(keys.intersect(Seq("median", "mad")).isEmpty,
       "madProfile: key names collide with output columns (median, mad)")
-    val vals = df.select(keys.map(col) :+ value.as("__x"): _*)
-      .where(col("__x").isNotNull)
-    val med = exactPercentileByKey(vals, keys, col("__x"), 50)
-      .select(keys.map(col) :+ col("value").as("median"): _*)
-    val dev = vals.join(med, keys) // right side is group-sized
-      .withColumn("__dev", abs(col("__x") - col("median")))
-    val mad = exactPercentileByKey(
-        dev.select(keys.map(col) :+ col("__dev"): _*), keys, col("__dev"), 50)
-      .select(keys.map(col) :+ col("value").as("mad"): _*)
-    med.join(mad, keys)
+    // same shared pin as madOutliers: both stacks read one spread,
+    // cached copy of the narrow (keys, x) frame in the local
+    // single-file regime; no-op at scale
+    val (vals, release, _) = ScanLayout.pinForPasses(
+      df.select(keys.map(col) :+ value.as("__x"): _*)
+        .where(col("__x").isNotNull))
+    try {
+      val med = exactPercentileByKey(vals, keys, col("__x"), 50)
+        .select(keys.map(col) :+ col("value").as("median"): _*)
+      val dev = vals.join(med, keys) // right side is group-sized
+        .withColumn("__dev", abs(col("__x") - col("median")))
+      val mad = exactPercentileByKey(
+          dev.select(keys.map(col) :+ col("__dev"): _*), keys, col("__dev"), 50)
+        .select(keys.map(col) :+ col("value").as("mad"): _*)
+      med.join(mad, keys) // both sides are local relations
+    } finally release()
   }
 
   /** Stand up the continuous MAD monitor's store from a profile

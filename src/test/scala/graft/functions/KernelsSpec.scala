@@ -84,6 +84,29 @@ class KernelsSpec extends AnyFunSuite {
     assert(nfcOnly == "ﬁle ² café")
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays (property)") {
+    // the q233 verify contract: on the frames jaccardJoin builds
+    // (sort_array'd distinct string arrays) the merge kernel must equal
+    // array_intersect's cardinality exactly — randomized across sizes,
+    // overlaps, empties, and non-ASCII so the UTF8String binary-order
+    // merge is held to sort_array's own ordering
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq.tabulate(50)(i => s"w$i") ++ Seq("ü", "é", "ß", "zéta", "")
+    val rows = Seq.tabulate(300) { i =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)).filter(_.nonEmpty)
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)).filter(_.nonEmpty)
+      (i.toLong, a, b)
+    } :+ ((300L, Seq.empty[String], Seq("w1")))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), sort_array(array_distinct(col("a"))).as("a"),
+        sort_array(array_distinct(col("b"))).as("b"))
+    val got = df.select(col("id"),
+        graft.functions.Kernels.sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, m, ref) => assert(m == ref, s"row $id") }
+  }
+
   test("kernels usable from SQL via GraftExtensions") {
     // GraftSession builds with .withExtensions(new GraftExtensions), so
     // the SQL functions are present on the shared test session
