@@ -94,8 +94,14 @@ object Bench {
       // run order stays randomized; the diag line's "repeats" dict is
       // emitted IN RUN ORDER, which is what makes any residual pressure
       // artifact attributable from the artifact alone.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // BLOCKING on purpose: a lazy unpersist would execute its block
+      // removals inside the NEXT query's timed region — the cleanup
+      // must finish in the untimed gap between queries. The explicit GC
+      // likewise pays for the dead query's garbage here instead of as
+      // a pause in the middle of a later query's micro-batches.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      System.gc()
       if (failed) None else Some(name -> times.toSeq)
     }
     // The driver retains EXACTLY the last 2000 chars of combined output

@@ -169,7 +169,12 @@ private[graft] object EntryQueriesB {
       // linear quality-classifier inference (the fastText/C4-style gate):
       // integer fixed-point features + dot product + sign threshold, one
       // narrow codegen'd pass, bit-identical across engines
-      Classifier.qualityClassify(Tables(s, d).documents, col("doc_id"), col("text"))),
+      // fanOut: local single-file layout only (guide §2.5) — the
+      // inference pass itself stays narrow and codegen'd; at scale the
+      // guard is false and the plan is exchange-free as pinned
+      Classifier.qualityClassify(
+        ScanLayout.fanOut(Tables(s, d).documents.select(col("doc_id"), col("text"))),
+        col("doc_id"), col("text"))),
     "q92_zorder_value" -> ((s, d) =>
       // the Morton (Z-order) layout key over (l_partkey, l_suppkey) —
       // integer min/max normalization + bit interleave, the curve
@@ -274,7 +279,7 @@ private[graft] object EntryQueriesB {
           // l_shipdate reads as TIMESTAMP_NTZ from parquet; unix_millis
           // needs LTZ — the cast is deterministic because the session
           // timezone is pinned UTC in GraftSession
-          expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000) - 9000").as("x"),
+          (dayBucket(col("l_shipdate").cast("timestamp")) - 9000).as("x"),
           col("l_quantity").cast("long").as("y")),
         Seq("l_suppkey"), "x", "y", scale = 1000L)),
     "q115_gap_fill" -> ((s, d) =>
@@ -424,7 +429,7 @@ private[graft] object EntryQueriesB {
       // count over the key-pair join.
       val e = Tables(s, d).events.select(col("event_id"),
         col("event_type").as("k"),
-        (expr("unix_millis(ts) div 86400000") % 2).as("par"),
+        (dayBucket(col("ts")) % 2).as("par"),
         (dec(col("value")) * 100).cast("long").as("cents"))
       Quantiles.cdfRank(
         e.where(col("par") === 1).select(col("event_id"), col("k"), col("cents")),
@@ -450,7 +455,7 @@ private[graft] object EntryQueriesB {
       // per report day — |activity|×7 work, linear. Gap days inside
       // the span still report. Oracle replays the contribution join.
       Timeseries.rollingDistinct(Tables(s, d).events,
-        expr("unix_millis(ts) div 86400000"), col("user_id"),
+        dayBucket(col("ts")), col("user_id"),
         windowTicks = 7L)),
     "q217_peak_sessions" -> ((s, d) => {
       // PEAK CONCURRENCY — Timeseries.maxConcurrency over q207's
@@ -544,7 +549,7 @@ private[graft] object EntryQueriesB {
       // window moves only the day-sized frame. Oracle replays the
       // identical RANGE window.
       Timeseries.rolling(Tables(s, d).events, Seq("user_id"),
-        expr("unix_millis(ts) div 86400000"),
+        dayBucket(col("ts")),
         (dec(col("value")) * 100).cast("long"), windowTicks = 7L)),
     "q211_basket_lift" -> ((s, d) =>
       // MARKET-BASKET LIFT — Cohorts.basketLift: co-occurrence lift of
@@ -554,7 +559,7 @@ private[graft] object EntryQueriesB {
       // item counts, broadcast item totals. Oracle replays the same
       // integer arithmetic.
       Cohorts.basketLift(Tables(s, d).events,
-        Seq(col("user_id"), expr("unix_millis(ts) div 86400000")),
+        Seq(col("user_id"), dayBucket(col("ts"))),
         col("event_type"))),
     "q210_sessionize_stream" -> ((s, d) => {
       // CONTINUOUS SESSIONIZATION — EventTimeWindows.sessionizeStream:
@@ -645,7 +650,8 @@ private[graft] object EntryQueriesB {
       // deterministic double expression over the double-cast moments.
       // Oracle replays the identical moments and formula.
       Checks.correlations(
-        Tables(s, d).lineitem.select(
+        ScanLayout.fanOut(Tables(s, d).lineitem.select(col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))).select(
           (dec(col("l_quantity")) * 100).cast("long").as("qty"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("price"),
           (dec(col("l_discount")) * 100).cast("long").as("disc"),

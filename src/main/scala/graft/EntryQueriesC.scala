@@ -60,7 +60,7 @@ private[graft] object EntryQueriesC {
       val store = q224StoreCache.computeIfAbsent(d, { dir =>
         val p = graft.core.TempDirs.create("graft_q224_store") + "/mad"
         val ev = Tables(s, dir).events.select(col("event_type"),
-          (expr("unix_millis(ts) div 86400000") % 2).as("par"),
+          (dayBucket(col("ts")) % 2).as("par"),
           col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
         Quantiles.initMadMonitor(
           Quantiles.madProfile(ev.where(col("par") === 0),

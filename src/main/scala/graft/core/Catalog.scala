@@ -175,8 +175,7 @@ object Catalog {
         SwapStore.read(spark, manifestPath(base))
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
       }
-      spark.range(1).select(lit(before).as("last_batch"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      SwapStore.writeLedgerDir(spark, s"$tmp/ledger", before)
       if (SwapStore.retryingStaleReads() { lastBatch(spark, base) } == before) {
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
           s"Catalog.savepoint: rename $tmp -> $dst failed")
@@ -248,7 +247,7 @@ object Catalog {
         s"Catalog.restore: no savepoint '$name' under $base")
       SwapStore.reset(spark, manifestPath(base),
         spark.read.parquet(s"$sp/manifest"),
-        spark.read.parquet(s"$sp/ledger").head.getLong(0))
+        SwapStore.readLedgerDir(spark, s"$sp/ledger"))
     }
 
   /** Delete a savepoint; its generations become GC-eligible at the
@@ -456,7 +455,7 @@ object Catalog {
     val snapDf = spark.read.parquet(s"$sp/manifest")
     val snapGens = snapDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val snapLedger = spark.read.parquet(s"$sp/ledger").head.getLong(0)
+    val snapLedger = SwapStore.readLedgerDir(spark, s"$sp/ledger")
     // the replica's pre-cutover pointers: what incremental copies skip,
     // and what the post-cutover GC keeps one fold of (racing readers)
     val prevGens: Map[String, Long] =

@@ -41,6 +41,61 @@ object SwapStore {
 
   private def store(path: String) = s"$path/_store"
 
+  /** The ledger is ONE int64 in ONE parquet file, but it is read twice
+    * and written once per fold — and `spark.range(1).write.parquet` /
+    * `spark.read.parquet(...).head` each cost a full Spark job with
+    * planning (~100-300 ms, measured as the dominant per-batch driver
+    * gap of the fold-based streaming gates: q210 spent more wall in
+    * gaps than in jobs). These helpers move the ledger to direct
+    * parquet-mr I/O — SAME on-disk layout (a `part-*.parquet` with an
+    * optional int64 `last_batch` column plus a `_SUCCESS` marker, which
+    * is exactly what the Spark writer produced, so stores written by
+    * either path interread) — at ~1 ms and zero Spark jobs.
+    */
+  private val ledgerSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message spark_schema { optional int64 last_batch; }")
+
+  private[graft] def writeLedgerDir(spark: SparkSession, dir: String,
+                                    batchId: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.delete(d, true)
+    fs.mkdirs(d)
+    val file = new org.apache.hadoop.fs.Path(d, "part-00000-ledger.parquet")
+    val wconf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ledgerSchema, wconf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, wconf))
+      .withConf(wconf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(ledgerSchema)
+      g.add("last_batch", batchId)
+      writer.write(g)
+    } finally writer.close()
+    fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+  }
+
+  private[graft] def readLedgerDir(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val part = fs.listStatus(d).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"SwapStore: no ledger part file under $dir"))
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
+      .withConf(conf).build()
+    try {
+      val g = reader.read()
+      require(g != null, s"SwapStore: empty ledger file $part")
+      g.getLong("last_batch", 0)
+    } finally reader.close()
+  }
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,8 +207,7 @@ object SwapStore {
     WriterLease.withLeaseHandle(sp, path, s"SwapStore.init($path)") { lease =>
       val tmp = s"$path/_store.next"
       df.write.mode("overwrite").parquet(s"$tmp/data")
-      sp.range(1).select(lit(-1L).as("last_batch"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      writeLedgerDir(sp, s"$tmp/ledger", -1L)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(sp.sparkContext.hadoopConfiguration)
       lease.assertHeld()
@@ -174,7 +228,7 @@ object SwapStore {
   /** The last applied batch id (-1 after [[init]]). */
   def lastBatch(spark: SparkSession, path: String): Long = {
     ensureStore(spark, path)
-    spark.read.parquet(s"${store(path)}/ledger").head.getLong(0)
+    readLedgerDir(spark, s"${store(path)}/ledger")
   }
 
   /** Apply `transform` to the current table and swap the result in,
@@ -194,8 +248,7 @@ object SwapStore {
         val out = transform(read(spark, path))
         val tmp = s"$path/_store.next"
         out.write.mode("overwrite").parquet(s"$tmp/data")
-        spark.range(1).select(lit(batchId).as("last_batch"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+        writeLedgerDir(spark, s"$tmp/ledger", batchId)
         lease.assertHeld()
         swapDirs(spark, store(path), tmp)
       }
@@ -215,8 +268,7 @@ object SwapStore {
         s"SwapStore.reset($path)") { lease =>
       val tmp = s"$path/_store.next"
       df.write.mode("overwrite").parquet(s"$tmp/data")
-      spark.range(1).select(lit(batchId).as("last_batch"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      writeLedgerDir(spark, s"$tmp/ledger", batchId)
       lease.assertHeld()
       swapDirs(spark, store(path), tmp)
     }
@@ -236,8 +288,7 @@ object SwapStore {
       val tmp = s"$path/_store.next"
       read(spark, path).coalesce(files)
         .write.mode("overwrite").parquet(s"$tmp/data")
-      spark.range(1).select(lit(last).as("last_batch"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ledger")
+      writeLedgerDir(spark, s"$tmp/ledger", last)
       lease.assertHeld()
       swapDirs(spark, store(path), tmp)
     }

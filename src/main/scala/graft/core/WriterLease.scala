@@ -172,11 +172,14 @@ object WriterLease {
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val stop = new java.util.concurrent.CountDownLatch(1)
     val handle = new Handle(base, what, lost)
+    // conservative lower bound of the lease file's mtime: the moment
+    // BEFORE each successful write (the file's real mtime is later).
+    // Shared with the release path, whose delete needs the same
+    // freshness fence as the heartbeat's rewrite.
+    val lastWriteRef = new java.util.concurrent.atomic.AtomicLong(acquiredAt)
     val beat = new Thread(() => {
       var going = true
-      // conservative lower bound of the lease file's mtime: the moment
-      // BEFORE each successful write (the file's real mtime is later)
-      var lastWrite = acquiredAt
+      def lastWrite = lastWriteRef.get()
       while (going && !stop.await(math.max(staleMs / 3, 1L),
                          java.util.concurrent.TimeUnit.MILLISECONDS)) {
         // verify-then-rewrite, FENCED against stalls: a reclaim is
@@ -201,7 +204,7 @@ object WriterLease {
             // the pause hit DURING the rewrite: we may have clobbered a
             // new holder — surrender; release will not delete (lost)
             lost.set(true); going = false
-          } else lastWrite = t0
+          } else lastWriteRef.set(t0)
         }
       }
     }, s"graft-writer-lease-${base.hashCode}")
@@ -227,7 +230,15 @@ object WriterLease {
       val wasInterrupted = Thread.interrupted()
       try {
         beat.join()
-        if (!lost.get() && readOwner(fs, f).contains(owner)) fs.delete(f, false)
+        // Release fence (mirrors the heartbeat's): a >= staleMs pause
+        // since our last refresh means a reclaimer may already own a
+        // FRESH lease here, and a read-owner-then-delete would remove
+        // the new holder's file (the TOCTOU the reclaim path itself
+        // avoids by renaming). Skip the delete in that case — our
+        // orphaned token self-expires after staleMs, the documented
+        // cheap outcome.
+        if (!lost.get() && nowMs() - lastWriteRef.get() < staleMs &&
+            readOwner(fs, f).contains(owner)) fs.delete(f, false)
       } catch { case _: InterruptedException => () }
       finally if (wasInterrupted) Thread.currentThread().interrupt()
     }

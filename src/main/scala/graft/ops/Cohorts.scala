@@ -192,6 +192,9 @@ object Cohorts {
     * `ts` in [conversion − lookbackMs, conversion) — strictly before,
     * so a channel can never be credited for a simultaneous event.
     * First/last ties break on (`ts`, `tie`), fully deterministic.
+    * Each conversion's identity is (`user`, `ts`, `tie`) — `tie` need
+    * only disambiguate same-(user, ts) conversions, not be globally
+    * unique.
     * Conversions with ZERO touchpoints in the window ("direct") are
     * absent — count them separately if the direct share matters.
     *
@@ -219,7 +222,16 @@ object Cohorts {
     val j = conv.join(touch, Seq("__u"))
       .where(col("__tts") < col("__cts") &&
         col("__tts") >= col("__cts") - lit(lookbackMs))
-    val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
+    // partition by the FULL conversion identity (user, ts, tie), not
+    // the tie alone: `tie` is only documented as a (ts, tie) ORDER
+    // tie-breaker, so two conversions sharing a tie value (a per-user
+    // sequence number, colliding ids across users) must not silently
+    // merge their touch windows — that would corrupt n, both ranks,
+    // and all five credit models (r14 advisor finding). All three
+    // columns already ride the join output, so the exchange is
+    // unchanged in width and cardinality.
+    val wConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"), col("__cts"), col("__cid"))
     // ages are non-negative (tts < cts), so truncating div == floor;
     // clamp in LONG before the int cast — a >2^31 half-life ratio would
     // wrap the cast and shiftleft's mod-64 shift would fabricate huge

@@ -470,10 +470,23 @@ object Privacy {
     * .TextAnalysis.fingerprint]] / `Sampling` portability pattern).
     * NULL stays NULL.
     */
-  private def pseudonym(colName: String, salt: String): Column =
+  private def pseudonym(colName: String, salt: String): Column = {
+    // the preimage is colon-delimited, so a ':' inside the salt or the
+    // column NAME would let distinct (column, value) pairs share a
+    // preimage (salt "s", col "a", value "x:y" vs col "a:x", value "y")
+    // and silently break the no-cross-column-linkage guarantee (r14
+    // advisor finding). Values may contain ':' freely — they occupy the
+    // unambiguous tail position. Reject rather than escape: an escape
+    // scheme would change every existing token for a cosmetic freedom.
+    require(!salt.contains(":"),
+      "pseudonym: salt must not contain ':' (colon-delimited preimage)")
+    require(!colName.contains(":"),
+      s"pseudonym: column name '$colName' must not contain ':' " +
+        "(colon-delimited preimage)")
     when(col(colName).isNull, lit(null))
       .otherwise(md5(concat(lit(salt), lit(":"), lit(colName), lit(":"),
         col(colName).cast("string"))))
+  }
 
   /** GDPR-style pseudonymization: replace each listed column's values
     * with stable keyed tokens (see [[pseudonym]]) — the reversible

@@ -642,8 +642,21 @@ object TextAnalysis {
     // N = Σ label counts (NULL labels form their own group, so the sum
     // is exact) — rides nl's exchange instead of a third corpus scan
     val tot = nl.agg(sum(col("__c")).as("__N"))
+    // LEFT join + loud guard (r14 advisor finding): an inner join would
+    // silently DROP a (token, label) cell whose label is missing from
+    // labelTotals, and a lagging totals store would let O01 = __c −
+    // n_docs go negative undetected — a torn or mismatched store pair
+    // must fail, not under-report. Consistent pairs (the documented
+    // contract, enforced by the atomic Catalog ingest) are untouched.
     val cells = c1.join(r, Seq("token"))
-      .join(broadcast(nl), Seq("label"))
+      .join(broadcast(nl), Seq("label"), "left")
+      .withColumn("__c", when(col("__c").isNull || col("__c") < col("n_docs"),
+        raise_error(concat(
+          lit("chiSquareFromCounts: counts/labelTotals disagree at label "),
+          coalesce(col("label").cast("string"), lit("NULL")),
+          lit(" (missing or smaller-than-cell total) — the store pair is "),
+          lit("torn or mismatched; re-ingest atomically"))))
+        .otherwise(col("__c")))
       .crossJoin(broadcast(tot))
       .where(col("__r") >= minDocs && col("__r") < col("__N") &&
         col("__c") < col("__N"))

@@ -552,10 +552,15 @@ object Timeseries {
     val base = df.select(keys.map(col) :+ ord.as("__t") :+ x.cast("long").as("__x"): _*)
     val wKey = Window.partitionBy(keys.map(col): _*)
     val wOrd = wKey.orderBy(col("__t"))
-    // q_t = n·x_t − S; the next-tick probe shares wOrd's sort, so the
-    // uniqueness guard costs no extra exchange
-    val q0 = (count(lit(1)).over(wKey) * col("__x") - sum(col("__x")).over(wKey))
-      .cast("decimal(38,0)")
+    // q_t = n·x_t − S, computed IN decimal(38,0): the long form would
+    // silently wrap past the n·|x| envelope and emit wrong acf_ppm
+    // (r14 advisor finding) — the cast-first form is exact at any n·|x|
+    // this operator admits and costs nothing extra (the window sort is
+    // shared either way). The next-tick probe shares wOrd's sort, so
+    // the uniqueness guard costs no extra exchange.
+    val q0 = count(lit(1)).over(wKey).cast("decimal(38,0)") *
+      col("__x").cast("decimal(38,0)") -
+      sum(col("__x").cast("decimal(38,0)")).over(wKey)
     val nextT = lead(col("__t"), 1).over(wOrd)
     // NULL ticks first: NULLs sort together, so the duplicate check
     // below would either miss them (all-NULL key: nextT.isNull short-

@@ -57,6 +57,30 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(!leaseFile(base).exists())
   }
 
+  test("release fence: a > staleMs pause before the final delete leaves the file to self-expire") {
+    val base = TempDirs.create("lease_fence_release")
+    // clock: call 1 stamps lastWrite at acquire; the body completes
+    // immediately (the heartbeat never iterates — staleMs/3 is far
+    // longer than the body), so the NEXT nowMs() call is the release
+    // fence itself, simulating a stop-the-world pause between the last
+    // refresh and the delete. A reclaimer may own a fresh lease in that
+    // window, so the release must NOT delete (r13/r14 verdict item:
+    // the read-owner-then-delete TOCTOU) — the orphan self-expires.
+    val calls = new java.util.concurrent.atomic.AtomicLong(0)
+    val t = 1000000L
+    val staleMs = 60000L
+    val clock = () => if (calls.incrementAndGet() == 1) t else t + staleMs + 1
+    assert(WriterLease.run(spark, base, "release-fence", staleMs, clock) {
+      _ => "body-done" } == "body-done")
+    // the lease file survived the release (delete was fenced off) …
+    assert(leaseFile(base).exists())
+    // … and a later writer reclaims it through the normal stale path
+    assert(leaseFile(base).setLastModified(
+      System.currentTimeMillis() - 2 * WriterLease.DefaultStaleMs))
+    WriterLease.withLease(spark, base, "after-release-fence") { () }
+    assert(!leaseFile(base).exists())
+  }
+
   test("pause fence: a > staleMs pause DURING the rewrite surrenders too") {
     val base = TempDirs.create("lease_fence_postwrite")
     val calls = new java.util.concurrent.atomic.AtomicLong(0)

@@ -327,11 +327,38 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no partial aggregate below the (cell, d) exchange:\n$p")
   }
 
-  test("q91: quality-classifier inference is one narrow codegen'd pass — no exchange") {
-    val p = plan("q91_quality_classify")
-    assert(!p.contains("Exchange"), s"classifier gate shuffles:\n$p")
+  test("q91: quality-classifier inference is one narrow codegen'd pass — no keyed exchange") {
+    // the query-site ScanLayout.fanOut may add ONE round-robin exchange
+    // in the local single-file regime (guarded no-op at scale), which
+    // wraps the plan in AdaptiveSparkPlan — execute it so the FINAL
+    // plan (with codegen markers) is inspectable, then pin what would
+    // break the 100 TB story: any KEYED shuffle or join in the path
+    val df = graft.SparkEntry.queries("q91_quality_classify")(spark, sf)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning") &&
+      !p.contains("Join"), s"classifier gate shuffles by key or joins:\n$p")
     // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
     assert(p.contains("*(1)"), s"classifier fell out of codegen:\n$p")
+  }
+
+  test("q251: five-model attribution stays one equi-join + shared window exchange") {
+    // the claim SCALE.md makes for the attribution family: all five
+    // credit models share ONE conversion-keyed window exchange after
+    // one user-keyed equi-join (broadcast at gate size — never a
+    // SortMergeJoin here), then a channel-sized rollup. ≤2 hash
+    // exchanges total (window + rollup); a regression that gives each
+    // window pass its own exchange, or sort-merges the touch join,
+    // trips this. Execute so AQE's final plan is inspected.
+    val df = graft.SparkEntry.queries("q251_attribution")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"), s"attribution touch join sort-merges:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"attribution pays $hashEx hash exchanges (> 2):\n$p")
+    // exactly one Window operator subtree feeds all five models
+    assert("(?m)^[^\\n]*Window".r.findAllIn(p).size <= 2, // Window + WindowGroupLimit-free
+      s"window passes split into separate operators:\n$p")
   }
 
   test("q37: LSH candidate join does not shuffle shingle arrays") {
