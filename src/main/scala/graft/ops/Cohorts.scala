@@ -199,10 +199,10 @@ object Cohorts {
     * absent — count them separately if the direct share matters.
     *
     * Scale shape: one user-keyed equi-join (the range predicate rides
-    * it — never a cross join), then ONE conversion-keyed exchange
-    * shared by all window passes (asc/desc ranks, the touch count,
-    * and the decay-weight sum sort-share it), then a channel-sized
-    * rollup. Per-partition state is one conversion's touch window,
+    * it — never a cross join), then ONE conversion-keyed exchange and
+    * ONE ascending sort shared by all window passes (the asc rank, the
+    * touch count and the decay-weight sum; the desc rank is derived as
+    * n − rf + 1, never re-sorted), then a channel-sized rollup. Per-partition state is one conversion's touch window,
     * bounded by lookback. Σw ≤ n·2³⁰ and 10⁶·w ≤ 2⁵⁰ keep every
     * product in a long.
     *
@@ -238,11 +238,17 @@ object Cohorts {
     // (even negative) weights instead of the documented 2^0 floor
     val decayW = expr(
       s"shiftleft(1L, 30 - cast(least(((__cts - __tts) div $halfLifeMs), 30L) as int))")
+    // the last-touch rank is DERIVED, not windowed: (__tts, __ttie) is a
+    // total order within a conversion (the documented tie contract), so
+    // row_number over its DESC ordering is exactly n − rf + 1. Computing
+    // it that way drops the third Window operator AND its descending
+    // re-sort of every touch window — the asc rank and the unbounded
+    // count/sum share one exchange and one sort.
     val f = j.select(col("channel"),
       row_number().over(wConv.orderBy(col("__tts").asc, col("__ttie").asc)).as("__rf"),
-      row_number().over(wConv.orderBy(col("__tts").desc, col("__ttie").desc)).as("__rl"),
       count(lit(1)).over(wConv).as("__n"),
       decayW.as("__w"), sum(decayW).over(wConv).as("__sw"))
+      .withColumn("__rl", col("__n") - col("__rf") + 1)
     val uPpm = when(col("__n") === 1, lit(1000000L))
       .when(col("__n") === 2, lit(500000L))
       .when(col("__rf") === 1 || col("__rl") === 1, lit(400000L))
