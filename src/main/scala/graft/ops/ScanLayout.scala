@@ -26,6 +26,40 @@ object ScanLayout {
     */
   val PinMaxBytes: Long = 256L * 1024 * 1024
 
+  /** Target bytes per fan-out partition: the width a spread frame gets
+    * GROWS with its plan-stat size (one partition per this many bytes)
+    * instead of jumping straight to the core count. 16 MiB of scan
+    * input is comfortably more than a task's fixed cost (schedule +
+    * codegen init + exchange write, single-digit ms) even for cheap
+    * per-row work.
+    */
+  val FanOutBytesPerPartition: Long = 16L * 1024 * 1024
+
+  /** How many partitions [[fanOut]]/[[pinForPasses]] spread to. r15
+    * used raw `defaultParallelism`, and the driver's 8-vs-32-core
+    * scaling run showed the tiny-frame pathology: at `local[32]` every
+    * multi-pass stage pays 32 tasks of fixed overhead on KB-sized
+    * partitions, and the fan-out queries ran SLOWER on 32 cores than
+    * on 8 (q233 8.4 s vs 4.3 s, q199 5.7 vs 2.8 — BENCH_r15 vs
+    * BENCH_r15_c8). Bound: grow one partition per
+    * [[FanOutBytesPerPartition]] of plan-stat bytes, floored at
+    * min(parallelism, 8) ∨ parallelism/4 (a CPU-heavy kernel on an
+    * unsplittable file still deserves real parallelism — 8 matched 32
+    * on every LSH-family query in the same scaling run), capped at the
+    * session parallelism. Scale-adaptive by construction: a bigger
+    * single file gets proportionally more partitions, and at real
+    * scale the [[underParallelized]] guard keeps this from firing at
+    * all.
+    */
+  private[graft] def fanOutWidth(df: DataFrame): Int = {
+    val p = parallelism(df)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize =
+      if (bytes > BigInt(Long.MaxValue)) p
+      else math.min(p.toLong, bytes.toLong / FanOutBytesPerPartition).toInt
+    math.min(p, math.max(math.max(p / 4, math.min(p, 8)), bySize))
+  }
+
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
@@ -58,7 +92,7 @@ object ScanLayout {
     * in an at-scale plan.
     */
   def fanOut(df: DataFrame): DataFrame =
-    if (underParallelized(df)) df.repartition(parallelism(df)) else df
+    if (underParallelized(df)) df.repartition(fanOutWidth(df)) else df
 
   /** [[fanOut]] + persist for MULTI-PASS consumers (the bisection
     * stacks): an under-parallelized single-file scan would otherwise
@@ -80,7 +114,7 @@ object ScanLayout {
     val under = underParallelized(df)
     val small = plan.stats.sizeInBytes <= PinMaxBytes
     if (under || small) {
-      val pinned = (if (under) df.repartition(parallelism(df)) else df).persist()
+      val pinned = (if (under) df.repartition(fanOutWidth(df)) else df).persist()
       (pinned, () => { pinned.unpersist(false); () }, true)
     } else (df, () => (), false)
   }
