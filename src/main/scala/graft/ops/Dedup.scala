@@ -323,18 +323,29 @@ object Dedup {
     val prefix = ranked.join(sizes, "id")
       .where(col("__rk") <=
         col("__n") - expr(s"(($t1e4 * __n + 9999) div 10000)") + 1)
-      .select(col("id"), col("tok"), col("__n"))
+      .select(col("id"), col("tok"), col("__n"), col("__rk"))
     // LENGTH FILTER (ssjoin standard, zero false negatives): Jaccard ≥ t
     // forces t·max(n_a,n_b) ≤ min(n_a,n_b) (the overlap is at most the
     // smaller set, the union at least the larger), so size-incompatible
     // prefix collisions are dropped BEFORE the pair ever reaches distinct
     // + verify — at threshold 0.4 this is the difference between
     // verifying every pair of docs sharing one common-ish prefix token
-    // and verifying only plausibly-similar ones
+    // and verifying only plausibly-similar ones.
+    // POSITIONAL FILTER (ppjoin standard, also zero false negatives):
+    // J ≥ t needs o·(10⁴ + t1e4) ≥ t1e4·(n_a + n_b), and a collision at
+    // ranks (rk_a, rk_b) admits o ≤ min(n_a − rk_a, n_b − rk_b) + 1 when
+    // no shared token precedes it. That premise holds at each pair's
+    // FIRST in-prefix collision (a shared token ordered before it would
+    // sit at smaller ranks on both sides — inside both prefixes, an
+    // earlier collision), so a true pair always survives that collision
+    // and only collisions too deep in both prefixes are dropped — before
+    // distinct + verify instead of after the intersect count.
     val cands = prefix.as("a").join(prefix.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id") &&
         least(col("a.__n"), col("b.__n")) * 10000 >=
-          lit(t1e4) * greatest(col("a.__n"), col("b.__n")))
+          lit(t1e4) * greatest(col("a.__n"), col("b.__n")) &&
+        (least(col("a.__n") - col("a.__rk"), col("b.__n") - col("b.__rk")) + 1) *
+          lit(10000 + t1e4) >= lit(t1e4) * (col("a.__n") + col("b.__n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify on PAIR-sized frames: each candidate pair picks up the two

@@ -888,13 +888,24 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("jaccardJoin: exact pairs == brute force at several thresholds; prefix filter never drops") {
     val rnd = new scala.util.Random(23)
     val vocab = Seq.tabulate(40)(i => s"w$i")
-    val docs = Seq.tabulate(60) { i =>
+    val random = Seq.tabulate(60) { i =>
       val n = 3 + rnd.nextInt(8)
       (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
     }
+    // near-duplicate block: shared cores with 0-2 token edits, the
+    // regime where the length and positional prefix filters sit exactly
+    // on their keep/drop boundaries — a filter that over-prunes by one
+    // rank or one token shows up here as a missing pair
+    val nearDups = (0 until 20).map { i =>
+      val core = rnd.shuffle(vocab).take(6)
+      val edited = core.drop(rnd.nextInt(3)) ++ rnd.shuffle(vocab).take(rnd.nextInt(3))
+      Seq((100L + 2 * i, core.mkString(" ")),
+        (101L + 2 * i, edited.distinct.mkString(" ")))
+    }.flatten
+    val docs = random ++ nearDups
     val df = docs.toDF("id", "text")
     val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
-    for (t <- Seq(0.3, 0.5, 0.8)) {
+    for (t <- Seq(0.3, 0.4, 0.5, 0.8)) {
       val got = Dedup.jaccardJoin(df, col("id"), split(col("text"), " "), t)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       val t1e4 = math.round(t * 10000)
