@@ -66,16 +66,16 @@ object Catalog {
     stores.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(genDir(base, name, -1L))
     }
-    import spark.implicits._
-    SwapStore.init(
-      stores.keys.toSeq.sorted.map(n => (n, -1L)).toDF("store", "gen"),
-      manifestPath(base))
+    SwapStore.initPairs(spark, manifestPath(base),
+      stores.keys.toSeq.sorted.map(n => (n, -1L)))
   }
 
-  /** Current generation per store. */
+  /** Current generation per store. The manifest is store-count-sized
+    * and read DIRECTLY (parquet-mr, no Spark job) — resolving a store
+    * through the catalog costs driver I/O, not query planning.
+    */
   def gens(spark: SparkSession, base: String): Map[String, Long] =
-    SwapStore.read(spark, manifestPath(base))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SwapStore.readPairs(spark, manifestPath(base)).toMap
 
   /** The current table of one store — resolved through the manifest, so
     * a reader can never see a half-ingested batch.
@@ -135,12 +135,10 @@ object Catalog {
         s"Catalog.addStore: store '$name' already exists")
       val led = lastBatch(spark, base)
       init.write.mode("overwrite").parquet(genDir(base, name, led))
-      import spark.implicits._
       // same read-current-then-swap shape as every fold: the new manifest
       // materializes fully to the staging dir before any rename
-      SwapStore.reset(spark, manifestPath(base),
-        SwapStore.read(spark, manifestPath(base))
-          .unionByName(Seq((name, led)).toDF("store", "gen")), led)
+      SwapStore.resetPairs(spark, manifestPath(base),
+        SwapStore.readPairs(spark, manifestPath(base)) :+ ((name, led)), led)
     }
 
   /** Pin the catalog's CURRENT state under a name. Because generations
@@ -172,8 +170,8 @@ object Catalog {
     while (true) {
       val before = SwapStore.retryingStaleReads() { lastBatch(spark, base) }
       SwapStore.retryingStaleReads() {
-        SwapStore.read(spark, manifestPath(base))
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+        SwapStore.writePairsDir(spark, s"$tmp/manifest",
+          SwapStore.readPairs(spark, manifestPath(base)))
       }
       SwapStore.writeLedgerDir(spark, s"$tmp/ledger", before)
       if (SwapStore.retryingStaleReads() { lastBatch(spark, base) } == before) {
@@ -209,8 +207,8 @@ object Catalog {
     savepoints(spark, base)
       .flatMap { n =>
         pinCache.computeIfAbsent(s"$base $n", _ =>
-          spark.read.parquet(s"${savepointDir(base, n)}/manifest")
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap).toSeq
+          SwapStore.readPairsDir(spark, s"${savepointDir(base, n)}/manifest")
+            .toMap).toSeq
       }
       .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
 
@@ -225,9 +223,10 @@ object Catalog {
     val sp = savepointDir(base, name)
     require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
       s"Catalog.readAt: no savepoint '$name' under $base")
-    spark.read.parquet(s"$sp/manifest").collect()
-      .map(r => r.getString(0) ->
-        spark.read.parquet(genDir(base, r.getString(0), r.getLong(1)))).toMap
+    SwapStore.readPairsDir(spark, s"$sp/manifest")
+      .map { case (n, g) =>
+        n -> spark.read.parquet(genDir(base, n, g))
+      }.toMap
   }
 
   /** Roll the catalog back to a savepoint: the manifest swaps to the
@@ -245,8 +244,8 @@ object Catalog {
       val sp = savepointDir(base, name)
       require(fsOf(spark, base).exists(new org.apache.hadoop.fs.Path(sp)),
         s"Catalog.restore: no savepoint '$name' under $base")
-      SwapStore.reset(spark, manifestPath(base),
-        spark.read.parquet(s"$sp/manifest"),
+      SwapStore.resetPairs(spark, manifestPath(base),
+        SwapStore.readPairsDir(spark, s"$sp/manifest"),
         SwapStore.readLedgerDir(spark, s"$sp/ledger"))
     }
 
@@ -311,10 +310,8 @@ object Catalog {
       throw new IllegalStateException(
         "Catalog: injected crash after all store writes, before the manifest swap")
     val folded = folds.map(_._1).toSet
-    SwapStore.fold(spark, manifestPath(base), batchId) { m =>
-      m.select(col("store"),
-        when(col("store").isin(folded.toSeq: _*), lit(batchId))
-          .otherwise(col("gen")).as("gen"))
+    SwapStore.foldPairs(spark, manifestPath(base), batchId) { m =>
+      m.map { case (n, g) => (n, if (folded(n)) batchId else g) }
     }
     // GC superseded generations: keep the new one, its immediate
     // predecessor (for readers that resolved the manifest pre-swap),
@@ -448,13 +445,22 @@ object Catalog {
     def manifestExists: Boolean =
       Seq("_store", "_store.old", "_store.next").exists(n =>
         rfs.exists(new org.apache.hadoop.fs.Path(s"${manifestPath(replica)}/$n")))
+    // the call-time floor: one replicate() call must leave the replica
+    // at a snapshot AT LEAST this fresh. A crashed earlier attempt (a
+    // follower tick stopped between its pin rename and its pin drop)
+    // leaves an inflight pin of an OLDER ledger; resuming it is right
+    // (the long copy stays resumable) but STOPPING there is not — the
+    // caller asked for "the primary as of now", and q185's
+    // deterministic final sync requires exactly that. After finishing a
+    // stale pin, run once more against a fresh one (incremental: only
+    // the stores the stale snapshot missed ship again).
+    val entryLedger = SwapStore.retryingStaleReads() { lastBatch(spark, primary) }
     val pin = f"repl-${replica.hashCode}%08x"
     val havePin = savepoints(spark, primary).contains(pin)
     if (!havePin) savepoint(spark, primary, pin)
     val sp = savepointDir(primary, pin)
-    val snapDf = spark.read.parquet(s"$sp/manifest")
-    val snapGens = snapDf.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val snapRows = SwapStore.readPairsDir(spark, s"$sp/manifest")
+    val snapGens = snapRows.toMap
     val snapLedger = SwapStore.readLedgerDir(spark, s"$sp/ledger")
     // the replica's pre-cutover pointers: what incremental copies skip,
     // and what the post-cutover GC keeps one fold of (racing readers)
@@ -504,8 +510,8 @@ object Catalog {
     if (failAfter == toCopy.size)
       throw new IllegalStateException(
         "Catalog: injected crash after all generation copies, before the cutover swap")
-    if (!manifestExists) SwapStore.init(snapDf, manifestPath(replica))
-    SwapStore.reset(spark, manifestPath(replica), snapDf, snapLedger)
+    if (!manifestExists) SwapStore.initPairs(spark, manifestPath(replica), snapRows)
+    SwapStore.resetPairs(spark, manifestPath(replica), snapRows, snapLedger)
     snapGens.foreach { case (name, g) =>
       val dir = new org.apache.hadoop.fs.Path(s"$replica/stores/$name")
       val keep = Set(s"g$g") ++ prevGens.get(name).map(p => s"g$p") ++
@@ -516,7 +522,12 @@ object Catalog {
         }
     }
     dropSavepoint(spark, primary, pin)
-    copied
+    if (snapLedger < entryLedger)
+      // the resumed pin predated this call — catch up on a fresh pin
+      // (terminates: the fresh pin's ledger is >= entryLedger)
+      copied ++ replicateLocked(spark, primary, replica, full = false,
+        failAfter, retryOnDeadPin)
+    else copied
   }
 
   /** Delete every generation directory the catalog no longer

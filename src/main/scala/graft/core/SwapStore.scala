@@ -96,6 +96,73 @@ object SwapStore {
     } finally reader.close()
   }
 
+  /** The [[graft.core.Catalog]] manifest is a store-count-sized
+    * (store, gen) pair table, yet every fold/savepoint/answer used to
+    * pay full Spark jobs to read and rewrite it (`spark.read.parquet.
+    * collect` + `coalesce(1).write.parquet`, ~100-300 ms of planning
+    * each — the same driver-gap tax the ledger paid before its direct
+    * path). Same cure: direct parquet-mr I/O with the SAME on-disk
+    * layout Spark produced (`part-*.parquet` + `_SUCCESS`, UTF8-
+    * annotated binary + int64 columns), so manifests written by either
+    * path interread — old catalogs stay readable, and Spark can still
+    * scan a manifest directory written here.
+    */
+  private val pairsSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message spark_schema { optional binary store (UTF8); optional int64 gen; }")
+
+  private[graft] def writePairsDir(spark: SparkSession, dir: String,
+                                   rows: Seq[(String, Long)]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.delete(d, true)
+    fs.mkdirs(d)
+    val file = new org.apache.hadoop.fs.Path(d, "part-00000-pairs.parquet")
+    val wconf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(pairsSchema, wconf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, wconf))
+      .withConf(wconf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { case (s, g) =>
+      val row = new org.apache.parquet.example.data.simple.SimpleGroup(pairsSchema)
+      row.add("store", org.apache.parquet.io.api.Binary.fromString(s))
+      row.add("gen", g)
+      writer.write(row)
+    } finally writer.close()
+    fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+  }
+
+  /** Read a (store, gen) pair directory written by EITHER
+    * [[writePairsDir]] or a Spark parquet write (a legacy manifest may
+    * span several part files — all are read).
+    */
+  private[graft] def readPairsDir(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val parts = fs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"SwapStore: no pair part files under $dir")
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += ((g.getBinary("store", 0).toStringUsingUTF8, g.getLong("gen", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -268,6 +335,59 @@ object SwapStore {
         s"SwapStore.reset($path)") { lease =>
       val tmp = s"$path/_store.next"
       df.write.mode("overwrite").parquet(s"$tmp/data")
+      writeLedgerDir(spark, s"$tmp/ledger", batchId)
+      lease.assertHeld()
+      swapDirs(spark, store(path), tmp)
+    }
+
+  /** [[init]]/[[read]]/[[fold]]/[[reset]] specialized to a (store, gen)
+    * PAIR table held entirely on the driver — the [[Catalog]] manifest's
+    * shape. Zero Spark jobs: the data dir goes through
+    * [[writePairsDir]]/[[readPairsDir]] and the ledger through its
+    * direct path, under exactly the DataFrame forms' lease, ledger and
+    * two-rename swap semantics (same staging dir, same recovery).
+    */
+  private[graft] def initPairs(spark: SparkSession, path: String,
+                               rows: Seq[(String, Long)]): Unit =
+    WriterLease.withLeaseHandle(spark, path, s"SwapStore.init($path)") { lease =>
+      val tmp = s"$path/_store.next"
+      writePairsDir(spark, s"$tmp/data", rows)
+      writeLedgerDir(spark, s"$tmp/ledger", -1L)
+      val fs = fsOf(spark, path)
+      lease.assertHeld()
+      if (!fs.exists(new org.apache.hadoop.fs.Path(store(path))))
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(store(path))),
+          s"SwapStore.init: rename $tmp failed")
+      else swapDirs(spark, store(path), tmp)
+    }
+
+  private[graft] def readPairs(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    ensureStore(spark, path)
+    readPairsDir(spark, s"${store(path)}/data")
+  }
+
+  private[graft] def foldPairs(spark: SparkSession, path: String, batchId: Long)
+      (transform: Seq[(String, Long)] => Seq[(String, Long)]): Unit = {
+    if (batchId <= lastBatch(spark, path)) return // re-delivery: lock-free no-op
+    WriterLease.withLeaseHandle(spark, path,
+        s"SwapStore.fold($path, batch $batchId)") { lease =>
+      if (batchId > lastBatch(spark, path)) { // re-check under the lease
+        val out = transform(readPairs(spark, path))
+        val tmp = s"$path/_store.next"
+        writePairsDir(spark, s"$tmp/data", out)
+        writeLedgerDir(spark, s"$tmp/ledger", batchId)
+        lease.assertHeld()
+        swapDirs(spark, store(path), tmp)
+      }
+    }
+  }
+
+  private[graft] def resetPairs(spark: SparkSession, path: String,
+                                rows: Seq[(String, Long)], batchId: Long): Unit =
+    WriterLease.withLeaseHandle(spark, path, s"SwapStore.reset($path)") { lease =>
+      val tmp = s"$path/_store.next"
+      writePairsDir(spark, s"$tmp/data", rows)
       writeLedgerDir(spark, s"$tmp/ledger", batchId)
       lease.assertHeld()
       swapDirs(spark, store(path), tmp)

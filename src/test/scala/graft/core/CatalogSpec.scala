@@ -295,6 +295,30 @@ class CatalogSpec extends AnyFunSuite {
       "the internal replication pin must not outlive the call")
   }
 
+  test("a stale inflight pin (crashed follower tick) cannot strand one replicate() call behind the call-time ledger") {
+    // a follower stopped between its savepoint rename and its pin drop
+    // leaves the internal inflight pin at an OLDER ledger; a later
+    // replicate() must finish that snapshot (resumability) AND then
+    // catch up — the caller asked for "the primary as of now" (q185's
+    // deterministic final sync requires exactly this)
+    val base = TempDirs.create("catalog_stalepin_p")
+    val rep = TempDirs.create("catalog_stalepin_r")
+    initStores(base)
+    Catalog.ingest(spark, base, 0L, Seq((1L, 10L)).toDF("k", "v"), folds)
+    // simulate the crashed tick: the inflight pin exists at ledger 0...
+    Catalog.savepoint(spark, base, f"repl-${rep.hashCode}%08x")
+    // ...and the primary then advances past it
+    Catalog.ingest(spark, base, 1L, Seq((2L, 20L)).toDF("k", "v"), folds)
+    Catalog.replicate(spark, base, rep)
+    assert(Catalog.lastBatch(spark, rep) == 1L,
+      "one replicate() call must converge to the call-time ledger")
+    assert(Catalog.gens(spark, rep) == Catalog.gens(spark, base))
+    assert(Catalog.verifyReplica(spark, base, rep)
+      .where(!col("consistent")).isEmpty)
+    // the inflight pin is gone — the next call is the no-op fast path
+    assert(Catalog.replicate(spark, base, rep).isEmpty)
+  }
+
   test("a crash at every point of the copy sequence leaves the replica serving its old state; re-runs converge") {
     val base = TempDirs.create("catalog_replcrash_p")
     val rep = TempDirs.create("catalog_replcrash_r")
