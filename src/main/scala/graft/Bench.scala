@@ -116,8 +116,6 @@ object Bench {
     // qNN keys) that fits the window whole.
     // Locale.ROOT: the default-locale `f` interpolator can emit a comma
     // decimal separator, which is not JSON
-    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val medians = results.map { case (k, ts) => k -> ts.sorted.apply(ts.length / 2) }
     // name dicts sorted by name (run order is shuffled) so cross-round
     // per-query comparison stays position-stable
@@ -136,10 +134,7 @@ object Bench {
     // full control-char escaping (graft.core.JsonText) — a tab in a Spark
     // analysis error would otherwise break the driver's json.load and
     // lose the round's measurements
-    val errs = errors.map { case (k, v) =>
-      graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
-    }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val errs = errsJson(errors.toSeq)
     // Three lines, least→most important (the 2000-char window reads from
     // the end):
     //  line 1 — full diagnostics: per-repeat times, full-name medians,
@@ -159,37 +154,60 @@ object Bench {
         val s = ts.sorted
         "\"" + k + "\":[" + Seq(s.head, s(s.length / 2), s.last).map(r2).mkString(",") + "]"
       }.mkString("{", ",", "}")
+    println(s"""{"diag":"full","repeats":$reps,"queries":$qs,"slow":$slowJson,"order_seed":$seed}""")
+    println(renderFinalLine(medians, errs, sfDir))
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  private[graft] def errsJson(errors: Seq[(String, String)]): String =
+    errors.map { case (k, v) =>
+      graft.core.JsonText.quote(k) + ":" + graft.core.JsonText.quote(v)
+    }.mkString("{", ",", "}")
+
+  /** The LAST stdout line — the driver contract's one JSON line. Pure
+    * function of the medians so BenchFormatSpec can pin, against the
+    * REAL declared query set, that it parses as one complete JSON
+    * object with every query accounted for (r14's round went dark when
+    * the official capture couldn't parse the bench output; this is the
+    * regression fence).
+    */
+  private[graft] def renderFinalLine(medians: Seq[(String, Double)],
+                                     errs: String, sfDir: String): String = {
+    val total = medians.map(_._2).sum
     def specLine(fmt: Double => String): String = {
       val compact = medians.sortBy(_._1).map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","errors":$errs,"n_queries":${medians.size},"total_sec":${r3(total)}}"""
     }
     // 1850-char budget: 2000-char retention minus sbt's ~110-char
     // trailer and slack. 2 dp fits ~150 queries; past that, fall back
     // to 1 dp (~0.05 s median error — cross-round comparison noise
     // floor is far above that) rather than letting the line silently
     // outgrow the window again.
-    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // Final fallback past ~165 queries (1 dp ~1810 chars at 161): keep
     // per-query detail only for medians >= 0.05 s and report how many
     // sub-noise entries were folded into "fast_sum" — the driver still
     // parses a complete JSON line and every nontrivial query stays
-    // individually comparable across rounds.
+    // individually comparable across rounds. (At 253 queries this is
+    // the arm that emits, and since r15 the driver demonstrably parses
+    // it whole — BENCH_r15.json's `parsed` carries all 253 names.)
     def slowOnlyLine: String = {
       val (slowM, fastM) = medians.partition(_._2 >= 0.05)
       val compact = slowM.sortBy(_._1).map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + r1(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"fast_omitted":${fastM.size},"fast_sum":${r2(fastM.map(_._2).sum)},"sf":"$sfDir","errors":$errs,"n_queries":${results.size},"total_sec":${r3(total)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compact,"fast_omitted":${fastM.size},"fast_sum":${r2(fastM.map(_._2).sum)},"sf":"$sfDir","errors":$errs,"n_queries":${medians.size},"total_sec":${r3(total)}}"""
     }
     val line2 = specLine(r2)
     val line1dp = specLine(r1)
-    println(s"""{"diag":"full","repeats":$reps,"queries":$qs,"slow":$slowJson,"order_seed":$seed}""")
-    println(if (line2.length <= 1850) line2
-      else if (line1dp.length <= 1850) line1dp
-      else slowOnlyLine)
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (line2.length <= 1850) line2
+    else if (line1dp.length <= 1850) line1dp
+    else slowOnlyLine
   }
 }

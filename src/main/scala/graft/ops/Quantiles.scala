@@ -28,6 +28,12 @@ object Quantiles {
 
   private val B = 4096L
 
+  /** Hard ceiling on the per-group bisection's group count — the
+    * driver holds (and re-broadcasts per pass) one bounds row per
+    * group. See the guard in `selectByKey`.
+    */
+  val MaxGroups: Int = 10000000
+
   /** The k-th smallest (1-based) non-null value of `value`. */
   def exactRank(df: DataFrame, value: Column, k: Long): Long = {
     val vals = toLongCol(df, value)
@@ -131,7 +137,8 @@ object Quantiles {
     * corpus is only scanned (once per pass), histograms are the only
     * shuffle, and driver traffic is one tiny open-group count per pass.
     * Requires the GROUP BOUNDS frame (not the data) to be
-    * broadcastable: fine up to millions of groups.
+    * broadcastable: guarded at [[MaxGroups]] (10M) groups — a loud
+    * `require`, never a silent driver OOM.
     *
     * Domain (measured, ThroughputBench scenario 24): this wins when
     * groups are HOT — 100M rows / 16 groups runs 7.1 s vs 76.3 s for
@@ -235,6 +242,20 @@ object Quantiles {
         max(col("__v")).as("__hi"))
       .withColumn("__rk", expr(rkExpr))
       .collect()
+    // EXPLICIT GROUP-COUNT CONTRACT (the "fine up to millions of
+    // groups" envelope, made checkable): the bounds frame lives on the
+    // driver and re-broadcasts each pass — ~40 bytes of longs per open
+    // group plus the key values, i.e. low GBs at the 10M ceiling, the
+    // same order as the broadcast the distributed form already
+    // required. Beyond that this operator is the wrong tool (groups
+    // outnumber useful per-group parallelism): use a sort-based
+    // per-group aggregate instead. Fail loudly, never silently OOM.
+    require(init.length <= MaxGroups,
+      s"quantiles: ${init.length} groups exceeds the driver-side bisection " +
+        s"ceiling of $MaxGroups — per-group percentile bookkeeping is " +
+        "group-sized by contract; for group counts past the ceiling use a " +
+        "sort-based per-group aggregate (many tiny groups beat bisection " +
+        "there anyway, see the operator doc)")
     // group id → (key values, n, rk, remaining rank, surviving range):
     // the id (row position) is the join-back handle, so key equality
     // never needs driver-side hashing of arbitrary key types
