@@ -33,4 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev knob: SPARK_GRAFT_GC_LOG=/path writes unified GC logging for the
+  // forked run — how full-suite GC pressure vs per-query time is measured
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime")
