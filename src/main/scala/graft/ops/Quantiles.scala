@@ -446,9 +446,16 @@ object Quantiles {
                    nBins: Int): DataFrame = {
     require(nBins >= 2, s"quantileBins: need nBins >= 2, got $nBins")
     val vals = df.where(value.isNotNull)
-    val n = vals.count()
-    require(n > 0, "quantileBins: no rows with a non-null value")
-    Sampling.rankBy(vals, key, value)
+    val ranked = Sampling.rankBy(vals, key, value)
+    // N from the RANK frame, not a separate corpus count: rankBy drops
+    // exactly the null-value rows `vals` filters, so max(rank) == N,
+    // and the rank frame is checkpoint-backed inside rankBy — this is
+    // a partition-count-sized job instead of one more full corpus scan
+    // (at any scale: the old count() re-read the table once per call)
+    val nRow = ranked.agg(max(col("rank"))).head
+    require(!nRow.isNullAt(0), "quantileBins: no rows with a non-null value")
+    val n = nRow.getLong(0)
+    ranked
       .withColumn("bin",
         expr(s"((rank - 1) * ${nBins}L) div ${n}L") + 1L)
   }

@@ -136,14 +136,21 @@ object Sampling {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // slim projection, NOT pinned: the range-boundary sampling job
-    // re-scans it once, but boundaries only steer partition BALANCE —
-    // every row lands by comparing its own value, so correctness never
-    // depends on the sample and the full materialization the old pin
-    // paid (a second 50M-row checkpoint) is pure overhead. The pin
+    // slim projection, GUARDED pin (ScanLayout): the range-boundary
+    // sampling job and the shuffle-map job both read this child, which
+    // on an under-parallelized local scan means TWO serial one-task
+    // corpus passes — the pin makes it one scan + one cache read, and
+    // releases before return (the range shuffle is materialized by the
+    // eager localCheckpoint below, so nothing downstream re-reads the
+    // pin). At scale the guard keeps the no-pin shape: boundaries only
+    // steer partition BALANCE, so correctness never depends on the
+    // sample, and a full materialization there is pure overhead (the
+    // lesson of the old unconditional 50M-row checkpoint). The pin
     // that matters for correctness is the one AFTER id assignment.
-    val slim = df.select(key.as("k"), order.as("h"))
-      .where(col("h").isNotNull)
+    val (slim, releaseSlim, _) = ScanLayout.pinForPasses(
+      df.select(key.as("k"), order.as("h"))
+        .where(col("h").isNotNull))
+    try {
     // (partition id, within-partition sequence) from the documented
     // monotonically_increasing_id layout — pid in the upper 31 bits,
     // record number in the lower 33 — assigned in the sorted iterator
@@ -168,6 +175,7 @@ object Sampling {
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), Seq("pid"))
       .select(col("k").as("key"), (col("offset") + col("local_rank")).as(rankName))
+    } finally releaseSlim()
   }
 
   def tokenBudgetSample(df: DataFrame, key: Column, domain: Column,
